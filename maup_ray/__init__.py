@@ -1,0 +1,15 @@
+"""maup_ray — a Ray-Data-native spatial-join + tiling engine.
+
+From-scratch reimplementation of the query/data-processing capabilities
+of mggg/maup (reference studied at /root/reference, v2.0.3) as
+``ray.data.Dataset`` pipelines: map_batches over zero-copy Arrow,
+broadcast small-side indexes held in actor pools, keyed shuffles only
+for genuinely wide steps. See SURVEY.md for the operator inventory and
+design rationale.
+"""
+
+from .ops.assign import assign, assign_by_area, assign_by_covering  # noqa: F401
+from .ops.intersections import intersections  # noqa: F401
+from .ops.prorate import normalize, prorate  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,507 @@
+"""General polygon boolean operations via planar arrangement — numpy only.
+
+Algorithm (SURVEY.md §7.1, robustness strategy §7.3): node all boundary
+segments at their pairwise intersections (including collinear-overlap
+intervals — the degenerate case tessellations are full of), dedup the
+resulting sub-segments, classify each sub-segment by sampling membership
+of the input regions slightly left/right of its midpoint, keep the
+sub-segments where the result predicate flips across the segment,
+orient them result-interior-on-the-left, and stitch rings by walking
+"first edge clockwise from the reversed incoming direction" at every
+node. CCW rings are shells, CW rings holes.
+
+This replaces shapely/GEOS ``intersection`` / ``union`` / ``difference``
+/ ``unary_union`` used throughout the reference (intersections.py:31,
+repair.py:84, repair.py:163-168, ...). Inputs snapped to a coordinate
+grid remain exact; side-sampling uses offsets proportional to local
+segment length.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .core import ensure_multi, ring_signed_area
+from .pip import point_in_polygon
+
+__all__ = [
+    "arrangement_regions",
+    "intersection",
+    "union",
+    "union_all",
+    "difference",
+    "symmetric_difference",
+    "boundary_intersection",
+    "intersection_full",
+    "holes",
+    "holes_of_union",
+]
+
+
+# ---------------------------------------------------------------- noding
+
+
+def _gather_segments(geoms):
+    """All boundary segments of a list of MultiPolygons."""
+    p0s, p1s = [], []
+    for g in geoms:
+        for poly in ensure_multi(g):
+            for ring in poly:
+                if len(ring) >= 2:
+                    p0s.append(ring)
+                    p1s.append(np.roll(ring, -1, axis=0))
+    if not p0s:
+        z = np.empty((0, 2))
+        return z, z
+    return np.vstack(p0s), np.vstack(p1s)
+
+
+def _candidate_pairs(b_a: np.ndarray, b_b: np.ndarray | None = None):
+    """Grid-binned bbox-overlap candidate pairs between two segment
+    bbox sets ((n,4): minx,miny,maxx,maxy). b_b=None → self pairs i<j."""
+    self_join = b_b is None
+    if self_join:
+        b_b = b_a
+    na, nb = len(b_a), len(b_b)
+    if na == 0 or nb == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    if na * nb <= 1_000_000:
+        ia, ib = np.nonzero(
+            (b_a[:, None, 0] <= b_b[None, :, 2])
+            & (b_a[:, None, 2] >= b_b[None, :, 0])
+            & (b_a[:, None, 1] <= b_b[None, :, 3])
+            & (b_a[:, None, 3] >= b_b[None, :, 1])
+        )
+        if self_join:
+            keep = ia < ib
+            ia, ib = ia[keep], ib[keep]
+        return ia, ib
+    allb = np.vstack([b_a, b_b])
+    minx, miny = allb[:, 0].min(), allb[:, 1].min()
+    sizes = np.maximum(allb[:, 2] - allb[:, 0], allb[:, 3] - allb[:, 1])
+    cell = max(float(np.median(sizes)) * 2.0, 1e-9)
+    bins: dict[tuple[int, int], list[list[int]]] = {}
+
+    def _insert(bx, idx, slot):
+        cx0 = np.floor((bx[:, 0] - minx) / cell).astype(np.int64)
+        cy0 = np.floor((bx[:, 1] - miny) / cell).astype(np.int64)
+        cx1 = np.floor((bx[:, 2] - minx) / cell).astype(np.int64)
+        cy1 = np.floor((bx[:, 3] - miny) / cell).astype(np.int64)
+        for i in idx:
+            for cx in range(cx0[i], cx1[i] + 1):
+                for cy in range(cy0[i], cy1[i] + 1):
+                    bins.setdefault((cx, cy), ([], []))[slot].append(i)
+
+    _insert(b_a, range(na), 0)
+    _insert(b_b, range(nb), 1)
+    pairs = set()
+    for la, lb in bins.values():
+        for i in la:
+            for j in lb:
+                if self_join and j <= i:
+                    continue
+                pairs.add((i, j))
+    if not pairs:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    arr = np.array(sorted(pairs), dtype=np.int64)
+    ia, ib = arr[:, 0], arr[:, 1]
+    # exact bbox check
+    keep = (
+        (b_a[ia, 0] <= b_b[ib, 2])
+        & (b_a[ia, 2] >= b_b[ib, 0])
+        & (b_a[ia, 1] <= b_b[ib, 3])
+        & (b_a[ia, 3] >= b_b[ib, 1])
+    )
+    return ia[keep], ib[keep]
+
+
+def _seg_bboxes(p0, p1):
+    return np.column_stack(
+        [
+            np.minimum(p0[:, 0], p1[:, 0]),
+            np.minimum(p0[:, 1], p1[:, 1]),
+            np.maximum(p0[:, 0], p1[:, 0]),
+            np.maximum(p0[:, 1], p1[:, 1]),
+        ]
+    )
+
+
+def _node_segments(p0, p1, tol):
+    """Split segments at every pairwise intersection. Returns
+    (q0, q1): sub-segment endpoint arrays, quantized to ``tol``."""
+    n = len(p0)
+    cuts: list[list[float]] = [[] for _ in range(n)]
+    ia, ib = _candidate_pairs(_seg_bboxes(p0, p1))
+    _node_pairs(p0, p1, ia, ib, cuts, tol)
+    q0s, q1s = [], []
+    for i in range(n):
+        ts = sorted(set([0.0, 1.0] + cuts[i]))
+        pts = p0[i] + np.array(ts)[:, None] * (p1[i] - p0[i])
+        pts = np.round(pts / tol) * tol
+        for a, b in zip(pts[:-1], pts[1:]):
+            if a[0] != b[0] or a[1] != b[1]:
+                q0s.append(a)
+                q1s.append(b)
+    if not q0s:
+        z = np.empty((0, 2))
+        return z, z
+    return np.array(q0s), np.array(q1s)
+
+
+def _node_pairs(p0, p1, ia, ib, cuts, tol):
+    """Elementwise segment-pair intersection: append cut params."""
+    if len(ia) == 0:
+        return
+    a0, a1 = p0[ia], p1[ia]
+    b0, b1 = p0[ib], p1[ib]
+    r = a1 - a0
+    s = b1 - b0
+    qp = b0 - a0
+    rxs = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
+    qpxr = qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]
+    qpxs = qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]
+    rlen = np.hypot(r[:, 0], r[:, 1])
+    slen = np.hypot(s[:, 0], s[:, 1])
+    scale = np.maximum(rlen * slen, 1e-300)
+    nonpar = np.abs(rxs) > 1e-12 * scale
+    eps = 1e-12
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = qpxs / rxs
+        u = qpxr / rxs
+    hit = nonpar & (t >= -eps) & (t <= 1 + eps) & (u >= -eps) & (u <= 1 + eps)
+    for k in np.nonzero(hit)[0]:
+        tv = min(max(float(t[k]), 0.0), 1.0)
+        uv = min(max(float(u[k]), 0.0), 1.0)
+        if 0.0 < tv < 1.0:
+            cuts[ia[k]].append(tv)
+        if 0.0 < uv < 1.0:
+            cuts[ib[k]].append(uv)
+    # collinear overlaps: project other segment's endpoints
+    coll = (~nonpar) & (np.abs(qpxr) <= 1e-9 * np.maximum(rlen, 1e-300) * np.maximum(rlen, slen))
+    for k in np.nonzero(coll)[0]:
+        i, j = int(ia[k]), int(ib[k])
+        rr = p1[i] - p0[i]
+        rl2 = float(rr @ rr)
+        if rl2 == 0:
+            continue
+        for pt in (p0[j], p1[j]):
+            tv = float((pt - p0[i]) @ rr) / rl2
+            if 1e-12 < tv < 1 - 1e-12:
+                cuts[i].append(tv)
+        ss = p1[j] - p0[j]
+        sl2 = float(ss @ ss)
+        if sl2 == 0:
+            continue
+        for pt in (p0[i], p1[i]):
+            uv = float((pt - p0[j]) @ ss) / sl2
+            if 1e-12 < uv < 1 - 1e-12:
+                cuts[j].append(uv)
+
+
+# ------------------------------------------------------- classification
+
+
+def _membership(points: np.ndarray, geoms) -> np.ndarray:
+    """(npts, ngeoms) strict-interior membership matrix (parity PIP,
+    boundary excluded — sample points are off-boundary by construction)."""
+    out = np.zeros((len(points), len(geoms)), dtype=bool)
+    for gi, g in enumerate(geoms):
+        for poly in ensure_multi(g):
+            allv = np.vstack(poly)
+            bb = (
+                allv[:, 0].min(),
+                allv[:, 1].min(),
+                allv[:, 0].max(),
+                allv[:, 1].max(),
+            )
+            cand = np.nonzero(
+                (points[:, 0] >= bb[0])
+                & (points[:, 0] <= bb[2])
+                & (points[:, 1] >= bb[1])
+                & (points[:, 1] <= bb[3])
+            )[0]
+            if len(cand):
+                inside = point_in_polygon(
+                    points[cand], poly, include_boundary=False
+                )
+                out[cand[inside], gi] |= True
+    return out
+
+
+def _default_tol(geoms) -> float:
+    lo, hi = np.inf, -np.inf
+    for g in geoms:
+        for poly in ensure_multi(g):
+            for ring in poly:
+                lo = min(lo, float(ring.min()))
+                hi = max(hi, float(ring.max()))
+    if not np.isfinite(lo):
+        return 2.0**-30
+    scale = max(abs(hi), abs(lo), 1.0)
+    # power-of-two grid: round(c/tol)*tol is EXACT for dyadic-rational
+    # coordinates (all integer/half-integer fixtures), so snapping never
+    # perturbs already-exact inputs
+    return 2.0 ** (math.ceil(math.log2(scale)) - 30)
+
+
+def arrangement_regions(geoms, predicate, tol: float | None = None):
+    """Generic boolean: keep the region where ``predicate(mask)`` is
+    True, mask being the per-input strict-containment boolean vector.
+    Returns a MultiPolygon."""
+    geoms = [ensure_multi(g) for g in geoms]
+    if tol is None:
+        tol = _default_tol(geoms)
+    p0, p1 = _gather_segments(geoms)
+    if len(p0) == 0:
+        return []
+    q0, q1 = _node_segments(p0, p1, tol)
+    if len(q0) == 0:
+        return []
+    # dedup undirected sub-segments
+    key_fwd = np.round(np.hstack([q0, q1]) / tol).astype(np.int64)
+    swap = (key_fwd[:, 0] > key_fwd[:, 2]) | (
+        (key_fwd[:, 0] == key_fwd[:, 2]) & (key_fwd[:, 1] > key_fwd[:, 3])
+    )
+    canon = key_fwd.copy()
+    canon[swap] = key_fwd[swap][:, [2, 3, 0, 1]]
+    _, uniq_idx = np.unique(canon, axis=0, return_index=True)
+    q0, q1 = q0[uniq_idx], q1[uniq_idx]
+
+    mid = (q0 + q1) * 0.5
+    d = q1 - q0
+    seglen = np.hypot(d[:, 0], d[:, 1])
+    nrm = np.column_stack([-d[:, 1], d[:, 0]]) / seglen[:, None]
+    delta = np.maximum(seglen * 1e-6, tol * 16)
+    left_pts = mid + nrm * delta[:, None]
+    right_pts = mid - nrm * delta[:, None]
+    mL = _membership(left_pts, geoms)
+    mR = _membership(right_pts, geoms)
+    fL = np.array([bool(predicate(m)) for m in mL])
+    fR = np.array([bool(predicate(m)) for m in mR])
+    keep = fL != fR
+    if not keep.any():
+        return []
+    # orient interior-on-left
+    e0 = np.where(fL[keep, None], q0[keep], q1[keep])
+    e1 = np.where(fL[keep, None], q1[keep], q0[keep])
+    rings = _stitch(e0, e1, tol)
+    return _assemble(rings)
+
+
+def _stitch(e0: np.ndarray, e1: np.ndarray, tol: float):
+    """Walk directed edges into rings (interior on left)."""
+    nk = np.round(e0 / tol).astype(np.int64)
+    nk1 = np.round(e1 / tol).astype(np.int64)
+    start_key = [tuple(k) for k in nk]
+    end_key = [tuple(k) for k in nk1]
+    out_edges: dict[tuple, list[int]] = {}
+    for i, k in enumerate(start_key):
+        out_edges.setdefault(k, []).append(i)
+    theta = np.arctan2(e1[:, 1] - e0[:, 1], e1[:, 0] - e0[:, 0])
+    used = np.zeros(len(e0), dtype=bool)
+    rings = []
+    for s in range(len(e0)):
+        if used[s]:
+            continue
+        ring_pts = [e0[s]]
+        cur = s
+        used[s] = True
+        guard = 0
+        while True:
+            guard += 1
+            if guard > len(e0) + 2:
+                break  # malformed; drop partial ring
+            vkey = end_key[cur]
+            ring_pts.append(e1[cur])
+            if vkey == start_key[s]:
+                rings.append(np.array(ring_pts[:-1]))
+                break
+            cands = [j for j in out_edges.get(vkey, []) if not used[j]]
+            if not cands:
+                break  # dead end; drop
+            rev = theta[cur] + math.pi
+            best, best_g = None, None
+            for j in cands:
+                g = (rev - theta[j]) % (2 * math.pi)
+                if g < 1e-12:
+                    g = 2 * math.pi  # exact backtrack = last resort
+                if best_g is None or g < best_g:
+                    best, best_g = j, g
+            used[best] = True
+            cur = best
+    return rings
+
+
+def _assemble(rings):
+    """Signed rings → MultiPolygon (shells CCW get their CW holes)."""
+    shells, holes_ = [], []
+    for r in rings:
+        if len(r) < 3:
+            continue
+        sa = ring_signed_area(r)
+        if sa > 0:
+            shells.append((sa, r))
+        elif sa < 0:
+            holes_.append(r)
+    if not shells:
+        return []
+    shells.sort(key=lambda t: t[0])  # smallest first
+    polys = [[r] for _, r in shells]
+    from .core import representative_point
+
+    for h in holes_:
+        hp = representative_point([[h[::-1].copy()]])
+        placed = False
+        for k, (_, shell) in enumerate(shells):
+            if point_in_polygon(np.array([hp]), [shell], True)[0]:
+                polys[k].append(h)
+                placed = True
+                break
+        if not placed:
+            pass  # orphan hole: drop (degenerate input)
+    return polys
+
+
+# ------------------------------------------------------------ named ops
+
+
+def intersection(a, b, tol=None):
+    return arrangement_regions([a, b], lambda m: m[0] and m[1], tol)
+
+
+def union(a, b, tol=None):
+    return arrangement_regions([a, b], lambda m: m[0] or m[1], tol)
+
+
+def union_all(geoms, tol=None):
+    return arrangement_regions(list(geoms), lambda m: bool(m.any()), tol)
+
+
+def difference(a, b, tol=None):
+    return arrangement_regions([a, b], lambda m: m[0] and not m[1], tol)
+
+
+def symmetric_difference(a, b, tol=None):
+    return arrangement_regions([a, b], lambda m: bool(m[0]) != bool(m[1]), tol)
+
+
+def holes(geom):
+    """Interior rings of a MultiPolygon as polygons (ref: repair.py:90-103)."""
+    out = []
+    for poly in ensure_multi(geom):
+        for ring in poly[1:]:
+            out.append([ring[::-1].copy()])  # CW hole → CCW shell
+    return out
+
+
+def holes_of_union(geoms, tol=None):
+    """ref: repair.py:74-87 — holes of unary_union(geoms)."""
+    return holes(union_all(geoms, tol))
+
+
+def boundary_intersection(a, b, tol=None):
+    """Shared boundary between two MultiPolygons.
+
+    Returns (lines, points, length): collinear shared sub-segments (as
+    a list of 2-point arrays), isolated touch points, and total shared
+    length. This is what rook/queen adjacency needs
+    (ref: adjacencies.py:18-26, :68-69).
+    """
+    a = ensure_multi(a)
+    b = ensure_multi(b)
+    if tol is None:
+        tol = _default_tol([a, b])
+    pa0, pa1 = _gather_segments([a])
+    pb0, pb1 = _gather_segments([b])
+    if len(pa0) == 0 or len(pb0) == 0:
+        return [], np.empty((0, 2)), 0.0
+    p0 = np.vstack([pa0, pb0])
+    p1 = np.vstack([pa1, pb1])
+    na = len(pa0)
+    # node each set against the other
+    q0a, q1a = _node_segments(pa0, pa1, tol)  # will only self-node; need cross cuts
+    # simpler: node the combined set, track ownership by re-matching
+    q0, q1 = _node_segments(p0, p1, tol)
+    if len(q0) == 0:
+        return [], np.empty((0, 2)), 0.0
+    keys = _canon_keys(q0, q1, tol)
+    # ownership: a sub-segment belongs to A if its midpoint lies on A's
+    # boundary (within tol), similarly B
+    mids = (q0 + q1) * 0.5
+    on_a = _on_boundary(mids, a, tol * 4)
+    on_b = _on_boundary(mids, b, tol * 4)
+    shared = on_a & on_b
+    # dedup shared undirected segments
+    seen = set()
+    lines = []
+    total = 0.0
+    for i in np.nonzero(shared)[0]:
+        k = keys[i]
+        if k in seen:
+            continue
+        seen.add(k)
+        seg = np.vstack([q0[i], q1[i]])
+        lines.append(seg)
+        total += float(np.hypot(*(q1[i] - q0[i])))
+    # touch points: nodes on both boundaries not covered by shared lines
+    nodes = np.vstack([q0, q1])
+    nk = np.round(nodes / tol).astype(np.int64)
+    _, ui = np.unique(nk, axis=0, return_index=True)
+    nodes = nodes[ui]
+    on_a_n = _on_boundary(nodes, a, tol * 4)
+    on_b_n = _on_boundary(nodes, b, tol * 4)
+    cand = nodes[on_a_n & on_b_n]
+    pts = []
+    for p in cand:
+        if not any(_point_on_segment(p, s[0], s[1], tol * 4) for s in lines):
+            pts.append(p)
+    return lines, (np.array(pts) if pts else np.empty((0, 2))), total
+
+
+def _canon_keys(q0, q1, tol):
+    key = np.round(np.hstack([q0, q1]) / tol).astype(np.int64)
+    out = []
+    for r in key:
+        a, b = (r[0], r[1]), (r[2], r[3])
+        out.append((a, b) if a <= b else (b, a))
+    return out
+
+
+def _on_boundary(pts, geom, eps):
+    from .pip import points_on_ring
+
+    out = np.zeros(len(pts), dtype=bool)
+    for poly in ensure_multi(geom):
+        for ring in poly:
+            out |= points_on_ring(pts, ring, eps)
+    return out
+
+
+def _point_on_segment(p, a, b, eps):
+    d = b - a
+    L2 = float(d @ d)
+    if L2 == 0:
+        return bool(np.hypot(*(p - a)) <= eps)
+    t = float((p - a) @ d) / L2
+    t = min(max(t, 0.0), 1.0)
+    proj = a + t * d
+    return bool(np.hypot(*(p - proj)) <= eps)
+
+
+def intersection_full(a, b, tol=None):
+    """Mixed-dimension intersection mirroring shapely semantics for the
+    pieces table (SURVEY.md §2.3 item 3): the area part (MultiPolygon)
+    plus, when the area part is empty, the shared-boundary lines/points.
+
+    Returns (polygons, lines, points, area, boundary_length).
+    """
+    from .core import area as _area
+
+    polys = intersection(a, b, tol)
+    ar = _area(polys) if polys else 0.0
+    if polys and ar > 0:
+        return polys, [], np.empty((0, 2)), ar, 0.0
+    lines, pts, ln = boundary_intersection(a, b, tol)
+    return [], lines, pts, 0.0, ln

@@ -1,0 +1,212 @@
+"""Axis-aligned rectangle clipping (Sutherland–Hodgman) and segment
+intersection primitives.
+
+The rect-clip path is the scale hot path: cell tiles and the SQL-oracle
+district fixtures are axis-aligned, and clipping against them produces
+exact coordinates (only min/max, no division) so areas match DuckDB's
+interval-overlap formula bit-for-bit (SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .core import MultiPolygon, ensure_multi, normalize_polygon, ring_signed_area
+
+__all__ = [
+    "clip_ring_rect",
+    "clip_polygon_rect",
+    "clip_multipolygon_rect",
+    "rect_intersection_area",
+    "segment_intersections",
+]
+
+
+def _clip_halfplane(ring: np.ndarray, axis: int, bound: float, keep_le: bool):
+    """Clip ring against x/y <= or >= bound. Returns new ring (possibly
+    empty). Pure Sutherland–Hodgman; output vertices are either input
+    vertices or axis-aligned interpolations."""
+    if len(ring) == 0:
+        return ring
+    v = ring[:, axis]
+    inside = v <= bound if keep_le else v >= bound
+    if inside.all():
+        return ring
+    if not inside.any():
+        return ring[:0]
+    nxt = np.roll(np.arange(len(ring)), -1)
+    out = []
+    other = 1 - axis
+    for i in range(len(ring)):
+        j = nxt[i]
+        if inside[i]:
+            out.append(ring[i])
+            if not inside[j]:
+                out.append(_axis_interp(ring[i], ring[j], axis, other, bound))
+        elif inside[j]:
+            out.append(_axis_interp(ring[i], ring[j], axis, other, bound))
+    return np.array(out, dtype=np.float64)
+
+
+def _axis_interp(p, q, axis, other, bound):
+    t = (bound - p[axis]) / (q[axis] - p[axis])
+    r = np.empty(2)
+    r[axis] = bound
+    r[other] = p[other] + t * (q[other] - p[other])
+    return r
+
+
+def clip_ring_rect(
+    ring: np.ndarray, minx: float, miny: float, maxx: float, maxy: float
+) -> np.ndarray:
+    ring = _clip_halfplane(ring, 0, minx, keep_le=False)
+    ring = _clip_halfplane(ring, 0, maxx, keep_le=True)
+    ring = _clip_halfplane(ring, 1, miny, keep_le=False)
+    ring = _clip_halfplane(ring, 1, maxy, keep_le=True)
+    return ring
+
+
+def clip_polygon_rect(poly, minx, miny, maxx, maxy):
+    """Clip a polygon-with-holes to a rect. Note Sutherland–Hodgman can
+    emit degenerate zero-width bridges for concave inputs crossing the
+    clip window multiple times; callers needing exact piece geometry for
+    such shapes use geom.boolean.intersection instead. Areas remain
+    correct (degenerate bridges have zero signed area)."""
+    rings = [clip_ring_rect(r, minx, miny, maxx, maxy) for r in poly]
+    return normalize_polygon([r for r in rings if len(r) >= 3])
+
+
+def clip_multipolygon_rect(geom: MultiPolygon, minx, miny, maxx, maxy):
+    out = []
+    for poly in ensure_multi(geom):
+        p = clip_polygon_rect(poly, minx, miny, maxx, maxy)
+        if p and abs(sum(ring_signed_area(r) for r in p)) > 0:
+            out.append(p)
+    return out
+
+
+def rect_intersection_area(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized overlap area of two (n,4)/(m,4) bbox arrays →
+    (n,m). Matches SQL greatest/least formula exactly."""
+    ax1, ay1, ax2, ay2 = (a[:, i : i + 1] for i in range(4))
+    bx1, by1, bx2, by2 = (b[None, :, i] for i in range(4))
+    w = np.maximum(
+        0.0, np.minimum(ax2, bx2) - np.maximum(ax1, bx1)
+    )
+    h = np.maximum(
+        0.0, np.minimum(ay2, by2) - np.maximum(ay1, by1)
+    )
+    return w * h
+
+
+def segment_intersections(
+    a0: np.ndarray,
+    a1: np.ndarray,
+    b0: np.ndarray,
+    b1: np.ndarray,
+    tol: float = 0.0,
+):
+    """All intersection parameters between segment sets A and B.
+
+    Returns (ia, ib, ta_lo, ta_hi, tb_lo, tb_hi) arrays: for each
+    intersecting pair, the parameter interval on A and on B (point
+    intersections have lo == hi; collinear overlaps a positive-length
+    interval). Broadcast O(na*nb) — callers pre-filter with a grid/tree.
+    """
+    na, nb = len(a0), len(b0)
+    if na == 0 or nb == 0:
+        z = np.empty(0)
+        return (
+            z.astype(np.int64),
+            z.astype(np.int64),
+            z,
+            z,
+            z,
+            z,
+        )
+    A0 = a0[:, None, :]
+    A1 = a1[:, None, :]
+    B0 = b0[None, :, :]
+    B1 = b1[None, :, :]
+    r = A1 - A0  # direction of A
+    s = B1 - B0
+    qp = B0 - A0
+    rxs = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    qpxr = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
+    qpxs = qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]
+
+    out_ia, out_ib = [], []
+    out_talo, out_tahi, out_tblo, out_tbhi = [], [], [], []
+
+    # --- proper / touching point intersections (non-parallel) ---
+    nonpar = np.abs(rxs) > tol
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(nonpar, qpxs / rxs, np.nan)  # param on A
+        u = np.where(nonpar, qpxr / rxs, np.nan)  # param on B
+    eps = 1e-12
+    hit = nonpar & (t >= -eps) & (t <= 1 + eps) & (u >= -eps) & (u <= 1 + eps)
+    ia, ib = np.nonzero(hit)
+    if len(ia):
+        tc = np.clip(t[ia, ib], 0.0, 1.0)
+        uc = np.clip(u[ia, ib], 0.0, 1.0)
+        out_ia.append(ia)
+        out_ib.append(ib)
+        out_talo.append(tc)
+        out_tahi.append(tc)
+        out_tblo.append(uc)
+        out_tbhi.append(uc)
+
+    # --- collinear overlaps ---
+    rlen2 = (r[..., 0] ** 2 + r[..., 1] ** 2)
+    coll = (~nonpar) & (np.abs(qpxr) <= tol + 1e-9 * np.sqrt(rlen2))
+    if coll.any():
+        ia, ib = np.nonzero(coll)
+        rr = r[ia, 0, :] if r.shape[1] == 1 else a1[ia] - a0[ia]
+        rl2 = (rr**2).sum(axis=1)
+        good = rl2 > 0
+        ia, ib, rr, rl2 = ia[good], ib[good], rr[good], rl2[good]
+        t0 = ((b0[ib] - a0[ia]) * rr).sum(axis=1) / rl2
+        t1 = ((b1[ib] - a0[ia]) * rr).sum(axis=1) / rl2
+        lo = np.minimum(t0, t1)
+        hi = np.maximum(t0, t1)
+        lo_c = np.clip(lo, 0.0, 1.0)
+        hi_c = np.clip(hi, 0.0, 1.0)
+        overlap = hi_c >= lo_c - 1e-12
+        ia, ib, lo_c, hi_c = ia[overlap], ib[overlap], lo_c[overlap], hi_c[overlap]
+        lo_raw, hi_raw = lo[overlap], hi[overlap]
+        if len(ia):
+            # map A-interval back to B parameters
+            with np.errstate(divide="ignore", invalid="ignore"):
+                denom = hi_raw - lo_raw
+                denom = np.where(denom == 0, 1.0, denom)
+                u_lo = (lo_c - lo_raw) / denom
+                u_hi = (hi_c - lo_raw) / denom
+            # orientation of B relative to A
+            flip = ((b1[ib] - b0[ib]) * rr).sum(axis=1) < 0
+            tb_lo = np.where(flip, 1.0 - u_hi, u_lo)
+            tb_hi = np.where(flip, 1.0 - u_lo, u_hi)
+            out_ia.append(ia)
+            out_ib.append(ib)
+            out_talo.append(lo_c)
+            out_tahi.append(hi_c)
+            out_tblo.append(np.clip(tb_lo, 0, 1))
+            out_tbhi.append(np.clip(tb_hi, 0, 1))
+
+    if not out_ia:
+        z = np.empty(0)
+        return (
+            z.astype(np.int64),
+            z.astype(np.int64),
+            z,
+            z,
+            z,
+            z,
+        )
+    return (
+        np.concatenate(out_ia),
+        np.concatenate(out_ib),
+        np.concatenate(out_talo),
+        np.concatenate(out_tahi),
+        np.concatenate(out_tblo),
+        np.concatenate(out_tbhi),
+    )

@@ -1,0 +1,134 @@
+"""Packed bbox tree (sort-tile-recursive flavored) — numpy only.
+
+Replaces shapely.STRtree (ref: indexed_geometries.py:17-19). Built once
+per worker actor over the broadcast small side; queried per batch with
+vectorized candidate generation.
+
+For small target sets (≲ 4096) a flat broadcast bbox compare is faster
+than any tree; ``query_bbox`` automatically takes that path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["BBoxTree"]
+
+
+class BBoxTree:
+    def __init__(self, bboxes: np.ndarray, leaf_size: int = 16):
+        """bboxes: (n,4) float64 (minx,miny,maxx,maxy)."""
+        self.bboxes = np.asarray(bboxes, dtype=np.float64).reshape(-1, 4)
+        n = len(self.bboxes)
+        self.n = n
+        self.leaf_size = leaf_size
+        if n == 0:
+            self.order = np.empty(0, dtype=np.int64)
+            self.levels = []
+            return
+        # sort by Morton code of bbox centers for spatial locality
+        cx = (self.bboxes[:, 0] + self.bboxes[:, 2]) * 0.5
+        cy = (self.bboxes[:, 1] + self.bboxes[:, 3]) * 0.5
+        from .cells import morton_encode
+
+        span = max(cx.max() - cx.min(), cy.max() - cy.min(), 1e-300)
+        qx = ((cx - cx.min()) / span * ((1 << 20) - 1)).astype(np.int64)
+        qy = ((cy - cy.min()) / span * ((1 << 20) - 1)).astype(np.int64)
+        self.order = np.argsort(morton_encode(qx, qy), kind="stable")
+        sorted_b = self.bboxes[self.order]
+        # build levels of grouped bboxes bottom-up
+        self.levels = []
+        cur = sorted_b
+        while len(cur) > leaf_size:
+            g = int(np.ceil(len(cur) / leaf_size))
+            pad = g * leaf_size - len(cur)
+            if pad:
+                cur = np.vstack(
+                    [cur, np.repeat(cur[-1:], pad, axis=0)]
+                )
+            grp = cur.reshape(g, leaf_size, 4)
+            nxt = np.column_stack(
+                [
+                    grp[:, :, 0].min(axis=1),
+                    grp[:, :, 1].min(axis=1),
+                    grp[:, :, 2].max(axis=1),
+                    grp[:, :, 3].max(axis=1),
+                ]
+            )
+            self.levels.append(nxt)
+            cur = nxt
+
+    def query_bbox(self, q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Candidate pairs between query bboxes (m,4) and indexed
+        bboxes. Returns (qi, ti) index arrays."""
+        q = np.asarray(q, dtype=np.float64).reshape(-1, 4)
+        m = len(q)
+        if self.n == 0 or m == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        if self.n * m <= 4_000_000 or not self.levels:
+            qi, ti = np.nonzero(
+                (q[:, None, 0] <= self.bboxes[None, :, 2])
+                & (q[:, None, 2] >= self.bboxes[None, :, 0])
+                & (q[:, None, 1] <= self.bboxes[None, :, 3])
+                & (q[:, None, 3] >= self.bboxes[None, :, 1])
+            )
+            return qi, ti
+        # hierarchical: descend level by level per query chunk
+        out_q, out_t = [], []
+        ls = self.leaf_size
+        sorted_b = self.bboxes[self.order]
+        for s in range(0, m, 1024):
+            qc = q[s : s + 1024]
+            # start with top-level node list for each query
+            top = self.levels[-1]
+            cand = [
+                np.nonzero(
+                    (qc[i, 0] <= top[:, 2])
+                    & (qc[i, 2] >= top[:, 0])
+                    & (qc[i, 1] <= top[:, 3])
+                    & (qc[i, 3] >= top[:, 1])
+                )[0]
+                for i in range(len(qc))
+            ]
+            for lvl in range(len(self.levels) - 2, -1, -1):
+                nodes = self.levels[lvl]
+                for i in range(len(qc)):
+                    if len(cand[i]) == 0:
+                        continue
+                    kids = (
+                        cand[i][:, None] * ls + np.arange(ls)[None, :]
+                    ).ravel()
+                    kids = kids[kids < len(nodes)]
+                    nb = nodes[kids]
+                    hit = (
+                        (qc[i, 0] <= nb[:, 2])
+                        & (qc[i, 2] >= nb[:, 0])
+                        & (qc[i, 1] <= nb[:, 3])
+                        & (qc[i, 3] >= nb[:, 1])
+                    )
+                    cand[i] = kids[hit]
+            for i in range(len(qc)):
+                if len(cand[i]) == 0:
+                    continue
+                leaves = (
+                    cand[i][:, None] * ls + np.arange(ls)[None, :]
+                ).ravel()
+                leaves = leaves[leaves < self.n]
+                lb = sorted_b[leaves]
+                hit = (
+                    (qc[i, 0] <= lb[:, 2])
+                    & (qc[i, 2] >= lb[:, 0])
+                    & (qc[i, 1] <= lb[:, 3])
+                    & (qc[i, 3] >= lb[:, 1])
+                )
+                t = self.order[leaves[hit]]
+                out_q.append(np.full(len(t), s + i, dtype=np.int64))
+                out_t.append(t)
+        if not out_q:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(out_q), np.concatenate(out_t)
+
+    def query_points(self, x: np.ndarray, y: np.ndarray):
+        """Candidates containing points: (pi, ti)."""
+        q = np.column_stack([x, y, x, y])
+        return self.query_bbox(q)

@@ -1,0 +1,169 @@
+"""Minimal WKB (well-known binary) encode/decode — numpy only.
+
+Geometry transport format for Arrow ``binary`` columns (SURVEY.md §1.2).
+Supports Point(1) LineString(2) Polygon(3) MultiPoint(4)
+MultiLineString(5) MultiPolygon(6) GeometryCollection(7), little-endian
+only. Decoded forms match maup_ray.geom.core conventions:
+
+  Point/MultiPoint      -> ("points", np.ndarray (k,2))
+  LineString/MultiLine  -> ("lines", list[np.ndarray (k,2)])
+  Polygon/MultiPolygon  -> ("polygons", MultiPolygon)  # rings unclosed
+  GeometryCollection    -> mix merged into the highest-dim bucket trio
+
+Encode helpers close rings (repeat first vertex) per the WKB spec.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .core import MultiPolygon, ensure_multi, normalize_polygon
+
+__all__ = [
+    "encode_polygon",
+    "encode_multipolygon",
+    "encode_lines",
+    "encode_points",
+    "decode",
+    "decode_polygons",
+    "GeomParts",
+]
+
+_HDR = struct.Struct("<BI")
+_U32 = struct.Struct("<I")
+
+
+def _ring_bytes(ring: np.ndarray) -> bytes:
+    closed = np.vstack([ring, ring[:1]])
+    return _U32.pack(len(closed)) + closed.astype("<f8").tobytes()
+
+
+def encode_polygon(poly) -> bytes:
+    out = [_HDR.pack(1, 3), _U32.pack(len(poly))]
+    out += [_ring_bytes(np.asarray(r, dtype=np.float64)) for r in poly]
+    return b"".join(out)
+
+
+def encode_multipolygon(geom: MultiPolygon) -> bytes:
+    geom = ensure_multi(geom)
+    if len(geom) == 1:
+        return encode_polygon(geom[0])
+    out = [_HDR.pack(1, 6), _U32.pack(len(geom))]
+    out += [encode_polygon(p) for p in geom]
+    return b"".join(out)
+
+
+def encode_lines(lines) -> bytes:
+    def one(line):
+        line = np.asarray(line, dtype=np.float64)
+        return (
+            _HDR.pack(1, 2)
+            + _U32.pack(len(line))
+            + line.astype("<f8").tobytes()
+        )
+
+    if len(lines) == 1:
+        return one(lines[0])
+    return (
+        _HDR.pack(1, 5)
+        + _U32.pack(len(lines))
+        + b"".join(one(ln) for ln in lines)
+    )
+
+
+def encode_points(pts: np.ndarray) -> bytes:
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    if len(pts) == 1:
+        return _HDR.pack(1, 1) + pts.astype("<f8").tobytes()
+    return (
+        _HDR.pack(1, 4)
+        + _U32.pack(len(pts))
+        + b"".join(
+            _HDR.pack(1, 1) + p.astype("<f8").tobytes() for p in pts
+        )
+    )
+
+
+class GeomParts:
+    """Decoded geometry split by dimension."""
+
+    __slots__ = ("polygons", "lines", "points")
+
+    def __init__(self, polygons=None, lines=None, points=None):
+        self.polygons = polygons or []
+        self.lines = lines or []
+        self.points = (
+            points if points is not None else np.empty((0, 2), dtype=np.float64)
+        )
+
+    @property
+    def dim(self) -> int:
+        if self.polygons:
+            return 2
+        if self.lines:
+            return 1
+        if len(self.points):
+            return 0
+        return -1
+
+
+def decode(buf: bytes) -> GeomParts:
+    parts = GeomParts()
+    _decode_into(memoryview(buf), 0, parts)
+    return parts
+
+
+def decode_polygons(buf: bytes) -> MultiPolygon:
+    """Decode expecting (Multi)Polygon; raises TypeError otherwise
+    (mirrors the reference's polygon duck-check, repair.py:77-82)."""
+    parts = decode(buf)
+    if parts.lines or len(parts.points):
+        raise TypeError("expected polygonal WKB geometry")
+    return parts.polygons
+
+
+def _decode_into(mv: memoryview, off: int, parts: GeomParts) -> int:
+    byte_order, gtype = _HDR.unpack_from(mv, off)
+    if byte_order != 1:
+        raise ValueError("big-endian WKB not supported")
+    off += _HDR.size
+    gtype = gtype & 0xFF  # strip any SRID/dimension flags
+    if gtype == 1:  # Point
+        pt = np.frombuffer(mv, dtype="<f8", count=2, offset=off).reshape(1, 2)
+        parts.points = (
+            pt if len(parts.points) == 0 else np.vstack([parts.points, pt])
+        )
+        return off + 16
+    if gtype == 2:  # LineString
+        (n,) = _U32.unpack_from(mv, off)
+        off += 4
+        coords = np.frombuffer(
+            mv, dtype="<f8", count=2 * n, offset=off
+        ).reshape(n, 2)
+        parts.lines.append(coords.copy())
+        return off + 16 * n
+    if gtype == 3:  # Polygon
+        (nrings,) = _U32.unpack_from(mv, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            (n,) = _U32.unpack_from(mv, off)
+            off += 4
+            coords = np.frombuffer(
+                mv, dtype="<f8", count=2 * n, offset=off
+            ).reshape(n, 2)
+            off += 16 * n
+            rings.append(coords[:-1].copy() if n > 1 else coords.copy())
+        poly = normalize_polygon(rings)
+        if poly:
+            parts.polygons.append(poly)
+        return off
+    if gtype in (4, 5, 6, 7):  # Multi* / collection
+        (n,) = _U32.unpack_from(mv, off)
+        off += 4
+        for _ in range(n):
+            off = _decode_into(mv, off, parts)
+        return off
+    raise ValueError(f"unsupported WKB geometry type {gtype}")

@@ -1,0 +1,3 @@
+from .assign import assign, assign_by_area, assign_by_covering  # noqa: F401
+from .intersections import intersections  # noqa: F401
+from .prorate import normalize, prorate  # noqa: F401

@@ -1,0 +1,207 @@
+"""assign — two-phase covering + max-intersection-area spatial join.
+
+Semantics of maup.assign (ref: assign.py:13-54, indexed_geometries.py:
+46-73), re-expressed Ray-Data-first: targets are the broadcast small
+side (ray.put once, index built once per actor in ``__init__``),
+sources stream through ``map_batches`` — phase (a) covering and phase
+(b) area-argmax both resolve LOCALLY per source row because every
+candidate target is present in the actor, so the whole op is one
+shuffle-free streaming pass (vs. the reference's O(targets) Python
+loop and vs. a naive groupby-argmax shuffle).
+
+Fine print implemented (SURVEY.md §2.3): sources covered by 2+
+overlapping targets fall through to phase (b); area ties break to the
+first target in id-sorted order (pandas idxmax parity); unassigned
+sources get null target_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom.boolean import intersection as poly_intersection
+from ..geom.clip import clip_multipolygon_rect
+from ..geom.core import area as poly_area
+from ..geom.core import bounds
+from ..geom.pip import covers
+from ..geom.wkb import decode_polygons
+from ..state.target_index import TargetIndex
+
+__all__ = ["assign", "assign_by_covering", "assign_by_area", "AssignActor"]
+
+
+def _resolve_table(t):
+    import ray
+
+    if isinstance(t, ray.ObjectRef):
+        return ray.get(t)
+    return t
+
+
+def _autoscale(concurrency):
+    """int N → (1, N): let the actor pool start at 1 so several pools
+    plus read/shuffle tasks never deadlock on a small CPU budget."""
+    if isinstance(concurrency, int) and concurrency > 1:
+        return (1, concurrency)
+    return concurrency
+
+
+class AssignActor:
+    """Callable class for ``map_batches`` — one TargetIndex per actor."""
+
+    def __init__(
+        self,
+        targets,
+        phase: str = "full",
+        source_id_col: str = "source_id",
+        target_id_col: str = "target_id",
+        geometry_col: str = "geometry",
+        x_col: str = "x",
+        y_col: str = "y",
+        keep_cols: tuple = (),
+        targets_id_col: str = "target_id",
+        targets_geometry_col: str = "geometry",
+    ):
+        self.index = TargetIndex(
+            _resolve_table(targets), targets_id_col, targets_geometry_col
+        )
+        self.phase = phase
+        self.source_id_col = source_id_col
+        self.target_id_col = target_id_col
+        self.geometry_col = geometry_col
+        self.x_col = x_col
+        self.y_col = y_col
+        self.keep_cols = tuple(keep_cols)
+
+    # ------------------------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.geometry_col in batch.column_names:
+            tpos = self._assign_polygons(batch)
+        else:
+            tpos = self._assign_points(batch)
+        idx = self.index
+        valid = tpos >= 0
+        tgt = pa.array(
+            [idx.id_numpy[t] if v else None for t, v in zip(tpos, valid)],
+            type=idx.ids.type,
+        )
+        cols = {self.source_id_col: batch[self.source_id_col]}
+        for c in self.keep_cols:
+            cols[c] = batch[c]
+        cols[self.target_id_col] = tgt
+        return pa.table(cols)
+
+    # ------------------------------------------------------------------
+    def _assign_points(self, batch: pa.Table) -> np.ndarray:
+        x = batch[self.x_col].to_numpy()
+        y = batch[self.y_col].to_numpy()
+        n = len(x)
+        pi, ti = self.index.candidates_for_points(x, y)
+        out = np.full(n, -1, dtype=np.int64)
+        if len(pi) == 0:
+            return out
+        hit = self.index.contains_points(x, y, pi, ti)
+        pi, ti = pi[hit], ti[hit]
+        # first containing target in id-sorted order (ties: SURVEY §2.3.10)
+        order = np.lexsort((ti, pi))
+        pi, ti = pi[order], ti[order]
+        first = np.ones(len(pi), dtype=bool)
+        first[1:] = pi[1:] != pi[:-1]
+        out[pi[first]] = ti[first]
+        if self.phase == "covering":
+            # 2+ containing targets → null (ref: indexed_geometries.py:58-71)
+            dup_pts = pi[~first]
+            out[dup_pts] = -1
+        return out
+
+    def _assign_polygons(self, batch: pa.Table) -> np.ndarray:
+        geoms = [decode_polygons(b.as_py()) for b in batch[self.geometry_col]]
+        bboxes = np.array(
+            [bounds(g) for g in geoms], dtype=np.float64
+        ).reshape(-1, 4)
+        si, ti = self.index.candidates_for_bboxes(bboxes)
+        n = len(geoms)
+        out = np.full(n, -1, dtype=np.int64)
+        # group candidates per source
+        order = np.lexsort((ti, si))
+        si, ti = si[order], ti[order]
+        starts = np.searchsorted(si, np.arange(n + 1))
+        for s in range(n):
+            cand = ti[starts[s] : starts[s + 1]]
+            if len(cand) == 0:
+                continue
+            src = geoms[s]
+            if not src:
+                continue
+            if self.phase in ("full", "covering"):
+                covered = [
+                    t for t in cand if covers(self.index.geom(t), src)
+                ]
+                if len(covered) == 1:
+                    out[s] = covered[0]
+                    continue
+                if self.phase == "covering":
+                    continue  # 0 or 2+ covers → null (ref fine print 2)
+            # phase (b): max intersection area, tie → first sorted target
+            best_t, best_a = -1, 0.0
+            for t in cand:
+                a = self._inter_area(src, t)
+                if a > best_a:
+                    best_t, best_a = t, a
+            out[s] = best_t
+        return out
+
+    def _inter_area(self, src, t: int) -> float:
+        if self.index.is_rect:
+            minx, miny, maxx, maxy = self.index.bboxes[t]
+            return poly_area(
+                clip_multipolygon_rect(src, minx, miny, maxx, maxy)
+            )
+        return poly_area(poly_intersection(src, self.index.geom(t)))
+
+
+def _run(sources, targets, phase, concurrency, batch_size, **kw):
+    import ray
+
+    if isinstance(targets, pa.Table) and not isinstance(
+        sources, pa.Table
+    ):
+        targets = ray.put(targets)
+    fn_kwargs = dict(targets=targets, phase=phase, **kw)
+    if isinstance(sources, pa.Table):
+        actor = AssignActor(**fn_kwargs)
+        return actor(sources)
+    return sources.map_batches(
+        AssignActor,
+        fn_constructor_kwargs=fn_kwargs,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_autoscale(concurrency),
+        batch_size=batch_size,
+    )
+
+
+def assign(
+    sources,
+    targets,
+    *,
+    concurrency=4,
+    batch_size=None,
+    **kw,
+):
+    """Full two-phase assign. ``sources`` is a Dataset (or a pa.Table
+    for local/oracle runs); ``targets`` a small pa.Table (auto
+    ``ray.put``) or an ObjectRef. Returns (source_id, *keep_cols,
+    target_id) with null target_id for unassigned (ref: assign.py:19)."""
+    return _run(sources, targets, "full", concurrency, batch_size, **kw)
+
+
+def assign_by_covering(sources, targets, *, concurrency=4, batch_size=None, **kw):
+    """Phase (a) only (ref: assign.py:40-42)."""
+    return _run(sources, targets, "covering", concurrency, batch_size, **kw)
+
+
+def assign_by_area(sources, targets, *, concurrency=4, batch_size=None, **kw):
+    """Phase (b) only (ref: assign.py:45-46)."""
+    return _run(sources, targets, "area", concurrency, batch_size, **kw)

@@ -1,0 +1,141 @@
+"""prorate + normalize — disaggregate-then-reaggregate (ref:
+intersections.py:55-99, normalize.py:4-11).
+
+Ray-Data-first shapes:
+
+* ``prorate`` — broadcast-hash join of the (small) source attribute
+  table inside map_batches (no shuffle for the join), per-batch
+  vectorized multiply, then ONE keyed shuffle:
+  ``groupby(target_id).aggregate(...)`` with partial (per-block)
+  pre-aggregation done by Ray Data's aggregate implementation.
+* ``normalize`` — grouped weight normalization as
+  ``groupby(source_id).map_groups`` (fully distributed; no broadcast
+  of denominators), 0/0 → 0 (ref fine print 5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["prorate", "normalize"]
+
+_AGGS = {"sum", "mean", "max", "min"}
+
+
+class _ProrateJoin:
+    """Per-batch: join data columns on source_id and multiply by weight."""
+
+    def __init__(self, data, columns, source_id_col, target_id_col, weight_col):
+        from .assign import _resolve_table
+
+        tbl = _resolve_table(data)
+        self.df = tbl.select([source_id_col] + list(columns)).to_pandas()
+        self.df = self.df.set_index(source_id_col)
+        self.columns = list(columns)
+        self.source_id_col = source_id_col
+        self.target_id_col = target_id_col
+        self.weight_col = weight_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sid = batch[self.source_id_col].to_pandas()
+        w = batch[self.weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        looked = self.df.reindex(sid)  # missing sources → NaN (ref :80)
+        cols = {
+            self.source_id_col: batch[self.source_id_col],
+            self.target_id_col: batch[self.target_id_col],
+        }
+        for c in self.columns:
+            cols[c] = pa.array(looked[c].to_numpy(dtype=np.float64) * w)
+        return pa.table(cols)
+
+
+def prorate(
+    relationship,
+    data: pa.Table,
+    columns,
+    *,
+    weight_col: str = "weight",
+    source_id_col: str = "source_id",
+    target_id_col: str = "target_id",
+    aggregate_by: str | None = "sum",
+):
+    """``relationship``: Dataset/Table (source_id, target_id, weight).
+    ``data``: small Arrow table (source_id, *columns), broadcast.
+
+    aggregate_by=None returns the disaggregated (source,target) rows
+    without reaggregation — the plain-assignment behavior pinned at
+    tests/test_prorate.py:43-56 (ref fine print 4).
+    """
+    import ray
+
+    columns = list(columns)
+    join_kwargs = dict(
+        data=data,
+        columns=columns,
+        source_id_col=source_id_col,
+        target_id_col=target_id_col,
+        weight_col=weight_col,
+    )
+    if isinstance(relationship, pa.Table):
+        out = _ProrateJoin(**join_kwargs)(relationship)
+        if aggregate_by is None:
+            return out
+        df = out.to_pandas()
+        agg = (
+            df.groupby(target_id_col, sort=True)[columns]
+            .agg(aggregate_by)
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+    if isinstance(data, pa.Table):
+        join_kwargs["data"] = ray.put(data)
+    from .assign import _autoscale
+
+    ds = relationship.map_batches(
+        _ProrateJoin,
+        fn_constructor_kwargs=join_kwargs,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_autoscale(4),
+    )
+    if aggregate_by is None:
+        return ds
+    if aggregate_by not in _AGGS:
+        raise ValueError(f"aggregate_by must be one of {_AGGS} or None")
+    from ray.data.aggregate import Max, Mean, Min, Sum
+
+    cls = {"sum": Sum, "mean": Mean, "max": Max, "min": Min}[aggregate_by]
+    aggs = [cls(on=c, alias_name=c) for c in columns]
+    return ds.groupby(target_id_col).aggregate(*aggs)
+
+
+def _normalize_group(df: pd.DataFrame, weight_col: str) -> pd.DataFrame:
+    total = df[weight_col].sum()
+    if total == 0:
+        df[weight_col] = 0.0  # 0/0 → 0 (ref: normalize.py:11)
+    else:
+        df[weight_col] = df[weight_col] / total
+    return df
+
+
+def normalize(
+    weights,
+    *,
+    level: str = "source_id",
+    weight_col: str = "weight",
+):
+    """Normalize ``weight_col`` to sum to 1 within each ``level`` group
+    (ref: normalize.py:4-11). Distributed as groupby().map_groups —
+    one shuffle keyed on ``level``, no driver materialization."""
+    if isinstance(weights, pa.Table):
+        df = weights.to_pandas()
+        out = (
+            df.groupby(level, group_keys=False, sort=False)[df.columns]
+            .apply(lambda g: _normalize_group(g, weight_col))
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+    return weights.groupby(level).map_groups(
+        lambda df: _normalize_group(df, weight_col)
+    )

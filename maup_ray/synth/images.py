@@ -1,0 +1,98 @@
+"""Deterministic synthetic image+caption table (BASELINE.json input_hint:
+image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+caption:string, phash:int64).
+
+``fmt="raw"`` = uncompressed RGB rows (w*h*3 bytes), so the PSNR≥40dB
+payload-fidelity invariant degenerates to byte equality — checkable
+without PIL (FIXTURES.md F8). Pixel bytes and captions are pure
+functions of the row index, fully vectorized.
+
+``phash_xy`` decodes the 64-bit phash into (x, y) in [0, EXTENT)² by
+Morton de-interleave of the low 40 bits, + 0.5 so points never sit on
+integer cell/district boundaries (SURVEY.md §1.2 "phash-derived
+coordinates stand in for embedded geotags").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom.cells import morton_decode
+from .districts import EXTENT
+
+__all__ = ["gen_image_batch", "image_table", "image_dataset", "phash_xy"]
+
+_PHASH_MULT = np.uint64(0x9E3779B97F4A7C15)
+_VOCAB = (
+    "aerial photo satellite view of district block street park river "
+    "bridge plaza市 school census tract boundary map tile urban rural"
+).split()
+
+
+def phash_xy(phash: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """int64 phash → float64 (x, y) in [0, EXTENT)², off-lattice."""
+    u = phash.astype(np.int64).view(np.uint64)
+    cx, cy = morton_decode(u & np.uint64((1 << 40) - 1))
+    x = (cx.astype(np.float64) % EXTENT) + 0.5
+    y = (cy.astype(np.float64) % EXTENT) + 0.5
+    return x, y
+
+
+def gen_image_batch(
+    ids: np.ndarray, w: int = 16, h: int = 16, seed: int = 42
+) -> pa.Table:
+    """Deterministic batch of image rows for row indices ``ids``."""
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    npx = w * h * 3
+    # pixel[i, j] = (i*2654435761 + j*97 + seed) mod 256 — vectorized outer
+    base = (ids.astype(np.uint64) * np.uint64(2654435761) + np.uint64(seed)) & np.uint64(
+        0xFFFFFFFF
+    )
+    j = (np.arange(npx, dtype=np.uint64) * np.uint64(97)) & np.uint64(0xFFFFFFFF)
+    px = ((base[:, None] + j[None, :]) % np.uint64(256)).astype(np.uint8)
+    blob = px.tobytes()
+    bytes_col = pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(npx), n, [None, pa.py_buffer(blob)]
+    ).cast(pa.binary())
+    phash = (
+        (ids.astype(np.uint64) * _PHASH_MULT) & np.uint64(0x7FFFFFFFFFFFFFFF)
+    ).astype(np.int64)
+    nv = len(_VOCAB)
+    cap_idx = np.column_stack(
+        [(ids * 7 + k * 13) % nv for k in range(6)]
+    )
+    captions = [
+        f"img {i:012d} " + " ".join(_VOCAB[t] for t in row)
+        for i, row in zip(ids, cap_idx)
+    ]
+    return pa.table(
+        {
+            "image_id": pa.array([f"img{i:012d}" for i in ids], type=pa.string()),
+            "bytes": bytes_col,
+            "w": pa.array(np.full(n, w, dtype=np.int32)),
+            "h": pa.array(np.full(n, h, dtype=np.int32)),
+            "fmt": pa.array(["raw"] * n, type=pa.string()),
+            "caption": pa.array(captions, type=pa.string()),
+            "phash": pa.array(phash),
+        }
+    )
+
+
+def image_table(n: int, w: int = 16, h: int = 16, seed: int = 42) -> pa.Table:
+    return gen_image_batch(np.arange(n), w, h, seed)
+
+
+def image_dataset(n: int, w: int = 16, h: int = 16, seed: int = 42, **read_kwargs):
+    """Streaming Ray Dataset of n synthetic image rows — generated
+    inside map_batches so no driver-side materialization."""
+    import ray.data
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy()
+        return gen_image_batch(ids, w, h, seed)
+
+    return ray.data.range(n, **read_kwargs).map_batches(
+        gen, batch_format="pyarrow", zero_copy_batch=True
+    )

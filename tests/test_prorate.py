@@ -1,0 +1,133 @@
+"""prorate / normalize tests (ref: tests/test_prorate.py,
+tests/test_normalize.py) — conservation + exact fractions."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from maup_ray import intersections, normalize, prorate
+
+
+def _pieces(sources, targets):
+    return intersections(sources, targets, area_cutoff=0, include_geometry=False)
+
+
+class TestNormalize:
+    def test_exact_fractions(self):
+        w = pa.table(
+            {
+                "source_id": pa.array([0, 0, 1, 1, 2], type=pa.int64()),
+                "target_id": ["a", "b", "a", "c", "a"],
+                "weight": [1.0, 3.0, 2.0, 2.0, 0.0],
+            }
+        )
+        out = normalize(w).to_pydict()
+        got = dict(
+            zip(zip(out["source_id"], out["target_id"]), out["weight"])
+        )
+        assert got == {
+            (0, "a"): 0.25,
+            (0, "b"): 0.75,
+            (1, "a"): 0.5,
+            (1, "c"): 0.5,
+            (2, "a"): 0.0,  # 0/0 → 0 (ref: normalize.py:11)
+        }
+
+    def test_dataset_path(self, ray_session):
+        import ray
+        import ray.data
+
+        w = pa.table(
+            {
+                "source_id": pa.array([0, 0, 1], type=pa.int64()),
+                "target_id": ["a", "b", "a"],
+                "weight": [1.0, 1.0, 5.0],
+            }
+        )
+        out = normalize(ray.data.from_arrow(w))
+        tbl = pa.concat_tables([ray.get(r) for r in out.to_arrow_refs()])
+        d = tbl.to_pydict()
+        got = dict(zip(zip(d["source_id"], d["target_id"]), d["weight"]))
+        assert got == {(0, "a"): 0.5, (0, "b"): 0.5, (1, "a"): 1.0}
+
+
+class TestProrate:
+    def test_conservation(self, square_mostly_in_top_left, four_square_grid):
+        pieces = _pieces(square_mostly_in_top_left, four_square_grid)
+        pieces = pieces.rename_columns(
+            ["source_id", "target_id", "weight", "length", "dim"]
+        )
+        weights = normalize(pieces)
+        data = pa.table(
+            {
+                "source_id": pa.array([4], type=pa.int64()),
+                "pop": pa.array([2.25], type=pa.float64()),
+            }
+        )
+        out = prorate(weights, data, ["pop"]).to_pydict()
+        got = dict(zip(out["target_id"], out["pop"]))
+        # areas a=0.5 b=1.0 c=0.25 d=0.5, total 2.25 → pop share == area
+        assert got == {"a": 0.5, "b": 1.0, "c": 0.25, "d": 0.5}
+        assert sum(got.values()) == 2.25  # conservation (ref :100-105)
+
+    def test_no_aggregation_mode(self):
+        rel = pa.table(
+            {
+                "source_id": pa.array([0, 1], type=pa.int64()),
+                "target_id": ["a", "a"],
+                "weight": [1.0, 1.0],
+            }
+        )
+        data = pa.table(
+            {
+                "source_id": pa.array([0, 1], type=pa.int64()),
+                "v": [3.0, 4.0],
+            }
+        )
+        out = prorate(rel, data, ["v"], aggregate_by=None).to_pydict()
+        assert out["v"] == [3.0, 4.0]  # ref fine print 4: no groupby
+
+    def test_missing_source_nan(self):
+        rel = pa.table(
+            {
+                "source_id": pa.array([0, 9], type=pa.int64()),
+                "target_id": ["a", "b"],
+                "weight": [1.0, 1.0],
+            }
+        )
+        data = pa.table(
+            {"source_id": pa.array([0], type=pa.int64()), "v": [3.0]}
+        )
+        out = prorate(rel, data, ["v"], aggregate_by=None).to_pydict()
+        assert out["v"][0] == 3.0 and np.isnan(out["v"][1])
+
+    def test_dataset_aggregate(self, ray_session, four_square_grid):
+        """E1-shaped: block points → assign → prorate to districts."""
+        import ray
+        import ray.data
+
+        from maup_ray import assign
+
+        n = 200
+        rng = np.random.RandomState(0)
+        src = pa.table(
+            {
+                "source_id": pa.array(np.arange(n), type=pa.int64()),
+                "x": pa.array(rng.uniform(0, 2, n)),
+                "y": pa.array(rng.uniform(0, 2, n)),
+                "pop": pa.array(np.ones(n)),
+            }
+        )
+        ds = ray.data.from_arrow(src)
+        assigned = assign(ds, four_square_grid, keep_cols=("pop",), concurrency=2)
+        # assignment-as-relationship with weight 1 → grouped sum
+        rel = assigned.map_batches(
+            lambda b: b.append_column(
+                "weight", pa.array(np.ones(b.num_rows))
+            ),
+            batch_format="pyarrow",
+        )
+        data = src.select(["source_id", "pop"])
+        out = prorate(rel, data, ["pop"])
+        tbl = out.to_pandas()
+        assert tbl["pop"].sum() == n
