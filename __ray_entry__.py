@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver calls ``entry()`` as a smoke check (Ray already initialised),
+runs each ``queries()[name](sf_dir)`` at sf=0.01 and compares against
+``oracle_sql()[name]`` via DuckDB. No ray.init()/shutdown() here —
+see module docstring history; Ray Data auto-attaches to the driver's
+session.
 """
 
 from __future__ import annotations
@@ -18,27 +12,63 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthetic image+caption table (sized from the
+    sf0.001 documents table) → phash-derived coordinates → district
+    assign (broadcast-index actor pool) → per-district aggregate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from maup_ray.ops.assign import assign
+    from maup_ray.synth.districts import district_table
+    from maup_ray.synth.images import image_dataset, phash_xy
+
+    n_docs = pq.read_metadata(f"{SF0001}/documents.parquet").num_rows
+    images = image_dataset(n=16 * n_docs)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        x, y = phash_xy(batch["phash"].to_numpy())
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+
+    pts = images.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    assigned = assign(
+        pts,
+        district_table(64),
+        source_id_col="image_id",
+        target_id_col="district_id",
+        targets_id_col="district_id",
+        concurrency=8,
+    )
+    return assigned.groupby("district_id").aggregate(Count(alias_name="n_images"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from maup_ray import pipelines as p
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "assign_points": p.q_assign_points,
+        "pieces": p.q_pieces,
+        "assign_by_area": p.q_assign_by_area,
+        "normalize": p.q_normalize,
+        "prorate": p.q_prorate,
+        "adjacencies": p.q_adjacencies,
+        "cell_tiles": p.q_cell_tiles,
+        "events_hourly": p.q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from maup_ray import pipelines as p
+
+    return p.oracle_queries()

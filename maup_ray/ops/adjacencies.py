@@ -1,0 +1,224 @@
+"""adjacencies — pairwise boundary-intersection self-join
+(ref: adjacencies.py:18-97).
+
+Output rows (id_i, id_j, [geometry], length, area, dim) with
+``id_i < id_j`` (ref :22). ``length`` follows the reference's
+GeoSeries.length semantics: perimeter for positive-area overlap pieces,
+line length for shared edges, 0 for point touches — so
+rook = ``length > 0`` (ref :68-69) and overlaps = ``area > 0``
+(ref :71-79, count_overlaps repair.py:368-375).
+
+Two physical plans:
+* pa.Table input → local bbox-tree self-join (small side, e.g. the
+  broadcast district table).
+* Dataset input → cell-partitioned self-join: each geometry is
+  replicated to the fixed-resolution cells its bbox covers
+  (flat-map shape), pairs are computed inside ``groupby(cell)``
+  groups, and a pair straddling several shared cells is emitted only
+  in the canonical cell (the cell containing the pair's bbox-overlap
+  min corner) — the min-cell dedup rule from SURVEY.md §2 op 8.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom.boolean import boundary_intersection, intersection
+from ..geom.core import area as poly_area
+from ..geom.core import bounds, perimeter
+from ..geom.strtree import BBoxTree
+from ..geom.wkb import (
+    decode_polygons,
+    encode_lines,
+    encode_multipolygon,
+    encode_points,
+)
+
+__all__ = ["adjacencies", "count_overlaps", "islands"]
+
+DEFAULT_CELL_RES = 8
+
+
+def _pair_rows(geom_i, geom_j):
+    """(wkb_or_None, length, area, dim) of the pair intersection, or
+    None when disjoint."""
+    polys = intersection(geom_i, geom_j)
+    ar = poly_area(polys) if polys else 0.0
+    if polys and ar > 0:
+        return encode_multipolygon(polys), perimeter(polys), ar, 2
+    lines, pts, ln = boundary_intersection(geom_i, geom_j)
+    if lines:
+        return encode_lines(lines), ln, 0.0, 1
+    if len(pts):
+        return encode_points(pts), 0.0, 0.0, 0
+    return None
+
+
+def _pairs_table(
+    ids, geoms, bboxes, adjacency_type, include_geometry, id_type,
+    pair_filter=None,
+):
+    tree = BBoxTree(bboxes)
+    ai, bi = tree.query_bbox(bboxes)
+    keep = ai < bi
+    ai, bi = ai[keep], bi[keep]
+    out = {"id_i": [], "id_j": [], "geometry": [], "length": [], "area": [], "dim": []}
+    for i, j in zip(ai, bi):
+        if pair_filter is not None and not pair_filter(i, j):
+            continue
+        r = _pair_rows(geoms[i], geoms[j])
+        if r is None:
+            continue
+        wkb, ln, ar, dim = r
+        if adjacency_type == "rook" and ln <= 0:
+            continue
+        out["id_i"].append(ids[i])
+        out["id_j"].append(ids[j])
+        out["geometry"].append(wkb)
+        out["length"].append(ln)
+        out["area"].append(ar)
+        out["dim"].append(dim)
+    cols = {
+        "id_i": pa.array(out["id_i"], type=id_type),
+        "id_j": pa.array(out["id_j"], type=id_type),
+    }
+    if include_geometry:
+        cols["geometry"] = pa.array(out["geometry"], type=pa.binary())
+    cols["length"] = pa.array(out["length"], type=pa.float64())
+    cols["area"] = pa.array(out["area"], type=pa.float64())
+    cols["dim"] = pa.array(out["dim"], type=pa.int8())
+    return pa.table(cols)
+
+
+def _local_adjacencies(
+    table: pa.Table, id_col, geometry_col, adjacency_type, include_geometry
+):
+    order = pa.compute.sort_indices(table[id_col])
+    table = table.take(order)
+    ids = table[id_col].to_pylist()
+    geoms = [decode_polygons(b.as_py()) for b in table[geometry_col]]
+    bboxes = np.array([bounds(g) for g in geoms]).reshape(-1, 4)
+    return _pairs_table(
+        ids, geoms, bboxes, adjacency_type, include_geometry,
+        table[id_col].type,
+    )
+
+
+def adjacencies(
+    geoms,
+    *,
+    id_col: str = "id",
+    geometry_col: str = "geometry",
+    adjacency_type: str = "rook",
+    include_geometry: bool = True,
+    cell_res: int = DEFAULT_CELL_RES,
+    extent=None,
+    concurrency: int = 8,
+):
+    if adjacency_type not in ("rook", "queen"):
+        raise ValueError("adjacency_type must be 'rook' or 'queen'")
+    if isinstance(geoms, pa.Table):
+        return _local_adjacencies(
+            geoms, id_col, geometry_col, adjacency_type, include_geometry
+        )
+    return _partitioned_adjacencies(
+        geoms, id_col, geometry_col, adjacency_type, include_geometry,
+        cell_res, extent, concurrency,
+    )
+
+
+def _partitioned_adjacencies(
+    ds, id_col, geometry_col, adjacency_type, include_geometry,
+    cell_res, extent, concurrency,
+):
+    """Dataset self-join: replicate rows to covered cells, pair within
+    cell groups, dedup straddling pairs by the canonical min-cell."""
+    from ..geom.cells import CellGrid
+
+    if extent is None:
+        from ..synth.districts import EXTENT
+
+        extent = (0.0, 0.0, float(EXTENT))
+    grid = CellGrid(*extent)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        rows = {"cell": [], id_col: [], geometry_col: [], "_minx": [], "_miny": []}
+        for rid, g in zip(batch[id_col].to_pylist(), batch[geometry_col]):
+            wkb = g.as_py()
+            bb = bounds(decode_polygons(wkb))
+            cells = grid.cells_for_bbox(*bb, cell_res)
+            for c in cells:
+                rows["cell"].append(int(c))
+                rows[id_col].append(rid)
+                rows[geometry_col].append(wkb)
+                rows["_minx"].append(bb[0])
+                rows["_miny"].append(bb[1])
+        return pa.table(
+            {
+                "cell": pa.array(rows["cell"], type=pa.uint64()),
+                id_col: pa.array(rows[id_col], type=batch[id_col].type),
+                geometry_col: pa.array(rows[geometry_col], type=pa.binary()),
+                "_minx": pa.array(rows["_minx"], type=pa.float64()),
+                "_miny": pa.array(rows["_miny"], type=pa.float64()),
+            }
+        )
+
+    id_type_holder = {}
+
+    def per_cell(df):
+        # pandas group (map_groups default); rebuild arrow
+        cell = int(df["cell"].iloc[0])
+        ids = df[id_col].tolist()
+        geoms = [decode_polygons(b) for b in df[geometry_col]]
+        bboxes = np.array([bounds(g) for g in geoms]).reshape(-1, 4)
+        order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
+        ids = [ids[i] for i in order]
+        geoms = [geoms[i] for i in order]
+        bboxes = bboxes[order]
+
+        def canonical(i, j):
+            minx = max(bboxes[i, 0], bboxes[j, 0])
+            miny = max(bboxes[i, 1], bboxes[j, 1])
+            c = grid.cell_of_points(
+                np.array([minx]), np.array([miny]), cell_res
+            )[0]
+            return int(c) == cell
+
+        id_type = pa.string() if isinstance(ids[0], str) else pa.int64()
+        tbl = _pairs_table(
+            ids, geoms, bboxes, adjacency_type, include_geometry, id_type,
+            pair_filter=canonical,
+        )
+        return tbl.to_pandas()
+
+    return ds.map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("cell").map_groups(per_cell)
+
+
+def count_overlaps(geoms, **kw) -> int:
+    """ref: repair.py:368-375."""
+    adj = adjacencies(geoms, include_geometry=False, adjacency_type="queen", **kw)
+    if isinstance(adj, pa.Table):
+        return int(
+            pa.compute.sum(
+                pa.compute.greater(adj["area"], 0.0).cast(pa.int64())
+            ).as_py()
+            or 0
+        )
+    return adj.filter(lambda r: r["area"] > 0).count()
+
+
+def islands(geoms, adj=None, id_col: str = "id", **kw):
+    """Ids participating in no adjacency pair (ref: adjacencies.py:81-94).
+    Anti-join of ids against ids-in-pairs."""
+    if adj is None:
+        adj = adjacencies(geoms, include_geometry=False, **kw)
+    if isinstance(geoms, pa.Table):
+        in_pairs = set(adj["id_i"].to_pylist()) | set(adj["id_j"].to_pylist())
+        mask = [i not in in_pairs for i in geoms[id_col].to_pylist()]
+        return geoms.filter(pa.array(mask))
+    raise NotImplementedError(
+        "distributed islands: collect pair ids (small) then anti-join"
+    )

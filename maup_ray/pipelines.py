@@ -1,0 +1,354 @@
+"""Named pipelines backing ``__ray_entry__.queries()``.
+
+Every function takes ``sf_dir`` and returns a Dataset / Arrow table.
+The spatial family derives point/rect geometry from ``doc_id`` with
+EXACT integer arithmetic (int64 mul/mod, +0.5 offsets) so the DuckDB
+oracle in ``__ray_entry__.oracle_sql()`` computes bit-identical doubles
+— areas and lengths stay dyadic rationals end-to-end (see
+synth/districts.py docstring for why no float rounding ever occurs).
+
+Ray-Data discipline: read only needed columns, derive in map_batches
+(zero-copy Arrow), broadcast the 64-district table, shuffle only for
+the final grouped aggregates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .ops.assign import assign
+from .ops.intersections import intersections
+from .ops.prorate import normalize, prorate
+from .synth.districts import EXTENT, bsp_rects, district_table, districts_sql
+
+N_DISTRICTS = 64
+
+# point derivation constants (shared with oracle SQL)
+AX, BX = 48271, 11
+AY, BY = 69621, 23
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def derive_points(batch: pa.Table) -> pa.Table:
+    """doc_id → off-lattice point in [0, EXTENT)² (exact int arithmetic)."""
+    k = batch["doc_id"].to_numpy()
+    x = ((k * AX + BX) % EXTENT).astype(np.float64) + 0.5
+    y = ((k * AY + BY) % EXTENT).astype(np.float64) + 0.5
+    out = batch.append_column("x", pa.array(x))
+    return out.append_column("y", pa.array(y))
+
+
+def derive_rects(batch: pa.Table) -> pa.Table:
+    """doc_id → integer-coordinate source rectangle centred near the
+    derived point (half-extents 1000..5800, deterministic)."""
+    k = batch["doc_id"].to_numpy()
+    cx = (k * AX + BX) % EXTENT
+    cy = (k * AY + BY) % EXTENT
+    hx = 1000 + (k % 97) * 50
+    hy = 1000 + (k % 89) * 50
+    cols = {
+        "doc_id": batch["doc_id"],
+        "sminx": pa.array((cx - hx).astype(np.float64)),
+        "sminy": pa.array((cy - hy).astype(np.float64)),
+        "smaxx": pa.array((cx + hx).astype(np.float64)),
+        "smaxy": pa.array((cy + hy).astype(np.float64)),
+    }
+    for c in batch.column_names:
+        if c not in ("doc_id",):
+            cols[c] = batch[c]
+    return pa.table(cols)
+
+
+def _rect_geometry_table(batch: pa.Table) -> pa.Table:
+    """Attach WKB geometry built from the derived rect columns."""
+    from .geom.wkb import encode_polygon
+
+    geoms = []
+    for a, b, c, d in zip(
+        batch["sminx"].to_numpy(),
+        batch["sminy"].to_numpy(),
+        batch["smaxx"].to_numpy(),
+        batch["smaxy"].to_numpy(),
+    ):
+        geoms.append(
+            encode_polygon(
+                [np.array([[a, b], [c, b], [c, d], [a, d]], dtype=np.float64)]
+            )
+        )
+    return pa.table(
+        {
+            "source_id": batch["doc_id"],
+            "geometry": pa.array(geoms, type=pa.binary()),
+        }
+    )
+
+
+def _districts():
+    return district_table(N_DISTRICTS)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_assign_points(sf_dir: str):
+    """Point-in-district covering join (op 1/2 point path)."""
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        derive_points, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = assign(
+        ds,
+        _districts(),
+        source_id_col="doc_id",
+        target_id_col="district_id",
+        targets_id_col="district_id",
+        concurrency=8,
+    )
+    return out.select_columns(["doc_id", "district_id"])
+
+
+def q_pieces(sf_dir: str):
+    """Overlay join pieces with exact areas (op 5)."""
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        derive_rects, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(_rect_geometry_table, batch_format="pyarrow")
+    out = intersections(
+        ds,
+        _districts(),
+        area_cutoff=0.0,
+        include_geometry=False,
+        targets_id_col="district_id",
+        target_id_col="district_id",
+        concurrency=8,
+    )
+    return out.select_columns(["source_id", "district_id", "area"]).rename_columns(
+        ["doc_id", "district_id", "area"]
+    )
+
+
+def q_assign_by_area(sf_dir: str):
+    """Grouped argmax over piece areas (ops 3/4)."""
+    from .ops.assign import assign_by_area
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        derive_rects, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(_rect_geometry_table, batch_format="pyarrow")
+    out = assign_by_area(
+        ds,
+        _districts(),
+        source_id_col="source_id",
+        target_id_col="district_id",
+        targets_id_col="district_id",
+        concurrency=8,
+    )
+    return out.select_columns(["source_id", "district_id"]).rename_columns(
+        ["doc_id", "district_id"]
+    )
+
+
+def q_normalize(sf_dir: str):
+    """Per-source weight normalization (op 7): weight = area/Σarea.
+    Exact-dyadic sums + one IEEE division → bit-identical to SQL."""
+    pieces = q_pieces(sf_dir).rename_columns(["doc_id", "district_id", "weight"])
+    out = normalize(pieces, level="doc_id")
+    return out
+
+
+def q_prorate(sf_dir: str):
+    """Disaggregate n_chars by raw piece area, reaggregate per district
+    (op 6). Raw (unnormalized) integer-valued weights keep every partial
+    sum exact → order-independent, hash-safe vs SQL."""
+    pieces = q_pieces(sf_dir).rename_columns(["doc_id", "district_id", "weight"])
+    data_ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    data = pa.concat_tables(_to_tables(data_ds))
+    out = prorate(
+        pieces,
+        data,
+        ["n_chars"],
+        source_id_col="doc_id",
+        target_id_col="district_id",
+        aggregate_by="sum",
+    )
+    # weight column name is "weight"; _ProrateJoin multiplies data col
+    return out.rename_columns(["district_id", "weighted_chars"])
+
+
+def q_adjacencies(sf_dir: str):
+    """District rook adjacency self-join (op 8) — lengths are exact
+    integers on the BSP tessellation. sf-independent geometry but run
+    through the engine's adjacency operator."""
+    from .ops.adjacencies import adjacencies
+
+    out = adjacencies(
+        _districts(),
+        id_col="district_id",
+        adjacency_type="rook",
+        include_geometry=False,
+    )
+    return out.select(["id_i", "id_j", "length"])
+
+
+def q_cell_tiles(sf_dir: str):
+    """Hierarchical-cell tiling + count per tile (the H3-style op)."""
+
+    def tile(batch: pa.Table) -> pa.Table:
+        from .geom.cells import CellGrid
+
+        g = CellGrid(0, 0, EXTENT)
+        cells = g.cell_of_points(
+            batch["x"].to_numpy(), batch["y"].to_numpy(), 4
+        )
+        cx, cy, _ = CellGrid.unpack(cells)
+        return pa.table(
+            {"cx": pa.array(cx), "cy": pa.array(cy)}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        derive_points, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(tile, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    return ds.groupby(["cx", "cy"]).aggregate(Count(alias_name="n_docs"))
+
+
+def q_events_hourly(sf_dir: str):
+    """Windowed aggregate over the events stream table: count + value
+    sum per (event_type, hour)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        # integer cents per row → exact, order-independent sums (float
+        # sums differ from the oracle in the last ulp across plans)
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": hour,
+                "value_cents": cents,
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Count(alias_name="n"), Sum(on="value_cents", alias_name="value_cents")
+        )
+    )
+
+
+def _to_tables(ds):
+    import ray
+
+    return [ray.get(r) for r in ds.to_arrow_refs()]
+
+
+# ------------------------------------------------------------ oracle SQL
+
+
+def _points_expr():
+    return (
+        f"((doc_id*{AX}+{BX})%{EXTENT})+0.5",
+        f"((doc_id*{AY}+{BY})%{EXTENT})+0.5",
+    )
+
+
+def _rects_cte():
+    return f"""
+srcs AS (
+  SELECT doc_id,
+    CAST((doc_id*{AX}+{BX})%{EXTENT} - (1000+(doc_id%97)*50) AS DOUBLE) AS sminx,
+    CAST((doc_id*{AY}+{BY})%{EXTENT} - (1000+(doc_id%89)*50) AS DOUBLE) AS sminy,
+    CAST((doc_id*{AX}+{BX})%{EXTENT} + (1000+(doc_id%97)*50) AS DOUBLE) AS smaxx,
+    CAST((doc_id*{AY}+{BY})%{EXTENT} + (1000+(doc_id%89)*50) AS DOUBLE) AS smaxy
+  FROM documents),
+dist AS (SELECT * FROM {districts_sql(N_DISTRICTS)} ),
+pieces AS (
+  SELECT s.doc_id, d.district_id,
+    greatest(0.0, least(s.smaxx,d.maxx)-greatest(s.sminx,d.minx))
+    * greatest(0.0, least(s.smaxy,d.maxy)-greatest(s.sminy,d.miny)) AS area
+  FROM srcs s JOIN dist d
+    ON s.sminx < d.maxx AND s.smaxx > d.minx
+   AND s.sminy < d.maxy AND s.smaxy > d.miny)
+"""
+
+
+def oracle_queries() -> dict[str, str]:
+    px, py = _points_expr()
+    dist = districts_sql(N_DISTRICTS)
+    return {
+        "assign_points": f"""
+            SELECT doc_id, district_id
+            FROM documents, {dist}
+            WHERE {px} >= minx AND {px} < maxx
+              AND {py} >= miny AND {py} < maxy
+        """,
+        "pieces": f"""
+            WITH {_rects_cte()}
+            SELECT doc_id, district_id, area FROM pieces WHERE area > 0
+        """,
+        "assign_by_area": f"""
+            WITH {_rects_cte()},
+            ranked AS (
+              SELECT doc_id, district_id,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY area DESC, district_id) AS rn
+              FROM pieces WHERE area > 0)
+            SELECT doc_id, district_id FROM ranked WHERE rn = 1
+        """,
+        "normalize": f"""
+            WITH {_rects_cte()},
+            pos AS (SELECT * FROM pieces WHERE area > 0),
+            tot AS (SELECT doc_id, sum(area) AS s FROM pos GROUP BY doc_id)
+            SELECT p.doc_id, p.district_id, p.area / t.s AS weight
+            FROM pos p JOIN tot t USING (doc_id)
+        """,
+        "prorate": f"""
+            WITH {_rects_cte()},
+            pos AS (SELECT * FROM pieces WHERE area > 0)
+            SELECT p.district_id,
+                   sum(d.n_chars * p.area) AS weighted_chars
+            FROM pos p JOIN documents d USING (doc_id)
+            GROUP BY p.district_id
+        """,
+        "adjacencies": f"""
+            WITH dist AS (SELECT * FROM {dist} )
+            SELECT a.district_id AS id_i, b.district_id AS id_j,
+              CASE
+                WHEN a.maxx = b.minx OR b.maxx = a.minx THEN
+                  greatest(0.0, least(a.maxy,b.maxy)-greatest(a.miny,b.miny))
+                WHEN a.maxy = b.miny OR b.maxy = a.miny THEN
+                  greatest(0.0, least(a.maxx,b.maxx)-greatest(a.minx,b.minx))
+                ELSE 0.0 END AS length
+            FROM dist a JOIN dist b ON a.district_id < b.district_id
+            WHERE CASE
+                WHEN a.maxx = b.minx OR b.maxx = a.minx THEN
+                  greatest(0.0, least(a.maxy,b.maxy)-greatest(a.miny,b.miny))
+                WHEN a.maxy = b.miny OR b.maxy = a.miny THEN
+                  greatest(0.0, least(a.maxx,b.maxx)-greatest(a.minx,b.minx))
+                ELSE 0.0 END > 0
+        """,
+        "cell_tiles": f"""
+            SELECT CAST(floor(({px}) / {EXTENT // 16}) AS BIGINT) AS cx,
+                   CAST(floor(({py}) / {EXTENT // 16}) AS BIGINT) AS cy,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1, 2
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n,
+                   sum(CAST(round(value*100, 0) AS BIGINT)) AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+    }

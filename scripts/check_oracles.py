@@ -1,0 +1,110 @@
+"""Local replica of the driver's correctness gate: run every
+queries() entry and its oracle_sql() via DuckDB on the same parquet,
+compare row count + schema + order-insensitive values.
+
+Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def to_pandas(obj) -> pd.DataFrame:
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj.to_pandas()  # ray Dataset
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> bool:
+    ok = True
+    if sorted(got.columns) != sorted(want.columns):
+        print(f"  [{name}] SCHEMA MISMATCH: {sorted(got.columns)} vs {sorted(want.columns)}")
+        return False
+    if len(got) != len(want):
+        print(f"  [{name}] ROWCOUNT MISMATCH: {len(got)} vs {len(want)}")
+        ok = False
+    g, w = canon(got), canon(want)
+    if len(g) == len(w):
+        for c in g.columns:
+            gv, wv = g[c].to_numpy(), w[c].to_numpy()
+            if gv.dtype.kind == "f" or wv.dtype.kind == "f":
+                eq = np.array_equal(
+                    gv.astype(np.float64), wv.astype(np.float64)
+                )
+                if not eq:
+                    close = np.allclose(
+                        gv.astype(np.float64), wv.astype(np.float64),
+                        rtol=1e-12, atol=1e-12, equal_nan=True,
+                    )
+                    print(
+                        f"  [{name}] col {c}: exact={eq} close={close} "
+                        f"maxdiff={np.abs(gv.astype(float)-wv.astype(float)).max()}"
+                    )
+                    ok = ok and close
+            else:
+                if not (gv == wv).all():
+                    bad = int((gv != wv).sum())
+                    print(f"  [{name}] col {c}: {bad} mismatched values")
+                    ok = False
+    return ok
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=8, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    sys.path.insert(0, ".")
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        got = to_pandas(fn(sf_dir))
+        if name not in oracles:
+            print(f"[{name}] rows-only: {len(got)} rows")
+            continue
+        want = con.sql(oracles[name]).df()
+        if compare(name, got, want):
+            print(f"[{name}] OK ({len(got)} rows)")
+            n_pass += 1
+        else:
+            print(f"[{name}] FAIL")
+            n_fail += 1
+    print(f"passed={n_pass} failed={n_fail}")
+    ray.shutdown()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

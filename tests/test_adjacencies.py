@@ -1,0 +1,99 @@
+"""adjacencies self-join tests (ref: tests/test_adjacencies.py:9-27)."""
+
+import numpy as np
+import pyarrow as pa
+
+from maup_ray.ops.adjacencies import adjacencies, count_overlaps, islands
+
+
+def pairs(tbl: pa.Table):
+    d = tbl.to_pydict()
+    return {
+        (i, j): (ln, ar, dim)
+        for i, j, ln, ar, dim in zip(
+            d["id_i"], d["id_j"], d["length"], d["area"], d["dim"]
+        )
+    }
+
+
+def test_rook_grid(four_square_grid):
+    tbl = four_square_grid.rename_columns(["id", "geometry"])
+    adj = adjacencies(tbl, adjacency_type="rook")
+    p = pairs(adj)
+    # rook: 4 shared edges of length 1; no corner pairs
+    assert set(p) == {("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")}
+    assert all(v[0] == 1.0 and v[2] == 1 for v in p.values())
+
+
+def test_queen_grid(four_square_grid):
+    tbl = four_square_grid.rename_columns(["id", "geometry"])
+    adj = adjacencies(tbl, adjacency_type="queen")
+    p = pairs(adj)
+    assert set(p) == {
+        ("a", "b"),
+        ("a", "c"),
+        ("b", "d"),
+        ("c", "d"),
+        ("a", "d"),
+        ("b", "c"),
+    }
+    assert p[("a", "d")] == (0.0, 0.0, 0)  # corner point touch
+
+
+def test_overlap_detection():
+    from maup_ray.geom import encode_polygon
+
+    def sq(x0, y0, x1, y1):
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float)
+
+    tbl = pa.table(
+        {
+            "id": ["p", "q"],
+            "geometry": [
+                encode_polygon([sq(0, 0, 3, 3)]),
+                encode_polygon([sq(2, 0, 5, 3)]),
+            ],
+        }
+    )
+    adj = adjacencies(tbl, adjacency_type="queen")
+    p = pairs(adj)
+    # 1-wide overlap strip: area 3, perimeter 8, dim 2
+    assert p[("p", "q")] == (8.0, 3.0, 2)
+    assert count_overlaps(tbl) == 1
+
+
+def test_islands(four_square_grid):
+    from maup_ray.geom import encode_polygon
+
+    far = pa.table(
+        {
+            "id": ["far"],
+            "geometry": [
+                encode_polygon(
+                    [np.array([[100.0, 100], [101, 100], [101, 101], [100, 101]])]
+                )
+            ],
+        }
+    )
+    tbl = pa.concat_tables(
+        [four_square_grid.rename_columns(["id", "geometry"]), far]
+    )
+    isl = islands(tbl)
+    assert isl["id"].to_pylist() == ["far"]
+
+
+def test_partitioned_matches_local(ray_session, four_square_grid):
+    import ray
+    import ray.data
+
+    tbl = four_square_grid.rename_columns(["id", "geometry"])
+    local = pairs(adjacencies(tbl, adjacency_type="queen"))
+    ds = ray.data.from_arrow(tbl)
+    out = adjacencies(
+        ds, adjacency_type="queen", cell_res=3, extent=(0.0, 0.0, 4.0)
+    )
+    got = pa.concat_tables(
+        [ray.get(r) for r in out.to_arrow_refs()],
+        promote_options="permissive",
+    )
+    assert pairs(got) == local
