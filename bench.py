@@ -1,0 +1,200 @@
+"""Benchmark harness.
+
+Headline = the BASELINE.json metric: assign+prorate over a synthetic
+image+caption-derived block table — jittered-quad "block" polygons
+(phash/id-derived, non-axis-aligned → exercises the general
+covers/clip geometry path, the same per-row work the reference does in
+GEOS) assigned to a jittered district tessellation, then
+population-weighted reaggregation per district (ref E1 pattern:
+blocks→districts grouped sum).
+
+Default: run headline + every queries() pipeline over $GRAFT_SF_DIR,
+print ONE JSON line.
+
+--scaling: run the headline twice in FRESH subprocesses at
+num_cpus=4 and num_cpus=16 on the same input; report throughputs +
+efficiency. (The sandbox VM exposes 32 logical CPUs on ~16 physical
+cores — 4 vs 16 keeps the 4× ratio inside the physical-core budget,
+the honest stand-in for the north rule's N vs 4N nodes; see
+BASELINE.md.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCALING_CPUS = (4, 16)
+BLOCK_ROWS_PER_LINEITEM = 2  # headline rows = 2× lineitem rows of the sf
+# (≥1M rows at sf0.1 — short runs under-amortize worker spawn and the
+# straggler tail, which depresses measured scaling efficiency)
+
+
+def _headline_rows() -> int:
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{SF_DIR}/lineitem.parquet").num_rows
+    return max(50_000, BLOCK_ROWS_PER_LINEITEM * n)
+
+
+def gen_blocks(batch):
+    """Deterministic rotated-quad block polygons + population."""
+    import numpy as np
+    import pyarrow as pa
+
+    from maup_ray.geom.wkb import encode_polygon
+    from maup_ray.synth.districts import EXTENT
+
+    ids = batch.column("id").to_numpy()
+    cx = ((ids * 48271 + 11) % EXTENT).astype(np.float64)
+    cy = ((ids * 69621 + 23) % EXTENT).astype(np.float64)
+    r = 300.0 + (ids % 17) * 60.0
+    ang = (ids % 360) * (np.pi / 180.0)
+    cos, sin = np.cos(ang), np.sin(ang)
+    base = np.array([[-1.0, -1], [1, -1], [1, 1], [-1, 1]])
+    # corners[k] = base*r[k] rotated by ang[k] + center — vectorized
+    bx = base[:, 0][None, :] * r[:, None]
+    by = base[:, 1][None, :] * r[:, None]
+    qx = bx * cos[:, None] - by * sin[:, None] + cx[:, None]
+    qy = bx * sin[:, None] + by * cos[:, None] + cy[:, None]
+    out = [
+        encode_polygon([np.column_stack([qx[k], qy[k]])])
+        for k in range(len(ids))
+    ]
+    return pa.table(
+        {
+            "source_id": pa.array(ids),
+            "geometry": pa.array(out, type=pa.binary()),
+            "pop": pa.array((ids % 1000).astype(np.int64)),
+        }
+    )
+
+
+def run_headline(num_cpus: int) -> dict:
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from maup_ray.ops.assign import assign
+    from maup_ray.synth.districts import EXTENT, jittered_grid
+
+    districts = jittered_grid(
+        k=16, seed=5, jitter=1.0 / 12, scale=EXTENT / 16
+    ).rename_columns(["district_id", "geometry"])
+    n = _headline_rows()
+    base = ray.data.range(n, override_num_blocks=num_cpus * 8)
+    base.count()  # spawn workers before timing (cluster-warm steady state)
+    t0 = time.perf_counter()
+    blocks = base.map_batches(
+        gen_blocks, batch_format="pyarrow", zero_copy_batch=True
+    )
+    assigned = assign(
+        blocks,
+        districts,
+        target_id_col="district_id",
+        targets_id_col="district_id",
+        keep_cols=("pop",),
+        concurrency=num_cpus,
+    )
+    out = assigned.groupby("district_id").aggregate(
+        Count(alias_name="n_blocks"), Sum(on="pop", alias_name="pop")
+    )
+    groups = out.count()
+    dt = time.perf_counter() - t0
+    ray.shutdown()
+    return {"rows": n, "sec": dt, "rows_per_sec": n / dt, "groups": groups}
+
+
+def run_queries(num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as e
+
+    times = {}
+    for name, fn in e.queries().items():
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        times[name] = round(time.perf_counter() - t0, 3)
+    ray.shutdown()
+    return times
+
+
+def main():
+    if "--headline-only" in sys.argv:
+        print(json.dumps(run_headline(NUM_CPUS)))
+        return
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in SCALING_CPUS:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                capture_output=True,
+                text=True,
+                env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            results[cpus] = json.loads(line)
+        lo, hi = SCALING_CPUS
+        eff = (
+            results[hi]["rows_per_sec"] / results[lo]["rows_per_sec"]
+        ) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "assign+prorate block-table throughput scaling",
+                    "sf_dir": SF_DIR,
+                    "rows": results[hi]["rows"],
+                    f"rows_per_sec_{lo}cpu": round(
+                        results[lo]["rows_per_sec"], 1
+                    ),
+                    f"rows_per_sec_{hi}cpu": round(
+                        results[hi]["rows_per_sec"], 1
+                    ),
+                    "scaling_efficiency": round(eff, 3),
+                }
+            )
+        )
+        return
+    head = run_headline(NUM_CPUS)
+    queries = run_queries(NUM_CPUS)
+    print(
+        json.dumps(
+            {
+                "metric": "assign+prorate spatial-join throughput (rows/sec)",
+                "value": round(head["sec"], 3),
+                "unit": "sec",
+                "rows": head["rows"],
+                "rows_per_sec": round(head["rows_per_sec"], 1),
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -85,6 +85,69 @@ def clip_multipolygon_rect(geom: MultiPolygon, minx, miny, maxx, maxy):
     return out
 
 
+def is_convex_ring(ring: np.ndarray) -> bool:
+    """CCW ring convexity: all cross products non-negative."""
+    if len(ring) < 3:
+        return False
+    d = np.roll(ring, -1, axis=0) - ring
+    cr = d[:, 0] * np.roll(d[:, 1], -1) - d[:, 1] * np.roll(d[:, 0], -1)
+    return bool((cr >= 0).all() or (cr <= 0).all())
+
+
+def _clip_halfplane_general(ring, a, b):
+    """Keep the side where cross(b-a, p-a) >= 0 (left of a→b)."""
+    if len(ring) == 0:
+        return ring
+    d = b - a
+    side = d[0] * (ring[:, 1] - a[1]) - d[1] * (ring[:, 0] - a[0])
+    inside = side >= 0
+    if inside.all():
+        return ring
+    if not inside.any():
+        return ring[:0]
+    out = []
+    m = len(ring)
+    for i in range(m):
+        j = (i + 1) % m
+        if inside[i]:
+            out.append(ring[i])
+            if not inside[j]:
+                t = side[i] / (side[i] - side[j])
+                out.append(ring[i] + t * (ring[j] - ring[i]))
+        elif inside[j]:
+            t = side[i] / (side[i] - side[j])
+            out.append(ring[i] + t * (ring[j] - ring[i]))
+    return np.array(out)
+
+
+def clip_polygon_convex(poly, clipper_ring: np.ndarray):
+    """Sutherland–Hodgman clip of a polygon-with-holes against a CCW
+    convex ring — the fast path for convex (district) targets; general
+    concave targets fall back to geom.boolean.intersection."""
+    rings = []
+    for ring in poly:
+        r = ring
+        m = len(clipper_ring)
+        for i in range(m):
+            r = _clip_halfplane_general(
+                r, clipper_ring[i], clipper_ring[(i + 1) % m]
+            )
+            if len(r) == 0:
+                break
+        if len(r) >= 3:
+            rings.append(r)
+    return normalize_polygon(rings) if rings else []
+
+
+def clip_multipolygon_convex(geom: MultiPolygon, clipper_ring: np.ndarray):
+    out = []
+    for poly in ensure_multi(geom):
+        p = clip_polygon_convex(poly, clipper_ring)
+        if p:
+            out.append(p)
+    return out
+
+
 def rect_intersection_area(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized overlap area of two (n,4)/(m,4) bbox arrays →
     (n,m). Matches SQL greatest/least formula exactly."""

@@ -55,9 +55,10 @@ def ring_signed_area(ring: Ring) -> float:
         return 0.0
     x = ring[:, 0]
     y = ring[:, 1]
-    x2 = np.roll(x, -1)
-    y2 = np.roll(y, -1)
-    return float(np.sum(x * y2 - x2 * y)) * 0.5
+    # shoelace without np.roll allocations (hot path)
+    s = float(x[:-1] @ y[1:]) - float(x[1:] @ y[:-1])
+    s += float(x[-1] * y[0] - x[0] * y[-1])
+    return s * 0.5
 
 
 def ring_length(ring: Ring, closed: bool = True) -> float:

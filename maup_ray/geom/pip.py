@@ -16,6 +16,7 @@ __all__ = [
     "point_in_polygon",
     "points_in_multipolygon",
     "covers",
+    "covers_batch",
 ]
 
 
@@ -25,7 +26,8 @@ def _crossing_counts(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
     x = pts[:, 0:1]  # (n,1)
     y = pts[:, 1:2]
     x0, y0 = ring[:, 0], ring[:, 1]  # (m,)
-    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+    x1 = np.concatenate([x0[1:], x0[:1]])
+    y1 = np.concatenate([y0[1:], y0[:1]])
     # edge straddles the horizontal line through y (half-open in y)
     straddle = (y0 > y) != (y1 > y)  # (n,m)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -42,7 +44,8 @@ def points_on_ring(
     x = pts[:, 0:1]
     y = pts[:, 1:2]
     x0, y0 = ring[:, 0], ring[:, 1]
-    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+    x1 = np.concatenate([x0[1:], x0[:1]])
+    y1 = np.concatenate([y0[1:], y0[:1]])
     dx, dy = x1 - x0, y1 - y0
     L2 = dx * dx + dy * dy
     # projection parameter clamped to [0,1]
@@ -98,7 +101,10 @@ def _segments(geom) -> tuple[np.ndarray, np.ndarray]:
     for poly in ensure_multi(geom):
         for ring in poly:
             p0s.append(ring)
-            p1s.append(np.roll(ring, -1, axis=0))
+            nxt = np.empty_like(ring)
+            nxt[:-1] = ring[1:]
+            nxt[-1] = ring[0]
+            p1s.append(nxt)
     if not p0s:
         z = np.empty((0, 2))
         return z, z
@@ -130,6 +136,99 @@ def _proper_crossings(a_geom, b_geom) -> bool:
         (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
     )
     return bool(proper.any())
+
+
+def covers_batch(target_geom, sources, eps: float = 1e-12) -> np.ndarray:
+    """Vectorized ``covers(target, s) for s in sources``.
+
+    Batches every source's vertices into ONE PIP call against the
+    target and every source edge into ONE proper-crossing broadcast —
+    the per-pair python overhead of ``covers`` amortizes across the
+    whole batch (the hot path of polygon assign). Representative-point
+    refinement only runs for sources that pass both tests while the
+    target has holes (a source could sit inside a hole).
+    """
+    target_geom = ensure_multi(target_geom)
+    n = len(sources)
+    if n == 0 or not target_geom:
+        return np.zeros(n, dtype=bool)
+    verts_list, counts = [], np.empty(n, dtype=np.int64)
+    for k, src in enumerate(sources):
+        v = np.vstack([r for poly in ensure_multi(src) for r in poly])
+        verts_list.append(v)
+        counts[k] = len(v)
+    verts = np.vstack(verts_list)
+    inside = points_in_multipolygon(verts, target_geom, True, eps)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    all_inside = np.logical_and.reduceat(
+        np.append(inside, True), offsets[:-1]
+    )
+    # proper crossing: all source edges (rings are closed → edges =
+    # verts rolled per ring; approximate with per-source segments)
+    result = all_inside.copy()
+    if result.any():
+        t0, t1 = _segments(target_geom)
+        e0s, e1s, owner = [], [], []
+        for k in np.nonzero(result)[0]:
+            s0, s1 = _segments(ensure_multi(sources[k]))
+            e0s.append(s0)
+            e1s.append(s1)
+            owner.append(np.full(len(s0), k, dtype=np.int64))
+        e0 = np.vstack(e0s)
+        e1 = np.vstack(e1s)
+        owner = np.concatenate(owner)
+        crossing = _proper_crossing_mask(e0, e1, t0, t1)
+        if crossing.any():
+            result[np.unique(owner[crossing])] = False
+    has_holes = any(len(poly) > 1 for poly in target_geom)
+    if has_holes and result.any():
+        from .core import representative_point
+
+        for k in np.nonzero(result)[0]:
+            for poly in ensure_multi(sources[k]):
+                rp = representative_point([poly])
+                if not points_in_multipolygon(
+                    np.array([rp]), target_geom, True, eps
+                )[0]:
+                    result[k] = False
+                    break
+    return result
+
+
+def _proper_crossing_mask(a0, a1, b0, b1) -> np.ndarray:
+    """Per-A-segment bool: does it properly cross ANY B segment?
+    Chunked broadcast."""
+    na, nb = len(a0), len(b0)
+    out = np.zeros(na, dtype=bool)
+    if na == 0 or nb == 0:
+        return out
+    chunk = max(1, 4_000_000 // max(nb, 1))
+    for s in range(0, na, chunk):
+        A0 = a0[s : s + chunk, None, :]
+        A1 = a1[s : s + chunk, None, :]
+        B0 = b0[None, :, :]
+        B1 = b1[None, :, :]
+
+        def cross(o, p, q):
+            return (p[..., 0] - o[..., 0]) * (q[..., 1] - o[..., 1]) - (
+                p[..., 1] - o[..., 1]
+            ) * (q[..., 0] - o[..., 0])
+
+        d1 = cross(A0, A1, B0)
+        d2 = cross(A0, A1, B1)
+        d3 = cross(B0, B1, A0)
+        d4 = cross(B0, B1, A1)
+        proper = (
+            ((d1 > 0) != (d2 > 0))
+            & ((d3 > 0) != (d4 > 0))
+            & (d1 != 0)
+            & (d2 != 0)
+            & (d3 != 0)
+            & (d4 != 0)
+        )
+        out[s : s + chunk] = proper.any(axis=1)
+    return out
 
 
 def covers(target_geom, source_geom, eps: float = 1e-12) -> bool:

@@ -129,6 +129,31 @@ class BBoxTree:
         return np.concatenate(out_q), np.concatenate(out_t)
 
     def query_points(self, x: np.ndarray, y: np.ndarray):
-        """Candidates containing points: (pi, ti)."""
+        """Candidates containing points: (pi, ti).
+
+        For small indexed sets (the broadcast-district case) a chunked
+        flat broadcast beats tree descent by orders of magnitude —
+        the hierarchical path is a per-query Python loop."""
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        if self.n == 0 or len(x) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        if self.n <= 4096:
+            b = self.bboxes
+            out_p, out_t = [], []
+            chunk = max(1, 8_000_000 // max(self.n, 1))
+            for s in range(0, len(x), chunk):
+                xs = x[s : s + chunk, None]
+                ys = y[s : s + chunk, None]
+                hit = (
+                    (xs >= b[None, :, 0])
+                    & (xs <= b[None, :, 2])
+                    & (ys >= b[None, :, 1])
+                    & (ys <= b[None, :, 3])
+                )
+                pi, ti = np.nonzero(hit)
+                out_p.append(pi + s)
+                out_t.append(ti)
+            return np.concatenate(out_p), np.concatenate(out_t)
         q = np.column_stack([x, y, x, y])
         return self.query_bbox(q)

@@ -116,6 +116,8 @@ class AssignActor:
         return out
 
     def _assign_polygons(self, batch: pa.Table) -> np.ndarray:
+        from ..geom.pip import covers_batch
+
         geoms = [decode_polygons(b.as_py()) for b in batch[self.geometry_col]]
         bboxes = np.array(
             [bounds(g) for g in geoms], dtype=np.float64
@@ -123,30 +125,48 @@ class AssignActor:
         si, ti = self.index.candidates_for_bboxes(bboxes)
         n = len(geoms)
         out = np.full(n, -1, dtype=np.int64)
-        # group candidates per source
+        if len(si) == 0:
+            return out
+        order = np.lexsort((si, ti))  # group by target
+        si_t, ti_t = si[order], ti[order]
+        cover_count = np.zeros(n, dtype=np.int64)
+        cover_first = np.full(n, -1, dtype=np.int64)
+        if self.phase in ("full", "covering"):
+            # per-target batched covers: one PIP + one crossing broadcast
+            # per target over ALL its candidate sources (hot-path
+            # vectorization; semantics identical to per-pair covers)
+            t_bounds = np.searchsorted(ti_t, np.arange(self.index.n + 1))
+            for t in np.unique(ti_t):
+                sl = si_t[t_bounds[t] : t_bounds[t + 1]]
+                res = covers_batch(
+                    self.index.geom(t), [geoms[s] for s in sl]
+                )
+                hit = sl[res]
+                cover_count[hit] += 1
+                # targets iterate ascending → first cover = smallest id
+                unset = cover_first[hit] == -1
+                cover_first[hit[unset]] = t
+            once = cover_count == 1
+            out[once] = cover_first[once]
+            if self.phase == "covering":
+                return out  # 0 or 2+ covers → null (ref fine print 2)
+        # phase (b) for the remainder: max intersection area per source,
+        # tie → first target in id-sorted order (pandas idxmax parity)
         order = np.lexsort((ti, si))
-        si, ti = si[order], ti[order]
-        starts = np.searchsorted(si, np.arange(n + 1))
-        for s in range(n):
-            cand = ti[starts[s] : starts[s + 1]]
-            if len(cand) == 0:
+        si_s, ti_s = si[order], ti[order]
+        starts = np.searchsorted(si_s, np.arange(n + 1))
+        todo = (
+            np.nonzero(out == -1)[0]
+            if self.phase == "full"
+            else np.arange(n)
+        )
+        for s in todo:
+            cand = ti_s[starts[s] : starts[s + 1]]
+            if len(cand) == 0 or not geoms[s]:
                 continue
-            src = geoms[s]
-            if not src:
-                continue
-            if self.phase in ("full", "covering"):
-                covered = [
-                    t for t in cand if covers(self.index.geom(t), src)
-                ]
-                if len(covered) == 1:
-                    out[s] = covered[0]
-                    continue
-                if self.phase == "covering":
-                    continue  # 0 or 2+ covers → null (ref fine print 2)
-            # phase (b): max intersection area, tie → first sorted target
             best_t, best_a = -1, 0.0
             for t in cand:
-                a = self._inter_area(src, t)
+                a = self._inter_area(geoms[s], t)
                 if a > best_a:
                     best_t, best_a = t, a
             out[s] = best_t
@@ -158,6 +178,15 @@ class AssignActor:
             return poly_area(
                 clip_multipolygon_rect(src, minx, miny, maxx, maxy)
             )
+        ring = (
+            self.index.convex_ring[t]
+            if self.index.convex_ring is not None
+            else None
+        )
+        if ring is not None:
+            from ..geom.clip import clip_multipolygon_convex
+
+            return poly_area(clip_multipolygon_convex(src, ring))
         return poly_area(poly_intersection(src, self.index.geom(t)))
 
 

@@ -100,9 +100,21 @@ class IntersectionsActor:
         return pa.table(cols)
 
     def _pair(self, src, t: int):
+        polys = None
         if self.index.is_rect:
             minx, miny, maxx, maxy = self.index.bboxes[t]
             polys = clip_multipolygon_rect(src, minx, miny, maxx, maxy)
+        else:
+            ring = (
+                self.index.convex_ring[t]
+                if self.index.convex_ring is not None
+                else None
+            )
+            if ring is not None:
+                from ..geom.clip import clip_multipolygon_convex
+
+                polys = clip_multipolygon_convex(src, ring)
+        if polys is not None:
             ar = poly_area(polys)
             if polys and ar > 0:
                 return polys, [], np.empty((0, 2)), ar, 0.0

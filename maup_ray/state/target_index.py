@@ -55,17 +55,27 @@ class TargetIndex:
         )
         self.n = len(table)
         if geometry_col in names:
+            from ..geom.clip import is_convex_ring
+
             self.geoms = [
                 decode_polygons(b.as_py()) for b in table[geometry_col]
             ]
             self.bboxes = np.array([bounds(g) for g in self.geoms])
             self.is_rect = all(_is_axis_rect(g) for g in self.geoms)
+            # convex single-ring targets take the SH-clip fast path
+            self.convex_ring = [
+                g[0][0]
+                if len(g) == 1 and len(g[0]) == 1 and is_convex_ring(g[0][0])
+                else None
+                for g in self.geoms
+            ]
         elif {"minx", "miny", "maxx", "maxy"} <= set(names):
             self.bboxes = np.column_stack(
                 [table[c].to_numpy() for c in ("minx", "miny", "maxx", "maxy")]
             ).astype(np.float64)
             self.geoms = None  # rect-only: bboxes ARE the geometry
             self.is_rect = True
+            self.convex_ring = None
         else:
             raise ValueError(
                 "targets need a WKB 'geometry' column or minx/miny/maxx/maxy"
@@ -91,7 +101,7 @@ class TargetIndex:
     ) -> np.ndarray:
         """Refine candidate (point, target) pairs to exact containment
         (half-open convention). Vectorized per target group."""
-        if self.is_rect and self.geoms is None:
+        if self.is_rect:  # axis rects: bbox IS the geometry (half-open)
             b = self.bboxes[ti]
             return (
                 (x[pi] >= b[:, 0])

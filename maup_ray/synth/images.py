@@ -46,12 +46,16 @@ def gen_image_batch(
     ids = np.asarray(ids, dtype=np.int64)
     n = len(ids)
     npx = w * h * 3
-    # pixel[i, j] = (i*2654435761 + j*97 + seed) mod 256 — vectorized outer
-    base = (ids.astype(np.uint64) * np.uint64(2654435761) + np.uint64(seed)) & np.uint64(
-        0xFFFFFFFF
+    # pixel[i, j] = (i*2654435761 + j*97 + seed) mod 256 — uint8 wrapping
+    # addition IS mod-256, so the whole raster is one tiny outer add
+    base8 = (
+        (ids.astype(np.uint64) * np.uint64(2654435761) + np.uint64(seed))
+        & np.uint64(0xFF)
+    ).astype(np.uint8)
+    j8 = ((np.arange(npx, dtype=np.uint64) * np.uint64(97)) & np.uint64(0xFF)).astype(
+        np.uint8
     )
-    j = (np.arange(npx, dtype=np.uint64) * np.uint64(97)) & np.uint64(0xFFFFFFFF)
-    px = ((base[:, None] + j[None, :]) % np.uint64(256)).astype(np.uint8)
+    px = base8[:, None] + j8[None, :]
     blob = px.tobytes()
     bytes_col = pa.FixedSizeBinaryArray.from_buffers(
         pa.binary(npx), n, [None, pa.py_buffer(blob)]
@@ -60,21 +64,30 @@ def gen_image_batch(
         (ids.astype(np.uint64) * _PHASH_MULT) & np.uint64(0x7FFFFFFFFFFFFFFF)
     ).astype(np.int64)
     nv = len(_VOCAB)
-    cap_idx = np.column_stack(
-        [(ids * 7 + k * 13) % nv for k in range(6)]
-    )
-    captions = [
-        f"img {i:012d} " + " ".join(_VOCAB[t] for t in row)
-        for i, row in zip(ids, cap_idx)
+    # fully vectorized caption build: dictionary take + element-wise join
+    import pyarrow.compute as pc
+
+    vocab_arr = pa.array(_VOCAB, type=pa.string())
+    padded = pc.utf8_lpad(pc.cast(pa.array(ids), pa.string()), 12, "0")
+    words = [
+        pc.take(vocab_arr, pa.array((ids * 7 + k * 13) % nv))
+        for k in range(6)
     ]
+    prefix = pc.binary_join_element_wise(
+        pa.array(["img"] * n), padded, " "
+    )
+    captions = pc.binary_join_element_wise(prefix, *words, " ")
+    image_id = pc.binary_join_element_wise(
+        pa.array(["img"] * n), padded, ""
+    )
     return pa.table(
         {
-            "image_id": pa.array([f"img{i:012d}" for i in ids], type=pa.string()),
+            "image_id": image_id,
             "bytes": bytes_col,
             "w": pa.array(np.full(n, w, dtype=np.int32)),
             "h": pa.array(np.full(n, h, dtype=np.int32)),
             "fmt": pa.array(["raw"] * n, type=pa.string()),
-            "caption": pa.array(captions, type=pa.string()),
+            "caption": captions,
             "phash": pa.array(phash),
         }
     )
