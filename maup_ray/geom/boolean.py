@@ -131,10 +131,17 @@ def _seg_bboxes(p0, p1):
 def _node_segments(p0, p1, tol):
     """Split segments at every pairwise intersection. Returns
     (q0, q1): sub-segment endpoint arrays, quantized to ``tol``."""
+    # snap inputs to the grid first so coordinates that upstream ops
+    # produced within one ulp/grid-cell of each other collapse exactly
+    p0 = np.round(p0 / tol) * tol
+    p1 = np.round(p1 / tol) * tol
+    nonzero = (p0 != p1).any(axis=1)
+    p0, p1 = p0[nonzero], p1[nonzero]
     n = len(p0)
     cuts: list[list[float]] = [[] for _ in range(n)]
     ia, ib = _candidate_pairs(_seg_bboxes(p0, p1))
     _node_pairs(p0, p1, ia, ib, cuts, tol)
+    _vertex_proximity_cuts(p0, p1, cuts, tol)
     q0s, q1s = [], []
     for i in range(n):
         ts = sorted(set([0.0, 1.0] + cuts[i]))
@@ -148,6 +155,38 @@ def _node_segments(p0, p1, tol):
         z = np.empty((0, 2))
         return z, z
     return np.array(q0s), np.array(q1s)
+
+
+def _vertex_proximity_cuts(p0, p1, cuts, tol):
+    """T-junction snap: a vertex of ANY segment lying within a few grid
+    cells of another segment's interior cuts that segment at its
+    projection. Without this, upstream-quantized inputs (a chained
+    boolean whose vertex ends ~1 grid cell short of an edge it
+    logically lies on) leave edges unsplit and the side-sampling
+    classifier sees mixed regions (the resolve_overlaps bug)."""
+    eps = tol * 4
+    pts = np.unique(np.round(np.vstack([p0, p1]) / tol), axis=0) * tol
+    if len(pts) == 0:
+        return
+    ptb = np.column_stack([pts, pts])
+    segb = _seg_bboxes(p0, p1)
+    segb = segb + np.array([-eps, -eps, eps, eps])
+    pi, si = _candidate_pairs(ptb, segb)
+    if len(pi) == 0:
+        return
+    e = pts[pi]
+    a = p0[si]
+    d = p1[si] - a
+    L2 = (d * d).sum(axis=1)
+    L2 = np.where(L2 == 0, 1.0, L2)
+    t = ((e - a) * d).sum(axis=1) / L2
+    proj = a + t[:, None] * d
+    dist = np.hypot(*(e - proj).T)
+    seglen = np.sqrt(L2)
+    margin = eps / seglen
+    interior = (t > margin) & (t < 1 - margin) & (dist <= eps)
+    for k in np.nonzero(interior)[0]:
+        cuts[si[k]].append(float(t[k]))
 
 
 def _node_pairs(p0, p1, ia, ib, cuts, tol):
@@ -319,6 +358,28 @@ def _stitch(e0: np.ndarray, e1: np.ndarray, tol: float):
                 rings.append(np.array(ring_pts[:-1]))
                 break
             cands = [j for j in out_edges.get(vkey, []) if not used[j]]
+            if not cands:
+                # heal off-by-one-grid-cell node mismatches (quantized
+                # endpoints from different upstream ops can straddle a
+                # grid boundary)
+                close_to_start = (
+                    abs(vkey[0] - start_key[s][0]) <= 1
+                    and abs(vkey[1] - start_key[s][1]) <= 1
+                )
+                if close_to_start:
+                    rings.append(np.array(ring_pts[:-1]))
+                    break
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        if dx == dy == 0:
+                            continue
+                        cands += [
+                            j
+                            for j in out_edges.get(
+                                (vkey[0] + dx, vkey[1] + dy), []
+                            )
+                            if not used[j]
+                        ]
             if not cands:
                 break  # dead end; drop
             rev = theta[cur] + math.pi

@@ -117,11 +117,21 @@ class IntersectionsActor:
         if polys is not None:
             ar = poly_area(polys)
             if polys and ar > 0:
-                return polys, [], np.empty((0, 2)), ar, 0.0
+                from ..geom.core import perimeter
+
+                # length of a polygonal piece = its perimeter (shapely
+                # .length parity — absorb_by_shared_perimeter relies on
+                # it, ref repair.py:478)
+                return polys, [], np.empty((0, 2)), ar, perimeter(polys)
             # degenerate: boundary touch (shared edge / corner)
             lines, pts, ln = boundary_intersection(src, self.index.geom(t))
             return [], lines, pts, 0.0, ln
-        return intersection_full(src, self.index.geom(t))
+        polys, lines, pts, ar, ln = intersection_full(src, self.index.geom(t))
+        if polys and ar > 0:
+            from ..geom.core import perimeter
+
+            ln = perimeter(polys)
+        return polys, lines, pts, ar, ln
 
 
 def intersections(

@@ -1,0 +1,388 @@
+"""Gap/overlap repair family (ref: repair.py) — ops 9-18 of SURVEY §2.
+
+These operate on polygon TABLES (the small side — district/precinct
+scale). At block scale the same functions run inside per-cell/region
+``groupby().map_groups`` partitions (the reference's own
+nest_within_regions pattern, smart_repair.py:272-328); repairs never
+cross group boundaries.
+
+Per-row transforms (snap, vertex dedup, make_valid-lite) also accept a
+``ray.data.Dataset`` and become stateless ``map_batches`` stages.
+
+``make_valid`` here is a documented bounded subset of GEOS make_valid:
+consecutive-duplicate removal, ring orientation normalization, and
+degenerate-ring dropping (the cases the reference's test corpus
+exercises after snap_to_grid; ref repair.py:47-57).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom import boolean
+from ..geom.core import area as poly_area
+from ..geom.core import bounds, dedup_geom, ensure_multi, perimeter, snap_geom
+from ..geom.wkb import decode_polygons, encode_multipolygon
+
+__all__ = [
+    "snap_to_grid",
+    "remove_repeated_vertices",
+    "make_valid",
+    "holes_of_union",
+    "count_holes",
+    "crop_to",
+    "expand_to",
+    "absorb_by_shared_perimeter",
+    "close_gaps",
+    "resolve_overlaps",
+    "quick_repair",
+    "autorepair",
+    "doctor",
+    "union_all_table",
+]
+
+
+# ------------------------------------------------------------ per-row maps
+
+
+def _map_geometry(obj, fn, geometry_col="geometry"):
+    def apply(batch: pa.Table) -> pa.Table:
+        out = []
+        for b in batch[geometry_col]:
+            g = decode_polygons(b.as_py())
+            out.append(encode_multipolygon(fn(g)))
+        i = batch.column_names.index(geometry_col)
+        return batch.set_column(
+            i, geometry_col, pa.array(out, type=pa.binary())
+        )
+
+    if isinstance(obj, pa.Table):
+        return apply(obj)
+    return obj.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def snap_to_grid(obj, n: int = -7, geometry_col: str = "geometry"):
+    """Round all vertices to 10**n (ref: repair.py:252-258)."""
+    grid = 10.0**n
+    return _map_geometry(
+        obj, lambda g: dedup_geom(snap_geom(g, grid)), geometry_col
+    )
+
+
+def remove_repeated_vertices(obj, geometry_col: str = "geometry"):
+    """ref: repair.py:242-249."""
+    return _map_geometry(obj, dedup_geom, geometry_col)
+
+
+def make_valid(obj, geometry_col: str = "geometry"):
+    """Bounded make_valid: dedup + orientation + degenerate drop."""
+    return _map_geometry(obj, dedup_geom, geometry_col)
+
+
+# ------------------------------------------------------------ union & holes
+
+
+def _decode_all(table: pa.Table, geometry_col="geometry"):
+    return [decode_polygons(b.as_py()) for b in table[geometry_col]]
+
+
+def union_all_table(table: pa.Table, geometry_col="geometry"):
+    """Union of every geometry in a table (ref: union_all usage at
+    repair.py:84,266,294). Local arrangement union; the distributed
+    variant tree-reduces per cell (scale layer)."""
+    return boolean.union_all(_decode_all(table, geometry_col))
+
+
+def holes_of_union(table: pa.Table, geometry_col="geometry") -> pa.Table:
+    """Holes of union_all as a table (gap_id, geometry, area)
+    (ref: repair.py:74-87)."""
+    hs = boolean.holes_of_union(_decode_all(table, geometry_col))
+    return pa.table(
+        {
+            "gap_id": pa.array(range(len(hs)), type=pa.int64()),
+            "geometry": pa.array(
+                [encode_multipolygon([h]) for h in hs], type=pa.binary()
+            ),
+            "area": pa.array([poly_area([h]) for h in hs]),
+        }
+    )
+
+
+def count_holes(table: pa.Table, geometry_col="geometry") -> int:
+    """Holes of the individual geometries (ref: repair.py:378-383)."""
+    n = 0
+    for g in _decode_all(table, geometry_col):
+        for poly in ensure_multi(g):
+            n += len(poly) - 1
+    return n
+
+
+# ------------------------------------------------------------ crop / expand
+
+
+def crop_to(source: pa.Table, target: pa.Table, geometry_col="geometry"):
+    """Intersect each source with union(target) (ref: repair.py:261-280).
+    Returns (table, n_zero_area) — the count backs the reference's
+    AreaCroppingWarning."""
+    tu = boolean.union_all(_decode_all(target, geometry_col))
+    out, zero = [], 0
+    for g in _decode_all(source, geometry_col):
+        c = boolean.intersection(g, tu)
+        if poly_area(c) == 0:
+            zero += 1
+        out.append(encode_multipolygon(c))
+    i = source.column_names.index(geometry_col)
+    return (
+        source.set_column(i, geometry_col, pa.array(out, type=pa.binary())),
+        zero,
+    )
+
+
+def expand_to(source: pa.Table, target: pa.Table, geometry_col="geometry"):
+    """Absorb target−union(source) leftovers into sources by shared
+    perimeter (ref: repair.py:283-308)."""
+    src_geoms = _decode_all(source, geometry_col)
+    su = boolean.union_all(src_geoms)
+    leftovers = []
+    for g in _decode_all(target, geometry_col):
+        d = boolean.difference(g, su)
+        for poly in ensure_multi(d):  # explode parts
+            if poly_area([poly]) > 0:
+                leftovers.append([poly])
+    if not leftovers:
+        return source
+    left_tbl = pa.table(
+        {
+            "source_id": pa.array(range(len(leftovers)), type=pa.int64()),
+            "geometry": pa.array(
+                [encode_multipolygon(g) for g in leftovers], type=pa.binary()
+            ),
+        }
+    )
+    return absorb_by_shared_perimeter(
+        left_tbl, source, relative_threshold=None, geometry_col=geometry_col
+    )
+
+
+# ------------------------------------------------------------------ absorb
+
+
+def absorb_by_shared_perimeter(
+    sources: pa.Table,
+    targets: pa.Table,
+    relative_threshold: float | None = None,
+    geometry_col: str = "geometry",
+):
+    """ref: repair.py:463-510. sources = pieces to merge away (gaps /
+    overlaps / leftovers); targets = real geometries (any id column +
+    geometry). Each source is unioned into the target sharing the
+    greatest boundary length (grouped argmax, tie → first sorted
+    target); optional threshold skips sources bigger than
+    relative_threshold × target area."""
+    if sources.num_rows == 0:
+        return targets
+    if targets.num_rows == 0:
+        raise IndexError("targets must be nonempty")
+    from .intersections import intersections
+
+    tgt_id_col = [c for c in targets.column_names if c != geometry_col][0]
+    src_named = sources.select(["source_id", "geometry"]) if (
+        "source_id" in sources.column_names
+    ) else pa.table(
+        {
+            "source_id": pa.array(range(sources.num_rows), type=pa.int64()),
+            "geometry": sources[geometry_col],
+        }
+    )
+    pieces = intersections(
+        src_named,
+        targets,
+        include_geometry=False,
+        targets_id_col=tgt_id_col,
+        target_id_col="__tgt",
+    )
+    if pieces.num_rows == 0:
+        return targets
+    # grouped argmax on shared length, tie → first (source,target)-sorted
+    df = pieces.to_pandas().sort_values(["source_id", "__tgt"], kind="stable")
+    best = df.loc[df.groupby("source_id")["length"].idxmax()]
+    src_geoms = {
+        i: decode_polygons(b.as_py())
+        for i, b in zip(
+            src_named["source_id"].to_pylist(), src_named["geometry"]
+        )
+    }
+    tgt_geoms = [decode_polygons(b.as_py()) for b in targets[geometry_col]]
+    tgt_ids = targets[tgt_id_col].to_pylist()
+    tid_to_pos = {t: k for k, t in enumerate(tgt_ids)}
+    tgt_areas = [poly_area(g) for g in tgt_geoms]
+    to_absorb: dict[int, list] = {}
+    for sid, tid in zip(best["source_id"], best["__tgt"]):
+        pos = tid_to_pos[tid]
+        if relative_threshold is not None:
+            if not (
+                poly_area(src_geoms[sid]) / tgt_areas[pos]
+                < relative_threshold
+            ):
+                continue
+        to_absorb.setdefault(pos, []).append(src_geoms[sid])
+    out = []
+    for k, g in enumerate(tgt_geoms):
+        if k in to_absorb:
+            merged = boolean.union_all([g] + to_absorb[k])
+            out.append(encode_multipolygon(merged))
+        else:
+            out.append(encode_multipolygon(g))
+    i = targets.column_names.index(geometry_col)
+    return targets.set_column(i, geometry_col, pa.array(out, type=pa.binary()))
+
+
+# ------------------------------------------------------- gaps & overlaps
+
+
+def close_gaps(
+    table: pa.Table,
+    relative_threshold: float | None = 0.1,
+    geometry_col: str = "geometry",
+):
+    """ref: repair.py:106-127."""
+    gaps = holes_of_union(table, geometry_col)
+    if gaps.num_rows == 0:
+        return table
+    gaps = gaps.rename_columns(["source_id", "geometry", "area"])
+    return absorb_by_shared_perimeter(
+        gaps, table, relative_threshold=relative_threshold,
+        geometry_col=geometry_col,
+    )
+
+
+def resolve_overlaps(
+    table: pa.Table,
+    relative_threshold: float | None = 0.1,
+    geometry_col: str = "geometry",
+):
+    """ref: repair.py:130-175: subtract union-of-overlaps from every
+    geometry, then re-absorb each overlap by greatest shared perimeter.
+    Threshold is two-sided (ref :153-158)."""
+    from .adjacencies import adjacencies
+
+    id_col = [c for c in table.column_names if c != geometry_col][0]
+    adj = adjacencies(
+        table, id_col=id_col, geometry_col=geometry_col,
+        adjacency_type="queen", include_geometry=True,
+    )
+    mask = pa.compute.greater(adj["area"], 0.0)
+    overlaps = adj.filter(mask)
+    if overlaps.num_rows == 0:
+        return table
+    geoms = _decode_all(table, geometry_col)
+    ids = table[id_col].to_pylist()
+    areas = {i: poly_area(g) for i, g in zip(ids, geoms)}
+    keep_rows = []
+    for k in range(overlaps.num_rows):
+        a = overlaps["area"][k].as_py()
+        i, j = overlaps["id_i"][k].as_py(), overlaps["id_j"][k].as_py()
+        if relative_threshold is None or (
+            a / areas[i] < relative_threshold
+            and a / areas[j] < relative_threshold
+        ):
+            keep_rows.append(k)
+    if not keep_rows:
+        return table
+    overlaps = overlaps.take(pa.array(keep_rows, type=pa.int64()))
+    overlap_geoms = [
+        decode_polygons(b.as_py()) for b in overlaps[geometry_col]
+    ]
+    ou = boolean.union_all(overlap_geoms)
+    # subtract union-of-overlaps only from geometries in overlapping
+    # pairs (others unchanged — pure optimization, same result)
+    touched = set(overlaps["id_i"].to_pylist()) | set(
+        overlaps["id_j"].to_pylist()
+    )
+    shaved = []
+    for i, g in zip(ids, geoms):
+        shaved.append(boolean.difference(g, ou) if i in touched else g)
+    shaved_tbl = pa.table(
+        {
+            id_col: table[id_col],
+            geometry_col: pa.array(
+                [encode_multipolygon(g) for g in shaved], type=pa.binary()
+            ),
+        }
+    )
+    overlap_tbl = pa.table(
+        {
+            "source_id": pa.array(
+                range(len(overlap_geoms)), type=pa.int64()
+            ),
+            "geometry": pa.array(
+                [encode_multipolygon(g) for g in overlap_geoms],
+                type=pa.binary(),
+            ),
+        }
+    )
+    return absorb_by_shared_perimeter(
+        overlap_tbl, shaved_tbl, relative_threshold=None,
+        geometry_col=geometry_col,
+    )
+
+
+def quick_repair(
+    table: pa.Table,
+    relative_threshold: float | None = 0.1,
+    geometry_col: str = "geometry",
+):
+    """remove_repeated_vertices → make_valid → resolve_overlaps →
+    close_gaps (ref: repair.py:178-239)."""
+    t = make_valid(remove_repeated_vertices(table, geometry_col), geometry_col)
+    t = resolve_overlaps(t, relative_threshold, geometry_col)
+    t = make_valid(t, geometry_col)
+    t = close_gaps(t, relative_threshold, geometry_col)
+    return make_valid(t, geometry_col)
+
+
+autorepair = quick_repair
+
+
+# ------------------------------------------------------------------ doctor
+
+
+def doctor(
+    source: pa.Table,
+    target: pa.Table | None = None,
+    accept_holes: bool = False,
+    geometry_col: str = "geometry",
+) -> dict:
+    """Health checks (ref: repair.py:311-365). Returns a dict of named
+    booleans plus 'ok' — callers wanting the reference's bool take
+    ['ok']."""
+    from .adjacencies import count_overlaps
+
+    checks: dict[str, bool | int | float] = {}
+    geoms = _decode_all(source, geometry_col)
+    checks["all_polygonal"] = all(len(ensure_multi(g)) >= 1 for g in geoms)
+    checks["n_overlaps"] = count_overlaps(source, geometry_col=geometry_col)
+    gaps = boolean.holes_of_union(geoms)
+    checks["n_gaps"] = len(gaps)
+    checks["all_valid"] = all(
+        all(len(r) >= 3 and np.isfinite(r).all() for p in ensure_multi(g) for r in p)
+        for g in geoms
+    )
+    if target is not None:
+        su = boolean.union_all(geoms)
+        tu = boolean.union_all(_decode_all(target, geometry_col))
+        sym = boolean.symmetric_difference(su, tu)
+        extent = max(poly_area(su), poly_area(tu), 1.0)
+        checks["union_matches_target"] = (
+            abs(poly_area(sym)) <= 1e-9 * extent
+        )
+    ok = (
+        bool(checks["all_polygonal"])
+        and checks["n_overlaps"] == 0
+        and (accept_holes or checks["n_gaps"] == 0)
+        and bool(checks["all_valid"])
+        and checks.get("union_matches_target", True)
+    )
+    checks["ok"] = ok
+    return checks
