@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from maup_ray import pipelines as p
 
     return {
+        # maup spatial family (SQL-oracled, value-exact by construction)
         "assign_points": p.q_assign_points,
         "pieces": p.q_pieces,
         "assign_by_area": p.q_assign_by_area,
@@ -65,6 +66,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adjacencies": p.q_adjacencies,
         "cell_tiles": p.q_cell_tiles,
         "events_hourly": p.q_events_hourly,
+        # training-data family
+        "token_count": p.q_token_count,
+        "quality": p.q_quality,
+        "dedup_exact": p.q_dedup_exact,
+        "ann_topk": p.q_ann_topk,
+        # rows-only (non-SQL-expressible: hash/LSH/model-ish ops)
+        "lang_id": p.q_lang_id,
+        "fingerprint": p.q_fingerprint,
+        "minhash_pairs": p.q_minhash_pairs,
+        "simhash_pairs": p.q_simhash_pairs,
+        "ann_lsh": p.q_ann_lsh,
+        "image_phash": p.q_image_phash,
     }
 
 

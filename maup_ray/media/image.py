@@ -1,0 +1,129 @@
+"""Multimodal (image) stages: decode / perceptual-hash / resize /
+frame-sample plumbing over opaque ``binary`` payload columns.
+
+``fmt == "raw"`` payloads (uncompressed RGB, w*h*3 bytes — the synth
+table's format) are decoded for REAL with numpy; compressed formats
+(jpeg/png/...) and video raise NotImplementedError behind a clearly
+marked stub (no image/video libs in this container) — the Ray-side
+plumbing (schema, batch shape, actor signature, output layout) is real
+and tested either way.
+
+These run as actor-pool map_batches stages
+(``ds.map_batches(PhashStage, concurrency=N, batch_size=B)``) so any
+future codec state (decoder tables, models) loads once per actor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "decode_raw_batch",
+    "PhashStage",
+    "ResizeStage",
+    "FrameSampleStage",
+    "phash64",
+]
+
+
+def decode_raw_batch(batch: pa.Table) -> list[np.ndarray]:
+    """binary payloads → list of (h, w, 3) uint8 arrays."""
+    out = []
+    for blob, w, h, fmt in zip(
+        batch["bytes"], batch["w"], batch["h"], batch["fmt"]
+    ):
+        f = fmt.as_py()
+        if f != "raw":
+            # STUB: compressed decode needs PIL/libjpeg (absent here)
+            raise NotImplementedError(
+                f"decode for fmt={f!r} requires an image codec; only "
+                "'raw' is implemented in this environment"
+            )
+        w_, h_ = w.as_py(), h.as_py()
+        arr = np.frombuffer(blob.as_py(), dtype=np.uint8)
+        out.append(arr.reshape(h_, w_, 3))
+    return out
+
+
+def _luma(img: np.ndarray) -> np.ndarray:
+    return (
+        0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    )
+
+
+def _resize_nn(img: np.ndarray, w2: int, h2: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    yi = (np.arange(h2) * h // h2).clip(0, h - 1)
+    xi = (np.arange(w2) * w // w2).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
+def phash64(img: np.ndarray) -> int:
+    """Mean-threshold 8×8 average hash of the luminance channel."""
+    small = _resize_nn(_luma(img)[:, :, None], 8, 8)[:, :, 0]
+    bits = (small > small.mean()).ravel()
+    code = np.uint64(sum(int(b) << i for i, b in enumerate(bits)))
+    return int(code.view(np.int64))
+
+
+class PhashStage:
+    """Actor-pool stage: decode + perceptual hash per row.
+    Output: (image_id, phash_computed:int64, w, h)."""
+
+    def __init__(self):
+        pass  # codec/model state would load here, once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        imgs = decode_raw_batch(batch)
+        hashes = [phash64(im) for im in imgs]
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "phash_computed": pa.array(hashes, type=pa.int64()),
+                "w": batch["w"],
+                "h": batch["h"],
+            }
+        )
+
+
+class ResizeStage:
+    """Actor-pool stage: nearest-neighbor resize of raw payloads.
+    Output keeps the input schema with bytes/w/h replaced."""
+
+    def __init__(self, w: int, h: int):
+        self.w = w
+        self.h = h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        imgs = decode_raw_batch(batch)
+        blobs = [
+            _resize_nn(im, self.w, self.h).tobytes() for im in imgs
+        ]
+        n = len(batch)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "bytes": pa.array(blobs, type=pa.binary()),
+                "w": pa.array(np.full(n, self.w, dtype=np.int32)),
+                "h": pa.array(np.full(n, self.h, dtype=np.int32)),
+                "fmt": batch["fmt"],
+                "caption": batch["caption"],
+                "phash": batch["phash"],
+            }
+        )
+
+
+class FrameSampleStage:
+    """Video frame sampling STUB — no video codec in this container.
+    The signature and output schema are the real design: input rows
+    (video_id, bytes, fmt, n_frames), output one row per sampled frame
+    (video_id, frame_idx, bytes, w, h, fmt='raw')."""
+
+    def __init__(self, every_n: int = 30):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "video decode requires a codec library; stage plumbing only"
+        )

@@ -254,6 +254,110 @@ def _to_tables(ds):
     return [ray.get(r) for r in ds.to_arrow_refs()]
 
 
+# ----------------------------------------------- training-data queries
+
+
+def q_token_count(sf_dir: str):
+    from .text.analysis import token_counts
+
+    return token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_quality(sf_dir: str):
+    from .text.analysis import quality_scores
+
+    ds = quality_scores(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.select_columns(
+        ["doc_id", "n_chars", "n_tokens", "mean_token_len", "stopword_ratio"]
+    )
+
+
+def q_dedup_exact(sf_dir: str):
+    from .text.dedup import exact_dedup
+
+    out = exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return out.select_columns(["doc_id"])
+
+
+def q_lang_id(sf_dir: str):
+    from .text.analysis import lang_id
+
+    return lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_fingerprint(sf_dir: str):
+    from .text.analysis import fingerprints
+
+    return fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_minhash_pairs(sf_dir: str):
+    from .text.dedup import minhash_candidates
+
+    return minhash_candidates(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    )
+
+
+def q_simhash_pairs(sf_dir: str):
+    from .text.dedup import simhash_candidates
+
+    return simhash_candidates(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=8
+    )
+
+
+N_ANN_QUERIES = 8
+ANN_K = 5
+
+
+def _ann_inputs(sf_dir: str):
+    emb = pa.concat_tables(
+        _to_tables(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+    )
+    mask = pc.less(emb["vec_id"], N_ANN_QUERIES)
+    queries = emb.filter(mask).rename_columns(["query_id", "embedding"])
+    import ray.data
+
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        lambda r: r["vec_id"] >= N_ANN_QUERIES
+    )
+    return corpus, queries
+
+
+def q_ann_topk(sf_dir: str):
+    from .vector.ann import brute_topk
+
+    corpus, queries = _ann_inputs(sf_dir)
+    return brute_topk(corpus, queries, k=ANN_K)
+
+
+def q_ann_lsh(sf_dir: str):
+    from .vector.ann import lsh_topk
+
+    corpus, queries = _ann_inputs(sf_dir)
+    return lsh_topk(corpus, queries, k=ANN_K)
+
+
+def q_image_phash(sf_dir: str):
+    """Multimodal plumbing: synth image table sized from documents →
+    actor-pool decode + perceptual hash. Payload fidelity (byte-exact
+    raw pixels) is asserted by tests/test_media.py."""
+    import pyarrow.parquet as pq
+
+    from .media.image import PhashStage
+    from .synth.images import image_dataset
+
+    n = 4 * pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = image_dataset(n)
+    return ds.map_batches(
+        PhashStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
 # ------------------------------------------------------------ oracle SQL
 
 
@@ -350,5 +454,48 @@ def oracle_queries() -> dict[str, str]:
                    count(*) AS n,
                    sum(CAST(round(value*100, 0) AS BIGINT)) AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+            FROM documents
+        """,
+        "quality": r"""
+            WITH t AS (
+              SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                regexp_split_to_array(trim(text), '\s+') AS toks,
+                CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+                  AS n_nospace
+              FROM documents)
+            SELECT doc_id, n_chars,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(n_nospace AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                     AS mean_token_len,
+                   CAST(len(list_filter(toks, x -> lower(x) IN
+                     ('the','and','of','to','in','is','that','it','for','was')))
+                     AS DOUBLE)
+                   / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
+            FROM t
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "ann_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                       WHERE vec_id < {N_ANN_QUERIES}),
+            c AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id >= {N_ANN_QUERIES}),
+            sims AS (
+              SELECT q.query_id, c.vec_id,
+                     list_cosine_similarity(q.embedding, c.embedding) AS sim
+              FROM q CROSS JOIN c),
+            ranked AS (
+              SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, vec_id) AS rank
+              FROM sims)
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= {ANN_K}
         """,
     }

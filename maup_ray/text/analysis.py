@@ -1,0 +1,176 @@
+"""Text-analysis stages for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All are stateless vectorized batch functions suitable for
+``ds.map_batches(fn, batch_format="pyarrow")`` — pyarrow.compute string
+kernels where they exist, numpy where they don't. Each has a Dataset
+wrapper that streams (no driver materialization).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "token_count_batch",
+    "token_counts",
+    "quality_batch",
+    "quality_scores",
+    "langid_batch",
+    "lang_id",
+    "fingerprint_batch",
+    "fingerprints",
+]
+
+_WS = r"\s+"
+
+# small per-language stopword inventories for the n-gram/stopword
+# language heuristic (public common-word lists)
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "por", "con", "los"},
+    "fr": {"le", "la", "de", "et", "un", "est", "pour", "que", "dans", "les"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "den", "nicht"},
+    "it": {"il", "di", "che", "la", "per", "con", "del", "una", "sono"},
+}
+
+
+def _tokens(texts: pa.ChunkedArray | pa.Array):
+    return pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), _WS)
+
+
+def token_count_batch(batch: pa.Table, text_col="text", id_col="doc_id") -> pa.Table:
+    """Whitespace token count (matches DuckDB
+    len(regexp_split_to_array(trim(text), '\\s+')))."""
+    n = pc.list_value_length(_tokens(batch[text_col]))
+    return pa.table(
+        {id_col: batch[id_col], "n_tokens": pc.cast(n, pa.int64())}
+    )
+
+
+def token_counts(ds, **kw):
+    return ds.map_batches(
+        lambda b: token_count_batch(b, **kw),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def quality_batch(batch: pa.Table, text_col="text", id_col="doc_id") -> pa.Table:
+    """Cheap quality signals: char length, token count, mean token
+    length, alpha ratio, stopword(en) ratio. All deterministic single
+    arithmetic ops (SQL-matchable where oracled)."""
+    text = batch[text_col]
+    toks = _tokens(text)
+    n_tok = pc.cast(pc.list_value_length(toks), pa.int64())
+    n_char = pc.cast(pc.utf8_length(text), pa.int64())
+    # mean token length = (chars - spaces) / tokens, single division
+    n_nospace = pc.cast(
+        pc.utf8_length(pc.replace_substring_regex(text, _WS, "")), pa.int64()
+    )
+    mean_tok_len = pc.divide(
+        pc.cast(n_nospace, pa.float64()), pc.cast(n_tok, pa.float64())
+    )
+    flat = pc.list_flatten(toks)
+    sw = pa.array(sorted(_STOPWORDS["en"]), type=pa.string())
+    is_sw = pc.is_in(flat, value_set=sw)
+    # per-doc stopword counts via offsets reduce
+    offs = np.zeros(len(batch) + 1, dtype=np.int64)
+    np.cumsum(pc.list_value_length(toks).to_numpy(zero_copy_only=False), out=offs[1:])
+    swn = np.add.reduceat(
+        np.append(is_sw.to_numpy(zero_copy_only=False).astype(np.int64), 0),
+        offs[:-1],
+    )
+    swn[offs[:-1] == offs[1:]] = 0
+    stop_ratio = swn / np.maximum(
+        pc.cast(n_tok, pa.int64()).to_numpy(zero_copy_only=False), 1
+    )
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_chars": n_char,
+            "n_tokens": n_tok,
+            "mean_token_len": mean_tok_len,
+            "stopword_ratio": pa.array(stop_ratio),
+        }
+    )
+
+
+def quality_scores(ds, **kw):
+    return ds.map_batches(
+        lambda b: quality_batch(b, **kw),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def langid_batch(batch: pa.Table, text_col="text", id_col="doc_id") -> pa.Table:
+    """Stopword-vote language heuristic; 'und' when no list scores."""
+    toks = _tokens(batch[text_col])
+    flat = pc.list_flatten(pc.split_pattern_regex(
+        pc.utf8_lower(pc.utf8_trim_whitespace(batch[text_col])), _WS
+    ))
+    flat_np = flat.to_numpy(zero_copy_only=False)
+    offs = np.zeros(len(batch) + 1, dtype=np.int64)
+    np.cumsum(pc.list_value_length(toks).to_numpy(zero_copy_only=False), out=offs[1:])
+    langs = list(_STOPWORDS)
+    scores = np.zeros((len(batch), len(langs)), dtype=np.int64)
+    for li, lang in enumerate(langs):
+        hit = np.isin(flat_np, list(_STOPWORDS[lang])).astype(np.int64)
+        s = np.add.reduceat(np.append(hit, 0), offs[:-1])
+        s[offs[:-1] == offs[1:]] = 0
+        scores[:, li] = s
+    best = scores.argmax(axis=1)
+    none = scores.max(axis=1) == 0
+    out = np.array(langs, dtype=object)[best]
+    out[none] = "und"
+    return pa.table(
+        {id_col: batch[id_col], "lang_pred": pa.array(out.tolist())}
+    )
+
+
+def lang_id(ds, **kw):
+    return ds.map_batches(
+        lambda b: langid_batch(b, **kw),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_SEED = np.uint64(14695981039346656037)
+
+
+def fingerprint_batch(batch: pa.Table, text_col="text", id_col="doc_id") -> pa.Table:
+    """FNV-1a-style rolling hash over UTF-8 bytes, vectorized across the
+    batch by processing byte position i of every doc simultaneously."""
+    arr = batch[text_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    n = len(arr)
+    lens = offs[1:] - offs[:-1]
+    h = np.full(n, _FP_SEED, dtype=np.uint64)
+    maxlen = int(lens.max()) if n else 0
+    idx = offs[:-1].astype(np.int64)
+    for i in range(maxlen):
+        active = lens > i
+        b = buf[idx[active] + i].astype(np.uint64)
+        h[active] = (h[active] ^ b) * _FP_BASE
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "fingerprint": pa.array(h.view(np.int64)),
+        }
+    )
+
+
+def fingerprints(ds, **kw):
+    return ds.map_batches(
+        lambda b: fingerprint_batch(b, **kw),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

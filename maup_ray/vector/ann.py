@@ -1,0 +1,173 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``brute_topk`` — exact cosine top-k: the query matrix is broadcast
+  (ray.put once), every batch does ONE numpy matmul against it and
+  emits per-batch partial top-k rows; a small keyed groupby merges
+  partials into the global top-k. Shuffle payload is O(queries × k ×
+  batches), never the corpus.
+* ``lsh_topk`` — the scale path: random-hyperplane signatures bucket
+  the corpus (signature prefix groupby); exact rerank only within the
+  query's bucket and its hamming-1 neighbors. Recall<1 by design;
+  parameters trade recall for fan-out.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["embedding_matrix", "brute_topk", "lsh_topk"]
+
+
+def embedding_matrix(batch: pa.Table, col="embedding") -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(arr), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0, 1.0, n)
+
+
+def brute_topk(
+    ds,
+    queries: pa.Table,
+    k: int = 5,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    query_id_col: str = "query_id",
+):
+    """Exact cosine top-k of every corpus row against each query row.
+
+    ``queries``: table (query_id, embedding). Returns
+    (query_id, vec_id, rank) with rank 1..k by similarity desc,
+    vec_id asc on ties.
+    """
+    import ray
+
+    qm = _normalize(embedding_matrix(queries, col))
+    qids = queries[query_id_col].to_numpy(zero_copy_only=False)
+    q_ref = ray.put((qids, qm))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids_, qm_ = ray.get(q_ref)
+        cm = _normalize(embedding_matrix(batch, col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = cm @ qm_.T  # (batch, nq)
+        kk = min(k, len(ids))
+        # per-query partial top-k within this batch
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids_)):
+            rows = part[:, qi]
+            out_q.extend([qids_[qi]] * len(rows))
+            out_v.extend(ids[rows].tolist())
+            out_s.extend(sims[rows, qi].tolist())
+        return pa.table(
+            {
+                query_id_col: pa.array(out_q),
+                id_col: pa.array(out_v),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    def final(df):
+        import pandas as pd
+
+        df = df.sort_values(
+            ["sim", id_col], ascending=[False, True], kind="stable"
+        ).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[[query_id_col, id_col, "rank"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(query_id_col)
+        .map_groups(final)
+    )
+
+
+def lsh_topk(
+    ds,
+    queries: pa.Table,
+    k: int = 5,
+    n_planes: int = 12,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 77,
+):
+    """Approximate top-k: random-hyperplane LSH buckets + rerank.
+
+    Corpus rows land in one bucket (their signature); each query
+    searches its signature's bucket plus all buckets within
+    ``probe_hamming`` bit flips (multi-probe). Dim inferred from data.
+    """
+    import ray
+
+    qm = _normalize(embedding_matrix(queries, col))
+    dim = qm.shape[1]
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(dim, n_planes))
+    q_sig = (qm @ planes > 0).astype(np.uint32)
+    q_codes = (q_sig << np.arange(n_planes, dtype=np.uint32)[None, :]).sum(
+        axis=1
+    )
+    qids = queries[query_id_col].to_numpy(zero_copy_only=False)
+    # probe set per query: code ± hamming-1 flips
+    probe = {}
+    for qi, code in enumerate(q_codes):
+        codes = {int(code)}
+        if probe_hamming >= 1:
+            codes |= {int(code) ^ (1 << b) for b in range(n_planes)}
+        for c in codes:
+            probe.setdefault(c, []).append(qi)
+    probe_ref = ray.put((qids, qm, probe))
+    planes_ref = ray.put(planes)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids_, qm_, probe_ = ray.get(probe_ref)
+        planes_ = ray.get(planes_ref)
+        cm = _normalize(embedding_matrix(batch, col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sig = (cm @ planes_ > 0).astype(np.uint32)
+        codes = (sig << np.arange(planes_.shape[1], dtype=np.uint32)[None, :]).sum(axis=1)
+        out_q, out_v, out_s = [], [], []
+        for code in np.unique(codes):
+            quers = probe_.get(int(code))
+            if not quers:
+                continue
+            rows = np.nonzero(codes == code)[0]
+            sims = cm[rows] @ qm_[quers].T
+            for jj, qi in enumerate(quers):
+                kk = min(k, len(rows))
+                top = np.argpartition(-sims[:, jj], kk - 1)[:kk]
+                out_q.extend([qids_[qi]] * len(top))
+                out_v.extend(ids[rows[top]].tolist())
+                out_s.extend(sims[top, jj].tolist())
+        return pa.table(
+            {
+                query_id_col: pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_v),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    def final(df):
+        df = df.sort_values(
+            ["sim", id_col], ascending=[False, True], kind="stable"
+        ).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[[query_id_col, id_col, "rank"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(query_id_col)
+        .map_groups(final)
+    )

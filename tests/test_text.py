@@ -1,0 +1,242 @@
+"""Text analysis + dedup tests (brute-force oracles on tiny corpora)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from maup_ray.text.analysis import (
+    fingerprint_batch,
+    langid_batch,
+    quality_batch,
+    token_count_batch,
+)
+from maup_ray.text.dedup import (
+    char_shingle_hashes,
+    minhash_signatures_batch,
+    ngram_jaccard,
+    simhash_batch,
+    text_hash_batch,
+)
+
+
+def docs(texts):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": texts,
+        }
+    )
+
+
+class TestAnalysis:
+    def test_token_count(self):
+        t = docs(["a b  c", "  x ", "one"])
+        out = token_count_batch(t).to_pydict()
+        assert out["n_tokens"] == [3, 1, 1]
+
+    def test_quality(self):
+        t = docs(["the cat and the dog"])
+        out = quality_batch(t).to_pydict()
+        assert out["n_tokens"] == [5]
+        assert out["n_chars"] == [19]
+        assert out["mean_token_len"][0] == 15 / 5
+        assert out["stopword_ratio"][0] == pytest.approx(3 / 5)
+
+    def test_langid(self):
+        t = docs(
+            [
+                "the cat is in the house and it was good",
+                "el perro y la casa de un amigo con los gatos",
+                "zzz qqq www",
+            ]
+        )
+        out = langid_batch(t).to_pydict()
+        assert out["lang_pred"] == ["en", "es", "und"]
+
+    def test_fingerprint_deterministic_distinct(self):
+        t = docs(["hello world", "hello world", "hello worle"])
+        out = fingerprint_batch(t).to_pydict()["fingerprint"]
+        assert out[0] == out[1] and out[0] != out[2]
+
+
+class TestDedup:
+    def test_text_hash_collision_free_here(self):
+        t = docs(["a", "b", "a"])
+        out = text_hash_batch(t).to_pydict()["text_hash"]
+        assert out[0] == out[2] != out[1]
+
+    def test_shingles_and_jaccard(self):
+        a = "the quick brown fox jumps over the lazy dog"
+        assert ngram_jaccard(a, a) == 1.0
+        near = a.replace("lazy", "hazy")
+        far = "completely different text with other content"
+        assert ngram_jaccard(a, near) > 0.6 > ngram_jaccard(a, far)
+
+    def test_minhash_estimates_jaccard(self):
+        a = "the quick brown fox jumps over the lazy dog " * 3
+        near = a.replace("dog", "cat")
+        far = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 3
+        t = docs([a, near, far])
+        sig = minhash_signatures_batch(t, num_perm=128)
+        s = [np.array(x, dtype=np.int64) for x in sig["sig"].to_pylist()]
+        est_near = (s[0] == s[1]).mean()
+        est_far = (s[0] == s[2]).mean()
+        true_near = ngram_jaccard(a, near)
+        assert abs(est_near - true_near) < 0.15
+        assert est_far < 0.1 < est_near
+
+    def test_simhash_near_vs_far(self):
+        a = "the quick brown fox jumps over the lazy dog " * 2
+        near = a.replace("dog", "cat")
+        far = "argument semantic lattice quantum entropy vector basis"
+        out = simhash_batch(docs([a, near, far])).to_pydict()["simhash"]
+
+        def ham(x, y):
+            return bin(int(np.uint64(x) ^ np.uint64(y))).count("1")
+
+        assert ham(out[0], out[1]) < ham(out[0], out[2])
+
+    def test_exact_dedup_dataset(self, ray_session):
+        import ray
+        import ray.data
+
+        from maup_ray.text.dedup import exact_dedup
+
+        t = docs(["x", "y", "x", "z", "y", "x"])
+        out = exact_dedup(ray.data.from_arrow(t)).to_pandas()
+        assert sorted(out["doc_id"]) == [0, 1, 3]
+
+    def test_minhash_candidates_dataset(self, ray_session):
+        import ray.data
+
+        from maup_ray.text.dedup import minhash_candidates
+
+        a = "the quick brown fox jumps over the lazy dog " * 3
+        texts = [a, a.replace("dog", "cat"), "totally other stuff here now"]
+        out = minhash_candidates(
+            ray.data.from_arrow(docs(texts)), min_est_jaccard=0.5
+        ).to_pandas()
+        got = set(zip(out["doc_i"], out["doc_j"]))
+        assert (0, 1) in got
+        assert (0, 2) not in got and (1, 2) not in got
+
+
+class TestANN:
+    def test_brute_topk_matches_numpy(self, ray_session):
+        import ray.data
+
+        from maup_ray.vector.ann import brute_topk
+
+        rng = np.random.RandomState(5)
+        emb = rng.normal(size=(100, 16)).astype(np.float32)
+        corpus = pa.table(
+            {
+                "vec_id": pa.array(range(10, 100), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, e)) for e in emb[10:]],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        queries = pa.table(
+            {
+                "query_id": pa.array(range(3), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, e)) for e in emb[:3]],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        out = brute_topk(
+            ray.data.from_arrow(corpus), queries, k=4
+        ).to_pandas()
+        # numpy oracle
+        E = emb.astype(np.float64)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        sims = En[:3] @ En[10:].T
+        for q in range(3):
+            want = (np.argsort(-sims[q], kind="stable")[:4] + 10).tolist()
+            got = (
+                out[out.query_id == q]
+                .sort_values("rank")["vec_id"]
+                .tolist()
+            )
+            assert got == want
+
+    def test_lsh_finds_planted_near_duplicates(self, ray_session):
+        # the near-dup retrieval use case: corpus contains a noisy copy
+        # of each query; LSH must surface it as the top hit
+        import ray.data
+
+        from maup_ray.vector.ann import lsh_topk
+
+        rng = np.random.RandomState(6)
+        base = rng.normal(size=(5, 16))
+        noise = rng.normal(size=(190, 16))
+        corpus_vecs = np.vstack(
+            [base + rng.normal(scale=0.05, size=base.shape), noise]
+        )
+        corpus = pa.table(
+            {
+                "vec_id": pa.array(range(100, 100 + 195), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, e)) for e in corpus_vecs],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        queries = pa.table(
+            {
+                "query_id": pa.array(range(5), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, e)) for e in base],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        approx = lsh_topk(
+            ray.data.from_arrow(corpus), queries, k=3, n_planes=8
+        ).to_pandas()
+        found = 0
+        for q in range(5):
+            tops = approx[approx.query_id == q].sort_values("rank")
+            if len(tops) and tops["vec_id"].iloc[0] == 100 + q:
+                found += 1
+        assert found >= 4  # planted copy retrieved as top-1 for most
+
+
+class TestMedia:
+    def test_phash_and_payload_fidelity(self):
+        from maup_ray.media.image import PhashStage, decode_raw_batch
+        from maup_ray.synth.images import image_table
+
+        t = image_table(16)
+        imgs = decode_raw_batch(t)
+        # raw payload round-trips byte-exactly (PSNR invariant degenerate)
+        assert imgs[0].tobytes() == t["bytes"][0].as_py()
+        out = PhashStage()(t)
+        assert out.num_rows == 16
+        assert out["phash_computed"].null_count == 0
+
+    def test_resize(self):
+        from maup_ray.media.image import ResizeStage, decode_raw_batch
+        from maup_ray.synth.images import image_table
+
+        t = image_table(4)
+        out = ResizeStage(8, 8)(t)
+        imgs = decode_raw_batch(out)
+        assert imgs[0].shape == (8, 8, 3)
+        assert out["caption"].to_pylist() == t["caption"].to_pylist()
+
+    def test_compressed_fmt_stub(self):
+        import pyarrow as pa
+
+        from maup_ray.media.image import decode_raw_batch
+        from maup_ray.synth.images import image_table
+
+        t = image_table(2)
+        t = t.set_column(
+            t.column_names.index("fmt"), "fmt", pa.array(["jpeg", "raw"])
+        )
+        with pytest.raises(NotImplementedError):
+            decode_raw_batch(t)
