@@ -8,8 +8,25 @@ for genuinely wide steps. See SURVEY.md for the operator inventory and
 design rationale.
 """
 
+from .ops.adjacencies import adjacencies, count_overlaps, islands  # noqa: F401
 from .ops.assign import assign, assign_by_area, assign_by_covering  # noqa: F401
 from .ops.intersections import intersections  # noqa: F401
 from .ops.prorate import normalize, prorate  # noqa: F401
+from .ops.repair import (  # noqa: F401
+    absorb_by_shared_perimeter,
+    autorepair,
+    close_gaps,
+    count_holes,
+    crop_to,
+    doctor,
+    expand_to,
+    holes_of_union,
+    make_valid,
+    quick_repair,
+    remove_repeated_vertices,
+    resolve_overlaps,
+    snap_to_grid,
+)
+from .ops.smart_repair import smart_repair  # noqa: F401
 
 __version__ = "0.1.0"

@@ -425,6 +425,66 @@ def _assemble(rings):
     return polys
 
 
+def arrangement_faces(geoms, tol: float | None = None):
+    """Full planar arrangement: every atomic face of the subdivision
+    induced by the input polygon boundaries, with its membership vector
+    (which inputs cover it). The "building blocks"/overlap-tower
+    primitive of smart_repair (ref: smart_repair.py:523-748) — pieces
+    of degree k are faces whose membership sums to k; degree-0 enclosed
+    faces are the gaps.
+
+    Returns list of (piece: MultiPolygon, membership: tuple[bool,...]).
+    Only faces covered by ≥1 input are returned directly; gaps are the
+    holes of the union of all returned pieces (callers use
+    holes_of_union on the originals).
+    """
+    geoms = [ensure_multi(g) for g in geoms]
+    if tol is None:
+        tol = _default_tol(geoms)
+    p0, p1 = _gather_segments(geoms)
+    if len(p0) == 0:
+        return []
+    q0, q1 = _node_segments(p0, p1, tol)
+    if len(q0) == 0:
+        return []
+    key_fwd = np.round(np.hstack([q0, q1]) / tol).astype(np.int64)
+    swap = (key_fwd[:, 0] > key_fwd[:, 2]) | (
+        (key_fwd[:, 0] == key_fwd[:, 2]) & (key_fwd[:, 1] > key_fwd[:, 3])
+    )
+    canon = key_fwd.copy()
+    canon[swap] = key_fwd[swap][:, [2, 3, 0, 1]]
+    _, uniq_idx = np.unique(canon, axis=0, return_index=True)
+    q0, q1 = q0[uniq_idx], q1[uniq_idx]
+    mid = (q0 + q1) * 0.5
+    d = q1 - q0
+    seglen = np.hypot(d[:, 0], d[:, 1])
+    nrm = np.column_stack([-d[:, 1], d[:, 0]]) / seglen[:, None]
+    delta = np.maximum(seglen * 1e-6, tol * 16)
+    mL = _membership(mid + nrm * delta[:, None], geoms)
+    mR = _membership(mid - nrm * delta[:, None], geoms)
+    # distinct nonzero membership classes
+    classes = {}
+    for m in np.vstack([mL, mR]):
+        if m.any():
+            classes.setdefault(tuple(m.tolist()), None)
+    out = []
+    for cls in classes:
+        want = np.array(cls, dtype=bool)
+        fL = (mL == want[None, :]).all(axis=1)
+        fR = (mR == want[None, :]).all(axis=1)
+        keep = fL != fR
+        if not keep.any():
+            continue
+        e0 = np.where(fL[keep, None], q0[keep], q1[keep])
+        e1 = np.where(fL[keep, None], q1[keep], q0[keep])
+        rings = _stitch(e0, e1, tol)
+        polys = _assemble(rings)
+        # each connected part is its own atomic piece
+        for poly in polys:
+            out.append(([poly], cls))
+    return out
+
+
 # ------------------------------------------------------------ named ops
 
 

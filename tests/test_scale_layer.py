@@ -1,0 +1,100 @@
+"""Resumable partitioned IO + distributed wide ops."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+class TestPartitionedIO:
+    def test_write_resume_manifest(self, ray_session, tmp_path):
+        import ray.data
+
+        from maup_ray.io import (
+            completed_partitions,
+            manifest,
+            read_partitioned,
+            write_partitioned,
+        )
+
+        root = str(tmp_path / "out")
+        t = pa.table(
+            {
+                "k": ["a"] * 5 + ["b"] * 3 + ["c"] * 2,
+                "v": list(range(10)),
+            }
+        )
+        lin = write_partitioned(ray.data.from_arrow(t), root, "k")
+        assert sorted(lin["partition"]) == ["a", "b", "c"]
+        assert completed_partitions(root) == {"a", "b", "c"}
+        m = manifest(root)
+        assert int(pa.compute.sum(m["rows"]).as_py()) == 10
+        # resume: simulate partial failure by nuking one marker
+        os.remove(os.path.join(root, "part=b", "_SUCCESS"))
+        lin2 = write_partitioned(ray.data.from_arrow(t), root, "k")
+        assert sorted(lin2["partition"]) == ["b"]  # only b recomputed
+        back = read_partitioned(root).to_pandas()
+        assert len(back) == 10 and set(back["k"]) == {"a", "b", "c"}
+
+
+class TestDistributedUnion:
+    def test_matches_local_union(self, ray_session):
+        import ray.data
+
+        from maup_ray.geom import area as parea
+        from maup_ray.geom import encode_polygon
+        from maup_ray.ops.distributed import union_all_distributed
+        from maup_ray.ops.repair import union_all_table
+
+        def sq(x0, y0, x1, y1):
+            return np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float
+            )
+
+        rings = [
+            sq(x, y, x + 1, y + 1) for x in range(6) for y in range(6)
+            if (x + y) % 7 != 3
+        ]
+        t = pa.table(
+            {
+                "id": list(range(len(rings))),
+                "geometry": pa.array(
+                    [encode_polygon([r]) for r in rings], type=pa.binary()
+                ),
+            }
+        )
+        local = parea(union_all_table(t))
+        ds = ray.data.from_arrow(t)
+        dist = union_all_distributed(ds, (0.0, 0.0, 8.0), start_res=2)
+        assert parea(dist) == pytest.approx(local, rel=1e-9)
+
+
+class TestHotCellSplit:
+    def test_hot_cells_rekeyed_finer(self, ray_session):
+        import ray.data
+
+        from maup_ray.geom.cells import CellGrid
+        from maup_ray.ops.distributed import with_hot_cell_split
+
+        rng = np.random.RandomState(0)
+        # 90% of points crammed into one base cell → hot
+        n = 20000
+        x = np.where(
+            rng.rand(n) < 0.9, rng.uniform(0, 64, n), rng.uniform(0, 1024, n)
+        )
+        y = np.where(
+            rng.rand(n) < 0.9, rng.uniform(0, 64, n), rng.uniform(0, 1024, n)
+        )
+        t = pa.table({"x": x, "y": y})
+        ds = ray.data.from_arrow(t)
+        keyed = with_hot_cell_split(
+            ds, (0.0, 0.0, 1024.0), res=4, max_rows=2000
+        )
+        df = keyed.to_pandas()
+        counts = df.groupby("cell").size()
+        # the hot cell got split: no partition vastly exceeds max_rows
+        assert counts.max() <= 6000
+        # multiple resolutions present
+        res = CellGrid.res_of(counts.index.to_numpy().astype(np.uint64))
+        assert len(set(res.tolist())) >= 2

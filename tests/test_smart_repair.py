@@ -1,0 +1,128 @@
+"""smart_repair tests (F6-flavored; ref: tests/test_smart_repair.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from maup_ray.geom import area as parea
+from maup_ray.geom import covers, decode_polygons, encode_polygon
+from maup_ray.ops.repair import doctor, union_all_table
+from maup_ray.ops.smart_repair import smart_repair, smart_repair_table
+
+
+def sq(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float)
+
+
+def jittered(k=3, seed=0, amp=0.04):
+    rings, ids = [], []
+    rng = np.random.RandomState(seed)
+    for x in range(k):
+        for y in range(k):
+            d = rng.uniform(-amp, amp)
+            rings.append(sq(x - d, y - d, x + 1 + d, y + 1 + d))
+            ids.append(f"c{x}{y}")
+    return pa.table(
+        {
+            "id": ids,
+            "geometry": pa.array(
+                [encode_polygon([r]) for r in rings], type=pa.binary()
+            ),
+        }
+    )
+
+
+class TestSmartRepairLocal:
+    def test_one_pass_heals_higher_order_defects(self):
+        t = jittered()
+        pre = doctor(t)
+        assert pre["n_overlaps"] > 0
+        out = smart_repair_table(t, fill_gaps_threshold=None)
+        post = doctor(out)
+        assert post["ok"]
+        # total area = union of inputs + filled gaps (gaps become owned)
+        total = sum(
+            parea(decode_polygons(b.as_py())) for b in out["geometry"]
+        )
+        assert total >= parea(union_all_table(t)) - 1e-9
+
+    def test_threshold_leaves_large_gaps(self):
+        # intentional big gap: 3 cells of a 2x2 grid
+        rings = [sq(0, 0, 1, 1), sq(1, 0, 2, 1), sq(0, 1, 1, 2)]
+        t = pa.table(
+            {
+                "id": ["a", "b", "c"],
+                "geometry": pa.array(
+                    [encode_polygon([r]) for r in rings], type=pa.binary()
+                ),
+            }
+        )
+        out = smart_repair_table(t, fill_gaps_threshold=0.1)
+        # the missing quadrant is a BOUNDARY notch, not an interior hole
+        # → union has no holes → nothing to fill; areas unchanged
+        for b, w in zip(out["geometry"], [1.0, 1.0, 1.0]):
+            assert parea(decode_polygons(b.as_py())) == pytest.approx(w, abs=1e-9)
+
+    def test_interior_gap_threshold(self):
+        # donut grid with center missing → interior gap area 1;
+        # threshold 0.05 (gap/area=1) leaves it; None fills it
+        rings = [
+            sq(x, y, x + 1, y + 1)
+            for x in range(3)
+            for y in range(3)
+            if not (x == 1 and y == 1)
+        ]
+        t = pa.table(
+            {
+                "id": [f"g{i}" for i in range(8)],
+                "geometry": pa.array(
+                    [encode_polygon([r]) for r in rings], type=pa.binary()
+                ),
+            }
+        )
+        kept = smart_repair_table(t, fill_gaps_threshold=0.05)
+        assert sum(
+            parea(decode_polygons(b.as_py())) for b in kept["geometry"]
+        ) == pytest.approx(8.0, abs=1e-6)
+        filled = smart_repair_table(t, fill_gaps_threshold=None)
+        assert sum(
+            parea(decode_polygons(b.as_py())) for b in filled["geometry"]
+        ) == pytest.approx(9.0, abs=1e-6)
+
+
+class TestSmartRepairRegions:
+    def test_region_nested_containment(self, ray_session):
+        import ray
+        import ray.data
+
+        t = jittered(k=4, seed=2023, amp=1.0 / 24)
+        regions = pa.table(
+            {
+                "region_id": ["r0", "r1", "r2", "r3"],
+                "geometry": pa.array(
+                    [
+                        encode_polygon([sq(0, 0, 2, 2)]),
+                        encode_polygon([sq(2, 0, 4, 2)]),
+                        encode_polygon([sq(0, 2, 2, 4)]),
+                        encode_polygon([sq(2, 2, 4, 4)]),
+                    ],
+                    type=pa.binary(),
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        out = smart_repair(ds, regions=regions, fill_gaps_threshold=None)
+        df = out.to_pandas()
+        assert len(df) == 16
+        # within-region doctor passes per region group
+        for rid, g in df.groupby("__region"):
+            sub = pa.table(
+                {
+                    "id": pa.array(g["id"].tolist()),
+                    "geometry": pa.array(
+                        g["geometry"].tolist(), type=pa.binary()
+                    ),
+                }
+            )
+            rep = doctor(sub)
+            assert rep["n_overlaps"] == 0
