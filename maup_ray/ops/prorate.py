@@ -125,10 +125,18 @@ def normalize(
     *,
     level: str = "source_id",
     weight_col: str = "weight",
+    strategy: str = "auto",
+    broadcast_limit: int = 2_000_000,
 ):
     """Normalize ``weight_col`` to sum to 1 within each ``level`` group
-    (ref: normalize.py:4-11). Distributed as groupby().map_groups —
-    one shuffle keyed on ``level``, no driver materialization."""
+    (ref: normalize.py:4-11).
+
+    Physical plans: ``broadcast`` — grouped sums (partial+final
+    aggregate, tiny shuffle) pulled to the driver and re-broadcast as a
+    per-batch divide lookup (no row shuffle at all); ``shuffle`` —
+    groupby().map_groups, fully distributed, for when the number of
+    groups itself is too large to broadcast. ``auto`` counts the
+    (cheap, already-aggregated) sums and picks."""
     if isinstance(weights, pa.Table):
         df = weights.to_pandas()
         out = (
@@ -136,6 +144,40 @@ def normalize(
             .apply(lambda g: _normalize_group(g, weight_col))
         )
         return pa.Table.from_pandas(out, preserve_index=False)
-    return weights.groupby(level).map_groups(
-        lambda df: _normalize_group(df, weight_col)
+    if strategy == "shuffle":
+        return weights.groupby(level).map_groups(
+            lambda df: _normalize_group(df, weight_col)
+        )
+    from ray.data.aggregate import Sum
+
+    # two passes read the weights (sums, then divide): materialize once
+    # so the upstream pipeline doesn't re-execute (blocks stay in the
+    # object store and spill under pressure)
+    weights = weights.materialize()
+    sums = weights.groupby(level).aggregate(
+        Sum(on=weight_col, alias_name="__total")
+    )
+    if strategy == "auto":
+        n_groups = sums.count()
+        if n_groups > broadcast_limit:
+            return weights.groupby(level).map_groups(
+                lambda df: _normalize_group(df, weight_col)
+            )
+    import ray
+
+    totals = sums.to_pandas().set_index(level)["__total"]
+    totals_ref = ray.put(totals)
+
+    def divide(batch: pa.Table) -> pa.Table:
+        t = ray.get(totals_ref)
+        keys = batch[level].to_pandas()
+        denom = t.reindex(keys).to_numpy(dtype=np.float64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.where(denom == 0, 0.0, w / denom)  # 0/0 → 0 (ref)
+        i = batch.column_names.index(weight_col)
+        return batch.set_column(i, weight_col, pa.array(out))
+
+    return weights.map_batches(
+        divide, batch_format="pyarrow", zero_copy_batch=True
     )
