@@ -70,12 +70,18 @@ def ring_length(ring: Ring, closed: bool = True) -> float:
 
 
 def dedup_ring(ring: Ring) -> Ring:
-    """Drop consecutive duplicate vertices (ref: repair.py:397-424)."""
+    """Drop consecutive duplicate vertices (ref: repair.py:397-424).
+    Returns the INPUT array untouched when clean (hot-path no-copy)."""
     if len(ring) == 0:
         return ring
-    keep = np.ones(len(ring), dtype=bool)
-    keep[1:] = np.any(ring[1:] != ring[:-1], axis=1)
-    out = ring[keep]
+    keep = np.any(ring[1:] != ring[:-1], axis=1)
+    clean = bool(keep.all()) and not np.array_equal(ring[-1], ring[0])
+    if clean:
+        return ring
+    mask = np.empty(len(ring), dtype=bool)
+    mask[0] = True
+    mask[1:] = keep
+    out = ring[mask]
     # drop trailing vertex equal to the first (unclosed convention)
     while len(out) > 1 and np.all(out[-1] == out[0]):
         out = out[:-1]

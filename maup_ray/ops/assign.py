@@ -190,7 +190,22 @@ class AssignActor:
         return poly_area(poly_intersection(src, self.index.geom(t)))
 
 
-def _run(sources, targets, phase, concurrency, batch_size, **kw):
+# per-worker-process instance cache for task-mode broadcast joins:
+# tasks reuse warm worker processes, so the index builds once per
+# worker instead of once per actor-pool spawn (actor pools respawn on
+# every Dataset execution; tasks amortize across jobs)
+_WORKER_CACHE: dict = {}
+
+
+def _cached_instance(cls, key, kwargs):
+    inst = _WORKER_CACHE.get(key)
+    if inst is None:
+        inst = cls(**kwargs)
+        _WORKER_CACHE[key] = inst
+    return inst
+
+
+def _run(sources, targets, phase, concurrency, batch_size, use_actors=False, **kw):
     import ray
 
     if isinstance(targets, pa.Table) and not isinstance(
@@ -201,12 +216,29 @@ def _run(sources, targets, phase, concurrency, batch_size, **kw):
     if isinstance(sources, pa.Table):
         actor = AssignActor(**fn_kwargs)
         return actor(sources)
+    if use_actors:
+        return sources.map_batches(
+            AssignActor,
+            fn_constructor_kwargs=fn_kwargs,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=_autoscale(concurrency),
+            batch_size=batch_size,
+        )
+    key = (
+        "assign",
+        targets.hex() if isinstance(targets, ray.ObjectRef) else id(targets),
+        phase,
+        tuple(sorted(kw.items())),
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached_instance(AssignActor, key, fn_kwargs)(batch)
+
     return sources.map_batches(
-        AssignActor,
-        fn_constructor_kwargs=fn_kwargs,
+        fn,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=_autoscale(concurrency),
         batch_size=batch_size,
     )
 

@@ -167,14 +167,24 @@ def intersections(
         return out
     if isinstance(targets, pa.Table):
         fn_kwargs["targets"] = ray.put(targets)
-    from .assign import _autoscale
+    from .assign import _cached_instance
+
+    ref = fn_kwargs["targets"]
+    key = (
+        "intersections",
+        ref.hex() if isinstance(ref, ray.ObjectRef) else id(ref),
+        area_cutoff,
+        include_geometry,
+        tuple(sorted(kw.items())),
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached_instance(IntersectionsActor, key, fn_kwargs)(batch)
 
     ds = sources.map_batches(
-        IntersectionsActor,
-        fn_constructor_kwargs=fn_kwargs,
+        fn,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=_autoscale(concurrency),
         batch_size=batch_size,
     )
     if sort:
