@@ -100,6 +100,38 @@ def holes_of_union_distributed(ds, extent, **kw):
     return boolean.holes(u)
 
 
+def doctor_distributed(
+    ds,
+    extent,
+    geometry_col: str = "geometry",
+    id_col: str = "id",
+    cell_res: int = 8,
+    accept_holes: bool = False,
+) -> dict:
+    """Dataset-scale doctor (ref: repair.py:311-365): overlaps via the
+    cell-partitioned adjacency self-join, gaps via tree-reduce union —
+    no full materialization of the geometry table on the driver."""
+    from .adjacencies import adjacencies
+
+    adj = adjacencies(
+        ds,
+        id_col=id_col,
+        geometry_col=geometry_col,
+        adjacency_type="queen",
+        include_geometry=False,
+        cell_res=cell_res,
+        extent=extent,
+    )
+    n_overlaps = adj.filter(lambda r: r["area"] > 0).count()
+    gaps = holes_of_union_distributed(ds, extent, geometry_col=geometry_col)
+    checks = {
+        "n_overlaps": n_overlaps,
+        "n_gaps": len(gaps),
+    }
+    checks["ok"] = n_overlaps == 0 and (accept_holes or len(gaps) == 0)
+    return checks
+
+
 def with_hot_cell_split(
     ds,
     extent,

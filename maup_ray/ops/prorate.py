@@ -71,6 +71,14 @@ def prorate(
     import ray
 
     columns = list(columns)
+    if not isinstance(data, pa.Table):
+        # big attribute side: hash-partition co-shuffle join (both sides
+        # shuffled on source_id), then multiply + grouped aggregate —
+        # the path for attribute tables too large to broadcast
+        return _prorate_hash_join(
+            relationship, data, columns, weight_col, source_id_col,
+            target_id_col, aggregate_by,
+        )
     join_kwargs = dict(
         data=data,
         columns=columns,
@@ -109,6 +117,44 @@ def prorate(
     cls = {"sum": Sum, "mean": Mean, "max": Max, "min": Min}[aggregate_by]
     aggs = [cls(on=c, alias_name=c) for c in columns]
     return ds.groupby(target_id_col).aggregate(*aggs)
+
+
+def _prorate_hash_join(
+    relationship, data, columns, weight_col, source_id_col,
+    target_id_col, aggregate_by,
+):
+    import ray
+
+    num_partitions = max(
+        8, int(ray.cluster_resources().get("CPU", 8))
+    )
+    joined = relationship.join(
+        data,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(source_id_col,),
+    )
+
+    def mul(batch: pa.Table) -> pa.Table:
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cols = {
+            source_id_col: batch[source_id_col],
+            target_id_col: batch[target_id_col],
+        }
+        for c in columns:
+            v = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            cols[c] = pa.array(v * w)
+        return pa.table(cols)
+
+    out = joined.map_batches(mul, batch_format="pyarrow", zero_copy_batch=True)
+    if aggregate_by is None:
+        return out
+    from ray.data.aggregate import Max, Mean, Min, Sum
+
+    cls = {"sum": Sum, "mean": Mean, "max": Max, "min": Min}[aggregate_by]
+    return out.groupby(target_id_col).aggregate(
+        *[cls(on=c, alias_name=c) for c in columns]
+    )
 
 
 def _normalize_group(df: pd.DataFrame, weight_col: str) -> pd.DataFrame:

@@ -98,3 +98,85 @@ class TestHotCellSplit:
         # multiple resolutions present
         res = CellGrid.res_of(counts.index.to_numpy().astype(np.uint64))
         assert len(set(res.tolist())) >= 2
+
+
+class TestProrateHashJoin:
+    def test_matches_broadcast_path(self, ray_session):
+        import ray
+        import ray.data
+
+        from maup_ray import prorate
+
+        rel = pa.table(
+            {
+                "source_id": pa.array([0, 0, 1, 2], type=pa.int64()),
+                "target_id": ["a", "b", "a", "c"],
+                "weight": [0.25, 0.75, 1.0, 1.0],
+            }
+        )
+        data = pa.table(
+            {
+                "source_id": pa.array([0, 1, 2], type=pa.int64()),
+                "pop": [100.0, 10.0, 1.0],
+            }
+        )
+        want = (
+            prorate(rel, data, ["pop"])
+            .to_pandas()
+            .sort_values("target_id", ignore_index=True)
+        )
+        got = (
+            prorate(
+                ray.data.from_arrow(rel),
+                ray.data.from_arrow(data),
+                ["pop"],
+            )
+            .to_pandas()
+            .sort_values("target_id", ignore_index=True)
+        )
+        assert got.equals(want)
+
+
+class TestDoctorDistributed:
+    def test_matches_local(self, ray_session):
+        import ray.data
+
+        from maup_ray.geom import encode_polygon
+        from maup_ray.ops.distributed import doctor_distributed
+        from maup_ray.ops.repair import doctor
+
+        def sq(x0, y0, x1, y1):
+            return np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float
+            )
+
+        # grid with one overlap pair and one gap
+        rings = [
+            sq(0, 0, 1, 1),
+            sq(0.9, 0, 2, 1),  # overlaps the first
+            sq(0, 1, 1, 2),
+            sq(1, 1, 2, 2),
+            sq(2, 0, 3, 2),
+            # gap: ring of cells around (4..7) with centre missing
+        ]
+        rings += [
+            sq(x, y, x + 1, y + 1)
+            for x in range(4, 7)
+            for y in range(0, 3)
+            if not (x == 5 and y == 1)
+        ]
+        t = pa.table(
+            {
+                "id": list(range(len(rings))),
+                "geometry": pa.array(
+                    [encode_polygon([r]) for r in rings], type=pa.binary()
+                ),
+            }
+        )
+        local = doctor(t)
+        dist = doctor_distributed(
+            ray.data.from_arrow(t), (0.0, 0.0, 8.0), cell_res=2
+        )
+        assert dist["n_overlaps"] == local["n_overlaps"] == 1
+        assert dist["n_gaps"] == local["n_gaps"] == 1
+        assert not dist["ok"]
