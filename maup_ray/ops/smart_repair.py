@@ -86,16 +86,44 @@ def smart_repair_table(
         parts = [p for piece in recon[i] for p in piece]
         return parts
 
-    # --- assign overlap pieces by shared perimeter, ascending degree
+    # --- assign overlap pieces, ascending degree. Disconnected owners
+    # get first dibs when the piece touches ≥2 of their parts (it
+    # reconnects them — ref smart_repair.py:751-969); otherwise
+    # greatest shared perimeter, ties to the smallest id.
     multi.sort(key=lambda t: len(t[1]))
+    comp_cache: dict[int, list] = {}
+
+    def components(i):
+        # connected components of the current reconstruction (touching
+        # pieces merge under union)
+        if i not in comp_cache:
+            parts = merged(i)
+            comp_cache[i] = (
+                boolean.union_all([[p] for p in parts]) if parts else []
+            )
+        return comp_cache[i]
+
     for piece, owners in multi:
-        best, best_len = None, -1.0
+        chosen = None
         for i in sorted(owners):
-            cur = merged(i)
-            ln = _shared_len(piece, cur) if cur else 0.0
-            if ln > best_len:
-                best, best_len = i, ln
-        recon[best].append(piece)
+            comps = components(i)
+            if len(comps) > 1:
+                touching = sum(
+                    1 for c in comps if _shared_len(piece, [c]) > 0
+                )
+                if touching >= 2:
+                    chosen = i
+                    break
+        if chosen is None:
+            best, best_len = None, -1.0
+            for i in sorted(owners):
+                cur = merged(i)
+                ln = _shared_len(piece, cur) if cur else 0.0
+                if ln > best_len:
+                    best, best_len = i, ln
+            chosen = best
+        recon[chosen].append(piece)
+        comp_cache.pop(chosen, None)
 
     out_geoms = []
     for i in range(n):

@@ -358,6 +358,93 @@ def q_image_phash(sf_dir: str):
     )
 
 
+# ------------------------------------------------- repair-family queries
+# (rows-only: clipping/repair semantics aren't SQL-expressible; pytest
+# brute-force oracles cover correctness — FIXTURES.md F9)
+
+
+def _defect_grid(sf_dir: str) -> pa.Table:
+    """Deterministic jittered tessellation with gaps+overlaps, sized by
+    the sf documents table so larger sf exercises larger repairs."""
+    import pyarrow.parquet as pq
+
+    from .geom.wkb import encode_polygon
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    k = max(4, min(12, int(np.sqrt(n_docs) // 4)))
+    rng = np.random.RandomState(2023)
+    ids, geoms = [], []
+    for x in range(k):
+        for y in range(k):
+            d = rng.uniform(-0.04, 0.04)
+            ring = np.array(
+                [
+                    [x - d, y - d],
+                    [x + 1 + d, y - d],
+                    [x + 1 + d, y + 1 + d],
+                    [x - d, y + 1 + d],
+                ]
+            )
+            ids.append(f"c{x:02d}{y:02d}")
+            geoms.append(encode_polygon([ring]))
+    return pa.table(
+        {"id": ids, "geometry": pa.array(geoms, type=pa.binary())}
+    )
+
+
+def q_quick_repair(sf_dir: str):
+    """Repair pipeline health summary: per-geometry areas after
+    quick_repair (rows-only; doctor invariants asserted in pytest)."""
+    from .geom.core import area as parea
+    from .geom.wkb import decode_polygons
+    from .ops.repair import quick_repair
+
+    out = quick_repair(_defect_grid(sf_dir))
+    areas = [
+        parea(decode_polygons(b.as_py())) for b in out["geometry"]
+    ]
+    return pa.table(
+        {
+            "id": out["id"],
+            "area": pa.array(np.round(areas, 9)),
+        }
+    )
+
+
+def q_smart_repair(sf_dir: str):
+    from .geom.core import area as parea
+    from .geom.wkb import decode_polygons
+    from .ops.smart_repair import smart_repair_table
+
+    out = smart_repair_table(_defect_grid(sf_dir), fill_gaps_threshold=None)
+    areas = [
+        parea(decode_polygons(b.as_py())) for b in out["geometry"]
+    ]
+    return pa.table(
+        {"id": out["id"], "area": pa.array(np.round(areas, 9))}
+    )
+
+
+def q_doctor(sf_dir: str):
+    from .ops.repair import doctor, quick_repair
+
+    t = _defect_grid(sf_dir)
+    pre = doctor(t)
+    post = doctor(quick_repair(t))
+    return pa.table(
+        {
+            "stage": ["pre", "post"],
+            "n_overlaps": pa.array(
+                [pre["n_overlaps"], post["n_overlaps"]], type=pa.int64()
+            ),
+            "n_gaps": pa.array(
+                [pre["n_gaps"], post["n_gaps"]], type=pa.int64()
+            ),
+            "ok": pa.array([pre["ok"], post["ok"]]),
+        }
+    )
+
+
 # ------------------------------------------------------------ oracle SQL
 
 
