@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adjacencies": p.q_adjacencies,
         "cell_tiles": p.q_cell_tiles,
         "events_hourly": p.q_events_hourly,
+        "knn": p.q_knn,
+        "rasterize": p.q_rasterize,
         # training-data family
         "token_count": p.q_token_count,
         "quality": p.q_quality,

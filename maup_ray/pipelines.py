@@ -358,6 +358,44 @@ def q_image_phash(sf_dir: str):
     )
 
 
+KNN_K = 3
+RASTER_RES = 4
+
+
+def q_knn(sf_dir: str):
+    """Spatial kNN block matching: each document point's 3 nearest
+    other document points (exact integer d², deterministic ties)."""
+    from .ops.knn import knn_points
+
+    pts_ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        derive_points, batch_format="pyarrow", zero_copy_batch=True
+    )
+    targets = pa.concat_tables(_to_tables(pts_ds))
+    out = knn_points(
+        pts_ds,
+        targets,
+        k=KNN_K,
+        source_id_col="doc_id",
+        target_id_col="doc_id",
+        exclude_same_id=True,
+    )
+    return out
+
+
+def q_rasterize(sf_dir: str):
+    """Vector→raster: district polygons to exact per-cell coverage
+    areas at res RASTER_RES (sf-independent geometry, engine path)."""
+    from .ops.raster import rasterize
+
+    out = rasterize(
+        _districts(),
+        (0.0, 0.0, float(EXTENT)),
+        RASTER_RES,
+        id_col="district_id",
+    )
+    return out
+
+
 # ------------------------------------------------- repair-family queries
 # (rows-only: clipping/repair semantics aren't SQL-expressible; pytest
 # brute-force oracles cover correctness — FIXTURES.md F9)
@@ -541,6 +579,42 @@ def oracle_queries() -> dict[str, str]:
                    count(*) AS n,
                    sum(CAST(round(value*100, 0) AS BIGINT)) AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "knn": f"""
+            WITH pts AS (
+              SELECT doc_id,
+                CAST(((doc_id*{AX}+{BX})%{EXTENT}) AS DOUBLE)+0.5 AS x,
+                CAST(((doc_id*{AY}+{BY})%{EXTENT}) AS DOUBLE)+0.5 AS y
+              FROM documents),
+            pairs AS (
+              SELECT s.doc_id, t.doc_id AS neighbor_id,
+                (s.x-t.x)*(s.x-t.x)+(s.y-t.y)*(s.y-t.y) AS d2
+              FROM pts s JOIN pts t ON s.doc_id <> t.doc_id),
+            ranked AS (
+              SELECT doc_id, neighbor_id,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY d2, neighbor_id) AS rank
+              FROM pairs)
+            SELECT doc_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= {KNN_K}
+        """,
+        "rasterize": f"""
+            WITH cells AS (
+              SELECT CAST(i % 16 AS BIGINT) AS cx,
+                     CAST(i // 16 AS BIGINT) AS cy,
+                     CAST((i % 16) * {EXTENT // 16} AS DOUBLE) AS x0,
+                     CAST((i // 16) * {EXTENT // 16} AS DOUBLE) AS y0
+              FROM range(256) t(i)),
+            dist AS (SELECT * FROM {districts_sql(N_DISTRICTS)} )
+            SELECT d.district_id, c.cx, c.cy,
+              greatest(0.0, least(c.x0 + {EXTENT // 16}, d.maxx) - greatest(c.x0, d.minx))
+              * greatest(0.0, least(c.y0 + {EXTENT // 16}, d.maxy) - greatest(c.y0, d.miny))
+                AS coverage_area
+            FROM cells c JOIN dist d
+              ON c.x0 < d.maxx AND c.x0 + {EXTENT // 16} > d.minx
+             AND c.y0 < d.maxy AND c.y0 + {EXTENT // 16} > d.miny
+            WHERE greatest(0.0, least(c.x0 + {EXTENT // 16}, d.maxx) - greatest(c.x0, d.minx))
+              * greatest(0.0, least(c.y0 + {EXTENT // 16}, d.maxy) - greatest(c.y0, d.miny)) > 0
         """,
         "token_count": r"""
             SELECT doc_id,

@@ -1,0 +1,131 @@
+"""kNN block matching + raster↔vector tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from maup_ray.ops.knn import knn_points
+from maup_ray.ops.raster import rasterize, vectorize
+
+
+def points(n, seed=0, span=1000.0):
+    rng = np.random.RandomState(seed)
+    return pa.table(
+        {
+            "source_id": pa.array(np.arange(n), type=pa.int64()),
+            "x": pa.array(rng.uniform(0, span, n)),
+            "y": pa.array(rng.uniform(0, span, n)),
+        }
+    )
+
+
+class TestKnn:
+    def test_matches_bruteforce(self):
+        t = points(200)
+        tgt = t.rename_columns(["target_id", "x", "y"])
+        out = knn_points(t, tgt, k=4, exclude_same_id=True).to_pandas()
+        x = t["x"].to_numpy()
+        y = t["y"].to_numpy()
+        for s in range(0, 200, 37):
+            d2 = (x - x[s]) ** 2 + (y - y[s]) ** 2
+            d2[s] = np.inf
+            want = np.argsort(d2, kind="stable")[:4].tolist()
+            got = (
+                out[out.source_id == s]
+                .sort_values("rank")["neighbor_id"]
+                .tolist()
+            )
+            assert got == want
+
+    def test_cells_mode_matches_broadcast(self):
+        t = points(500, seed=3)
+        tgt = t.rename_columns(["target_id", "x", "y"])
+        a = knn_points(t, tgt, k=3, mode="broadcast").to_pandas()
+        b = knn_points(
+            t, tgt, k=3, mode="cells", cell_size=100.0
+        ).to_pandas()
+        a = a.sort_values(["source_id", "rank"], ignore_index=True)
+        b = b.sort_values(["source_id", "rank"], ignore_index=True)
+        assert a.equals(b)
+
+    def test_dataset_path(self, ray_session):
+        import ray.data
+
+        t = points(100, seed=5)
+        tgt = t.rename_columns(["target_id", "x", "y"])
+        out = knn_points(
+            ray.data.from_arrow(t), tgt, k=2
+        ).to_pandas()
+        assert len(out) == 200  # 100 sources × k=2 (self allowed, rank1=self)
+        r1 = out[out["rank"] == 1]
+        assert (r1["source_id"] == r1["neighbor_id"]).all()
+
+
+class TestRaster:
+    def test_rasterize_exact_coverage(self):
+        from maup_ray.geom import encode_polygon
+
+        # one rect spanning exactly cells (0,0) and (1,0) halves at res 1
+        # over extent 4: cells are 2x2
+        t = pa.table(
+            {
+                "id": ["r"],
+                "geometry": pa.array(
+                    [
+                        encode_polygon(
+                            [
+                                np.array(
+                                    [[1.0, 0], [3, 0], [3, 1], [1, 1]]
+                                )
+                            ]
+                        )
+                    ],
+                    type=pa.binary(),
+                ),
+            }
+        )
+        out = rasterize(t, (0.0, 0.0, 4.0), 1).to_pydict()
+        got = {
+            (cx, cy): a
+            for cx, cy, a in zip(out["cx"], out["cy"], out["coverage_area"])
+        }
+        assert got == {(0, 0): 1.0, (1, 0): 1.0}
+
+    def test_roundtrip(self):
+        from maup_ray.geom import area as parea
+        from maup_ray.geom import decode_polygons, encode_polygon
+
+        # axis-aligned shape snapped to the cell grid → vectorize
+        # reconstructs it exactly
+        t = pa.table(
+            {
+                "id": ["s"],
+                "geometry": pa.array(
+                    [
+                        encode_polygon(
+                            [np.array([[0.0, 0], [6, 0], [6, 4], [0, 4]])]
+                        )
+                    ],
+                    type=pa.binary(),
+                ),
+            }
+        )
+        ras = rasterize(t, (0.0, 0.0, 8.0), 2)  # cell = 2
+        vec = vectorize(ras, (0.0, 0.0, 8.0), 2)
+        g = decode_polygons(vec["geometry"][0].as_py())
+        assert parea(g) == 24.0
+
+    def test_dataset_path(self, ray_session):
+        import ray
+        import ray.data
+
+        from maup_ray.synth.districts import EXTENT, district_table
+
+        ds = ray.data.from_arrow(
+            district_table(16).select(["district_id", "geometry"])
+        )
+        out = rasterize(
+            ds, (0.0, 0.0, float(EXTENT)), 3, id_col="district_id"
+        ).to_pandas()
+        # full tessellation → total coverage = full extent area
+        assert out["coverage_area"].sum() == float(EXTENT) ** 2
