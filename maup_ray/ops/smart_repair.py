@@ -46,6 +46,65 @@ def _shared_len(a, b) -> float:
     return ln
 
 
+def _fan_split(gap, out_geoms, neighbors, garea):
+    """Partition a (single-shell) gap among its neighbors: fan polygons
+    from the gap's representative point to each maximal boundary run
+    owned by one neighbor. Returns [(owner_idx, fan MultiPolygon)] or
+    None when the split is invalid (gap not star-shaped from C, a run
+    is unowned, or the fans don't tile the gap)."""
+    from ..geom.core import normalize_polygon, representative_point
+    from ..geom.pip import points_on_ring
+
+    if len(gap) != 1:  # gap with holes: bail to absorb
+        return None
+    ring = gap[0]
+    C = np.array(representative_point([gap]))
+    m = len(ring)
+    mids = (ring + np.roll(ring, -1, axis=0)) * 0.5
+    owner = np.full(m, -1, dtype=np.int64)
+    for i in neighbors:
+        on = np.zeros(m, dtype=bool)
+        for poly in out_geoms[i]:
+            for r in poly:
+                on |= points_on_ring(mids, r, 1e-9 * max(1.0, np.abs(ring).max()))
+        owner[on & (owner == -1)] = i
+    if (owner == -1).any():
+        return None
+    # maximal circular runs
+    runs = []
+    start = 0
+    if (owner == owner[0]).all():
+        runs = [(int(owner[0]), 0, m - 1)]
+    else:
+        # rotate to a run boundary
+        rot = next(k for k in range(1, m + 1) if owner[k % m] != owner[0]) % m
+        ow = np.roll(owner, -rot)
+        s = 0
+        for k in range(1, m):
+            if ow[k] != ow[s]:
+                runs.append((int(ow[s]), s + rot, k - 1 + rot))
+                s = k
+        runs.append((int(ow[s]), s + rot, m - 1 + rot))
+    fans = []
+    total = 0.0
+    for own, a, b in runs:
+        idxs = [(k) % m for k in range(a, b + 2)]  # run verts + next
+        pts = np.vstack([C[None, :], ring[idxs]])
+        poly = normalize_polygon([pts])
+        if not poly:
+            continue
+        fan = [poly]
+        fa = poly_area(fan)
+        if fa <= 0:
+            return None  # degenerate/inverted fan: not star-shaped
+        total += fa
+        fans.append((own, fan))
+    # fans must tile the gap exactly (star-shaped test)
+    if abs(total - garea) > 1e-9 * max(garea, 1.0):
+        return None
+    return fans
+
+
 def smart_repair_table(
     table: pa.Table,
     snap_precision: int = 9,
@@ -130,26 +189,37 @@ def smart_repair_table(
         parts = merged(i)
         out_geoms.append(boolean.union_all([[p] for p in parts]) if parts else [])
 
-    # --- gap fill (subset): absorb whole gaps by shared perimeter
+    # --- gap fill: adjacency-preserving fan split among ALL neighbors
+    # when the gap is star-shaped from its representative point (the
+    # common artifact-gap case — approximates the reference's incenter
+    # splitting, smart_repair.py:1094-1359); whole-gap absorb by
+    # greatest shared perimeter otherwise.
     if fill_gaps:
-        gaps = boolean.holes_of_union(
-            [g for g in out_geoms if g]
-        )
+        gaps = boolean.holes_of_union([g for g in out_geoms if g])
         for gap in gaps:
             garea = poly_area([gap])
-            best, best_len = None, 0.0
-            for i, g in enumerate(out_geoms):
-                if not g:
-                    continue
-                ln = _shared_len([gap], g)
-                if ln > best_len:
-                    best, best_len = i, ln
-            if best is None:
+            neighbors = [
+                i
+                for i, g in enumerate(out_geoms)
+                if g and _shared_len([gap], g) > 0
+            ]
+            if not neighbors:
                 continue
             if fill_gaps_threshold is not None:
-                if garea > fill_gaps_threshold * poly_area(out_geoms[best]):
+                ref_area = max(poly_area(out_geoms[i]) for i in neighbors)
+                if garea > fill_gaps_threshold * ref_area:
                     continue
-            out_geoms[best] = boolean.union(out_geoms[best], [gap])
+            fans = _fan_split(gap, out_geoms, neighbors, garea)
+            if fans is not None:
+                for i, fan in fans:
+                    out_geoms[i] = boolean.union(out_geoms[i], fan)
+            else:
+                best, best_len = None, 0.0
+                for i in neighbors:
+                    ln = _shared_len([gap], out_geoms[i])
+                    if ln > best_len:
+                        best, best_len = i, ln
+                out_geoms[best] = boolean.union(out_geoms[best], [gap])
 
     i = table.column_names.index(geometry_col)
     return table.set_column(

@@ -126,3 +126,34 @@ class TestSmartRepairRegions:
             )
             rep = doctor(sub)
             assert rep["n_overlaps"] == 0
+
+
+class TestFanGapSplit:
+    def test_donut_gap_split_among_neighbors(self):
+        # square gap with 4 edge-neighbors: each gains a 0.25 fan (the
+        # reference's incenter-split behavior, smart_repair.py:1094-1135)
+        rings = [
+            sq(x, y, x + 1, y + 1)
+            for x in range(3)
+            for y in range(3)
+            if not (x == 1 and y == 1)
+        ]
+        t = pa.table(
+            {
+                "id": [f"g{i}" for i in range(8)],
+                "geometry": pa.array(
+                    [encode_polygon([r]) for r in rings], type=pa.binary()
+                ),
+            }
+        )
+        from maup_ray.geom import decode_polygons
+
+        out = smart_repair_table(t, fill_gaps_threshold=None)
+        areas = {
+            i: parea(decode_polygons(b.as_py()))
+            for i, b in zip(out["id"].to_pylist(), out["geometry"])
+        }
+        assert sum(areas.values()) == pytest.approx(9.0, abs=1e-9)
+        gained = [i for i, a in areas.items() if a > 1.0 + 1e-12]
+        assert len(gained) == 4  # all edge-neighbors share the gap
+        assert doctor(out)["ok"]
