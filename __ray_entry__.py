@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": p.q_events_hourly,
         "knn": p.q_knn,
         "rasterize": p.q_rasterize,
+        "sessions": p.q_sessions,
         # training-data family
         "token_count": p.q_token_count,
         "quality": p.q_quality,

@@ -69,18 +69,60 @@ def phash64(img: np.ndarray) -> int:
 
 class PhashStage:
     """Actor-pool stage: decode + perceptual hash per row.
-    Output: (image_id, phash_computed:int64, w, h)."""
+    Output: (image_id, phash_computed:int64, w, h). Same-shaped rows
+    (the common case) hash as ONE vectorized (n,8,8) pass."""
 
     def __init__(self):
-        pass  # codec/model state would load here, once per actor
+        # powers of two for bit packing, built once per actor
+        self._pow = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def _batch_same_shape(self, batch: pa.Table, w: int, h: int) -> np.ndarray:
+        arr = batch["bytes"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        npx = w * h * 3
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+        offs = offs[arr.offset : arr.offset + len(arr) + 1]
+        if not (np.diff(offs) == npx).all():
+            raise ValueError("non-uniform payload sizes")  # caller falls back
+        flat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        imgs = flat[offs[0] : offs[-1]].reshape(len(batch), h, w, 3)
+        luma = (
+            0.299 * imgs[:, :, :, 0]
+            + 0.587 * imgs[:, :, :, 1]
+            + 0.114 * imgs[:, :, :, 2]
+        )
+        yi = (np.arange(8) * h // 8).clip(0, h - 1)
+        xi = (np.arange(8) * w // 8).clip(0, w - 1)
+        small = luma[:, yi][:, :, xi]  # (n,8,8)
+        bits = (
+            small > small.mean(axis=(1, 2), keepdims=True)
+        ).reshape(len(batch), 64)
+        codes = (bits.astype(np.uint64) * self._pow[None, :]).sum(axis=1)
+        return codes.astype(np.uint64).view(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        imgs = decode_raw_batch(batch)
-        hashes = [phash64(im) for im in imgs]
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = set(batch["fmt"].to_pylist())
+        if fmts == {"raw"} and len(set(ws)) == 1 and len(set(hs)) == 1:
+            try:
+                hashes = self._batch_same_shape(
+                    batch, int(ws[0]), int(hs[0])
+                )
+                col = pa.array(hashes)
+            except ValueError:
+                imgs = decode_raw_batch(batch)
+                col = pa.array(
+                    [phash64(im) for im in imgs], type=pa.int64()
+                )
+        else:
+            imgs = decode_raw_batch(batch)
+            col = pa.array([phash64(im) for im in imgs], type=pa.int64())
         return pa.table(
             {
                 "image_id": batch["image_id"],
-                "phash_computed": pa.array(hashes, type=pa.int64()),
+                "phash_computed": col,
                 "w": batch["w"],
                 "h": batch["h"],
             }

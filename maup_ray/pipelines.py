@@ -358,6 +358,15 @@ def q_image_phash(sf_dir: str):
     )
 
 
+def q_sessions(sf_dir: str):
+    """Gap-based sessionization of the events stream (30-min gap)."""
+    from .ops.sessions import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = sessionize(ds, gap_minutes=30.0)
+    return out
+
+
 KNN_K = 3
 RASTER_RES = 4
 
@@ -579,6 +588,25 @@ def oracle_queries() -> dict[str, str]:
                    count(*) AS n,
                    sum(CAST(round(value*100, 0) AS BIGINT)) AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "sessions": """
+            WITH ordered AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 30*60*1000000
+                     THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            tagged AS (
+              SELECT user_id, ts,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM ordered)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM tagged GROUP BY user_id, session_id
         """,
         "knn": f"""
             WITH pts AS (

@@ -159,3 +159,27 @@ class TestE2:
         assert out["SEN18D"].to_pandas().sum() == pytest.approx(
             float(blocks["TOTPOP"].to_pandas().sum()), rel=1e-9
         )
+
+
+class TestSessions:
+    def test_gap_sessionization(self, ray_session):
+        import pandas as pd
+
+        from maup_ray.ops.sessions import sessionize
+
+        ts = pd.to_datetime(
+            [
+                "2024-01-01 00:00", "2024-01-01 00:10",  # session 1
+                "2024-01-01 01:00",                        # session 2 (50min gap)
+                "2024-01-01 01:20", "2024-01-01 01:49",  # session 2 cont.
+            ]
+        )
+        t = pa.table(
+            {
+                "user_id": pa.array([7] * 5, type=pa.int64()),
+                "ts": pa.array(ts),
+            }
+        )
+        out = sessionize(t, gap_minutes=30).to_pydict()
+        assert out["session_id"] == [1, 2]
+        assert out["n_events"] == [2, 3]
