@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["embedding_matrix", "brute_topk", "lsh_topk"]
+__all__ = ["embedding_matrix", "brute_topk", "lsh_topk", "ivf_topk"]
 
 
 def embedding_matrix(batch: pa.Table, col="embedding") -> np.ndarray:
@@ -77,6 +77,98 @@ def brute_topk(
     def final(df):
         import pandas as pd
 
+        df = df.sort_values(
+            ["sim", id_col], ascending=[False, True], kind="stable"
+        ).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[[query_id_col, id_col, "rank"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(query_id_col)
+        .map_groups(final)
+    )
+
+
+def ivf_topk(
+    ds,
+    queries: pa.Table,
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    kmeans_iters: int = 5,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 99,
+):
+    """IVF (inverted-file) approximate top-k — the other scale path.
+
+    Coarse quantizer: k-means (fixed seeded init, fixed iterations —
+    deterministic) trained on a bounded sample pulled once; centroids
+    broadcast. Each corpus batch assigns rows to their nearest centroid
+    and computes similarities only for queries probing that centroid
+    (each query probes its ``n_probe`` nearest centroids). Partial
+    top-k per batch, grouped merge — same shuffle shape as brute_topk
+    but touching ~n_probe/n_centroids of the corpus per query.
+    """
+    import ray
+
+    qm = _normalize(embedding_matrix(queries, col))
+    qids = queries[query_id_col].to_numpy(zero_copy_only=False)
+    # --- train coarse quantizer on a bounded deterministic sample
+    sample_tbl = pa.concat_tables(
+        [ray.get(r) for r in ds.limit(sample_size).to_arrow_refs()]
+    )
+    X = _normalize(embedding_matrix(sample_tbl, col))
+    rng = np.random.RandomState(seed)
+    init = rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)
+    C = X[init].copy()
+    for _ in range(kmeans_iters):
+        a = np.argmax(X @ C.T, axis=1)  # cosine assignment
+        for j in range(len(C)):
+            pts = X[a == j]
+            if len(pts):
+                m = pts.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[j] = m / n
+    probe_sets = np.argsort(-(qm @ C.T), axis=1)[:, :n_probe]
+    cent_to_q: dict[int, list[int]] = {}
+    for qi, cents in enumerate(probe_sets):
+        for c in cents:
+            cent_to_q.setdefault(int(c), []).append(qi)
+    state_ref = ray.put((qids, qm, C, cent_to_q))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids_, qm_, C_, cent_to_q_ = ray.get(state_ref)
+        cm = _normalize(embedding_matrix(batch, col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        assign_c = np.argmax(cm @ C_.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for c in np.unique(assign_c):
+            quers = cent_to_q_.get(int(c))
+            if not quers:
+                continue
+            rows = np.nonzero(assign_c == c)[0]
+            sims = cm[rows] @ qm_[quers].T
+            kk = min(k, len(rows))
+            for jj, qi in enumerate(quers):
+                top = np.argpartition(-sims[:, jj], kk - 1)[:kk]
+                out_q.extend([qids_[qi]] * len(top))
+                out_v.extend(ids[rows[top]].tolist())
+                out_s.extend(sims[top, jj].tolist())
+        return pa.table(
+            {
+                query_id_col: pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_v),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    def final(df):
         df = df.sort_values(
             ["sim", id_col], ascending=[False, True], kind="stable"
         ).head(k)

@@ -240,3 +240,47 @@ class TestMedia:
         )
         with pytest.raises(NotImplementedError):
             decode_raw_batch(t)
+
+
+class TestIVF:
+    def test_ivf_finds_planted_near_duplicates(self, ray_session):
+        import ray.data
+
+        from maup_ray.vector.ann import ivf_topk
+
+        rng = np.random.RandomState(8)
+        base = rng.normal(size=(5, 16))
+        noise = rng.normal(size=(300, 16))
+        corpus_vecs = np.vstack(
+            [base + rng.normal(scale=0.05, size=base.shape), noise]
+        )
+        corpus = pa.table(
+            {
+                "vec_id": pa.array(
+                    range(100, 100 + len(corpus_vecs)), type=pa.int64()
+                ),
+                "embedding": pa.array(
+                    [list(map(float, e)) for e in corpus_vecs],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        queries = pa.table(
+            {
+                "query_id": pa.array(range(5), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, e)) for e in base],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        out = ivf_topk(
+            ray.data.from_arrow(corpus), queries, k=3,
+            n_centroids=16, n_probe=4,
+        ).to_pandas()
+        found = 0
+        for q in range(5):
+            tops = out[out.query_id == q].sort_values("rank")
+            if len(tops) and tops["vec_id"].iloc[0] == 100 + q:
+                found += 1
+        assert found >= 4
