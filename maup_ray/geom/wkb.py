@@ -111,6 +111,54 @@ def encode_quads_bulk(qx: np.ndarray, qy: np.ndarray) -> "pa.Array":
     ).cast(pa.binary())
 
 
+_QUAD_SIZE = 1 + 4 + 4 + 4 + 5 * 16
+_QUAD_HEADER = _HDR.pack(1, 3) + _U32.pack(1) + _U32.pack(5)
+
+
+def decode_quads_bulk(arr) -> np.ndarray | None:
+    """Fast path for Arrow binary columns holding uniform single-ring
+    quad WKBs (the encode_quads_bulk layout): returns (n, 4, 2) CCW
+    float64 vertex arrays in ONE numpy pass, or None when the column
+    isn't uniform quads (caller falls back to per-row decode)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0 or arr.null_count:
+        return None
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    offs = offs[arr.offset : arr.offset + n + 1]
+    if not (np.diff(offs) == _QUAD_SIZE).all():
+        return None
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    rows = data[offs[0] : offs[-1]].reshape(n, _QUAD_SIZE)
+    header = np.frombuffer(_QUAD_HEADER, dtype=np.uint8)
+    if not (rows[0, : len(header)] == header).all():
+        return None
+    if n > 1 and not (rows[:, : len(header)] == header[None, :]).all():
+        return None
+    coords = (
+        rows[:, len(header) :]
+        .copy()
+        .view("<f8")
+        .reshape(n, 5, 2)[:, :4]
+    )
+    # normalize to CCW (bulk signed area)
+    x = coords[:, :, 0]
+    y = coords[:, :, 1]
+    sa = (
+        x[:, 0] * (y[:, 1] - y[:, 3])
+        + x[:, 1] * (y[:, 2] - y[:, 0])
+        + x[:, 2] * (y[:, 3] - y[:, 1])
+        + x[:, 3] * (y[:, 0] - y[:, 2])
+    )
+    cw = sa < 0
+    if cw.any():
+        coords[cw] = coords[cw][:, ::-1]
+    return coords
+
+
 class GeomParts:
     """Decoded geometry split by dimension."""
 

@@ -117,11 +117,22 @@ class AssignActor:
 
     def _assign_polygons(self, batch: pa.Table) -> np.ndarray:
         from ..geom.pip import covers_batch
+        from ..geom.wkb import decode_quads_bulk
 
-        geoms = [decode_polygons(b.as_py()) for b in batch[self.geometry_col]]
-        bboxes = np.array(
-            [bounds(g) for g in geoms], dtype=np.float64
-        ).reshape(-1, 4)
+        quads = decode_quads_bulk(batch[self.geometry_col])
+        if quads is not None:
+            # uniform-quad fast path: vertex/bbox arrays in one pass
+            geoms = [[[quads[k]]] for k in range(len(quads))]
+            bboxes = np.concatenate(
+                [quads.min(axis=1), quads.max(axis=1)], axis=1
+            )
+        else:
+            geoms = [
+                decode_polygons(b.as_py()) for b in batch[self.geometry_col]
+            ]
+            bboxes = np.array(
+                [bounds(g) for g in geoms], dtype=np.float64
+            ).reshape(-1, 4)
         si, ti = self.index.candidates_for_bboxes(bboxes)
         n = len(geoms)
         out = np.full(n, -1, dtype=np.int64)
