@@ -30,7 +30,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SCALING_CPUS = (4, 16)
-BLOCK_ROWS_PER_LINEITEM = 2  # headline rows = 2× lineitem rows of the sf
+BLOCK_ROWS_PER_LINEITEM = 6  # headline rows = 6× lineitem rows of the sf
 # (≥1M rows at sf0.1 — short runs under-amortize worker spawn and the
 # straggler tail, which depresses measured scaling efficiency)
 
@@ -144,11 +144,11 @@ def main():
         results = {}
         for cpus in SCALING_CPUS:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
-            # best of 2 runs per leg: the sandbox VM is noisy (shared
-            # host); we measure capability at each parallelism, not the
-            # noise draw
+            # best of 3 runs per leg: the sandbox VM is noisy (shared
+            # host, ambient loadavg swings of 5-15); we measure
+            # capability at each parallelism, not the noise draw
             best = None
-            for _ in range(2):
+            for _ in range(3):
                 out = subprocess.run(
                     [
                         sys.executable,

@@ -138,6 +138,42 @@ def _proper_crossings(a_geom, b_geom) -> bool:
     return bool(proper.any())
 
 
+def covers_quads_batch(
+    target_geom, quads: np.ndarray, eps: float = 1e-12
+) -> np.ndarray:
+    """covers_batch specialized for uniform (n,4,2) quad arrays: vertex
+    and edge arrays come straight from the bulk array — no per-source
+    list building (the hot path after bulk WKB decode)."""
+    target_geom = ensure_multi(target_geom)
+    n = len(quads)
+    if n == 0 or not target_geom:
+        return np.zeros(n, dtype=bool)
+    verts = quads.reshape(-1, 2)
+    inside = points_in_multipolygon(verts, target_geom, True, eps)
+    result = inside.reshape(n, 4).all(axis=1)
+    if result.any():
+        t0, t1 = _segments(target_geom)
+        idx = np.nonzero(result)[0]
+        e0 = quads[idx].reshape(-1, 2)
+        e1 = np.roll(quads[idx], -1, axis=1).reshape(-1, 2)
+        crossing = _proper_crossing_mask(e0, e1, t0, t1)
+        if crossing.any():
+            bad = np.unique(
+                np.repeat(idx, 4)[crossing]
+            )
+            result[bad] = False
+    if any(len(poly) > 1 for poly in target_geom) and result.any():
+        from .core import representative_point
+
+        for k in np.nonzero(result)[0]:
+            rp = representative_point([[quads[k]]])
+            if not points_in_multipolygon(
+                np.array([rp]), target_geom, True, eps
+            )[0]:
+                result[k] = False
+    return result
+
+
 def covers_batch(target_geom, sources, eps: float = 1e-12) -> np.ndarray:
     """Vectorized ``covers(target, s) for s in sources``.
 

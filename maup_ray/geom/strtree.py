@@ -65,14 +65,23 @@ class BBoxTree:
         m = len(q)
         if self.n == 0 or m == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
-        if self.n * m <= 4_000_000 or not self.levels:
-            qi, ti = np.nonzero(
-                (q[:, None, 0] <= self.bboxes[None, :, 2])
-                & (q[:, None, 2] >= self.bboxes[None, :, 0])
-                & (q[:, None, 1] <= self.bboxes[None, :, 3])
-                & (q[:, None, 3] >= self.bboxes[None, :, 1])
-            )
-            return qi, ti
+        if self.n <= 4096 or not self.levels:
+            # chunked flat broadcast: beats per-query tree descent for
+            # small indexed sides at any query count
+            b = self.bboxes
+            out_q, out_t = [], []
+            chunk = max(1, 8_000_000 // max(self.n, 1))
+            for s in range(0, m, chunk):
+                qc = q[s : s + chunk]
+                qi, ti = np.nonzero(
+                    (qc[:, None, 0] <= b[None, :, 2])
+                    & (qc[:, None, 2] >= b[None, :, 0])
+                    & (qc[:, None, 1] <= b[None, :, 3])
+                    & (qc[:, None, 3] >= b[None, :, 1])
+                )
+                out_q.append(qi + s)
+                out_t.append(ti)
+            return np.concatenate(out_q), np.concatenate(out_t)
         # hierarchical: descend level by level per query chunk
         out_q, out_t = [], []
         ls = self.leaf_size

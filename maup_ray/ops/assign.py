@@ -143,15 +143,22 @@ class AssignActor:
         cover_count = np.zeros(n, dtype=np.int64)
         cover_first = np.full(n, -1, dtype=np.int64)
         if self.phase in ("full", "covering"):
+            from ..geom.pip import covers_quads_batch
+
             # per-target batched covers: one PIP + one crossing broadcast
             # per target over ALL its candidate sources (hot-path
             # vectorization; semantics identical to per-pair covers)
             t_bounds = np.searchsorted(ti_t, np.arange(self.index.n + 1))
             for t in np.unique(ti_t):
                 sl = si_t[t_bounds[t] : t_bounds[t + 1]]
-                res = covers_batch(
-                    self.index.geom(t), [geoms[s] for s in sl]
-                )
+                if quads is not None:
+                    res = covers_quads_batch(
+                        self.index.geom(t), quads[sl]
+                    )
+                else:
+                    res = covers_batch(
+                        self.index.geom(t), [geoms[s] for s in sl]
+                    )
                 hit = sl[res]
                 cover_count[hit] += 1
                 # targets iterate ascending → first cover = smallest id
