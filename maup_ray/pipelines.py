@@ -418,7 +418,7 @@ def _defect_grid(sf_dir: str) -> pa.Table:
     from .geom.wkb import encode_polygon
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    k = max(4, min(12, int(np.sqrt(n_docs) // 4)))
+    k = max(4, min(8, int(np.sqrt(n_docs) // 4)))
     rng = np.random.RandomState(2023)
     ids, geoms = [], []
     for x in range(k):
