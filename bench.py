@@ -169,11 +169,17 @@ def main():
         eff = (
             results[hi]["rows_per_sec"] / results[lo]["rows_per_sec"]
         ) / (hi / lo)
+        try:
+            with open("/proc/loadavg") as f:
+                loadavg = float(f.read().split()[0])
+        except OSError:
+            loadavg = None
         print(
             json.dumps(
                 {
                     "metric": "assign+prorate block-table throughput scaling",
                     "sf_dir": SF_DIR,
+                    "ambient_loadavg": loadavg,
                     "rows": results[hi]["rows"],
                     f"rows_per_sec_{lo}cpu": round(
                         results[lo]["rows_per_sec"], 1
