@@ -141,6 +141,13 @@ def main():
         print(json.dumps(run_headline(NUM_CPUS)))
         return
     if "--scaling" in sys.argv:
+        # sample ambient load BEFORE the legs run (the legs themselves
+        # drive loadavg up; the pre-run value is the ambient signal)
+        try:
+            with open("/proc/loadavg") as f:
+                pre_loadavg = float(f.read().split()[0])
+        except OSError:
+            pre_loadavg = None
         results = {}
         for cpus in SCALING_CPUS:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
@@ -169,17 +176,12 @@ def main():
         eff = (
             results[hi]["rows_per_sec"] / results[lo]["rows_per_sec"]
         ) / (hi / lo)
-        try:
-            with open("/proc/loadavg") as f:
-                loadavg = float(f.read().split()[0])
-        except OSError:
-            loadavg = None
         print(
             json.dumps(
                 {
                     "metric": "assign+prorate block-table throughput scaling",
                     "sf_dir": SF_DIR,
-                    "ambient_loadavg": loadavg,
+                    "ambient_loadavg": pre_loadavg,
                     "rows": results[hi]["rows"],
                     f"rows_per_sec_{lo}cpu": round(
                         results[lo]["rows_per_sec"], 1
