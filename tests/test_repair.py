@@ -235,3 +235,30 @@ class TestAbsorb:
         a = areas_of(out)
         # equal shared edges (len 1 each) → tie → first sorted target
         assert a["left"] == 2.0 and a["right"] == 2.0
+
+
+class TestConcave:
+    def test_l_shape_overlap_and_repair(self):
+        # concave L + square overlapping its notch corner + detached bar:
+        # no hidden convexity assumptions in the repair family
+        L = np.array(
+            [[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3]], dtype=float
+        )
+        notch_sq = np.array(
+            [[0.9, 0.9], [2, 0.9], [2, 2], [0.9, 2]], dtype=float
+        )
+        bar = np.array([[0, 3.1], [3, 3.1], [3, 4], [0, 4]], dtype=float)
+        t = tbl(["L", "sq", "bar"], [L, notch_sq, bar])
+        assert doctor(t)["n_overlaps"] == 1
+        out = resolve_overlaps(t, None)
+        assert doctor(out)["n_overlaps"] == 0
+        a = areas_of(out)
+        # union(L, sq) = 5 + 1.21 - 0.21 = 6.0 conserved; bar untouched
+        assert a["L"] + a["sq"] == pytest.approx(6.0, abs=1e-9)
+        assert a["bar"] == pytest.approx(2.7, abs=1e-9)
+        from maup_ray.ops.smart_repair import smart_repair_table
+
+        sm = smart_repair_table(t, fill_gaps_threshold=None)
+        dd = doctor(sm)
+        assert dd["ok"]
+        assert sum(areas_of(sm).values()) == pytest.approx(8.7, abs=1e-9)
