@@ -261,4 +261,5 @@ class TestConcave:
         sm = smart_repair_table(t, fill_gaps_threshold=None)
         dd = doctor(sm)
         assert dd["ok"]
-        assert sum(areas_of(sm).values()) == pytest.approx(8.7, abs=1e-9)
+        # smart_repair snaps to a 1e-8 grid (non-dyadic inputs move)
+        assert sum(areas_of(sm).values()) == pytest.approx(8.7, abs=1e-6)
