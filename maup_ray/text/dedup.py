@@ -133,15 +133,24 @@ def minhash_signatures_batch(
 ) -> pa.Table:
     """(id, sig: list<uint64 as int64>[num_perm])."""
     a, b_ = _perm_params(num_perm)
-    sigs = np.empty((len(batch), num_perm), dtype=np.uint64)
-    for i, v in enumerate(batch[text_col]):
-        sh = char_shingle_hashes(v.as_py(), shingle_k) & _P61
-        if len(sh) == 0:
-            sigs[i] = 0
-            continue
-        # (a*x + b) mod p for each perm — (num_perm, n_shingles)
-        vals = (a[:, None] * sh[None, :] + b_[:, None]) % _P61
-        sigs[i] = vals.min(axis=1)
+    n = len(batch)
+    # batch-vectorized: concatenate every doc's shingle hashes, then for
+    # each permutation do ONE pass + minimum.reduceat per doc (no
+    # per-doc × per-perm python loop)
+    sh_list = [
+        char_shingle_hashes(v.as_py(), shingle_k) & _P61
+        for v in batch[text_col]
+    ]
+    counts = np.array([len(s) for s in sh_list], dtype=np.int64)
+    sigs = np.zeros((n, num_perm), dtype=np.uint64)
+    nonempty = counts > 0
+    if nonempty.any():
+        allsh = np.concatenate([s for s in sh_list if len(s)])
+        offs = np.zeros(int(nonempty.sum()) + 1, dtype=np.int64)
+        np.cumsum(counts[nonempty], out=offs[1:])
+        for p in range(num_perm):
+            vals = (a[p] * allsh + b_[p]) % _P61
+            sigs[nonempty, p] = np.minimum.reduceat(vals, offs[:-1])
     return pa.table(
         {
             id_col: batch[id_col],
