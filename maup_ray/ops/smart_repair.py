@@ -46,6 +46,107 @@ def _shared_len(a, b) -> float:
     return ln
 
 
+def _ear_clip(ring: np.ndarray):
+    """O(n²) ear clipping of a simple CCW ring → list of index triples
+    (ref analogue: triangulate_polygon, smart_repair.py:2312-2345)."""
+    n = len(ring)
+    idx = list(range(n))
+    tris = []
+    guard = 0
+    while len(idx) > 3 and guard < 4 * n * n:
+        guard += 1
+        m = len(idx)
+        clipped = False
+        for pos in range(m):
+            a, b, c = idx[(pos - 1) % m], idx[pos], idx[(pos + 1) % m]
+            pa_, pb, pc = ring[a], ring[b], ring[c]
+            cross = (pb[0] - pa_[0]) * (pc[1] - pa_[1]) - (
+                pb[1] - pa_[1]
+            ) * (pc[0] - pa_[0])
+            if cross <= 0:
+                continue  # reflex or degenerate
+            # no other active vertex strictly inside the candidate ear
+            ok = True
+            for other in idx:
+                if other in (a, b, c):
+                    continue
+                p = ring[other]
+                d1 = (pb[0] - pa_[0]) * (p[1] - pa_[1]) - (pb[1] - pa_[1]) * (p[0] - pa_[0])
+                d2 = (pc[0] - pb[0]) * (p[1] - pb[1]) - (pc[1] - pb[1]) * (p[0] - pb[0])
+                d3 = (pa_[0] - pc[0]) * (p[1] - pc[1]) - (pa_[1] - pc[1]) * (p[0] - pc[0])
+                if d1 > 0 and d2 > 0 and d3 > 0:
+                    ok = False
+                    break
+            if ok:
+                tris.append((a, b, c))
+                idx.pop(pos)
+                clipped = True
+                break
+        if not clipped:
+            return None  # degenerate ring; caller falls back
+    if len(idx) == 3:
+        tris.append(tuple(idx))
+    return tris
+
+
+def _triangle_split(gap, out_geoms, neighbors, edge_owner):
+    """Non-star gaps: ear-clip triangulation; triangles seeded by the
+    owner of the boundary edge they contain, remaining triangles BFS
+    from edge-adjacent assigned ones. Returns [(owner, MultiPolygon)]
+    or None."""
+    ring = gap[0]
+    m = len(ring)
+    tris = _ear_clip(ring)
+    if tris is None:
+        return None
+    owner_of = {}
+    # seed: triangle containing original boundary edge(s) (i, i+1) —
+    # when a triangle contains several (different owners), the LONGEST
+    # edge's owner wins
+    for t_i, (a, b, c) in enumerate(tris):
+        best_len = -1.0
+        for (u, v) in ((a, b), (b, c), (c, a)):
+            if (v - u) % m == 1:  # original ring edge u→u+1
+                ln = float(np.hypot(*(ring[v] - ring[u])))
+                if ln > best_len:
+                    best_len = ln
+                    owner_of[t_i] = edge_owner[u]
+    # BFS over shared (chord) edges
+    import collections
+
+    def edges_of(t):
+        a, b, c = t
+        return [
+            tuple(sorted(e)) for e in ((a, b), (b, c), (c, a))
+        ]
+
+    edge_to_tris = collections.defaultdict(list)
+    for t_i, t in enumerate(tris):
+        for e in edges_of(t):
+            edge_to_tris[e].append(t_i)
+    queue = collections.deque(owner_of)
+    while queue:
+        t_i = queue.popleft()
+        for e in edges_of(tris[t_i]):
+            for t_j in edge_to_tris[e]:
+                if t_j not in owner_of:
+                    owner_of[t_j] = owner_of[t_i]
+                    queue.append(t_j)
+    if len(owner_of) != len(tris):
+        return None
+    groups: dict[int, list] = {}
+    for t_i, (a, b, c) in enumerate(tris):
+        groups.setdefault(owner_of[t_i], []).append(
+            np.array([ring[a], ring[b], ring[c]])
+        )
+    out = []
+    for own, tris_pts in groups.items():
+        merged = boolean.union_all([[[t]] for t in tris_pts])
+        if merged:
+            out.append((own, merged))
+    return out
+
+
 def _fan_split(gap, out_geoms, neighbors, garea):
     """Partition a (single-shell) gap among its neighbors: fan polygons
     from the gap's representative point to each maximal boundary run
@@ -87,6 +188,7 @@ def _fan_split(gap, out_geoms, neighbors, garea):
         runs.append((int(ow[s]), s + rot, m - 1 + rot))
     fans = []
     total = 0.0
+    star_ok = True
     for own, a, b in runs:
         idxs = [(k) % m for k in range(a, b + 2)]  # run verts + next
         pts = np.vstack([C[None, :], ring[idxs]])
@@ -96,13 +198,16 @@ def _fan_split(gap, out_geoms, neighbors, garea):
         fan = [poly]
         fa = poly_area(fan)
         if fa <= 0:
-            return None  # degenerate/inverted fan: not star-shaped
+            star_ok = False  # degenerate/inverted fan: not star-shaped
+            break
         total += fa
         fans.append((own, fan))
     # fans must tile the gap exactly (star-shaped test)
-    if abs(total - garea) > 1e-9 * max(garea, 1.0):
-        return None
-    return fans
+    if star_ok and abs(total - garea) <= 1e-9 * max(garea, 1.0):
+        return fans
+    # non-star gap: triangulate and assign triangles by boundary-edge
+    # owner (the reference's triangulation fallback)
+    return _triangle_split(gap, out_geoms, neighbors, owner)
 
 
 def smart_repair_table(
@@ -195,7 +300,29 @@ def smart_repair_table(
     # splitting, smart_repair.py:1094-1359); whole-gap absorb by
     # greatest shared perimeter otherwise.
     if fill_gaps:
-        gaps = boolean.holes_of_union([g for g in out_geoms if g])
+        holes = boolean.holes_of_union([g for g in out_geoms if g])
+        gaps = []
+        for hole in holes:
+            # a hole of the union may CONTAIN island geometries (e.g. a
+            # filler polygon inside an annular gap) — the true gap is
+            # the hole minus any geometry residing in it
+            from ..geom.core import bounds as gbounds
+
+            hb = gbounds([hole])
+            residents = [
+                g
+                for g in out_geoms
+                if g
+                and (lambda b: b[0] >= hb[0] and b[1] >= hb[1]
+                     and b[2] <= hb[2] and b[3] <= hb[3])(gbounds(g))
+            ]
+            if residents:
+                region = boolean.difference(
+                    [hole], boolean.union_all(residents)
+                )
+                gaps.extend(region)  # explode MultiPolygon parts
+            else:
+                gaps.append(hole)
         for gap in gaps:
             garea = poly_area([gap])
             neighbors = [

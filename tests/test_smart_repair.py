@@ -157,3 +157,64 @@ class TestFanGapSplit:
         gained = [i for i, a in areas.items() if a > 1.0 + 1e-12]
         assert len(gained) == 4  # all edge-neighbors share the gap
         assert doctor(out)["ok"]
+
+
+class TestNonStarGaps:
+    def test_annular_gap_with_island(self):
+        # hole-of-union contains an island geometry: the true gap is the
+        # annulus; whole-absorb applies (ring-with-hole gap), exact area
+        cells, ids = [], []
+        for x in range(5):
+            for y in range(5):
+                if 1 <= x <= 3 and 1 <= y <= 3:
+                    continue
+                cells.append(sq(x, y, x + 1, y + 1))
+                ids.append(f"f{x}{y}")
+        cells.append(sq(2, 2, 3, 3))
+        ids.append("fill")
+        t = pa.table(
+            {
+                "id": ids,
+                "geometry": pa.array(
+                    [encode_polygon([c]) for c in cells], type=pa.binary()
+                ),
+            }
+        )
+        out = smart_repair_table(t, fill_gaps_threshold=None)
+        post = doctor(out)
+        assert post["ok"]
+        total = sum(
+            parea(decode_polygons(b.as_py())) for b in out["geometry"]
+        )
+        assert total == pytest.approx(25.0, abs=1e-9)
+
+    def test_u_shaped_gap_triangulated(self):
+        # non-star U gap: triangulation fallback splits it among several
+        # neighbors (not one absorber), exact area, doctor clean
+        cells = {
+            "A": sq(0, 0, 5, 1),
+            "B": sq(0, 1, 1, 4),
+            "C": sq(4, 1, 5, 4),
+            "D": sq(1, 3, 4, 4),
+            "E": sq(2, 2, 3, 3),
+        }
+        t = pa.table(
+            {
+                "id": list(cells),
+                "geometry": pa.array(
+                    [encode_polygon([c]) for c in cells.values()],
+                    type=pa.binary(),
+                ),
+            }
+        )
+        out = smart_repair_table(t, fill_gaps_threshold=None)
+        post = doctor(out)
+        assert post["ok"]
+        areas = {
+            i: parea(decode_polygons(b.as_py()))
+            for i, b in zip(out["id"].to_pylist(), out["geometry"])
+        }
+        assert sum(areas.values()) == pytest.approx(20.0, abs=1e-9)
+        originals = {"A": 5.0, "B": 3.0, "C": 3.0, "D": 3.0, "E": 1.0}
+        gainers = [i for i in areas if areas[i] > originals[i] + 1e-9]
+        assert len(gainers) >= 3  # split among several, not one absorber
