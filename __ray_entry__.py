@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # maup spatial family (SQL-oracled, value-exact by construction)
         "assign_points": p.q_assign_points,
+        "assign_blocks": p.q_assign_blocks,
         "pieces": p.q_pieces,
         "assign_by_area": p.q_assign_by_area,
         "normalize": p.q_normalize,

@@ -152,6 +152,26 @@ def q_assign_by_area(sf_dir: str):
     )
 
 
+def q_assign_blocks(sf_dir: str):
+    """FULL two-phase assign (op 1) on block rectangles: covering
+    phase (source ⊆ district) with area-argmax fallback for
+    straddlers — the flagship composition under the SQL oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        derive_rects, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(_rect_geometry_table, batch_format="pyarrow")
+    out = assign(
+        ds,
+        _districts(),
+        source_id_col="source_id",
+        target_id_col="district_id",
+        targets_id_col="district_id",
+        concurrency=8,
+    )
+    return out.select_columns(["source_id", "district_id"]).rename_columns(
+        ["doc_id", "district_id"]
+    )
+
+
 def q_normalize(sf_dir: str):
     """Per-source weight normalization (op 7): weight = area/Σarea.
     Exact-dyadic sums + one IEEE division → bit-identical to SQL."""
@@ -544,6 +564,28 @@ def oracle_queries() -> dict[str, str]:
                                    ORDER BY area DESC, district_id) AS rn
               FROM pieces WHERE area > 0)
             SELECT doc_id, district_id FROM ranked WHERE rn = 1
+        """,
+        "assign_blocks": f"""
+            WITH {_rects_cte()},
+            covering AS (
+              SELECT s.doc_id, d.district_id FROM srcs s JOIN dist d
+                ON s.sminx >= d.minx AND s.smaxx <= d.maxx
+               AND s.sminy >= d.miny AND s.smaxy <= d.maxy),
+            cov AS (SELECT doc_id, min(district_id) AS district_id,
+                           count(*) AS c
+                    FROM covering GROUP BY doc_id),
+            area_pick AS (
+              SELECT doc_id, district_id FROM (
+                SELECT doc_id, district_id,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY area DESC, district_id) AS rn
+                FROM pieces WHERE area > 0) WHERE rn = 1)
+            SELECT s.doc_id,
+                   CASE WHEN cov.c = 1 THEN cov.district_id
+                        ELSE area_pick.district_id END AS district_id
+            FROM srcs s
+            LEFT JOIN cov USING (doc_id)
+            LEFT JOIN area_pick USING (doc_id)
         """,
         "normalize": f"""
             WITH {_rects_cte()},
