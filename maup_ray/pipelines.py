@@ -259,12 +259,23 @@ def q_events_hourly(sf_dir: str):
 
     from ray.data.aggregate import Count, Sum
 
+    def fix_unit(batch: pa.Table) -> pa.Table:
+        # Ray's hash aggregate round-trips the hour through timestamp[s];
+        # the DuckDB oracle (date_trunc) emits timestamp[us]. Same
+        # instants, different physical int64s -> driver hash mismatch.
+        # Cast back to us so the value-hash is bit-identical (VERDICT r1 #1).
+        idx = batch.schema.get_field_index("hour")
+        return batch.set_column(
+            idx, "hour", pc.cast(batch["hour"], pa.timestamp("us"))
+        )
+
     return (
         ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["event_type", "hour"])
         .aggregate(
             Count(alias_name="n"), Sum(on="value_cents", alias_name="value_cents")
         )
+        .map_batches(fix_unit, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -628,7 +639,8 @@ def oracle_queries() -> dict[str, str]:
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n,
-                   sum(CAST(round(value*100, 0) AS BIGINT)) AS value_cents
+                   CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)
+                       AS value_cents
             FROM events GROUP BY 1, 2
         """,
         "sessions": """

@@ -84,8 +84,11 @@ def districts_sql(n_leaves: int = 64, seed: int = 7) -> str:
     """The same districts as an inline SQL VALUES relation
     d(district_id, minx, miny, maxx, maxy) — the DuckDB oracle side."""
     r = bsp_rects(n_leaves, seed)
+    # CAST the id so the relation carries BIGINT ids (bare VALUES literals
+    # infer INT32; the engine emits int64 and the driver hashes physical
+    # bytes — keep both sides bit-identical)
     rows = ", ".join(
-        f"({i}, {a}.0, {b}.0, {c}.0, {d}.0)"
+        f"(CAST({i} AS BIGINT), {a}.0, {b}.0, {c}.0, {d}.0)"
         for i, (a, b, c, d) in enumerate(r)
     )
     return (

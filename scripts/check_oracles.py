@@ -15,12 +15,38 @@ import pandas as pd
 import pyarrow as pa
 
 
-def to_pandas(obj) -> pd.DataFrame:
-    if isinstance(obj, pd.DataFrame):
-        return obj
+def to_arrow(obj) -> pa.Table:
     if isinstance(obj, pa.Table):
-        return obj.to_pandas()
-    return obj.to_pandas()  # ray Dataset
+        return obj
+    if isinstance(obj, pd.DataFrame):
+        return pa.Table.from_pandas(obj, preserve_index=False)
+    import ray  # ray Dataset
+
+    tabs = [ray.get(r) for r in obj.to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_rows] or tabs[:1]
+    return pa.concat_tables(tabs, promote_options="default")
+
+
+def arrow_schema_match(name: str, got: pa.Table, want: pa.Table) -> bool:
+    """Field-by-field physical-type compare (sorted by name) — catches
+    e.g. timestamp[s] vs timestamp[us], which pandas washes out but the
+    driver's value hash does not (VERDICT r1 events_hourly lesson)."""
+    g = {f.name: f.type for f in got.schema}
+    w = {f.name: f.type for f in want.schema}
+    ok = True
+    for col in sorted(set(g) | set(w)):
+        gt, wt = g.get(col), w.get(col)
+        if gt is None or wt is None or gt != wt:
+            # large_string vs string etc. hash the same value bytes
+            if gt is not None and wt is not None and (
+                pa.types.is_string(gt) and pa.types.is_string(wt)
+                or pa.types.is_large_string(gt) and pa.types.is_string(wt)
+                or pa.types.is_string(gt) and pa.types.is_large_string(wt)
+            ):
+                continue
+            print(f"  [{name}] ARROW TYPE MISMATCH col {col}: {gt} vs {wt}")
+            ok = False
+    return ok
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -90,12 +116,14 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        got = to_pandas(fn(sf_dir))
+        got_t = to_arrow(fn(sf_dir))
+        got = got_t.to_pandas()
         if name not in oracles:
             print(f"[{name}] rows-only: {len(got)} rows")
             continue
-        want = con.sql(oracles[name]).df()
-        if compare(name, got, want):
+        want_t = con.sql(oracles[name]).arrow()
+        want = want_t.to_pandas()
+        if arrow_schema_match(name, got_t, want_t) & compare(name, got, want):
             print(f"[{name}] OK ({len(got)} rows)")
             n_pass += 1
         else:
