@@ -157,17 +157,22 @@ def with_hot_cell_split(
         y = batch[y_col].to_numpy()
         cells = grid.cell_of_points(x, y, base_res)
         if res_map:
-            for extra in range(1, max_extra_levels + 1):
-                hot = np.array(
-                    [int(c) in res_map and res_map[int(c)] >= extra for c in cells]
-                )
-                if not hot.any():
-                    break
-                finer = grid.cell_of_points(
-                    x[hot], y[hot], base_res + extra
-                )
+            # res_map is keyed by BASE-res cell ids: look each row's base
+            # cell up once and jump straight to its final refined level.
+            # (Iteratively re-testing already-refined ids against the
+            # base-keyed map made levels >= 2 unreachable — ADVICE r1.)
+            levels = np.fromiter(
+                (res_map.get(int(c), 0) for c in cells),
+                dtype=np.int64,
+                count=len(cells),
+            )
+            if levels.any():
                 cells = cells.copy()
-                cells[hot] = finer
+                for extra in np.unique(levels[levels > 0]):
+                    m = levels == extra
+                    cells[m] = grid.cell_of_points(
+                        x[m], y[m], base_res + int(extra)
+                    )
         if "cell" in batch.column_names:
             i = batch.column_names.index("cell")
             return batch.set_column(
@@ -177,20 +182,59 @@ def with_hot_cell_split(
             "cell", pa.array(cells, type=pa.uint64())
         )
 
-    # probe pass: count per base-res cell (key columns only)
+    # probe pass: count at the FINEST candidate resolution (key columns
+    # only — no payload moves), then roll counts up driver-side. The
+    # finest-count table is small (occupied cells only) and gives the
+    # true per-subtree distribution, so the chosen level actually bounds
+    # every descendant partition — a log4(n/max_rows) estimate from
+    # base-res counts assumes uniform spread and fails on point masses.
+    import pandas as pd
+
     probe = (
         ds.select_columns([x_col, y_col])
-        .map_batches(key_at, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            lambda b: key_at(b, None, res + max_extra_levels),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         .groupby("cell")
         .aggregate(Count(alias_name="n"))
         .to_pandas()
     )
-    hot = probe[probe["n"] > max_rows]
-    res_map = {}
-    for c, n in zip(hot["cell"], hot["n"]):
-        # levels needed so children fall under max_rows (4x fanout/level)
-        extra = int(np.ceil(np.log(n / max_rows) / np.log(4)))
-        res_map[int(c)] = min(max(extra, 1), max_extra_levels)
+    counts_by_extra = {max_extra_levels: probe}
+    cur = probe
+    for extra in range(max_extra_levels - 1, -1, -1):
+        p = grid.parent(cur["cell"].to_numpy().astype(np.uint64), 1)
+        cur = (
+            pd.DataFrame({"cell": p, "n": cur["n"].to_numpy()})
+            .groupby("cell", as_index=False)["n"]
+            .sum()
+        )
+        counts_by_extra[extra] = cur
+    base_counts = counts_by_extra[0]
+    hot_cells = [
+        int(c)
+        for c, n in zip(base_counts["cell"], base_counts["n"])
+        if n > max_rows
+    ]
+    res_map: dict[int, int] = {}
+    for extra in range(1, max_extra_levels + 1):
+        remaining = [c for c in hot_cells if c not in res_map]
+        if not remaining:
+            break
+        df = counts_by_extra[extra]
+        anc = grid.parent(df["cell"].to_numpy().astype(np.uint64), extra)
+        mx = (
+            pd.DataFrame({"b": anc.astype(np.int64), "n": df["n"].to_numpy()})
+            .groupby("b")["n"]
+            .max()
+        )
+        for c in remaining:
+            # base ids fit in int63 (res<=28 => top bit clear)
+            if mx.get(np.uint64(c).astype(np.int64), np.inf) <= max_rows:
+                res_map[c] = extra
+    for c in hot_cells:  # point masses: best we can do is the finest level
+        res_map.setdefault(c, max_extra_levels)
     return ds.map_batches(
         lambda b: key_at(b, res_map),
         batch_format="pyarrow",

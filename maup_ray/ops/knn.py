@@ -143,8 +143,15 @@ class KnnActor:
                         continue
                     b = self.buckets.get((cx + dx, cy + dy))
                     if b is not None:
-                        cand.append(b)
-                        added += len(b)
+                        # exclude the source's own point BEFORE it can
+                        # contribute to n_cand / best_kth, else d2=0
+                        # stops ring expansion one ring early and true
+                        # neighbors are never gathered (ADVICE r1 high)
+                        if self.exclude_same_id:
+                            b = b[self.tids[b] != sid]
+                        if len(b):
+                            cand.append(b)
+                            added += len(b)
             n_cand += added
             # can any point beyond this ring beat the kth distance?
             ring_dist = ring * cs  # min distance to cells outside ring
@@ -152,10 +159,12 @@ class KnnActor:
                 break
             if n_cand >= self.k or added or ring < 2:
                 idx = np.concatenate(cand) if cand else np.empty(0, np.int64)
-                if len(idx):
+                # best_kth is only meaningful once >= k candidates exist;
+                # with fewer, the (len<k)-th best is an UNDER-estimate of
+                # the true kth distance and stops expansion a ring early
+                if len(idx) >= self.k:
                     d2 = (self.tx[idx] - x) ** 2 + (self.ty[idx] - y) ** 2
-                    kk = min(self.k, len(d2))
-                    best_kth = np.partition(d2, kk - 1)[kk - 1]
+                    best_kth = np.partition(d2, self.k - 1)[self.k - 1]
             ring += 1
             if ring > 64:  # sparse fallback: brute force
                 idx = np.arange(len(self.tx))

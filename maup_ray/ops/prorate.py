@@ -27,7 +27,10 @@ _AGGS = {"sum", "mean", "max", "min"}
 class _ProrateJoin:
     """Per-batch: join data columns on source_id and multiply by weight."""
 
-    def __init__(self, data, columns, source_id_col, target_id_col, weight_col):
+    def __init__(
+        self, data, columns, source_id_col, target_id_col, weight_col,
+        drop_missing=False,
+    ):
         from .assign import _resolve_table
 
         tbl = _resolve_table(data)
@@ -37,11 +40,25 @@ class _ProrateJoin:
         self.source_id_col = source_id_col
         self.target_id_col = target_id_col
         self.weight_col = weight_col
+        self.drop_missing = drop_missing
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sid = batch[self.source_id_col].to_pandas()
+        # When aggregating, drop rows whose source_id is absent from the
+        # data table HERE, so every physical plan agrees with the
+        # reference's skip-NaN aggregation (ref intersections.py:80 +
+        # groupby.agg: pandas sum skips NaN products; Ray's Arrow Sum
+        # would propagate NaN and null the whole target group — ADVICE
+        # r1 medium). In the non-aggregated path (aggregate_by=None) the
+        # NaN rows are preserved, matching the reference's disaggregated
+        # output.
+        if self.drop_missing:
+            present = sid.isin(self.df.index).to_numpy()
+            if not present.all():
+                batch = batch.filter(pa.array(present))
+                sid = sid[present]
         w = batch[self.weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        looked = self.df.reindex(sid)  # missing sources → NaN (ref :80)
+        looked = self.df.reindex(sid)
         cols = {
             self.source_id_col: batch[self.source_id_col],
             self.target_id_col: batch[self.target_id_col],
@@ -85,6 +102,7 @@ def prorate(
         source_id_col=source_id_col,
         target_id_col=target_id_col,
         weight_col=weight_col,
+        drop_missing=aggregate_by is not None,
     )
     if isinstance(relationship, pa.Table):
         out = _ProrateJoin(**join_kwargs)(relationship)
@@ -128,9 +146,15 @@ def _prorate_hash_join(
     num_partitions = max(
         8, int(ray.cluster_resources().get("CPU", 8))
     )
+    # When aggregating, inner join: relationship rows whose source_id is
+    # absent from the data table are dropped — same skip-missing
+    # semantics as the broadcast plan (_ProrateJoin), matching the
+    # reference's skip-NaN aggregation (a left_outer join would
+    # null-poison Arrow Sum groups). Non-aggregated output keeps the
+    # missing rows as NaN like the reference's disaggregated frame.
     joined = relationship.join(
         data,
-        join_type="left_outer",
+        join_type="inner" if aggregate_by is not None else "left_outer",
         num_partitions=num_partitions,
         on=(source_id_col,),
     )

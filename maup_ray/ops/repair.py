@@ -295,14 +295,22 @@ def resolve_overlaps(
         decode_polygons(b.as_py()) for b in overlaps[geometry_col]
     ]
     ou = boolean.union_all(overlap_geoms)
-    # subtract union-of-overlaps only from geometries in overlapping
-    # pairs (others unchanged — pure optimization, same result)
-    touched = set(overlaps["id_i"].to_pylist()) | set(
-        overlaps["id_j"].to_pylist()
-    )
+    # Subtract union-of-overlaps from EVERY geometry like the reference:
+    # with triple overlaps under mixed threshold outcomes, a geometry
+    # whose own pairwise overlaps were all above threshold can still
+    # intersect a kept overlap piece (ADVICE r1 low). Skipping is only
+    # safe when bboxes are disjoint (difference is then the identity).
+    from ..geom.core import bounds as geom_bounds
+
+    obx = geom_bounds(ou)
     shaved = []
-    for i, g in zip(ids, geoms):
-        shaved.append(boolean.difference(g, ou) if i in touched else g)
+    for g in geoms:
+        gb = geom_bounds(g)
+        disjoint = (
+            gb[2] <= obx[0] or obx[2] <= gb[0]
+            or gb[3] <= obx[1] or obx[3] <= gb[1]
+        )
+        shaved.append(g if disjoint else boolean.difference(g, ou))
     shaved_tbl = pa.table(
         {
             id_col: table[id_col],
@@ -359,30 +367,44 @@ def doctor(
     ['ok']."""
     from .adjacencies import count_overlaps
 
+    # The reference iterates the per-shapefile checks over BOTH source
+    # and target when a target is given (repair.py:325-363), and its
+    # union-match test is sym_area != 0 EXACT — mirror both (ADVICE r1).
     checks: dict[str, bool | int | float] = {}
-    geoms = _decode_all(source, geometry_col)
-    checks["all_polygonal"] = all(len(ensure_multi(g)) >= 1 for g in geoms)
-    checks["n_overlaps"] = count_overlaps(source, geometry_col=geometry_col)
-    gaps = boolean.holes_of_union(geoms)
-    checks["n_gaps"] = len(gaps)
-    checks["all_valid"] = all(
-        all(len(r) >= 3 and np.isfinite(r).all() for p in ensure_multi(g) for r in p)
-        for g in geoms
+    tables = [("", source)] + (
+        [("target_", target)] if target is not None else []
     )
+    per: dict[str, dict] = {}
+    for prefix, tbl in tables:
+        geoms = _decode_all(tbl, geometry_col)
+        c: dict[str, bool | int] = {}
+        c["all_polygonal"] = all(len(ensure_multi(g)) >= 1 for g in geoms)
+        c["n_overlaps"] = count_overlaps(tbl, geometry_col=geometry_col)
+        c["n_gaps"] = len(boolean.holes_of_union(geoms))
+        c["all_valid"] = all(
+            all(
+                len(r) >= 3 and np.isfinite(r).all()
+                for p in ensure_multi(g)
+                for r in p
+            )
+            for g in geoms
+        )
+        per[prefix] = c
+        for k, v in c.items():
+            checks[prefix + k] = v
     if target is not None:
-        su = boolean.union_all(geoms)
+        su = boolean.union_all(_decode_all(source, geometry_col))
         tu = boolean.union_all(_decode_all(target, geometry_col))
         sym = boolean.symmetric_difference(su, tu)
-        extent = max(poly_area(su), poly_area(tu), 1.0)
-        checks["union_matches_target"] = (
-            abs(poly_area(sym)) <= 1e-9 * extent
+        checks["union_matches_target"] = poly_area(sym) == 0.0
+    ok = bool(checks.get("union_matches_target", True))
+    for c in per.values():
+        ok = (
+            ok
+            and bool(c["all_polygonal"])
+            and c["n_overlaps"] == 0
+            and (accept_holes or c["n_gaps"] == 0)
+            and bool(c["all_valid"])
         )
-    ok = (
-        bool(checks["all_polygonal"])
-        and checks["n_overlaps"] == 0
-        and (accept_holes or checks["n_gaps"] == 0)
-        and bool(checks["all_valid"])
-        and checks.get("union_matches_target", True)
-    )
     checks["ok"] = ok
     return checks

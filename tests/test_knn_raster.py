@@ -48,6 +48,44 @@ class TestKnn:
         b = b.sort_values(["source_id", "rank"], ignore_index=True)
         assert a.equals(b)
 
+    def test_cells_exclude_self_distant_neighbor(self):
+        # ADVICE r1 (high): with exclude_same_id=True the self point
+        # (d2=0) must not count toward n_cand/best_kth, else ring
+        # expansion stops before the true neighbor two cells away.
+        t = pa.table(
+            {
+                "source_id": pa.array([0, 1], type=pa.int64()),
+                "x": pa.array([5.0, 25.0]),
+                "y": pa.array([5.0, 5.0]),
+            }
+        )
+        tgt = t.rename_columns(["target_id", "x", "y"])
+        for k in (1, 2):
+            got = knn_points(
+                t, tgt, k=k, mode="cells", cell_size=10.0,
+                exclude_same_id=True,
+            ).to_pandas()
+            want = knn_points(
+                t, tgt, k=k, mode="broadcast", exclude_same_id=True
+            ).to_pandas()
+            got = got.sort_values(["source_id", "rank"], ignore_index=True)
+            want = want.sort_values(["source_id", "rank"], ignore_index=True)
+            assert got.equals(want)
+            assert len(got) == 2  # each point finds the other
+
+    def test_cells_exclude_self_matches_broadcast_random(self):
+        t = points(300, seed=11)
+        tgt = t.rename_columns(["target_id", "x", "y"])
+        a = knn_points(
+            t, tgt, k=3, mode="broadcast", exclude_same_id=True
+        ).to_pandas()
+        b = knn_points(
+            t, tgt, k=3, mode="cells", cell_size=60.0, exclude_same_id=True
+        ).to_pandas()
+        a = a.sort_values(["source_id", "rank"], ignore_index=True)
+        b = b.sort_values(["source_id", "rank"], ignore_index=True)
+        assert a.equals(b)
+
     def test_dataset_path(self, ray_session):
         import ray.data
 

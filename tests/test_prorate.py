@@ -101,6 +101,42 @@ class TestProrate:
         out = prorate(rel, data, ["v"], aggregate_by=None).to_pydict()
         assert out["v"][0] == 3.0 and np.isnan(out["v"][1])
 
+    def test_missing_source_same_answer_all_plans(self, ray_session):
+        # ADVICE r1 (medium): a source_id absent from data must not
+        # null-poison the target group in the Dataset plan — pandas
+        # (reference) skips the NaN product; all plans must return 30.0.
+        import ray
+        import ray.data
+
+        rel = pa.table(
+            {
+                "source_id": pa.array([0, 9], type=pa.int64()),
+                "target_id": ["a", "a"],
+                "weight": [1.0, 1.0],
+            }
+        )
+        data = pa.table(
+            {"source_id": pa.array([0], type=pa.int64()), "v": [30.0]}
+        )
+        local = prorate(rel, data, ["v"]).to_pydict()
+        assert local["target_id"] == ["a"] and local["v"] == [30.0]
+        dist = (
+            prorate(ray.data.from_arrow(rel), data, ["v"])
+            .to_pandas()
+            .sort_values("target_id", ignore_index=True)
+        )
+        assert dist["target_id"].tolist() == ["a"]
+        assert dist["v"].tolist() == [30.0]
+        hashj = (
+            prorate(
+                ray.data.from_arrow(rel), ray.data.from_arrow(data), ["v"]
+            )
+            .to_pandas()
+            .sort_values("target_id", ignore_index=True)
+        )
+        assert hashj["target_id"].tolist() == ["a"]
+        assert hashj["v"].tolist() == [30.0]
+
     def test_dataset_aggregate(self, ray_session, four_square_grid):
         """E1-shaped: block points → assign → prorate to districts."""
         import ray

@@ -176,6 +176,54 @@ class TestQuickRepair:
         )
 
 
+class TestDoctorTarget:
+    def test_defective_target_fails(self):
+        # ADVICE r1 (low): the reference runs per-shapefile checks on
+        # BOTH source and target (repair.py:325-363) — a target with an
+        # internal overlap must fail even when the source is clean and
+        # the unions match exactly.
+        src = tbl(["a", "b"], [sq(0, 0, 1, 1), sq(1, 0, 2, 1)])
+        # same union footprint, but the two target pieces overlap
+        bad_tgt = tbl(["p", "q"], [sq(0, 0, 1.5, 1), sq(1, 0, 2, 1)])
+        d = doctor(src, bad_tgt)
+        assert d["target_n_overlaps"] == 1
+        assert not d["ok"]
+        assert d["union_matches_target"]  # footprints identical
+
+    def test_union_mismatch_exact(self):
+        # sym_area == 0 exactly (after the boolean kernel's 2^-30
+        # relative snap — slivers below the snap grid collapse; use a
+        # mismatch that survives it)
+        src = tbl(["a"], [sq(0, 0, 2, 1)])
+        tgt = tbl(["p"], [sq(0, 0, 2, 1.01)])
+        d = doctor(src, tgt)
+        assert not d["union_matches_target"]  # exact, like the reference
+        assert not d["ok"]
+
+
+class TestResolveOverlapsTriple:
+    def test_triple_overlap_mixed_threshold(self):
+        # ADVICE r1 (low): c's own overlaps are above threshold (kept
+        # as-is) but c still intersects the below-threshold a∩b piece —
+        # the reference subtracts the kept-overlap union from EVERY
+        # geometry, so no residual overlap may remain.
+        from maup_ray.ops.adjacencies import count_overlaps
+
+        t = tbl(
+            ["a", "b", "c"],
+            [
+                sq(0, 0, 10, 10),
+                sq(9.5, 0, 20, 10),  # a∩b = 0.5x10 = 5 (5% of a, <10%)
+                sq(9, 4, 11, 6),  # small square straddling the a∩b strip
+            ],
+        )
+        out = resolve_overlaps(t, relative_threshold=0.1)
+        # c's overlaps with a and b are each ~25% of c -> above
+        # threshold, left alone; but c must still lose the kept a∩b
+        # piece, else a residual overlap survives
+        assert count_overlaps(out) == 2  # only the deliberate big ones
+
+
 class TestCropExpand:
     def test_crop(self):
         src = tbl(["s"], [sq(0, 0, 3, 3)])

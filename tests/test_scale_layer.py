@@ -99,6 +99,36 @@ class TestHotCellSplit:
         res = CellGrid.res_of(counts.index.to_numpy().astype(np.uint64))
         assert len(set(res.tolist())) >= 2
 
+    def test_multi_level_refinement_bounds_partition(self, ray_session):
+        # ADVICE r1 (medium): 40k points crammed into one corner of a
+        # base cell need >= 3 extra levels; the old code never refined
+        # past level 1 (res_map lookups against already-refined ids).
+        import ray.data
+
+        from maup_ray.geom.cells import CellGrid
+        from maup_ray.ops.distributed import with_hot_cell_split
+
+        rng = np.random.RandomState(7)
+        n = 40000
+        # all points inside [0, 8)^2 — one corner of base cell (0,0)
+        # at res 4 over extent 1024 (base cell spans 64x64)
+        t = pa.table(
+            {"x": rng.uniform(0, 8, n), "y": rng.uniform(0, 8, n)}
+        )
+        keyed = with_hot_cell_split(
+            ray.data.from_arrow(t),
+            (0.0, 0.0, 1024.0),
+            res=4,
+            max_rows=2000,
+            max_extra_levels=6,
+        )
+        df = keyed.to_pandas()
+        counts = df.groupby("cell").size()
+        assert counts.max() <= 2000
+        res = CellGrid.res_of(counts.index.to_numpy().astype(np.uint64))
+        # needed at least 3 extra levels past base res 4
+        assert res.max() >= 7
+
 
 class TestProrateHashJoin:
     def test_matches_broadcast_path(self, ray_session):
