@@ -99,6 +99,90 @@ class TestKnn:
         assert (r1["source_id"] == r1["neighbor_id"]).all()
 
 
+class TestKnnSelfJoin:
+    def _brute(self, t, k):
+        x = t["x"].to_numpy()
+        y = t["y"].to_numpy()
+        ids = t["source_id"].to_numpy()
+        rows = []
+        for i in range(len(ids)):
+            d2 = (x - x[i]) ** 2 + (y - y[i]) ** 2
+            m = ids != ids[i]
+            order = np.argsort(
+                np.core.records.fromarrays(
+                    [d2[m], ids[m]], names="d,i"
+                ),
+                order=("d", "i"),
+                kind="stable",
+            )[:k]
+            for r, j in enumerate(ids[m][order], 1):
+                rows.append((ids[i], j, r))
+        import pandas as pd
+
+        return pd.DataFrame(
+            rows, columns=["source_id", "neighbor_id", "rank"]
+        ).sort_values(["source_id", "rank"], ignore_index=True)
+
+    def test_dense_uniform(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.knn import knn_self_join
+
+        t = points(400, seed=1, span=1000.0)
+        out = (
+            knn_self_join(
+                ray.data.from_arrow(t), k=3, extent=(0.0, 0.0, 1000.0)
+            )
+            .to_pandas()
+            .sort_values(["source_id", "rank"], ignore_index=True)
+        )
+        want = self._brute(t, 3)
+        assert out.equals(want)
+
+    def test_sparse_needs_ring_escalation(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.knn import knn_self_join
+
+        # 20 points spread over a huge extent with a fine grid: first
+        # ring is empty for most, forcing the doubled-ring rounds
+        t = points(20, seed=2, span=1000.0)
+        out = (
+            knn_self_join(
+                ray.data.from_arrow(t),
+                k=2,
+                extent=(0.0, 0.0, 1000.0),
+                res=5,  # 32x32 cells for 20 points
+            )
+            .to_pandas()
+            .sort_values(["source_id", "rank"], ignore_index=True)
+        )
+        want = self._brute(t, 2)
+        assert out.equals(want)
+
+    def test_fallback_streamed_pass(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.knn import knn_self_join
+
+        # max_rounds=1 with a fine grid: nearly everything lands in the
+        # streamed-fallback pass; result must still be exact
+        t = points(60, seed=4, span=1000.0)
+        out = (
+            knn_self_join(
+                ray.data.from_arrow(t),
+                k=3,
+                extent=(0.0, 0.0, 1000.0),
+                res=5,
+                max_rounds=1,
+            )
+            .to_pandas()
+            .sort_values(["source_id", "rank"], ignore_index=True)
+        )
+        want = self._brute(t, 3)
+        assert out.equals(want)
+
+
 class TestRaster:
     def test_rasterize_exact_coverage(self):
         from maup_ray.geom import encode_polygon
