@@ -566,6 +566,46 @@ pieces AS (
 """
 
 
+def _langid_sql() -> str:
+    """Stopword-vote heuristic as SQL, built from the SAME inventory the
+    engine uses (text/analysis._STOPWORDS) so both sides share it.
+    Tie-break = first max in dict order, matching numpy argmax.
+
+    The FNV fingerprint oracle (below) walks UTF-8 bytes via ascii()
+    per char — valid because documents.text is pure ASCII (verified);
+    wrap-around 64-bit arithmetic is emulated with HUGEINT mod 2^64."""
+    from .text.analysis import _STOPWORDS
+
+    langs = list(_STOPWORDS)
+
+    def lst(lang):
+        return "[" + ",".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])) + "]"
+
+    counts = ",\n              ".join(
+        f"len(list_filter(toks, t -> list_contains({lst(l)}, t))) AS c_{l}"
+        for l in langs
+    )
+    branches = []
+    for i, l in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"c_{l} >= c_{m}" for m in langs[i + 1 :]
+        )
+        branches.append(f"WHEN {conds} THEN '{l}'")
+    allc = ", ".join(f"c_{l}" for l in langs)
+    return f"""
+            WITH tk AS (
+              SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            sc AS (SELECT doc_id, {counts} FROM tk)
+            SELECT doc_id, CASE
+              WHEN greatest({allc}) = 0 THEN 'und'
+              {' '.join(branches)}
+              ELSE '{langs[-1]}' END AS lang_pred
+            FROM sc
+        """
+
+
 def oracle_queries() -> dict[str, str]:
     px, py = _points_expr()
     dist = districts_sql(N_DISTRICTS)
@@ -736,6 +776,28 @@ def oracle_queries() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "lang_id": _langid_sql(),
+        "fingerprint": r"""
+            WITH RECURSIVE fp AS (
+              SELECT doc_id, text, 1 AS i,
+                     CAST(14695981039346656037 AS HUGEINT) AS h,
+                     len(text) AS n
+              FROM documents
+              UNION ALL
+              SELECT doc_id, text, i + 1,
+                     ((xor(CAST(h AS UBIGINT),
+                           CAST(ascii(substr(text, i, 1)) AS UBIGINT)))::HUGEINT
+                       * CAST(1099511628211 AS HUGEINT))
+                       % CAST(18446744073709551616 AS HUGEINT),
+                     n
+              FROM fp WHERE i <= n
+            )
+            SELECT doc_id,
+              CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+                   THEN h - CAST(18446744073709551616 AS HUGEINT)
+                   ELSE h END AS BIGINT) AS fingerprint
+            FROM fp WHERE i = n + 1
         """,
         "ann_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings

@@ -106,6 +106,18 @@ class TestDedup:
         out = exact_dedup(ray.data.from_arrow(t)).to_pandas()
         assert sorted(out["doc_id"]) == [0, 1, 3]
 
+    def test_exact_dedup_keep_text(self, ray_session):
+        import ray.data
+
+        from maup_ray.text.dedup import exact_dedup
+
+        t = docs(["x", "y", "x", "z"])
+        out = exact_dedup(
+            ray.data.from_arrow(t), keep_text=True
+        ).to_pandas()
+        got = dict(zip(out["doc_id"], out["text"]))
+        assert got == {0: "x", 1: "y", 3: "z"}
+
     def test_minhash_candidates_dataset(self, ray_session):
         import ray.data
 
