@@ -219,6 +219,22 @@ def islands(geoms, adj=None, id_col: str = "id", **kw):
         in_pairs = set(adj["id_i"].to_pylist()) | set(adj["id_j"].to_pylist())
         mask = [i not in in_pairs for i in geoms[id_col].to_pylist()]
         return geoms.filter(pa.array(mask))
-    raise NotImplementedError(
-        "distributed islands: collect pair ids (small) then anti-join"
+    # Dataset path: the pair-id table is tiny relative to the geometry
+    # table (ids only, no geometry) — collect the DISTINCT ids that
+    # appear in any pair, broadcast once, anti-join inside map_batches
+    # (no shuffle of the geometry payload).
+    import ray
+
+    ids_i = adj.unique("id_i")
+    ids_j = adj.unique("id_j")
+    in_pairs = frozenset(ids_i) | frozenset(ids_j)
+    ref = ray.put(in_pairs)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        keep = [v not in s for v in batch[id_col].to_pylist()]
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    return geoms.map_batches(
+        anti, batch_format="pyarrow", zero_copy_batch=True
     )

@@ -226,6 +226,9 @@ def _cached_instance(cls, key, kwargs):
 def _run(sources, targets, phase, concurrency, batch_size, use_actors=False, **kw):
     import ray
 
+    from ..crs import check_same_crs
+
+    check_same_crs(sources, targets)  # ref: assign.py:13 @require_same_crs
     if isinstance(targets, pa.Table) and not isinstance(
         sources, pa.Table
     ):

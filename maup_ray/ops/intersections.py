@@ -151,6 +151,9 @@ def intersections(
     global sort, only request it at materialization points."""
     import ray
 
+    from ..crs import check_same_crs
+
+    check_same_crs(sources, targets)  # ref: intersections.py:9
     fn_kwargs = dict(
         targets=targets,
         area_cutoff=area_cutoff,

@@ -125,6 +125,9 @@ def crop_to(source: pa.Table, target: pa.Table, geometry_col="geometry"):
     """Intersect each source with union(target) (ref: repair.py:261-280).
     Returns (table, n_zero_area) — the count backs the reference's
     AreaCroppingWarning."""
+    from ..crs import check_same_crs
+
+    check_same_crs(source, target)  # ref: repair.py:261 @require_same_crs
     tu = boolean.union_all(_decode_all(target, geometry_col))
     out, zero = [], 0
     for g in _decode_all(source, geometry_col):
@@ -142,6 +145,9 @@ def crop_to(source: pa.Table, target: pa.Table, geometry_col="geometry"):
 def expand_to(source: pa.Table, target: pa.Table, geometry_col="geometry"):
     """Absorb target−union(source) leftovers into sources by shared
     perimeter (ref: repair.py:283-308)."""
+    from ..crs import check_same_crs
+
+    check_same_crs(source, target)  # ref: repair.py:283 @require_same_crs
     src_geoms = _decode_all(source, geometry_col)
     su = boolean.union_all(src_geoms)
     leftovers = []
@@ -174,12 +180,16 @@ def absorb_by_shared_perimeter(
     relative_threshold: float | None = None,
     geometry_col: str = "geometry",
 ):
-    """ref: repair.py:463-510. sources = pieces to merge away (gaps /
-    overlaps / leftovers); targets = real geometries (any id column +
-    geometry). Each source is unioned into the target sharing the
+    """ref: repair.py:463-510 (@require_same_crs at :462). sources =
+    pieces to merge away (gaps / overlaps / leftovers); targets = real
+    geometries (any id column + geometry). Each source is unioned into
+    the target sharing the
     greatest boundary length (grouped argmax, tie → first sorted
     target); optional threshold skips sources bigger than
     relative_threshold × target area."""
+    from ..crs import check_same_crs
+
+    check_same_crs(sources, targets)
     if sources.num_rows == 0:
         return targets
     if targets.num_rows == 0:

@@ -82,6 +82,34 @@ def test_islands(four_square_grid):
     assert isl["id"].to_pylist() == ["far"]
 
 
+def test_islands_dataset_matches_local(ray_session, four_square_grid):
+    # VERDICT r1 #7: the Dataset path (collect distinct pair ids,
+    # broadcast, anti-join in map_batches) must match the local path on
+    # the four-square-grid + far-island fixture.
+    import ray.data
+
+    from maup_ray.geom import encode_polygon
+
+    far = pa.table(
+        {
+            "id": ["far"],
+            "geometry": [
+                encode_polygon(
+                    [np.array([[100.0, 100], [101, 100], [101, 101], [100, 101]])]
+                )
+            ],
+        }
+    )
+    tbl = pa.concat_tables(
+        [four_square_grid.rename_columns(["id", "geometry"]), far]
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = islands(
+        ds, extent=(0.0, 0.0, 128.0), cell_res=3
+    ).to_pandas()
+    assert out["id"].tolist() == ["far"]
+
+
 def test_partitioned_matches_local(ray_session, four_square_grid):
     import ray
     import ray.data

@@ -16,3 +16,68 @@ def test_roundtrip_and_guard():
     require_same_crs(a, t)  # missing on one side → pass (fixtures)
     with pytest.raises(TypeError):
         require_same_crs(a, b)
+
+
+def _geom_table(crs=None, id_name="id"):
+    import numpy as np
+
+    from maup_ray.geom import encode_polygon
+
+    sq = np.array([[0.0, 0], [1, 0], [1, 1], [0, 1]])
+    t = pa.table(
+        {
+            id_name: pa.array([0], type=pa.int64()),
+            "geometry": pa.array([encode_polygon([sq])], type=pa.binary()),
+        }
+    )
+    return set_crs(t, crs) if crs else t
+
+
+class TestOpLevelGuard:
+    """The reference decorates assign/intersections/crop_to/expand_to/
+    absorb with @require_same_crs (crs.py:4-16) — mismatched CRS must
+    raise at the OP entry, not only via the helper (VERDICT r1 #8)."""
+
+    def test_assign_rejects_mismatch(self):
+        from maup_ray import assign
+
+        src = pa.table(
+            {
+                "source_id": pa.array([0], type=pa.int64()),
+                "x": [0.5],
+                "y": [0.5],
+            }
+        )
+        src = set_crs(src, "EPSG:4326")
+        tgt = _geom_table("EPSG:5070")
+        with pytest.raises(TypeError, match="different CRS"):
+            assign(src, tgt)
+
+    def test_intersections_rejects_mismatch(self):
+        from maup_ray.ops.intersections import intersections
+
+        with pytest.raises(TypeError, match="different CRS"):
+            intersections(
+                _geom_table("EPSG:4326"), _geom_table("EPSG:5070")
+            )
+
+    def test_crop_expand_absorb_reject_mismatch(self):
+        from maup_ray.ops.repair import (
+            absorb_by_shared_perimeter,
+            crop_to,
+            expand_to,
+        )
+
+        a, b = _geom_table("EPSG:4326"), _geom_table("EPSG:5070")
+        for fn in (crop_to, expand_to, absorb_by_shared_perimeter):
+            with pytest.raises(TypeError, match="different CRS"):
+                fn(a, b)
+
+    def test_same_crs_passes(self):
+        from maup_ray.ops.intersections import intersections
+
+        out = intersections(
+            _geom_table("EPSG:5070", id_name="source_id"),
+            _geom_table("EPSG:5070", id_name="target_id"),
+        )
+        assert out.num_rows == 1
