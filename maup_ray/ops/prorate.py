@@ -128,13 +128,7 @@ def prorate(
     )
     if aggregate_by is None:
         return ds
-    if aggregate_by not in _AGGS:
-        raise ValueError(f"aggregate_by must be one of {_AGGS} or None")
-    from ray.data.aggregate import Max, Mean, Min, Sum
-
-    cls = {"sum": Sum, "mean": Mean, "max": Max, "min": Min}[aggregate_by]
-    aggs = [cls(on=c, alias_name=c) for c in columns]
-    return ds.groupby(target_id_col).aggregate(*aggs)
+    return _grouped_agg(ds, columns, target_id_col, aggregate_by)
 
 
 def _prorate_hash_join(
@@ -173,12 +167,28 @@ def _prorate_hash_join(
     out = joined.map_batches(mul, batch_format="pyarrow", zero_copy_batch=True)
     if aggregate_by is None:
         return out
-    from ray.data.aggregate import Max, Mean, Min, Sum
+    return _grouped_agg(out, columns, target_id_col, aggregate_by)
 
-    cls = {"sum": Sum, "mean": Mean, "max": Max, "min": Min}[aggregate_by]
-    return out.groupby(target_id_col).aggregate(
-        *[cls(on=c, alias_name=c) for c in columns]
-    )
+
+def _grouped_agg(ds, columns, target_id_col, aggregate_by):
+    """Grouped reaggregation. The common string aggs use Ray's native
+    partial+final aggregates (combiner before the shuffle); any other
+    pandas-acceptable agg (callable, 'median', ...) falls back to
+    groupby().map_groups — reference parity with intersections.py:70-72
+    (`.agg(aggregate_by)` accepts anything pandas does)."""
+    if isinstance(aggregate_by, str) and aggregate_by in _AGGS:
+        from ray.data.aggregate import Max, Mean, Min, Sum
+
+        cls = {"sum": Sum, "mean": Mean, "max": Max, "min": Min}[aggregate_by]
+        return ds.groupby(target_id_col).aggregate(
+            *[cls(on=c, alias_name=c) for c in columns]
+        )
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(target_id_col)[columns].agg(aggregate_by)
+        return agg.reset_index()
+
+    return ds.groupby(target_id_col).map_groups(per_group)
 
 
 def _normalize_group(df: pd.DataFrame, weight_col: str) -> pd.DataFrame:

@@ -10,19 +10,22 @@ Round-1 subset of the reference's smart_repair
    (the "overlap tower", ref building_blocks :523-748)
 4. rebuild each polygon from its degree-1 pieces; assign degree≥2
    pieces by greatest shared perimeter against the current
-   reconstruction, ties to the smallest id (ref
-   reconstruct_from_overlap_tower :751-969 — we omit the
-   disconnected-geometry first-dibs pass; deviation noted)
-5. gap fill by shared-perimeter absorb with relative threshold
-   (ref smart_close_gaps :1032-1917 — the triangulation/incenter gap
-   SPLITTING for many-neighbor gaps is NOT implemented in round 1;
-   whole-gap absorb is used instead, so multi-neighbor gap adjacency
-   is not always preserved. Documented deviation.)
+   reconstruction, ties to the smallest id, PLUS the first-dibs pass
+   for disconnected owners (ref reconstruct_from_overlap_tower
+   :751-969; first-dibs below at _first_dibs)
+5. many-neighbor gap SPLITTING before absorb: star-shaped gaps split
+   by radial fans from the incenter, non-star gaps by ear-clip
+   triangulation chords (ref smart_close_gaps :1032-1917). Remaining
+   fidelity gap vs the reference: funnel shortest-path split geometry
+   (:2348-2595) and convexify_hole_boundaries (:2598-2787) — split
+   adjacency is preserved on fixtures, split geometry can diverge on
+   concave multi-neighbor gaps. Ring-with-hole gap regions absorb
+   whole (ref drops bad holes, :972-1029).
 6. region-nested variant: assign to regions, then the whole pipeline
    runs per region inside ``groupby(region).map_groups`` — the
    distributed axis (ref :261-328).
 
-``small_rook_to_queen`` (op 21) is not yet implemented.
+``small_rook_to_queen`` (op 21) lives in ``rook_to_queen.py``.
 """
 
 from __future__ import annotations

@@ -137,6 +137,31 @@ class TestProrate:
         assert hashj["target_id"].tolist() == ["a"]
         assert hashj["v"].tolist() == [30.0]
 
+    def test_callable_aggregate_all_plans(self, ray_session):
+        # reference accepts any pandas agg (intersections.py:70-72)
+        import ray.data
+
+        rel = pa.table(
+            {
+                "source_id": pa.array([0, 1, 2], type=pa.int64()),
+                "target_id": ["a", "a", "b"],
+                "weight": [1.0, 1.0, 1.0],
+            }
+        )
+        data = pa.table(
+            {
+                "source_id": pa.array([0, 1, 2], type=pa.int64()),
+                "v": [1.0, 5.0, 7.0],
+            }
+        )
+        local = prorate(rel, data, ["v"], aggregate_by="median").to_pandas()
+        want = dict(zip(local["target_id"], local["v"]))
+        assert want == {"a": 3.0, "b": 7.0}
+        dist = prorate(
+            ray.data.from_arrow(rel), data, ["v"], aggregate_by="median"
+        ).to_pandas()
+        assert dict(zip(dist["target_id"], dist["v"])) == want
+
     def test_dataset_aggregate(self, ray_session, four_square_grid):
         """E1-shaped: block points → assign → prorate to districts."""
         import ray
