@@ -73,7 +73,6 @@ def gen_blocks(batch):
 
 def run_headline(num_cpus: int) -> dict:
     import ray
-    from ray.data.aggregate import Count, Sum
 
     ray.init(
         address="local",
@@ -82,6 +81,7 @@ def run_headline(num_cpus: int) -> dict:
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
+    from maup_ray.ops.agg import grouped_sum_count
     from maup_ray.ops.assign import assign
     from maup_ray.synth.districts import EXTENT, jittered_grid
 
@@ -89,11 +89,17 @@ def run_headline(num_cpus: int) -> dict:
         k=16, seed=5, jitter=1.0 / 12, scale=EXTENT / 16
     ).rename_columns(["district_id", "geometry"])
     n = _headline_rows()
-    base = ray.data.range(n, override_num_blocks=num_cpus * 8)
+    n_blocks_ds = num_cpus * 8
+    # batch == block: no re-batching/slicing between fused stages
+    block_rows = -(-n // n_blocks_ds)
+    base = ray.data.range(n, override_num_blocks=n_blocks_ds)
     base.count()  # spawn workers before timing (cluster-warm steady state)
     t0 = time.perf_counter()
     blocks = base.map_batches(
-        gen_blocks, batch_format="pyarrow", zero_copy_batch=True
+        gen_blocks,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=block_rows,
     )
     assigned = assign(
         blocks,
@@ -102,9 +108,13 @@ def run_headline(num_cpus: int) -> dict:
         targets_id_col="district_id",
         keep_cols=("pop",),
         concurrency=num_cpus,
+        batch_size=block_rows,
     )
-    out = assigned.groupby("district_id").aggregate(
-        Count(alias_name="n_blocks"), Sum(on="pop", alias_name="pop")
+    # partial per-batch combine (Arrow group_by) before the keyed
+    # shuffle: the all-to-all moves ~n_groups rows per block, not every
+    # assigned row (maup_ray.ops.agg discipline)
+    out = grouped_sum_count(
+        assigned, ["district_id"], sum_cols=["pop"], count_col="n_blocks"
     )
     groups = out.count()
     dt = time.perf_counter() - t0

@@ -19,6 +19,10 @@ __all__ = [
     "clip_multipolygon_rect",
     "rect_intersection_area",
     "segment_intersections",
+    "pad_rings",
+    "clip_area_batch_convex",
+    "clip_area_batch_rect",
+    "shoelace_batch",
 ]
 
 
@@ -273,3 +277,152 @@ def segment_intersections(
         np.concatenate(out_tblo),
         np.concatenate(out_tbhi),
     )
+
+
+# ------------------------------------------------- batched clip kernels
+#
+# Vectorized Sutherland–Hodgman over MANY single-ring polygons at once
+# (the assign/intersections phase-b hot path — VERDICT r1 #9). Each
+# per-element operation uses the SAME IEEE expressions as the scalar
+# kernels above (_axis_interp / _clip_halfplane_general), so results
+# are bit-identical to the per-pair path; only the loop moves from
+# Python to numpy.
+
+
+def pad_rings(rings) -> tuple[np.ndarray, np.ndarray]:
+    """list of (k_i, 2) rings → ((n, maxk, 2) padded array, (n,) counts).
+    Padding repeats the last vertex (harmless: zero-length edges emit
+    nothing under S-H and contribute 0 to shoelace)."""
+    n = len(rings)
+    cnt = np.array([len(r) for r in rings], dtype=np.int64)
+    maxk = int(cnt.max()) if n else 0
+    P = np.zeros((n, maxk, 2), dtype=np.float64)
+    for i, r in enumerate(rings):
+        P[i, : len(r)] = r
+        if len(r) < maxk and len(r):
+            P[i, len(r):] = r[len(r) - 1]
+    return P, cnt
+
+
+def _halfplane_batch(P, cnt, side, return_cross=False):
+    """Shared S-H emission step: given precomputed signed side values
+    (n, V) (>=0 inside), build the clipped (n, V', 2) array + counts.
+    Intersection points use t = side_i / (side_i - side_j) with
+    p + t*(q - p) — identical to the scalar kernels. With
+    ``return_cross`` also returns the (n, V') mask of slots that hold
+    newly-emitted crossing points."""
+    n, V, _ = P.shape
+    if n == 0 or V == 0:
+        if return_cross:
+            return P, cnt, np.zeros((n, V), dtype=bool)
+        return P, cnt
+    slots = np.broadcast_to(np.arange(V)[None, :], (n, V))
+    valid = slots < cnt[:, None]
+    inside = (side >= 0) & valid
+    nxt = np.where(slots + 1 >= cnt[:, None], 0, slots + 1)
+    in_j = np.take_along_axis(inside, nxt, axis=1)
+    side_j = np.take_along_axis(side, nxt, axis=1)
+    Pj = np.take_along_axis(P, nxt[..., None], axis=1)
+    emit_v = inside
+    emit_x = (inside != in_j) & valid
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = side / (side - side_j)
+    emit_counts = emit_v.astype(np.int64) + emit_x.astype(np.int64)
+    out_cnt = emit_counts.sum(axis=1)
+    maxout = int(out_cnt.max()) if n else 0
+    newP = np.zeros((n, max(maxout, 1), 2), dtype=np.float64)
+    pos = np.cumsum(emit_counts, axis=1) - emit_counts
+    cross = np.zeros(newP.shape[:2], dtype=bool)
+    rows, cols = np.nonzero(emit_v)
+    if len(rows):
+        newP[rows, pos[rows, cols]] = P[rows, cols]
+    rows, cols = np.nonzero(emit_x)
+    if len(rows):
+        tc = t[rows, cols][:, None]
+        ip = P[rows, cols] + tc * (Pj[rows, cols] - P[rows, cols])
+        newP[rows, pos[rows, cols] + emit_v[rows, cols]] = ip
+        cross[rows, pos[rows, cols] + emit_v[rows, cols]] = True
+    # pad with last valid vertex so later passes see zero-length edges
+    V2 = newP.shape[1]
+    slots2 = np.broadcast_to(np.arange(V2)[None, :], (n, V2))
+    last = np.maximum(out_cnt - 1, 0)
+    lastP = newP[np.arange(n), last]
+    padmask = slots2 >= out_cnt[:, None]
+    newP[padmask] = np.repeat(
+        lastP, padmask.sum(axis=1), axis=0
+    )
+    if return_cross:
+        return newP, out_cnt, cross
+    return newP, out_cnt
+
+
+def _halfplane_batch_general(P, cnt, a, b):
+    d0, d1 = b[0] - a[0], b[1] - a[1]
+    side = d0 * (P[..., 1] - a[1]) - d1 * (P[..., 0] - a[0])
+    return _halfplane_batch(P, cnt, side)
+
+
+def _halfplane_batch_axis(P, cnt, axis, bound, keep_le):
+    """Axis clip with exact bound placement: crossing points get
+    coordinate == bound on the clip axis (matches _axis_interp; for
+    axis-parallel subject edges the other coordinate is exact too)."""
+    v = P[..., axis]
+    side = (bound - v) if keep_le else (v - bound)
+    n, V, _ = P.shape
+    if n == 0 or V == 0:
+        return P, cnt
+    # generic emission, then pin the clip-axis coordinate of the
+    # newly-emitted crossing points to the exact bound — same as
+    # _axis_interp's r[axis] = bound (float t may wiggle otherwise)
+    newP, out_cnt, cross = _halfplane_batch(P, cnt, side, return_cross=True)
+    av = newP[..., axis]
+    av[cross] = bound
+    newP[..., axis] = av
+    return newP, out_cnt
+
+
+def shoelace_batch(P, cnt) -> np.ndarray:
+    """Per-polygon |shoelace|/… signed area over padded rings (padding
+    repeats the last vertex → zero contribution)."""
+    n, V, _ = P.shape
+    if n == 0 or V == 0:
+        return np.zeros(n, dtype=np.float64)
+    slots = np.broadcast_to(np.arange(V)[None, :], (n, V))
+    nxt = np.where(slots + 1 >= cnt[:, None], 0, slots + 1)
+    X = P[..., 0]
+    Y = P[..., 1]
+    Xj = np.take_along_axis(X, nxt, axis=1)
+    Yj = np.take_along_axis(Y, nxt, axis=1)
+    valid = slots < cnt[:, None]
+    terms = np.where(valid, X * Yj - Xj * Y, 0.0)
+    s = 0.5 * terms.sum(axis=1)
+    out = np.abs(s)
+    out[cnt < 3] = 0.0
+    return out
+
+
+def clip_area_batch_convex(P, cnt, clipper_ring: np.ndarray) -> np.ndarray:
+    """Areas of (padded single-ring polygons ∩ CCW convex ring)."""
+    m = len(clipper_ring)
+    for i in range(m):
+        if not len(cnt) or cnt.max() == 0:
+            break
+        P, cnt = _halfplane_batch_general(
+            P, cnt, clipper_ring[i], clipper_ring[(i + 1) % m]
+        )
+    return shoelace_batch(P, cnt)
+
+
+def clip_area_batch_rect(P, cnt, minx, miny, maxx, maxy) -> np.ndarray:
+    """Areas of (padded single-ring polygons ∩ axis rect) — exact for
+    axis-aligned subjects (crossing coords pinned to the bounds)."""
+    for axis, bound, keep_le in (
+        (0, minx, False),
+        (0, maxx, True),
+        (1, miny, False),
+        (1, maxy, True),
+    ):
+        if not len(cnt) or cnt.max() == 0:
+            break
+        P, cnt = _halfplane_batch_axis(P, cnt, axis, bound, keep_le)
+    return shoelace_batch(P, cnt)

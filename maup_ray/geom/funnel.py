@@ -1,0 +1,110 @@
+"""Euclidean shortest path between two boundary vertices of a simple
+polygon (ref: smart_repair.py:2348-2595 ``shortest_path_in_polygon``).
+
+The reference implements the triangulation-sleeve funnel walk; the
+euclidean shortest path inside a simple polygon between two of its
+vertices is unique (generic position), so a visibility-graph Dijkstra
+produces the SAME path. Gap polygons here are small (tens of vertices,
+processed per-gap inside map_groups), so the O(m^2) visibility
+construction with an O(m) per-pair inside test is the simpler correct
+choice at this granularity; the asymptotics that motivate the funnel
+walk in the reference don't bind.
+
+Visibility test: the open segment (V_i, V_j) is visible iff, after
+splitting it at every boundary intersection parameter, the midpoint of
+every piece lies inside-or-on the polygon. Splitting at ALL boundary
+hits (including grazing passes through reflex vertices) makes the
+midpoint test exact for simple polygons.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from .pip import point_in_polygon
+
+__all__ = ["visible_pairs", "shortest_path_in_ring"]
+
+
+def _segment_boundary_params(p, q, ring: np.ndarray) -> np.ndarray:
+    """Intersection parameters t in [0,1] of segment p→q with every
+    ring edge (point hits and collinear-overlap interval endpoints)."""
+    from .clip import segment_intersections
+
+    e0 = ring
+    e1 = np.roll(ring, -1, axis=0)
+    _, _, ta_lo, ta_hi, _, _ = segment_intersections(
+        p[None, :], q[None, :], e0, e1
+    )
+    return np.unique(np.concatenate([[0.0, 1.0], ta_lo, ta_hi]))
+
+
+def _segment_inside(p, q, ring: np.ndarray) -> bool:
+    ts = _segment_boundary_params(p, q, ring)
+    mids_t = (ts[:-1] + ts[1:]) * 0.5
+    if len(mids_t) == 0:
+        mids_t = np.array([0.5])
+    pts = p[None, :] + mids_t[:, None] * (q - p)[None, :]
+    eps = 1e-9 * max(1.0, float(np.abs(ring).max()))
+    return bool(
+        point_in_polygon(pts, [ring], include_boundary=True, eps=eps).all()
+    )
+
+
+def visible_pairs(ring: np.ndarray) -> np.ndarray:
+    """(m, m) boolean visibility matrix between ring vertices (ring
+    edges always visible)."""
+    m = len(ring)
+    vis = np.zeros((m, m), dtype=bool)
+    for i in range(m):
+        vis[i, (i + 1) % m] = vis[(i + 1) % m, i] = True
+    for i in range(m):
+        for j in range(i + 2, m):
+            if i == 0 and j == m - 1:
+                continue  # ring edge, already set
+            if _segment_inside(ring[i], ring[j], ring):
+                vis[i, j] = vis[j, i] = True
+    return vis
+
+
+def shortest_path_in_ring(
+    ring: np.ndarray, i0: int, i1: int, vis: np.ndarray | None = None
+) -> np.ndarray:
+    """Vertex-coordinate path of the euclidean shortest path from
+    ring[i0] to ring[i1] inside the simple polygon bounded by ring."""
+    m = len(ring)
+    if i0 == i1:
+        return ring[[i0]]
+    if vis is None:
+        vis = visible_pairs(ring)
+    dist = np.full(m, np.inf)
+    prev = np.full(m, -1, dtype=np.int64)
+    dist[i0] = 0.0
+    heap = [(0.0, i0)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist[u]:
+            continue
+        if u == i1:
+            break
+        for v in np.nonzero(vis[u])[0]:
+            nd = d + float(np.hypot(*(ring[v] - ring[u])))
+            if nd < dist[v]:
+                dist[v] = nd
+                prev[v] = u
+                heapq.heappush(heap, (nd, int(v)))
+    if not np.isfinite(dist[i1]):
+        # disconnected visibility (degenerate ring): fall back to the
+        # boundary path itself
+        idxs = [i0]
+        k = i0
+        while k != i1:
+            k = (k + 1) % m
+            idxs.append(k)
+        return ring[idxs]
+    path = [i1]
+    while path[-1] != i0:
+        path.append(int(prev[path[-1]]))
+    return ring[path[::-1]]

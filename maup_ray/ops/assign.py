@@ -169,25 +169,82 @@ class AssignActor:
             if self.phase == "covering":
                 return out  # 0 or 2+ covers → null (ref fine print 2)
         # phase (b) for the remainder: max intersection area per source,
-        # tie → first target in id-sorted order (pandas idxmax parity)
-        order = np.lexsort((ti, si))
-        si_s, ti_s = si[order], ti[order]
-        starts = np.searchsorted(si_s, np.arange(n + 1))
-        todo = (
-            np.nonzero(out == -1)[0]
-            if self.phase == "full"
-            else np.arange(n)
+        # tie → first target in id-sorted order (pandas idxmax parity).
+        # Vectorized per target (VERDICT r1 #9): all eligible candidate
+        # sources of one target are clipped in ONE batched
+        # Sutherland–Hodgman pass (geom.clip batch kernels — per-element
+        # arithmetic identical to the scalar path, so results match
+        # bit-for-bit); only holes/multi-ring sources or concave targets
+        # fall back to per-pair scalar clips.
+        from ..geom.clip import (
+            clip_area_batch_convex,
+            clip_area_batch_rect,
+            pad_rings,
         )
-        for s in todo:
-            cand = ti_s[starts[s] : starts[s + 1]]
-            if len(cand) == 0 or not geoms[s]:
-                continue
-            best_t, best_a = -1, 0.0
-            for t in cand:
-                a = self._inter_area(geoms[s], t)
-                if a > best_a:
-                    best_t, best_a = t, a
-            out[s] = best_t
+
+        if self.phase == "full":
+            todo_mask = out == -1
+        else:
+            todo_mask = np.ones(n, dtype=bool)
+        pair_m = todo_mask[si]
+        psi, pti = si[pair_m], ti[pair_m]
+        if len(psi) == 0:
+            return out
+        if quads is not None:
+            P_all = quads
+            cnt_all = np.full(len(quads), 4, dtype=np.int64)
+            eligible = np.ones(n, dtype=bool)
+        else:
+            eligible = np.array(
+                [len(g) == 1 and len(g[0]) == 1 for g in geoms]
+            )
+            rings = [
+                g[0][0] if e else np.zeros((0, 2))
+                for g, e in zip(geoms, eligible)
+            ]
+            P_all, cnt_all = pad_rings(rings)
+        areas = np.zeros(len(psi), dtype=np.float64)
+        pair_elig = eligible[psi]
+        ordt = np.argsort(pti, kind="stable")
+        pti_sorted = pti[ordt]
+        t_starts = np.searchsorted(pti_sorted, np.arange(self.index.n + 1))
+        for t in np.unique(pti_sorted):
+            rows = ordt[t_starts[t] : t_starts[t + 1]]
+            el = rows[pair_elig[rows]]
+            if len(el):
+                s_sel = psi[el]
+                if self.index.is_rect:
+                    minx, miny, maxx, maxy = self.index.bboxes[t]
+                    a = clip_area_batch_rect(
+                        P_all[s_sel], cnt_all[s_sel], minx, miny, maxx, maxy
+                    )
+                else:
+                    ring = (
+                        self.index.convex_ring[t]
+                        if self.index.convex_ring is not None
+                        else None
+                    )
+                    if ring is not None:
+                        a = clip_area_batch_convex(
+                            P_all[s_sel], cnt_all[s_sel], ring
+                        )
+                    else:  # concave target: scalar boolean intersection
+                        a = np.array(
+                            [self._inter_area(geoms[s], t) for s in s_sel]
+                        )
+                areas[el] = a
+            rest = rows[~pair_elig[rows]]
+            for r in rest:
+                if geoms[psi[r]]:
+                    areas[r] = self._inter_area(geoms[psi[r]], t)
+        # argmax per source: area desc, tie → smallest target id; zero
+        # area never assigns (scalar-parity: best starts at 0.0)
+        sel = np.lexsort((pti, -areas, psi))
+        psi_s, pti_s, a_s = psi[sel], pti[sel], areas[sel]
+        first = np.ones(len(sel), dtype=bool)
+        first[1:] = psi_s[1:] != psi_s[:-1]
+        win = first & (a_s > 0.0)
+        out[psi_s[win]] = pti_s[win]
         return out
 
     def _inter_area(self, src, t: int) -> float:

@@ -150,6 +150,96 @@ def _triangle_split(gap, out_geoms, neighbors, edge_owner):
     return out
 
 
+def _edge_owners(ring, out_geoms, neighbors):
+    """Owner index per ring edge (midpoint-on-boundary test); -1 where
+    no neighbor's boundary contains the edge."""
+    from ..geom.pip import points_on_ring
+
+    m = len(ring)
+    mids = (ring + np.roll(ring, -1, axis=0)) * 0.5
+    owner = np.full(m, -1, dtype=np.int64)
+    for i in neighbors:
+        on = np.zeros(m, dtype=bool)
+        for poly in out_geoms[i]:
+            for r in poly:
+                on |= points_on_ring(
+                    mids, r, 1e-9 * max(1.0, np.abs(ring).max())
+                )
+        owner[on & (owner == -1)] = i
+    return owner
+
+
+def _owner_runs(owner):
+    """Maximal circular runs [(owner, a, b)] (edges a..b inclusive)."""
+    m = len(owner)
+    if (owner == owner[0]).all():
+        return [(int(owner[0]), 0, m - 1)]
+    rot = next(k for k in range(1, m + 1) if owner[k % m] != owner[0]) % m
+    ow = np.roll(owner, -rot)
+    runs = []
+    s = 0
+    for k in range(1, m):
+        if ow[k] != ow[s]:
+            runs.append((int(ow[s]), s + rot, k - 1 + rot))
+            s = k
+    runs.append((int(ow[s]), s + rot, m - 1 + rot))
+    return runs
+
+
+def _convexify_gap(gap, out_geoms, neighbors):
+    """Reference convexify_hole_boundaries (smart_repair.py:2598-2787):
+    for each maximal boundary arc shared with one neighbor, cut off the
+    region between the arc and the euclidean SHORTEST PATH (inside the
+    gap) joining the arc's endpoints, and union it into that neighbor.
+    Returns (additions {owner: MultiPolygon}, remaining gap MultiPolygon)
+    or None when the gap has <2 distinct owners, has holes, or no arc
+    cuts a positive-area piece (already convex)."""
+    from ..geom.core import normalize_polygon
+    from ..geom.funnel import shortest_path_in_ring, visible_pairs
+
+    if len(gap) != 1:
+        return None
+    ring = gap[0]
+    m = len(ring)
+    owner = _edge_owners(ring, out_geoms, neighbors)
+    distinct = sorted(set(int(o) for o in owner if o >= 0))
+    if len(distinct) < 2:
+        return None
+    runs = [r for r in _owner_runs(owner) if r[0] >= 0]
+    vis = visible_pairs(ring)
+    garea = poly_area([gap])
+    additions: dict[int, list] = {}
+    pieces = []
+    for own, a, b in runs:
+        i0, i1 = a % m, (b + 1) % m
+        path = shortest_path_in_ring(ring, i0, i1, vis)
+        if len(path) < 2:
+            continue
+        arc_idx = [k % m for k in range(a, b + 2)]
+        arc_pts = ring[arc_idx]
+        if len(path) == 2 and len(arc_pts) == 2:
+            continue  # single-edge arc, chord == arc: nothing to cut
+        piece_ring = np.vstack([arc_pts, path[::-1][1:-1]])
+        poly = normalize_polygon([piece_ring])
+        if not poly:
+            continue
+        # clean weakly-simple rings (path may touch the arc at reflex
+        # vertices) and clamp to the gap
+        piece = boolean.intersection([poly], [gap])
+        pa_ = poly_area(piece)
+        if pa_ <= 1e-12 * max(garea, 1.0) or not piece:
+            continue
+        additions.setdefault(own, [])
+        additions[own] = boolean.union(additions[own], piece) \
+            if additions[own] else piece
+        pieces.append(piece)
+    if not pieces:
+        return None
+    cut = boolean.union_all(pieces)
+    remaining = boolean.difference([gap], cut)
+    return additions, remaining
+
+
 def _fan_split(gap, out_geoms, neighbors, garea):
     """Partition a (single-shell) gap among its neighbors: fan polygons
     from the gap's representative point to each maximal boundary run

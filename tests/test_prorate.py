@@ -129,7 +129,8 @@ class TestProrate:
         assert dist["v"].tolist() == [30.0]
         hashj = (
             prorate(
-                ray.data.from_arrow(rel), ray.data.from_arrow(data), ["v"]
+                ray.data.from_arrow(rel), ray.data.from_arrow(data), ["v"],
+                broadcast_limit=1,  # force the hash co-shuffle plan
             )
             .to_pandas()
             .sort_values("target_id", ignore_index=True)

@@ -160,11 +160,23 @@ class TestProrateHashJoin:
                 ray.data.from_arrow(rel),
                 ray.data.from_arrow(data),
                 ["pop"],
+                broadcast_limit=1,  # force the hash co-shuffle plan
             )
             .to_pandas()
             .sort_values("target_id", ignore_index=True)
         )
         assert got.equals(want)
+        # under the limit the adaptive plan broadcasts — same answer
+        got_b = (
+            prorate(
+                ray.data.from_arrow(rel),
+                ray.data.from_arrow(data),
+                ["pop"],
+            )
+            .to_pandas()
+            .sort_values("target_id", ignore_index=True)
+        )
+        assert got_b.equals(want)
 
 
 class TestDoctorDistributed:
