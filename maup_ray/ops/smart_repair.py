@@ -416,6 +416,28 @@ def smart_repair_table(
                 gaps.extend(region)  # explode MultiPolygon parts
             else:
                 gaps.append(hole)
+        def fill_one(gap):
+            """fan-split / absorb a (convexified) gap."""
+            garea = poly_area([gap])
+            neighbors = [
+                i
+                for i, g in enumerate(out_geoms)
+                if g and _shared_len([gap], g) > 0
+            ]
+            if not neighbors:
+                return
+            fans = _fan_split(gap, out_geoms, neighbors, garea)
+            if fans is not None:
+                for i, fan in fans:
+                    out_geoms[i] = boolean.union(out_geoms[i], fan)
+            else:
+                best, best_len = None, 0.0
+                for i in neighbors:
+                    ln = _shared_len([gap], out_geoms[i])
+                    if ln > best_len:
+                        best, best_len = i, ln
+                out_geoms[best] = boolean.union(out_geoms[best], [gap])
+
         for gap in gaps:
             garea = poly_area([gap])
             neighbors = [
@@ -429,17 +451,18 @@ def smart_repair_table(
                 ref_area = max(poly_area(out_geoms[i]) for i in neighbors)
                 if garea > fill_gaps_threshold * ref_area:
                     continue
-            fans = _fan_split(gap, out_geoms, neighbors, garea)
-            if fans is not None:
-                for i, fan in fans:
-                    out_geoms[i] = boolean.union(out_geoms[i], fan)
+            # reference order (smart_repair.py:1055): convexify FIRST —
+            # per-arc shortest-path cuts go to the arc's owner — then
+            # split/absorb whatever remains
+            conv = _convexify_gap(gap, out_geoms, neighbors)
+            if conv is not None:
+                additions, remaining = conv
+                for i, piece in additions.items():
+                    out_geoms[i] = boolean.union(out_geoms[i], piece)
+                for sub in remaining:
+                    fill_one(sub)
             else:
-                best, best_len = None, 0.0
-                for i in neighbors:
-                    ln = _shared_len([gap], out_geoms[i])
-                    if ln > best_len:
-                        best, best_len = i, ln
-                out_geoms[best] = boolean.union(out_geoms[best], [gap])
+                fill_one(gap)
 
     i = table.column_names.index(geometry_col)
     return table.set_column(

@@ -218,3 +218,82 @@ class TestNonStarGaps:
         originals = {"A": 5.0, "B": 3.0, "C": 3.0, "D": 3.0, "E": 1.0}
         gainers = [i for i in areas if areas[i] > originals[i] + 1e-9]
         assert len(gainers) >= 3  # split among several, not one absorber
+
+
+class TestConvexifyGapSplit:
+    """Reference parity for convexify_hole_boundaries
+    (ref: smart_repair.py:2598-2787): a concave 3-neighbor L-gap.
+    Per-arc shortest-path cuts are analytically known: arcs A and C cut
+    straight-chord triangles; arc B hugs the reflex corner (path == arc,
+    zero-area cut)."""
+
+    def _fixture(self):
+        # outer [0,4]^2; L-gap (1,1),(3,1),(3,2),(2,2),(2,3),(1,3)
+        A = np.array(
+            [[0.0, 0], [4, 0], [4, 2], [3, 2], [3, 1], [1, 1], [0, 1]]
+        )
+        B = sq(2, 2, 4, 4)
+        C = np.array(
+            [[0.0, 1], [1, 1], [1, 3], [2, 3], [2, 4], [0, 4]]
+        )
+        return pa.table(
+            {
+                "id": ["A", "B", "C"],
+                "geometry": pa.array(
+                    [encode_polygon([r]) for r in (A, B, C)],
+                    type=pa.binary(),
+                ),
+            }
+        )
+
+    def test_convexify_pieces_exact(self):
+        from maup_ray.geom import boolean
+        from maup_ray.ops.smart_repair import _convexify_gap
+
+        t = self._fixture()
+        geoms = [decode_polygons(b.as_py()) for b in t["geometry"]]
+        gap = [
+            np.array(
+                [[1.0, 1], [3, 1], [3, 2], [2, 2], [2, 3], [1, 3]]
+            )
+        ]
+        conv = _convexify_gap(gap, geoms, [0, 1, 2])
+        assert conv is not None
+        additions, remaining = conv
+        # A (idx 0) gets triangle (1,1),(3,1),(3,2): area 1
+        assert 0 in additions and abs(parea(additions[0]) - 1.0) < 1e-9
+        # C (idx 2) gets triangle (1,1),(1,3),(2,3): area 1
+        assert 2 in additions and abs(parea(additions[2]) - 1.0) < 1e-9
+        # B's reflex arc cuts nothing
+        assert 1 not in additions
+        # remaining quad (1,1),(3,2),(2,2),(2,3): area 1
+        assert abs(parea(remaining) - 1.0) < 1e-9
+        # piece geometry exact: A's piece == the analytic triangle
+        tri_a = [[np.array([[1.0, 1], [3, 1], [3, 2]])]]
+        assert parea(boolean.symmetric_difference(additions[0], tri_a)) < 1e-9
+        tri_c = [[np.array([[1.0, 1], [2, 3], [1, 3]])]]
+        assert parea(boolean.symmetric_difference(additions[2], tri_c)) < 1e-9
+
+    def test_full_repair_preserves_union_and_adjacency(self):
+        from maup_ray.geom import boolean
+        from maup_ray.ops.adjacencies import count_overlaps
+
+        t = self._fixture()
+        out = smart_repair_table(t, fill_gaps_threshold=None)
+        geoms = {
+            i: decode_polygons(b.as_py())
+            for i, b in zip(out["id"].to_pylist(), out["geometry"])
+        }
+        total = sum(parea(g) for g in geoms.values())
+        assert abs(total - 16.0) < 1e-8  # gap fully filled, no overlap
+        assert count_overlaps(out) == 0
+        # convexify cuts landed with their owners
+        tri_a = [[np.array([[1.0, 1], [3, 1], [3, 2]])]]
+        assert parea(boolean.intersection(geoms["A"], tri_a)) > 1.0 - 1e-9
+        tri_c = [[np.array([[1.0, 1], [2, 3], [1, 3]])]]
+        assert parea(boolean.intersection(geoms["C"], tri_c)) > 1.0 - 1e-9
+        # all three remain pairwise adjacent (positive shared length)
+        from maup_ray.ops.smart_repair import _shared_len
+
+        for a, b in (("A", "B"), ("B", "C"), ("A", "C")):
+            assert _shared_len(geoms[a], geoms[b]) > 0
