@@ -401,8 +401,9 @@ def shoelace_batch(P, cnt) -> np.ndarray:
     return out
 
 
-def clip_area_batch_convex(P, cnt, clipper_ring: np.ndarray) -> np.ndarray:
-    """Areas of (padded single-ring polygons ∩ CCW convex ring)."""
+def clip_rings_batch_convex(P, cnt, clipper_ring: np.ndarray):
+    """Clipped rings of (padded single-ring polygons ∩ CCW convex
+    ring) → (P', cnt')."""
     m = len(clipper_ring)
     for i in range(m):
         if not len(cnt) or cnt.max() == 0:
@@ -410,12 +411,13 @@ def clip_area_batch_convex(P, cnt, clipper_ring: np.ndarray) -> np.ndarray:
         P, cnt = _halfplane_batch_general(
             P, cnt, clipper_ring[i], clipper_ring[(i + 1) % m]
         )
-    return shoelace_batch(P, cnt)
+    return P, cnt
 
 
-def clip_area_batch_rect(P, cnt, minx, miny, maxx, maxy) -> np.ndarray:
-    """Areas of (padded single-ring polygons ∩ axis rect) — exact for
-    axis-aligned subjects (crossing coords pinned to the bounds)."""
+def clip_rings_batch_rect(P, cnt, minx, miny, maxx, maxy):
+    """Clipped rings of (padded single-ring polygons ∩ axis rect) —
+    exact for axis-aligned subjects (crossing coords pinned to the
+    bounds) → (P', cnt')."""
     for axis, bound, keep_le in (
         (0, minx, False),
         (0, maxx, True),
@@ -425,4 +427,34 @@ def clip_area_batch_rect(P, cnt, minx, miny, maxx, maxy) -> np.ndarray:
         if not len(cnt) or cnt.max() == 0:
             break
         P, cnt = _halfplane_batch_axis(P, cnt, axis, bound, keep_le)
-    return shoelace_batch(P, cnt)
+    return P, cnt
+
+
+def perimeter_batch(P, cnt) -> np.ndarray:
+    """Per-polygon boundary length over padded rings (padding repeats
+    the last vertex → zero-length edges contribute nothing)."""
+    n, V, _ = P.shape
+    if n == 0 or V == 0:
+        return np.zeros(n, dtype=np.float64)
+    slots = np.broadcast_to(np.arange(V)[None, :], (n, V))
+    nxt = np.where(slots + 1 >= cnt[:, None], 0, slots + 1)
+    Pj = np.take_along_axis(P, nxt[..., None], axis=1)
+    d = Pj - P
+    L = np.hypot(d[..., 0], d[..., 1])
+    valid = slots < cnt[:, None]
+    out = np.where(valid, L, 0.0).sum(axis=1)
+    out[cnt < 3] = 0.0
+    return out
+
+
+def clip_area_batch_convex(P, cnt, clipper_ring: np.ndarray) -> np.ndarray:
+    """Areas of (padded single-ring polygons ∩ CCW convex ring)."""
+    return shoelace_batch(*clip_rings_batch_convex(P, cnt, clipper_ring))
+
+
+def clip_area_batch_rect(P, cnt, minx, miny, maxx, maxy) -> np.ndarray:
+    """Areas of (padded single-ring polygons ∩ axis rect) — exact for
+    axis-aligned subjects (crossing coords pinned to the bounds)."""
+    return shoelace_batch(
+        *clip_rings_batch_rect(P, cnt, minx, miny, maxx, maxy)
+    )

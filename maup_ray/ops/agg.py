@@ -25,11 +25,23 @@ def grouped_sum_count(
     keys,
     sum_cols=(),
     count_col: str | None = None,
+    final: str = "shuffle",
 ):
     """groupby(keys) computing sum(c) per ``sum_cols`` (aliased to the
     same names) and optionally count(*) as ``count_col``.
 
-    Returns a Dataset with columns keys + [count_col] + sum_cols.
+    ``final`` picks the second stage over the partials:
+    * ``"shuffle"`` (default) — Ray keyed aggregate; right when the
+      group count itself is large.
+    * ``"driver"`` — collect the partial tables (≤ n_groups rows per
+      input block) and merge with one Arrow group_by on the driver;
+      right for LOW-cardinality keys, where the shuffle operator's
+      fixed cost dwarfs the actual work. Driver bytes are bounded by
+      n_blocks × n_groups × row_width — the caller asserts that's
+      small by picking this mode.
+
+    Returns a Dataset (shuffle) or pa.Table (driver) with columns
+    keys + sum_cols + [count_col].
     """
     keys = list(keys)
     sum_cols = list(sum_cols)
@@ -49,11 +61,36 @@ def grouped_sum_count(
                 names.append(f)
         return g.rename_columns(names)
 
-    from ray.data.aggregate import Sum
-
     partials = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
+    if final == "driver":
+        import ray
+
+        tabs = [
+            t
+            for t in (ray.get(r) for r in partials.to_arrow_refs())
+            if t.num_rows
+        ]
+        if not tabs:
+            return partial(pa.table({}))  # empty, schema-less
+        merged = pa.concat_tables(tabs)
+        aggs = [(c, "sum") for c in sum_cols]
+        if count_col is not None:
+            aggs.append((count_col, "sum"))
+        out = merged.group_by(keys, use_threads=False).aggregate(aggs)
+        # rename by name-matching (Arrow group_by's output order is not
+        # keys-first)
+        names = [
+            f[: -len("_sum")] if f.endswith("_sum") else f
+            for f in out.column_names
+        ]
+        out = out.rename_columns(names)
+        return out.select(keys + sum_cols + (
+            [count_col] if count_col is not None else []
+        ))
+    from ray.data.aggregate import Sum
+
     aggs = [Sum(on=c, alias_name=c) for c in sum_cols]
     if count_col is not None:
         aggs.append(Sum(on=count_col, alias_name=count_col))

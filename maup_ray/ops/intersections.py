@@ -55,20 +55,64 @@ class IntersectionsActor:
         self.include_geometry = include_geometry
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        geoms = [decode_polygons(b.as_py()) for b in batch[self.geometry_col]]
+        from ..geom.wkb import decode_quads_bulk
+
+        quads = decode_quads_bulk(batch[self.geometry_col])
+        if quads is not None:
+            geoms = None
+            bboxes = np.concatenate(
+                [quads.min(axis=1), quads.max(axis=1)], axis=1
+            )
+        else:
+            geoms = [
+                decode_polygons(b.as_py()) for b in batch[self.geometry_col]
+            ]
+            bboxes = np.array(
+                [bounds(g) for g in geoms], dtype=np.float64
+            ).reshape(-1, 4)
         src_ids = batch[self.source_id_col]
-        bboxes = np.array(
-            [bounds(g) for g in geoms], dtype=np.float64
-        ).reshape(-1, 4)
         si, ti = self.index.candidates_for_bboxes(bboxes)
         order = np.lexsort((ti, si))
         si, ti = si[order], ti[order]
+        if not self.include_geometry and self.area_cutoff is not None:
+            fast = self._metrics_only(si, ti, quads, geoms, src_ids)
+            if fast is not None:
+                return fast
+        # batched clip pass for eligible (single-ring source, rect or
+        # convex target) pairs — one vectorized Sutherland–Hodgman per
+        # target over all its candidates (VERDICT r1 #8 hot spot);
+        # remaining pairs fall through to the scalar path below
+        pair_rings = self._batch_clip(si, ti, quads, geoms)
+
+        def src_of(s):
+            if geoms is not None:
+                return geoms[s]
+            return [[quads[s]]]
+
         out_s, out_t, out_g, out_a, out_l, out_d = [], [], [], [], [], []
-        for s, t in zip(si, ti):
-            src = geoms[s]
-            if not src:
-                continue
-            polys, lines, pts, ar, ln = self._pair(src, t)
+        from ..geom.core import normalize_polygon, perimeter
+
+        for k, (s, t) in enumerate(zip(si, ti)):
+            ring = pair_rings[k] if pair_rings is not None else None
+            if ring is not None:
+                poly = normalize_polygon([ring])
+                ar = poly_area([poly]) if poly else 0.0
+                if poly and ar > 0:
+                    polys, lines, pts, ln = [poly], [], np.empty((0, 2)), \
+                        perimeter([poly])
+                else:
+                    src = src_of(s)
+                    if not src:
+                        continue
+                    lines, pts, ln = boundary_intersection(
+                        src, self.index.geom(t)
+                    )
+                    polys, ar = [], 0.0
+            else:
+                src = src_of(s)
+                if not src:
+                    continue
+                polys, lines, pts, ar, ln = self._pair(src, t)
             dim = 2 if polys else 1 if lines else 0 if len(pts) else -1
             if dim < 0:
                 continue
@@ -98,6 +142,134 @@ class IntersectionsActor:
         cols["length"] = pa.array(out_l, type=pa.float64())
         cols["dim"] = pa.array(out_d, type=pa.int8())
         return pa.table(cols)
+
+    def _metrics_only(self, si, ti, quads, geoms, src_ids):
+        """Fully-vectorized finish for the include_geometry=False +
+        area_cutoff path (the q_pieces shape): per-target batched clip
+        → batched shoelace areas + batched perimeters, no per-piece
+        Python. Degenerate boundary touches have area 0 and are dropped
+        by the cutoff, so no boundary_intersection pass is needed.
+        Returns the output table, or None when any candidate pair needs
+        the scalar path (multi-ring source / concave target)."""
+        idx = self.index
+        if not idx.is_rect and idx.convex_ring is None:
+            return None
+        from ..geom.clip import (
+            clip_rings_batch_convex,
+            clip_rings_batch_rect,
+            pad_rings,
+            perimeter_batch,
+            shoelace_batch,
+        )
+
+        if quads is not None:
+            P_all = quads
+            cnt_all = np.full(len(quads), 4, dtype=np.int64)
+        else:
+            if not all(len(g) == 1 and len(g[0]) == 1 for g in geoms):
+                return None
+            P_all, cnt_all = pad_rings([g[0][0] for g in geoms])
+        if not idx.is_rect and any(
+            idx.convex_ring[t] is None for t in np.unique(ti)
+        ):
+            return None
+        areas = np.zeros(len(si), dtype=np.float64)
+        lengths = np.zeros(len(si), dtype=np.float64)
+        ordt = np.argsort(ti, kind="stable")
+        ti_sorted = ti[ordt]
+        t_starts = np.searchsorted(ti_sorted, np.arange(idx.n + 1))
+        for t in np.unique(ti_sorted):
+            rows = ordt[t_starts[t] : t_starts[t + 1]]
+            s_sel = si[rows]
+            if idx.is_rect:
+                minx, miny, maxx, maxy = idx.bboxes[t]
+                Pc, cc = clip_rings_batch_rect(
+                    P_all[s_sel], cnt_all[s_sel], minx, miny, maxx, maxy
+                )
+            else:
+                Pc, cc = clip_rings_batch_convex(
+                    P_all[s_sel], cnt_all[s_sel], idx.convex_ring[t]
+                )
+            areas[rows] = shoelace_batch(Pc, cc)
+            lengths[rows] = perimeter_batch(Pc, cc)
+        keep = areas > self.area_cutoff
+        si_k, ti_k = si[keep], ti[keep]
+        return pa.table(
+            {
+                self.source_id_col: src_ids.take(
+                    pa.array(si_k, type=pa.int64())
+                ),
+                self.target_id_col: pa.array(
+                    [self.index.id_numpy[t] for t in ti_k],
+                    type=self.index.ids.type,
+                ),
+                "area": pa.array(areas[keep]),
+                "length": pa.array(lengths[keep]),
+                "dim": pa.array(
+                    np.full(int(keep.sum()), 2, dtype=np.int8),
+                    type=pa.int8(),
+                ),
+            }
+        )
+
+    def _batch_clip(self, si, ti, quads, geoms):
+        """Per-target batched S-H clips for eligible pairs. Returns a
+        list aligned with (si, ti): clipped ring (np array, maybe
+        degenerate) where the batch path applied, None where the caller
+        must use the scalar path."""
+        if len(si) == 0:
+            return None
+        idx = self.index
+        if not idx.is_rect and idx.convex_ring is None:
+            return None
+        from ..geom.clip import (
+            clip_rings_batch_convex,
+            clip_rings_batch_rect,
+            pad_rings,
+        )
+
+        if quads is not None:
+            P_all = quads
+            cnt_all = np.full(len(quads), 4, dtype=np.int64)
+            eligible = np.ones(len(quads), dtype=bool)
+        else:
+            eligible = np.array(
+                [len(g) == 1 and len(g[0]) == 1 for g in geoms]
+            )
+            if not eligible.any():
+                return None
+            rings = [
+                g[0][0] if e else np.zeros((0, 2))
+                for g, e in zip(geoms, eligible)
+            ]
+            P_all, cnt_all = pad_rings(rings)
+        out = [None] * len(si)
+        pe = eligible[si]
+        ordt = np.argsort(ti, kind="stable")
+        ti_sorted = ti[ordt]
+        t_starts = np.searchsorted(ti_sorted, np.arange(idx.n + 1))
+        for t in np.unique(ti_sorted):
+            if not idx.is_rect:
+                ring = idx.convex_ring[t]
+                if ring is None:
+                    continue
+            rows = ordt[t_starts[t] : t_starts[t + 1]]
+            rows = rows[pe[rows]]
+            if not len(rows):
+                continue
+            s_sel = si[rows]
+            if idx.is_rect:
+                minx, miny, maxx, maxy = idx.bboxes[t]
+                Pc, cc = clip_rings_batch_rect(
+                    P_all[s_sel], cnt_all[s_sel], minx, miny, maxx, maxy
+                )
+            else:
+                Pc, cc = clip_rings_batch_convex(
+                    P_all[s_sel], cnt_all[s_sel], ring
+                )
+            for j, row_k in enumerate(rows):
+                out[row_k] = Pc[j, : int(cc[j])]
+        return out
 
     def _pair(self, src, t: int):
         polys = None

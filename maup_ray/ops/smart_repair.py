@@ -451,6 +451,18 @@ def smart_repair_table(
                 ref_area = max(poly_area(out_geoms[i]) for i in neighbors)
                 if garea > fill_gaps_threshold * ref_area:
                     continue
+            if len(gap) > 1:
+                # non-simply-connected gap (contains interior rings):
+                # the reference REFUSES these — drop_bad_holes
+                # (smart_repair.py:972-1029) leaves them unfilled with a
+                # warning, after the area-threshold drop
+                import warnings
+
+                warnings.warn(
+                    "smart_repair: leaving a non-simply-connected gap "
+                    "unfilled (reference drop_bad_holes semantics)"
+                )
+                continue
             # reference order (smart_repair.py:1055): convexify FIRST —
             # per-arc shortest-path cuts go to the arc's owner — then
             # split/absorb whatever remains

@@ -222,3 +222,44 @@ class TestDoctorDistributed:
         assert dist["n_overlaps"] == local["n_overlaps"] == 1
         assert dist["n_gaps"] == local["n_gaps"] == 1
         assert not dist["ok"]
+
+
+class TestGroupedSumCount:
+    def test_both_finals_match(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from maup_ray.ops.agg import grouped_sum_count
+
+        rng = np.random.RandomState(3)
+        n = 20000
+        t = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 17, n).astype(np.int64)),
+                "v": pa.array(rng.randint(0, 100, n).astype(np.int64)),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(8)
+        want = (
+            t.to_pandas()
+            .groupby("k")
+            .agg(v=("v", "sum"), n=("v", "size"))
+            .reset_index()
+            .sort_values("k", ignore_index=True)
+        )
+        shuf = (
+            grouped_sum_count(ds, ["k"], sum_cols=["v"], count_col="n")
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        drv = (
+            grouped_sum_count(
+                ds, ["k"], sum_cols=["v"], count_col="n", final="driver"
+            )
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        for got in (shuf, drv):
+            assert got["k"].tolist() == want["k"].tolist()
+            assert got["v"].tolist() == want["v"].tolist()
+            assert got["n"].tolist() == want["n"].tolist()

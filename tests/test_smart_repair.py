@@ -160,9 +160,13 @@ class TestFanGapSplit:
 
 
 class TestNonStarGaps:
-    def test_annular_gap_with_island(self):
-        # hole-of-union contains an island geometry: the true gap is the
-        # annulus; whole-absorb applies (ring-with-hole gap), exact area
+    def test_annular_gap_refused(self):
+        # hole-of-union contains an island geometry: the true gap is an
+        # ANNULUS (non-simply-connected). The reference REFUSES these —
+        # drop_bad_holes (ref smart_repair.py:972-1029) leaves them
+        # unfilled with a warning; geometries must be unchanged.
+        import warnings as _warnings
+
         cells, ids = [], []
         for x in range(5):
             for y in range(5):
@@ -180,13 +184,18 @@ class TestNonStarGaps:
                 ),
             }
         )
-        out = smart_repair_table(t, fill_gaps_threshold=None)
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            out = smart_repair_table(t, fill_gaps_threshold=None)
+        assert any("non-simply-connected" in str(x.message) for x in w)
         post = doctor(out)
-        assert post["ok"]
+        assert post["n_gaps"] >= 1  # the annulus survives
+        assert post["n_overlaps"] == 0
         total = sum(
             parea(decode_polygons(b.as_py())) for b in out["geometry"]
         )
-        assert total == pytest.approx(25.0, abs=1e-9)
+        # 16 frame cells + 1 island cell; the 8-unit annulus unfilled
+        assert total == pytest.approx(17.0, abs=1e-9)
 
     def test_u_shaped_gap_triangulated(self):
         # non-star U gap: triangulation fallback splits it among several
