@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize": p.q_normalize,
         "prorate": p.q_prorate,
         "adjacencies": p.q_adjacencies,
+        "islands": p.q_islands,
+        "count_overlaps": p.q_count_overlaps,
         "cell_tiles": p.q_cell_tiles,
         "events_hourly": p.q_events_hourly,
         "knn": p.q_knn,

@@ -207,7 +207,7 @@ def count_overlaps(geoms, **kw) -> int:
             ).as_py()
             or 0
         )
-    return adj.filter(lambda r: r["area"] > 0).count()
+    return adj.filter(expr="area > 0").count()
 
 
 def islands(geoms, adj=None, id_col: str = "id", **kw):

@@ -131,14 +131,28 @@ def prorate(
         return pa.Table.from_pandas(agg, preserve_index=False)
     if isinstance(data, pa.Table):
         join_kwargs["data"] = ray.put(data)
-    from .assign import _autoscale
+    # task mode + per-worker cached instance (not an actor pool): actor
+    # pools respawn on every Dataset execution; warm worker processes
+    # amortize the broadcast-table fetch across jobs (same pattern as
+    # assign's _cached_instance)
+    from .assign import _cached_instance
+
+    ref = join_kwargs["data"]
+    key = (
+        "prorate",
+        ref.hex() if isinstance(ref, ray.ObjectRef) else id(ref),
+        tuple(columns),
+        source_id_col,
+        target_id_col,
+        weight_col,
+        join_kwargs["drop_missing"],
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached_instance(_ProrateJoin, key, join_kwargs)(batch)
 
     ds = relationship.map_batches(
-        _ProrateJoin,
-        fn_constructor_kwargs=join_kwargs,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=_autoscale(4),
+        fn, batch_format="pyarrow", zero_copy_batch=True
     )
     if aggregate_by is None:
         return ds

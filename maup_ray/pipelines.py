@@ -201,6 +201,89 @@ def q_prorate(sf_dir: str):
     return out.rename_columns(["district_id", "weighted_chars"])
 
 
+XL_RECT_SCALE = 4  # islands/count_overlaps rects: dense enough to overlap
+# (147 closed pairs / 246 islands at 500 docs; rects stay small vs extent
+# so the cell partition still prunes)
+
+
+def derive_rects_xl(batch: pa.Table) -> pa.Table:
+    """derive_rects with half-extents × XL_RECT_SCALE — dense enough
+    that rects overlap (the plain rects are sparse at the synthetic
+    document density: zero pairs)."""
+    k = batch["doc_id"].to_numpy()
+    cx = (k * AX + BX) % EXTENT
+    cy = (k * AY + BY) % EXTENT
+    hx = (1000 + (k % 97) * 50) * XL_RECT_SCALE
+    hy = (1000 + (k % 89) * 50) * XL_RECT_SCALE
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "sminx": pa.array((cx - hx).astype(np.float64)),
+            "sminy": pa.array((cy - hy).astype(np.float64)),
+            "smaxx": pa.array((cx + hx).astype(np.float64)),
+            "smaxy": pa.array((cy + hy).astype(np.float64)),
+        }
+    )
+
+
+def _xl_rects_cte() -> str:
+    f = XL_RECT_SCALE
+    return f"""
+srcs AS (
+  SELECT doc_id,
+    CAST((doc_id*{AX}+{BX})%{EXTENT} - (1000+(doc_id%97)*50)*{f} AS DOUBLE) AS sminx,
+    CAST((doc_id*{AY}+{BY})%{EXTENT} - (1000+(doc_id%89)*50)*{f} AS DOUBLE) AS sminy,
+    CAST((doc_id*{AX}+{BX})%{EXTENT} + (1000+(doc_id%97)*50)*{f} AS DOUBLE) AS smaxx,
+    CAST((doc_id*{AY}+{BY})%{EXTENT} + (1000+(doc_id%89)*50)*{f} AS DOUBLE) AS smaxy
+  FROM documents)
+"""
+
+
+def _doc_rect_geoms(sf_dir: str, xl: bool = False):
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(
+            derive_rects_xl if xl else derive_rects,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(_rect_geometry_table, batch_format="pyarrow")
+    )
+
+
+def q_islands(sf_dir: str):
+    """op islands over the doc rect table: rects intersecting (closed,
+    corner touches count — queen) no other rect. Dataset path: cell-
+    partitioned adjacency self-join, distinct pair-ids broadcast,
+    anti-join in map_batches."""
+    from .ops.adjacencies import adjacencies, islands
+
+    ds = _doc_rect_geoms(sf_dir, xl=True)
+    adj = adjacencies(
+        ds,
+        id_col="source_id",
+        geometry_col="geometry",
+        adjacency_type="queen",
+        include_geometry=False,
+        extent=(0.0, 0.0, float(EXTENT)),
+    )
+    out = islands(ds, adj=adj, id_col="source_id")
+    return out.select_columns(["source_id"]).rename_columns(["doc_id"])
+
+
+def q_count_overlaps(sf_dir: str):
+    """op 17 count_overlaps over the doc rect table (pairs with
+    positive intersection area)."""
+    from .ops.adjacencies import count_overlaps
+
+    n = count_overlaps(
+        _doc_rect_geoms(sf_dir, xl=True),
+        id_col="source_id",
+        extent=(0.0, 0.0, float(EXTENT)),
+    )
+    return pa.table({"n_overlaps": pa.array([n], type=pa.int64())})
+
+
 def q_adjacencies(sf_dir: str):
     """District rook adjacency self-join (op 8) — lengths are exact
     integers on the BSP tessellation. sf-independent geometry but run
@@ -776,6 +859,21 @@ def oracle_queries() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "islands": f"""
+            WITH {_xl_rects_cte()}
+            SELECT a.doc_id FROM srcs a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM srcs b WHERE b.doc_id != a.doc_id
+                AND a.sminx <= b.smaxx AND a.smaxx >= b.sminx
+                AND a.sminy <= b.smaxy AND a.smaxy >= b.sminy)
+        """,
+        "count_overlaps": f"""
+            WITH {_xl_rects_cte()}
+            SELECT CAST(count(*) AS BIGINT) AS n_overlaps
+            FROM srcs a JOIN srcs b ON a.doc_id < b.doc_id
+            WHERE least(a.smaxx, b.smaxx) > greatest(a.sminx, b.sminx)
+              AND least(a.smaxy, b.smaxy) > greatest(a.sminy, b.sminy)
         """,
         "lang_id": _langid_sql(),
         "fingerprint": r"""
