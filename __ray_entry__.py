@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": p.q_quality,
         "dedup_exact": p.q_dedup_exact,
         "ann_topk": p.q_ann_topk,
+        "embed_dedup": p.q_embed_dedup,
         # rows-only (non-SQL-expressible: hash/LSH/model-ish ops)
         "lang_id": p.q_lang_id,
         "fingerprint": p.q_fingerprint,

@@ -458,6 +458,23 @@ def q_ann_topk(sf_dir: str):
     return brute_topk(corpus, queries, k=ANN_K)
 
 
+EMBED_DUP_THRESHOLD = 0.42  # in a measured similarity gap at every sf
+# (margin >= 3e-5 to the nearest pair — orders above any float32/float64
+# arithmetic difference vs the DuckDB oracle)
+
+
+def q_embed_dedup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (exact mode: normalized
+    corpus broadcast once, one matmul per batch, pairs emitted exactly
+    once by the id_i < id_j ownership rule)."""
+    from .vector.ann import cosine_near_dup
+
+    return cosine_near_dup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        threshold=EMBED_DUP_THRESHOLD,
+    )
+
+
 def q_ann_lsh(sf_dir: str):
     from .vector.ann import lsh_topk
 
@@ -874,6 +891,12 @@ def oracle_queries() -> dict[str, str]:
             FROM srcs a JOIN srcs b ON a.doc_id < b.doc_id
             WHERE least(a.smaxx, b.smaxx) > greatest(a.sminx, b.sminx)
               AND least(a.smaxy, b.smaxy) > greatest(a.sminy, b.sminy)
+        """,
+        "embed_dedup": f"""
+            SELECT a.vec_id AS id_i, b.vec_id AS id_j
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding)
+                  >= {EMBED_DUP_THRESHOLD}
         """,
         "lang_id": _langid_sql(),
         "fingerprint": r"""

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["embedding_matrix", "brute_topk", "lsh_topk", "ivf_topk"]
+__all__ = ["embedding_matrix", "brute_topk", "lsh_topk", "ivf_topk", "cosine_near_dup"]
 
 
 def embedding_matrix(batch: pa.Table, col="embedding") -> np.ndarray:
@@ -262,4 +262,137 @@ def lsh_topk(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(query_id_col)
         .map_groups(final)
+    )
+
+
+def cosine_near_dup(
+    ds,
+    threshold: float,
+    mode: str = "exact",
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    n_planes: int = 10,
+    n_bands: int = 4,
+    seed: int = 99,
+    broadcast_limit: int = 2_000_000,
+):
+    """Embedding-cosine near-duplicate PAIRS: (id_i, id_j), id_i < id_j,
+    with cosine(emb_i, emb_j) >= threshold.
+
+    * ``mode="exact"`` — the normalized corpus matrix is broadcast
+      (ray.put once, guarded by ``broadcast_limit`` rows) and every
+      batch does one matmul against it, emitting only pairs where the
+      batch row's id is the SMALLER one (each pair found exactly once,
+      no dedup shuffle). Right when the corpus fits a worker; exact.
+    * ``mode="lsh"`` — the scale path: banded random-hyperplane
+      signatures bucket the corpus ((band, band_hash) groupby, same
+      shape as MinHash-LSH); candidate pairs are verified with exact
+      cosine inside the bucket group. Recall < 1 by design; no
+      all-pairs anywhere.
+    """
+    import ray
+
+    if mode == "exact":
+        n = ds.count()
+        if n > broadcast_limit:
+            raise ValueError(
+                f"exact cosine pairs over {n} rows would broadcast past "
+                f"broadcast_limit={broadcast_limit}; use mode='lsh'"
+            )
+        tabs = [
+            t
+            for t in (
+                ray.get(r)
+                for r in ds.select_columns([id_col, col]).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        corpus = pa.concat_tables(tabs)
+        cm = _normalize(embedding_matrix(corpus, col))
+        cids = corpus[id_col].to_numpy(zero_copy_only=False)
+        ref = ray.put((cids, cm))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cids_, cm_ = ray.get(ref)
+            bm = _normalize(embedding_matrix(batch, col))
+            bids = batch[id_col].to_numpy(zero_copy_only=False)
+            sims = bm @ cm_.T
+            ii, jj = np.nonzero(
+                (sims >= threshold) & (bids[:, None] < cids_[None, :])
+            )
+            return pa.table(
+                {
+                    "id_i": pa.array(bids[ii], type=pa.int64()),
+                    "id_j": pa.array(cids_[jj], type=pa.int64()),
+                }
+            )
+
+        return ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # ---- banded-LSH scale path
+    rng = np.random.RandomState(seed)
+    planes = None
+    planes_ref = None
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        nonlocal planes
+        m = _normalize(embedding_matrix(batch, col))
+        if planes is None:
+            r = np.random.RandomState(seed)
+            planes = r.normal(size=(m.shape[1], n_planes * n_bands))
+        bits = (m @ planes > 0).astype(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_id, out_band, out_hash, out_emb = [], [], [], []
+        emb = batch[col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        for b in range(n_bands):
+            chunk = bits[:, b * n_planes : (b + 1) * n_planes]
+            code = (
+                chunk << np.arange(n_planes, dtype=np.uint64)[None, :]
+            ).sum(axis=1)
+            out_id.append(ids)
+            out_band.append(np.full(len(ids), b, dtype=np.int64))
+            out_hash.append(code.astype(np.int64))
+            out_emb.append(emb)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id)),
+                "band": pa.array(np.concatenate(out_band)),
+                "band_hash": pa.array(np.concatenate(out_hash)),
+                col: pa.concat_arrays([e for e in out_emb]),
+            }
+        )
+
+    def verify_group(df):
+        import pandas as pd
+
+        ids = df[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_i": [], "id_j": []}).astype(np.int64)
+        m = _normalize(
+            np.array(df[col].tolist(), dtype=np.float64)
+        )
+        sims = m @ m.T
+        ii, jj = np.nonzero(
+            (sims >= threshold) & (ids[:, None] < ids[None, :])
+        )
+        return pd.DataFrame(
+            {"id_i": ids[ii].astype(np.int64), "id_j": ids[jj].astype(np.int64)}
+        )
+
+    pairs = (
+        ds.map_batches(sig_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "band_hash"])
+        .map_groups(verify_group)
+    )
+    # a pair can match in several bands: distinct-ify (small pair table)
+    from ray.data.aggregate import Count
+
+    return (
+        pairs.groupby(["id_i", "id_j"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["id_i", "id_j"])
     )

@@ -296,3 +296,68 @@ class TestIVF:
             if len(tops) and tops["vec_id"].iloc[0] == 100 + q:
                 found += 1
         assert found >= 4
+
+
+class TestCosineNearDup:
+    def test_exact_pairs_match_numpy(self, ray_session):
+        import ray.data
+
+        from maup_ray.vector.ann import cosine_near_dup, embedding_matrix
+
+        rng = np.random.RandomState(5)
+        n, d = 300, 32
+        base = rng.normal(size=(n, d))
+        # plant 10 near-dup pairs
+        for i in range(10):
+            base[n - 1 - i] = base[i] + rng.normal(scale=0.05, size=d)
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), type=pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32) for row in base],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        m = embedding_matrix(t)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ mn.T
+        ii, jj = np.nonzero(
+            (sims >= 0.9) & (np.arange(n)[:, None] < np.arange(n)[None, :])
+        )
+        want = set(zip(ii.tolist(), jj.tolist()))
+        out = cosine_near_dup(
+            ray.data.from_arrow(t).repartition(4), threshold=0.9
+        ).to_pandas()
+        got = set(zip(out["id_i"], out["id_j"]))
+        assert got == want and len(want) >= 10
+
+    def test_lsh_mode_recall(self, ray_session):
+        import ray.data
+
+        from maup_ray.vector.ann import cosine_near_dup, embedding_matrix
+
+        rng = np.random.RandomState(6)
+        n, d = 300, 32
+        base = rng.normal(size=(n, d))
+        for i in range(15):
+            base[n - 1 - i] = base[i] + rng.normal(scale=0.03, size=d)
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), type=pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32) for row in base],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(4)
+        exact = cosine_near_dup(ds, threshold=0.95).to_pandas()
+        want = set(zip(exact["id_i"], exact["id_j"]))
+        lsh = cosine_near_dup(
+            ds, threshold=0.95, mode="lsh", n_planes=6, n_bands=8
+        ).to_pandas()
+        got = set(zip(lsh["id_i"], lsh["id_j"]))
+        assert got <= want  # no false positives (exact verify in-bucket)
+        assert len(got) >= 0.8 * len(want)  # recall
+        assert len(want) >= 15
