@@ -163,6 +163,37 @@ def _perm_params(num_perm: int):
     return _MINHASH_A[:num_perm], _MINHASH_B[:num_perm]
 
 
+def _shingle_hashes_bulk(arr: pa.Array, k: int):
+    """Rolling polynomial hashes of every k-byte window of EVERY doc in
+    the column, computed in k vectorized passes over ONE concatenated
+    byte buffer (no per-doc Python). Returns (hashes & P61, per-doc
+    window starts, per-doc window counts, lens). Docs shorter than k
+    have count 0 (caller handles via the padded scalar fallback).
+    Duplicate windows are NOT deduped — min/permutation math is
+    unaffected and the np.unique per doc was the old hot spot."""
+    buf_off = arr.offset
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        buf_off : buf_off + len(arr) + 1
+    ].astype(np.int64)
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = offs[1:] - offs[:-1]
+    total = int(offs[-1] - offs[0])
+    base = np.uint64(257)
+    if total < k:
+        win = np.zeros(0, dtype=np.uint64)
+    else:
+        b = buf[offs[0] : offs[-1]].astype(np.uint64)
+        n_win = total - k + 1
+        win = np.zeros(n_win, dtype=np.uint64)
+        p = np.uint64(1)
+        for m in range(k - 1, -1, -1):
+            win += b[m : m + n_win] * p
+            p = p * base
+    counts = np.maximum(lens - k + 1, 0)
+    starts = offs[:-1] - offs[0]
+    return win & _P61, starts, counts, lens
+
+
 def minhash_signatures_batch(
     batch: pa.Table,
     num_perm: int = 64,
@@ -173,23 +204,33 @@ def minhash_signatures_batch(
     """(id, sig: list<uint64 as int64>[num_perm])."""
     a, b_ = _perm_params(num_perm)
     n = len(batch)
-    # batch-vectorized: concatenate every doc's shingle hashes, then for
-    # each permutation do ONE pass + minimum.reduceat per doc (no
-    # per-doc × per-perm python loop)
-    sh_list = [
-        char_shingle_hashes(v.as_py(), shingle_k) & _P61
-        for v in batch[text_col]
-    ]
-    counts = np.array([len(s) for s in sh_list], dtype=np.int64)
-    sigs = np.zeros((n, num_perm), dtype=np.uint64)
+    arr = batch[text_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    win, starts, counts, lens = _shingle_hashes_bulk(arr, shingle_k)
+    # gather each doc's (contiguous) window range into one flat array
     nonempty = counts > 0
-    if nonempty.any():
-        allsh = np.concatenate([s for s in sh_list if len(s)])
-        offs = np.zeros(int(nonempty.sum()) + 1, dtype=np.int64)
-        np.cumsum(counts[nonempty], out=offs[1:])
+    ne_starts = starts[nonempty]
+    ne_counts = counts[nonempty]
+    csum = np.zeros(len(ne_counts) + 1, dtype=np.int64)
+    np.cumsum(ne_counts, out=csum[1:])
+    flat_idx = (
+        np.arange(csum[-1], dtype=np.int64)
+        - np.repeat(csum[:-1], ne_counts)
+        + np.repeat(ne_starts, ne_counts)
+    )
+    allsh = win[flat_idx]
+    sigs = np.zeros((n, num_perm), dtype=np.uint64)
+    if len(allsh):
         for p in range(num_perm):
             vals = (a[p] * allsh + b_[p]) % _P61
-            sigs[nonempty, p] = np.minimum.reduceat(vals, offs[:-1])
+            sigs[nonempty, p] = np.minimum.reduceat(vals, csum[:-1])
+    # short docs (< k bytes): space-padded scalar fallback (rare)
+    for i in np.nonzero(~nonempty)[0]:
+        sh = char_shingle_hashes(arr[int(i)].as_py(), shingle_k) & _P61
+        if len(sh):
+            for p in range(num_perm):
+                sigs[i, p] = ((a[p] * sh + b_[p]) % _P61).min()
     return pa.table(
         {
             id_col: batch[id_col],
