@@ -349,29 +349,51 @@ def simhash_batch(
     toks = pc.split_pattern_regex(
         pc.utf8_trim_whitespace(batch[text_col]), r"\s+"
     )
-    out = np.zeros(len(batch), dtype=np.uint64)
-    for i, lst in enumerate(toks):
-        words = lst.as_py()
-        if not words:
-            continue
-        hs = np.array(
-            [
+    n = len(batch)
+    out = np.zeros(n, dtype=np.uint64)
+    flat = pc.list_flatten(toks)
+    tok_counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tok_counts, out=offs[1:])
+    if len(flat):
+        # blake2b only over UNIQUE tokens (the Python-loop hot spot);
+        # dictionary_encode is Arrow's C++ unique (np.unique on object
+        # strings is Python-compare slow), then scatter hashes back and
+        # vote per doc with one reduceat
+        denc = pc.dictionary_encode(flat).combine_chunks()
+        uniq = denc.dictionary.to_pylist()
+        inv = denc.indices.to_numpy(zero_copy_only=False)
+        hs_uniq = np.fromiter(
+            (
                 int.from_bytes(
                     hashlib.blake2b(
                         w.encode("utf-8"), digest_size=8
                     ).digest(),
                     "little",
                 )
-                for w in words
-            ],
+                for w in uniq
+            ),
             dtype=np.uint64,
+            count=len(uniq),
         )
-        bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b_ in np.nonzero(votes > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(b_)
-        out[i] = sig
+        hs = hs_uniq[inv]
+        bits = (
+            (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).astype(np.int64)
+        signed = 2 * bits - 1  # (n_tokens, 64)
+        votes = np.add.reduceat(
+            np.vstack([signed, np.zeros((1, 64), dtype=np.int64)]),
+            offs[:-1],
+            axis=0,
+        )
+        votes[offs[:-1] == offs[1:]] = 0
+        sig = (
+            (votes > 0).astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)[None, :]
+        ).sum(axis=1)
+        nonempty = tok_counts > 0
+        out[nonempty] = sig[nonempty]
     return pa.table(
         {id_col: batch[id_col], "simhash": pa.array(out.view(np.int64))}
     )
