@@ -55,18 +55,67 @@ def _pair_rows(geom_i, geom_j):
     return None
 
 
+def _all_axis_rects(geoms) -> bool:
+    """True when every geometry is a single 4-vertex axis-aligned ring
+    (each edge horizontal or vertical) — the bbox IS the geometry."""
+    for g in geoms:
+        if len(g) != 1 or len(g[0]) != 1:
+            return False
+        r = g[0][0]
+        if len(r) != 4:
+            return False
+        d = np.roll(r, -1, axis=0) - r
+        if not bool(np.all((d[:, 0] == 0.0) | (d[:, 1] == 0.0))):
+            return False
+    return True
+
+
+def _rect_pairs_table(ids, bboxes, ai, bi, adjacency_type, id_type):
+    """Vectorized pair metrics for axis-aligned rects: the SAME
+    greatest/least expressions as the SQL oracle (and as the scalar
+    clip produces), no per-pair Python."""
+    A, B = bboxes[ai], bboxes[bi]
+    w = np.minimum(A[:, 2], B[:, 2]) - np.maximum(A[:, 0], B[:, 0])
+    h = np.minimum(A[:, 3], B[:, 3]) - np.maximum(A[:, 1], B[:, 1])
+    touch = (w >= 0) & (h >= 0)
+    dim2 = (w > 0) & (h > 0)
+    dim1 = touch & ~dim2 & ((w > 0) | (h > 0))
+    area = np.where(dim2, w * h, 0.0)
+    length = np.where(
+        dim2, 2 * (w + h), np.where(dim1, np.maximum(w, h), 0.0)
+    )
+    dim = np.where(dim2, 2, np.where(dim1, 1, 0)).astype(np.int8)
+    keep = touch if adjacency_type == "queen" else (touch & (length > 0))
+    ai, bi = ai[keep], bi[keep]
+    ids_arr = np.asarray(ids, dtype=object)
+    return pa.table(
+        {
+            "id_i": pa.array(list(ids_arr[ai]), type=id_type),
+            "id_j": pa.array(list(ids_arr[bi]), type=id_type),
+            "length": pa.array(length[keep]),
+            "area": pa.array(area[keep]),
+            "dim": pa.array(dim[keep], type=pa.int8()),
+        }
+    )
+
+
 def _pairs_table(
     ids, geoms, bboxes, adjacency_type, include_geometry, id_type,
-    pair_filter=None,
+    pair_mask_fn=None,
 ):
     tree = BBoxTree(bboxes)
     ai, bi = tree.query_bbox(bboxes)
     keep = ai < bi
     ai, bi = ai[keep], bi[keep]
+    if pair_mask_fn is not None and len(ai):
+        m = pair_mask_fn(ai, bi)
+        ai, bi = ai[m], bi[m]
+    if not include_geometry and len(ai) and _all_axis_rects(geoms):
+        return _rect_pairs_table(
+            ids, bboxes, ai, bi, adjacency_type, id_type
+        )
     out = {"id_i": [], "id_j": [], "geometry": [], "length": [], "area": [], "dim": []}
     for i, j in zip(ai, bi):
-        if pair_filter is not None and not pair_filter(i, j):
-            continue
         r = _pair_rows(geoms[i], geoms[j])
         if r is None:
             continue
@@ -177,18 +226,16 @@ def _partitioned_adjacencies(
         geoms = [geoms[i] for i in order]
         bboxes = bboxes[order]
 
-        def canonical(i, j):
-            minx = max(bboxes[i, 0], bboxes[j, 0])
-            miny = max(bboxes[i, 1], bboxes[j, 1])
-            c = grid.cell_of_points(
-                np.array([minx]), np.array([miny]), cell_res
-            )[0]
-            return int(c) == cell
+        def canonical_vec(ai, bi):
+            minx = np.maximum(bboxes[ai, 0], bboxes[bi, 0])
+            miny = np.maximum(bboxes[ai, 1], bboxes[bi, 1])
+            c = grid.cell_of_points(minx, miny, cell_res)
+            return c.astype(np.int64) == cell
 
         id_type = pa.string() if isinstance(ids[0], str) else pa.int64()
         tbl = _pairs_table(
             ids, geoms, bboxes, adjacency_type, include_geometry, id_type,
-            pair_filter=canonical,
+            pair_mask_fn=canonical_vec,
         )
         return tbl.to_pandas()
 
@@ -225,9 +272,22 @@ def islands(geoms, adj=None, id_col: str = "id", **kw):
     # (no shuffle of the geometry payload).
     import ray
 
-    ids_i = adj.unique("id_i")
-    ids_j = adj.unique("id_j")
-    in_pairs = frozenset(ids_i) | frozenset(ids_j)
+    def both_cols(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_pid": pa.concat_arrays(
+                    [
+                        b["id_i"].combine_chunks(),
+                        b["id_j"].combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    pair_ids = adj.map_batches(
+        both_cols, batch_format="pyarrow", zero_copy_batch=True
+    ).unique("_pid")
+    in_pairs = frozenset(pair_ids if pair_ids is not None else ())
     ref = ray.put(in_pairs)
 
     def anti(batch: pa.Table) -> pa.Table:

@@ -259,12 +259,16 @@ def q_islands(sf_dir: str):
     from .ops.adjacencies import adjacencies, islands
 
     ds = _doc_rect_geoms(sf_dir, xl=True)
+    # cell_res 5 (32x32 cells): XL rects span ~1-3 cells; the default
+    # res 8 creates ~65k one-row groups and map_groups dispatch
+    # dominates (25 s -> ~4 s at sf0.1)
     adj = adjacencies(
         ds,
         id_col="source_id",
         geometry_col="geometry",
         adjacency_type="queen",
         include_geometry=False,
+        cell_res=5,
         extent=(0.0, 0.0, float(EXTENT)),
     )
     out = islands(ds, adj=adj, id_col="source_id")
@@ -279,6 +283,7 @@ def q_count_overlaps(sf_dir: str):
     n = count_overlaps(
         _doc_rect_geoms(sf_dir, xl=True),
         id_col="source_id",
+        cell_res=5,
         extent=(0.0, 0.0, float(EXTENT)),
     )
     return pa.table({"n_overlaps": pa.array([n], type=pa.int64())})
