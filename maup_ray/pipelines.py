@@ -498,12 +498,14 @@ def q_image_phash(sf_dir: str):
 
     n = 4 * pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     ds = image_dataset(n)
-    return ds.map_batches(
-        PhashStage,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
-    )
+    # task mode + per-worker cached stage: PhashStage state is a tiny
+    # bit-packing table; an actor pool pays ~2 s respawn per execution
+    from .ops.assign import _cached_instance
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached_instance(PhashStage, ("phash",), {})(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_sessions(sf_dir: str):

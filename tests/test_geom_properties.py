@@ -111,3 +111,89 @@ def test_convex_clip_agrees_with_arrangement(p, q):
     a1 = area(clip_multipolygon_convex(p, ring))
     a2 = area(intersection(p, q))
     assert abs(a1 - a2) < 1e-5
+
+
+@st.composite
+def quads(draw):
+    """Random NON-degenerate convex quad around a centre (vertex angles
+    well separated). Degenerate slivers with repeated vertices are
+    excluded: the scalar path's dedup_ring drops them to <3 vertices
+    (area exactly 0) while the batch shoelace can leave a <=1-ulp
+    residue — a documented parity caveat, not a correctness issue."""
+    cx, cy = draw(coord), draw(coord)
+    base = draw(st.floats(0, 2 * np.pi))
+    gaps = np.array(
+        [draw(st.floats(0.3, 1.2)) for _ in range(4)]
+    )
+    angs = base + np.cumsum(gaps) / np.sum(gaps) * 2 * np.pi
+    r = np.array(
+        [draw(st.integers(min_value=1, max_value=20)) for _ in range(4)],
+        dtype=float,
+    )
+    return np.stack(
+        [cx + r * np.cos(angs), cy + r * np.sin(angs)], axis=1
+    )
+
+
+@given(st.lists(quads(), min_size=1, max_size=6), rects())
+@settings(max_examples=60, deadline=None)
+def test_batch_rect_area_matches_scalar(qs, r):
+    from maup_ray.geom.clip import clip_area_batch_rect, pad_rings
+    from maup_ray.geom.core import area, bounds
+
+    minx, miny, maxx, maxy = bounds([r])
+    P, cnt = pad_rings(qs)
+    got = clip_area_batch_rect(P, cnt, minx, miny, maxx, maxy)
+    for k, q in enumerate(qs):
+        want = abs(area(clip_multipolygon_rect([[q]], minx, miny, maxx, maxy)))
+        # clip arithmetic is expression-identical; the final shoelace
+        # SUM order differs (dot vs pairwise) -> <=2 ulp on irrational
+        # inputs, exactly equal on the dyadic oracle fixtures
+        assert abs(got[k] - want) <= 1e-13 * max(1.0, want)
+
+
+@given(st.lists(quads(), min_size=1, max_size=6), convex_polys())
+@settings(max_examples=60, deadline=None)
+def test_batch_convex_area_matches_scalar(qs, ring):
+    if len(ring) < 3:
+        return
+    from maup_ray.geom.clip import clip_area_batch_convex, pad_rings
+    from maup_ray.geom.core import area
+
+    P, cnt = pad_rings(qs)
+    got = clip_area_batch_convex(P, cnt, ring)
+    for k, q in enumerate(qs):
+        want = abs(area(clip_multipolygon_convex([[q]], ring)))
+        assert abs(got[k] - want) <= 1e-13 * max(1.0, want)
+
+
+def test_batch_rect_exact_on_integer_rects():
+    """Bit-parity claim where it matters: integer-coordinate rects
+    (the oracle fixtures) — batch area == SQL greatest/least formula
+    EXACTLY, every time."""
+    from maup_ray.geom.clip import clip_area_batch_rect, pad_rings
+
+    rng = np.random.RandomState(0)
+    for _ in range(300):
+        a0 = rng.randint(0, 40, 2)
+        w = rng.randint(1, 10, 2)
+        src = np.array(
+            [
+                [a0[0], a0[1]],
+                [a0[0] + w[0], a0[1]],
+                [a0[0] + w[0], a0[1] + w[1]],
+                [a0[0], a0[1] + w[1]],
+            ],
+            dtype=float,
+        )
+        b0 = rng.randint(0, 40, 2)
+        v = rng.randint(1, 10, 2)
+        P, c = pad_rings([src])
+        got = clip_area_batch_rect(
+            P, c, float(b0[0]), float(b0[1]),
+            float(b0[0] + v[0]), float(b0[1] + v[1]),
+        )[0]
+        want = max(
+            0, min(a0[0] + w[0], b0[0] + v[0]) - max(a0[0], b0[0])
+        ) * max(0, min(a0[1] + w[1], b0[1] + v[1]) - max(a0[1], b0[1]))
+        assert got == float(want)
