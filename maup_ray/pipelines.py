@@ -369,12 +369,6 @@ def q_events_hourly(sf_dir: str):
     )
 
 
-def _to_tables(ds):
-    import ray
-
-    return [ray.get(r) for r in ds.to_arrow_refs()]
-
-
 # ----------------------------------------------- training-data queries
 
 
