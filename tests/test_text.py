@@ -361,3 +361,78 @@ class TestCosineNearDup:
         assert got <= want  # no false positives (exact verify in-bucket)
         assert len(got) >= 0.8 * len(want)  # recall
         assert len(want) >= 15
+
+
+class TestImagePipelineE2E:
+    def test_caption_and_pixel_fidelity_through_pipeline(self, ray_session):
+        """North-star invariant at pipeline level: captions ride the
+        whole distributed pipeline exactly; raw pixel payloads stay
+        byte-identical through map stages (PSNR invariant degenerate
+        for fmt=raw); phash-derived coords drive district assignment."""
+        import ray.data
+
+        from maup_ray.media.image import PhashStage
+        from maup_ray.ops.assign import assign
+        from maup_ray.synth.districts import district_table
+        from maup_ray.synth.images import (
+            gen_image_batch,
+            image_dataset,
+            image_table,
+            phash_xy,
+        )
+
+        n = 512
+        ds = image_dataset(n)
+
+        def derive(batch: pa.Table) -> pa.Table:
+            x, y = phash_xy(batch["phash"].to_numpy())
+            return pa.table(
+                {
+                    "source_id": pc_index(batch["image_id"]),
+                    "image_id": batch["image_id"],
+                    "caption": batch["caption"],
+                    "bytes": batch["bytes"],
+                    "x": pa.array(x),
+                    "y": pa.array(y),
+                }
+            )
+
+        import pyarrow.compute as pc
+
+        def pc_index(ids):
+            # image_id strings are "img%012d" — numeric suffix
+            return pa.array(
+                [int(s[3:]) for s in ids.to_pylist()],
+                type=pa.int64(),
+            )
+
+        pts = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        out = assign(
+            pts,
+            district_table(64),
+            keep_cols=("caption", "bytes"),
+            source_id_col="source_id",
+            targets_id_col="district_id",
+        ).to_pandas()
+        assert len(out) == n
+        assert out["target_id"].notna().all()
+        # caption equality + pixel byte equality vs the deterministic
+        # reference generator, row by row
+        ref = image_table(n)
+        ref_cap = dict(
+            zip(
+                (int(s[3:]) for s in ref["image_id"].to_pylist()),
+                ref["caption"].to_pylist(),
+            )
+        )
+        ref_bytes = dict(
+            zip(
+                (int(s[3:]) for s in ref["image_id"].to_pylist()),
+                (b.as_py() for b in ref["bytes"]),
+            )
+        )
+        for sid, cap, blob in zip(
+            out["source_id"], out["caption"], out["bytes"]
+        ):
+            assert cap == ref_cap[int(sid)]
+            assert bytes(blob) == ref_bytes[int(sid)]
