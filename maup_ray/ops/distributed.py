@@ -27,6 +27,8 @@ __all__ = [
     "union_all_distributed",
     "with_hot_cell_split",
     "holes_of_union_distributed",
+    "crop_to_distributed",
+    "expand_to_distributed",
 ]
 
 
@@ -122,7 +124,7 @@ def doctor_distributed(
         cell_res=cell_res,
         extent=extent,
     )
-    n_overlaps = adj.filter(lambda r: r["area"] > 0).count()
+    n_overlaps = adj.filter(expr="area > 0").count()
     gaps = holes_of_union_distributed(ds, extent, geometry_col=geometry_col)
     checks = {
         "n_overlaps": n_overlaps,
@@ -240,3 +242,135 @@ def with_hot_cell_split(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def crop_to_distributed(
+    ds,
+    target: pa.Table,
+    geometry_col: str = "geometry",
+):
+    """Dataset-scale crop_to (ref: repair.py:261-280): union(target) is
+    computed ONCE on the (small) target table, broadcast via ray.put,
+    and every source batch clips against it inside map_batches — no
+    shuffle, the geometry column streams. Rows cropped to zero area
+    keep an empty geometry (callers count them with a filter; the
+    reference's AreaCroppingWarning count is that filter's count)."""
+    import ray
+
+    from ..crs import check_same_crs
+    from ..geom.wkb import decode_polygons as _dec
+
+    check_same_crs(ds, target)
+    tu = boolean.union_all(
+        [_dec(b.as_py()) for b in target[geometry_col]]
+    )
+    tu_ref = ray.put(encode_multipolygon(tu))
+
+    def clip(batch: pa.Table) -> pa.Table:
+        tgt = decode_polygons(ray.get(tu_ref))
+        out = []
+        for b in batch[geometry_col]:
+            g = decode_polygons(b.as_py())
+            out.append(encode_multipolygon(boolean.intersection(g, tgt)))
+        i = batch.column_names.index(geometry_col)
+        return batch.set_column(
+            i, geometry_col, pa.array(out, type=pa.binary())
+        )
+
+    return ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def expand_to_distributed(
+    ds,
+    target: pa.Table,
+    extent,
+    geometry_col: str = "geometry",
+    id_col: str = "id",
+    start_res: int = 6,
+):
+    """Dataset-scale expand_to (ref: repair.py:283-308):
+
+    1. union(sources) by the tree-reduce distributed union (never
+       materializing the source table on the driver),
+    2. leftovers = target − union(sources) on the driver (small: the
+       target table and the final union are driver-sized),
+    3. each leftover absorbs into the source sharing the longest
+       boundary: shared lengths are computed DISTRIBUTED (leftovers
+       broadcast, one map_batches pass over sources, tiny keyed argmax),
+       and the winning rows are patched in a final map_batches.
+    """
+    import ray
+
+    from ..crs import check_same_crs
+    from ..geom.core import ensure_multi
+    from ..geom.core import area as _area
+    from ..geom.wkb import decode_polygons as _dec
+
+    check_same_crs(ds, target)
+    su = union_all_distributed(
+        ds, extent, start_res=start_res, geometry_col=geometry_col
+    )
+    leftovers = []
+    for b in target[geometry_col]:
+        d = boolean.difference(_dec(b.as_py()), su)
+        for poly in ensure_multi(d):
+            if _area([poly]) > 0:
+                leftovers.append([poly])
+    if not leftovers:
+        return ds
+    left_ref = ray.put([encode_multipolygon(g) for g in leftovers])
+
+    from .smart_repair import _shared_len as _shared_boundary_len
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        lw = [decode_polygons(x) for x in ray.get(left_ref)]
+        ids_out, piece_out, len_out = [], [], []
+        for rid, b in zip(
+            batch[id_col].to_pylist(), batch[geometry_col]
+        ):
+            g = decode_polygons(b.as_py())
+            for pi, piece in enumerate(lw):
+                ln = _shared_boundary_len(piece, g)
+                if ln > 0:
+                    ids_out.append(rid)
+                    piece_out.append(pi)
+                    len_out.append(ln)
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, type=batch[id_col].type),
+                "piece": pa.array(piece_out, type=pa.int64()),
+                "shared_len": pa.array(len_out, type=pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(
+        lengths, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # tiny: one row per (leftover, touching source)
+    if len(cand) == 0:
+        return ds
+    # argmax per piece, ties to first id in sorted order (absorb parity)
+    cand = cand.sort_values(
+        ["piece", "shared_len", id_col], ascending=[True, False, True],
+        kind="stable",
+    )
+    winners = cand.drop_duplicates(subset=["piece"])
+    assign_map = {}
+    for _, row in winners.iterrows():
+        assign_map.setdefault(row[id_col], []).append(int(row["piece"]))
+    amap_ref = ray.put(assign_map)
+
+    def patch(batch: pa.Table) -> pa.Table:
+        amap = ray.get(amap_ref)
+        lw = [decode_polygons(x) for x in ray.get(left_ref)]
+        out = []
+        for rid, b in zip(batch[id_col].to_pylist(), batch[geometry_col]):
+            g = decode_polygons(b.as_py())
+            for pi in amap.get(rid, ()):
+                g = boolean.union(g, lw[pi])
+            out.append(encode_multipolygon(g))
+        i = batch.column_names.index(geometry_col)
+        return batch.set_column(
+            i, geometry_col, pa.array(out, type=pa.binary())
+        )
+
+    return ds.map_batches(patch, batch_format="pyarrow", zero_copy_batch=True)

@@ -263,3 +263,91 @@ class TestGroupedSumCount:
             assert got["k"].tolist() == want["k"].tolist()
             assert got["v"].tolist() == want["v"].tolist()
             assert got["n"].tolist() == want["n"].tolist()
+
+
+class TestDistributedCropExpand:
+    def _tbl(self, ids, rings):
+        from maup_ray.geom import encode_polygon
+
+        return pa.table(
+            {
+                "id": ids,
+                "geometry": pa.array(
+                    [encode_polygon([r]) for r in rings], type=pa.binary()
+                ),
+            }
+        )
+
+    def test_crop_matches_local(self, ray_session):
+        import ray.data
+
+        from maup_ray.geom import decode_polygons
+        from maup_ray.geom.core import area
+        from maup_ray.ops.distributed import crop_to_distributed
+        from maup_ray.ops.repair import crop_to
+
+        def sq(x0, y0, x1, y1):
+            return np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float
+            )
+
+        src = self._tbl(
+            ["a", "b", "c"],
+            [sq(0, 0, 4, 4), sq(3, 3, 7, 7), sq(10, 10, 12, 12)],
+        )
+        tgt = self._tbl(["t"], [sq(0, 0, 6, 6)])
+        local, n_zero = crop_to(src, tgt)
+        dist = (
+            crop_to_distributed(ray.data.from_arrow(src), tgt)
+            .to_pandas()
+            .sort_values("id", ignore_index=True)
+        )
+        want = {
+            i: area(decode_polygons(b.as_py()))
+            for i, b in zip(local["id"].to_pylist(), local["geometry"])
+        }
+        got = {
+            i: area(decode_polygons(bytes(b)))
+            for i, b in zip(dist["id"], dist["geometry"])
+        }
+        assert got == want
+        assert n_zero == 1  # "c" cropped away
+        # distributed zero count via a filter
+        n_zero_d = sum(1 for v in got.values() if v == 0)
+        assert n_zero_d == 1
+
+    def test_expand_matches_local(self, ray_session):
+        import ray.data
+
+        from maup_ray.geom import decode_polygons
+        from maup_ray.geom.core import area
+        from maup_ray.ops.distributed import expand_to_distributed
+        from maup_ray.ops.repair import expand_to
+
+        def sq(x0, y0, x1, y1):
+            return np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float
+            )
+
+        # two sources inside a larger target: the leftover L-strip must
+        # absorb into the source sharing the longer boundary
+        src = self._tbl(["a", "b"], [sq(0, 0, 4, 4), sq(4, 0, 6, 4)])
+        tgt = self._tbl(["t"], [sq(0, 0, 6, 6)])
+        local = expand_to(src, tgt)
+        want = {
+            i: area(decode_polygons(b.as_py()))
+            for i, b in zip(local["id"].to_pylist(), local["geometry"])
+        }
+        dist = (
+            expand_to_distributed(
+                ray.data.from_arrow(src), tgt, extent=(0.0, 0.0, 8.0)
+            )
+            .to_pandas()
+            .sort_values("id", ignore_index=True)
+        )
+        got = {
+            i: area(decode_polygons(bytes(b)))
+            for i, b in zip(dist["id"], dist["geometry"])
+        }
+        assert got == want
+        assert sum(got.values()) == 36.0  # full target covered
