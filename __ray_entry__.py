@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": p.q_sessions,
         # training-data family
         "token_count": p.q_token_count,
+        "token_bpe": p.q_token_bpe,
         "quality": p.q_quality,
         "dedup_exact": p.q_dedup_exact,
         "ann_topk": p.q_ann_topk,

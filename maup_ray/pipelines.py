@@ -394,6 +394,13 @@ def q_dedup_exact(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def q_token_bpe(sf_dir: str):
+    """BPE-ish pretoken counting (one RE2 pass per batch)."""
+    from .text.analysis import bpe_token_counts
+
+    return bpe_token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_lang_id(sf_dir: str):
     from .text.analysis import lang_id
 
@@ -667,6 +674,18 @@ pieces AS (
 """
 
 
+def _token_bpe_sql() -> str:
+    from .text.analysis import BPE_SPLIT_PATTERN
+
+    lit = "'" + BPE_SPLIT_PATTERN.replace("'", "''") + "'"
+    return f"""
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text, {lit})) AS BIGINT)
+                AS n_bpe_tokens
+            FROM documents
+        """
+
+
 def _langid_sql() -> str:
     """Stopword-vote heuristic as SQL, built from the SAME inventory the
     engine uses (text/analysis._STOPWORDS) so both sides share it.
@@ -899,6 +918,7 @@ def oracle_queries() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding)
                   >= {EMBED_DUP_THRESHOLD}
         """,
+        "token_bpe": _token_bpe_sql(),
         "lang_id": _langid_sql(),
         "fingerprint": r"""
             WITH RECURSIVE fp AS (

@@ -16,6 +16,9 @@ import pyarrow.compute as pc
 __all__ = [
     "token_count_batch",
     "token_counts",
+    "bpe_token_count_batch",
+    "bpe_token_counts",
+    "BPE_SPLIT_PATTERN",
     "quality_batch",
     "quality_scores",
     "langid_batch",
@@ -53,6 +56,33 @@ def token_count_batch(batch: pa.Table, text_col="text", id_col="doc_id") -> pa.T
 def token_counts(ds, **kw):
     return ds.map_batches(
         lambda b: token_count_batch(b, **kw),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# GPT-2-flavoured pretokenizer pattern, RE2-safe (no lookahead — both
+# Arrow and DuckDB run RE2, so engine and oracle agree byte-for-byte)
+BPE_SPLIT_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count_batch(
+    batch: pa.Table, text_col="text", id_col="doc_id"
+) -> pa.Table:
+    """BPE-ish pretoken count: non-overlapping matches of
+    BPE_SPLIT_PATTERN (one vectorized RE2 pass, compiled once by
+    Arrow)."""
+    n = pc.count_substring_regex(batch[text_col], BPE_SPLIT_PATTERN)
+    return pa.table(
+        {id_col: batch[id_col], "n_bpe_tokens": pc.cast(n, pa.int64())}
+    )
+
+
+def bpe_token_counts(ds, **kw):
+    return ds.map_batches(
+        lambda b: bpe_token_count_batch(b, **kw),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
