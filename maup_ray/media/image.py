@@ -22,6 +22,7 @@ __all__ = [
     "decode_raw_batch",
     "PhashStage",
     "ResizeStage",
+    "ImageStatsStage",
     "FrameSampleStage",
     "phash64",
 ]
@@ -168,4 +169,54 @@ class FrameSampleStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         raise NotImplementedError(
             "video decode requires a codec library; stage plumbing only"
+        )
+
+
+class ImageStatsStage:
+    """Feature-extraction stage: per-channel mean/std + luma mean per
+    image (the cheap embedding-ish features a curation pipeline filters
+    on). Same-shape raw batches compute as ONE (n, h*w, 3) vectorized
+    pass straight off the Arrow buffers; mixed shapes fall back to the
+    per-row decode."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = set(batch["fmt"].to_pylist())
+        n = len(batch)
+        if fmts == {"raw"} and len(set(ws)) == 1 and len(set(hs)) == 1:
+            w, h = int(ws[0]), int(hs[0])
+            arr = batch["bytes"]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+            offs = offs[arr.offset : arr.offset + len(arr) + 1]
+            flat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            imgs = (
+                flat[offs[0] : offs[-1]]
+                .reshape(n, h * w, 3)
+                .astype(np.float64)
+            )
+            mean = imgs.mean(axis=1)  # (n, 3)
+            std = imgs.std(axis=1)
+        else:
+            imgs = decode_raw_batch(batch)
+            mean = np.array(
+                [im.reshape(-1, 3).mean(axis=0) for im in imgs]
+            )
+            std = np.array(
+                [im.reshape(-1, 3).std(axis=0) for im in imgs]
+            )
+        luma = 0.299 * mean[:, 0] + 0.587 * mean[:, 1] + 0.114 * mean[:, 2]
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "mean_r": pa.array(mean[:, 0]),
+                "mean_g": pa.array(mean[:, 1]),
+                "mean_b": pa.array(mean[:, 2]),
+                "std_r": pa.array(std[:, 0]),
+                "std_g": pa.array(std[:, 1]),
+                "std_b": pa.array(std[:, 2]),
+                "luma_mean": pa.array(luma),
+            }
         )

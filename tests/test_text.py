@@ -436,3 +436,25 @@ class TestImagePipelineE2E:
         ):
             assert cap == ref_cap[int(sid)]
             assert bytes(blob) == ref_bytes[int(sid)]
+
+
+class TestImageStats:
+    def test_matches_per_row_decode(self, ray_session):
+        import ray.data
+
+        from maup_ray.media.image import ImageStatsStage, decode_raw_batch
+        from maup_ray.synth.images import image_dataset, image_table
+
+        t = image_table(32)
+        out = ImageStatsStage()(t).to_pandas()
+        imgs = decode_raw_batch(t)
+        for k in range(32):
+            px = imgs[k].reshape(-1, 3).astype(np.float64)
+            assert out["mean_r"][k] == px[:, 0].mean()
+            assert out["std_b"][k] == px[:, 2].std()
+        # dataset path streams
+        ds = image_dataset(256).map_batches(
+            ImageStatsStage, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=2,
+        )
+        assert ds.count() == 256
