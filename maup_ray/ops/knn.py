@@ -202,6 +202,15 @@ def knn_self_join(
 
     Output: (id_col, neighbor_id, rank) — ties broken by (d², id)
     ascending, identical to :class:`KnnActor`. Self matches excluded.
+
+    PARTITIONING ASSUMPTION: per-cell group size is bounded by cell
+    occupancy × (2r+1)²; ``res`` is sized from the global count for
+    ~``rows_per_cell`` per cell, which bounds groups for roughly
+    uniform data. A pathological point mass (one cell holding a large
+    fraction of all points) makes one group large — pre-key such data
+    with ``ops.distributed.with_hot_cell_split`` and run per split, or
+    raise ``res``. The certified-ring invariant is unaffected by the
+    choice of ``res``; only group-size balance is.
     """
     import ray
     import ray.data  # noqa: F401

@@ -6,6 +6,13 @@ gap to the previous event exceeds ``gap``. One keyed shuffle
 stateful streaming window re-expressed as a batch groupby (ordering
 within the group is by timestamp, not arrival). Integer-microsecond
 timestamps keep every comparison exact (SQL-oracle-safe).
+
+PARTITIONING ASSUMPTION: one group per user — correct sessionization
+requires every event of a user in one place, so per-user skew is
+inherent to the semantics. A pathologically hot user (10^9 events)
+bounds that group's memory; mitigate upstream by splitting such users
+on coarse time ranges and stitching the boundary sessions (the
+standard two-pass fix), which this op deliberately does NOT hide.
 """
 
 from __future__ import annotations
