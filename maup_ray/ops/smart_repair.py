@@ -252,7 +252,18 @@ def _fan_split(gap, out_geoms, neighbors, garea):
     if len(gap) != 1:  # gap with holes: bail to absorb
         return None
     ring = gap[0]
-    C = np.array(representative_point([gap]))
+    if len(ring) == 3:
+        # triangle gap: the reference splits at the INCENTER — "more
+        # natural than the centroid, especially for long skinny
+        # triangles" (ref smart_repair.py:1096-1101) — into 3 triangles,
+        # one per boundary edge. Use it so split geometry matches.
+        A, B, Cv = ring
+        a = float(np.hypot(*(B - Cv)))  # side opposite A
+        b = float(np.hypot(*(Cv - A)))
+        c = float(np.hypot(*(A - B)))
+        C = (a * A + b * B + c * Cv) / (a + b + c)
+    else:
+        C = np.array(representative_point([gap]))
     m = len(ring)
     mids = (ring + np.roll(ring, -1, axis=0)) * 0.5
     owner = np.full(m, -1, dtype=np.int64)

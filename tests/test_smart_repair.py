@@ -306,3 +306,36 @@ class TestConvexifyGapSplit:
 
         for a, b in (("A", "B"), ("B", "C"), ("A", "C")):
             assert _shared_len(geoms[a], geoms[b]) > 0
+
+
+class TestIncenterTriangleSplit:
+    def test_triangle_gap_splits_at_incenter(self):
+        """Reference parity (smart_repair.py:1096-1130): a triangle gap
+        with 3 owners splits into 3 triangles meeting at the INCENTER.
+        Long skinny 3-4-5 triangle: the incenter is analytically
+        (r, r) with r = 1 for legs 3 and 4 — assert each neighbor's
+        gained area equals the analytic incenter-triangle area."""
+        from maup_ray.geom import boolean
+        from maup_ray.ops.smart_repair import _fan_split
+
+        # right triangle (0,0),(4,0),(0,3): sides a=5 (hyp), legs 4, 3
+        tri = np.array([[0.0, 0], [4, 0], [0, 3]])
+        # three neighbors each owning one edge: build thin slabs outside
+        A = np.array([[0.0, 0], [4, 0], [4, -1], [0, -1]])  # bottom edge
+        # hypotenuse neighbor: rectangle along the hypotenuse, outside
+        B = np.array([[4.0, 0], [0, 3], [3, 7], [7, 4]])
+        Cg = np.array([[0.0, 3], [0, 0], [-1, 0], [-1, 3]])  # left edge
+        geoms = [[[A]], [[B]], [[Cg]]]
+        fans = _fan_split([tri], geoms, [0, 1, 2], 6.0)
+        assert fans is not None and len(fans) == 3
+        from maup_ray.geom.core import area as parea_
+
+        got = {i: parea_(f) for i, f in fans}
+        # incenter of 3-4-5 right triangle at legs on axes: (1, 1)
+        # areas: bottom edge tri (0,0),(4,0),(1,1): 2.0
+        #        left edge tri (0,3),(0,0),(1,1): 1.5
+        #        hyp tri (4,0),(0,3),(1,1): 6 - 3.5 = 2.5
+        assert abs(got[0] - 2.0) < 1e-9
+        assert abs(got[2] - 1.5) < 1e-9
+        assert abs(got[1] - 2.5) < 1e-9
+        assert abs(sum(got.values()) - 6.0) < 1e-9
