@@ -374,7 +374,22 @@ def doctor(
 ) -> dict:
     """Health checks (ref: repair.py:311-365). Returns a dict of named
     booleans plus 'ok' — callers wanting the reference's bool take
-    ['ok']."""
+    ['ok'].
+
+    Dataset input routes to the Dataset-scale path
+    (ops.distributed.doctor_distributed: cell-partitioned overlap
+    self-join + tree-reduce union for gaps) — pass ``extent`` via
+    keyword there for non-default extents."""
+    if not isinstance(source, pa.Table):
+        from ..synth.districts import EXTENT
+        from .distributed import doctor_distributed
+
+        return doctor_distributed(
+            source,
+            (0.0, 0.0, float(EXTENT)),
+            geometry_col=geometry_col,
+            accept_holes=accept_holes,
+        )
     from .adjacencies import count_overlaps
 
     # The reference iterates the per-shapefile checks over BOTH source

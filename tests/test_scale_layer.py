@@ -222,6 +222,9 @@ class TestDoctorDistributed:
         assert dist["n_overlaps"] == local["n_overlaps"] == 1
         assert dist["n_gaps"] == local["n_gaps"] == 1
         assert not dist["ok"]
+        # doctor() routes Dataset input transparently
+        auto = doctor(ray.data.from_arrow(t))
+        assert auto["n_overlaps"] == 1 and not auto["ok"]
 
 
 class TestGroupedSumCount:
