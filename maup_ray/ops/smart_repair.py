@@ -320,6 +320,7 @@ def smart_repair_table(
     fill_gaps: bool = True,
     fill_gaps_threshold: float | None = 0.1,
     geometry_col: str = "geometry",
+    region_geometry=None,
 ) -> pa.Table:
     id_col = [c for c in table.column_names if c != geometry_col][0]
     ids = table[id_col].to_pylist()
@@ -404,29 +405,46 @@ def smart_repair_table(
     # splitting, smart_repair.py:1094-1359); whole-gap absorb by
     # greatest shared perimeter otherwise.
     if fill_gaps:
-        holes = boolean.holes_of_union([g for g in out_geoms if g])
-        gaps = []
-        for hole in holes:
-            # a hole of the union may CONTAIN island geometries (e.g. a
-            # filler polygon inside an annular gap) — the true gap is
-            # the hole minus any geometry residing in it
-            from ..geom.core import bounds as gbounds
+        if region_geometry is not None:
+            # region-nested mode (ref building_blocks :668-711): gaps
+            # are the degree-0 arrangement pieces of the REGION — i.e.
+            # region − union(geometries). Polygons expand to TILE the
+            # region; edges on the region outline are unowned (owner
+            # -1): convexify skips them, the fan split declines, and
+            # absorb-by-greatest-shared-perimeter fills (the coarser
+            # stand-in for the reference's 3-boundary-exterior
+            # shortest-path rule — documented deviation).
+            u = boolean.union_all([g for g in out_geoms if g])
+            region_mp = (
+                decode_polygons(region_geometry)
+                if isinstance(region_geometry, (bytes, bytearray))
+                else region_geometry
+            )
+            gaps = list(boolean.difference(region_mp, u))
+        else:
+            holes = boolean.holes_of_union([g for g in out_geoms if g])
+            gaps = []
+            for hole in holes:
+                # a hole of the union may CONTAIN island geometries (e.g.
+                # a filler polygon inside an annular gap) — the true gap
+                # is the hole minus any geometry residing in it
+                from ..geom.core import bounds as gbounds
 
-            hb = gbounds([hole])
-            residents = [
-                g
-                for g in out_geoms
-                if g
-                and (lambda b: b[0] >= hb[0] and b[1] >= hb[1]
-                     and b[2] <= hb[2] and b[3] <= hb[3])(gbounds(g))
-            ]
-            if residents:
-                region = boolean.difference(
-                    [hole], boolean.union_all(residents)
-                )
-                gaps.extend(region)  # explode MultiPolygon parts
-            else:
-                gaps.append(hole)
+                hb = gbounds([hole])
+                residents = [
+                    g
+                    for g in out_geoms
+                    if g
+                    and (lambda b: b[0] >= hb[0] and b[1] >= hb[1]
+                         and b[2] <= hb[2] and b[3] <= hb[3])(gbounds(g))
+                ]
+                if residents:
+                    region = boolean.difference(
+                        [hole], boolean.union_all(residents)
+                    )
+                    gaps.extend(region)  # explode MultiPolygon parts
+                else:
+                    gaps.append(hole)
         def fill_one(gap):
             """fan-split / absorb a (convexified) gap."""
             garea = poly_area([gap])
@@ -534,6 +552,11 @@ def smart_repair(
         concurrency=concurrency,
     )
 
+    region_wkb = {
+        rid: b.as_py()
+        for rid, b in zip(regions[rid_col].to_pylist(), regions[geometry_col])
+    }
+
     def per_region(df):
         t = pa.table(
             {
@@ -543,11 +566,13 @@ def smart_repair(
                 ),
             }
         )
+        rid = df["__region"].iloc[0]
         fixed = smart_repair_table(
-            t, snap_precision, fill_gaps, fill_gaps_threshold, geometry_col
+            t, snap_precision, fill_gaps, fill_gaps_threshold, geometry_col,
+            region_geometry=region_wkb.get(rid),
         )
         out = fixed.to_pandas()
-        out["__region"] = df["__region"].iloc[0]
+        out["__region"] = rid
         return out
 
     if isinstance(obj, pa.Table):
