@@ -27,6 +27,7 @@ __all__ = [
     "encode_lines",
     "encode_points",
     "encode_quads_bulk",
+    "encode_rings_bulk",
     "decode",
     "decode_polygons",
     "GeomParts",
@@ -240,3 +241,50 @@ def _decode_into(mv: memoryview, off: int, parts: GeomParts) -> int:
             off = _decode_into(mv, off, parts)
         return off
     raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def encode_rings_bulk(P: np.ndarray, cnt: np.ndarray) -> "pa.Array":
+    """Vectorized WKB encoding of n single-ring polygons from a PADDED
+    vertex array ((n, V, 2) + per-row counts, the geom.clip batch-kernel
+    layout) → Arrow binary array. Rows with cnt < 3 encode as empty
+    bytes (callers filter). One ragged-gather byte-assembly pass — no
+    per-row Python structs (the per-piece encode loop was the last
+    per-row cost in geometry-emitting batch clips)."""
+    import pyarrow as pa
+
+    n = len(cnt)
+    cnt = np.asarray(cnt, dtype=np.int64)
+    valid = cnt >= 3
+    closed = np.where(valid, cnt + 1, 0)
+    sizes = np.where(valid, 13 + closed * 16, 0)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    buf = np.zeros(int(offs[-1]), dtype=np.uint8)
+    hdr = np.frombuffer(_HDR.pack(1, 3) + _U32.pack(1), dtype=np.uint8)
+    starts = offs[:-1][valid]
+    for k in range(9):
+        buf[starts + k] = hdr[k]
+    npts = closed[valid].astype("<u4").view(np.uint8).reshape(-1, 4)
+    for k in range(4):
+        buf[starts + 9 + k] = npts[:, k]
+    # ragged coordinate gather: row r contributes P[r, 0..cnt-1] + P[r, 0]
+    rows_v = np.nonzero(valid)[0]
+    closed_v = closed[valid]
+    tot = int(closed_v.sum())
+    if tot:
+        row = np.repeat(rows_v, closed_v)
+        ccs = np.zeros(len(rows_v) + 1, dtype=np.int64)
+        np.cumsum(closed_v, out=ccs[1:])
+        pos = np.arange(tot, dtype=np.int64) - np.repeat(ccs[:-1], closed_v)
+        vert = np.where(pos < cnt[row], pos, 0)
+        coords = np.ascontiguousarray(
+            P[row, vert].astype("<f8")
+        ).view(np.uint8).reshape(tot, 16)
+        byte_pos = offs[:-1][row] + 13 + pos * 16
+        for k in range(16):
+            buf[byte_pos + k] = coords[:, k]
+    offs32 = offs.astype("<i4")
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offs32.tobytes()), pa.py_buffer(buf.tobytes())],
+    )

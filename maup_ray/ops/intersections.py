@@ -90,6 +90,7 @@ class IntersectionsActor:
             return [[quads[s]]]
 
         out_s, out_t, out_g, out_a, out_l, out_d = [], [], [], [], [], []
+        pending_rings = []  # (output slot, normalized ring) → bulk encode
         from ..geom.core import normalize_polygon, perimeter
 
         for k, (s, t) in enumerate(zip(si, ti)):
@@ -98,6 +99,20 @@ class IntersectionsActor:
                 poly = normalize_polygon([ring])
                 ar = poly_area([poly]) if poly else 0.0
                 if poly and ar > 0:
+                    if (
+                        self.include_geometry
+                        and self.area_cutoff is not None
+                        and ar > self.area_cutoff
+                    ):
+                        # defer encoding: one bulk pass after the loop
+                        out_s.append(s)
+                        out_t.append(t)
+                        out_a.append(ar)
+                        out_l.append(perimeter([poly]))
+                        out_d.append(2)
+                        pending_rings.append((len(out_g), poly[0]))
+                        out_g.append(None)
+                        continue
                     polys, lines, pts, ln = [poly], [], np.empty((0, 2)), \
                         perimeter([poly])
                 else:
@@ -130,6 +145,14 @@ class IntersectionsActor:
                     out_g.append(encode_lines(lines))
                 else:
                     out_g.append(encode_points(pts))
+        if pending_rings:
+            from ..geom.clip import pad_rings
+            from ..geom.wkb import encode_rings_bulk
+
+            Pp, cp = pad_rings([r for _, r in pending_rings])
+            enc = encode_rings_bulk(Pp, cp)
+            for (slot, _), blob in zip(pending_rings, enc.to_pylist()):
+                out_g[slot] = blob
         cols = {
             self.source_id_col: src_ids.take(pa.array(out_s, type=pa.int64())),
             self.target_id_col: pa.array(

@@ -67,25 +67,30 @@ def derive_rects(batch: pa.Table) -> pa.Table:
 
 
 def _rect_geometry_table(batch: pa.Table) -> pa.Table:
-    """Attach WKB geometry built from the derived rect columns."""
-    from .geom.wkb import encode_polygon
+    """Attach WKB geometry built from the derived rect columns — one
+    bulk encode pass (byte-identical to per-row encode_polygon)."""
+    from .geom.wkb import encode_rings_bulk
 
-    geoms = []
-    for a, b, c, d in zip(
-        batch["sminx"].to_numpy(),
-        batch["sminy"].to_numpy(),
-        batch["smaxx"].to_numpy(),
-        batch["smaxy"].to_numpy(),
-    ):
-        geoms.append(
-            encode_polygon(
-                [np.array([[a, b], [c, b], [c, d], [a, d]], dtype=np.float64)]
-            )
-        )
+    a = batch["sminx"].to_numpy()
+    b = batch["sminy"].to_numpy()
+    c = batch["smaxx"].to_numpy()
+    d = batch["smaxy"].to_numpy()
+    n = len(a)
+    P = np.empty((n, 4, 2), dtype=np.float64)
+    P[:, 0, 0] = a
+    P[:, 0, 1] = b
+    P[:, 1, 0] = c
+    P[:, 1, 1] = b
+    P[:, 2, 0] = c
+    P[:, 2, 1] = d
+    P[:, 3, 0] = a
+    P[:, 3, 1] = d
     return pa.table(
         {
             "source_id": batch["doc_id"],
-            "geometry": pa.array(geoms, type=pa.binary()),
+            "geometry": encode_rings_bulk(
+                P, np.full(n, 4, dtype=np.int64)
+            ),
         }
     )
 
