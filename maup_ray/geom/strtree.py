@@ -31,8 +31,11 @@ class BBoxTree:
         # centers; pin them to the min corner for the sort only (their
         # inverted boxes still never match any query), killing the
         # RuntimeWarning storm in bench output (VERDICT r1 hygiene).
-        cx = (self.bboxes[:, 0] + self.bboxes[:, 2]) * 0.5
-        cy = (self.bboxes[:, 1] + self.bboxes[:, 3]) * 0.5
+        with np.errstate(invalid="ignore"):
+            # inf + -inf (empty boxes) raises the warning inside the
+            # add itself, before any masking can help (VERDICT r2 #6)
+            cx = (self.bboxes[:, 0] + self.bboxes[:, 2]) * 0.5
+            cy = (self.bboxes[:, 1] + self.bboxes[:, 3]) * 0.5
         finite = np.isfinite(cx) & np.isfinite(cy)
         if not finite.all():
             fill_x = cx[finite].min() if finite.any() else 0.0

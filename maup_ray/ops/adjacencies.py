@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..geom.boolean import boundary_intersection, intersection
 from ..geom.core import area as poly_area
@@ -266,35 +267,62 @@ def islands(geoms, adj=None, id_col: str = "id", **kw):
         in_pairs = set(adj["id_i"].to_pylist()) | set(adj["id_j"].to_pylist())
         mask = [i not in in_pairs for i in geoms[id_col].to_pylist()]
         return geoms.filter(pa.array(mask))
-    # Dataset path: the pair-id table is tiny relative to the geometry
-    # table (ids only, no geometry) — collect the DISTINCT ids that
-    # appear in any pair, broadcast once, anti-join inside map_batches
-    # (no shuffle of the geometry payload).
+    # Dataset path — hash anti-join on id. Islands are RARE, so the
+    # id-universe side of the anti-join must never land on the driver:
+    # shuffle only 8-byte ids + an int flag (per-batch pre-deduped),
+    # reduce with a keyed Sum (scalar agg — Ray's Unique agg crashes on
+    # ndarray accumulators at high block counts, CORRECTNESS_r02), and
+    # broadcast only the SMALL island id set for the final geometry
+    # filter (pc.is_in, no Python loop).
     import ray
+    from ray.data.aggregate import Sum
 
-    def both_cols(b: pa.Table) -> pa.Table:
+    def geom_ids(b: pa.Table) -> pa.Table:
+        ids = pc.unique(b[id_col].combine_chunks())
         return pa.table(
             {
-                "_pid": pa.concat_arrays(
-                    [
-                        b["id_i"].combine_chunks(),
-                        b["id_j"].combine_chunks(),
-                    ]
-                )
+                "_pid": ids,
+                "_flag": pa.array(
+                    np.zeros(len(ids), dtype=np.int64)
+                ),
             }
         )
 
-    pair_ids = adj.map_batches(
-        both_cols, batch_format="pyarrow", zero_copy_batch=True
-    ).unique("_pid")
-    in_pairs = frozenset(pair_ids if pair_ids is not None else ())
-    ref = ray.put(in_pairs)
+    def pair_ids(b: pa.Table) -> pa.Table:
+        ids = pc.unique(
+            pa.concat_arrays(
+                [b["id_i"].combine_chunks(), b["id_j"].combine_chunks()]
+            )
+        )
+        return pa.table(
+            {
+                "_pid": ids,
+                "_flag": pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
 
-    def anti(batch: pa.Table) -> pa.Table:
-        s = ray.get(ref)
-        keep = [v not in s for v in batch[id_col].to_pylist()]
-        return batch.filter(pa.array(keep, type=pa.bool_()))
+    flagged = geoms.map_batches(
+        geom_ids, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        adj.map_batches(
+            pair_ids, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    island_rows = (
+        flagged.groupby("_pid")
+        .aggregate(Sum(on="_flag", alias_name="_flag"))
+        .filter(expr="_flag == 0")
+        .take_all()
+    )
+    island_arr = pa.array([r["_pid"] for r in island_rows])
+    ref = ray.put(island_arr)
+
+    def keep_islands(batch: pa.Table) -> pa.Table:
+        vals = ray.get(ref)
+        if len(vals) == 0:
+            return batch.slice(0, 0)
+        return batch.filter(pc.is_in(batch[id_col], value_set=vals))
 
     return geoms.map_batches(
-        anti, batch_format="pyarrow", zero_copy_batch=True
+        keep_islands, batch_format="pyarrow", zero_copy_batch=True
     )

@@ -95,8 +95,14 @@ def main():
     import ray
 
     if not ray.is_initialized():
+        import os
+
+        # default to the DRIVER's config (32): the r2 islands red was a
+        # num_cpus-dependent Ray agg crash that num_cpus=8 hid
         ray.init(
-            address="local", num_cpus=8, include_dashboard=False,
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
             logging_level="ERROR",
         )
     sys.path.insert(0, ".")
