@@ -126,6 +126,16 @@ def exact_dedup(ds, text_col="text", id_col="doc_id", keep_text=False):
     )
 
 
+def _collect_tables(ds) -> list[pa.Table]:
+    """Gather a SMALL Dataset's blocks to the driver (callers assert
+    smallness — candidate pair lists, per-candidate signatures).
+    materialize() first: bare to_arrow_refs() re-executes the whole
+    plan a second time for the schema fetch (observed limit=1 rerun)."""
+    import ray
+
+    return [ray.get(r) for r in ds.materialize().to_arrow_refs()]
+
+
 # ------------------------------------------------------------- MinHash
 
 
@@ -252,91 +262,148 @@ def minhash_candidates(
     id_col="doc_id",
 ):
     """LSH banding: flat-map each doc to ``bands`` (band, band_hash)
-    keys, groupby bucket, emit i<j pairs with their estimated jaccard
-    (signature agreement)."""
+    keys, groupby bucket, emit i<j candidate id pairs, then verify
+    (signature agreement ≥ threshold) on the candidate set only.
+
+    100-TB shape (VERDICT r2 #4): the band shuffle carries ONLY
+    (band:int32, band_hash:int64, doc_id:int64) — 20 B/row — never the
+    num_perm-word signature (whose 16× band replication was the r2
+    regression). The candidate pair set is assumed SMALL relative to
+    the corpus (it is the near-dup output); signatures for candidate
+    docs are recomputed in a second column-pruned scan filtered by the
+    broadcast candidate id set, which trades one cheap re-scan against
+    an ~8 KB/row shuffle payload."""
     rows_per_band = num_perm // bands
     max_bucket = 256  # skip pathological buckets (standard LSH cap);
     # a bucket this hot on band-hash means near-constant content that
     # exact dedup already catches
 
+    def _sig_batch(b: pa.Table) -> pa.Table:
+        return minhash_signatures_batch(
+            b, num_perm, shingle_k, text_col, id_col
+        )
+
+    def _sig_matrix(tbl: pa.Table) -> np.ndarray:
+        col = tbl["sig"].combine_chunks()
+        return (
+            col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .reshape(len(tbl), num_perm)
+        )
+
     def to_bands(batch: pa.Table) -> pa.Table:
         m = len(batch)
-        sigs = np.asarray(
-            [np.asarray(s, dtype=np.int64) for s in batch["sig"].to_pylist()],
-            dtype=np.int64,
-        ).view(np.uint64)
+        sigs = _sig_matrix(batch).view(np.uint64)
         grp = sigs.reshape(m, bands, rows_per_band)
         # vectorized polynomial band hash (wrapping uint64)
         bh = np.zeros((m, bands), dtype=np.uint64)
         mult = np.uint64(0x9E3779B97F4A7C15)
         for r in range(rows_per_band):
             bh = (bh ^ grp[:, :, r]) * mult
-        ids = batch[id_col]
-        rep = pa.table(
+        return pa.table(
             {
                 "band": pa.array(
                     np.tile(np.arange(bands, dtype=np.int32), m)
                 ),
                 "band_hash": pa.array(bh.view(np.int64).ravel()),
-                id_col: ids.take(
+                id_col: batch[id_col].take(
                     pa.array(np.repeat(np.arange(m), bands))
                 ),
-                "sig": pa.array(
-                    [s for s in np.repeat(sigs.view(np.int64), bands, axis=0)],
-                    type=pa.list_(pa.int64()),
-                ),
             }
         )
-        return rep
 
-    def bucket_pairs(df):
-        import pandas as pd
-
-        ids = np.asarray(df[id_col].tolist())
-        m = len(ids)
-        if m < 2 or m > max_bucket:
-            return pd.DataFrame({"doc_i": [], "doc_j": [], "est_jaccard": []})
-        sigs = np.array(
-            [np.asarray(s, dtype=np.int64) for s in df["sig"]]
+    def bucket_pairs_part(tbl, starts):
+        """Whole-partition pair generation (ops.shuffle contract): one
+        vectorized pass over group sizes, python loop only over the
+        rare groups that actually collide (≥2 members)."""
+        pair_schema = pa.schema(
+            [("doc_i", pa.int64()), ("doc_j", pa.int64())]
         )
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        sigs = sigs[order]
-        # vectorized pairwise signature agreement; filter below the
-        # caller threshold EARLY so the pair shuffle stays small
-        est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
-        iu, ju = np.triu_indices(m, k=1)
-        vals = est[iu, ju]
-        keep = vals >= min_est_jaccard
-        return pd.DataFrame(
+        if tbl is None or len(starts) == 0:
+            return pair_schema.empty_table()
+        ids = tbl[id_col].to_numpy().astype(np.int64)
+        sizes = np.diff(np.append(starts, len(ids)))
+        sel = (sizes >= 2) & (sizes <= max_bucket)
+        out_i, out_j = [], []
+        for s, g in zip(starts[sel], sizes[sel]):
+            gi = ids[s : s + g]  # ascending (sort_cols=id)
+            iu, ju = np.triu_indices(int(g), k=1)
+            out_i.append(gi[iu])
+            out_j.append(gi[ju])
+        if not out_i:
+            return pair_schema.empty_table()
+        return pa.table(
             {
-                "doc_i": ids[iu[keep]],
-                "doc_j": ids[ju[keep]],
-                "est_jaccard": vals[keep],
+                "doc_i": pa.array(np.concatenate(out_i)),
+                "doc_j": pa.array(np.concatenate(out_j)),
             }
         )
 
-    sigs = ds.map_batches(
-        lambda b: minhash_signatures_batch(
-            b, num_perm, shingle_k, text_col, id_col
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    empty = pa.table(
+        {
+            "doc_i": pa.array([], type=pa.int64()),
+            "doc_j": pa.array([], type=pa.int64()),
+            "est_jaccard": pa.array([], type=pa.float64()),
+        }
     )
-    pairs = sigs.map_batches(
-        to_bands, batch_format="pyarrow"
-    ).groupby(["band", "band_hash"]).map_groups(bucket_pairs)
-    # same pair can surface from several bands → dedup, keep max est
-    from ray.data.aggregate import Max
+    from ..ops.shuffle import hash_group_apply
 
-    out = pairs.groupby(["doc_i", "doc_j"]).aggregate(
-        Max(on="est_jaccard", alias_name="est_jaccard")
+    raw_pairs = hash_group_apply(
+        ds.map_batches(
+            _sig_batch, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(to_bands, batch_format="pyarrow"),
+        ["band", "band_hash"],
+        bucket_pairs_part,
+        sort_cols=(id_col,),
     )
-    if min_est_jaccard > 0:
-        out = out.filter(
-            lambda r: r["est_jaccard"] >= min_est_jaccard
+    # the pair table is the (small) near-dup candidate output — dedup
+    # across bands on the driver instead of paying a second keyed
+    # shuffle operator for a few thousand rows
+    tabs = [t for t in _collect_tables(raw_pairs) if t.num_rows]
+    if not tabs:
+        return empty
+    pairs = pa.concat_tables(tabs)
+    pi = pairs["doc_i"].to_numpy().astype(np.int64)
+    pj = pairs["doc_j"].to_numpy().astype(np.int64)
+    uniq = np.unique(np.stack([pi, pj], axis=1), axis=0)
+    cand_ids = pa.array(np.unique(uniq))
+    # verify pass: signatures recomputed for candidate docs only
+    import ray
+
+    ids_ref = ray.put(cand_ids)
+
+    def only_candidates(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[id_col], value_set=ray.get(ids_ref)))
+
+    sig_tabs = [
+        t
+        for t in _collect_tables(
+            ds.map_batches(
+                only_candidates,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).map_batches(
+                _sig_batch, batch_format="pyarrow", zero_copy_batch=True
+            )
         )
-    return out
+        if t.num_rows
+    ]
+    sig_tbl = pa.concat_tables(sig_tabs)
+    sids = sig_tbl[id_col].to_numpy().astype(np.int64)
+    smat = _sig_matrix(sig_tbl)
+    pos = {int(v): i for i, v in enumerate(sids)}
+    ii = np.fromiter((pos[int(v)] for v in uniq[:, 0]), np.int64, len(uniq))
+    jj = np.fromiter((pos[int(v)] for v in uniq[:, 1]), np.int64, len(uniq))
+    est = (smat[ii] == smat[jj]).mean(axis=1)
+    keep = est >= min_est_jaccard
+    return pa.table(
+        {
+            "doc_i": pa.array(uniq[keep, 0]),
+            "doc_j": pa.array(uniq[keep, 1]),
+            "est_jaccard": pa.array(est[keep]),
+        }
+    )
 
 
 # ------------------------------------------------------------- SimHash
@@ -415,62 +482,101 @@ def simhash_candidates(ds, max_hamming: int = 3, id_col="doc_id", **kw):
     sigs = simhash_signatures(ds, id_col=id_col, **kw)
 
     def to_quarters(batch: pa.Table) -> pa.Table:
-        ids, qi, qv, sg = [], [], [], []
-        for rid, s in zip(
-            batch[id_col].to_pylist(), batch["simhash"].to_pylist()
-        ):
-            u = np.uint64(s)
-            for q in range(4):
-                ids.append(rid)
-                qi.append(q)
-                qv.append(
-                    int((u >> np.uint64(16 * q)) & np.uint64(0xFFFF))
-                )
-                sg.append(s)
+        """Vectorized 4× replication (VERDICT r2 #5): shifts over the
+        whole signature column, Arrow take for the id replication —
+        shuffle payload is (id, q:int32, qv:int32, simhash:int64)."""
+        n = len(batch)
+        u = (
+            batch["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        )
+        qv = np.empty((n, 4), dtype=np.int32)
+        for q in range(4):
+            qv[:, q] = (
+                (u >> np.uint64(16 * q)) & np.uint64(0xFFFF)
+            ).astype(np.int32)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))
         return pa.table(
             {
-                id_col: pa.array(ids),
-                "q": pa.array(qi, type=pa.int32()),
-                "qv": pa.array(qv, type=pa.int32()),
-                "simhash": pa.array(sg, type=pa.int64()),
+                id_col: batch[id_col].take(idx),
+                "q": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "qv": pa.array(qv.ravel()),
+                "simhash": batch["simhash"].take(idx),
             }
         )
 
     max_bucket = 1024
+    out_schema = pa.schema(
+        [
+            ("doc_i", pa.int64()),
+            ("doc_j", pa.int64()),
+            ("hamming", pa.int64()),
+        ]
+    )
 
-    def verify(df):
-        import pandas as pd
-
-        ids = np.asarray(df[id_col].tolist())
-        m = len(ids)
-        if m < 2 or m > max_bucket:
-            return pd.DataFrame({"doc_i": [], "doc_j": [], "hamming": []})
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        sigs_ = df["simhash"].to_numpy()[order].astype(np.int64).view(np.uint64)
-        # vectorized pairwise hamming via popcount of xor
-        x = sigs_[:, None] ^ sigs_[None, :]
-        ham = np.zeros((m, m), dtype=np.int64)
-        for shift in range(0, 64, 8):
-            ham += _POPCNT[(x >> np.uint64(shift)) & np.uint64(0xFF)]
-        iu, ju = np.triu_indices(m, k=1)
-        vals = ham[iu, ju]
-        keep = vals <= max_hamming
-        return pd.DataFrame(
+    def verify_part(tbl, starts):
+        """Per-partition verify (ops.shuffle contract): pairwise
+        hamming only inside the rare ≥2-member buckets."""
+        if tbl is None or len(starts) == 0:
+            return out_schema.empty_table()
+        ids = tbl[id_col].to_numpy().astype(np.int64)
+        sigs_ = tbl["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        sizes = np.diff(np.append(starts, len(ids)))
+        sel = (sizes >= 2) & (sizes <= max_bucket)
+        out_i, out_j, out_h = [], [], []
+        for s, g in zip(starts[sel], sizes[sel]):
+            g = int(g)
+            gi = ids[s : s + g]  # ascending (sort_cols=id)
+            gs = sigs_[s : s + g]
+            x = gs[:, None] ^ gs[None, :]
+            ham = np.zeros((g, g), dtype=np.int64)
+            for shift in range(0, 64, 8):
+                ham += _POPCNT[(x >> np.uint64(shift)) & np.uint64(0xFF)]
+            iu, ju = np.triu_indices(g, k=1)
+            vals = ham[iu, ju]
+            keep = vals <= max_hamming
+            out_i.append(gi[iu[keep]])
+            out_j.append(gi[ju[keep]])
+            out_h.append(vals[keep])
+        if not out_i:
+            return out_schema.empty_table()
+        return pa.table(
             {
-                "doc_i": ids[iu[keep]],
-                "doc_j": ids[ju[keep]],
-                "hamming": vals[keep],
+                "doc_i": pa.array(np.concatenate(out_i)),
+                "doc_j": pa.array(np.concatenate(out_j)),
+                "hamming": pa.array(np.concatenate(out_h)),
             }
         )
 
-    from ray.data.aggregate import Min
+    from ..ops.shuffle import hash_group_apply
 
-    pairs = sigs.map_batches(
-        to_quarters, batch_format="pyarrow"
-    ).groupby(["q", "qv"]).map_groups(verify)
-    return pairs.groupby(["doc_i", "doc_j"]).aggregate(
-        Min(on="hamming", alias_name="hamming")
+    raw = hash_group_apply(
+        sigs.map_batches(to_quarters, batch_format="pyarrow"),
+        ["q", "qv"],
+        verify_part,
+        sort_cols=(id_col,),
+    )
+    # a pair can surface from up to 4 quarter buckets with the SAME
+    # hamming (it depends only on the signatures) — dedup the small
+    # candidate output on the driver instead of a keyed Min shuffle
+    tabs = [t for t in _collect_tables(raw) if t.num_rows]
+    if not tabs:
+        return out_schema.empty_table()
+    allp = pa.concat_tables(tabs)
+    trip = np.stack(
+        [
+            allp["doc_i"].to_numpy().astype(np.int64),
+            allp["doc_j"].to_numpy().astype(np.int64),
+            allp["hamming"].to_numpy().astype(np.int64),
+        ],
+        axis=1,
+    )
+    uniq = np.unique(trip, axis=0)
+    return pa.table(
+        {
+            "doc_i": pa.array(uniq[:, 0]),
+            "doc_j": pa.array(uniq[:, 1]),
+            "hamming": pa.array(uniq[:, 2]),
+        }
     )
 
 
