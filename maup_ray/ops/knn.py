@@ -203,14 +203,26 @@ def knn_self_join(
     Output: (id_col, neighbor_id, rank) — ties broken by (d², id)
     ascending, identical to :class:`KnnActor`. Self matches excluded.
 
-    PARTITIONING ASSUMPTION: per-cell group size is bounded by cell
+    PARTITIONING ASSUMPTIONS: per-cell group size is bounded by cell
     occupancy × (2r+1)²; ``res`` is sized from the global count for
     ~``rows_per_cell`` per cell, which bounds groups for roughly
     uniform data. A pathological point mass (one cell holding a large
     fraction of all points) makes one group large — pre-key such data
     with ``ops.distributed.with_hot_cell_split`` and run per split, or
     raise ``res``. The certified-ring invariant is unaffected by the
-    choice of ``res``; only group-size balance is.
+    choice of ``res``; only group-size balance is. The UNCERTIFIED
+    residual after round 1 is assumed small (a few cells' worth):
+    with ``rows_per_cell`` targeting ~256, an r=1 ring carries ~9×256
+    candidates for k ≪ 256, so certification fails only at extreme
+    local sparsity; the residual is gathered to the driver between
+    rounds (same assumption the stream fallback always made).
+
+    Physical plan (round 3): ONE map pass emits source+candidate rows
+    keyed by cell, ``ops.shuffle.hash_group_apply`` runs the per-cell
+    kNN once per hash partition (no sort-based groupby operator, no
+    per-group pandas dispatch), and the residual is pulled with P tiny
+    tasks instead of extra Dataset jobs — the r2 version's per-round
+    materialize/count/unique job chain was the entire 4.2 s wall.
     """
     import ray
     import ray.data  # noqa: F401
@@ -226,18 +238,30 @@ def knn_self_join(
         res = max(1, int(np.log2(max(1.0, np.sqrt(n_cells)))) + 1)
     cell_size = float(extent[2]) / (1 << res)
 
-    def _keyed(batch: pa.Table, r: int, active) -> pa.Table:
-        """Emit source rows (role=0, own cell) + candidate rows
-        (role=1, every cell in the Chebyshev-r ring, active-filtered)."""
+    from .shuffle import hash_group_apply
+
+    n_side = 1 << res
+
+    def _emit(batch: pa.Table, r: int, active, with_sources: bool
+              ) -> pa.Table:
+        """Emit source rows (role=0, own cell — when with_sources) +
+        candidate rows (role=1, every cell in the Chebyshev-r ring,
+        active-filtered) in ONE pass over the input."""
         x = batch[x_col].to_numpy().astype(np.float64)
         y = batch[y_col].to_numpy().astype(np.float64)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        n_side = 1 << res
         cx = np.clip((
             (x - grid.x0) / grid.size * n_side).astype(np.int64), 0, n_side - 1)
         cy = np.clip((
             (y - grid.y0) / grid.size * n_side).astype(np.int64), 0, n_side - 1)
         cells_out, ids_out, x_out, y_out, role_out = [], [], [], [], []
+        if with_sources:
+            own = grid.pack(cx, cy, res)
+            cells_out.append(own)
+            ids_out.append(ids)
+            x_out.append(x)
+            y_out.append(y)
+            role_out.append(np.zeros(len(ids), dtype=np.int8))
         for dx in range(-r, r + 1):
             for dy in range(-r, r + 1):
                 ncx, ncy = cx + dx, cy + dy
@@ -258,176 +282,202 @@ def knn_self_join(
                 y_out.append(y[sel])
                 role_out.append(np.ones(len(c), dtype=np.int8))
         if not cells_out:
-            return pa.table(
-                {
-                    "cell": pa.array([], type=pa.uint64()),
-                    id_col: pa.array([], type=pa.int64()),
-                    x_col: pa.array([], type=pa.float64()),
-                    y_col: pa.array([], type=pa.float64()),
-                    "role": pa.array([], type=pa.int8()),
-                }
-            )
+            cells_out = [np.empty(0, dtype=np.uint64)]
+            ids_out = [np.empty(0, dtype=np.int64)]
+            x_out = [np.empty(0, dtype=np.float64)]
+            y_out = [np.empty(0, dtype=np.float64)]
+            role_out = [np.empty(0, dtype=np.int8)]
         return pa.table(
             {
-                "cell": pa.array(np.concatenate(cells_out), type=pa.uint64()),
-                id_col: pa.array(np.concatenate(ids_out)),
+                "cell": pa.array(
+                    np.concatenate(cells_out), type=pa.uint64()
+                ),
+                id_col: pa.array(
+                    np.concatenate(ids_out).astype(np.int64)
+                ),
                 x_col: pa.array(np.concatenate(x_out)),
                 y_col: pa.array(np.concatenate(y_out)),
                 "role": pa.array(np.concatenate(role_out)),
             }
         )
 
-    def _source_keyed(batch: pa.Table) -> pa.Table:
-        x = batch[x_col].to_numpy().astype(np.float64)
-        y = batch[y_col].to_numpy().astype(np.float64)
-        cells = grid.cell_of_points(x, y, res)
+    def _sources_table(res_tbl: pa.Table) -> pa.Table:
+        x = res_tbl[x_col].to_numpy().astype(np.float64)
+        y = res_tbl[y_col].to_numpy().astype(np.float64)
         return pa.table(
             {
-                "cell": pa.array(cells, type=pa.uint64()),
-                id_col: batch[id_col],
+                "cell": pa.array(
+                    grid.cell_of_points(x, y, res), type=pa.uint64()
+                ),
+                id_col: pa.array(
+                    res_tbl[id_col].to_numpy().astype(np.int64)
+                ),
                 x_col: pa.array(x),
                 y_col: pa.array(y),
-                "role": pa.array(
-                    np.zeros(len(x), dtype=np.int8), type=pa.int8()
-                ),
+                "role": pa.array(np.zeros(len(x), dtype=np.int8)),
             }
         )
 
-    def _group_knn(df, r_dist: float):
-        import pandas as pd
-
-        src = df[df["role"] == 0]
-        cand = df[df["role"] == 1]
-        cid = cand[id_col].to_numpy()
-        cx_ = cand[x_col].to_numpy()
-        cy_ = cand[y_col].to_numpy()
-        rows_s, rows_n, rows_r = [], [], []
-        raw_s, raw_x, raw_y = [], [], []
-        r2 = r_dist * r_dist
-        for sid, sx, sy in zip(
-            src[id_col].to_numpy(), src[x_col].to_numpy(),
-            src[y_col].to_numpy(),
-        ):
-            m = cid != sid
-            d2 = (cx_[m] - sx) ** 2 + (cy_[m] - sy) ** 2
-            ids_m = cid[m]
-            if len(d2) >= k:
-                sel = np.argsort(
-                    np.core.records.fromarrays([d2, ids_m], names="d,i"),
-                    order=("d", "i"),
-                    kind="stable",
-                )[:k]
-                if d2[sel[k - 1]] < r2:  # strict: ties beyond ring unsafe
-                    rows_s += [sid] * k
-                    rows_n += ids_m[sel].tolist()
-                    rows_r += list(range(1, k + 1))
-                    continue
-            raw_s.append(sid)
-            raw_x.append(sx)
-            raw_y.append(sy)
-        # explicit dtypes: empty groups must not degrade to object
-        # columns (schema must be stable across groups); integer ids
-        # assumed (documented)
-        return pd.DataFrame(
+    def _empty_out() -> pa.Table:
+        return pa.table(
             {
-                id_col: np.asarray(rows_s + raw_s, dtype=np.int64),
-                "neighbor_id": np.asarray(
-                    rows_n + [-1] * len(raw_s), dtype=np.int64
+                id_col: pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+                x_col: pa.array([], type=pa.float64()),
+                y_col: pa.array([], type=pa.float64()),
+            }
+        )
+
+    def _part_knn(tbl, starts, r_dist: float) -> pa.Table:
+        """ops.shuffle partition fn: rows sorted by (cell, role, id),
+        one slice pair per cell group — no per-group dispatch."""
+        if tbl is None or len(starts) == 0:
+            return _empty_out()
+        role = tbl["role"].to_numpy(zero_copy_only=False)
+        ids = tbl[id_col].to_numpy().astype(np.int64)
+        xs = tbl[x_col].to_numpy().astype(np.float64)
+        ys = tbl[y_col].to_numpy().astype(np.float64)
+        ends = np.append(starts[1:], len(ids))
+        r2 = r_dist * r_dist
+        out_s, out_n, out_r = [], [], []
+        raw_s, raw_x, raw_y = [], [], []
+        ranks = np.arange(1, k + 1, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            se = s + int(np.searchsorted(role[s:e], 1))
+            if se == s:
+                continue  # no sources in this cell
+            cid = ids[se:e]
+            cxs = xs[se:e]
+            cys = ys[se:e]
+            for i in range(s, se):
+                sid = ids[i]
+                m = cid != sid
+                d2 = (cxs[m] - xs[i]) ** 2 + (cys[m] - ys[i]) ** 2
+                ids_m = cid[m]
+                if len(d2) >= k:
+                    sel = np.argsort(
+                        np.core.records.fromarrays(
+                            [d2, ids_m], names="d,i"
+                        ),
+                        order=("d", "i"),
+                        kind="stable",
+                    )[:k]
+                    if d2[sel[k - 1]] < r2:  # strict: ring-edge ties unsafe
+                        out_s.append(np.full(k, sid, dtype=np.int64))
+                        out_n.append(ids_m[sel])
+                        out_r.append(ranks)
+                        continue
+                raw_s.append(sid)
+                raw_x.append(xs[i])
+                raw_y.append(ys[i])
+        nd = len(out_s) * k
+        nr = len(raw_s)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.concatenate(
+                        out_s + [np.asarray(raw_s, dtype=np.int64)]
+                    )
+                    if (out_s or raw_s)
+                    else np.empty(0, dtype=np.int64)
                 ),
-                "rank": np.asarray(
-                    rows_r + [-1] * len(raw_s), dtype=np.int64
+                "neighbor_id": pa.array(
+                    np.concatenate(
+                        out_n + [np.full(nr, -1, dtype=np.int64)]
+                    )
+                    if (out_n or nr)
+                    else np.empty(0, dtype=np.int64)
                 ),
-                x_col: np.asarray(
-                    [np.nan] * len(rows_s) + raw_x, dtype=np.float64
+                "rank": pa.array(
+                    np.concatenate(
+                        out_r + [np.full(nr, -1, dtype=np.int64)]
+                    )
+                    if (out_r or nr)
+                    else np.empty(0, dtype=np.int64)
                 ),
-                y_col: np.asarray(
-                    [np.nan] * len(rows_s) + raw_y, dtype=np.float64
+                x_col: pa.array(
+                    np.concatenate(
+                        [
+                            np.full(nd, np.nan),
+                            np.asarray(raw_x, dtype=np.float64),
+                        ]
+                    )
+                ),
+                y_col: pa.array(
+                    np.concatenate(
+                        [
+                            np.full(nd, np.nan),
+                            np.asarray(raw_y, dtype=np.float64),
+                        ]
+                    )
                 ),
             }
         )
 
-    remaining = points
-    done_parts = []
+    def _extract_done(t: pa.Table) -> pa.Table:
+        f = t.filter(pa.compute.greater_equal(t["rank"], 0))
+        return f.select([id_col, "neighbor_id", "rank"])
+
+    def _extract_rem(t: pa.Table) -> pa.Table:
+        f = t.filter(pa.compute.less(t["rank"], 0))
+        return f.select([id_col, x_col, y_col])
+
+    take_done = ray.remote(_extract_done)
+    take_rem = ray.remote(_extract_rem)
+
+    done_refs: list = []
+    residual_tbl = None
     r = 1
     active = None
     for _round in range(max_rounds):
-        srcs = remaining.map_batches(
-            _source_keyed, batch_format="pyarrow", zero_copy_batch=True
-        )
-        cands = points.map_batches(
-            lambda b, r=r, a=active: _keyed(b, r, a),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
         r_dist = r * cell_size
-        out = (
-            srcs.union(cands)
-            .groupby("cell")
-            .map_groups(lambda df, rd=r_dist: _group_knn(df, rd))
-            .materialize()
-        )
-        # filter + project with explicit types: empty filtered blocks
-        # otherwise carry null-typed columns that poison later unions
-        def _take_done(b: pa.Table) -> pa.Table:
-            f = b.filter(pa.compute.greater_equal(b["rank"], 0))
-            return pa.table(
-                {
-                    id_col: f[id_col].combine_chunks().cast(pa.int64()),
-                    "neighbor_id": f["neighbor_id"].combine_chunks().cast(
-                        pa.int64()
-                    ),
-                    "rank": f["rank"].combine_chunks().cast(pa.int64()),
-                }
+        if residual_tbl is None:
+            keyed = points.map_batches(
+                lambda b, r=r: _emit(b, r, None, True),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
             )
-
-        def _take_remaining(b: pa.Table) -> pa.Table:
-            f = b.filter(pa.compute.less(b["rank"], 0))
-            return pa.table(
-                {
-                    id_col: f[id_col].combine_chunks().cast(pa.int64()),
-                    x_col: f[x_col].combine_chunks().cast(pa.float64()),
-                    y_col: f[y_col].combine_chunks().cast(pa.float64()),
-                }
-            )
-
-        done_parts.append(
-            out.map_batches(
-                _take_done, batch_format="pyarrow", zero_copy_batch=True
-            )
+        else:
+            keyed = points.map_batches(
+                lambda b, r=r, a=active: _emit(b, r, a, False),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).union(ray.data.from_arrow(_sources_table(residual_tbl)))
+        part_refs = hash_group_apply(
+            keyed,
+            ["cell"],
+            lambda t, s, rd=r_dist: _part_knn(t, s, rd),
+            sort_cols=("role", id_col),
+            return_refs=True,
         )
-        remaining = out.map_batches(
-            _take_remaining, batch_format="pyarrow", zero_copy_batch=True
-        )
-        n_remaining = remaining.count()
-        if n_remaining == 0:
+        done_refs += [take_done.remote(p) for p in part_refs]
+        rem_tabs = [
+            t
+            for t in ray.get([take_rem.remote(p) for p in part_refs])
+            if t.num_rows
+        ]
+        if not rem_tabs:
+            residual_tbl = None
             break
+        residual_tbl = pa.concat_tables(rem_tabs)
         # next round: doubled ring, candidate emission filtered to the
         # (small) set of cells that still hold uncertified sources
-        cells_left = remaining.map_batches(
-            _source_keyed, batch_format="pyarrow", zero_copy_batch=True
-        ).unique("cell")
-        active = np.sort(np.array(cells_left, dtype=np.uint64).astype(np.int64))
+        active = np.unique(
+            grid.cell_of_points(
+                residual_tbl[x_col].to_numpy().astype(np.float64),
+                residual_tbl[y_col].to_numpy().astype(np.float64),
+                res,
+            ).astype(np.int64)
+        )
         r *= 2
-    else:
-        n_remaining = remaining.count()
-        if n_remaining:
-            # empty blocks carry null-typed columns — drop before concat
-            tabs = [
-                t
-                for t in (
-                    ray.get(ref) for ref in remaining.to_arrow_refs()
-                )
-                if t.num_rows
-            ]
-            residual = pa.concat_tables(tabs)
-            done_parts.append(
-                _knn_stream_fallback(
-                    points, residual, k, id_col, x_col, y_col
-                )
+    ds = ray.data.from_arrow_refs(done_refs)
+    if residual_tbl is not None and residual_tbl.num_rows:
+        ds = ds.union(
+            _knn_stream_fallback(
+                points, residual_tbl, k, id_col, x_col, y_col
             )
-    ds = done_parts[0]
-    for part in done_parts[1:]:
-        ds = ds.union(part)
+        )
     return ds
 
 

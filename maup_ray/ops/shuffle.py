@@ -106,12 +106,16 @@ def hash_group_apply(
     *,
     num_partitions: int | None = None,
     sort_cols=(),
+    return_refs: bool = False,
 ):
     """Group ``ds`` by integer ``keys`` and apply ``fn(tbl, starts)``
     once per hash partition (see module docstring for the contract).
 
     ``ds`` may be a Dataset or a pa.Table. Returns a Dataset whose
-    blocks are the per-partition outputs of ``fn``.
+    blocks are the per-partition outputs of ``fn`` — or, with
+    ``return_refs=True``, the raw list of per-partition ObjectRefs
+    (for callers that post-process partitions with their own tasks
+    without spinning up another Dataset job).
     """
     import ray
     import ray.data
@@ -137,4 +141,6 @@ def hash_group_apply(
         apply.remote(fn, keys, tuple(sort_cols), *[p[i] for p in parts])
         for i in range(P)
     ]
+    if return_refs:
+        return outs
     return ray.data.from_arrow_refs(outs)
