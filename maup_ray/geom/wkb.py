@@ -283,6 +283,14 @@ def encode_rings_bulk(P: np.ndarray, cnt: np.ndarray) -> "pa.Array":
         byte_pos = offs[:-1][row] + 13 + pos * 16
         for k in range(16):
             buf[byte_pos + k] = coords[:, k]
+    if int(offs[-1]) >= 2**31:
+        # pa.binary() carries int32 offsets; a silent wrap would emit
+        # corrupt WKB (ADVICE r2). Callers hitting this should shrink
+        # batch_size — 2 GiB of WKB in one batch is a sizing bug.
+        raise ValueError(
+            f"encoded WKB batch is {int(offs[-1])} bytes, over the "
+            "2 GiB int32-offset limit of pa.binary(); reduce batch_size"
+        )
     offs32 = offs.astype("<i4")
     return pa.Array.from_buffers(
         pa.binary(), n,

@@ -67,13 +67,29 @@ def grouped_sum_count(
     if final == "driver":
         import ray
 
-        tabs = [
-            t
-            for t in (ray.get(r) for r in partials.to_arrow_refs())
-            if t.num_rows
-        ]
+        raw = [ray.get(r) for r in partials.to_arrow_refs()]
+        tabs = [t for t in raw if t.num_rows]
         if not tabs:
-            return partial(pa.table({}))  # empty, schema-less
+            # all-empty input: return a typed empty result instead of
+            # calling group_by on a schema-less table (ADVICE r2).
+            want = keys + sum_cols + (
+                [count_col] if count_col is not None else []
+            )
+            for t in raw:
+                if all(c in t.column_names for c in want):
+                    return t.select(want)
+            try:
+                sch = ds.schema().base_schema
+                fields = [
+                    pa.field(c, sch.field(c).type) for c in keys + sum_cols
+                ]
+            except Exception:
+                fields = [
+                    pa.field(c, pa.int64()) for c in keys + sum_cols
+                ]
+            if count_col is not None:
+                fields.append(pa.field(count_col, pa.int64()))
+            return pa.schema(fields).empty_table()
         merged = pa.concat_tables(tabs)
         aggs = [(c, "sum") for c in sum_cols]
         if count_col is not None:

@@ -29,7 +29,7 @@ class _ProrateJoin:
 
     def __init__(
         self, data, columns, source_id_col, target_id_col, weight_col,
-        drop_missing=False,
+        drop_missing=False, fill_zero=False,
     ):
         from .assign import _resolve_table
 
@@ -41,18 +41,22 @@ class _ProrateJoin:
         self.target_id_col = target_id_col
         self.weight_col = weight_col
         self.drop_missing = drop_missing
+        self.fill_zero = fill_zero
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sid = batch[self.source_id_col].to_pandas()
-        # When aggregating, drop rows whose source_id is absent from the
-        # data table HERE, so every physical plan agrees with the
-        # reference's skip-NaN aggregation (ref intersections.py:80 +
-        # groupby.agg: pandas sum skips NaN products; Ray's Arrow Sum
-        # would propagate NaN and null the whole target group — ADVICE
-        # r1 medium). In the non-aggregated path (aggregate_by=None) the
-        # NaN rows are preserved, matching the reference's disaggregated
-        # output.
-        if self.drop_missing:
+        # Aggregation parity with the reference's pandas skip-NaN
+        # semantics (ref intersections.py:80 + groupby.agg):
+        # * sum → ``fill_zero``: missing-source products become +0 and
+        #   the row is KEPT, so a target whose sources are ALL missing
+        #   still aggregates to 0 like pandas (ADVICE r2).
+        # * mean/max/min → ``drop_missing``: dropping NaN rows equals
+        #   pandas skipna for any group with ≥1 present source; a
+        #   target with ALL sources missing is dropped (pandas yields
+        #   NaN) — documented divergence of the distributed plan.
+        # * aggregate_by=None keeps NaN rows, matching the reference's
+        #   disaggregated frame.
+        if self.drop_missing and not self.fill_zero:
             present = sid.isin(self.df.index).to_numpy()
             if not present.all():
                 batch = batch.filter(pa.array(present))
@@ -64,7 +68,10 @@ class _ProrateJoin:
             self.target_id_col: batch[self.target_id_col],
         }
         for c in self.columns:
-            cols[c] = pa.array(looked[c].to_numpy(dtype=np.float64) * w)
+            vals = looked[c].to_numpy(dtype=np.float64) * w
+            if self.fill_zero:
+                vals = np.where(np.isnan(vals), 0.0, vals)
+            cols[c] = pa.array(vals)
         return pa.table(cols)
 
 
@@ -117,9 +124,16 @@ def prorate(
         target_id_col=target_id_col,
         weight_col=weight_col,
         drop_missing=aggregate_by is not None,
+        fill_zero=aggregate_by == "sum",
     )
     if isinstance(relationship, pa.Table):
-        out = _ProrateJoin(**join_kwargs)(relationship)
+        # local path: keep NaN rows and let pandas' skipna agg decide —
+        # bit-for-bit reference semantics for EVERY aggregate,
+        # including all-missing target groups (sum→0, mean→NaN)
+        local_kwargs = dict(
+            join_kwargs, drop_missing=False, fill_zero=False
+        )
+        out = _ProrateJoin(**local_kwargs)(relationship)
         if aggregate_by is None:
             return out
         df = out.to_pandas()
@@ -146,6 +160,7 @@ def prorate(
         target_id_col,
         weight_col,
         join_kwargs["drop_missing"],
+        join_kwargs["fill_zero"],
     )
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -168,15 +183,20 @@ def _prorate_hash_join(
     num_partitions = max(
         8, int(ray.cluster_resources().get("CPU", 8))
     )
-    # When aggregating, inner join: relationship rows whose source_id is
-    # absent from the data table are dropped — same skip-missing
-    # semantics as the broadcast plan (_ProrateJoin), matching the
-    # reference's skip-NaN aggregation (a left_outer join would
-    # null-poison Arrow Sum groups). Non-aggregated output keeps the
-    # missing rows as NaN like the reference's disaggregated frame.
+    # Join-type parity with the broadcast plan (_ProrateJoin):
+    # * sum → left_outer + zero-fill, so a target whose sources are ALL
+    #   missing still aggregates to 0 like pandas skip-NaN (ADVICE r2).
+    # * mean/max/min → inner: equals pandas skipna for groups with ≥1
+    #   present source; all-missing groups are dropped (documented
+    #   divergence — pandas yields NaN).
+    # * aggregate_by=None → left_outer keeping NaN rows, matching the
+    #   reference's disaggregated frame.
+    fill_zero = aggregate_by == "sum"
     joined = relationship.join(
         data,
-        join_type="inner" if aggregate_by is not None else "left_outer",
+        join_type="inner"
+        if (aggregate_by is not None and not fill_zero)
+        else "left_outer",
         num_partitions=num_partitions,
         on=(source_id_col,),
     )
@@ -189,7 +209,10 @@ def _prorate_hash_join(
         }
         for c in columns:
             v = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
-            cols[c] = pa.array(v * w)
+            vals = v * w
+            if fill_zero:
+                vals = np.where(np.isnan(vals), 0.0, vals)
+            cols[c] = pa.array(vals)
         return pa.table(cols)
 
     out = joined.map_batches(mul, batch_format="pyarrow", zero_copy_batch=True)

@@ -371,6 +371,7 @@ def doctor(
     target: pa.Table | None = None,
     accept_holes: bool = False,
     geometry_col: str = "geometry",
+    extent=None,
 ) -> dict:
     """Health checks (ref: repair.py:311-365). Returns a dict of named
     booleans plus 'ok' — callers wanting the reference's bool take
@@ -378,18 +379,42 @@ def doctor(
 
     Dataset input routes to the Dataset-scale path
     (ops.distributed.doctor_distributed: cell-partitioned overlap
-    self-join + tree-reduce union for gaps) — pass ``extent`` via
-    keyword there for non-default extents."""
+    self-join + tree-reduce union for gaps). ``extent`` sets the cell
+    partition for that path (defaults to the synthetic district
+    extent); with a ``target``, the reference's union-match check runs
+    via the distributed tree-reduce union on each side (ADVICE r2)."""
     if not isinstance(source, pa.Table):
-        from ..synth.districts import EXTENT
-        from .distributed import doctor_distributed
+        from .distributed import doctor_distributed, union_all_distributed
 
-        return doctor_distributed(
+        if extent is None:
+            from ..synth.districts import EXTENT
+
+            extent = (0.0, 0.0, float(EXTENT))
+        checks = doctor_distributed(
             source,
-            (0.0, 0.0, float(EXTENT)),
+            extent,
             geometry_col=geometry_col,
             accept_holes=accept_holes,
         )
+        if target is not None:
+            su = union_all_distributed(
+                source, extent, geometry_col=geometry_col
+            )
+            if isinstance(target, pa.Table):
+                tg = _decode_all(target, geometry_col)
+                tu = boolean.union_all(tg) if len(tg) > 1 else (
+                    tg[0] if tg else []
+                )
+            else:
+                tu = union_all_distributed(
+                    target, extent, geometry_col=geometry_col
+                )
+            sym = boolean.symmetric_difference(su, tu)
+            checks["union_matches_target"] = poly_area(sym) == 0.0
+            checks["ok"] = bool(
+                checks["ok"] and checks["union_matches_target"]
+            )
+        return checks
     from .adjacencies import count_overlaps
 
     # The reference iterates the per-shapefile checks over BOTH source

@@ -252,18 +252,6 @@ def _fan_split(gap, out_geoms, neighbors, garea):
     if len(gap) != 1:  # gap with holes: bail to absorb
         return None
     ring = gap[0]
-    if len(ring) == 3:
-        # triangle gap: the reference splits at the INCENTER — "more
-        # natural than the centroid, especially for long skinny
-        # triangles" (ref smart_repair.py:1096-1101) — into 3 triangles,
-        # one per boundary edge. Use it so split geometry matches.
-        A, B, Cv = ring
-        a = float(np.hypot(*(B - Cv)))  # side opposite A
-        b = float(np.hypot(*(Cv - A)))
-        c = float(np.hypot(*(A - B)))
-        C = (a * A + b * B + c * Cv) / (a + b + c)
-    else:
-        C = np.array(representative_point([gap]))
     m = len(ring)
     mids = (ring + np.roll(ring, -1, axis=0)) * 0.5
     owner = np.full(m, -1, dtype=np.int64)
@@ -275,6 +263,20 @@ def _fan_split(gap, out_geoms, neighbors, garea):
         owner[on & (owner == -1)] = i
     if (owner == -1).any():
         return None
+    if m == 3 and len({int(o) for o in owner if o >= 0}) == 3:
+        # triangle gap with exactly 3 DISTINCT real owners: the
+        # reference splits at the INCENTER — "more natural than the
+        # centroid, especially for long skinny triangles" (ref
+        # smart_repair.py:1095-1101) — into 3 triangles, one per
+        # boundary edge. 1-/2-owner triangles fall through to the
+        # representative-point fan like any other gap (ADVICE r2).
+        A, B, Cv = ring
+        a = float(np.hypot(*(B - Cv)))  # side opposite A
+        b = float(np.hypot(*(Cv - A)))
+        c = float(np.hypot(*(A - B)))
+        C = (a * A + b * B + c * Cv) / (a + b + c)
+    else:
+        C = np.array(representative_point([gap]))
     # maximal circular runs
     runs = []
     start = 0

@@ -138,6 +138,41 @@ class TestProrate:
         assert hashj["target_id"].tolist() == ["a"]
         assert hashj["v"].tolist() == [30.0]
 
+    def test_all_missing_target_group_sums_to_zero(self, ray_session):
+        # ADVICE r2 (low): a target whose sources are ALL missing from
+        # data must still appear with sum 0 (pandas skip-NaN sum keeps
+        # the group) — in every physical plan.
+        import ray
+        import ray.data
+
+        rel = pa.table(
+            {
+                "source_id": pa.array([0, 9], type=pa.int64()),
+                "target_id": ["a", "b"],  # target b has ONLY missing 9
+                "weight": [1.0, 1.0],
+            }
+        )
+        data = pa.table(
+            {"source_id": pa.array([0], type=pa.int64()), "v": [30.0]}
+        )
+        local = prorate(rel, data, ["v"]).to_pydict()
+        assert local["target_id"] == ["a", "b"]
+        assert local["v"] == [30.0, 0.0]
+        for plan in (
+            prorate(ray.data.from_arrow(rel), data, ["v"]),
+            prorate(
+                ray.data.from_arrow(rel),
+                ray.data.from_arrow(data),
+                ["v"],
+                broadcast_limit=1,  # force the hash co-shuffle plan
+            ),
+        ):
+            df = plan.to_pandas().sort_values(
+                "target_id", ignore_index=True
+            )
+            assert df["target_id"].tolist() == ["a", "b"]
+            assert df["v"].tolist() == [30.0, 0.0]
+
     def test_callable_aggregate_all_plans(self, ray_session):
         # reference accepts any pandas agg (intersections.py:70-72)
         import ray.data

@@ -226,6 +226,39 @@ class TestDoctorDistributed:
         auto = doctor(ray.data.from_arrow(t))
         assert auto["n_overlaps"] == 1 and not auto["ok"]
 
+    def test_dataset_target_union_check(self, ray_session):
+        # ADVICE r2 (medium): the Dataset path must not silently ignore
+        # target — the union-match check runs via the distributed union.
+        import ray.data
+
+        from maup_ray.geom import encode_polygon
+        from maup_ray.ops.repair import doctor
+
+        def sq(x0, y0, x1, y1):
+            return np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float
+            )
+
+        def tb(ids, rings):
+            return pa.table(
+                {
+                    "id": ids,
+                    "geometry": pa.array(
+                        [encode_polygon([r]) for r in rings],
+                        type=pa.binary(),
+                    ),
+                }
+            )
+
+        src = tb([0, 1], [sq(0, 0, 1, 1), sq(1, 0, 2, 1)])
+        same = tb([9], [sq(0, 0, 2, 1)])
+        diff = tb([9], [sq(0, 0, 2, 1.5)])
+        ext = (0.0, 0.0, 4.0)
+        ok = doctor(ray.data.from_arrow(src), same, extent=ext)
+        assert ok["union_matches_target"] and ok["ok"]
+        bad = doctor(ray.data.from_arrow(src), diff, extent=ext)
+        assert not bad["union_matches_target"] and not bad["ok"]
+
 
 class TestGroupedSumCount:
     def test_both_finals_match(self, ray_session):

@@ -1,0 +1,138 @@
+"""ops.shuffle.hash_group_apply — the raw-task hash-shuffle grouped
+apply primitive (used by minhash/simhash LSH buckets and kNN cells)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from maup_ray.ops.shuffle import group_starts, hash_group_apply
+
+
+def _make_sum_part():
+    # defined inside a function so cloudpickle ships it BY VALUE — a
+    # module-level test function pickles by reference and workers
+    # cannot import the tests package
+    def _sum_part(tbl, starts):
+        schema = pa.schema([("k", pa.int64()), ("s", pa.int64())])
+        if tbl is None or len(starts) == 0:
+            return schema.empty_table()
+        k = tbl["k"].to_numpy()
+        v = tbl["v"].to_numpy()
+        return pa.table(
+            {
+                "k": pa.array(k[starts]),
+                "s": pa.array(np.add.reduceat(v, starts)),
+            }
+        )
+
+    return _sum_part
+
+
+class TestHashGroupApply:
+    @pytest.mark.parametrize("num_partitions", [1, 7, 64])
+    def test_matches_pandas_groupby(self, ray_session, num_partitions):
+        import ray.data
+
+        rng = np.random.RandomState(7)
+        n = 20_000
+        t = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 500, n)),
+                "v": pa.array(rng.randint(-100, 100, n)),
+            }
+        )
+        want = (
+            t.to_pandas().groupby("k")["v"].sum().reset_index(name="s")
+        )
+        ds = ray.data.from_arrow(t).repartition(9)
+        got = (
+            hash_group_apply(
+                ds, ["k"], _make_sum_part(), num_partitions=num_partitions
+            )
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_table_input_and_sort_cols(self, ray_session):
+        t = pa.table(
+            {
+                "k": pa.array([1, 1, 2, 2, 1]),
+                "v": pa.array([30, 10, 5, 1, 20]),
+            }
+        )
+
+        def first_last(tbl, starts):
+            schema = pa.schema(
+                [("k", pa.int64()), ("lo", pa.int64()), ("hi", pa.int64())]
+            )
+            if tbl is None or len(starts) == 0:
+                return schema.empty_table()
+            k = tbl["k"].to_numpy()
+            v = tbl["v"].to_numpy()
+            ends = np.append(starts[1:], len(k))
+            return pa.table(
+                {
+                    "k": pa.array(k[starts]),
+                    "lo": pa.array(v[starts]),  # sorted asc within group
+                    "hi": pa.array(v[ends - 1]),
+                }
+            )
+
+        got = (
+            hash_group_apply(t, ["k"], first_last, sort_cols=("v",))
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        assert got["k"].tolist() == [1, 2]
+        assert got["lo"].tolist() == [10, 1]
+        assert got["hi"].tolist() == [30, 5]
+
+    def test_empty_input(self, ray_session):
+        t = pa.table(
+            {
+                "k": pa.array([], type=pa.int64()),
+                "v": pa.array([], type=pa.int64()),
+            }
+        )
+        import ray
+
+        ds = hash_group_apply(t, ["k"], _make_sum_part())
+        tabs = [ray.get(r) for r in ds.materialize().to_arrow_refs()]
+        # typed empty blocks (Ray's to_pandas drops columns on
+        # all-empty datasets — assert at the Arrow level)
+        assert all(tt.num_rows == 0 for tt in tabs)
+        assert tabs[0].column_names == ["k", "s"]
+
+
+class TestGroupStarts:
+    def test_basic(self):
+        t = pa.table({"k": pa.array([3, 3, 5, 7, 7, 7])})
+        assert group_starts(t, ["k"]).tolist() == [0, 2, 3]
+
+    def test_empty(self):
+        t = pa.table({"k": pa.array([], type=pa.int64())})
+        assert group_starts(t, ["k"]).tolist() == []
+
+
+class TestGroupedSumCountEmpty:
+    def test_driver_final_on_all_empty_input(self, ray_session):
+        # ADVICE r2 (low): all-empty input must return a typed empty
+        # table, not crash in pa.table({}).group_by
+        import ray.data
+
+        from maup_ray.ops.agg import grouped_sum_count
+
+        t = pa.table(
+            {
+                "g": pa.array([], type=pa.int64()),
+                "x": pa.array([], type=pa.int64()),
+            }
+        )
+        out = grouped_sum_count(
+            ray.data.from_arrow(t), ["g"], sum_cols=["x"],
+            count_col="n", final="driver",
+        )
+        assert out.num_rows == 0
+        assert out.column_names == ["g", "x", "n"]
