@@ -178,71 +178,180 @@ def adjacencies(
     )
 
 
+def _empty_pairs(id_type, include_geometry) -> pa.Table:
+    fields = [("id_i", id_type), ("id_j", id_type)]
+    if include_geometry:
+        fields.append(("geometry", pa.binary()))
+    fields += [
+        ("length", pa.float64()),
+        ("area", pa.float64()),
+        ("dim", pa.int8()),
+    ]
+    return pa.schema(fields).empty_table()
+
+
+def _rect_ring(bb: np.ndarray) -> list:
+    """Reconstruct the axis-rect MultiPolygon from its bbox (rect rows
+    ship no WKB payload through the shuffle)."""
+    x0, y0, x1, y1 = bb
+    return [[np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])]]
+
+
 def _partitioned_adjacencies(
     ds, id_col, geometry_col, adjacency_type, include_geometry,
     cell_res, extent, concurrency,
 ):
     """Dataset self-join: replicate rows to covered cells, pair within
-    cell groups, dedup straddling pairs by the canonical min-cell."""
+    cell groups, dedup straddling pairs by the canonical min-cell.
+
+    100-TB shape (VERDICT r2 #3): the expansion is one vectorized pass
+    (bulk quad decode where the column is uniform, np.repeat cell
+    ranges, Arrow take), axis-rect rows ship an EMPTY geometry payload
+    through the shuffle (the bbox they carry anyway IS the geometry),
+    and pairing runs once per hash partition via
+    ``ops.shuffle.hash_group_apply`` — single-occupancy cells are
+    skipped outright instead of paying per-group dispatch. General
+    polygons still replicate their WKB to each covered cell (inherent
+    to cell-partitioned pair computation; bounded by sizing cell_res
+    to the typical geometry extent)."""
     from ..geom.cells import CellGrid
+    from ..geom.wkb import decode_quads_bulk
+    from .shuffle import hash_group_apply
 
     if extent is None:
         from ..synth.districts import EXTENT
 
         extent = (0.0, 0.0, float(EXTENT))
     grid = CellGrid(*extent)
+    n_side = 1 << cell_res
+    cw = grid.size / n_side
 
     def expand(batch: pa.Table) -> pa.Table:
-        rows = {"cell": [], id_col: [], geometry_col: [], "_minx": [], "_miny": []}
-        for rid, g in zip(batch[id_col].to_pylist(), batch[geometry_col]):
-            wkb = g.as_py()
-            bb = bounds(decode_polygons(wkb))
-            cells = grid.cells_for_bbox(*bb, cell_res)
-            for c in cells:
-                rows["cell"].append(int(c))
-                rows[id_col].append(rid)
-                rows[geometry_col].append(wkb)
-                rows["_minx"].append(bb[0])
-                rows["_miny"].append(bb[1])
+        garr = batch[geometry_col]
+        if isinstance(garr, pa.ChunkedArray):
+            garr = garr.combine_chunks()
+        n = len(batch)
+        coords = decode_quads_bulk(garr)
+        bb = np.empty((n, 4), dtype=np.float64)
+        if coords is not None:
+            bb[:, 0] = coords[:, :, 0].min(axis=1)
+            bb[:, 1] = coords[:, :, 1].min(axis=1)
+            bb[:, 2] = coords[:, :, 0].max(axis=1)
+            bb[:, 3] = coords[:, :, 1].max(axis=1)
+            dx = coords[:, [1, 2, 3, 0], 0] - coords[:, :, 0]
+            dy = coords[:, [1, 2, 3, 0], 1] - coords[:, :, 1]
+            is_rect = np.all((dx == 0.0) | (dy == 0.0), axis=1)
+        else:
+            is_rect = np.zeros(n, dtype=bool)
+            for i, b in enumerate(garr):
+                g = decode_polygons(b.as_py())
+                bb[i] = bounds(g)
+                is_rect[i] = _all_axis_rects([g])
+        # vectorized covered-cell ranges (same arithmetic as
+        # CellGrid.cells_for_bbox)
+        cx0 = np.clip((bb[:, 0] - grid.x0) // cw, 0, n_side - 1).astype(np.int64)
+        cy0 = np.clip((bb[:, 1] - grid.y0) // cw, 0, n_side - 1).astype(np.int64)
+        cx1 = np.clip((bb[:, 2] - grid.x0) // cw, 0, n_side - 1).astype(np.int64)
+        cy1 = np.clip((bb[:, 3] - grid.y0) // cw, 0, n_side - 1).astype(np.int64)
+        nx = cx1 - cx0 + 1
+        counts = nx * (cy1 - cy0 + 1)
+        total = int(counts.sum())
+        rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+        cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=cum[1:])
+        pos = np.arange(total, dtype=np.int64) - cum[:-1][rows]
+        ci = cx0[rows] + pos % nx[rows]
+        cj = cy0[rows] + pos // nx[rows]
+        idx = pa.array(rows)
+        geom_masked = pc.if_else(
+            pa.array(is_rect),
+            pa.scalar(b"", type=pa.binary()),
+            garr,
+        )
         return pa.table(
             {
-                "cell": pa.array(rows["cell"], type=pa.uint64()),
-                id_col: pa.array(rows[id_col], type=batch[id_col].type),
-                geometry_col: pa.array(rows[geometry_col], type=pa.binary()),
-                "_minx": pa.array(rows["_minx"], type=pa.float64()),
-                "_miny": pa.array(rows["_miny"], type=pa.float64()),
+                "cell": pa.array(
+                    grid.pack(ci, cj, cell_res), type=pa.uint64()
+                ),
+                id_col: batch[id_col].take(idx),
+                geometry_col: geom_masked.take(idx),
+                "_minx": pa.array(bb[rows, 0]),
+                "_miny": pa.array(bb[rows, 1]),
+                "_maxx": pa.array(bb[rows, 2]),
+                "_maxy": pa.array(bb[rows, 3]),
             }
         )
 
-    id_type_holder = {}
-
-    def per_cell(df):
-        # pandas group (map_groups default); rebuild arrow
-        cell = int(df["cell"].iloc[0])
-        ids = df[id_col].tolist()
-        geoms = [decode_polygons(b) for b in df[geometry_col]]
-        bboxes = np.array([bounds(g) for g in geoms]).reshape(-1, 4)
-        order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
-        ids = [ids[i] for i in order]
-        geoms = [geoms[i] for i in order]
-        bboxes = bboxes[order]
-
-        def canonical_vec(ai, bi):
-            minx = np.maximum(bboxes[ai, 0], bboxes[bi, 0])
-            miny = np.maximum(bboxes[ai, 1], bboxes[bi, 1])
-            c = grid.cell_of_points(minx, miny, cell_res)
-            return c.astype(np.int64) == cell
-
-        id_type = pa.string() if isinstance(ids[0], str) else pa.int64()
-        tbl = _pairs_table(
-            ids, geoms, bboxes, adjacency_type, include_geometry, id_type,
-            pair_mask_fn=canonical_vec,
+    def adj_part(tbl, starts):
+        if tbl is None:
+            return _empty_pairs(pa.int64(), include_geometry)
+        id_type = tbl.schema.field(id_col).type
+        if len(starts) == 0:
+            return _empty_pairs(id_type, include_geometry)
+        cells = tbl["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        garr = tbl[geometry_col].combine_chunks()
+        glen = pc.binary_length(garr).to_numpy(zero_copy_only=False)
+        bbox = np.stack(
+            [tbl[c].to_numpy() for c in ("_minx", "_miny", "_maxx", "_maxy")],
+            axis=1,
         )
-        return tbl.to_pandas()
+        ids_np = tbl[id_col].to_numpy(zero_copy_only=False)
+        ends = np.append(starts[1:], len(cells))
+        sizes = ends - starts
+        out_tabs = []
+        for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            cellv = int(cells[s])
+            order = np.argsort(ids_np[s:e], kind="stable") + s
+            bbs = bbox[order]
+            gl = glen[order]
 
-    return ds.map_batches(
-        expand, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("cell").map_groups(per_cell)
+            def canonical_vec(ai, bi, bbs=bbs, cellv=cellv):
+                minx = np.maximum(bbs[ai, 0], bbs[bi, 0])
+                miny = np.maximum(bbs[ai, 1], bbs[bi, 1])
+                c = grid.cell_of_points(minx, miny, cell_res)
+                return c.astype(np.int64) == cellv
+
+            ids = list(ids_np[order])
+            if not include_geometry and (gl == 0).all():
+                # pure-rect cell: metrics from bboxes, zero decode
+                tree = BBoxTree(bbs)
+                ai, bi = tree.query_bbox(bbs)
+                keep = ai < bi
+                ai, bi = ai[keep], bi[keep]
+                if len(ai):
+                    m = canonical_vec(ai, bi)
+                    ai, bi = ai[m], bi[m]
+                if len(ai) == 0:
+                    continue
+                out_tabs.append(
+                    _rect_pairs_table(
+                        ids, bbs, ai, bi, adjacency_type, id_type
+                    )
+                )
+                continue
+            geoms = [
+                _rect_ring(bbs[j])
+                if gl[j] == 0
+                else decode_polygons(garr[int(order[j])].as_py())
+                for j in range(len(ids))
+            ]
+            out_tabs.append(
+                _pairs_table(
+                    ids, geoms, bbs, adjacency_type, include_geometry,
+                    id_type, pair_mask_fn=canonical_vec,
+                )
+            )
+        if not out_tabs:
+            return _empty_pairs(id_type, include_geometry)
+        return pa.concat_tables(out_tabs)
+
+    return hash_group_apply(
+        ds.map_batches(
+            expand, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["cell"],
+        adj_part,
+    )
 
 
 def count_overlaps(geoms, **kw) -> int:
@@ -275,7 +384,8 @@ def islands(geoms, adj=None, id_col: str = "id", **kw):
     # broadcast only the SMALL island id set for the final geometry
     # filter (pc.is_in, no Python loop).
     import ray
-    from ray.data.aggregate import Sum
+
+    from .shuffle import hash_group_apply
 
     def geom_ids(b: pa.Table) -> pa.Table:
         ids = pc.unique(b[id_col].combine_chunks())
@@ -308,13 +418,30 @@ def islands(geoms, adj=None, id_col: str = "id", **kw):
             pair_ids, batch_format="pyarrow", zero_copy_batch=True
         )
     )
-    island_rows = (
-        flagged.groupby("_pid")
-        .aggregate(Sum(on="_flag", alias_name="_flag"))
-        .filter(expr="_flag == 0")
-        .take_all()
+    def island_part(tbl, starts):
+        if tbl is None:
+            return pa.schema([("_pid", pa.int64())]).empty_table()
+        if len(starts) == 0:
+            return tbl.select(["_pid"])
+        flags = tbl["_flag"].to_numpy()
+        sums = np.add.reduceat(flags, starts)
+        keep = starts[sums == 0]
+        return tbl.select(["_pid"]).take(pa.array(keep))
+
+    island_tabs = [
+        t
+        for t in ray.get(
+            hash_group_apply(
+                flagged, ["_pid"], island_part, return_refs=True
+            )
+        )
+        if t.num_rows
+    ]
+    island_arr = (
+        pa.concat_tables(island_tabs)["_pid"].combine_chunks()
+        if island_tabs
+        else pa.array([])
     )
-    island_arr = pa.array([r["_pid"] for r in island_rows])
     ref = ray.put(island_arr)
 
     def keep_islands(batch: pa.Table) -> pa.Table:

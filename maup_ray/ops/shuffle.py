@@ -46,9 +46,24 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 def _hash_keys(tbl: pa.Table, keys: list[str]) -> np.ndarray:
     h = np.zeros(len(tbl), dtype=np.uint64)
     for k in keys:
-        v = tbl[k].to_numpy(zero_copy_only=False).astype(np.int64).view(
-            np.uint64
-        )
+        col = tbl[k]
+        typ = col.type
+        if pa.types.is_integer(typ) or pa.types.is_unsigned_integer(typ):
+            v = col.to_numpy(zero_copy_only=False).astype(np.int64).view(
+                np.uint64
+            )
+        else:
+            # string/binary keys: polars' vectorized xxhash (fixed
+            # seed → identical across worker processes of one run)
+            import polars as pl
+
+            v = (
+                pl.from_arrow(col.combine_chunks() if isinstance(
+                    col, pa.ChunkedArray) else col)
+                .hash(seed=0)
+                .to_numpy()
+                .astype(np.uint64)
+            )
         # splitmix-style avalanche per column, xor-combined
         x = (v + _MIX) * np.uint64(0xBF58476D1CE4E5B9)
         x ^= x >> np.uint64(27)
@@ -85,17 +100,15 @@ def group_starts(tbl: pa.Table, keys: list[str]) -> np.ndarray:
 
 
 def _apply_partition(fn, keys, sort_cols, *tabs):
-    tabs = [t for t in tabs if t.num_rows]
-    if not tabs:
-        return fn(None, np.empty(0, dtype=np.int64))
-    tbl = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
+    nonempty = [t for t in tabs if t.num_rows]
+    if not nonempty:
+        # pass a TYPED empty table when available so fn can derive
+        # input-dependent output types; None only when ds had no blocks
+        return fn(tabs[0] if tabs else None, np.empty(0, dtype=np.int64))
+    tbl = nonempty[0] if len(nonempty) == 1 else pa.concat_tables(nonempty)
     cols = list(keys) + list(sort_cols)
-    order = np.lexsort(
-        tuple(
-            tbl[c].to_numpy(zero_copy_only=False) for c in reversed(cols)
-        )
-    )
-    tbl = tbl.combine_chunks().take(pa.array(order))
+    # Arrow C++ sort: handles string keys and beats np.lexsort
+    tbl = tbl.combine_chunks().sort_by([(c, "ascending") for c in cols])
     return fn(tbl, group_starts(tbl, list(keys)))
 
 
