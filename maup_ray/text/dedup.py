@@ -20,6 +20,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+try:  # vectorized string hashing (Rust xxhash) — per-row blake2b was
+    # the per-CPU bottleneck of exact_dedup at scale (VERDICT r2 #5)
+    import polars as _pl
+except ImportError:  # pragma: no cover
+    _pl = None
+
 __all__ = [
     "text_hash_batch",
     "exact_dedup",
@@ -39,8 +45,12 @@ _POPCNT = np.array(
 
 
 def _hash64_strings(arr: pa.Array) -> np.ndarray:
-    """Stable 64-bit blake2b hash per string (python loop over digest —
-    16 bytes each; fine at batch granularity)."""
+    """64-bit content hash per string — one vectorized Rust xxhash pass
+    (deterministic across the worker processes of a run: fixed seed,
+    single polars version per cluster image); per-row blake2b fallback
+    when polars is absent."""
+    if _pl is not None:
+        return _pl.from_arrow(arr).hash(seed=1).to_numpy().astype(np.uint64)
     out = np.empty(len(arr), dtype=np.uint64)
     for i, v in enumerate(arr):
         out[i] = int.from_bytes(
@@ -53,7 +63,19 @@ def _hash64_strings(arr: pa.Array) -> np.ndarray:
 
 
 def _hash128_strings(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """Stable 128-bit blake2b hash per string as two uint64 halves."""
+    """128-bit content hash per string as two uint64 halves — two
+    independently-seeded vectorized xxhash passes (collision risk
+    analysis in exact_dedup's docstring assumes the pair behaves as a
+    128-bit hash; xxhash seeds give independent-enough halves for
+    dedup, and any residual correlation only trades a ~1e-15 failure
+    probability for a slightly larger one, still far below data-loss
+    noise). blake2b fallback when polars is absent."""
+    if _pl is not None:
+        s = _pl.from_arrow(arr)
+        return (
+            s.hash(seed=1).to_numpy().astype(np.uint64),
+            s.hash(seed=2).to_numpy().astype(np.uint64),
+        )
     lo = np.empty(len(arr), dtype=np.uint64)
     hi = np.empty(len(arr), dtype=np.uint64)
     for i, v in enumerate(arr):
@@ -106,15 +128,22 @@ def exact_dedup(ds, text_col="text", id_col="doc_id", keep_text=False):
             }
         )
 
-    from ray.data.aggregate import Min
+    from ..ops.shuffle import hash_group_apply
+
+    def keeper_part(tbl, starts):
+        # rows sorted by (h_lo, h_hi, id): the group's first row IS
+        # the min-id keeper — one Arrow take, no per-group work
+        if tbl is None:
+            return pa.schema([(id_col, pa.int64())]).empty_table()
+        if len(starts) == 0:
+            return tbl.select([id_col])
+        return tbl.select([id_col]).take(pa.array(starts))
 
     hashed = ds.map_batches(
         hash_only, batch_format="pyarrow", zero_copy_batch=True
     )
-    keepers = (
-        hashed.groupby(["h_lo", "h_hi"])
-        .aggregate(Min(on=id_col, alias_name=id_col))
-        .select_columns([id_col])
+    keepers = hash_group_apply(
+        hashed, ["h_lo", "h_hi"], keeper_part, sort_cols=(id_col,)
     )
     if not keep_text:
         return keepers
@@ -428,21 +457,8 @@ def simhash_batch(
         # strings is Python-compare slow), then scatter hashes back and
         # vote per doc with one reduceat
         denc = pc.dictionary_encode(flat).combine_chunks()
-        uniq = denc.dictionary.to_pylist()
         inv = denc.indices.to_numpy(zero_copy_only=False)
-        hs_uniq = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(
-                        w.encode("utf-8"), digest_size=8
-                    ).digest(),
-                    "little",
-                )
-                for w in uniq
-            ),
-            dtype=np.uint64,
-            count=len(uniq),
-        )
+        hs_uniq = _hash64_strings(denc.dictionary)
         hs = hs_uniq[inv]
         bits = (
             (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
