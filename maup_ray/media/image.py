@@ -1,12 +1,13 @@
 """Multimodal (image) stages: decode / perceptual-hash / resize /
 frame-sample plumbing over opaque ``binary`` payload columns.
 
-``fmt == "raw"`` payloads (uncompressed RGB, w*h*3 bytes — the synth
-table's format) are decoded for REAL with numpy; compressed formats
-(jpeg/png/...) and video raise NotImplementedError behind a clearly
-marked stub (no image/video libs in this container) — the Ray-side
-plumbing (schema, batch shape, actor signature, output layout) is real
-and tested either way.
+``fmt == "raw"`` payloads (uncompressed RGB, w*h*3 bytes) are decoded
+with numpy; ``fmt == "png"`` payloads decode through the from-scratch
+stdlib-zlib codec in :mod:`maup_ray.media.png` (lossless, so the
+PSNR≥40dB fidelity invariant stays byte equality). JPEG and video
+remain NotImplementedError stubs (a from-scratch Huffman+DCT decoder
+is out of scope offline) — the Ray-side plumbing (schema, batch shape,
+actor signature, output layout) is real and tested either way.
 
 These run as actor-pool map_batches stages
 (``ds.map_batches(PhashStage, concurrency=N, batch_size=B)``) so any
@@ -30,20 +31,25 @@ __all__ = [
 
 def decode_raw_batch(batch: pa.Table) -> list[np.ndarray]:
     """binary payloads → list of (h, w, 3) uint8 arrays."""
+    from .png import decode_png
+
     out = []
     for blob, w, h, fmt in zip(
         batch["bytes"], batch["w"], batch["h"], batch["fmt"]
     ):
         f = fmt.as_py()
-        if f != "raw":
-            # STUB: compressed decode needs PIL/libjpeg (absent here)
+        if f == "raw":
+            w_, h_ = w.as_py(), h.as_py()
+            arr = np.frombuffer(blob.as_py(), dtype=np.uint8)
+            out.append(arr.reshape(h_, w_, 3))
+        elif f == "png":
+            out.append(decode_png(blob.as_py()))
+        else:
+            # STUB: jpeg/video decode needs a codec lib (absent here)
             raise NotImplementedError(
-                f"decode for fmt={f!r} requires an image codec; only "
-                "'raw' is implemented in this environment"
+                f"decode for fmt={f!r} requires an image codec; 'raw' "
+                "and 'png' are implemented in this environment"
             )
-        w_, h_ = w.as_py(), h.as_py()
-        arr = np.frombuffer(blob.as_py(), dtype=np.uint8)
-        out.append(arr.reshape(h_, w_, 3))
     return out
 
 
@@ -105,25 +111,37 @@ class PhashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ws = batch["w"].to_numpy()
         hs = batch["h"].to_numpy()
-        fmts = set(batch["fmt"].to_pylist())
-        if fmts == {"raw"} and len(set(ws)) == 1 and len(set(hs)) == 1:
+        fmts = np.asarray(batch["fmt"].to_pylist())
+        n = len(batch)
+        out = np.empty(n, dtype=np.int64)
+        done = np.zeros(n, dtype=bool)
+        # vectorized path for the uniform-shape RAW subset; compressed
+        # rows (png) decode per-row below — a mixed batch must not
+        # drag every raw row onto the slow path
+        raw_idx = np.flatnonzero(fmts == "raw")
+        if len(raw_idx) and (
+            len(set(ws[raw_idx])) == 1 and len(set(hs[raw_idx])) == 1
+        ):
+            sub = (
+                batch
+                if len(raw_idx) == n
+                else batch.take(pa.array(raw_idx))
+            )
             try:
-                hashes = self._batch_same_shape(
-                    batch, int(ws[0]), int(hs[0])
+                out[raw_idx] = self._batch_same_shape(
+                    sub, int(ws[raw_idx[0]]), int(hs[raw_idx[0]])
                 )
-                col = pa.array(hashes)
+                done[raw_idx] = True
             except ValueError:
-                imgs = decode_raw_batch(batch)
-                col = pa.array(
-                    [phash64(im) for im in imgs], type=pa.int64()
-                )
-        else:
-            imgs = decode_raw_batch(batch)
-            col = pa.array([phash64(im) for im in imgs], type=pa.int64())
+                pass  # non-uniform payloads: per-row fallback below
+        rest = np.flatnonzero(~done)
+        if len(rest):
+            imgs = decode_raw_batch(batch.take(pa.array(rest)))
+            out[rest] = [phash64(im) for im in imgs]
         return pa.table(
             {
                 "image_id": batch["image_id"],
-                "phash_computed": col,
+                "phash_computed": pa.array(out),
                 "w": batch["w"],
                 "h": batch["h"],
             }

@@ -503,7 +503,10 @@ def q_image_phash(sf_dir: str):
     from .synth.images import image_dataset
 
     n = 4 * pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    ds = image_dataset(n)
+    # every 8th row is PNG-compressed (from-scratch codec): the hash
+    # stage exercises the compressed-decode path alongside the
+    # vectorized raw fast path in the same batches
+    ds = image_dataset(n, png_every=8)
     # task mode + per-worker cached stage: PhashStage state is a tiny
     # bit-packing table; an actor pool pays ~2 s respawn per execution
     from .ops.assign import _cached_instance

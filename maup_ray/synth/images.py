@@ -40,9 +40,18 @@ def phash_xy(phash: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def gen_image_batch(
-    ids: np.ndarray, w: int = 16, h: int = 16, seed: int = 42
+    ids: np.ndarray,
+    w: int = 16,
+    h: int = 16,
+    seed: int = 42,
+    png_every: int = 0,
 ) -> pa.Table:
-    """Deterministic batch of image rows for row indices ``ids``."""
+    """Deterministic batch of image rows for row indices ``ids``.
+
+    ``png_every=k`` PNG-encodes every k-th row (fmt='png') through the
+    from-scratch codec so compressed-decode paths are exercised with
+    the SAME pixel content (lossless → fidelity stays byte equality).
+    """
     ids = np.asarray(ids, dtype=np.int64)
     n = len(ids)
     npx = w * h * 3
@@ -56,10 +65,24 @@ def gen_image_batch(
         np.uint8
     )
     px = base8[:, None] + j8[None, :]
-    blob = px.tobytes()
-    bytes_col = pa.FixedSizeBinaryArray.from_buffers(
-        pa.binary(npx), n, [None, pa.py_buffer(blob)]
-    ).cast(pa.binary())
+    fmt_list = None
+    if png_every:
+        from ..media.png import encode_png
+
+        sel = (ids % png_every) == (png_every - 1)
+        blobs = [
+            encode_png(px[i].reshape(h, w, 3))
+            if sel[i]
+            else px[i].tobytes()
+            for i in range(n)
+        ]
+        bytes_col = pa.array(blobs, type=pa.binary())
+        fmt_list = np.where(sel, "png", "raw").tolist()
+    else:
+        blob = px.tobytes()
+        bytes_col = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(npx), n, [None, pa.py_buffer(blob)]
+        ).cast(pa.binary())
     phash = (
         (ids.astype(np.uint64) * _PHASH_MULT) & np.uint64(0x7FFFFFFFFFFFFFFF)
     ).astype(np.int64)
@@ -86,25 +109,34 @@ def gen_image_batch(
             "bytes": bytes_col,
             "w": pa.array(np.full(n, w, dtype=np.int32)),
             "h": pa.array(np.full(n, h, dtype=np.int32)),
-            "fmt": pa.array(["raw"] * n, type=pa.string()),
+            "fmt": pa.array(fmt_list or ["raw"] * n, type=pa.string()),
             "caption": captions,
             "phash": pa.array(phash),
         }
     )
 
 
-def image_table(n: int, w: int = 16, h: int = 16, seed: int = 42) -> pa.Table:
-    return gen_image_batch(np.arange(n), w, h, seed)
+def image_table(
+    n: int, w: int = 16, h: int = 16, seed: int = 42, png_every: int = 0
+) -> pa.Table:
+    return gen_image_batch(np.arange(n), w, h, seed, png_every)
 
 
-def image_dataset(n: int, w: int = 16, h: int = 16, seed: int = 42, **read_kwargs):
+def image_dataset(
+    n: int,
+    w: int = 16,
+    h: int = 16,
+    seed: int = 42,
+    png_every: int = 0,
+    **read_kwargs,
+):
     """Streaming Ray Dataset of n synthetic image rows — generated
     inside map_batches so no driver-side materialization."""
     import ray.data
 
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch.column("id").to_numpy()
-        return gen_image_batch(ids, w, h, seed)
+        return gen_image_batch(ids, w, h, seed, png_every)
 
     return ray.data.range(n, **read_kwargs).map_batches(
         gen, batch_format="pyarrow", zero_copy_batch=True
