@@ -13,14 +13,15 @@ Round-1 subset of the reference's smart_repair
    reconstruction, ties to the smallest id, PLUS the first-dibs pass
    for disconnected owners (ref reconstruct_from_overlap_tower
    :751-969; first-dibs below at _first_dibs)
-5. many-neighbor gap SPLITTING before absorb: star-shaped gaps split
-   by radial fans from the incenter, non-star gaps by ear-clip
-   triangulation chords (ref smart_close_gaps :1032-1917). Remaining
-   fidelity gap vs the reference: funnel shortest-path split geometry
-   (:2348-2595) and convexify_hole_boundaries (:2598-2787) — split
-   adjacency is preserved on fixtures, split geometry can diverge on
-   concave multi-neighbor gaps. Ring-with-hole gap regions absorb
-   whole (ref drops bad holes, :972-1029).
+5. gap filling via the reference's smart_close_gaps dispatch
+   (:1032-1917): convexify_hole_boundaries first (:2598-2787, funnel
+   shortest paths), then per remaining gap — unique-owner attach,
+   triangle incenter (3 distinct owners) or largest-shared-perimeter,
+   3-boundary shortest-path splits with hull-incenter and
+   exterior-boundary handling (:1150-1452), and the ≥4-boundary
+   closest-pair "triangle" reduction that requeues the smaller gaps
+   (:1454-1700). Ring-with-hole gap regions are left unfilled with a
+   warning (ref drop_bad_holes, :972-1029).
 6. region-nested variant: assign to regions, then the whole pipeline
    runs per region inside ``groupby(region).map_groups`` — the
    distributed axis (ref :261-328).
@@ -316,6 +317,346 @@ def _fan_split(gap, out_geoms, neighbors, garea):
     return _triangle_split(gap, out_geoms, neighbors, owner)
 
 
+# --------------------------------------------------------------------
+# Reference-parity remainder splitting (ref smart_close_gaps main loop,
+# smart_repair.py:1076-1917): after convexification, a leftover gap is
+# dispatched on its boundary-arc structure — unique-owner attach,
+# triangle incenter / largest-perimeter, 3-boundary shortest-path
+# splits (with hull-incenter and exterior handling), and the
+# ≥4-boundary closest-pair "triangle" reduction that requeues smaller
+# gaps. Paths are euclidean shortest paths inside the gap (geom/funnel
+# stands in for the reference's triangulation-based
+# shortest_path_in_polygon, :2348-2595).
+# --------------------------------------------------------------------
+
+
+def _walk_idx(m, s, t):
+    """Ring vertex indices s..t walking forward (inclusive)."""
+    idx = [s]
+    k = s
+    while k != t:
+        k = (k + 1) % m
+        idx.append(k)
+    return idx
+
+
+def _close_piece(gap, walk_pts, back_path):
+    """Polygon bounded by ``walk_pts`` (forward boundary walk) closed
+    by ``back_path`` (coords from the walk's END back to its START,
+    endpoints inclusive) — normalized and clamped to the gap."""
+    from ..geom.core import normalize_polygon
+
+    if len(back_path) > 2:
+        ring = np.vstack([walk_pts, back_path[1:-1]])
+    else:
+        ring = np.asarray(walk_pts)
+    poly = normalize_polygon([ring])
+    if not poly:
+        return None
+    piece = boolean.intersection([poly], [gap])
+    if not piece or poly_area(piece) <= 0:
+        return None
+    return piece
+
+
+def _seg_point_dist(p, a, b):
+    ab = b - a
+    t = np.clip(
+        np.dot(p - a, ab) / max(float(np.dot(ab, ab)), 1e-300), 0.0, 1.0
+    )
+    return float(np.hypot(*(a + t * ab - p)))
+
+
+def _polyline_dist(A, B) -> float:
+    """Min distance between two polylines (vertex-to-segment both ways
+    — exact for non-crossing polylines, which arcs of one ring are)."""
+    best = np.inf
+    for P, Q in ((A, B), (B, A)):
+        for p in P:
+            for k in range(len(Q) - 1):
+                best = min(best, _seg_point_dist(p, Q[k], Q[k + 1]))
+    return best
+
+
+def _path_from_interior(ring, vis, C, target: int):
+    """Shortest path from interior point C to ring[target] inside the
+    ring: Dijkstra over ring vertices + C (C linked to vertices it
+    sees). Returns coords [C, ..., ring[target]] or None."""
+    import heapq
+
+    from ..geom.funnel import _segment_inside
+
+    m = len(ring)
+    see = np.array(
+        [_segment_inside(C, ring[k], ring) for k in range(m)], dtype=bool
+    )
+    if not see.any():
+        return None
+    if see[target]:
+        return np.vstack([C[None, :], ring[[target]]])
+    dist = np.full(m, np.inf)
+    prev = np.full(m, -2, dtype=np.int64)  # -1 marks "from C"
+    heap = []
+    for k in np.nonzero(see)[0]:
+        d = float(np.hypot(*(ring[k] - C)))
+        dist[k] = d
+        prev[k] = -1
+        heapq.heappush(heap, (d, int(k)))
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist[u]:
+            continue
+        if u == target:
+            break
+        for v in np.nonzero(vis[u])[0]:
+            nd = d + float(np.hypot(*(ring[v] - ring[u])))
+            if nd < dist[v]:
+                dist[v] = nd
+                prev[v] = u
+                heapq.heappush(heap, (nd, int(v)))
+    if not np.isfinite(dist[target]):
+        return None
+    path = [int(target)]
+    while prev[path[-1]] != -1:
+        path.append(int(prev[path[-1]]))
+    return np.vstack([C[None, :], ring[path[::-1]]])
+
+
+def _hull_incenter(A, B, Cv):
+    a = float(np.hypot(*(B - Cv)))
+    b = float(np.hypot(*(Cv - A)))
+    c = float(np.hypot(*(A - B)))
+    s = a + b + c
+    return (a * A + b * B + c * Cv) / s if s > 0 else (A + B + Cv) / 3.0
+
+
+def _split_3runs(gap, ring, runs, vis):
+    """3-boundary split (ref :1150-1452). Returns [(owner, piece)] or
+    None when degenerate (caller falls back to absorb)."""
+    from ..geom.funnel import shortest_path_in_ring
+    from ..geom.pip import point_in_polygon
+
+    m = len(ring)
+    owners = [r[0] for r in runs]
+
+    def two_way_split(ext_run_pos, interior_only: bool):
+        """Shortest path from the main vertex opposite run
+        ``ext_run_pos`` to its nearest vertex on that run; the gap
+        splits between the other two owners (ref :1183-1269 exterior,
+        :1366-1452 pseudo-exterior)."""
+        rr = runs[ext_run_pos:] + runs[:ext_run_pos]
+        (oe, ae, be), (o1, a1, b1), (o2, a2, b2) = rr
+        u = a2 % m
+        ext_vs = [k % m for k in range(ae, be + 2)]
+        if interior_only:
+            cand = ext_vs[1:-1]
+            if not cand:
+                return None
+        else:
+            cand = ext_vs
+        d = np.hypot(*(ring[cand] - ring[u]).T)
+        pos_c = int(np.argmin(d))
+        v = cand[pos_c]
+        if not interior_only:
+            if v == ext_vs[0]:
+                return [(o1, [gap])]
+            if v == ext_vs[-1]:
+                return [(o2, [gap])]
+        sp = shortest_path_in_ring(ring, u, v, vis)  # u → v
+        piece1 = _close_piece(gap, ring[_walk_idx(m, v, u)], sp[::-1])
+        piece2 = _close_piece(gap, ring[_walk_idx(m, u, v)], sp)
+        out = []
+        if piece1 is not None and o1 >= 0:
+            out.append((o1, piece1))
+        if piece2 is not None and o2 >= 0:
+            out.append((o2, piece2))
+        return out or None
+
+    if -1 in owners:
+        return two_way_split(owners.index(-1), interior_only=False)
+
+    mains = [r[1] % m for r in runs]
+    C = _hull_incenter(ring[mains[0]], ring[mains[1]], ring[mains[2]])
+    inside = bool(
+        point_in_polygon(C[None, :], gap, include_boundary=False)[0]
+    )
+    if inside:
+        paths = [_path_from_interior(ring, vis, C, mv) for mv in mains]
+        if all(p is not None for p in paths):
+            # reject crossing/overlapping paths: interior vertex sets
+            # must be pairwise disjoint (ref builds them in disjoint
+            # sub-polygons, :1284-1323)
+            sets = [
+                {tuple(q) for q in p[1:-1]} for p in paths
+            ]
+            ok = all(
+                not (sets[i] & sets[j])
+                for i in range(3)
+                for j in range(i + 1, 3)
+            )
+            if ok:
+                pieces = []
+                total = 0.0
+                for i in range(3):
+                    j = (i + 1) % 3
+                    walk = ring[_walk_idx(m, mains[i], mains[j])]
+                    # close: main_j → C (reverse of path_j) → main_i
+                    back = np.vstack([paths[j][::-1], paths[i][1:]])
+                    piece = _close_piece(gap, walk, back)
+                    if piece is None:
+                        break
+                    pieces.append((runs[i][0], piece))
+                    total += poly_area(piece)
+                garea = poly_area([gap])
+                if len(pieces) == 3 and abs(total - garea) <= 1e-9 * max(
+                    garea, 1.0
+                ):
+                    return pieces
+    # incenter outside (or split failed): treat the run nearest to C
+    # as if it were exterior, split between the other two (ref :1366+)
+    dists = [
+        _polyline_dist(
+            C[None, :], ring[[k % m for k in range(r[1], r[2] + 2)]]
+        )
+        for r in runs
+    ]
+    return two_way_split(int(np.argmin(dists)), interior_only=True)
+
+
+def _path_crossing(P, Q):
+    """Proper crossing point of two polylines, or None."""
+    for i in range(len(P) - 1):
+        a0, a1 = P[i], P[i + 1]
+        for j in range(len(Q) - 1):
+            b0, b1 = Q[j], Q[j + 1]
+            d1 = np.cross(a1 - a0, b0 - a0)
+            d2 = np.cross(a1 - a0, b1 - a0)
+            d3 = np.cross(b1 - b0, a0 - b0)
+            d4 = np.cross(b1 - b0, a1 - b0)
+            if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+                t = d3 / (d3 - d4)
+                X = a0 + t * (a1 - a0)
+                return X, i, j
+    return None
+
+
+def _split_at(P, seg_idx, X):
+    """Split polyline P at point X on segment seg_idx → (prefix incl X,
+    suffix from X)."""
+    pre = np.vstack([P[: seg_idx + 1], X[None, :]])
+    suf = np.vstack([X[None, :], P[seg_idx + 1 :]])
+    return pre, suf
+
+
+def _reduce_multi(gap, ring, runs, vis):
+    """≥4-boundary reduction (ref :1454-1700): connect the closest
+    non-adjacent boundary pair with shortest-path 'triangles' attached
+    to their owners, leaving smaller gaps. Returns
+    (additions [(owner, piece)], subgaps [gap, ...]) or None."""
+    from ..geom.funnel import shortest_path_in_ring
+
+    m = len(ring)
+    arcs = []
+    for o, a, b in runs:
+        idx = [k % m for k in range(a, b + 2)]
+        arcs.append((o, idx, ring[idx]))
+    cand = []
+    nr = len(arcs)
+    for i in range(nr):
+        for j in range(i + 1, nr):
+            d = _polyline_dist(arcs[i][2], arcs[j][2])
+            if d > 0:
+                cand.append((d, i, j))
+    cand.sort()
+    for _d, i, j in cand:
+        oi, idx_i, pts_i = arcs[i]
+        oj, idx_j, pts_j = arcs[j]
+        if oi == -1 and oj == -1:
+            continue
+        ai, ti = idx_i[0], idx_i[-1]
+        aj, tj = idx_j[0], idx_j[-1]
+        if oi == -1 or oj == -1:
+            # attach a 'triangle' to the non-exterior side only
+            if oi == -1:
+                (oi, idx_i, pts_i), (oj, idx_j, pts_j) = (
+                    (oj, idx_j, pts_j),
+                    (oi, idx_i, pts_i),
+                )
+                ai, ti = idx_i[0], idx_i[-1]
+                aj, tj = idx_j[0], idx_j[-1]
+            # v = ext vertex nearest to the interior arc
+            dv = [
+                min(
+                    _seg_point_dist(ring[v], pts_i[k], pts_i[k + 1])
+                    for k in range(len(pts_i) - 1)
+                )
+                for v in idx_j
+            ]
+            v = idx_j[int(np.argmin(dv))]
+            p1 = shortest_path_in_ring(ring, ai, v, vis)
+            p2 = shortest_path_in_ring(ring, ti, v, vis)
+            s1 = {tuple(q) for q in p1[1:-1]}
+            s2 = {tuple(q) for q in p2[1:-1]}
+            if s1 & s2:
+                continue
+            back = np.vstack([p2, p1[::-1][1:]])  # t_i→v→a_i
+            piece = _close_piece(gap, pts_i, back)
+            if piece is None:
+                continue
+            additions = [(oi, piece)]
+            rest = boolean.difference([gap], piece)
+            return additions, list(rest)
+        # both real owners
+        tp1 = shortest_path_in_ring(ring, ai, tj, vis)
+        tp2 = shortest_path_in_ring(ring, ti, aj, vis)
+        if {tuple(q) for q in tp1} & {tuple(q) for q in tp2}:
+            continue
+        if oi == oj:
+            # single connecting polygon between the two arcs
+            back2 = tp2  # t_i → a_j
+            back1 = tp1[::-1]  # t_j → a_i
+            ring_pts = np.vstack(
+                [pts_i, back2[1:], pts_j[1:], back1[1:-1]]
+            )
+            from ..geom.core import normalize_polygon
+
+            poly = normalize_polygon([ring_pts])
+            piece = (
+                boolean.intersection([poly], [gap]) if poly else None
+            )
+            if not piece or poly_area(piece) <= 0:
+                continue
+            additions = [(oi, piece)]
+        else:
+            p1 = shortest_path_in_ring(ring, ai, aj, vis)  # crosses p2
+            p2 = shortest_path_in_ring(ring, ti, tj, vis)
+            hit = _path_crossing(p1, p2)
+            if hit is None:
+                continue
+            X, k1, k2 = hit
+            pre1, suf1 = _split_at(p1, k1, X)
+            pre2, suf2 = _split_at(p2, k2, X)
+            # T1: arc_i + (t_i → X) + (X → a_i)
+            t1 = _close_piece(
+                gap, pts_i, np.vstack([pre2, pre1[::-1][1:]])
+            )
+            # T2: arc_j + (t_j → X) + (X → a_j)
+            t2 = _close_piece(
+                gap, pts_j, np.vstack([suf2[::-1], suf1[1:]])
+            )
+            if t1 is None and t2 is None:
+                continue
+            additions = [
+                (o, p)
+                for o, p in ((oi, t1), (oj, t2))
+                if p is not None
+            ]
+        cut = boolean.union_all([p for _o, p in additions])
+        rest = boolean.difference([gap], cut)
+        return additions, list(rest)
+    return None
+
+
 def smart_repair_table(
     table: pa.Table,
     snap_precision: int = 9,
@@ -402,20 +743,19 @@ def smart_repair_table(
         out_geoms.append(boolean.union_all([[p] for p in parts]) if parts else [])
 
     # --- gap fill: adjacency-preserving fan split among ALL neighbors
-    # when the gap is star-shaped from its representative point (the
-    # common artifact-gap case — approximates the reference's incenter
-    # splitting, smart_repair.py:1094-1359); whole-gap absorb by
-    # greatest shared perimeter otherwise.
+    # via the reference main-loop dispatch (fill_queue below):
+    # convexify, then unique-owner attach / triangle incenter /
+    # 3-boundary shortest-path splits / ≥4-boundary closest-pair
+    # reduction with requeue (ref smart_close_gaps :1076-1917).
     if fill_gaps:
         if region_geometry is not None:
             # region-nested mode (ref building_blocks :668-711): gaps
             # are the degree-0 arrangement pieces of the REGION — i.e.
             # region − union(geometries). Polygons expand to TILE the
             # region; edges on the region outline are unowned (owner
-            # -1): convexify skips them, the fan split declines, and
-            # absorb-by-greatest-shared-perimeter fills (the coarser
-            # stand-in for the reference's 3-boundary-exterior
-            # shortest-path rule — documented deviation).
+            # -1) and flow through the same dispatch as the
+            # reference's exterior boundaries (_split_3runs and
+            # _reduce_multi handle owner -1 explicitly).
             u = boolean.union_all([g for g in out_geoms if g])
             region_mp = (
                 decode_polygons(region_geometry)
@@ -447,27 +787,108 @@ def smart_repair_table(
                     gaps.extend(region)  # explode MultiPolygon parts
                 else:
                     gaps.append(hole)
-        def fill_one(gap):
-            """fan-split / absorb a (convexified) gap."""
-            garea = poly_area([gap])
-            neighbors = [
-                i
-                for i, g in enumerate(out_geoms)
-                if g and _shared_len([gap], g) > 0
-            ]
-            if not neighbors:
-                return
-            fans = _fan_split(gap, out_geoms, neighbors, garea)
-            if fans is not None:
-                for i, fan in fans:
-                    out_geoms[i] = boolean.union(out_geoms[i], fan)
-            else:
-                best, best_len = None, 0.0
-                for i in neighbors:
-                    ln = _shared_len([gap], out_geoms[i])
-                    if ln > best_len:
-                        best, best_len = i, ln
+        from collections import deque
+
+        from ..geom.core import normalize_polygon
+        from ..geom.funnel import visible_pairs
+
+        def absorb_whole(gap, cands):
+            best, best_len = None, 0.0
+            for i in cands:
+                ln = _shared_len([gap], out_geoms[i])
+                if ln > best_len:
+                    best, best_len = i, ln
+            if best is not None:
                 out_geoms[best] = boolean.union(out_geoms[best], [gap])
+
+        def fill_queue(parts):
+            """Reference smart_close_gaps main-loop dispatch over the
+            post-convexify remainder (ref :1076-1917): unique-owner
+            attach → triangle incenter/perimeter → 3-boundary
+            shortest-path split → ≥4-boundary closest-pair reduction
+            (smaller gaps requeued)."""
+            q = deque(parts)
+            budget = 16 * (len(q) + 4)  # loop guard: each reduction
+            # strictly shrinks boundary counts; the guard only trips on
+            # degenerate geometry, where absorb finishes the job
+            while q:
+                gap = q.popleft()
+                budget -= 1
+                garea = poly_area([gap])
+                if garea <= 0:
+                    continue
+                neighbors_g = [
+                    i
+                    for i, g in enumerate(out_geoms)
+                    if g and _shared_len([gap], g) > 0
+                ]
+                if not neighbors_g:
+                    continue
+                if len(gap) != 1 or budget <= 0:
+                    absorb_whole(gap, neighbors_g)
+                    continue
+                ring = gap[0]
+                owner = _edge_owners(ring, out_geoms, neighbors_g)
+                runs = _owner_runs(owner)
+                real = sorted({o for o, _, _ in runs if o >= 0})
+                if not real:
+                    continue
+                if len(real) == 1:
+                    # ref :1085-1092 — unique non-exterior geometry
+                    out_geoms[real[0]] = boolean.union(
+                        out_geoms[real[0]], [gap]
+                    )
+                    continue
+                if len(ring) == 3:
+                    # ref :1094-1133 — simple triangle
+                    if len(real) == 3 and len(runs) == 3:
+                        C = _hull_incenter(ring[0], ring[1], ring[2])
+                        adds = []
+                        for e in range(3):
+                            tri = normalize_polygon(
+                                [
+                                    np.vstack(
+                                        [
+                                            ring[[e, (e + 1) % 3]],
+                                            C[None, :],
+                                        ]
+                                    )
+                                ]
+                            )
+                            if tri:
+                                adds.append((int(owner[e]), [tri]))
+                        if len(adds) == 3:
+                            for o, p in adds:
+                                out_geoms[o] = boolean.union(
+                                    out_geoms[o], p
+                                )
+                            continue
+                    absorb_whole(gap, real)
+                    continue
+                vis = visible_pairs(ring)
+                if len(runs) == 3:
+                    pieces = _split_3runs(gap, ring, runs, vis)
+                    if pieces:
+                        for o, p in pieces:
+                            out_geoms[o] = boolean.union(out_geoms[o], p)
+                        continue
+                    absorb_whole(gap, neighbors_g)
+                    continue
+                red = _reduce_multi(gap, ring, runs, vis)
+                if red is None:
+                    absorb_whole(gap, neighbors_g)
+                    continue
+                additions, subgaps = red
+                for o, p in additions:
+                    out_geoms[o] = boolean.union(out_geoms[o], p)
+                q.extend(
+                    sg
+                    for sg in subgaps
+                    if poly_area(sg) > 1e-12 * max(garea, 1.0)
+                )
+
+        def fill_one(gap):
+            fill_queue([gap])
 
         for gap in gaps:
             garea = poly_area([gap])
