@@ -29,5 +29,6 @@ from .ops.repair import (  # noqa: F401
 )
 from .ops.rook_to_queen import small_rook_to_queen  # noqa: F401
 from .ops.smart_repair import smart_repair  # noqa: F401
+from .progress import progress  # noqa: F401
 
 __version__ = "0.1.0"

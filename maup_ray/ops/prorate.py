@@ -222,17 +222,77 @@ def _prorate_hash_join(
 
 
 def _grouped_agg(ds, columns, target_id_col, aggregate_by):
-    """Grouped reaggregation. The common string aggs use Ray's native
-    partial+final aggregates (combiner before the shuffle); any other
+    """Grouped reaggregation. The common string aggs run as per-batch
+    Arrow partials + a hash-partitioned final combine
+    (ops.shuffle.hash_group_apply) — the shuffle moves only
+    n_groups × n_blocks partial rows and skips the sort-based
+    Aggregate operator's multi-second fixed cost. Partial sums stay
+    exact for the integer-valued products the oracles rely on (every
+    partial is exact, so order cannot matter). Any other
     pandas-acceptable agg (callable, 'median', ...) falls back to
     groupby().map_groups — reference parity with intersections.py:70-72
     (`.agg(aggregate_by)` accepts anything pandas does)."""
     if isinstance(aggregate_by, str) and aggregate_by in _AGGS:
-        from ray.data.aggregate import Max, Mean, Min, Sum
+        from .shuffle import hash_group_apply
 
-        cls = {"sum": Sum, "mean": Mean, "max": Max, "min": Min}[aggregate_by]
-        return ds.groupby(target_id_col).aggregate(
-            *[cls(on=c, alias_name=c) for c in columns]
+        mean = aggregate_by == "mean"
+        inner = "sum" if mean else aggregate_by
+
+        def partial(batch: pa.Table) -> pa.Table:
+            aggs = [(c, inner) for c in columns]
+            if mean:
+                aggs.append(([], "count_all"))
+            g = batch.group_by([target_id_col], use_threads=False).aggregate(
+                aggs
+            )
+            names = []
+            for f in g.column_names:
+                if f.endswith(f"_{inner}"):
+                    names.append(f[: -len(inner) - 1])
+                elif f == "count_all":
+                    names.append("__n")
+                else:
+                    names.append(f)
+            return g.rename_columns(names)
+
+        def final_part(tbl, starts):
+            if tbl is None:
+                fields = [(target_id_col, pa.int64())] + [
+                    (c, pa.float64()) for c in columns
+                ]
+                return pa.schema(fields).empty_table()
+            aggs = [(c, inner) for c in columns]
+            if mean:
+                aggs.append(("__n", "sum"))
+            g = tbl.group_by([target_id_col], use_threads=False).aggregate(
+                aggs
+            )
+            names = []
+            for f in g.column_names:
+                if f.endswith(f"_{inner}") or f == "__n_sum":
+                    names.append(
+                        "__n" if f == "__n_sum" else f[: -len(inner) - 1]
+                    )
+                else:
+                    names.append(f)
+            g = g.rename_columns(names)
+            cols = {target_id_col: g[target_id_col]}
+            for c in columns:
+                if mean:
+                    cols[c] = pa.array(
+                        g[c].to_numpy(zero_copy_only=False)
+                        / g["__n"].to_numpy(zero_copy_only=False)
+                    )
+                else:
+                    cols[c] = g[c]
+            return pa.table(cols)
+
+        return hash_group_apply(
+            ds.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            [target_id_col],
+            final_part,
         )
 
     def per_group(df: pd.DataFrame) -> pd.DataFrame:
@@ -279,24 +339,36 @@ def normalize(
         return weights.groupby(level).map_groups(
             lambda df: _normalize_group(df, weight_col)
         )
-    from ray.data.aggregate import Sum
-
     # two passes read the weights (sums, then divide): materialize once
     # so the upstream pipeline doesn't re-execute (blocks stay in the
     # object store and spill under pressure)
     weights = weights.materialize()
-    sums = weights.groupby(level).aggregate(
-        Sum(on=weight_col, alias_name="__total")
+    # partial per-batch sums + driver merge: the broadcast plan pulls
+    # the per-group totals to the driver ANYWAY (that's the broadcast),
+    # so skip the keyed Aggregate operator's fixed cost outright —
+    # driver bytes stay bounded by n_groups (broadcast_limit-guarded)
+    from .agg import grouped_sum_count
+
+    sums_tbl = grouped_sum_count(
+        weights.map_batches(
+            lambda b: pa.table(
+                {level: b[level], "__total": b[weight_col]}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        [level],
+        sum_cols=["__total"],
+        final="driver",
     )
     if strategy == "auto":
-        n_groups = sums.count()
-        if n_groups > broadcast_limit:
+        if sums_tbl.num_rows > broadcast_limit:
             return weights.groupby(level).map_groups(
                 lambda df: _normalize_group(df, weight_col)
             )
     import ray
 
-    totals = sums.to_pandas().set_index(level)["__total"]
+    totals = sums_tbl.to_pandas().set_index(level)["__total"]
     totals_ref = ray.put(totals)
 
     def divide(batch: pa.Table) -> pa.Table:

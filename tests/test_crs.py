@@ -81,3 +81,21 @@ class TestOpLevelGuard:
             _geom_table("EPSG:5070", id_name="target_id"),
         )
         assert out.num_rows == 1
+
+
+class TestProgressToggle:
+    def test_context_manager_parity(self):
+        # ref progress_bar.py:4-27 — enabled inside, restored outside;
+        # callable passes iterables through
+        import maup_ray
+        from ray.data.context import DataContext
+
+        ctx = DataContext.get_current()
+        before = ctx.enable_progress_bars
+        assert maup_ray.progress() is maup_ray.progress
+        assert list(maup_ray.progress(iter([1, 2]))) == [1, 2]
+        with maup_ray.progress():
+            assert maup_ray.progress.enabled
+            assert ctx.enable_progress_bars
+        assert not maup_ray.progress.enabled
+        assert ctx.enable_progress_bars == before
