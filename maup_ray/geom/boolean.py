@@ -78,35 +78,108 @@ def _candidate_pairs(b_a: np.ndarray, b_b: np.ndarray | None = None):
             keep = ia < ib
             ia, ib = ia[keep], ib[keep]
         return ia, ib
+    # Vectorized grid join (the old per-item python cell loop spent
+    # minutes on real map data whose long straight border segments
+    # span thousands of median-sized cells — 41M dict inserts on the
+    # CO_bad_gap fixture):
+    # * normal-sized items are binned by fully vectorized repeat
+    #   arithmetic and paired with one searchsorted pass,
+    # * OVERSIZE items (> 32 cells across) are handled by a brute
+    #   vectorized bbox sweep against everything — there are only ever
+    #   a handful of them, and binning them is what blew up.
     allb = np.vstack([b_a, b_b])
     minx, miny = allb[:, 0].min(), allb[:, 1].min()
     sizes = np.maximum(allb[:, 2] - allb[:, 0], allb[:, 3] - allb[:, 1])
     cell = max(float(np.median(sizes)) * 2.0, 1e-9)
-    bins: dict[tuple[int, int], list[list[int]]] = {}
 
-    def _insert(bx, idx, slot):
+    def _bbox_hits(box, bx):
+        return (
+            (box[0] <= bx[:, 2])
+            & (box[2] >= bx[:, 0])
+            & (box[1] <= bx[:, 3])
+            & (box[3] >= bx[:, 1])
+        )
+
+    def _ranges(bx):
         cx0 = np.floor((bx[:, 0] - minx) / cell).astype(np.int64)
         cy0 = np.floor((bx[:, 1] - miny) / cell).astype(np.int64)
         cx1 = np.floor((bx[:, 2] - minx) / cell).astype(np.int64)
         cy1 = np.floor((bx[:, 3] - miny) / cell).astype(np.int64)
-        for i in idx:
-            for cx in range(cx0[i], cx1[i] + 1):
-                for cy in range(cy0[i], cy1[i] + 1):
-                    bins.setdefault((cx, cy), ([], []))[slot].append(i)
+        return cx0, cy0, cx1, cy1
 
-    _insert(b_a, range(na), 0)
-    _insert(b_b, range(nb), 1)
-    pairs = set()
-    for la, lb in bins.values():
-        for i in la:
-            for j in lb:
-                if self_join and j <= i:
-                    continue
-                pairs.add((i, j))
-    if not pairs:
+    def _bin(bx, keep_mask):
+        """(cell_key, item_idx) arrays for the kept items."""
+        idx = np.flatnonzero(keep_mask)
+        if len(idx) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        cx0, cy0, cx1, cy1 = _ranges(bx[idx])
+        nx = cx1 - cx0 + 1
+        counts = nx * (cy1 - cy0 + 1)
+        total = int(counts.sum())
+        rows = np.repeat(np.arange(len(idx)), counts)
+        cum = np.zeros(len(idx) + 1, dtype=np.int64)
+        np.cumsum(counts, out=cum[1:])
+        pos = np.arange(total, dtype=np.int64) - cum[:-1][rows]
+        cx = cx0[rows] + pos % nx[rows]
+        cy = cy0[rows] + pos // nx[rows]
+        key = cx * np.int64(1 << 32) + cy
+        return key, idx[rows]
+
+    max_cells = 32
+    over_a = (
+        np.maximum(b_a[:, 2] - b_a[:, 0], b_a[:, 3] - b_a[:, 1])
+        > max_cells * cell
+    )
+    over_b = (
+        np.maximum(b_b[:, 2] - b_b[:, 0], b_b[:, 3] - b_b[:, 1])
+        > max_cells * cell
+    ) if not self_join else over_a
+    ka, ia_items = _bin(b_a, ~over_a)
+    kb, ib_items = _bin(b_b, ~over_b)
+    parts_a, parts_b = [], []
+    if len(ka) and len(kb):
+        order = np.argsort(kb, kind="stable")
+        kb_s, ib_s = kb[order], ib_items[order]
+        lo = np.searchsorted(kb_s, ka, side="left")
+        hi = np.searchsorted(kb_s, ka, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total:
+            rows = np.repeat(np.arange(len(ka)), cnt)
+            cum = np.zeros(len(ka) + 1, dtype=np.int64)
+            np.cumsum(cnt, out=cum[1:])
+            pos = (
+                np.arange(total, dtype=np.int64)
+                - cum[:-1][rows]
+                + lo[rows]
+            )
+            parts_a.append(ia_items[rows])
+            parts_b.append(ib_s[pos])
+    # oversize sweeps (few items, each O(n) vectorized)
+    for i in np.flatnonzero(over_a):
+        hits = np.flatnonzero(_bbox_hits(b_a[i], b_b))
+        parts_a.append(np.full(len(hits), i, dtype=np.int64))
+        parts_b.append(hits)
+        if self_join:
+            # emit BOTH orders so the final i<j filter keeps the pair
+            # regardless of index order (the hit side never binned it)
+            parts_a.append(hits)
+            parts_b.append(np.full(len(hits), i, dtype=np.int64))
+    if not self_join:
+        for j in np.flatnonzero(over_b):
+            hits = np.flatnonzero(_bbox_hits(b_b[j], b_a) & ~over_a)
+            parts_a.append(hits)
+            parts_b.append(np.full(len(hits), j, dtype=np.int64))
+    if not parts_a:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    arr = np.array(sorted(pairs), dtype=np.int64)
-    ia, ib = arr[:, 0], arr[:, 1]
+    ia = np.concatenate(parts_a)
+    ib = np.concatenate(parts_b)
+    packed = ia * np.int64(nb) + ib
+    packed = np.unique(packed)
+    ia, ib = packed // nb, packed % nb
+    if self_join:
+        keep = ia < ib
+        ia, ib = ia[keep], ib[keep]
     # exact bbox check
     keep = (
         (b_a[ia, 0] <= b_b[ib, 2])
@@ -154,7 +227,51 @@ def _node_segments(p0, p1, tol):
     if not q0s:
         z = np.empty((0, 2))
         return z, z
-    return np.array(q0s), np.array(q1s)
+    return _weld_endpoints(np.array(q0s), np.array(q1s), tol)
+
+
+def _weld_endpoints(q0: np.ndarray, q1: np.ndarray, tol: float):
+    """Merge endpoint nodes within the T-junction proximity (4 grid
+    cells) onto one representative. Inputs chained through DIFFERENT
+    upstream snap grids (a decimal smart_repair grid feeding a binary
+    boolean grid) can carry the "same" vertex a few cells apart — the
+    stitch walker heals ±1 cell only, so an unwelded 2-3-cell seam
+    dead-ends the ring walk and silently drops the whole region
+    (observed on the CO_bad_gap corpus). Exactly-equal nodes (all
+    grid-aligned fixtures) are untouched."""
+    eps = tol * 4
+    pts = np.vstack([q0, q1])
+    keys = np.round(pts / tol).astype(np.int64)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    m = len(uniq)
+    if m >= 2:
+        upts = uniq.astype(np.float64) * tol
+        boxes = np.column_stack([upts - eps, upts + eps])
+        ia, ib = _candidate_pairs(boxes)
+        if len(ia):
+            d = np.hypot(*(upts[ia] - upts[ib]).T)
+            close = d <= eps
+            ia, ib = ia[close], ib[close]
+        if len(ia):
+            parent = np.arange(m)
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for x, y in zip(ia, ib):
+                rx, ry = find(int(x)), find(int(y))
+                if rx != ry:
+                    parent[max(rx, ry)] = min(rx, ry)
+            roots = np.array([find(i) for i in range(m)])
+            upts = upts[roots]
+        pts = upts[inv]
+    n = len(q0)
+    q0, q1 = pts[:n], pts[n:]
+    keep = (q0 != q1).any(axis=1)
+    return q0[keep], q1[keep]
 
 
 def _vertex_proximity_cuts(p0, p1, cuts, tol):

@@ -981,20 +981,49 @@ def smart_repair(
     }
 
     def per_region(df):
+        rid = df["__region"].iloc[0]
+        rb = region_wkb.get(rid)
+        region_mp = decode_polygons(rb) if rb is not None else None
+        ids, blobs, dropped = [], [], []
+        for i, b in zip(df[id_col], df[geometry_col]):
+            if region_mp is None:
+                ids.append(i)
+                blobs.append(b)
+                continue
+            # CROP to the assigned region (reference semantics: a
+            # piece belongs to a polygon only when both sit in the
+            # same region, building_blocks ref :640-660 — pieces of a
+            # polygon outside its region become the neighboring
+            # region's gaps and are filled there)
+            g = boolean.intersection(decode_polygons(b), region_mp)
+            if g and poly_area(g) > 0:
+                ids.append(i)
+                blobs.append(encode_multipolygon(g))
+            else:
+                dropped.append(i)  # fully outside its assigned region
         t = pa.table(
             {
-                id_col: pa.array(df[id_col].tolist()),
-                geometry_col: pa.array(
-                    df[geometry_col].tolist(), type=pa.binary()
-                ),
+                id_col: pa.array(ids),
+                geometry_col: pa.array(blobs, type=pa.binary()),
             }
         )
-        rid = df["__region"].iloc[0]
         fixed = smart_repair_table(
             t, snap_precision, fill_gaps, fill_gaps_threshold, geometry_col,
-            region_geometry=region_wkb.get(rid),
+            region_geometry=rb,
         )
         out = fixed.to_pandas()
+        if dropped:
+            import pandas as pd
+
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {id_col: dropped, geometry_col: [b""] * len(dropped)}
+                    ),
+                ],
+                ignore_index=True,
+            )
         out["__region"] = rid
         return out
 

@@ -259,3 +259,45 @@ class TestBBoxTree:
         )[0]
         got0 = sorted(ti[qi == 0].tolist())
         assert got0 == sorted(flat.tolist())
+
+
+class TestNodeWelding:
+    def test_union_across_misaligned_snap_grids(self):
+        # regression (CO_bad_gap corpus): the "same" vertex arriving a
+        # few boolean-grid cells apart (chained ops with different
+        # upstream snap grids) used to dead-end the ring stitcher and
+        # silently DROP the whole union. Nodes within the 4-cell
+        # T-junction proximity now weld to one representative.
+        import numpy as np
+
+        from maup_ray.geom import boolean
+        from maup_ray.geom.core import area as parea
+
+        tol = 2.0 ** -30  # _default_tol for unit-scale coords
+        a = [[np.array([[0.0, 0], [1, 0], [1, 1], [0, 1]])]]
+        b = [
+            [
+                np.array(
+                    [
+                        [1.0, 0],
+                        [2, 0],
+                        [2, 1],
+                        [1, 1 + 3 * tol],  # 3 cells off the shared corner
+                    ]
+                )
+            ]
+        ]
+        u = boolean.union(a, b)
+        assert len(u) == 1
+        assert parea(u) == pytest.approx(2.0, abs=1e-6)
+
+    def test_exact_inputs_unaffected_by_welding(self):
+        import numpy as np
+
+        from maup_ray.geom import boolean
+        from maup_ray.geom.core import area as parea
+
+        a = [[np.array([[0.0, 0], [1, 0], [1, 1], [0, 1]])]]
+        b = [[np.array([[1.0, 0], [2, 0], [2, 1], [1, 1]])]]
+        u = boolean.union(a, b)
+        assert parea(u) == 2.0  # exact: grid-aligned vertices untouched
