@@ -227,7 +227,7 @@ def _node_segments(p0, p1, tol):
     if not q0s:
         z = np.empty((0, 2))
         return z, z
-    return _weld_endpoints(np.array(q0s), np.array(q1s), tol)
+    return np.array(q0s), np.array(q1s)
 
 
 def _weld_endpoints(q0: np.ndarray, q1: np.ndarray, tol: float):
@@ -237,8 +237,9 @@ def _weld_endpoints(q0: np.ndarray, q1: np.ndarray, tol: float):
     boolean grid) can carry the "same" vertex a few cells apart — the
     stitch walker heals ±1 cell only, so an unwelded 2-3-cell seam
     dead-ends the ring walk and silently drops the whole region
-    (observed on the CO_bad_gap corpus). Exactly-equal nodes (all
-    grid-aligned fixtures) are untouched."""
+    (observed on the CO_bad_gap corpus). Runs only as the retry pass
+    after a dirty stitch, so clean inputs never pay for it; exactly-
+    equal nodes (all grid-aligned fixtures) are untouched."""
     eps = tol * 4
     pts = np.vstack([q0, q1])
     keys = np.round(pts / tol).astype(np.int64)
@@ -412,42 +413,58 @@ def arrangement_regions(geoms, predicate, tol: float | None = None):
     p0, p1 = _gather_segments(geoms)
     if len(p0) == 0:
         return []
-    q0, q1 = _node_segments(p0, p1, tol)
-    if len(q0) == 0:
+    q0a, q1a = _node_segments(p0, p1, tol)
+    if len(q0a) == 0:
         return []
-    # dedup undirected sub-segments
-    key_fwd = np.round(np.hstack([q0, q1]) / tol).astype(np.int64)
-    swap = (key_fwd[:, 0] > key_fwd[:, 2]) | (
-        (key_fwd[:, 0] == key_fwd[:, 2]) & (key_fwd[:, 1] > key_fwd[:, 3])
-    )
-    canon = key_fwd.copy()
-    canon[swap] = key_fwd[swap][:, [2, 3, 0, 1]]
-    _, uniq_idx = np.unique(canon, axis=0, return_index=True)
-    q0, q1 = q0[uniq_idx], q1[uniq_idx]
+    # attempt 0 runs on the raw noded segments; if the ring walk dead-
+    # ends (inputs chained through DIFFERENT upstream snap grids can
+    # carry the "same" vertex a few cells apart — the CO_bad_gap
+    # silent-drop bug), attempt 1 welds near-coincident nodes and
+    # redoes classification — the weld pass costs nothing on the vast
+    # majority of clean inputs this way.
+    for attempt in (0, 1):
+        q0, q1 = q0a, q1a
+        # dedup undirected sub-segments
+        key_fwd = np.round(np.hstack([q0, q1]) / tol).astype(np.int64)
+        swap = (key_fwd[:, 0] > key_fwd[:, 2]) | (
+            (key_fwd[:, 0] == key_fwd[:, 2])
+            & (key_fwd[:, 1] > key_fwd[:, 3])
+        )
+        canon = key_fwd.copy()
+        canon[swap] = key_fwd[swap][:, [2, 3, 0, 1]]
+        _, uniq_idx = np.unique(canon, axis=0, return_index=True)
+        q0, q1 = q0[uniq_idx], q1[uniq_idx]
 
-    mid = (q0 + q1) * 0.5
-    d = q1 - q0
-    seglen = np.hypot(d[:, 0], d[:, 1])
-    nrm = np.column_stack([-d[:, 1], d[:, 0]]) / seglen[:, None]
-    delta = np.maximum(seglen * 1e-6, tol * 16)
-    left_pts = mid + nrm * delta[:, None]
-    right_pts = mid - nrm * delta[:, None]
-    mL = _membership(left_pts, geoms)
-    mR = _membership(right_pts, geoms)
-    fL = np.array([bool(predicate(m)) for m in mL])
-    fR = np.array([bool(predicate(m)) for m in mR])
-    keep = fL != fR
-    if not keep.any():
-        return []
-    # orient interior-on-left
-    e0 = np.where(fL[keep, None], q0[keep], q1[keep])
-    e1 = np.where(fL[keep, None], q1[keep], q0[keep])
-    rings = _stitch(e0, e1, tol)
+        mid = (q0 + q1) * 0.5
+        d = q1 - q0
+        seglen = np.hypot(d[:, 0], d[:, 1])
+        nrm = np.column_stack([-d[:, 1], d[:, 0]]) / seglen[:, None]
+        delta = np.maximum(seglen * 1e-6, tol * 16)
+        left_pts = mid + nrm * delta[:, None]
+        right_pts = mid - nrm * delta[:, None]
+        mL = _membership(left_pts, geoms)
+        mR = _membership(right_pts, geoms)
+        fL = np.array([bool(predicate(m)) for m in mL])
+        fR = np.array([bool(predicate(m)) for m in mR])
+        keep = fL != fR
+        if not keep.any():
+            return []
+        # orient interior-on-left
+        e0 = np.where(fL[keep, None], q0[keep], q1[keep])
+        e1 = np.where(fL[keep, None], q1[keep], q0[keep])
+        rings, clean = _stitch(e0, e1, tol)
+        if clean or attempt == 1:
+            return _assemble(rings)
+        q0a, q1a = _weld_endpoints(q0a, q1a, tol)
     return _assemble(rings)
 
 
 def _stitch(e0: np.ndarray, e1: np.ndarray, tol: float):
-    """Walk directed edges into rings (interior on left)."""
+    """Walk directed edges into rings (interior on left). Returns
+    (rings, clean): clean=False when any walk dead-ended or hit the
+    guard (dropped a partial ring) — the caller's signal to retry
+    with welded nodes."""
+    clean = True
     nk = np.round(e0 / tol).astype(np.int64)
     nk1 = np.round(e1 / tol).astype(np.int64)
     start_key = [tuple(k) for k in nk]
@@ -468,6 +485,7 @@ def _stitch(e0: np.ndarray, e1: np.ndarray, tol: float):
         while True:
             guard += 1
             if guard > len(e0) + 2:
+                clean = False
                 break  # malformed; drop partial ring
             vkey = end_key[cur]
             ring_pts.append(e1[cur])
@@ -498,6 +516,7 @@ def _stitch(e0: np.ndarray, e1: np.ndarray, tol: float):
                             if not used[j]
                         ]
             if not cands:
+                clean = False
                 break  # dead end; drop
             rev = theta[cur] + math.pi
             best, best_g = None, None
@@ -509,7 +528,7 @@ def _stitch(e0: np.ndarray, e1: np.ndarray, tol: float):
                     best, best_g = j, g
             used[best] = True
             cur = best
-    return rings
+    return rings, clean
 
 
 def _assemble(rings):
@@ -594,7 +613,7 @@ def arrangement_faces(geoms, tol: float | None = None):
             continue
         e0 = np.where(fL[keep, None], q0[keep], q1[keep])
         e1 = np.where(fL[keep, None], q1[keep], q0[keep])
-        rings = _stitch(e0, e1, tol)
+        rings, _clean = _stitch(e0, e1, tol)
         polys = _assemble(rings)
         # each connected part is its own atomic piece
         for poly in polys:

@@ -792,6 +792,25 @@ def smart_repair_table(
         from ..geom.core import normalize_polygon
         from ..geom.funnel import visible_pairs
 
+        def touching_neighbors(gap):
+            """bbox prefilter before the (noding-pass-priced)
+            _shared_len — the all-pairs gap×polygon scan was the top
+            cost of the whole repair at sf0.1."""
+            gb = bounds([gap])
+            out = []
+            for i, g in enumerate(out_geoms):
+                if not g:
+                    continue
+                b = bounds(g)
+                if (
+                    b[0] <= gb[2]
+                    and b[2] >= gb[0]
+                    and b[1] <= gb[3]
+                    and b[3] >= gb[1]
+                ) and _shared_len([gap], g) > 0:
+                    out.append(i)
+            return out
+
         def absorb_whole(gap, cands):
             best, best_len = None, 0.0
             for i in cands:
@@ -817,11 +836,7 @@ def smart_repair_table(
                 garea = poly_area([gap])
                 if garea <= 0:
                     continue
-                neighbors_g = [
-                    i
-                    for i, g in enumerate(out_geoms)
-                    if g and _shared_len([gap], g) > 0
-                ]
+                neighbors_g = touching_neighbors(gap)
                 if not neighbors_g:
                     continue
                 if len(gap) != 1 or budget <= 0:
@@ -892,11 +907,7 @@ def smart_repair_table(
 
         for gap in gaps:
             garea = poly_area([gap])
-            neighbors = [
-                i
-                for i, g in enumerate(out_geoms)
-                if g and _shared_len([gap], g) > 0
-            ]
+            neighbors = touching_neighbors(gap)
             if not neighbors:
                 continue
             if fill_gaps_threshold is not None:
