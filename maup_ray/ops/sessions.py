@@ -70,4 +70,56 @@ def sessionize(
         return pa.Table.from_pandas(
             pd.concat(parts, ignore_index=True), preserve_index=False
         )
-    return events.groupby(user_col).map_groups(per_user)
+    # Dataset path: hash-partition grouped apply with ONE vectorized
+    # pass per partition (rows arrive sorted by (user, ts); session
+    # boundaries and per-session aggregates are pure diff/cumsum/
+    # reduce-by-boundary arithmetic — no per-user pandas dispatch)
+    from .shuffle import hash_group_apply
+
+    def sess_part(tbl, starts):
+        ts_type = (
+            tbl.schema.field(ts_col).type
+            if tbl is not None
+            else pa.timestamp("us")
+        )
+        user_type = (
+            tbl.schema.field(user_col).type
+            if tbl is not None
+            else pa.int64()
+        )
+        schema = pa.schema(
+            [
+                (user_col, user_type),
+                ("session_id", pa.int64()),
+                ("n_events", pa.int64()),
+                ("session_start", ts_type),
+                ("session_end", ts_type),
+            ]
+        )
+        if tbl is None or len(starts) == 0:
+            return schema.empty_table()
+        n = len(tbl)
+        ts = tbl[ts_col].to_numpy(zero_copy_only=False)
+        gap_td = np.timedelta64(int(gap_minutes * 60 * 1_000_000), "us")
+        new_sess = np.ones(n, dtype=bool)
+        if n > 1:
+            new_sess[1:] = (ts[1:] - ts[:-1]) > gap_td
+        new_sess[starts] = True
+        cs = np.cumsum(new_sess)
+        sizes = np.diff(np.append(starts, n))
+        sid = cs - np.repeat(cs[starts], sizes) + 1
+        sb = np.flatnonzero(new_sess)
+        se = np.append(sb[1:], n)
+        return pa.table(
+            {
+                user_col: tbl[user_col].take(pa.array(sb)),
+                "session_id": pa.array(sid[sb]),
+                "n_events": pa.array(se - sb),
+                "session_start": pa.array(ts[sb]).cast(ts_type),
+                "session_end": pa.array(ts[se - 1]).cast(ts_type),
+            }
+        )
+
+    return hash_group_apply(
+        events, [user_col], sess_part, sort_cols=(ts_col,)
+    )

@@ -327,9 +327,13 @@ def q_cell_tiles(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
         derive_points, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(tile, batch_format="pyarrow")
-    from ray.data.aggregate import Count
+    # 256 tiles: partial per-batch counts + driver merge — the keyed
+    # Aggregate operator's fixed cost dwarfs the work (ops/agg note)
+    from .ops.agg import grouped_sum_count
 
-    return ds.groupby(["cx", "cy"]).aggregate(Count(alias_name="n_docs"))
+    return grouped_sum_count(
+        ds, ["cx", "cy"], count_col="n_docs", final="driver"
+    )
 
 
 def q_events_hourly(sf_dir: str):
@@ -352,26 +356,21 @@ def q_events_hourly(sf_dir: str):
             }
         )
 
-    from ray.data.aggregate import Count, Sum
+    # (event_type, hour) cardinality is tiny (~3.4k at sf0.01):
+    # partial per-batch Arrow group_by + driver merge skips the keyed
+    # Aggregate operator; integer-cents partial sums stay exact in any
+    # order. The oracle (date_trunc) emits timestamp[us] — the partial
+    # path preserves the bucket()'s us unit, so no unit fix-up needed.
+    from .ops.agg import grouped_sum_count
 
-    def fix_unit(batch: pa.Table) -> pa.Table:
-        # Ray's hash aggregate round-trips the hour through timestamp[s];
-        # the DuckDB oracle (date_trunc) emits timestamp[us]. Same
-        # instants, different physical int64s -> driver hash mismatch.
-        # Cast back to us so the value-hash is bit-identical (VERDICT r1 #1).
-        idx = batch.schema.get_field_index("hour")
-        return batch.set_column(
-            idx, "hour", pc.cast(batch["hour"], pa.timestamp("us"))
-        )
-
-    return (
-        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "hour"])
-        .aggregate(
-            Count(alias_name="n"), Sum(on="value_cents", alias_name="value_cents")
-        )
-        .map_batches(fix_unit, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sum_count(
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour"],
+        sum_cols=["value_cents"],
+        count_col="n",
+        final="driver",
     )
+    return out.select(["event_type", "hour", "n", "value_cents"])
 
 
 # ----------------------------------------------- training-data queries
