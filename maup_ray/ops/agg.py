@@ -67,7 +67,10 @@ def grouped_sum_count(
     if final == "driver":
         import ray
 
-        raw = [ray.get(r) for r in partials.to_arrow_refs()]
+        # materialize first: bare to_arrow_refs() re-executes the WHOLE
+        # upstream plan a second time for the schema fetch (limit-1
+        # rerun observed on the headline pipeline)
+        raw = [ray.get(r) for r in partials.materialize().to_arrow_refs()]
         tabs = [t for t in raw if t.num_rows]
         if not tabs:
             # all-empty input: return a typed empty result instead of

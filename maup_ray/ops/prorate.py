@@ -113,7 +113,7 @@ def prorate(
             )
         tabs = [
             t
-            for t in (ray.get(r) for r in data.to_arrow_refs())
+            for t in (ray.get(r) for r in data.materialize().to_arrow_refs())
             if t.num_rows
         ]
         data = pa.concat_tables(tabs)

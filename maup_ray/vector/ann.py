@@ -120,7 +120,7 @@ def ivf_topk(
     qids = queries[query_id_col].to_numpy(zero_copy_only=False)
     # --- train coarse quantizer on a bounded deterministic sample
     sample_tbl = pa.concat_tables(
-        [ray.get(r) for r in ds.limit(sample_size).to_arrow_refs()]
+        [ray.get(r) for r in ds.limit(sample_size).materialize().to_arrow_refs()]
     )
     X = _normalize(embedding_matrix(sample_tbl, col))
     rng = np.random.RandomState(seed)
@@ -303,7 +303,7 @@ def cosine_near_dup(
             t
             for t in (
                 ray.get(r)
-                for r in ds.select_columns([id_col, col]).to_arrow_refs()
+                for r in ds.select_columns([id_col, col]).materialize().to_arrow_refs()
             )
             if t.num_rows
         ]

@@ -22,7 +22,7 @@ def to_arrow(obj) -> pa.Table:
         return pa.Table.from_pandas(obj, preserve_index=False)
     import ray  # ray Dataset
 
-    tabs = [ray.get(r) for r in obj.to_arrow_refs()]
+    tabs = [ray.get(r) for r in obj.materialize().to_arrow_refs()]
     tabs = [t for t in tabs if t.num_rows] or tabs[:1]
     return pa.concat_tables(tabs, promote_options="default")
 
