@@ -55,17 +55,97 @@ def _segment_inside(p, q, ring: np.ndarray) -> bool:
 
 def visible_pairs(ring: np.ndarray) -> np.ndarray:
     """(m, m) boolean visibility matrix between ring vertices (ring
-    edges always visible)."""
+    edges always visible).
+
+    Vectorized three-stage test (the per-pair python loop was O(m³)
+    with python overhead — minutes on the 568-vertex CO_bad_gap hole):
+    1. drop diagonals PROPERLY crossing any edge (chunked cross-sign
+       arithmetic over pairs × edges),
+    2. survivors keep a single midpoint-inside test (exact when no
+       other vertex grazes the open diagonal),
+    3. diagonals grazed by another vertex (collinear pass-throughs,
+       reflex touches) fall back to the exact split-at-hits test —
+       rare, so the python path no longer dominates."""
     m = len(ring)
     vis = np.zeros((m, m), dtype=bool)
     for i in range(m):
         vis[i, (i + 1) % m] = vis[(i + 1) % m, i] = True
-    for i in range(m):
-        for j in range(i + 2, m):
-            if i == 0 and j == m - 1:
-                continue  # ring edge, already set
-            if _segment_inside(ring[i], ring[j], ring):
-                vis[i, j] = vis[j, i] = True
+    if m < 4:
+        return vis
+    iu, ju = np.triu_indices(m, k=2)
+    keep = ~((iu == 0) & (ju == m - 1))  # ring edge, already set
+    iu, ju = iu[keep], ju[keep]
+    E0 = ring
+    E1 = np.roll(ring, -1, axis=0)
+    es = E1 - E0
+    npairs = len(iu)
+    surv = np.ones(npairs, dtype=bool)
+    chunk = max(1, 4_000_000 // max(m, 1))
+    for s in range(0, npairs, chunk):
+        p = ring[iu[s : s + chunk]]
+        q = ring[ju[s : s + chunk]]
+        r = q - p
+        d1 = (
+            r[:, None, 0] * (E0[None, :, 1] - p[:, None, 1])
+            - r[:, None, 1] * (E0[None, :, 0] - p[:, None, 0])
+        )
+        d2 = (
+            r[:, None, 0] * (E1[None, :, 1] - p[:, None, 1])
+            - r[:, None, 1] * (E1[None, :, 0] - p[:, None, 0])
+        )
+        d3 = (
+            es[None, :, 0] * (p[:, None, 1] - E0[None, :, 1])
+            - es[None, :, 1] * (p[:, None, 0] - E0[None, :, 0])
+        )
+        d4 = (
+            es[None, :, 0] * (q[:, None, 1] - E0[None, :, 1])
+            - es[None, :, 1] * (q[:, None, 0] - E0[None, :, 0])
+        )
+        # STRICT sign changes only: any zero (shared endpoint,
+        # vertex touch, collinearity) is a touch, not a proper
+        # crossing — those cases are decided by the midpoint/graze
+        # stages below
+        proper = (
+            ((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))
+        ) & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+        surv[s : s + chunk] = ~proper.any(axis=1)
+    iu, ju = iu[surv], ju[surv]
+    if len(iu) == 0:
+        return vis
+    eps = 1e-9 * max(1.0, float(np.abs(ring).max()))
+    mids = (ring[iu] + ring[ju]) * 0.5
+    inside = point_in_polygon(
+        mids, [ring], include_boundary=True, eps=eps
+    )
+    # grazing detection: any OTHER vertex strictly interior to the
+    # open diagonal (within eps of the line, between the endpoints)
+    graze = np.zeros(len(iu), dtype=bool)
+    for s in range(0, len(iu), chunk):
+        p = ring[iu[s : s + chunk]]
+        q = ring[ju[s : s + chunk]]
+        d = q - p
+        L2 = np.maximum((d * d).sum(axis=1), 1e-300)
+        t = (
+            (ring[None, :, 0] - p[:, None, 0]) * d[:, None, 0]
+            + (ring[None, :, 1] - p[:, None, 1]) * d[:, None, 1]
+        ) / L2[:, None]
+        perp = (
+            d[:, None, 0] * (ring[None, :, 1] - p[:, None, 1])
+            - d[:, None, 1] * (ring[None, :, 0] - p[:, None, 0])
+        )
+        tolt = eps / np.sqrt(L2)
+        on = (
+            (np.abs(perp) <= eps * np.sqrt(L2)[:, None])
+            & (t > tolt[:, None])
+            & (t < 1 - tolt[:, None])
+        )
+        graze[s : s + chunk] = on.any(axis=1)
+    final = inside & ~graze
+    # exact split-at-hits path for the rare grazed-but-plausible pairs
+    for k in np.flatnonzero(graze & inside):
+        final[k] = _segment_inside(ring[iu[k]], ring[ju[k]], ring)
+    vis[iu[final], ju[final]] = True
+    vis[ju[final], iu[final]] = True
     return vis
 
 

@@ -301,3 +301,50 @@ class TestNodeWelding:
         b = [[np.array([[1.0, 0], [2, 0], [2, 1], [1, 1]])]]
         u = boolean.union(a, b)
         assert parea(u) == 2.0  # exact: grid-aligned vertices untouched
+
+
+class TestVisiblePairsVectorized:
+    def test_matches_exact_reference_impl(self):
+        # the vectorized 3-stage visibility must equal the exact
+        # per-pair split-at-hits test on assorted simple polygons
+        import numpy as np
+
+        from maup_ray.geom.funnel import _segment_inside, visible_pairs
+
+        def brute(ring):
+            m = len(ring)
+            vis = np.zeros((m, m), dtype=bool)
+            for i in range(m):
+                vis[i, (i + 1) % m] = vis[(i + 1) % m, i] = True
+            for i in range(m):
+                for j in range(i + 2, m):
+                    if i == 0 and j == m - 1:
+                        continue
+                    if _segment_inside(ring[i], ring[j], ring):
+                        vis[i, j] = vis[j, i] = True
+            return vis
+
+        rng = np.random.RandomState(11)
+        rings = []
+        # star polygon (reflex-heavy)
+        th = np.linspace(0, 2 * np.pi, 13)[:-1]
+        rad = np.where(np.arange(12) % 2 == 0, 2.0, 0.7)
+        rings.append(np.column_stack([rad * np.cos(th), rad * np.sin(th)]))
+        # jittered convex-ish polygon
+        th = np.sort(rng.uniform(0, 2 * np.pi, 16))
+        r = rng.uniform(1.0, 1.4, 16)
+        rings.append(np.column_stack([r * np.cos(th), r * np.sin(th)]))
+        # U shape with collinear runs (grazing diagonals)
+        rings.append(
+            np.array(
+                [
+                    [0, 0], [5, 0], [5, 3], [4, 3], [4, 1],
+                    [1, 1], [1, 3], [0, 3],
+                ],
+                dtype=float,
+            )
+        )
+        for ring in rings:
+            got = visible_pairs(ring)
+            want = brute(ring)
+            assert (got == want).all(), np.argwhere(got != want)
