@@ -325,9 +325,9 @@ def normalize(
     Physical plans: ``broadcast`` — grouped sums (partial+final
     aggregate, tiny shuffle) pulled to the driver and re-broadcast as a
     per-batch divide lookup (no row shuffle at all); ``shuffle`` —
-    groupby().map_groups, fully distributed, for when the number of
-    groups itself is too large to broadcast. ``auto`` counts the
-    (cheap, already-aggregated) sums and picks."""
+    hash-partitioned grouped apply (ops.shuffle), fully distributed,
+    for when the number of groups itself is too large to broadcast.
+    ``auto`` counts the (cheap, already-aggregated) sums and picks."""
     if isinstance(weights, pa.Table):
         df = weights.to_pandas()
         out = (
@@ -335,10 +335,33 @@ def normalize(
             .apply(lambda g: _normalize_group(g, weight_col))
         )
         return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _shuffle_plan(ds):
+        from .shuffle import hash_group_apply
+
+        def norm_part(tbl, starts):
+            if tbl is None:
+                return pa.schema(
+                    [(level, pa.int64()), (weight_col, pa.float64())]
+                ).empty_table()
+            if len(starts) == 0:
+                return tbl
+            w = (
+                tbl[weight_col]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            sizes = np.diff(np.append(starts, len(w)))
+            denom = np.repeat(np.add.reduceat(w, starts), sizes)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = np.where(denom == 0, 0.0, w / denom)  # 0/0 → 0
+            i = tbl.column_names.index(weight_col)
+            return tbl.set_column(i, weight_col, pa.array(out))
+
+        return hash_group_apply(ds, [level], norm_part)
+
     if strategy == "shuffle":
-        return weights.groupby(level).map_groups(
-            lambda df: _normalize_group(df, weight_col)
-        )
+        return _shuffle_plan(weights)
     # two passes read the weights (sums, then divide): materialize once
     # so the upstream pipeline doesn't re-execute (blocks stay in the
     # object store and spill under pressure)
@@ -363,9 +386,7 @@ def normalize(
     )
     if strategy == "auto":
         if sums_tbl.num_rows > broadcast_limit:
-            return weights.groupby(level).map_groups(
-                lambda df: _normalize_group(df, weight_col)
-            )
+            return _shuffle_plan(weights)
     import ray
 
     totals = sums_tbl.to_pandas().set_index(level)["__total"]

@@ -33,6 +33,34 @@ class TestNormalize:
             (2, "a"): 0.0,  # 0/0 → 0 (ref: normalize.py:11)
         }
 
+    def test_shuffle_strategy_matches_broadcast(self, ray_session):
+        # the high-group-cardinality plan (hash-partitioned grouped
+        # apply) must agree with the broadcast plan value-for-value
+        import numpy as np
+        import ray.data
+
+        rng = np.random.RandomState(5)
+        n = 5000
+        w = pa.table(
+            {
+                "source_id": pa.array(rng.randint(0, 1200, n)),
+                "target_id": pa.array(rng.randint(0, 7, n)),
+                "weight": pa.array(rng.uniform(0, 10, n)),
+            }
+        )
+        a = (
+            normalize(ray.data.from_arrow(w), strategy="broadcast")
+            .to_pandas()
+            .sort_values(["source_id", "target_id", "weight"], ignore_index=True)
+        )
+        b = (
+            normalize(ray.data.from_arrow(w), strategy="shuffle")
+            .to_pandas()
+            .sort_values(["source_id", "target_id", "weight"], ignore_index=True)
+        )
+        assert np.allclose(a["weight"], b["weight"], rtol=1e-12, atol=0)
+        assert a["source_id"].tolist() == b["source_id"].tolist()
+
     def test_dataset_path(self, ray_session):
         import ray
         import ray.data
