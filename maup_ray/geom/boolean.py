@@ -230,7 +230,8 @@ def _node_segments(p0, p1, tol):
     return np.array(q0s), np.array(q1s)
 
 
-def _weld_endpoints(q0: np.ndarray, q1: np.ndarray, tol: float):
+def _weld_endpoints(q0: np.ndarray, q1: np.ndarray, tol: float,
+                    cells: int = 4):
     """Merge endpoint nodes within the T-junction proximity (4 grid
     cells) onto one representative. Inputs chained through DIFFERENT
     upstream snap grids (a decimal smart_repair grid feeding a binary
@@ -240,7 +241,7 @@ def _weld_endpoints(q0: np.ndarray, q1: np.ndarray, tol: float):
     (observed on the CO_bad_gap corpus). Runs only as the retry pass
     after a dirty stitch, so clean inputs never pay for it; exactly-
     equal nodes (all grid-aligned fixtures) are untouched."""
-    eps = tol * 4
+    eps = tol * cells
     pts = np.vstack([q0, q1])
     keys = np.round(pts / tol).astype(np.int64)
     uniq, inv = np.unique(keys, axis=0, return_inverse=True)
@@ -387,6 +388,36 @@ def _membership(points: np.ndarray, geoms) -> np.ndarray:
     return out
 
 
+
+
+def _side_membership(q0, q1, geoms, tol):
+    """Membership vectors sampled slightly left/right of each noded
+    sub-segment's midpoint. Segments whose two sides classify
+    IDENTICALLY get re-sampled at a finer offset: every noded segment
+    lies on someone's boundary, so equal sides mean the coarse offset
+    jumped clean across a thin feature (a ~0.1-unit boundary finger on
+    the Denver 2020 corpus classified both sides into the neighbor,
+    dropping the owner's boundary run and the whole face with it).
+    Genuinely degenerate (zero-width) features still classify equal at
+    the finest offset and drop, which is correct."""
+    mid = (q0 + q1) * 0.5
+    d = q1 - q0
+    seglen = np.hypot(d[:, 0], d[:, 1])
+    nrm = np.column_stack([-d[:, 1], d[:, 0]]) / seglen[:, None]
+    delta = np.maximum(seglen * 1e-6, tol * 16)
+    mL = _membership(mid + nrm * delta[:, None], geoms)
+    mR = _membership(mid - nrm * delta[:, None], geoms)
+    for finer in (tol * 2, tol * 0.5):
+        same = (mL == mR).all(axis=1)
+        if not same.any():
+            break
+        idx = np.flatnonzero(same)
+        off = nrm[idx] * finer
+        mL[idx] = _membership(mid[idx] + off, geoms)
+        mR[idx] = _membership(mid[idx] - off, geoms)
+    return mL, mR
+
+
 def _default_tol(geoms) -> float:
     lo, hi = np.inf, -np.inf
     for g in geoms:
@@ -422,7 +453,9 @@ def arrangement_regions(geoms, predicate, tol: float | None = None):
     # silent-drop bug), attempt 1 welds near-coincident nodes and
     # redoes classification — the weld pass costs nothing on the vast
     # majority of clean inputs this way.
-    for attempt in (0, 1):
+    for attempt, weld_cells in ((0, None), (1, 4)):
+        if weld_cells is not None:
+            q0a, q1a = _weld_endpoints(q0a, q1a, tol, weld_cells)
         q0, q1 = q0a, q1a
         # dedup undirected sub-segments
         key_fwd = np.round(np.hstack([q0, q1]) / tol).astype(np.int64)
@@ -435,15 +468,7 @@ def arrangement_regions(geoms, predicate, tol: float | None = None):
         _, uniq_idx = np.unique(canon, axis=0, return_index=True)
         q0, q1 = q0[uniq_idx], q1[uniq_idx]
 
-        mid = (q0 + q1) * 0.5
-        d = q1 - q0
-        seglen = np.hypot(d[:, 0], d[:, 1])
-        nrm = np.column_stack([-d[:, 1], d[:, 0]]) / seglen[:, None]
-        delta = np.maximum(seglen * 1e-6, tol * 16)
-        left_pts = mid + nrm * delta[:, None]
-        right_pts = mid - nrm * delta[:, None]
-        mL = _membership(left_pts, geoms)
-        mR = _membership(right_pts, geoms)
+        mL, mR = _side_membership(q0, q1, geoms, tol)
         fL = np.array([bool(predicate(m)) for m in mL])
         fR = np.array([bool(predicate(m)) for m in mR])
         keep = fL != fR
@@ -455,7 +480,6 @@ def arrangement_regions(geoms, predicate, tol: float | None = None):
         rings, clean = _stitch(e0, e1, tol)
         if clean or attempt == 1:
             return _assemble(rings)
-        q0a, q1a = _weld_endpoints(q0a, q1a, tol)
     return _assemble(rings)
 
 
@@ -515,6 +539,25 @@ def _stitch(e0: np.ndarray, e1: np.ndarray, tol: float):
                             )
                             if not used[j]
                         ]
+            if not cands:
+                # LOCAL pinhole heal: jump to the nearest unused edge
+                # start within 64 cells (sub-precision seams in real
+                # corpora — near-duplicate parallel borders ~30 cells
+                # apart — dead-end the walk here; a bounded bridge
+                # keeps the ring closed without perturbing the rest of
+                # the arrangement the way a global coarse weld would)
+                vpt = e1[cur]
+                if float(np.hypot(*(vpt - e0[s]))) <= tol * 64:
+                    rings.append(np.array(ring_pts[:-1]))
+                    break
+                free = ~used
+                if free.any():
+                    dists = np.hypot(
+                        e0[free, 0] - vpt[0], e0[free, 1] - vpt[1]
+                    )
+                    j = int(np.argmin(dists))
+                    if dists[j] <= tol * 64:
+                        cands = [int(np.flatnonzero(free)[j])]
             if not cands:
                 clean = False
                 break  # dead end; drop
@@ -580,44 +623,51 @@ def arrangement_faces(geoms, tol: float | None = None):
     p0, p1 = _gather_segments(geoms)
     if len(p0) == 0:
         return []
-    q0, q1 = _node_segments(p0, p1, tol)
-    if len(q0) == 0:
+    q0a, q1a = _node_segments(p0, p1, tol)
+    if len(q0a) == 0:
         return []
-    key_fwd = np.round(np.hstack([q0, q1]) / tol).astype(np.int64)
-    swap = (key_fwd[:, 0] > key_fwd[:, 2]) | (
-        (key_fwd[:, 0] == key_fwd[:, 2]) & (key_fwd[:, 1] > key_fwd[:, 3])
-    )
-    canon = key_fwd.copy()
-    canon[swap] = key_fwd[swap][:, [2, 3, 0, 1]]
-    _, uniq_idx = np.unique(canon, axis=0, return_index=True)
-    q0, q1 = q0[uniq_idx], q1[uniq_idx]
-    mid = (q0 + q1) * 0.5
-    d = q1 - q0
-    seglen = np.hypot(d[:, 0], d[:, 1])
-    nrm = np.column_stack([-d[:, 1], d[:, 0]]) / seglen[:, None]
-    delta = np.maximum(seglen * 1e-6, tol * 16)
-    mL = _membership(mid + nrm * delta[:, None], geoms)
-    mR = _membership(mid - nrm * delta[:, None], geoms)
-    # distinct nonzero membership classes
-    classes = {}
-    for m in np.vstack([mL, mR]):
-        if m.any():
-            classes.setdefault(tuple(m.tolist()), None)
-    out = []
-    for cls in classes:
-        want = np.array(cls, dtype=bool)
-        fL = (mL == want[None, :]).all(axis=1)
-        fR = (mR == want[None, :]).all(axis=1)
-        keep = fL != fR
-        if not keep.any():
-            continue
-        e0 = np.where(fL[keep, None], q0[keep], q1[keep])
-        e1 = np.where(fL[keep, None], q1[keep], q0[keep])
-        rings, _clean = _stitch(e0, e1, tol)
-        polys = _assemble(rings)
-        # each connected part is its own atomic piece
-        for poly in polys:
-            out.append(([poly], cls))
+    # same weld-on-retry discipline as arrangement_regions: a dirty
+    # ring walk on ANY class means a face silently vanished (whole
+    # precincts dropped on the Denver 2020 corpus) — weld the
+    # cross-grid node seams and redo once.
+    for attempt, weld_cells in ((0, None), (1, 4)):
+        if weld_cells is not None:
+            q0a, q1a = _weld_endpoints(q0a, q1a, tol, weld_cells)
+        q0, q1 = q0a, q1a
+        key_fwd = np.round(np.hstack([q0, q1]) / tol).astype(np.int64)
+        swap = (key_fwd[:, 0] > key_fwd[:, 2]) | (
+            (key_fwd[:, 0] == key_fwd[:, 2])
+            & (key_fwd[:, 1] > key_fwd[:, 3])
+        )
+        canon = key_fwd.copy()
+        canon[swap] = key_fwd[swap][:, [2, 3, 0, 1]]
+        _, uniq_idx = np.unique(canon, axis=0, return_index=True)
+        q0, q1 = q0[uniq_idx], q1[uniq_idx]
+        mL, mR = _side_membership(q0, q1, geoms, tol)
+        # distinct nonzero membership classes
+        classes = {}
+        for m in np.vstack([mL, mR]):
+            if m.any():
+                classes.setdefault(tuple(m.tolist()), None)
+        out = []
+        all_clean = True
+        for cls in classes:
+            want = np.array(cls, dtype=bool)
+            fL = (mL == want[None, :]).all(axis=1)
+            fR = (mR == want[None, :]).all(axis=1)
+            keep = fL != fR
+            if not keep.any():
+                continue
+            e0 = np.where(fL[keep, None], q0[keep], q1[keep])
+            e1 = np.where(fL[keep, None], q1[keep], q0[keep])
+            rings, clean = _stitch(e0, e1, tol)
+            all_clean &= clean
+            polys = _assemble(rings)
+            # each connected part is its own atomic piece
+            for poly in polys:
+                out.append(([poly], cls))
+        if all_clean or attempt == 1:
+            return out
     return out
 
 
