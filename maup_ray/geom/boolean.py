@@ -3,18 +3,27 @@
 Algorithm (SURVEY.md §7.1, robustness strategy §7.3): node all boundary
 segments at their pairwise intersections (including collinear-overlap
 intervals — the degenerate case tessellations are full of), dedup the
-resulting sub-segments, classify each sub-segment by sampling membership
-of the input regions slightly left/right of its midpoint, keep the
-sub-segments where the result predicate flips across the segment,
-orient them result-interior-on-the-left, and stitch rings by walking
-"first edge clockwise from the reversed incoming direction" at every
-node. CCW rings are shells, CW rings holes.
+resulting sub-segments into the undirected edges of a half-edge (DCEL)
+subdivision, extract every atomic face as an orbit of the "cyclic
+CCW-predecessor of the twin" permutation, and propagate exact even-odd
+membership across the face-adjacency graph: each edge carries the
+parity with which each input's boundary covers it, and crossing the
+edge toggles exactly those inputs. CCW orbits are face shells, CW
+orbits hole/outer cycles assigned to their containing face by a
+leftward ray cast.
+
+No membership sampling and no per-class ring stitching happen anywhere:
+every half-edge has a twin, so face walks cannot dead-end, and because
+each input ring stays a CLOSED node cycle under snapping/noding, the
+parity propagation is always consistent. (The sampled-stitching design
+this replaces silently dropped whole faces on real corpora — zero-width
+ring spikes and sub-offset boundary fingers defeat any finite
+side-sampling offset.)
 
 This replaces shapely/GEOS ``intersection`` / ``union`` / ``difference``
 / ``unary_union`` used throughout the reference (intersections.py:31,
-repair.py:84, repair.py:163-168, ...). Inputs snapped to a coordinate
-grid remain exact; side-sampling uses offsets proportional to local
-segment length.
+repair.py:84, repair.py:163-168, ...). Inputs snapped to a power-of-two
+coordinate grid remain exact.
 """
 
 from __future__ import annotations
@@ -43,18 +52,27 @@ __all__ = [
 # ---------------------------------------------------------------- noding
 
 
-def _gather_segments(geoms):
-    """All boundary segments of a list of MultiPolygons."""
-    p0s, p1s = [], []
-    for g in geoms:
+def _gather_segments(geoms, with_owner: bool = False):
+    """All boundary segments of a list of MultiPolygons (optionally with
+    the index of the input geometry each raw segment came from)."""
+    p0s, p1s, owners = [], [], []
+    for gi, g in enumerate(geoms):
         for poly in ensure_multi(g):
             for ring in poly:
                 if len(ring) >= 2:
                     p0s.append(ring)
                     p1s.append(np.roll(ring, -1, axis=0))
+                    if with_owner:
+                        owners.append(
+                            np.full(len(ring), gi, dtype=np.int64)
+                        )
     if not p0s:
         z = np.empty((0, 2))
+        if with_owner:
+            return z, z, np.empty(0, np.int64)
         return z, z
+    if with_owner:
+        return np.vstack(p0s), np.vstack(p1s), np.concatenate(owners)
     return np.vstack(p0s), np.vstack(p1s)
 
 
@@ -201,21 +219,23 @@ def _seg_bboxes(p0, p1):
     )
 
 
-def _node_segments(p0, p1, tol):
+def _node_segments(p0, p1, tol, with_src: bool = False):
     """Split segments at every pairwise intersection. Returns
-    (q0, q1): sub-segment endpoint arrays, quantized to ``tol``."""
+    (q0, q1): sub-segment endpoint arrays, quantized to ``tol``
+    (optionally plus the raw-input segment index of each sub-segment)."""
     # snap inputs to the grid first so coordinates that upstream ops
     # produced within one ulp/grid-cell of each other collapse exactly
     p0 = np.round(p0 / tol) * tol
     p1 = np.round(p1 / tol) * tol
     nonzero = (p0 != p1).any(axis=1)
+    src_orig = np.flatnonzero(nonzero)
     p0, p1 = p0[nonzero], p1[nonzero]
     n = len(p0)
     cuts: list[list[float]] = [[] for _ in range(n)]
     ia, ib = _candidate_pairs(_seg_bboxes(p0, p1))
     _node_pairs(p0, p1, ia, ib, cuts, tol)
     _vertex_proximity_cuts(p0, p1, cuts, tol)
-    q0s, q1s = [], []
+    q0s, q1s, srcs = [], [], []
     for i in range(n):
         ts = sorted(set([0.0, 1.0] + cuts[i]))
         pts = p0[i] + np.array(ts)[:, None] * (p1[i] - p0[i])
@@ -224,23 +244,27 @@ def _node_segments(p0, p1, tol):
             if a[0] != b[0] or a[1] != b[1]:
                 q0s.append(a)
                 q1s.append(b)
+                srcs.append(src_orig[i])
     if not q0s:
         z = np.empty((0, 2))
+        if with_src:
+            return z, z, np.empty(0, np.int64)
         return z, z
+    if with_src:
+        return np.array(q0s), np.array(q1s), np.array(srcs, np.int64)
     return np.array(q0s), np.array(q1s)
 
 
 def _weld_endpoints(q0: np.ndarray, q1: np.ndarray, tol: float,
                     cells: int = 4):
     """Merge endpoint nodes within the T-junction proximity (4 grid
-    cells) onto one representative. Inputs chained through DIFFERENT
+    cells) onto one representative; returns (q0, q1, keep_mask) with
+    zero-length results dropped. Inputs chained through DIFFERENT
     upstream snap grids (a decimal smart_repair grid feeding a binary
-    boolean grid) can carry the "same" vertex a few cells apart — the
-    stitch walker heals ±1 cell only, so an unwelded 2-3-cell seam
-    dead-ends the ring walk and silently drops the whole region
-    (observed on the CO_bad_gap corpus). Runs only as the retry pass
-    after a dirty stitch, so clean inputs never pay for it; exactly-
-    equal nodes (all grid-aligned fixtures) are untouched."""
+    boolean grid) can carry the "same" vertex a few cells apart.
+    Runs only as the retry pass after an inconsistent parity
+    propagation, so clean inputs never pay for it; exactly-equal nodes
+    (all grid-aligned fixtures) are untouched."""
     eps = tol * cells
     pts = np.vstack([q0, q1])
     keys = np.round(pts / tol).astype(np.int64)
@@ -273,7 +297,7 @@ def _weld_endpoints(q0: np.ndarray, q1: np.ndarray, tol: float,
     n = len(q0)
     q0, q1 = pts[:n], pts[n:]
     keep = (q0 != q1).any(axis=1)
-    return q0[keep], q1[keep]
+    return q0[keep], q1[keep], keep
 
 
 def _vertex_proximity_cuts(p0, p1, cuts, tol):
@@ -358,64 +382,208 @@ def _node_pairs(p0, p1, ia, ib, cuts, tol):
                 cuts[j].append(uv)
 
 
-# ------------------------------------------------------- classification
+# ------------------------------------------- exact DCEL face extraction
 
 
-def _membership(points: np.ndarray, geoms) -> np.ndarray:
-    """(npts, ngeoms) strict-interior membership matrix (parity PIP,
-    boundary excluded — sample points are off-boundary by construction)."""
-    out = np.zeros((len(points), len(geoms)), dtype=bool)
-    for gi, g in enumerate(geoms):
-        for poly in ensure_multi(g):
-            allv = np.vstack(poly)
-            bb = (
-                allv[:, 0].min(),
-                allv[:, 1].min(),
-                allv[:, 0].max(),
-                allv[:, 1].max(),
-            )
-            cand = np.nonzero(
-                (points[:, 0] >= bb[0])
-                & (points[:, 0] <= bb[2])
-                & (points[:, 1] >= bb[1])
-                & (points[:, 1] <= bb[3])
-            )[0]
-            if len(cand):
-                inside = point_in_polygon(
-                    points[cand], poly, include_boundary=False
-                )
-                out[cand[inside], gi] |= True
-    return out
+def _build_dcel(q0, q1, owners, n_geoms, tol):
+    """Half-edge structure over noded (possibly duplicated) directed
+    sub-segments. Returns None when nothing non-degenerate remains,
+    else a dict of arrays:
+
+    - ncoord (N,2): node coordinates (grid-exact: key*tol)
+    - ea/eb (E,): undirected edge endpoints as node ids
+    - toggle (E,G): even-odd crossing parity of each input's boundary
+      over each edge (a boundary covering an edge twice — a zero-width
+      ring spike — correctly toggles nothing)
+    - org (2E,): half-edge origin node; half-edge 2i runs ea->eb,
+      2i+1 runs eb->ea; twin(h) = h ^ 1
+    - nxt (2E,): face-walk successor = cyclic CCW-predecessor of the
+      twin among the destination node's outgoing half-edges
+    - orbit (2E,): orbit id per half-edge; orbit_rings: node-id arrays
+      per orbit; orbit_area: signed shoelace area per orbit (positive
+      = face shell walked CCW, negative = hole/outer cycle).
+    """
+    keys = np.round(np.vstack([q0, q1]) / tol).astype(np.int64)
+    uk, inv = np.unique(keys, axis=0, return_inverse=True)
+    ncoord = uk.astype(np.float64) * tol
+    n = len(q0)
+    a, b = inv[:n], inv[n:]
+    ok = a != b
+    a, b, owners = a[ok], b[ok], owners[ok]
+    if len(a) == 0:
+        return None
+    nn = np.int64(len(uk))
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    uedge, einv = np.unique(lo * nn + hi, return_inverse=True)
+    E = len(uedge)
+    ea = (uedge // nn).astype(np.int64)
+    eb = (uedge % nn).astype(np.int64)
+    upk, cnt = np.unique(
+        einv * np.int64(n_geoms) + owners, return_counts=True
+    )
+    odd = (cnt % 2).astype(bool)
+    toggle = np.zeros((E, n_geoms), dtype=bool)
+    toggle[(upk // n_geoms)[odd], (upk % n_geoms)[odd]] = True
+    org = np.empty(2 * E, np.int64)
+    dst = np.empty(2 * E, np.int64)
+    org[0::2], dst[0::2] = ea, eb
+    org[1::2], dst[1::2] = eb, ea
+    d = ncoord[dst] - ncoord[org]
+    ang = np.arctan2(d[:, 1], d[:, 0])
+    order = np.lexsort((ang, org))
+    newgrp = np.r_[True, org[order][1:] != org[order][:-1]]
+    grp_id = np.cumsum(newgrp) - 1
+    grp_start = np.flatnonzero(newgrp)
+    grp_cnt = np.diff(np.r_[grp_start, 2 * E])
+    pos_of = np.empty(2 * E, np.int64)
+    pos_of[order] = np.arange(2 * E)
+    p = pos_of[np.arange(2 * E) ^ 1]  # twin's position in sorted order
+    g0 = grp_start[grp_id[p]]
+    nxt = order[g0 + (p - g0 - 1) % grp_cnt[grp_id[p]]]
+    orbit = np.full(2 * E, -1, np.int64)
+    orbit_rings: list[np.ndarray] = []
+    for h0 in range(2 * E):
+        if orbit[h0] >= 0:
+            continue
+        oid = len(orbit_rings)
+        cyc = []
+        h = h0
+        while orbit[h] < 0:
+            orbit[h] = oid
+            cyc.append(h)
+            h = int(nxt[h])
+        orbit_rings.append(org[np.array(cyc, dtype=np.int64)])
+    orbit_area = np.array(
+        [ring_signed_area(ncoord[r]) for r in orbit_rings]
+    )
+    return dict(
+        ncoord=ncoord, ea=ea, eb=eb, toggle=toggle, org=org, nxt=nxt,
+        orbit=orbit, orbit_rings=orbit_rings, orbit_area=orbit_area,
+    )
 
 
+def _resolve_faces(dc, n_geoms):
+    """Group orbits into faces and propagate exact even-odd membership.
+
+    Returns (resolved, mem, clean): ``resolved`` maps each orbit to its
+    face id (0 = unbounded; positive orbits get faces 1..F-1; negative
+    orbits resolve to the face they are a hole of, via a leftward ray
+    cast from their leftmost node); ``mem`` is the (F, G) membership
+    matrix; ``clean`` is False when the parity propagation was
+    inconsistent (an input ring failed to close at grid resolution —
+    a pinhole seam)."""
+    ncoord, orbit = dc["ncoord"], dc["orbit"]
+    areas, rings = dc["orbit_area"], dc["orbit_rings"]
+    ea, eb, toggle = dc["ea"], dc["eb"], dc["toggle"]
+    n_orb = len(rings)
+    pos = areas > 0
+    resolved = np.full(n_orb, -1, np.int64)
+    resolved[pos] = np.arange(1, int(pos.sum()) + 1)
+    F = int(pos.sum()) + 1
+    A, B = ncoord[ea], ncoord[eb]
+    container = np.full(n_orb, -1, np.int64)
+    for c in np.flatnonzero(~pos):
+        pts = ncoord[rings[c]]
+        k = np.lexsort((pts[:, 1], pts[:, 0]))[0]
+        vx, vy = pts[k]
+        cross = ((A[:, 1] <= vy) & (B[:, 1] > vy)) | (
+            (B[:, 1] <= vy) & (A[:, 1] > vy)
+        )
+        ci = np.flatnonzero(cross)
+        if len(ci) == 0:
+            continue
+        x_at = A[ci, 0] + (vy - A[ci, 1]) * (B[ci, 0] - A[ci, 0]) / (
+            B[ci, 1] - A[ci, 1]
+        )
+        # ε-above convention: the ray conceptually runs at y = vy + ε,
+        # so a crossing sits at x_at + ε·slope. Edges through a vertex
+        # exactly on the ray (x_at ties, or x_at == vx with the edge
+        # leaving the ray origin up-left) are ordered by slope, which
+        # is orientation-independent: (Bx-Ax)/(By-Ay).
+        slope = (B[ci, 0] - A[ci, 0]) / (B[ci, 1] - A[ci, 1])
+        left = (x_at < vx) | ((x_at == vx) & (slope < 0))
+        if not left.any():
+            continue
+        li = ci[left]
+        j = int(li[np.lexsort((slope[left], x_at[left]))[-1]])
+        # the containing face lies LEFT of the hit edge's downward
+        # half-edge (its left normal faces the ray origin)
+        h = 2 * j if A[j, 1] > B[j, 1] else 2 * j + 1
+        container[c] = orbit[h]
+    for c in np.flatnonzero(~pos):
+        if resolved[c] >= 0:
+            continue
+        chain = [c]
+        o = int(container[c])
+        while o >= 0 and resolved[o] < 0 and len(chain) <= n_orb:
+            chain.append(o)
+            o = int(container[o])
+        f = int(resolved[o]) if o >= 0 and resolved[o] >= 0 else 0
+        for x in chain:
+            resolved[x] = f
+    # exact membership propagation across the face-adjacency graph
+    E = len(ea)
+    fL = resolved[orbit[0::2]]
+    fR = resolved[orbit[1::2]]
+    mem = np.zeros((F, n_geoms), dtype=bool)
+    seen = np.zeros(F, dtype=bool)
+    seen[0] = True
+    clean = True
+    adj: list[list[tuple[int, int]]] = [[] for _ in range(F)]
+    for e in range(E):
+        l, r = int(fL[e]), int(fR[e])
+        if l != r:
+            adj[l].append((r, e))
+            adj[r].append((l, e))
+        elif toggle[e].any():
+            clean = False  # boundary edge interior to ONE face: pinhole
+    from collections import deque
+
+    q = deque([0])
+    while q:
+        f = q.popleft()
+        for g, e in adj[f]:
+            m = mem[f] ^ toggle[e]
+            if seen[g]:
+                if not (mem[g] == m).all():
+                    clean = False
+            else:
+                mem[g] = m
+                seen[g] = True
+                q.append(g)
+    if not seen.all():
+        clean = False
+    return resolved, mem, clean
 
 
-def _side_membership(q0, q1, geoms, tol):
-    """Membership vectors sampled slightly left/right of each noded
-    sub-segment's midpoint. Segments whose two sides classify
-    IDENTICALLY get re-sampled at a finer offset: every noded segment
-    lies on someone's boundary, so equal sides mean the coarse offset
-    jumped clean across a thin feature (a ~0.1-unit boundary finger on
-    the Denver 2020 corpus classified both sides into the neighbor,
-    dropping the owner's boundary run and the whole face with it).
-    Genuinely degenerate (zero-width) features still classify equal at
-    the finest offset and drop, which is correct."""
-    mid = (q0 + q1) * 0.5
-    d = q1 - q0
-    seglen = np.hypot(d[:, 0], d[:, 1])
-    nrm = np.column_stack([-d[:, 1], d[:, 0]]) / seglen[:, None]
-    delta = np.maximum(seglen * 1e-6, tol * 16)
-    mL = _membership(mid + nrm * delta[:, None], geoms)
-    mR = _membership(mid - nrm * delta[:, None], geoms)
-    for finer in (tol * 2, tol * 0.5):
-        same = (mL == mR).all(axis=1)
-        if not same.any():
+def _build_arrangement(geoms, tol):
+    """Node + weld-retry + DCEL + membership for a list of (already
+    ensure_multi'd) inputs. Returns None when the arrangement is empty,
+    else (dc, resolved, mem)."""
+    p0, p1, own = _gather_segments(geoms, with_owner=True)
+    if len(p0) == 0:
+        return None
+    q0, q1, src = _node_segments(p0, p1, tol, with_src=True)
+    if len(q0) == 0:
+        return None
+    owners = own[src]
+    # attempt 0 runs on the raw noded segments; closed rings make the
+    # parity propagation consistent by construction, so the weld retry
+    # only ever fires on inputs whose rings themselves fail to close at
+    # grid resolution (chained through different upstream snap grids)
+    best = None
+    for weld_cells in (None, 4):
+        if weld_cells is not None:
+            q0, q1, keep = _weld_endpoints(q0, q1, tol, weld_cells)
+            owners = owners[keep]
+        dc = _build_dcel(q0, q1, owners, len(geoms), tol)
+        if dc is None:
+            return None
+        resolved, mem, clean = _resolve_faces(dc, len(geoms))
+        best = (dc, resolved, mem)
+        if clean:
             break
-        idx = np.flatnonzero(same)
-        off = nrm[idx] * finer
-        mL[idx] = _membership(mid[idx] + off, geoms)
-        mR[idx] = _membership(mid[idx] - off, geoms)
-    return mL, mR
+    return best
 
 
 def _default_tol(geoms) -> float:
@@ -441,137 +609,43 @@ def arrangement_regions(geoms, predicate, tol: float | None = None):
     geoms = [ensure_multi(g) for g in geoms]
     if tol is None:
         tol = _default_tol(geoms)
-    p0, p1 = _gather_segments(geoms)
-    if len(p0) == 0:
+    built = _build_arrangement(geoms, tol)
+    if built is None:
         return []
-    q0a, q1a = _node_segments(p0, p1, tol)
-    if len(q0a) == 0:
+    dc, resolved, mem = built
+    passf = np.array([bool(predicate(m)) for m in mem])
+    if not passf[1:].any():
         return []
-    # attempt 0 runs on the raw noded segments; if the ring walk dead-
-    # ends (inputs chained through DIFFERENT upstream snap grids can
-    # carry the "same" vertex a few cells apart — the CO_bad_gap
-    # silent-drop bug), attempt 1 welds near-coincident nodes and
-    # redoes classification — the weld pass costs nothing on the vast
-    # majority of clean inputs this way.
-    for attempt, weld_cells in ((0, None), (1, 4)):
-        if weld_cells is not None:
-            q0a, q1a = _weld_endpoints(q0a, q1a, tol, weld_cells)
-        q0, q1 = q0a, q1a
-        # dedup undirected sub-segments
-        key_fwd = np.round(np.hstack([q0, q1]) / tol).astype(np.int64)
-        swap = (key_fwd[:, 0] > key_fwd[:, 2]) | (
-            (key_fwd[:, 0] == key_fwd[:, 2])
-            & (key_fwd[:, 1] > key_fwd[:, 3])
-        )
-        canon = key_fwd.copy()
-        canon[swap] = key_fwd[swap][:, [2, 3, 0, 1]]
-        _, uniq_idx = np.unique(canon, axis=0, return_index=True)
-        q0, q1 = q0[uniq_idx], q1[uniq_idx]
-
-        mL, mR = _side_membership(q0, q1, geoms, tol)
-        fL = np.array([bool(predicate(m)) for m in mL])
-        fR = np.array([bool(predicate(m)) for m in mR])
-        keep = fL != fR
-        if not keep.any():
-            return []
-        # orient interior-on-left
-        e0 = np.where(fL[keep, None], q0[keep], q1[keep])
-        e1 = np.where(fL[keep, None], q1[keep], q0[keep])
-        rings, clean = _stitch(e0, e1, tol)
-        if clean or attempt == 1:
-            return _assemble(rings)
-    return _assemble(rings)
-
-
-def _stitch(e0: np.ndarray, e1: np.ndarray, tol: float):
-    """Walk directed edges into rings (interior on left). Returns
-    (rings, clean): clean=False when any walk dead-ended or hit the
-    guard (dropped a partial ring) — the caller's signal to retry
-    with welded nodes."""
-    clean = True
-    nk = np.round(e0 / tol).astype(np.int64)
-    nk1 = np.round(e1 / tol).astype(np.int64)
-    start_key = [tuple(k) for k in nk]
-    end_key = [tuple(k) for k in nk1]
-    out_edges: dict[tuple, list[int]] = {}
-    for i, k in enumerate(start_key):
-        out_edges.setdefault(k, []).append(i)
-    theta = np.arctan2(e1[:, 1] - e0[:, 1], e1[:, 0] - e0[:, 0])
-    used = np.zeros(len(e0), dtype=bool)
+    orbit, nxt, org = dc["orbit"], dc["nxt"], dc["org"]
+    ncoord = dc["ncoord"]
+    face_of_he = resolved[orbit]
+    H = len(face_of_he)
+    # boundary half-edges of the dissolved region: passing face on the
+    # left, non-passing on the right
+    kept = passf[face_of_he] & ~passf[face_of_he[np.arange(H) ^ 1]]
     rings = []
-    for s in range(len(e0)):
-        if used[s]:
+    visited = np.zeros(H, dtype=bool)
+    for h0 in np.flatnonzero(kept):
+        if visited[h0]:
             continue
-        ring_pts = [e0[s]]
-        cur = s
-        used[s] = True
+        nodes = []
+        h = int(h0)
         guard = 0
-        while True:
+        while not visited[h] and guard <= H:
+            visited[h] = True
+            nodes.append(org[h])
+            # continue the region boundary: rotate around the
+            # destination node through interior (both-sides-passing)
+            # edges until the next boundary half-edge
+            j = int(nxt[h])
+            spin = 0
+            while not kept[j] and spin <= H:
+                j = int(nxt[j ^ 1])
+                spin += 1
+            h = j
             guard += 1
-            if guard > len(e0) + 2:
-                clean = False
-                break  # malformed; drop partial ring
-            vkey = end_key[cur]
-            ring_pts.append(e1[cur])
-            if vkey == start_key[s]:
-                rings.append(np.array(ring_pts[:-1]))
-                break
-            cands = [j for j in out_edges.get(vkey, []) if not used[j]]
-            if not cands:
-                # heal off-by-one-grid-cell node mismatches (quantized
-                # endpoints from different upstream ops can straddle a
-                # grid boundary)
-                close_to_start = (
-                    abs(vkey[0] - start_key[s][0]) <= 1
-                    and abs(vkey[1] - start_key[s][1]) <= 1
-                )
-                if close_to_start:
-                    rings.append(np.array(ring_pts[:-1]))
-                    break
-                for dx in (-1, 0, 1):
-                    for dy in (-1, 0, 1):
-                        if dx == dy == 0:
-                            continue
-                        cands += [
-                            j
-                            for j in out_edges.get(
-                                (vkey[0] + dx, vkey[1] + dy), []
-                            )
-                            if not used[j]
-                        ]
-            if not cands:
-                # LOCAL pinhole heal: jump to the nearest unused edge
-                # start within 64 cells (sub-precision seams in real
-                # corpora — near-duplicate parallel borders ~30 cells
-                # apart — dead-end the walk here; a bounded bridge
-                # keeps the ring closed without perturbing the rest of
-                # the arrangement the way a global coarse weld would)
-                vpt = e1[cur]
-                if float(np.hypot(*(vpt - e0[s]))) <= tol * 64:
-                    rings.append(np.array(ring_pts[:-1]))
-                    break
-                free = ~used
-                if free.any():
-                    dists = np.hypot(
-                        e0[free, 0] - vpt[0], e0[free, 1] - vpt[1]
-                    )
-                    j = int(np.argmin(dists))
-                    if dists[j] <= tol * 64:
-                        cands = [int(np.flatnonzero(free)[j])]
-            if not cands:
-                clean = False
-                break  # dead end; drop
-            rev = theta[cur] + math.pi
-            best, best_g = None, None
-            for j in cands:
-                g = (rev - theta[j]) % (2 * math.pi)
-                if g < 1e-12:
-                    g = 2 * math.pi  # exact backtrack = last resort
-                if best_g is None or g < best_g:
-                    best, best_g = j, g
-            used[best] = True
-            cur = best
-    return rings, clean
+        rings.append(ncoord[np.array(nodes, dtype=np.int64)])
+    return _assemble(rings)
 
 
 def _assemble(rings):
@@ -620,54 +694,26 @@ def arrangement_faces(geoms, tol: float | None = None):
     geoms = [ensure_multi(g) for g in geoms]
     if tol is None:
         tol = _default_tol(geoms)
-    p0, p1 = _gather_segments(geoms)
-    if len(p0) == 0:
+    built = _build_arrangement(geoms, tol)
+    if built is None:
         return []
-    q0a, q1a = _node_segments(p0, p1, tol)
-    if len(q0a) == 0:
-        return []
-    # same weld-on-retry discipline as arrangement_regions: a dirty
-    # ring walk on ANY class means a face silently vanished (whole
-    # precincts dropped on the Denver 2020 corpus) — weld the
-    # cross-grid node seams and redo once.
-    for attempt, weld_cells in ((0, None), (1, 4)):
-        if weld_cells is not None:
-            q0a, q1a = _weld_endpoints(q0a, q1a, tol, weld_cells)
-        q0, q1 = q0a, q1a
-        key_fwd = np.round(np.hstack([q0, q1]) / tol).astype(np.int64)
-        swap = (key_fwd[:, 0] > key_fwd[:, 2]) | (
-            (key_fwd[:, 0] == key_fwd[:, 2])
-            & (key_fwd[:, 1] > key_fwd[:, 3])
-        )
-        canon = key_fwd.copy()
-        canon[swap] = key_fwd[swap][:, [2, 3, 0, 1]]
-        _, uniq_idx = np.unique(canon, axis=0, return_index=True)
-        q0, q1 = q0[uniq_idx], q1[uniq_idx]
-        mL, mR = _side_membership(q0, q1, geoms, tol)
-        # distinct nonzero membership classes
-        classes = {}
-        for m in np.vstack([mL, mR]):
-            if m.any():
-                classes.setdefault(tuple(m.tolist()), None)
-        out = []
-        all_clean = True
-        for cls in classes:
-            want = np.array(cls, dtype=bool)
-            fL = (mL == want[None, :]).all(axis=1)
-            fR = (mR == want[None, :]).all(axis=1)
-            keep = fL != fR
-            if not keep.any():
-                continue
-            e0 = np.where(fL[keep, None], q0[keep], q1[keep])
-            e1 = np.where(fL[keep, None], q1[keep], q0[keep])
-            rings, clean = _stitch(e0, e1, tol)
-            all_clean &= clean
-            polys = _assemble(rings)
-            # each connected part is its own atomic piece
-            for poly in polys:
-                out.append(([poly], cls))
-        if all_clean or attempt == 1:
-            return out
+    dc, resolved, mem = built
+    ncoord = dc["ncoord"]
+    rings, areas = dc["orbit_rings"], dc["orbit_area"]
+    shells = np.flatnonzero(areas > 0)
+    holes_by_face: dict[int, list[np.ndarray]] = {}
+    for c in np.flatnonzero(areas < 0):
+        f = int(resolved[c])
+        if f >= 1 and len(rings[c]) >= 3:
+            holes_by_face.setdefault(f, []).append(ncoord[rings[c]])
+    out = []
+    for fi, c in enumerate(shells, start=1):
+        if not mem[fi].any():
+            continue  # uncovered face (gap / enclosed void)
+        if len(rings[c]) < 3:
+            continue
+        poly = [ncoord[rings[c]]] + holes_by_face.get(fi, [])
+        out.append(([poly], tuple(bool(x) for x in mem[fi])))
     return out
 
 

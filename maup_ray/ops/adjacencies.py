@@ -43,11 +43,27 @@ DEFAULT_CELL_RES = 8
 
 def _pair_rows(geom_i, geom_j):
     """(wkb_or_None, length, area, dim) of the pair intersection, or
-    None when disjoint."""
+    None when disjoint.
+
+    Areal overlap is subject to the quantization floor: the boolean
+    engine snaps to a 2^-30-relative grid, so chained ops on different
+    snap grids can leave one-grid-cell-wide slivers along shared
+    borders. A piece whose area ≤ tol × perimeter (i.e. its mean width
+    is below ~2 grid cells) is below the engine's representational
+    resolution and is classified as the shared BOUNDARY it really is,
+    matching the reference's everything-on-one-snapped-grid semantics
+    (ref repair.py:368-375 counts inters.area > 0 on pre-snapped
+    geometry)."""
     polys = intersection(geom_i, geom_j)
     ar = poly_area(polys) if polys else 0.0
     if polys and ar > 0:
-        return encode_multipolygon(polys), perimeter(polys), ar, 2
+        from ..geom.boolean import _default_tol
+
+        per = perimeter(polys)
+        if ar <= _default_tol([geom_i, geom_j]) * per:
+            polys, ar = [], 0.0
+        else:
+            return encode_multipolygon(polys), per, ar, 2
     lines, pts, ln = boundary_intersection(geom_i, geom_j)
     if lines:
         return encode_lines(lines), ln, 0.0, 1

@@ -430,7 +430,15 @@ def doctor(
         c: dict[str, bool | int] = {}
         c["all_polygonal"] = all(len(ensure_multi(g)) >= 1 for g in geoms)
         c["n_overlaps"] = count_overlaps(tbl, geometry_col=geometry_col)
-        c["n_gaps"] = len(boolean.holes_of_union(geoms))
+        # same quantization floor as _pair_rows: a "gap" whose mean
+        # width is under ~2 boolean grid cells is a chained-snap sliver,
+        # not a real hole
+        _tol = boolean._default_tol(geoms) if geoms else 1.0
+        c["n_gaps"] = sum(
+            1
+            for h in boolean.holes_of_union(geoms)
+            if poly_area(h) > _tol * perimeter(h)
+        )
         c["all_valid"] = all(
             all(
                 len(r) >= 3 and np.isfinite(r).all()
