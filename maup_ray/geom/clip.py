@@ -362,6 +362,79 @@ def _halfplane_batch_general(P, cnt, a, b):
     return _halfplane_batch(P, cnt, side)
 
 
+def _halfplane_batch_rows(P, cnt, a, b):
+    """``_halfplane_batch_general`` with a PER-ROW clip edge: row k is
+    clipped by edge a[k] → b[k] ((n,2) arrays). Zero-length edges
+    (a == b) give side == 0 everywhere — an exact no-op — so padded
+    per-target edge arrays clip each row by exactly its own ring. The
+    per-element side expression is IEEE-identical to the shared-edge
+    kernel."""
+    d0 = (b[:, 0] - a[:, 0])[:, None]
+    d1 = (b[:, 1] - a[:, 1])[:, None]
+    side = d0 * (P[..., 1] - a[:, 1][:, None]) - d1 * (
+        P[..., 0] - a[:, 0][:, None]
+    )
+    return _halfplane_batch(P, cnt, side)
+
+
+def clip_rings_batch_convex_rows(P, cnt, A, B):
+    """Clip each padded single-ring polygon by ITS OWN convex CCW ring,
+    given as per-row padded edge arrays A/B (n, M, 2) — the cross-target
+    generalization of ``clip_rings_batch_convex`` (clip order: edge 0,
+    1, …, exactly like the per-target loop)."""
+    M = A.shape[1] if len(A) else 0
+    for i in range(M):
+        if not len(cnt) or cnt.max() == 0:
+            break
+        P, cnt = _halfplane_batch_rows(P, cnt, A[:, i], B[:, i])
+    return P, cnt
+
+
+def clip_area_batch_convex_rows(P, cnt, A, B) -> np.ndarray:
+    """Areas of (padded single-ring polygons ∩ their own convex CCW
+    rings)."""
+    return shoelace_batch(*clip_rings_batch_convex_rows(P, cnt, A, B))
+
+
+def _halfplane_batch_axis_rows(P, cnt, axis, bound, keep_le):
+    """``_halfplane_batch_axis`` with a PER-ROW bound (n,): crossing
+    points are pinned to each row's own exact bound."""
+    v = P[..., axis]
+    side = (bound[:, None] - v) if keep_le else (v - bound[:, None])
+    n, V, _ = P.shape
+    if n == 0 or V == 0:
+        return P, cnt
+    newP, out_cnt, cross = _halfplane_batch(P, cnt, side, return_cross=True)
+    av = newP[..., axis]
+    rows = np.nonzero(cross)[0]
+    av[cross] = bound[rows]
+    newP[..., axis] = av
+    return newP, out_cnt
+
+
+def clip_rings_batch_rect_rows(P, cnt, bounds):
+    """Clip each padded single-ring polygon by ITS OWN axis rect
+    (bounds (n,4) minx,miny,maxx,maxy) — exact-pinned like the shared
+    rect kernel, same axis order."""
+    for axis, col, keep_le in (
+        (0, 0, False),
+        (0, 2, True),
+        (1, 1, False),
+        (1, 3, True),
+    ):
+        if not len(cnt) or cnt.max() == 0:
+            break
+        P, cnt = _halfplane_batch_axis_rows(
+            P, cnt, axis, bounds[:, col], keep_le
+        )
+    return P, cnt
+
+
+def clip_area_batch_rect_rows(P, cnt, bounds) -> np.ndarray:
+    """Areas of (padded single-ring polygons ∩ their own axis rects)."""
+    return shoelace_batch(*clip_rings_batch_rect_rows(P, cnt, bounds))
+
+
 def _halfplane_batch_axis(P, cnt, axis, bound, keep_le):
     """Axis clip with exact bound placement: crossing points get
     coordinate == bound on the clip axis (matches _axis_interp; for

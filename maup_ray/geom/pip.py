@@ -138,6 +138,80 @@ def _proper_crossings(a_geom, b_geom) -> bool:
     return bool(proper.any())
 
 
+def parity_rows(
+    px: np.ndarray, py: np.ndarray, A: np.ndarray, B: np.ndarray
+) -> np.ndarray:
+    """Per-pair even-odd parity: point k against ITS OWN ring, given as
+    padded edge arrays A/B (n, M, 2) (zero-length pad edges contribute
+    nothing). Per-edge expressions are IEEE-identical to
+    ``_crossing_counts`` — only the target loop moves into the gather —
+    so results are bit-compatible with the per-target path."""
+    x = px[:, None]
+    y = py[:, None]
+    x0, y0 = A[:, :, 0], A[:, :, 1]
+    x1, y1 = B[:, :, 0], B[:, :, 1]
+    straddle = (y0 > y) != (y1 > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (y - y0) / (y1 - y0)
+        xint = x0 + t * (x1 - x0)
+    cross = straddle & (x < xint)
+    return (cross.sum(axis=1) % 2) == 1
+
+
+def covers_quads_convex_rows(
+    A: np.ndarray,
+    B: np.ndarray,
+    quads: np.ndarray,
+    eps: float = 1e-12,
+) -> np.ndarray:
+    """``covers_quads_convex`` with a PER-PAIR target: quad k is tested
+    against its own convex CCW ring, given as padded edge arrays A/B
+    (n, M, 2). One broadcast over (pairs, edges, 4 vertices) replaces
+    the per-target loop. Zero-length pad edges give s == 0 against a
+    zero slack and always pass."""
+    n = len(quads)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    d = B - A  # (n, M, 2)
+    qx = quads[:, None, :, 0]  # (n, 1, 4)
+    qy = quads[:, None, :, 1]
+    s = d[:, :, 0:1] * (qy - A[:, :, 1:2]) - d[:, :, 1:2] * (
+        qx - A[:, :, 0:1]
+    )
+    slack = eps * np.hypot(d[:, :, 0], d[:, :, 1])  # (n, M)
+    ok = s >= -slack[:, :, None]
+    return ok.all(axis=(1, 2))
+
+
+def covers_quads_convex(
+    ring: np.ndarray, quads: np.ndarray, eps: float = 1e-12
+) -> np.ndarray:
+    """``covers_quads_batch`` specialized for a CCW CONVEX single-ring
+    target: a quad lies in a closed convex region iff all 4 vertices
+    satisfy every edge half-plane (vertex containment implies hull
+    containment, and a segment between two points of a convex set never
+    leaves it — so the proper-crossing revocation of the general path
+    can never fire). The half-plane slack ``eps * |edge|`` mirrors the
+    general path's Euclidean on-boundary tolerance; for dyadic-rational
+    fixture coordinates both tests are exact and identical."""
+    n = len(quads)
+    if n == 0 or len(ring) < 3:
+        return np.zeros(n, dtype=bool)
+    pts = quads.reshape(-1, 2)
+    px, py = pts[:, 0], pts[:, 1]
+    ok = np.ones(len(pts), dtype=bool)
+    m = len(ring)
+    for i in range(m):
+        ax, ay = ring[i]
+        bx, by = ring[(i + 1) % m]
+        dx, dy = bx - ax, by - ay
+        s = dx * (py - ay) - dy * (px - ax)
+        ok &= s >= -eps * float(np.hypot(dx, dy))
+        if not ok.any():
+            break
+    return ok.reshape(n, 4).all(axis=1)
+
+
 def covers_quads_batch(
     target_geom, quads: np.ndarray, eps: float = 1e-12
 ) -> np.ndarray:

@@ -80,18 +80,20 @@ class BBoxTree:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         if self.n <= 4096 or not self.levels:
             # chunked flat broadcast: beats per-query tree descent for
-            # small indexed sides at any query count
-            b = self.bboxes
+            # small indexed sides at any query count. In-place ANDs on
+            # one (chunk, n) buffer — 4 temporaries per chunk, not 7.
+            b0, b1, b2, b3 = (
+                np.ascontiguousarray(self.bboxes[:, k]) for k in range(4)
+            )
             out_q, out_t = [], []
             chunk = max(1, 8_000_000 // max(self.n, 1))
             for s in range(0, m, chunk):
                 qc = q[s : s + chunk]
-                qi, ti = np.nonzero(
-                    (qc[:, None, 0] <= b[None, :, 2])
-                    & (qc[:, None, 2] >= b[None, :, 0])
-                    & (qc[:, None, 1] <= b[None, :, 3])
-                    & (qc[:, None, 3] >= b[None, :, 1])
-                )
+                hit = qc[:, 0:1] <= b2[None, :]
+                hit &= qc[:, 2:3] >= b0[None, :]
+                hit &= qc[:, 1:2] <= b3[None, :]
+                hit &= qc[:, 3:4] >= b1[None, :]
+                qi, ti = np.nonzero(hit)
                 out_q.append(qi + s)
                 out_t.append(ti)
             return np.concatenate(out_q), np.concatenate(out_t)
@@ -161,18 +163,18 @@ class BBoxTree:
         if self.n == 0 or len(x) == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         if self.n <= 4096:
-            b = self.bboxes
+            b0, b1, b2, b3 = (
+                np.ascontiguousarray(self.bboxes[:, k]) for k in range(4)
+            )
             out_p, out_t = [], []
             chunk = max(1, 8_000_000 // max(self.n, 1))
             for s in range(0, len(x), chunk):
                 xs = x[s : s + chunk, None]
                 ys = y[s : s + chunk, None]
-                hit = (
-                    (xs >= b[None, :, 0])
-                    & (xs <= b[None, :, 2])
-                    & (ys >= b[None, :, 1])
-                    & (ys <= b[None, :, 3])
-                )
+                hit = xs >= b0[None, :]
+                hit &= xs <= b2[None, :]
+                hit &= ys >= b1[None, :]
+                hit &= ys <= b3[None, :]
                 pi, ti = np.nonzero(hit)
                 out_p.append(pi + s)
                 out_t.append(ti)

@@ -69,6 +69,7 @@ class TargetIndex:
                 else None
                 for g in self.geoms
             ]
+            self._build_edge_arrays(is_convex_ring)
         elif {"minx", "miny", "maxx", "maxy"} <= set(names):
             self.bboxes = np.column_stack(
                 [table[c].to_numpy() for c in ("minx", "miny", "maxx", "maxy")]
@@ -76,11 +77,48 @@ class TargetIndex:
             self.geoms = None  # rect-only: bboxes ARE the geometry
             self.is_rect = True
             self.convex_ring = None
+            self.ring_ok = self.convex_ok = None
+            self.edge_a = self.edge_b = None
         else:
             raise ValueError(
                 "targets need a WKB 'geometry' column or minx/miny/maxx/maxy"
             )
         self.tree = BBoxTree(self.bboxes)
+
+    def _build_edge_arrays(self, is_convex_ring):
+        """Per-target padded edge arrays (T, M, 2) for the cross-target
+        vectorized kernels: edge i of target t runs edge_a[t,i] →
+        edge_b[t,i]; slots past the ring length hold zero-length edges
+        (a == b), which are exact no-ops for parity counting, half-plane
+        covering tests and Sutherland–Hodgman clips alike. Only
+        single-ring hole-free targets participate (``ring_ok``);
+        ``convex_ok`` additionally requires convexity (the clip /
+        covering fast paths need it, parity does not)."""
+        self.ring_ok = np.array(
+            [len(g) == 1 and len(g[0]) == 1 for g in self.geoms],
+            dtype=bool,
+        )
+        self.convex_ok = np.array(
+            [r is not None for r in self.convex_ring], dtype=bool
+        )
+        if not self.ring_ok.any():
+            self.edge_a = self.edge_b = None
+            return
+        M = max(len(g[0][0]) for g, ok in zip(self.geoms, self.ring_ok) if ok)
+        T = self.n
+        self.edge_a = np.zeros((T, M, 2), dtype=np.float64)
+        self.edge_b = np.zeros((T, M, 2), dtype=np.float64)
+        for t in range(T):
+            if not self.ring_ok[t]:
+                continue
+            r = self.geoms[t][0][0]
+            m = len(r)
+            self.edge_a[t, :m] = r
+            self.edge_b[t, : m - 1] = r[1:]
+            self.edge_b[t, m - 1] = r[0]
+            if m < M:
+                self.edge_a[t, m:] = r[m - 1]
+                self.edge_b[t, m:] = r[m - 1]
 
     def geom(self, i: int):
         if self.geoms is not None:
@@ -109,15 +147,37 @@ class TargetIndex:
                 & (y[pi] >= b[:, 1])
                 & (y[pi] < b[:, 3])
             )
-        from ..geom.pip import points_in_multipolygon
+        from ..geom.pip import parity_rows, points_in_multipolygon
 
         out = np.zeros(len(pi), dtype=bool)
-        order = np.argsort(ti, kind="stable")
-        ti_s = ti[order]
+        # single-ring hole-free targets: one chunked per-pair parity
+        # broadcast over the padded edge arrays (bit-compatible with the
+        # per-target even-odd path); multi-ring targets keep the loop
+        ring_pair = (
+            self.ring_ok[ti]
+            if self.ring_ok is not None
+            else np.zeros(len(ti), dtype=bool)
+        )
+        vp = np.flatnonzero(ring_pair)
+        CH = 1 << 18
+        for s0 in range(0, len(vp), CH):
+            sl = vp[s0 : s0 + CH]
+            out[sl] = parity_rows(
+                x[pi[sl]],
+                y[pi[sl]],
+                self.edge_a[ti[sl]],
+                self.edge_b[ti[sl]],
+            )
+        if ring_pair.all():
+            return out
+        rest = np.flatnonzero(~ring_pair)
+        ti_r = ti[rest]
+        order = np.argsort(ti_r, kind="stable")
+        ti_s = ti_r[order]
         bnds = np.searchsorted(ti_s, np.arange(self.n + 1))
         pts = np.column_stack([x, y])
         for t in np.unique(ti_s):
-            sl = order[bnds[t] : bnds[t + 1]]
+            sl = rest[order[bnds[t] : bnds[t + 1]]]
             out[sl] = points_in_multipolygon(
                 pts[pi[sl]], self.geoms[t], include_boundary=False
             )
