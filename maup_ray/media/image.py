@@ -4,10 +4,14 @@ frame-sample plumbing over opaque ``binary`` payload columns.
 ``fmt == "raw"`` payloads (uncompressed RGB, w*h*3 bytes) are decoded
 with numpy; ``fmt == "png"`` payloads decode through the from-scratch
 stdlib-zlib codec in :mod:`maup_ray.media.png` (lossless, so the
-PSNR≥40dB fidelity invariant stays byte equality). JPEG and video
-remain NotImplementedError stubs (a from-scratch Huffman+DCT decoder
-is out of scope offline) — the Ray-side plumbing (schema, batch shape,
-actor signature, output layout) is real and tested either way.
+PSNR≥40dB fidelity invariant stays byte equality); ``fmt == "jpeg"``
+payloads decode through the from-scratch baseline-JPEG codec in
+:mod:`maup_ray.media.jpeg` (lossy — fixtures are encoded at
+quality 98, which measures >40 dB PSNR even on the adversarial
+high-frequency synth pattern). Only video frame-sampling remains a
+NotImplementedError stub (no container/codec parsing offline) — its
+Ray-side plumbing (schema, batch shape, actor signature, output
+layout) is real and tested.
 
 These run as actor-pool map_batches stages
 (``ds.map_batches(PhashStage, concurrency=N, batch_size=B)``) so any
@@ -31,6 +35,7 @@ __all__ = [
 
 def decode_raw_batch(batch: pa.Table) -> list[np.ndarray]:
     """binary payloads → list of (h, w, 3) uint8 arrays."""
+    from .jpeg import decode_jpeg
     from .png import decode_png
 
     out = []
@@ -44,11 +49,13 @@ def decode_raw_batch(batch: pa.Table) -> list[np.ndarray]:
             out.append(arr.reshape(h_, w_, 3))
         elif f == "png":
             out.append(decode_png(blob.as_py()))
+        elif f in ("jpeg", "jpg"):
+            out.append(decode_jpeg(blob.as_py()))
         else:
-            # STUB: jpeg/video decode needs a codec lib (absent here)
+            # STUB: video decode needs a codec lib (absent here)
             raise NotImplementedError(
-                f"decode for fmt={f!r} requires an image codec; 'raw' "
-                "and 'png' are implemented in this environment"
+                f"decode for fmt={f!r} requires a codec; 'raw', 'png' "
+                "and 'jpeg' are implemented in this environment"
             )
     return out
 

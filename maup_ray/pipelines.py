@@ -502,10 +502,12 @@ def q_image_phash(sf_dir: str):
     from .synth.images import image_dataset
 
     n = 4 * pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    # every 8th row is PNG-compressed (from-scratch codec): the hash
-    # stage exercises the compressed-decode path alongside the
-    # vectorized raw fast path in the same batches
-    ds = image_dataset(n, png_every=8)
+    # every 8th row is PNG-compressed and every 12th (mod-12 == 11,
+    # minus PNG overlaps) baseline-JPEG at quality 98 — both
+    # from-scratch codecs — so the hash stage exercises the lossless
+    # AND lossy compressed-decode paths alongside the vectorized raw
+    # fast path in the same batches
+    ds = image_dataset(n, png_every=8, jpeg_every=12)
     # task mode + per-worker cached stage: PhashStage state is a tiny
     # bit-packing table; an actor pool pays ~2 s respawn per execution
     from .ops.assign import _cached_instance

@@ -45,12 +45,16 @@ def gen_image_batch(
     h: int = 16,
     seed: int = 42,
     png_every: int = 0,
+    jpeg_every: int = 0,
 ) -> pa.Table:
     """Deterministic batch of image rows for row indices ``ids``.
 
     ``png_every=k`` PNG-encodes every k-th row (fmt='png') through the
     from-scratch codec so compressed-decode paths are exercised with
     the SAME pixel content (lossless → fidelity stays byte equality).
+    ``jpeg_every=m`` JPEG-encodes every m-th row (fmt='jpeg', baseline
+    quality 98 — the lossy format under the PSNR≥40dB invariant); a
+    row matching both selectors stays PNG.
     """
     ids = np.asarray(ids, dtype=np.int64)
     n = len(ids)
@@ -66,18 +70,34 @@ def gen_image_batch(
     )
     px = base8[:, None] + j8[None, :]
     fmt_list = None
-    if png_every:
+    if png_every or jpeg_every:
+        from ..media.jpeg import encode_jpeg
         from ..media.png import encode_png
 
-        sel = (ids % png_every) == (png_every - 1)
+        sel = (
+            (ids % png_every) == (png_every - 1)
+            if png_every
+            else np.zeros(n, dtype=bool)
+        )
+        sel_j = (
+            ((ids % jpeg_every) == (jpeg_every - 1)) & ~sel
+            if jpeg_every
+            else np.zeros(n, dtype=bool)
+        )
         blobs = [
             encode_png(px[i].reshape(h, w, 3))
             if sel[i]
-            else px[i].tobytes()
+            else (
+                encode_jpeg(px[i].reshape(h, w, 3), quality=98)
+                if sel_j[i]
+                else px[i].tobytes()
+            )
             for i in range(n)
         ]
         bytes_col = pa.array(blobs, type=pa.binary())
-        fmt_list = np.where(sel, "png", "raw").tolist()
+        fmt_list = np.where(
+            sel, "png", np.where(sel_j, "jpeg", "raw")
+        ).tolist()
     else:
         blob = px.tobytes()
         bytes_col = pa.FixedSizeBinaryArray.from_buffers(
@@ -117,9 +137,14 @@ def gen_image_batch(
 
 
 def image_table(
-    n: int, w: int = 16, h: int = 16, seed: int = 42, png_every: int = 0
+    n: int,
+    w: int = 16,
+    h: int = 16,
+    seed: int = 42,
+    png_every: int = 0,
+    jpeg_every: int = 0,
 ) -> pa.Table:
-    return gen_image_batch(np.arange(n), w, h, seed, png_every)
+    return gen_image_batch(np.arange(n), w, h, seed, png_every, jpeg_every)
 
 
 def image_dataset(
@@ -128,6 +153,7 @@ def image_dataset(
     h: int = 16,
     seed: int = 42,
     png_every: int = 0,
+    jpeg_every: int = 0,
     **read_kwargs,
 ):
     """Streaming Ray Dataset of n synthetic image rows — generated
@@ -136,7 +162,7 @@ def image_dataset(
 
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch.column("id").to_numpy()
-        return gen_image_batch(ids, w, h, seed, png_every)
+        return gen_image_batch(ids, w, h, seed, png_every, jpeg_every)
 
     return ray.data.range(n, **read_kwargs).map_batches(
         gen, batch_format="pyarrow", zero_copy_batch=True

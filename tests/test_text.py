@@ -240,7 +240,10 @@ class TestMedia:
         assert imgs[0].shape == (8, 8, 3)
         assert out["caption"].to_pylist() == t["caption"].to_pylist()
 
-    def test_compressed_fmt_stub(self):
+    def test_unsupported_fmt_stub(self):
+        # png and jpeg now decode through the from-scratch codecs;
+        # formats needing a real codec lib (video containers, webp)
+        # still raise the documented stub error
         import pyarrow as pa
 
         from maup_ray.media.image import decode_raw_batch
@@ -248,7 +251,7 @@ class TestMedia:
 
         t = image_table(2)
         t = t.set_column(
-            t.column_names.index("fmt"), "fmt", pa.array(["jpeg", "raw"])
+            t.column_names.index("fmt"), "fmt", pa.array(["webp", "raw"])
         )
         with pytest.raises(NotImplementedError):
             decode_raw_batch(t)
