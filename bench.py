@@ -144,13 +144,20 @@ def run_queries(num_cpus: int) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as e
 
+    # --warm: run each query twice and report the second draw — strips
+    # the one-time per-worker state warmup (module imports, broadcast
+    # index fetch) that the cold first run of every query pays, which
+    # is the steady-state number a long-running job actually sees
+    warm = "--warm" in sys.argv
     times = {}
     for name, fn in e.queries().items():
-        t0 = time.perf_counter()
-        res = fn(SF_DIR)
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        times[name] = round(time.perf_counter() - t0, 3)
+        reps = 2 if warm else 1
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            res = fn(SF_DIR)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            times[name] = round(time.perf_counter() - t0, 3)
     ray.shutdown()
     return times
 

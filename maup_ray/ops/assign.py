@@ -30,6 +30,15 @@ from ..state.target_index import TargetIndex
 
 __all__ = ["assign", "assign_by_covering", "assign_by_area", "AssignActor"]
 
+# pairs per chunk in the cross-target broadcast kernels. Sized so one
+# (chunk × edges × 4-vertex) float64 ufunc temp stays ~L2-resident
+# (~2 MB) instead of streaming to DRAM: the kernels are
+# bandwidth-bound, and on a 16-core box DRAM-sized temps are what
+# caps multi-worker scaling (measured: see BASELINE.md round-3 notes).
+import os as _os
+
+_PAIR_CHUNK = int(_os.environ.get("MAUP_PAIR_CHUNK", str(1 << 13)))
+
 
 def _resolve_table(t):
     import ray
@@ -146,7 +155,7 @@ class AssignActor:
             return out
         order = np.lexsort((si, ti))  # group by target
         si_t, ti_t = si[order], ti[order]
-        CH = 1 << 18  # pairs per chunk in the cross-target broadcasts
+        CH = _PAIR_CHUNK  # pairs per chunk in the cross-target broadcasts
         if self.phase in ("full", "covering"):
             from ..geom.pip import (
                 covers_quads_batch,
