@@ -59,11 +59,32 @@ def _pair_rows(geom_i, geom_j):
     if polys and ar > 0:
         from ..geom.boolean import _default_tol
 
+        tol = _default_tol([geom_i, geom_j])
         per = perimeter(polys)
-        if ar <= _default_tol([geom_i, geom_j]) * per:
+        if ar <= tol * per:
             polys, ar = [], 0.0
         else:
-            return encode_multipolygon(polys), per, ar, 2
+            # refinement verify for SUSPICIOUS slivers: a genuine
+            # overlap persists on a finer snap grid, a weld artifact
+            # vanishes. Suspicious = mean width under ~64 grid cells,
+            # or area exceeding the isoperimetric bound per²/4π
+            # (impossible for simple rings — the stitched result
+            # self-intersects). Real-corpus case: Denver 2020-repaired
+            # precincts 1310916919/1310916920 weld into a 2⁻¹⁰ sq-ft
+            # "overlap" at the default grid that is 1-dimensional at
+            # tol/64 (the reference, un-snapped, reports 0 overlaps).
+            suspicious = (
+                ar <= 64.0 * tol * per
+                or ar > per * per / (4.0 * np.pi)
+            )
+            if suspicious:
+                fine = tol / 64.0
+                p2 = intersection(geom_i, geom_j, tol=fine)
+                a2 = poly_area(p2) if p2 else 0.0
+                if not p2 or a2 <= fine * perimeter(p2):
+                    polys, ar = [], 0.0
+            if ar > 0:
+                return encode_multipolygon(polys), per, ar, 2
     lines, pts, ln = boundary_intersection(geom_i, geom_j)
     if lines:
         return encode_lines(lines), ln, 0.0, 1

@@ -398,6 +398,19 @@ def q_dedup_exact(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def q_near_dup(sf_dir: str):
+    """Near-duplicate CLUSTERING: exact word-3-shingle Jaccard ≥ 0.5
+    candidate pairs (shared-shingle join) → connected components via
+    distributed min-label propagation → (doc_id, component_id) with
+    component_id = min doc of the cluster (the canonical keeper).
+    Shuffles carry only (hash, id, count) columns; text never moves."""
+    from .text.cluster import near_dup_components
+
+    return near_dup_components(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    )
+
+
 def q_token_bpe(sf_dir: str):
     """BPE-ish pretoken counting (one RE2 pass per batch)."""
     from .text.analysis import bpe_token_counts
@@ -905,6 +918,44 @@ def oracle_queries() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        # near_dup: exact word-3-shingle Jaccard >= 0.5 pairs, then
+        # connected components (transitive closure, min-id label).
+        # Same single-space split and the same IEEE double expression
+        # c/(na+nb-c) as text/cluster.py, so values match bit-for-bit.
+        "near_dup": """
+            WITH RECURSIVE
+            t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+            idx AS (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - 1)) AS i
+                    FROM t WHERE len(toks) >= 3),
+            shing AS (SELECT DISTINCT doc_id,
+                        toks[i] || chr(1) || toks[i+1] || chr(1)
+                          || toks[i+2] AS sh
+                      FROM idx),
+            ns AS (SELECT doc_id, count(*) AS n FROM shing
+                   GROUP BY doc_id),
+            pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                             count(*) AS c
+                      FROM shing a JOIN shing b
+                        ON a.sh = b.sh AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+            edges AS (SELECT p.a, p.b FROM pairs p
+                      JOIN ns na ON na.doc_id = p.a
+                      JOIN ns nb ON nb.doc_id = p.b
+                      WHERE CAST(p.c AS DOUBLE)
+                            / (CAST(na.n AS DOUBLE)
+                               + CAST(nb.n AS DOUBLE)
+                               - CAST(p.c AS DOUBLE)) >= 0.5),
+            und AS (SELECT a AS s, b AS d FROM edges
+                    UNION ALL SELECT b, a FROM edges),
+            reach AS (SELECT s, d FROM und
+                      UNION
+                      SELECT r.s, u.d FROM reach r
+                      JOIN und u ON r.d = u.s)
+            SELECT s AS doc_id, least(s, min(d)) AS component_id
+            FROM reach GROUP BY s
         """,
         "islands": f"""
             WITH {_xl_rects_cte()}

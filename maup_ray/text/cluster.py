@@ -1,0 +1,409 @@
+"""Near-duplicate CLUSTERING — the step a training-data dedup pipeline
+runs after candidate generation: exact word-shingle Jaccard pairing,
+connected components over the qualifying pairs, and a canonical
+representative per component (min id — the "keep first" rule).
+
+Everything is expressed in scale shape:
+
+* shingling is one vectorized pass per batch (polars xxhash of the
+  word stream + a wrapping polynomial combine of k consecutive word
+  hashes — no shingle strings are ever materialized engine-side),
+* pair generation is a hash-partitioned grouped apply keyed on the
+  shingle (ops.shuffle.hash_group_apply — every shared-shingle group
+  lands in one partition, one vectorized all-pairs emission per
+  partition), optionally df-capped: at real scale a shingle shared by
+  thousands of documents is a stop-phrase, emits O(df²) pairs, and
+  carries no dedup signal — ``df_cap`` drops those groups, exactly
+  the rare-feature-join discipline of large dedup systems,
+* intersection counts are a second keyed shuffle on the (a, b) pair —
+  24 B/row, text never moves,
+* components run as iterative min-label propagation (one keyed
+  shuffle per round, converging in component-diameter rounds — small
+  for dup clusters) rather than any driver-side union-find.
+
+Jaccard is computed from exact distinct-shingle counts as
+float64 ``c / (na + nb - c)`` — the same IEEE arithmetic DuckDB uses,
+so the SQL oracle (word-shingle strings + recursive-CTE closure)
+matches value-for-value. The reference has no near-dup machinery
+(SURVEY.md §2.2 "Set ops / dedup … No near-dup"); this family is the
+beyond-reference LLM-data layer (driver instruction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..ops.shuffle import hash_group_apply
+
+__all__ = [
+    "shingle_doc_rows",
+    "near_dup_pairs",
+    "connected_components",
+    "near_dup_components",
+]
+
+_P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier (wrapping)
+
+
+def _word_hashes(texts: pa.Array):
+    """texts → (flat word-hash u64 array, per-doc word counts)."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern(texts, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    off = np.asarray(words.offsets)
+    wh = (
+        pl.from_arrow(flat).hash(seed=0).to_numpy().astype(np.uint64)
+    )
+    return wh, np.diff(off), off[:-1]
+
+
+def shingle_doc_rows(
+    batch: pa.Table,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """One vectorized pass: batch → DISTINCT (doc, shingle-hash) rows
+    with the doc's distinct-shingle count ``ns`` replicated per row
+    (so the pair stage needs no extra join — +8 B/row, cheap at any
+    scale next to the pair shuffle itself).
+
+    Valid because the synth/driver tables never split one document
+    across rows: per-batch distinct IS global distinct per doc.
+    """
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    wh, nw, starts = _word_hashes(texts)
+    nsh = np.maximum(nw - k + 1, 0)
+    tot = int(nsh.sum())
+    n = len(batch)
+    doc_idx = np.repeat(np.arange(n), nsh)
+    within = np.arange(tot) - np.repeat(
+        np.concatenate([[0], np.cumsum(nsh)[:-1]]), nsh
+    )
+    idx0 = np.repeat(starts, nsh) + within
+    sh = np.zeros(tot, dtype=np.uint64)
+    for j in range(k):
+        sh = sh * _P + wh[idx0 + j]
+    # distinct (doc, shingle)
+    order = np.lexsort((sh, doc_idx))
+    d_s, s_s = doc_idx[order], sh[order]
+    keep = np.ones(tot, dtype=bool)
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (s_s[1:] != s_s[:-1])
+    d_u, s_u = d_s[keep], s_s[keep]
+    ns = np.bincount(d_u, minlength=n)
+    ids = batch[id_col].to_numpy()
+    return pa.table(
+        {
+            "shingle": pa.array(s_u.view(np.int64)),
+            "doc": pa.array(ids[d_u]),
+            "ns": pa.array(ns[d_u]),
+        }
+    )
+
+
+def _emit_pairs(tbl: pa.Table, starts: np.ndarray, df_cap) -> pa.Table:
+    """Per shingle-partition: all (a < b) doc pairs of each shingle
+    group, vectorized across the whole partition."""
+    empty = pa.table(
+        {
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "na": pa.array([], type=pa.int64()),
+            "nb": pa.array([], type=pa.int64()),
+        }
+    )
+    if tbl.num_rows == 0:
+        return empty
+    d = tbl["doc"].to_numpy()
+    ns = tbl["ns"].to_numpy()
+    sizes = np.diff(np.concatenate([starts, [tbl.num_rows]]))
+    if df_cap is not None:
+        ok = sizes <= df_cap
+    else:
+        ok = np.ones(len(sizes), dtype=bool)
+    npairs = (sizes * (sizes - 1)) // 2 * ok
+    tot = int(npairs.sum())
+    if tot == 0:
+        return empty
+    # rows of one group are sorted by doc (sort_cols): for group g and
+    # local pair index p with i = row of the larger element, classic
+    # triangular unranking — vectorized via cumulative offsets
+    g_of = np.repeat(np.arange(len(sizes)), npairs)
+    p_in = np.arange(tot) - np.repeat(
+        np.concatenate([[0], np.cumsum(npairs)[:-1]]), npairs
+    )
+    # i = index of second element: find smallest i with i(i-1)/2 > p
+    i_loc = ((1.0 + np.sqrt(1.0 + 8.0 * p_in)) / 2.0).astype(np.int64)
+    # float guard: adjust off-by-one from sqrt rounding
+    tri = i_loc * (i_loc - 1) // 2
+    too_big = tri > p_in
+    i_loc -= too_big
+    tri = i_loc * (i_loc - 1) // 2
+    j_loc = p_in - tri
+    base = np.repeat(starts, npairs)
+    ia = base + j_loc
+    ib = base + i_loc
+    return pa.table(
+        {
+            "a": pa.array(d[ia]),
+            "b": pa.array(d[ib]),
+            "na": pa.array(ns[ia]),
+            "nb": pa.array(ns[ib]),
+        }
+    )
+
+
+def _pair_filter(threshold: float):
+    def fn(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        c = np.diff(
+            np.concatenate([starts, [tbl.num_rows]])
+        ).astype(np.float64)
+        a = tbl["a"].to_numpy()[starts]
+        b = tbl["b"].to_numpy()[starts]
+        na = tbl["na"].to_numpy()[starts].astype(np.float64)
+        nb = tbl["nb"].to_numpy()[starts].astype(np.float64)
+        j = c / (na + nb - c)  # same IEEE double expr as the oracle
+        keep = j >= threshold
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "jaccard": pa.array(j[keep]),
+            }
+        )
+
+    return fn
+
+
+def near_dup_pairs(
+    ds,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = None,
+    num_partitions: int | None = None,
+):
+    """(a, b, jaccard) for all document pairs whose exact word-k-shingle
+    Jaccard ≥ threshold, candidates = pairs sharing ≥1 shingle (with
+    df ≤ df_cap when given). Returns a Dataset."""
+    rows = ds.map_batches(
+        lambda b: shingle_doc_rows(b, k, id_col, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = hash_group_apply(
+        rows,
+        ["shingle"],
+        lambda t, s: _emit_pairs(t, s, df_cap),
+        sort_cols=("doc",),
+        num_partitions=num_partitions,
+    )
+    return hash_group_apply(
+        pairs,
+        ["a", "b"],
+        _pair_filter(threshold),
+        num_partitions=num_partitions,
+    )
+
+
+# ------------------------------------------------------------------
+# connected components — iterative min-label propagation
+
+
+def _min_label(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+    empty = pa.table(
+        {
+            "node": pa.array([], type=pa.int64()),
+            "label": pa.array([], type=pa.int64()),
+            "changed": pa.array([], type=pa.int64()),
+        }
+    )
+    if tbl.num_rows == 0:
+        return empty
+    node = tbl["node"].to_numpy()
+    lbl = tbl["label"].to_numpy()
+    own = tbl["own"].to_numpy()  # 1 on the node's current-label row
+    ends = np.concatenate([starts, [tbl.num_rows]])
+    gi = np.repeat(np.arange(len(starts)), np.diff(ends))
+    new = np.full(len(starts), np.iinfo(np.int64).max)
+    np.minimum.at(new, gi, lbl)
+    cur = np.full(len(starts), np.iinfo(np.int64).max)
+    np.minimum.at(cur, gi, np.where(own == 1, lbl, np.iinfo(np.int64).max))
+    return pa.table(
+        {
+            "node": pa.array(node[starts]),
+            "label": pa.array(new),
+            "changed": pa.array((new != cur).astype(np.int64)),
+        }
+    )
+
+
+def connected_components(
+    edges,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 50,
+    num_partitions: int | None = None,
+):
+    """(node, component) for every node of the undirected edge list;
+    component = min node id reachable (so the component id IS the
+    canonical "keep-first" representative).
+
+    One keyed shuffle per round: each node's label row plus one
+    message per directed edge carrying the neighbour's label; round
+    count = max component diameter (dup clusters are shallow). No
+    driver-side materialization of nodes or labels at any point.
+    """
+    import pyarrow.compute as pc
+
+    def to_msgs(b: pa.Table) -> pa.Table:
+        a = b[a_col]
+        bb = b[b_col]
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [pc.cast(a, pa.int64()).combine_chunks(),
+                     pc.cast(bb, pa.int64()).combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [pc.cast(bb, pa.int64()).combine_chunks(),
+                     pc.cast(a, pa.int64()).combine_chunks()]
+                ),
+            }
+        )
+
+    directed = edges.map_batches(
+        to_msgs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def init_labels(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], type=pa.int64()),
+                    "label": pa.array([], type=pa.int64()),
+                }
+            )
+        node = t["node"].to_numpy()[starts]
+        return pa.table({"node": pa.array(node), "label": pa.array(node)})
+
+    labels = hash_group_apply(
+        directed, ["node"], init_labels, num_partitions=num_partitions
+    ).materialize()
+
+    for _ in range(max_iters):
+        # join labels onto edge sources, then re-key by destination:
+        # partition (directed ∪ labels) by node; each partition sees
+        # every edge OUT of its nodes plus those nodes' labels
+        def fan_out(t: pa.Table, starts: np.ndarray) -> pa.Table:
+            empty = pa.table(
+                {
+                    "node": pa.array([], type=pa.int64()),
+                    "label": pa.array([], type=pa.int64()),
+                    "own": pa.array([], type=pa.int64()),
+                }
+            )
+            if t.num_rows == 0:
+                return empty
+            node = t["node"].to_numpy()
+            nbr = t["nbr"].to_numpy()
+            lbl = t["label"].to_numpy()
+            is_lbl = nbr == -1
+            ends = np.concatenate([starts, [t.num_rows]])
+            gi = np.repeat(np.arange(len(starts)), np.diff(ends))
+            glbl = np.full(len(starts), np.iinfo(np.int64).max)
+            np.minimum.at(glbl, gi, np.where(is_lbl, lbl, np.iinfo(np.int64).max))
+            row_lbl = glbl[gi]
+            # messages: neighbour gets my label; plus my own label row
+            m_node = np.concatenate([nbr[~is_lbl], node[is_lbl]])
+            m_lbl = np.concatenate([row_lbl[~is_lbl], lbl[is_lbl]])
+            m_own = np.concatenate(
+                [
+                    np.zeros(int((~is_lbl).sum()), dtype=np.int64),
+                    np.ones(int(is_lbl.sum()), dtype=np.int64),
+                ]
+            )
+            return pa.table(
+                {
+                    "node": pa.array(m_node),
+                    "label": pa.array(m_lbl),
+                    "own": pa.array(m_own),
+                }
+            )
+
+        def tag_label(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "nbr": pa.array(
+                        np.full(b.num_rows, -1, dtype=np.int64)
+                    ),
+                    "label": b["label"],
+                }
+            )
+
+        def tag_edge(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "nbr": b["nbr"],
+                    "label": pa.array(
+                        np.zeros(b.num_rows, dtype=np.int64)
+                    ),
+                }
+            )
+
+        mixed = directed.map_batches(
+            tag_edge, batch_format="pyarrow", zero_copy_batch=True
+        ).union(
+            labels.map_batches(
+                tag_label, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        msgs = hash_group_apply(
+            mixed, ["node"], fan_out, num_partitions=num_partitions
+        )
+        stepped = hash_group_apply(
+            msgs, ["node"], _min_label, num_partitions=num_partitions
+        ).materialize()
+        changed = stepped.sum("changed")
+        labels = stepped.drop_columns(["changed"]).materialize()
+        if not changed:
+            break
+    return labels.rename_columns(["node", "component"])
+
+
+def near_dup_components(
+    ds,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = None,
+):
+    """Full pipeline: shingle → pair → Jaccard filter → components.
+    Output (doc_id, component_id), one row per document that has at
+    least one qualifying near-duplicate, component_id = min doc_id of
+    the cluster (the canonical keeper)."""
+    edges = near_dup_pairs(
+        ds, k, threshold, id_col, text_col, df_cap
+    )
+    comp = connected_components(edges)
+    return comp.rename_columns(["doc_id", "component_id"])

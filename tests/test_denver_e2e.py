@@ -1,0 +1,238 @@
+"""Denver County E2E — the reference's data-management demo notebook
+(`/root/reference/notebooks/Maup data management demo.ipynb`) replayed
+through the engine on the real 10,149-block / 346-356-precinct corpus,
+pinned to the notebook's PUBLISHED outputs:
+
+* blocks→precincts assign per vintage (notebook cell 14),
+* TOTPOP20/VAP20 aggregation to 2020 precincts summing to 715,522 /
+  581,062 exactly (cells 23-24 — conservation requires every block
+  assigned),
+* VAP20-weighted proration of each vintage's election columns down to
+  blocks, conserving the published party totals (cells 36-37, 44-45,
+  52-53),
+* round-trip re-aggregation of the prorated 2016/2018 data onto 2020
+  precincts, still conserving totals (cells 55-60).
+
+Heavy (~minutes of pure-Python geometry on real polygons) — gated
+behind GRAFT_SLOW=1 like the CO_bad_gap E2E.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("GRAFT_SLOW"),
+    reason="slow real-corpus E2E (set GRAFT_SLOW=1)",
+)
+
+SHP = "/root/reference/examples/Shapefiles"
+
+# notebook cell 12: align the 2016 column names with the other years
+RENAME_2016 = {
+    "G16PREDCli": "PRES16D",
+    "G16PRERTru": "PRES16R",
+    "G16USSDBen": "SEN16D",
+    "G16USSRGle": "SEN16R",
+}
+POP_COLS = ["TOTPOP20", "VAP20"]
+ELEC_COLS = {
+    "2016": ["PRES16D", "PRES16R", "SEN16D", "SEN16R"],
+    "2018": [
+        "AG18D", "AG18R", "SOS18D", "SOS18R", "TRE18D",
+        "TRE18R", "GOV18D", "GOV18R", "REG18D", "REG18R",
+    ],
+    "2020": ["PRES20D", "SEN20D", "PRES20R", "SEN20R"],
+}
+# published .sum() outputs (notebook cells 23-24, 36-37, 44-45, 52-53)
+PUBLISHED_POP = {"TOTPOP20": 715522, "VAP20": 581062}
+PUBLISHED_ELEC = {
+    "2016": {
+        "PRES16D": 244551, "PRES16R": 62690,
+        "SEN16D": 238774, "SEN16R": 71078,
+    },
+    "2018": {
+        "AG18D": 232798, "AG18R": 64532, "SOS18D": 232255,
+        "SOS18R": 67147, "TRE18D": 230382, "TRE18R": 66728,
+        "GOV18D": 238762, "GOV18R": 60151, "REG18D": 223947,
+        "REG18R": 57322,
+    },
+    "2020": {
+        "PRES20D": 313293, "SEN20D": 305602,
+        "PRES20R": 71618, "SEN20R": 80163,
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    from maup_ray.sources import read_shapefile_zip
+
+    blocks = read_shapefile_zip(f"{SHP}/DenverCo_blocks.zip")
+    precincts = {}
+    for v in ("2016", "2018", "2020"):
+        t = read_shapefile_zip(
+            f"{SHP}/DenverCo_precincts{v}_repaired.zip"
+        )
+        if v == "2016":
+            t = t.rename_columns(
+                [RENAME_2016.get(c, c) for c in t.column_names]
+            )
+        precincts[v] = t
+    return blocks, precincts
+
+
+@pytest.fixture(scope="module")
+def assignments(corpus):
+    """blocks→precincts assignment per vintage (notebook cell 14),
+    computed on the local Table path (10k × 356 real polygons)."""
+    from maup_ray.ops.assign import assign
+
+    blocks, precincts = corpus
+    out = {}
+    for v, ptab in precincts.items():
+        srcs = pa.table(
+            {
+                "source_id": blocks["GEOID20"],
+                "geometry": blocks["geometry"],
+            }
+        )
+        tgts = pa.table(
+            {
+                "target_id": pa.array(
+                    np.arange(ptab.num_rows, dtype=np.int64)
+                ),
+                "geometry": ptab["geometry"],
+            }
+        )
+        out[v] = assign(srcs, tgts)
+    return out
+
+
+class TestAssignAndAggregate:
+    def test_every_block_assigned(self, assignments):
+        # the notebook proceeds straight to groupby().sum() with no
+        # NaN handling and conserves totals — so every block must land
+        for v, a in assignments.items():
+            assert a["target_id"].null_count == 0, v
+
+    def test_population_to_2020_precincts(self, corpus, assignments):
+        # cells 20-24: aggregate block population onto 2020 precincts;
+        # sums conserve exactly (integer column sums)
+        import pyarrow.compute as pc
+
+        blocks, precincts = corpus
+        a = assignments["2020"]
+        tbl = pa.table(
+            {
+                "target_id": a["target_id"],
+                **{c: blocks[c] for c in POP_COLS},
+            }
+        )
+        agg = tbl.group_by("target_id").aggregate(
+            [(c, "sum") for c in POP_COLS]
+        )
+        for c in POP_COLS:
+            assert (
+                pc.sum(agg[f"{c}_sum"]).as_py() == PUBLISHED_POP[c]
+            ), c
+        # every 2020 precinct receives at least one block
+        assert agg.num_rows == precincts["2020"].num_rows
+
+
+class TestProrate:
+    @pytest.mark.parametrize("vintage", ["2016", "2018", "2020"])
+    def test_election_proration_conserves_published_totals(
+        self, corpus, assignments, vintage
+    ):
+        """Cells 31-53: prorate precinct election totals down to
+        blocks with VAP20 weights normalized within each precinct
+        group; block sums must equal the published precinct sums."""
+        import pyarrow.compute as pc
+
+        blocks, precincts = corpus
+        a = assignments[vintage]
+        cols = ELEC_COLS[vintage]
+        tid = a["target_id"].to_numpy()
+        vap = blocks["VAP20"].to_numpy().astype(np.float64)
+        # weights = VAP20 / per-precinct VAP20 sum, 0/0 → 0 (cell 31)
+        denom = np.zeros(precincts[vintage].num_rows, dtype=np.float64)
+        np.add.at(denom, tid, vap)
+        with np.errstate(invalid="ignore"):
+            w = np.where(denom[tid] > 0, vap / denom[tid], 0.0)
+        for c in cols:
+            pdata = precincts[vintage][c].to_numpy().astype(np.float64)
+            prorated = pdata[tid] * w
+            assert abs(
+                prorated.sum() - PUBLISHED_ELEC[vintage][c]
+            ) < 0.5, (vintage, c)
+
+    def test_prorate_operator_matches_manual(self, corpus, assignments):
+        """The engine's normalize() + prorate() reproduce the notebook's
+        2020 proration. Direction note: the notebook disaggregates
+        precinct data down to blocks, so the PRECINCT is prorate's
+        source side and the block its target (one pair per block)."""
+        import pyarrow.compute as pc
+
+        from maup_ray.ops.prorate import normalize, prorate
+
+        blocks, precincts = corpus
+        a = assignments["2020"]
+        w = pa.table(
+            {
+                "source_id": a["target_id"],  # precinct idx = level
+                "target_id": blocks["GEOID20"],
+                "weight": pc.cast(blocks["VAP20"], pa.float64()),
+            }
+        )
+        rel = normalize(w, level="source_id")  # cell 31: 0/0 → 0
+        data = pa.table(
+            {
+                "source_id": pa.array(
+                    np.arange(precincts["2020"].num_rows, dtype=np.int64)
+                ),
+                **{
+                    c: pc.cast(precincts["2020"][c], pa.float64())
+                    for c in ELEC_COLS["2020"]
+                },
+            }
+        )
+        out = prorate(
+            rel, data, ELEC_COLS["2020"], aggregate_by=None
+        )
+        assert out.num_rows == blocks.num_rows
+        for c in ELEC_COLS["2020"]:
+            got = pc.sum(out[c]).as_py()
+            assert abs(got - PUBLISHED_ELEC["2020"][c]) < 0.5, c
+
+
+class TestDoctorCounts:
+    """Cells 65-72: doctor on the repaired vintages reports 0 overlaps
+    and 10 holes each; the 2020 original reports 27 overlaps and 33
+    holes."""
+
+    @staticmethod
+    def _with_id(t):
+        return t.append_column(
+            "id", pa.array(np.arange(t.num_rows, dtype=np.int64))
+        )
+
+    @pytest.mark.parametrize("vintage", ["2016", "2018", "2020"])
+    def test_repaired_vintages(self, corpus, vintage):
+        from maup_ray.ops.repair import doctor
+
+        _, precincts = corpus
+        d = doctor(self._with_id(precincts[vintage]))
+        assert d["n_overlaps"] == 0, d
+        assert d["n_gaps"] == 10, d
+
+    def test_2020_orig(self):
+        from maup_ray.ops.repair import doctor
+        from maup_ray.sources import read_shapefile_zip
+
+        t = read_shapefile_zip(f"{SHP}/DenverCo_precincts2020_orig.zip")
+        d = doctor(self._with_id(t))
+        assert d["n_overlaps"] == 27, d
+        assert d["n_gaps"] == 33, d
