@@ -224,34 +224,98 @@ def near_dup_pairs(
 
 
 # ------------------------------------------------------------------
-# connected components — iterative min-label propagation
+# connected components — BSP min-label propagation over raw Ray tasks
+#
+# The Dataset API can't express "static table, iterated exchange":
+# a Dataset loop re-shuffles the edge list every round. Here edges
+# are hash-partitioned by node ONCE into object-store-resident
+# partitions; each round moves ONLY label messages (16 B each), and
+# only from nodes whose label improved last round (delta
+# propagation), so total traffic is O(E · diameter-of-changed-front),
+# not O(E · rounds). Convergence is decided from P tiny ints per
+# round — no driver materialization of nodes or labels at any point.
 
 
-def _min_label(tbl: pa.Table, starts: np.ndarray) -> pa.Table:
+def _cc_init(tbl: pa.Table) -> pa.Table:
+    """Partition-local init: distinct nodes, label = self, all
+    flagged changed so round 1 sends every edge's message."""
+    node = np.unique(tbl["node"].to_numpy()) if tbl.num_rows else (
+        np.empty(0, dtype=np.int64)
+    )
+    return pa.table(
+        {
+            "node": pa.array(node, type=pa.int64()),
+            "label": pa.array(node, type=pa.int64()),
+            "ch": pa.array(np.ones(len(node), dtype=np.int8)),
+        }
+    )
+
+
+def _cc_messages(edges: pa.Table, labels: pa.Table, P: int):
+    """One map task: for edges whose SOURCE node changed last round,
+    emit (dest=nbr, label) messages, hash-split by dest into P parts.
+    Sources of a partition's edges are exactly its label nodes (both
+    edge directions are stored), so the lookup is partition-local."""
+    from ..ops.shuffle import _split_block
+
     empty = pa.table(
         {
             "node": pa.array([], type=pa.int64()),
             "label": pa.array([], type=pa.int64()),
-            "changed": pa.array([], type=pa.int64()),
         }
     )
-    if tbl.num_rows == 0:
-        return empty
-    node = tbl["node"].to_numpy()
-    lbl = tbl["label"].to_numpy()
-    own = tbl["own"].to_numpy()  # 1 on the node's current-label row
-    ends = np.concatenate([starts, [tbl.num_rows]])
-    gi = np.repeat(np.arange(len(starts)), np.diff(ends))
-    new = np.full(len(starts), np.iinfo(np.int64).max)
-    np.minimum.at(new, gi, lbl)
-    cur = np.full(len(starts), np.iinfo(np.int64).max)
-    np.minimum.at(cur, gi, np.where(own == 1, lbl, np.iinfo(np.int64).max))
-    return pa.table(
+    if edges.num_rows == 0 or labels.num_rows == 0:
+        return [empty] * P if P > 1 else empty
+    lnode = labels["node"].to_numpy()  # sorted (np.unique at init,
+    lbl = labels["label"].to_numpy()   # order preserved by _cc_reduce)
+    ch = labels["ch"].to_numpy()
+    src = edges["node"].to_numpy()
+    pos = np.searchsorted(lnode, src)
+    send = ch[pos] == 1
+    if not send.any():
+        return [empty] * P if P > 1 else empty
+    msgs = pa.table(
         {
-            "node": pa.array(node[starts]),
-            "label": pa.array(new),
-            "changed": pa.array((new != cur).astype(np.int64)),
+            "node": pa.array(edges["nbr"].to_numpy()[send]),
+            "label": pa.array(lbl[pos[send]]),
         }
+    )
+    return _split_block(msgs, ["node"], P)
+
+
+def _cc_reduce(labels: pa.Table, *msg_tabs):
+    """One reduce task: fold this partition's incoming messages into
+    its label table; returns (new labels, #nodes whose label fell)."""
+    nonempty = [t for t in msg_tabs if t is not None and t.num_rows]
+    if labels.num_rows == 0 or not nonempty:
+        n = labels.num_rows
+        return (
+            pa.table(
+                {
+                    "node": labels["node"],
+                    "label": labels["label"],
+                    "ch": pa.array(np.zeros(n, dtype=np.int8)),
+                }
+            ),
+            0,
+        )
+    msgs = (
+        nonempty[0] if len(nonempty) == 1 else pa.concat_tables(nonempty)
+    )
+    lnode = labels["node"].to_numpy()
+    lbl = labels["label"].to_numpy().copy()
+    pos = np.searchsorted(lnode, msgs["node"].to_numpy())
+    np.minimum.at(lbl, pos, msgs["label"].to_numpy())
+    ch = lbl < labels["label"].to_numpy()
+    return (
+        pa.table(
+            {
+                "node": pa.array(lnode),
+                "label": pa.array(lbl),
+                "ch": pa.array(ch.astype(np.int8)),
+            }
+        ),
+        int(ch.sum()),
     )
 
 
@@ -264,14 +328,13 @@ def connected_components(
 ):
     """(node, component) for every node of the undirected edge list;
     component = min node id reachable (so the component id IS the
-    canonical "keep-first" representative).
-
-    One keyed shuffle per round: each node's label row plus one
-    message per directed edge carrying the neighbour's label; round
-    count = max component diameter (dup clusters are shallow). No
-    driver-side materialization of nodes or labels at any point.
-    """
+    canonical "keep-first" representative). Round count = max
+    component diameter (dup clusters are shallow)."""
     import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from ..ops.shuffle import _split_block
 
     def to_msgs(b: pa.Table) -> pa.Table:
         a = b[a_col]
@@ -292,102 +355,66 @@ def connected_components(
     directed = edges.map_batches(
         to_msgs, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    blocks = directed.to_arrow_refs()
+    _empty_lbl = pa.table(
+        {
+            "node": pa.array([], type=pa.int64()),
+            "label": pa.array([], type=pa.int64()),
+        }
+    )
+    if not blocks:
+        return ray.data.from_arrow(_empty_lbl).rename_columns(
+            ["node", "component"]
+        )
+    if num_partitions is None:
+        num_partitions = max(
+            2, int(ray.cluster_resources().get("CPU", 8)) * 2
+        )
+    P = int(num_partitions)
 
-    def init_labels(t: pa.Table, starts: np.ndarray) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "node": pa.array([], type=pa.int64()),
-                    "label": pa.array([], type=pa.int64()),
-                }
-            )
-        node = t["node"].to_numpy()[starts]
-        return pa.table({"node": pa.array(node), "label": pa.array(node)})
+    # partition the (static) directed edges ONCE
+    split = ray.remote(num_returns=P)(_split_block) if P > 1 else (
+        ray.remote(_split_block)
+    )
+    parts = [split.remote(b, ["node"], P) for b in blocks]
+    if P == 1:
+        parts = [[p] for p in parts]
 
-    labels = hash_group_apply(
-        directed, ["node"], init_labels, num_partitions=num_partitions
-    ).materialize()
+    def _concat(*tabs):
+        ts = [t for t in tabs if t.num_rows]
+        if not ts:
+            return tabs[0]
+        return pa.concat_tables(ts).combine_chunks()
 
+    concat = ray.remote(_concat)
+    edges_p = [concat.remote(*[p[i] for p in parts]) for i in range(P)]
+    init = ray.remote(_cc_init)
+    labels_p = [init.remote(e) for e in edges_p]
+
+    step_map = ray.remote(num_returns=P)(_cc_messages) if P > 1 else (
+        ray.remote(_cc_messages)
+    )
+    step_reduce = ray.remote(num_returns=2)(_cc_reduce)
     for _ in range(max_iters):
-        # join labels onto edge sources, then re-key by destination:
-        # partition (directed ∪ labels) by node; each partition sees
-        # every edge OUT of its nodes plus those nodes' labels
-        def fan_out(t: pa.Table, starts: np.ndarray) -> pa.Table:
-            empty = pa.table(
-                {
-                    "node": pa.array([], type=pa.int64()),
-                    "label": pa.array([], type=pa.int64()),
-                    "own": pa.array([], type=pa.int64()),
-                }
-            )
-            if t.num_rows == 0:
-                return empty
-            node = t["node"].to_numpy()
-            nbr = t["nbr"].to_numpy()
-            lbl = t["label"].to_numpy()
-            is_lbl = nbr == -1
-            ends = np.concatenate([starts, [t.num_rows]])
-            gi = np.repeat(np.arange(len(starts)), np.diff(ends))
-            glbl = np.full(len(starts), np.iinfo(np.int64).max)
-            np.minimum.at(glbl, gi, np.where(is_lbl, lbl, np.iinfo(np.int64).max))
-            row_lbl = glbl[gi]
-            # messages: neighbour gets my label; plus my own label row
-            m_node = np.concatenate([nbr[~is_lbl], node[is_lbl]])
-            m_lbl = np.concatenate([row_lbl[~is_lbl], lbl[is_lbl]])
-            m_own = np.concatenate(
-                [
-                    np.zeros(int((~is_lbl).sum()), dtype=np.int64),
-                    np.ones(int(is_lbl.sum()), dtype=np.int64),
-                ]
-            )
-            return pa.table(
-                {
-                    "node": pa.array(m_node),
-                    "label": pa.array(m_lbl),
-                    "own": pa.array(m_own),
-                }
-            )
-
-        def tag_label(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "node": b["node"],
-                    "nbr": pa.array(
-                        np.full(b.num_rows, -1, dtype=np.int64)
-                    ),
-                    "label": b["label"],
-                }
-            )
-
-        def tag_edge(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "node": b["node"],
-                    "nbr": b["nbr"],
-                    "label": pa.array(
-                        np.zeros(b.num_rows, dtype=np.int64)
-                    ),
-                }
-            )
-
-        mixed = directed.map_batches(
-            tag_edge, batch_format="pyarrow", zero_copy_batch=True
-        ).union(
-            labels.map_batches(
-                tag_label, batch_format="pyarrow", zero_copy_batch=True
-            )
-        )
-        msgs = hash_group_apply(
-            mixed, ["node"], fan_out, num_partitions=num_partitions
-        )
-        stepped = hash_group_apply(
-            msgs, ["node"], _min_label, num_partitions=num_partitions
-        ).materialize()
-        changed = stepped.sum("changed")
-        labels = stepped.drop_columns(["changed"]).materialize()
-        if not changed:
+        msgs = [
+            step_map.remote(edges_p[i], labels_p[i], P) for i in range(P)
+        ]
+        if P == 1:
+            msgs = [[m] for m in msgs]
+        stepped = [
+            step_reduce.remote(labels_p[q], *[msgs[p][q] for p in range(P)])
+            for q in range(P)
+        ]
+        labels_p = [s[0] for s in stepped]
+        if sum(ray.get([s[1] for s in stepped])) == 0:
             break
-    return labels.rename_columns(["node", "component"])
+
+    strip = ray.remote(
+        lambda t: t.drop_columns(["ch"]) if t.num_rows else _empty_lbl
+    )
+    return ray.data.from_arrow_refs(
+        [strip.remote(l) for l in labels_p]
+    ).rename_columns(["node", "component"])
 
 
 def near_dup_components(
