@@ -1,5 +1,18 @@
-"""Input sources beyond parquet (shapefile zips, …)."""
+"""Input sources beyond parquet (shapefile zips, GeoJSON, …)."""
 
+from .geojson import (
+    geojson_dataset,
+    read_geojson,
+    table_to_geojson,
+    write_geojson,
+)
 from .shapefile import read_shapefile_zip, shapefile_dataset
 
-__all__ = ["read_shapefile_zip", "shapefile_dataset"]
+__all__ = [
+    "read_shapefile_zip",
+    "shapefile_dataset",
+    "read_geojson",
+    "geojson_dataset",
+    "table_to_geojson",
+    "write_geojson",
+]
