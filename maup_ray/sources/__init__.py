@@ -1,5 +1,10 @@
 """Input sources beyond parquet (shapefile zips, GeoJSON, …)."""
 
+from .geopackage import (
+    geopackage_dataset,
+    geopackage_layers,
+    read_geopackage,
+)
 from .geojson import (
     geojson_dataset,
     read_geojson,
@@ -9,6 +14,9 @@ from .geojson import (
 from .shapefile import read_shapefile_zip, shapefile_dataset
 
 __all__ = [
+    "read_geopackage",
+    "geopackage_layers",
+    "geopackage_dataset",
     "read_shapefile_zip",
     "shapefile_dataset",
     "read_geojson",
