@@ -9,11 +9,17 @@ design rationale.
 """
 
 from .ops.adjacencies import adjacencies, count_overlaps, islands  # noqa: F401
-from .ops.assign import assign, assign_by_area, assign_by_covering  # noqa: F401
+from .ops.assign import (  # noqa: F401
+    AssigmentWarning,
+    assign,
+    assign_by_area,
+    assign_by_covering,
+)
 from .ops.intersections import intersections  # noqa: F401
 from .ops.prorate import normalize, prorate  # noqa: F401
 from .ops.repair import (  # noqa: F401
     absorb_by_shared_perimeter,
+    apply_func_to_polygon_parts,
     autorepair,
     close_gaps,
     count_holes,
@@ -28,6 +34,7 @@ from .ops.repair import (  # noqa: F401
     snap_to_grid,
 )
 from .ops.rook_to_queen import small_rook_to_queen  # noqa: F401
+from .state.target_index import TargetIndex as IndexedGeometries  # noqa: F401
 from .ops.smart_repair import smart_repair  # noqa: F401
 from .progress import progress  # noqa: F401
 

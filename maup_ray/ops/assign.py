@@ -28,6 +28,12 @@ from ..geom.pip import covers
 from ..geom.wkb import decode_polygons
 from ..state.target_index import TargetIndex
 
+
+class AssigmentWarning(UserWarning):
+    """Some source geometries were not assigned to any target
+    (ref: assign.py:9-10 — the reference's spelling, kept verbatim
+    so downstream ``warnings.filterwarnings`` rules port unchanged)."""
+
 __all__ = ["assign", "assign_by_covering", "assign_by_area", "AssignActor"]
 
 # pairs per chunk in the cross-target broadcast kernels. Sized so one
@@ -329,7 +335,20 @@ def _run(sources, targets, phase, concurrency, batch_size, use_actors=False, **k
     fn_kwargs = dict(targets=targets, phase=phase, **kw)
     if isinstance(sources, pa.Table):
         actor = AssignActor(**fn_kwargs)
-        return actor(sources)
+        out = actor(sources)
+        # local path sees the nulls; mirror the reference's warning
+        # (ref assign.py:29-35). The streaming Dataset path is lazy —
+        # counting nulls there would force an extra pass, so warning
+        # is the consumer's observation (null target_id rows).
+        if phase == "full" and out["target_id"].null_count:
+            import warnings
+
+            warnings.warn(
+                "Warning: Some units in the source geometry were "
+                "unassigned.",
+                AssigmentWarning,
+            )
+        return out
     if use_actors:
         return sources.map_batches(
             AssignActor,

@@ -83,6 +83,22 @@ def make_valid(obj, geometry_col: str = "geometry"):
 # ------------------------------------------------------------ union & holes
 
 
+def apply_func_to_polygon_parts(shape, func):
+    """Apply ``func`` to each polygon part of a (Multi)Polygon in the
+    engine's representation (list-of-polygons, each a list of rings)
+    and return the MultiPolygon of results (ref: repair.py:386-394)."""
+    parts = ensure_multi(shape)
+    if not parts:
+        raise TypeError(
+            "Can only apply a function to a Polygon or MultiPolygon"
+        )
+    out = []
+    for poly in parts:
+        r = func(poly)
+        out.extend(ensure_multi(r))
+    return out
+
+
 def _decode_all(table: pa.Table, geometry_col="geometry"):
     return [decode_polygons(b.as_py()) for b in table[geometry_col]]
 
