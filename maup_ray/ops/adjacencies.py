@@ -64,28 +64,73 @@ def _pair_rows(geom_i, geom_j):
         if ar <= tol * per:
             polys, ar = [], 0.0
         else:
-            # refinement verify for SUSPICIOUS slivers: a genuine
-            # overlap persists on a finer snap grid, a weld artifact
-            # vanishes. Suspicious = mean width under ~64 grid cells,
-            # or area exceeding the isoperimetric bound per²/4π
-            # (impossible for simple rings — the stitched result
-            # self-intersects). Real-corpus case: Denver 2020-repaired
-            # precincts 1310916919/1310916920 weld into a 2⁻¹⁰ sq-ft
-            # "overlap" at the default grid that is 1-dimensional at
-            # tol/64 (the reference, un-snapped, reports 0 overlaps).
+            # exact verify for SUSPICIOUS slivers. Suspicious = mean
+            # width under ~64 grid cells, or area exceeding the
+            # isoperimetric bound per²/4π (impossible for simple
+            # rings — the stitched result self-intersects). Such a
+            # piece is either a GENUINE hairline overlap in the input
+            # (Denver 2020 orig: 27 published sub-cell overlaps the
+            # snap widens to one grid cell) or a snap-weld ARTIFACT
+            # (Denver 2020 repaired: precincts 1310916919/1310916920
+            # weld into a 2⁻¹⁰ sq-ft phantom; the reference reports
+            # 0). Grid refinement cannot tell them apart — both
+            # vanish on a finer grid — so the verdict comes from
+            # exact rational predicates on the UN-snapped inputs
+            # (geom/exactpred.py): genuine ⇔ proper boundary
+            # crossing or strict vertex containment near the sliver.
             suspicious = (
                 ar <= 64.0 * tol * per
                 or ar > per * per / (4.0 * np.pi)
             )
             if suspicious:
-                fine = tol / 64.0
-                p2 = intersection(geom_i, geom_j, tol=fine)
-                a2 = poly_area(p2) if p2 else 0.0
-                if not p2 or a2 <= fine * perimeter(p2):
+                from ..geom.exactpred import overlap_evidence
+
+                bx = bounds(polys)
+                m = 8.0 * tol
+                box = (bx[0] - m, bx[1] - m, bx[2] + m, bx[3] + m)
+                if not overlap_evidence(geom_i, geom_j, box):
                     polys, ar = [], 0.0
             if ar > 0:
                 return encode_multipolygon(polys), per, ar, 2
     lines, pts, ln = boundary_intersection(geom_i, geom_j)
+    # the mirror-image failure mode: a GENUINE overlap that is
+    # thinner than a snap cell collapses to a shared boundary (or to
+    # nothing) on the grid. The same exact predicates recover it —
+    # GEOS-parity for ``area > 0`` pair counting on dirty corpora
+    # (Denver 2020 orig publishes 27 such hairline overlaps). The
+    # reported area/geometry come from a locally refined grid (the
+    # true area is sub-cell); synthetic exact-integer corpora never
+    # take this branch, so oracled queries are unaffected.
+    if lines or len(pts):
+        from ..geom.boolean import _default_tol
+        from ..geom.exactpred import overlap_evidence
+
+        tol = _default_tol([geom_i, geom_j])
+        if lines:
+            bx = bounds(lines)
+        else:
+            bx = (pts[:, 0].min(), pts[:, 1].min(),
+                  pts[:, 0].max(), pts[:, 1].max())
+        m = 8.0 * tol
+        box = (bx[0] - m, bx[1] - m, bx[2] + m, bx[3] + m)
+        if overlap_evidence(geom_i, geom_j, box):
+            fine = tol / (1 << 20)
+            p2 = intersection(geom_i, geom_j, tol=fine)
+            a2 = poly_area(p2) if p2 else 0.0
+            if p2 and a2 > 0:
+                return encode_multipolygon(p2), perimeter(p2), a2, 2
+            # below even the refined grid: positive area (one fine
+            # cell) so the pair COUNTS as an overlap, but an EMPTY
+            # polygon geometry — consumers like resolve_overlaps
+            # then subtract nothing, matching the reference's
+            # documented "all overlaps may not be resolved" floating-
+            # point caveat (ref repair.py:138-141)
+            return (
+                encode_multipolygon([]),
+                ln if lines else 0.0,
+                fine * fine,
+                2,
+            )
     if lines:
         return encode_lines(lines), ln, 0.0, 1
     if len(pts):

@@ -939,6 +939,35 @@ def smart_repair_table(
             else:
                 fill_one(gap)
 
+    # --- final common-arrangement weld: absorptions above union each
+    # parcel separately, so a split path shared by two parcels can be
+    # re-snapped DIFFERENTLY per side, leaving ~1e-12-area hairline
+    # overlaps between outputs (invisible to the snapped doctor, but
+    # real — geom/exactpred finds them, and so would GEOS). One
+    # arrangement over ALL outputs rebuilds every parcel from shared
+    # atomic faces, so neighbouring borders come out coordinate-equal:
+    # a multi-covered hairline face goes to its lowest-id owner, and
+    # 0-cover faces are exactly the pre-weld gaps (same inputs), so
+    # gap structure is preserved.
+    filled = [i for i, g in enumerate(out_geoms) if g]
+    if len(filled) > 1:
+        weld_faces = boolean.arrangement_faces(
+            [out_geoms[i] for i in filled]
+        )
+        rebuilt: dict[int, list] = {i: [] for i in filled}
+        for piece, mem in weld_faces:
+            owners = np.flatnonzero(mem)
+            if len(owners):
+                rebuilt[filled[int(owners[0])]].extend(piece)
+        wtol = boolean._default_tol([g for g in out_geoms if g])
+        for i in filled:
+            parts = rebuilt[i]
+            out_geoms[i] = (
+                boolean.union_all([[p] for p in parts], tol=wtol)
+                if parts
+                else []
+            )
+
     i = table.column_names.index(geometry_col)
     return table.set_column(
         i,
