@@ -40,22 +40,50 @@ def _crossing_counts(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
 def points_on_ring(
     pts: np.ndarray, ring: np.ndarray, eps: float = 0.0
 ) -> np.ndarray:
-    """True where a point lies on the ring boundary (within eps)."""
-    x = pts[:, 0:1]
-    y = pts[:, 1:2]
+    """True where a point lies on the ring boundary (within eps).
+
+    Sparse evaluation: a point can only be within eps of an edge whose
+    eps-expanded bbox contains it, so the expensive projection math
+    runs on the (point, edge) pairs surviving a cheap 4-comparison
+    bbox mask — on repair workloads (thousands of points × thousands
+    of edges, few genuine contacts) this is ~10× the dense version,
+    which dominated smart_repair profiles."""
+    n = len(pts)
+    out = np.zeros(n, dtype=bool)
+    if n == 0 or len(ring) == 0:
+        return out
     x0, y0 = ring[:, 0], ring[:, 1]
     x1 = np.concatenate([x0[1:], x0[:1]])
     y1 = np.concatenate([y0[1:], y0[:1]])
+    ex_lo = np.minimum(x0, x1) - eps
+    ex_hi = np.maximum(x0, x1) + eps
+    ey_lo = np.minimum(y0, y1) - eps
+    ey_hi = np.maximum(y0, y1) + eps
     dx, dy = x1 - x0, y1 - y0
     L2 = dx * dx + dy * dy
-    # projection parameter clamped to [0,1]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = ((x - x0) * dx + (y - y0) * dy) / np.where(L2 == 0, 1.0, L2)
-    t = np.clip(t, 0.0, 1.0)
-    px = x0 + t * dx
-    py = y0 + t * dy
-    d2 = (x - px) ** 2 + (y - py) ** 2
-    return (d2 <= eps * eps).any(axis=1)
+    L2safe = np.where(L2 == 0, 1.0, L2)
+    e2 = eps * eps
+    chunk = max(1, 2_000_000 // max(len(ring), 1))
+    for s in range(0, n, chunk):
+        px_ = pts[s : s + chunk, 0:1]
+        py_ = pts[s : s + chunk, 1:2]
+        cand = (
+            (px_ >= ex_lo) & (px_ <= ex_hi)
+            & (py_ >= ey_lo) & (py_ <= ey_hi)
+        )
+        pi, ei = np.nonzero(cand)
+        if not len(pi):
+            continue
+        qx = pts[s + pi, 0]
+        qy = pts[s + pi, 1]
+        t = ((qx - x0[ei]) * dx[ei] + (qy - y0[ei]) * dy[ei]) / L2safe[ei]
+        t = np.clip(t, 0.0, 1.0)
+        ddx = qx - (x0[ei] + t * dx[ei])
+        ddy = qy - (y0[ei] + t * dy[ei])
+        hit = ddx * ddx + ddy * ddy <= e2
+        if hit.any():
+            out[s + pi[hit]] = True
+    return out
 
 
 def point_in_polygon(
