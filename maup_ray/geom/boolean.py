@@ -235,24 +235,37 @@ def _node_segments(p0, p1, tol, with_src: bool = False):
     ia, ib = _candidate_pairs(_seg_bboxes(p0, p1))
     _node_pairs(p0, p1, ia, ib, cuts, tol)
     _vertex_proximity_cuts(p0, p1, cuts, tol)
-    q0s, q1s, srcs = [], [], []
-    for i in range(n):
-        ts = sorted(set([0.0, 1.0] + cuts[i]))
-        pts = p0[i] + np.array(ts)[:, None] * (p1[i] - p0[i])
-        pts = np.round(pts / tol) * tol
-        for a, b in zip(pts[:-1], pts[1:]):
-            if a[0] != b[0] or a[1] != b[1]:
-                q0s.append(a)
-                q1s.append(b)
-                srcs.append(src_orig[i])
-    if not q0s:
-        z = np.empty((0, 2))
-        if with_src:
-            return z, z, np.empty(0, np.int64)
-        return z, z
+    # vectorized sub-segment emission: flatten (segment, t) cut params,
+    # sort per segment, take consecutive-point pairs, drop snapped
+    # zero-length pieces (exact-duplicate ts collapse there too) —
+    # replaces a per-segment Python sort/set/loop that dominated
+    # whole-corpus repair profiles
+    from itertools import chain
+
+    counts = np.fromiter(
+        (len(c) for c in cuts), dtype=np.int64, count=n
+    )
+    flat = np.fromiter(
+        chain.from_iterable(cuts), dtype=np.float64, count=int(counts.sum())
+    )
+    seg = np.concatenate(
+        [np.repeat(np.arange(n), 2), np.repeat(np.arange(n), counts)]
+    )
+    tval = np.concatenate([np.tile([0.0, 1.0], n), flat])
+    order = np.lexsort((tval, seg))
+    seg = seg[order]
+    tval = tval[order]
+    pts = p0[seg] + tval[:, None] * (p1[seg] - p0[seg])
+    pts = np.round(pts / tol) * tol
+    same = seg[1:] == seg[:-1]
+    a = pts[:-1][same]
+    b = pts[1:][same]
+    src = src_orig[seg[:-1][same]]
+    keep = (a != b).any(axis=1)
+    q0, q1, srcs = a[keep], b[keep], src[keep]
     if with_src:
-        return np.array(q0s), np.array(q1s), np.array(srcs, np.int64)
-    return np.array(q0s), np.array(q1s)
+        return q0, q1, srcs
+    return q0, q1
 
 
 def _weld_endpoints(q0: np.ndarray, q1: np.ndarray, tol: float,
