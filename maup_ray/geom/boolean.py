@@ -785,32 +785,32 @@ def boundary_intersection(a, b, tol=None):
         return [], np.empty((0, 2)), 0.0
     p0 = np.vstack([pa0, pb0])
     p1 = np.vstack([pa1, pb1])
-    na = len(pa0)
-    # node each set against the other
-    q0a, q1a = _node_segments(pa0, pa1, tol)  # will only self-node; need cross cuts
-    # simpler: node the combined set, track ownership by re-matching
+    # node the combined set; ownership resolved by midpoint re-matching
     q0, q1 = _node_segments(p0, p1, tol)
     if len(q0) == 0:
         return [], np.empty((0, 2)), 0.0
-    keys = _canon_keys(q0, q1, tol)
     # ownership: a sub-segment belongs to A if its midpoint lies on A's
     # boundary (within tol), similarly B
     mids = (q0 + q1) * 0.5
     on_a = _on_boundary(mids, a, tol * 4)
     on_b = _on_boundary(mids, b, tol * 4)
     shared = on_a & on_b
-    # dedup shared undirected segments
-    seen = set()
+    # dedup shared undirected segments (vectorized canonical keys)
+    sidx = np.flatnonzero(shared)
     lines = []
     total = 0.0
-    for i in np.nonzero(shared)[0]:
-        k = keys[i]
-        if k in seen:
-            continue
-        seen.add(k)
-        seg = np.vstack([q0[i], q1[i]])
-        lines.append(seg)
-        total += float(np.hypot(*(q1[i] - q0[i])))
+    if len(sidx):
+        k = np.round(
+            np.hstack([q0[sidx], q1[sidx]]) / tol
+        ).astype(np.int64)
+        swap = (k[:, 0] > k[:, 2]) | (
+            (k[:, 0] == k[:, 2]) & (k[:, 1] > k[:, 3])
+        )
+        kc = np.where(swap[:, None], k[:, [2, 3, 0, 1]], k)
+        _, first = np.unique(kc, axis=0, return_index=True)
+        idx = sidx[np.sort(first)]
+        lines = [np.vstack([q0[i], q1[i]]) for i in idx]
+        total = float(np.hypot(*(q1[idx] - q0[idx]).T).sum())
     # touch points: nodes on both boundaries not covered by shared lines
     nodes = np.vstack([q0, q1])
     nk = np.round(nodes / tol).astype(np.int64)
@@ -819,11 +819,14 @@ def boundary_intersection(a, b, tol=None):
     on_a_n = _on_boundary(nodes, a, tol * 4)
     on_b_n = _on_boundary(nodes, b, tol * 4)
     cand = nodes[on_a_n & on_b_n]
-    pts = []
-    for p in cand:
-        if not any(_point_on_segment(p, s[0], s[1], tol * 4) for s in lines):
-            pts.append(p)
-    return lines, (np.array(pts) if pts else np.empty((0, 2))), total
+    if len(cand) and lines:
+        from .pip import points_near_segments
+
+        l0 = np.array([s[0] for s in lines])
+        l1 = np.array([s[1] for s in lines])
+        covered = points_near_segments(cand, l0, l1, tol * 4)
+        cand = cand[~covered]
+    return lines, cand if len(cand) else np.empty((0, 2)), total
 
 
 def _canon_keys(q0, q1, tol):

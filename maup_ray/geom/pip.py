@@ -13,6 +13,7 @@ from .core import ensure_multi
 __all__ = [
     "points_in_ring",
     "points_on_ring",
+    "points_near_segments",
     "point_in_polygon",
     "points_in_multipolygon",
     "covers",
@@ -40,21 +41,30 @@ def _crossing_counts(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
 def points_on_ring(
     pts: np.ndarray, ring: np.ndarray, eps: float = 0.0
 ) -> np.ndarray:
-    """True where a point lies on the ring boundary (within eps).
+    """True where a point lies on the ring boundary (within eps)."""
+    if len(pts) == 0 or len(ring) == 0:
+        return np.zeros(len(pts), dtype=bool)
+    e1 = np.concatenate([ring[1:], ring[:1]])
+    return points_near_segments(pts, ring, e1, eps)
 
-    Sparse evaluation: a point can only be within eps of an edge whose
-    eps-expanded bbox contains it, so the expensive projection math
-    runs on the (point, edge) pairs surviving a cheap 4-comparison
-    bbox mask — on repair workloads (thousands of points × thousands
-    of edges, few genuine contacts) this is ~10× the dense version,
-    which dominated smart_repair profiles."""
+
+def points_near_segments(
+    pts: np.ndarray, s0: np.ndarray, s1: np.ndarray, eps: float
+) -> np.ndarray:
+    """True where a point lies within eps of ANY segment (s0[i], s1[i]).
+
+    Sparse evaluation: a point can only be within eps of a segment
+    whose eps-expanded bbox contains it, so the expensive projection
+    math runs on the (point, segment) pairs surviving a cheap
+    4-comparison bbox mask — on repair workloads (thousands of points
+    × thousands of edges, few genuine contacts) this is ~10× the
+    dense version, which dominated smart_repair profiles."""
     n = len(pts)
     out = np.zeros(n, dtype=bool)
-    if n == 0 or len(ring) == 0:
+    if n == 0 or len(s0) == 0:
         return out
-    x0, y0 = ring[:, 0], ring[:, 1]
-    x1 = np.concatenate([x0[1:], x0[:1]])
-    y1 = np.concatenate([y0[1:], y0[:1]])
+    x0, y0 = s0[:, 0], s0[:, 1]
+    x1, y1 = s1[:, 0], s1[:, 1]
     ex_lo = np.minimum(x0, x1) - eps
     ex_hi = np.maximum(x0, x1) + eps
     ey_lo = np.minimum(y0, y1) - eps
@@ -63,7 +73,7 @@ def points_on_ring(
     L2 = dx * dx + dy * dy
     L2safe = np.where(L2 == 0, 1.0, L2)
     e2 = eps * eps
-    chunk = max(1, 2_000_000 // max(len(ring), 1))
+    chunk = max(1, 2_000_000 // max(len(s0), 1))
     for s in range(0, n, chunk):
         px_ = pts[s : s + chunk, 0:1]
         py_ = pts[s : s + chunk, 1:2]
