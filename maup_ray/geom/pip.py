@@ -23,19 +23,51 @@ __all__ = [
 
 def _crossing_counts(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """Even-odd ray-casting crossing count (ray to +x) for (n,2) pts vs
-    one unclosed ring. Vectorized n_points × n_edges."""
-    x = pts[:, 0:1]  # (n,1)
-    y = pts[:, 1:2]
+    one unclosed ring.
+
+    Sparse: points sorted by y, candidates per edge found by interval
+    stabbing on the edge's half-open y-span — only straddling
+    (point, edge) pairs compute the x-intersection, with arithmetic
+    IDENTICAL per pair to the dense broadcast (non-straddling pairs
+    contribute exactly 0), so results are bit-compatible while work
+    drops from n×m to Σ straddles."""
+    n = len(pts)
+    if n == 0 or len(ring) == 0:
+        return np.zeros(n, dtype=np.int64)
     x0, y0 = ring[:, 0], ring[:, 1]  # (m,)
     x1 = np.concatenate([x0[1:], x0[:1]])
     y1 = np.concatenate([y0[1:], y0[:1]])
-    # edge straddles the horizontal line through y (half-open in y)
-    straddle = (y0 > y) != (y1 > y)  # (n,m)
+    order = np.argsort(pts[:, 1], kind="stable")
+    ys = pts[order, 1]
+    lo = np.minimum(y0, y1)
+    hi = np.maximum(y0, y1)
+    # half-open straddle (y0 > y) != (y1 > y)  ⟺  lo <= y < hi
+    starts = np.searchsorted(ys, lo, side="left")
+    ends = np.searchsorted(ys, hi, side="left")
+    cnt = ends - starts
+    total = int(cnt.sum())
+    counts = np.zeros(n, dtype=np.int64)
+    if total == 0:
+        return counts
+    m = len(ring)
+    e_idx = np.repeat(np.arange(m), cnt)
+    base = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(cnt, out=base[1:])
+    p_pos = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(base[:-1], cnt)
+        + np.repeat(starts, cnt)
+    )
+    p_idx = order[p_pos]
+    x = pts[p_idx, 0]
+    y = pts[p_idx, 1]
+    ex0, ey0 = x0[e_idx], y0[e_idx]
+    ex1, ey1 = x1[e_idx], y1[e_idx]
     with np.errstate(divide="ignore", invalid="ignore"):
-        t = (y - y0) / (y1 - y0)
-        xint = x0 + t * (x1 - x0)
-    cross = straddle & (x < xint)
-    return cross.sum(axis=1)
+        t = (y - ey0) / (ey1 - ey0)
+        xint = ex0 + t * (ex1 - ex0)
+    np.add.at(counts, p_idx[x < xint], 1)
+    return counts
 
 
 def points_on_ring(
