@@ -125,3 +125,53 @@ def test_partitioned_matches_local(ray_session, four_square_grid):
         promote_options="permissive",
     )
     assert pairs(got) == local
+
+
+def test_hairline_overlap_detected_on_both_paths(ray_session):
+    # a genuine overlap THINNER than the snap grid collapses to a
+    # boundary contact in the snapped booleans; the exact-rational
+    # evidence (geom/exactpred) must recover it on the LOCAL path and
+    # on the cell-partitioned Dataset path alike, while a cleanly
+    # shared border stays dim-1
+    import ray.data
+
+    from maup_ray.geom import encode_polygon
+    from maup_ray.ops.adjacencies import adjacencies, count_overlaps
+
+    def rect(x0, y0, x1, y1):
+        return encode_polygon(
+            [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])]
+        )
+
+    eps = 1e-9  # ~2^-30 of the 1000-unit extent: inside one snap cell
+    tbl = pa.table(
+        {
+            "id": pa.array([0, 1, 2], type=pa.int64()),
+            "geometry": pa.array(
+                [
+                    rect(0.0, 0.0, 500.0, 1000.0),
+                    rect(500.0 - eps, 0.0, 1000.0, 1000.0),  # hairline
+                    rect(1000.0, 0.0, 1500.0, 1000.0),  # clean touch
+                ],
+                type=pa.binary(),
+            ),
+        }
+    )
+    assert count_overlaps(tbl, id_col="id") == 1
+    ds = ray.data.from_arrow(tbl)
+    out = (
+        adjacencies(
+            ds,
+            id_col="id",
+            include_geometry=False,
+            adjacency_type="queen",
+            extent=(0.0, 0.0, 2048.0),
+            cell_res=2,
+        )
+        .to_pandas()
+        .sort_values(["id_i", "id_j"])
+    )
+    overlaps = out[out["area"] > 0]
+    assert list(zip(overlaps["id_i"], overlaps["id_j"])) == [(0, 1)]
+    touches = out[(out["area"] == 0) & (out["length"] > 0)]
+    assert list(zip(touches["id_i"], touches["id_j"])) == [(1, 2)]
