@@ -30,6 +30,8 @@ __all__ = [
     "ImageStatsStage",
     "FrameSampleStage",
     "phash64",
+    "phash_signatures",
+    "image_near_dup",
 ]
 
 
@@ -245,3 +247,162 @@ class ImageStatsStage:
                 "luma_mean": pa.array(luma),
             }
         )
+
+
+def phash_signatures(images, concurrency: int = 4, batch_size=None):
+    """(image_id, phash_computed) Dataset: the PhashStage decode+hash
+    pass with payload columns dropped before anything wide happens."""
+    return images.map_batches(
+        PhashStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, int(concurrency)),
+        batch_size=batch_size,
+    ).select_columns(["image_id", "phash_computed"])
+
+
+def image_near_dup(
+    images,
+    max_hamming: int = 3,
+    concurrency: int = 4,
+    max_bucket: int = 1024,
+):
+    """Perceptually-near-duplicate image CLUSTERS → (image_id,
+    cluster_id) Dataset, cluster_id = the smallest member id (the
+    canonical keeper). Scale shape, in order:
+
+    1. decode → phash in the actor pool (payload never leaves it),
+    2. EXACT-group by phash (keyed shuffle of (8 B sig, id) only):
+       web corpora are dominated by byte-identical/phash-identical
+       classes with hundreds of members — pairing inside such a class
+       is O(c²) for zero information, so only one REPRESENTATIVE
+       (min id) per distinct phash goes further,
+    3. quarter-pigeonhole hamming candidates over the distinct-phash
+       table (small by construction — its size is the number of
+       DISTINCT perceptual contents, not the corpus),
+    4. BSP connected components over the rep edges (text/cluster.py),
+    5. broadcast the tiny phash→cluster map back over the member
+       stream; members of singleton classes with no near-dup edge
+       drop out.
+
+    The rep of a class is its min member and the component label is
+    the min rep, so the component label IS the cluster's global min
+    member id — no second pass needed."""
+    import ray
+    import ray.data
+    import pyarrow.compute as pc
+
+    from ..ops.shuffle import hash_group_apply
+    from ..text.cluster import connected_components
+    from ..text.dedup import hamming_candidates
+
+    sigs = phash_signatures(images, concurrency=concurrency).materialize()
+
+    def class_stats(tbl, starts):
+        empty = pa.table(
+            {
+                "phash_computed": pa.array([], type=pa.int64()),
+                "rep": pa.array([], type=pa.string()),
+                "members": pa.array([], type=pa.int64()),
+            }
+        )
+        if tbl is None or len(starts) == 0:
+            return empty
+        ends = np.append(starts[1:], tbl.num_rows)
+        ids = tbl["image_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "phash_computed": tbl["phash_computed"].take(
+                    pa.array(starts)
+                ),
+                "rep": pa.array(ids[starts], type=pa.string()),
+                "members": pa.array(ends - starts),
+            }
+        )
+
+    classes_ds = hash_group_apply(
+        sigs, ["phash_computed"], class_stats, sort_cols=("image_id",)
+    )
+    classes = pa.concat_tables(
+        [ray.get(r) for r in classes_ds.materialize().to_arrow_refs()]
+    )
+    if classes.num_rows == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "image_id": pa.array([], type=pa.string()),
+                    "cluster_id": pa.array([], type=pa.string()),
+                }
+            )
+        )
+    reps = classes.select(["rep", "phash_computed"]).rename_columns(
+        ["image_id", "phash_computed"]
+    )
+    pairs = hamming_candidates(
+        reps,
+        "phash_computed",
+        id_col="image_id",
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+    # component label per rep (reps without edges keep themselves)
+    rep_label = {
+        r: r for r, m in zip(
+            classes["rep"].to_pylist(), classes["members"].to_pylist()
+        ) if m >= 2
+    }
+    if pairs.num_rows:
+        uniq = pc.unique(
+            pa.concat_arrays(
+                [
+                    pairs["id_i"].combine_chunks(),
+                    pairs["id_j"].combine_chunks(),
+                ]
+            )
+        ).sort()  # ascending: dense-code order == id order, so the
+        # min label of a component maps back to the min rep id
+        code_i = pc.index_in(pairs["id_i"], uniq).combine_chunks()
+        code_j = pc.index_in(pairs["id_j"], uniq).combine_chunks()
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pc.cast(code_i, pa.int64()),
+                    "b": pc.cast(code_j, pa.int64()),
+                }
+            )
+        )
+        comp = connected_components(edges).to_pandas()
+        u = uniq.to_pylist()
+        for n_, l_ in zip(comp["node"], comp["component"]):
+            rep_label[u[int(n_)]] = u[int(l_)]
+    # phash → cluster map (tiny: one entry per near-dup class),
+    # broadcast into the member stream
+    ph2cl = {
+        int(p_): rep_label[r]
+        for p_, r in zip(
+            classes["phash_computed"].to_pylist(),
+            classes["rep"].to_pylist(),
+        )
+        if r in rep_label
+    }
+    ref = ray.put(ph2cl)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ph = batch["phash_computed"].to_numpy()
+        cl = [m.get(int(v)) for v in ph]
+        keep = np.array([c is not None for c in cl])
+        out = pa.table(
+            {
+                "image_id": batch["image_id"],
+                "cluster_id": pa.array(
+                    [c if c is not None else "" for c in cl],
+                    type=pa.string(),
+                ),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return sigs.map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -505,6 +505,23 @@ def q_ann_lsh(sf_dir: str):
     return lsh_topk(corpus, queries, k=ANN_K)
 
 
+def q_image_dedup(sf_dir: str):
+    """Perceptual near-duplicate image CLUSTERS (rows-only: phash is
+    not SQL-expressible): synth image table sized from documents →
+    actor-pool decode+phash → quarter-pigeonhole hamming buckets →
+    BSP connected components → (image_id, cluster_id). The synthetic
+    raster family differs only by per-id luminance offsets, so
+    phash-equal/near groups occur naturally at every scale."""
+    import pyarrow.parquet as pq
+
+    from .media.image import image_near_dup
+    from .synth.images import image_dataset
+
+    n = 4 * pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    out = image_near_dup(image_dataset(n, png_every=8, jpeg_every=12))
+    return out.sort("image_id")
+
+
 def q_image_phash(sf_dir: str):
     """Multimodal plumbing: synth image table sized from documents →
     actor-pool decode + perceptual hash. Payload fidelity (byte-exact

@@ -34,6 +34,7 @@ __all__ = [
     "simhash_batch",
     "simhash_signatures",
     "simhash_candidates",
+    "hamming_candidates",
     "ngram_jaccard",
     "char_shingle_hashes",
 ]
@@ -523,21 +524,27 @@ def simhash_signatures(ds, **kw):
     )
 
 
-def simhash_candidates(ds, max_hamming: int = 3, id_col="doc_id", **kw):
-    """Near-dup pairs by pigeonhole: split the 64-bit signature into 4
+def hamming_candidates(
+    sigs,
+    sig_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1024,
+) -> pa.Table:
+    """Near-dup pairs of 64-bit signatures by pigeonhole: split into 4
     16-bit quarters; hamming ≤3 ⇒ at least one quarter identical →
     groupby (quarter_idx, quarter_value) buckets, verify hamming in
-    group."""
-    sigs = simhash_signatures(ds, id_col=id_col, **kw)
+    group. Generic over the signature column (simhash, image phash)
+    and over int or string ids. Returns a driver-side (id_i, id_j,
+    hamming) table — candidate lists are small by construction
+    (bucketed, max_bucket-capped)."""
 
     def to_quarters(batch: pa.Table) -> pa.Table:
-        """Vectorized 4× replication (VERDICT r2 #5): shifts over the
-        whole signature column, Arrow take for the id replication —
-        shuffle payload is (id, q:int32, qv:int32, simhash:int64)."""
+        """Vectorized 4× replication: shifts over the whole signature
+        column, Arrow take for the id replication — shuffle payload is
+        (id, q:int32, qv:int32, sig:int64)."""
         n = len(batch)
-        u = (
-            batch["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        )
+        u = batch[sig_col].to_numpy().astype(np.int64).view(np.uint64)
         qv = np.empty((n, 4), dtype=np.int32)
         for q in range(4):
             qv[:, q] = (
@@ -549,15 +556,20 @@ def simhash_candidates(ds, max_hamming: int = 3, id_col="doc_id", **kw):
                 id_col: batch[id_col].take(idx),
                 "q": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
                 "qv": pa.array(qv.ravel()),
-                "simhash": batch["simhash"].take(idx),
+                sig_col: batch[sig_col].take(idx),
             }
         )
 
-    max_bucket = 1024
+    sch = sigs.schema() if callable(
+        getattr(sigs, "schema", None)
+    ) else sigs.schema
+    if hasattr(sch, "base_schema"):  # ray.data.Schema wrapper
+        sch = sch.base_schema
+    id_type = sch.field(id_col).type
     out_schema = pa.schema(
         [
-            ("doc_i", pa.int64()),
-            ("doc_j", pa.int64()),
+            ("id_i", id_type),
+            ("id_j", id_type),
             ("hamming", pa.int64()),
         ]
     )
@@ -567,8 +579,8 @@ def simhash_candidates(ds, max_hamming: int = 3, id_col="doc_id", **kw):
         hamming only inside the rare ≥2-member buckets."""
         if tbl is None or len(starts) == 0:
             return out_schema.empty_table()
-        ids = tbl[id_col].to_numpy().astype(np.int64)
-        sigs_ = tbl["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        sigs_ = tbl[sig_col].to_numpy().astype(np.int64).view(np.uint64)
         sizes = np.diff(np.append(starts, len(ids)))
         sel = (sizes >= 2) & (sizes <= max_bucket)
         out_i, out_j, out_h = [], [], []
@@ -590,16 +602,21 @@ def simhash_candidates(ds, max_hamming: int = 3, id_col="doc_id", **kw):
             return out_schema.empty_table()
         return pa.table(
             {
-                "doc_i": pa.array(np.concatenate(out_i)),
-                "doc_j": pa.array(np.concatenate(out_j)),
+                "id_i": pa.array(np.concatenate(out_i), type=id_type),
+                "id_j": pa.array(np.concatenate(out_j), type=id_type),
                 "hamming": pa.array(np.concatenate(out_h)),
             }
         )
 
     from ..ops.shuffle import hash_group_apply
 
+    quarters = (
+        to_quarters(sigs)
+        if isinstance(sigs, pa.Table)
+        else sigs.map_batches(to_quarters, batch_format="pyarrow")
+    )
     raw = hash_group_apply(
-        sigs.map_batches(to_quarters, batch_format="pyarrow"),
+        quarters,
         ["q", "qv"],
         verify_part,
         sort_cols=(id_col,),
@@ -610,26 +627,19 @@ def simhash_candidates(ds, max_hamming: int = 3, id_col="doc_id", **kw):
     tabs = [t for t in _collect_tables(raw) if t.num_rows]
     if not tabs:
         return out_schema.empty_table()
-    allp = pa.concat_tables(tabs)
-    trip = np.stack(
-        [
-            allp["doc_i"].to_numpy().astype(np.int64),
-            allp["doc_j"].to_numpy().astype(np.int64),
-            allp["hamming"].to_numpy().astype(np.int64),
-        ],
-        axis=1,
-    )
-    uniq = np.unique(trip, axis=0)
-    return pa.table(
-        {
-            "doc_i": pa.array(uniq[:, 0]),
-            "doc_j": pa.array(uniq[:, 1]),
-            "hamming": pa.array(uniq[:, 2]),
-        }
-    )
+    df = pa.concat_tables(tabs).to_pandas().drop_duplicates()
+    df = df.sort_values(["id_i", "id_j"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, schema=out_schema, preserve_index=False)
 
 
-# ------------------------------------------------------- n-gram Jaccard
+def simhash_candidates(ds, max_hamming: int = 3, id_col="doc_id", **kw):
+    """Near-dup pairs by pigeonhole over simhash signatures (see
+    hamming_candidates)."""
+    sigs = simhash_signatures(ds, id_col=id_col, **kw)
+    out = hamming_candidates(
+        sigs, "simhash", id_col=id_col, max_hamming=max_hamming
+    )
+    return out.rename_columns(["doc_i", "doc_j", "hamming"])
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:

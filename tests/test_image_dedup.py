@@ -1,0 +1,80 @@
+"""media.image_near_dup — perceptual near-duplicate clustering:
+planted-duplicate recall, exact-class rep reduction, keeper ids."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _table(ids, payloads, w=16, h=16):
+    n = len(ids)
+    return pa.table(
+        {
+            "image_id": pa.array(ids, type=pa.string()),
+            "bytes": pa.array(payloads, type=pa.binary()),
+            "w": pa.array([w] * n, type=pa.int32()),
+            "h": pa.array([h] * n, type=pa.int32()),
+            "fmt": pa.array(["raw"] * n),
+        }
+    )
+
+
+def _img(seed, w=16, h=16):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=w * h * 3, dtype=np.uint8)
+
+
+class TestImageNearDup:
+    def test_planted_duplicates_cluster_with_sources(self, ray_session):
+        import ray.data
+
+        from maup_ray.media.image import image_near_dup
+
+        ids, payloads = [], []
+        for i in range(30):
+            ids.append(f"img{i:04d}")
+            payloads.append(_img(i).tobytes())
+        # exact copy of img0007 and a one-pixel perturbation of img0003
+        ids += ["zz_copy7", "zz_near3"]
+        payloads.append(_img(7).tobytes())
+        b = bytearray(_img(3).tobytes())
+        b[0] ^= 1
+        payloads.append(bytes(b))
+        ds = ray.data.from_arrow(_table(ids, payloads))
+        out = image_near_dup(ds).to_pandas()
+        m = dict(zip(out["image_id"], out["cluster_id"]))
+        assert m["zz_copy7"] == m["img0007"] == "img0007"
+        assert m["zz_near3"] == m["img0003"] == "img0003"
+        # cluster_id is always the smallest member
+        assert (
+            out.groupby("cluster_id")["image_id"].min()
+            == out.groupby("cluster_id")["image_id"].min().index
+        ).all()
+
+    def test_distinct_images_produce_no_clusters(self, ray_session):
+        import ray.data
+
+        from maup_ray.media.image import image_near_dup
+
+        ids = [f"img{i:04d}" for i in range(20)]
+        payloads = [_img(1000 + i).tobytes() for i in range(20)]
+        ds = ray.data.from_arrow(_table(ids, payloads))
+        out = image_near_dup(ds).to_pandas()
+        # random rasters: overwhelmingly no hamming<=3 neighbours
+        assert len(out) <= 2
+
+    def test_large_exact_class_no_quadratic_edges(self, ray_session):
+        # 300 copies of ONE image: the exact-class rep reduction must
+        # produce a single 300-member cluster without emitting
+        # 300^2/2 pair edges (the hamming stage sees ONE rep row)
+        import ray.data
+
+        from maup_ray.media.image import image_near_dup
+        from maup_ray.text.dedup import hamming_candidates
+
+        payload = _img(42).tobytes()
+        ids = [f"c{i:05d}" for i in range(300)]
+        ds = ray.data.from_arrow(_table(ids, [payload] * 300))
+        out = image_near_dup(ds).to_pandas()
+        assert len(out) == 300
+        assert set(out["cluster_id"]) == {"c00000"}
