@@ -27,6 +27,7 @@ __all__ = [
     "decode_raw_batch",
     "PhashStage",
     "ResizeStage",
+    "AugmentStage",
     "ImageStatsStage",
     "FrameSampleStage",
     "phash64",
@@ -197,6 +198,84 @@ class FrameSampleStage:
         raise NotImplementedError(
             "video decode requires a codec library; stage plumbing only"
         )
+
+
+class AugmentStage:
+    """Actor-pool augmentation stage for raw payloads: any composition
+    of ``hflip``, ``vflip``, ``rot90`` (k quarter-turns CCW), and
+    ``crop`` ((x0, y0, cw, ch) pixel window). Uniform-shape batches
+    transform as ONE (n, h, w, 3) strided pass straight off the Arrow
+    buffers; mixed shapes fall back to per-row decode. Output keeps
+    the input schema with bytes/w/h replaced (fmt stays 'raw')."""
+
+    def __init__(
+        self,
+        hflip: bool = False,
+        vflip: bool = False,
+        rot90: int = 0,
+        crop: tuple[int, int, int, int] | None = None,
+    ):
+        self.hflip = hflip
+        self.vflip = vflip
+        self.rot90 = int(rot90) % 4
+        self.crop = crop
+
+    def _apply(self, imgs: np.ndarray) -> np.ndarray:
+        # imgs: (n, h, w, 3); crop first (window given in input coords)
+        if self.crop is not None:
+            x0, y0, cw, ch = self.crop
+            imgs = imgs[:, y0 : y0 + ch, x0 : x0 + cw]
+        if self.hflip:
+            imgs = imgs[:, :, ::-1]
+        if self.vflip:
+            imgs = imgs[:, ::-1]
+        if self.rot90:
+            imgs = np.rot90(imgs, k=self.rot90, axes=(1, 2))
+        return np.ascontiguousarray(imgs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = set(batch["fmt"].to_pylist())
+        n = len(batch)
+        if fmts == {"raw"} and len(set(ws)) == 1 and len(set(hs)) == 1:
+            w, h = int(ws[0]), int(hs[0])
+            arr = batch["bytes"]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+            offs = offs[arr.offset : arr.offset + len(arr) + 1]
+            flat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            imgs = flat[offs[0] : offs[-1]].reshape(n, h, w, 3)
+            out_imgs = self._apply(imgs)
+            n2, h2, w2 = out_imgs.shape[:3]
+            blob = out_imgs.tobytes()
+            npx2 = h2 * w2 * 3
+            bytes_col = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(npx2), n2, [None, pa.py_buffer(blob)]
+            ).cast(pa.binary())
+            w_col = np.full(n, w2, dtype=np.int32)
+            h_col = np.full(n, h2, dtype=np.int32)
+        else:
+            outs = [
+                self._apply(im[None])[0] for im in decode_raw_batch(batch)
+            ]
+            h_col = np.array([o.shape[0] for o in outs], dtype=np.int32)
+            w_col = np.array([o.shape[1] for o in outs], dtype=np.int32)
+            bytes_col = pa.array(
+                [o.tobytes() for o in outs], type=pa.binary()
+            )
+        cols = {}
+        for c in batch.column_names:
+            if c == "bytes":
+                cols[c] = bytes_col
+            elif c == "w":
+                cols[c] = pa.array(w_col)
+            elif c == "h":
+                cols[c] = pa.array(h_col)
+            else:
+                cols[c] = batch[c]
+        return pa.table(cols)
 
 
 class ImageStatsStage:

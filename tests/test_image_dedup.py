@@ -78,3 +78,64 @@ class TestImageNearDup:
         out = image_near_dup(ds).to_pandas()
         assert len(out) == 300
         assert set(out["cluster_id"]) == {"c00000"}
+
+
+class TestAugmentStage:
+    def _mk(self, n=6, w=8, h=6):
+        ids = [f"a{i}" for i in range(n)]
+        payloads = [
+            np.arange(w * h * 3, dtype=np.uint8).tobytes() for _ in range(n)
+        ]
+        return _table(ids, payloads, w=w, h=h)
+
+    def test_hflip_roundtrip_identity(self, ray_session):
+        import ray.data
+
+        from maup_ray.media.image import AugmentStage
+
+        t = self._mk()
+        once = AugmentStage(hflip=True)(t)
+        twice = AugmentStage(hflip=True)(once)
+        assert twice["bytes"].to_pylist() == t["bytes"].to_pylist()
+
+    def test_rot90_shape_swap_and_period(self, ray_session):
+        from maup_ray.media.image import AugmentStage
+
+        t = self._mk(w=8, h=6)
+        r1 = AugmentStage(rot90=1)(t)
+        assert r1["w"].to_pylist()[0] == 6 and r1["h"].to_pylist()[0] == 8
+        r4 = t
+        for _ in range(4):
+            r4 = AugmentStage(rot90=1)(r4)
+        assert r4["bytes"].to_pylist() == t["bytes"].to_pylist()
+
+    def test_crop_window_values(self, ray_session):
+        from maup_ray.media.image import AugmentStage
+
+        w, h = 8, 6
+        t = self._mk(n=2, w=w, h=h)
+        out = AugmentStage(crop=(2, 1, 4, 3))(t)
+        assert out["w"].to_pylist() == [4, 4]
+        assert out["h"].to_pylist() == [3, 3]
+        src = np.frombuffer(
+            t["bytes"][0].as_py(), dtype=np.uint8
+        ).reshape(h, w, 3)
+        got = np.frombuffer(
+            out["bytes"][0].as_py(), dtype=np.uint8
+        ).reshape(3, 4, 3)
+        assert (got == src[1:4, 2:6]).all()
+
+    def test_runs_as_dataset_stage(self, ray_session):
+        import ray.data
+
+        from maup_ray.media.image import AugmentStage
+
+        ds = ray.data.from_arrow(self._mk(n=12))
+        out = ds.map_batches(
+            AugmentStage,
+            fn_constructor_kwargs={"hflip": True, "crop": (0, 0, 4, 4)},
+            batch_format="pyarrow",
+            concurrency=2,
+        ).to_pandas()
+        assert len(out) == 12
+        assert set(out["w"]) == {4} and set(out["h"]) == {4}
