@@ -219,6 +219,28 @@ def _seg_bboxes(p0, p1):
     )
 
 
+class _CutAccumulator:
+    """Flat (segment_idx, t) cut-parameter accumulator — callees
+    append ARRAYS, never per-element Python."""
+
+    __slots__ = ("segs", "ts")
+
+    def __init__(self):
+        self.segs: list[np.ndarray] = []
+        self.ts: list[np.ndarray] = []
+
+    def add(self, seg_idx: np.ndarray, t: np.ndarray):
+        if len(seg_idx):
+            self.segs.append(np.asarray(seg_idx, dtype=np.int64))
+            self.ts.append(np.asarray(t, dtype=np.float64))
+
+    def arrays(self):
+        if not self.segs:
+            z = np.empty(0, dtype=np.int64)
+            return z, np.empty(0, dtype=np.float64)
+        return np.concatenate(self.segs), np.concatenate(self.ts)
+
+
 def _node_segments(p0, p1, tol, with_src: bool = False):
     """Split segments at every pairwise intersection. Returns
     (q0, q1): sub-segment endpoint arrays, quantized to ``tol``
@@ -231,7 +253,7 @@ def _node_segments(p0, p1, tol, with_src: bool = False):
     src_orig = np.flatnonzero(nonzero)
     p0, p1 = p0[nonzero], p1[nonzero]
     n = len(p0)
-    cuts: list[list[float]] = [[] for _ in range(n)]
+    cuts = _CutAccumulator()
     ia, ib = _candidate_pairs(_seg_bboxes(p0, p1))
     _node_pairs(p0, p1, ia, ib, cuts, tol)
     _vertex_proximity_cuts(p0, p1, cuts, tol)
@@ -240,17 +262,8 @@ def _node_segments(p0, p1, tol, with_src: bool = False):
     # zero-length pieces (exact-duplicate ts collapse there too) —
     # replaces a per-segment Python sort/set/loop that dominated
     # whole-corpus repair profiles
-    from itertools import chain
-
-    counts = np.fromiter(
-        (len(c) for c in cuts), dtype=np.int64, count=n
-    )
-    flat = np.fromiter(
-        chain.from_iterable(cuts), dtype=np.float64, count=int(counts.sum())
-    )
-    seg = np.concatenate(
-        [np.repeat(np.arange(n), 2), np.repeat(np.arange(n), counts)]
-    )
+    cut_seg, flat = cuts.arrays()
+    seg = np.concatenate([np.repeat(np.arange(n), 2), cut_seg])
     tval = np.concatenate([np.tile([0.0, 1.0], n), flat])
     order = np.lexsort((tval, seg))
     seg = seg[order]
@@ -341,8 +354,7 @@ def _vertex_proximity_cuts(p0, p1, cuts, tol):
     seglen = np.sqrt(L2)
     margin = eps / seglen
     interior = (t > margin) & (t < 1 - margin) & (dist <= eps)
-    for k in np.nonzero(interior)[0]:
-        cuts[si[k]].append(float(t[k]))
+    cuts.add(si[interior], t[interior])
 
 
 def _node_pairs(p0, p1, ia, ib, cuts, tol):
@@ -366,33 +378,37 @@ def _node_pairs(p0, p1, ia, ib, cuts, tol):
         t = qpxs / rxs
         u = qpxr / rxs
     hit = nonpar & (t >= -eps) & (t <= 1 + eps) & (u >= -eps) & (u <= 1 + eps)
-    for k in np.nonzero(hit)[0]:
-        tv = min(max(float(t[k]), 0.0), 1.0)
-        uv = min(max(float(u[k]), 0.0), 1.0)
-        if 0.0 < tv < 1.0:
-            cuts[ia[k]].append(tv)
-        if 0.0 < uv < 1.0:
-            cuts[ib[k]].append(uv)
-    # collinear overlaps: project other segment's endpoints
+    if hit.any():
+        tv = np.clip(t[hit], 0.0, 1.0)
+        uv = np.clip(u[hit], 0.0, 1.0)
+        m = (tv > 0.0) & (tv < 1.0)
+        cuts.add(ia[hit][m], tv[m])
+        m = (uv > 0.0) & (uv < 1.0)
+        cuts.add(ib[hit][m], uv[m])
+    # collinear overlaps: project other segment's endpoints (vectorized
+    # over the collinear pair set; the pair-skip semantics of the old
+    # per-pair loop — a zero-length i-segment skips BOTH directions,
+    # a zero-length j-segment only its own — are preserved via masks)
     coll = (~nonpar) & (np.abs(qpxr) <= 1e-9 * np.maximum(rlen, 1e-300) * np.maximum(rlen, slen))
-    for k in np.nonzero(coll)[0]:
-        i, j = int(ia[k]), int(ib[k])
-        rr = p1[i] - p0[i]
-        rl2 = float(rr @ rr)
-        if rl2 == 0:
-            continue
-        for pt in (p0[j], p1[j]):
-            tv = float((pt - p0[i]) @ rr) / rl2
-            if 1e-12 < tv < 1 - 1e-12:
-                cuts[i].append(tv)
-        ss = p1[j] - p0[j]
-        sl2 = float(ss @ ss)
-        if sl2 == 0:
-            continue
-        for pt in (p0[i], p1[i]):
-            uv = float((pt - p0[j]) @ ss) / sl2
-            if 1e-12 < uv < 1 - 1e-12:
-                cuts[j].append(uv)
+    if coll.any():
+        i_ = ia[coll]
+        j_ = ib[coll]
+        rr = p1[i_] - p0[i_]
+        rl2 = (rr * rr).sum(axis=1)
+        ok_r = rl2 > 0
+        rl2s = np.where(ok_r, rl2, 1.0)
+        for pt in (p0[j_], p1[j_]):
+            tvv = ((pt - p0[i_]) * rr).sum(axis=1) / rl2s
+            m = ok_r & (tvv > 1e-12) & (tvv < 1 - 1e-12)
+            cuts.add(i_[m], tvv[m])
+        ss = p1[j_] - p0[j_]
+        sl2 = (ss * ss).sum(axis=1)
+        ok_s = ok_r & (sl2 > 0)
+        sl2s = np.where(sl2 > 0, sl2, 1.0)
+        for pt in (p0[i_], p1[i_]):
+            uvv = ((pt - p0[j_]) * ss).sum(axis=1) / sl2s
+            m = ok_s & (uvv > 1e-12) & (uvv < 1 - 1e-12)
+            cuts.add(j_[m], uvv[m])
 
 
 # ------------------------------------------- exact DCEL face extraction
