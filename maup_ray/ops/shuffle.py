@@ -100,6 +100,10 @@ def group_starts(tbl: pa.Table, keys: list[str]) -> np.ndarray:
 
 
 def _apply_partition(fn, keys, sort_cols, *tabs):
+    # Ray's join/filter operators can emit schema-less empty blocks
+    # (zero columns); they carry no type information and poison the
+    # typed-empty contract below — drop them before selection.
+    tabs = [t for t in tabs if t.num_columns]
     nonempty = [t for t in tabs if t.num_rows]
     if not nonempty:
         # pass a TYPED empty table when available so fn can derive

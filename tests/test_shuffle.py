@@ -106,6 +106,47 @@ class TestHashGroupApply:
         assert tabs[0].column_names == ["k", "s"]
 
 
+class TestSchemalessBlocks:
+    def test_schemaless_empty_block_is_ignored(self, ray_session):
+        # Ray's JoinOperator flakily emits an EMPTY ZERO-COLUMN block
+        # alongside the real output ("new schema: ." executor warning);
+        # _apply_partition used to hand that table to fn as the "typed
+        # empty", crashing fn's key access (full-suite prorate
+        # hash-join flake). Inject one deterministically.
+        import ray.data
+
+        t = pa.table(
+            {
+                "k": pa.array([1, 2, 3], type=pa.int64()),
+                "v": pa.array([10, 20, 30], type=pa.int64()),
+            }
+        )
+
+        def typed_from_tbl(tbl, starts):
+            # derives output types FROM tbl when not None — the
+            # documented typed-empty contract (what prorate final_part
+            # does); crashes on a zero-column tbl without the filter
+            if tbl is None:
+                return pa.schema(
+                    [("k", pa.int64()), ("s", pa.int64())]
+                ).empty_table()
+            g = tbl.group_by(["k"], use_threads=False).aggregate(
+                [("v", "sum")]
+            )
+            return g.rename_columns(["k", "s"])
+
+        # schema-less block FIRST: its per-partition sub-table is then
+        # tabs[0], the slot _apply_partition reads the typed empty from
+        ds = ray.data.from_arrow([pa.table({}), t])
+        got = (
+            hash_group_apply(ds, ["k"], typed_from_tbl, num_partitions=16)
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        assert got["k"].tolist() == [1, 2, 3]
+        assert got["s"].tolist() == [10, 20, 30]
+
+
 class TestGroupStarts:
     def test_basic(self):
         t = pa.table({"k": pa.array([3, 3, 5, 7, 7, 7])})
