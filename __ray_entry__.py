@@ -72,6 +72,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": p.q_knn,
         "rasterize": p.q_rasterize,
         "sessions": p.q_sessions,
+        "rolling_window": p.q_rolling_window,
+        "asof_join": p.q_asof_join,
+        "range_join": p.q_range_join,
         # training-data family
         "token_count": p.q_token_count,
         "token_bpe": p.q_token_bpe,

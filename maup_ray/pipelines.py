@@ -557,6 +557,78 @@ def q_sessions(sf_dir: str):
     return out
 
 
+def q_rolling_window(sf_dir: str):
+    """Per-user rolling 1-hour windowed aggregate over the events
+    stream (count + exact int64 sum of event_id)."""
+    from .ops.temporal import rolling_window
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return rolling_window(ds, window_minutes=60.0)
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: odd-id events ("trades") matched to the latest
+    even-id event ("quote") of the same user at or before their ts."""
+    from .ops.temporal import asof_join
+
+    def odd(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.equal(pc.bit_wise_and(b["event_id"], 1), 1)
+        ).select(["event_id", "user_id", "ts"])
+
+    def even(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.equal(pc.bit_wise_and(b["event_id"], 1), 0)
+        ).select(["event_id", "user_id", "ts", "value"])
+
+    trades = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        odd, batch_format="pyarrow", zero_copy_batch=True
+    )
+    quotes = _read(
+        sf_dir, "events", ["event_id", "user_id", "ts", "value"]
+    ).map_batches(even, batch_format="pyarrow", zero_copy_batch=True)
+    return asof_join(
+        trades,
+        quotes,
+        value_cols=(("value", "quote_value"),),
+        out_left_id="trade_id",
+        out_right_id="quote_id",
+    )
+
+
+def q_range_join(sf_dir: str):
+    """Keyless interval join: every-17th event anchors a 1-hour
+    interval [ts, ts+1h); count + sum event ids of ALL events inside
+    (bucket co-partitioned, intervals replicate to <= 2 buckets)."""
+    from .ops.temporal import range_join_agg
+
+    points = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def anchors(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        a = b.filter(pa.array(eid % 17 == 0))
+        hour = pa.scalar(3_600_000_000, type=pa.duration("us"))
+        return pa.table(
+            {
+                "anchor_id": a["event_id"],
+                "start": a["ts"],
+                "end": pc.add(a["ts"], hour),
+            }
+        )
+
+    intervals = _read(sf_dir, "events", ["event_id", "ts"]).map_batches(
+        anchors, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return range_join_agg(
+        points,
+        intervals,
+        start_col="start",
+        end_col="end",
+        interval_id_col="anchor_id",
+        bucket_minutes=60.0,
+    )
+
+
 KNN_K = 3
 RASTER_RES = 4
 
@@ -873,6 +945,46 @@ def oracle_queries() -> dict[str, str]:
                    count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM tagged GROUP BY user_id, session_id
+        """,
+        "rolling_window": """
+            SELECT event_id, user_id, ts,
+              count(*) OVER w AS n_win,
+              CAST(sum(event_id) OVER w AS BIGINT) AS eid_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "asof_join": """
+            WITH u AS (
+              SELECT event_id, user_id, ts, value,
+                     event_id % 2 AS is_trade
+              FROM events),
+            m AS (SELECT *,
+              last_value(CASE WHEN is_trade=0 THEN event_id END
+                         IGNORE NULLS)
+                OVER (PARTITION BY user_id
+                      ORDER BY ts, is_trade, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS quote_id,
+              last_value(CASE WHEN is_trade=0 THEN value END
+                         IGNORE NULLS)
+                OVER (PARTITION BY user_id
+                      ORDER BY ts, is_trade, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS quote_value
+             FROM u)
+            SELECT event_id AS trade_id, user_id, ts,
+                   quote_id, quote_value
+            FROM m WHERE is_trade = 1
+        """,
+        "range_join": """
+            SELECT a.event_id AS anchor_id, count(*) AS n_win,
+                   CAST(sum(e.event_id) AS BIGINT) AS eid_sum
+            FROM (SELECT * FROM events WHERE event_id % 17 = 0) a
+            JOIN events e
+              ON e.ts >= a.ts AND e.ts < a.ts + INTERVAL 1 HOUR
+            GROUP BY a.event_id
         """,
         "knn": f"""
             WITH pts AS (

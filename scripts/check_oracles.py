@@ -69,7 +69,8 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> bool:
             gv, wv = g[c].to_numpy(), w[c].to_numpy()
             if gv.dtype.kind == "f" or wv.dtype.kind == "f":
                 eq = np.array_equal(
-                    gv.astype(np.float64), wv.astype(np.float64)
+                    gv.astype(np.float64), wv.astype(np.float64),
+                    equal_nan=True,
                 )
                 if not eq:
                     close = np.allclose(

@@ -1,0 +1,302 @@
+"""ops.temporal — as-of join, range/interval join, rolling windows.
+
+Brute-force O(n^2) oracles over small seeded inputs with PLANTED
+collisions (duplicate timestamps, interval-boundary hits, empty
+windows) — the reference-test pattern (SURVEY §5.2)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from maup_ray.ops.temporal import asof_join, range_join_agg, rolling_window
+
+US = 1_000_000
+
+
+def _events(n=400, n_users=7, seed=11, coarse=True):
+    rng = np.random.RandomState(seed)
+    # coarse second-resolution stamps force duplicate ts (peers)
+    span = 3 * 3600 if coarse else 30 * 24 * 3600
+    ts = rng.randint(0, span, n) * US
+    if coarse:
+        ts = (ts // (60 * US)) * (60 * US)  # minute grid → many ties
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n)),
+            "user_id": pa.array(rng.randint(0, n_users, n)),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "value": pa.array(np.round(rng.uniform(0, 100, n), 2)),
+        }
+    )
+
+
+def _brute_rolling(t: pa.Table, w_us: int):
+    df = t.to_pandas()
+    tsv = df["ts"].astype("datetime64[us]").astype(np.int64)
+    rows = []
+    for i in range(len(df)):
+        m = (
+            (df["user_id"] == df["user_id"][i])
+            & (tsv >= tsv[i] - w_us)
+            & (tsv <= tsv[i])
+        )
+        rows.append((df["event_id"][i], int(m.sum()), int(df["event_id"][m].sum())))
+    return rows
+
+
+class TestRollingWindow:
+    def test_matches_brute_force(self):
+        t = _events()
+        out = rolling_window(t, window_minutes=30.0).to_pandas()
+        out = out.set_index("event_id").sort_index()
+        for eid, n, s in _brute_rolling(t, 30 * 60 * US):
+            assert out.loc[eid, "n_win"] == n
+            assert out.loc[eid, "eid_sum"] == s
+
+    def test_dataset_matches_table(self, ray_session):
+        import ray.data
+
+        t = _events(seed=5)
+        want = (
+            rolling_window(t, window_minutes=45.0)
+            .to_pandas()
+            .sort_values("event_id", ignore_index=True)
+        )
+        got = (
+            rolling_window(
+                ray.data.from_arrow(t).repartition(5), window_minutes=45.0
+            )
+            .to_pandas()
+            .sort_values("event_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_overflow_fallback_same_result(self, monkeypatch):
+        # force the per-group-loop fallback and assert bit-identical
+        from maup_ray.ops import temporal
+
+        t = _events(seed=7)
+        want = rolling_window(t, window_minutes=30.0)
+        orig = temporal._group_shifts
+        monkeypatch.setattr(
+            temporal,
+            "_group_shifts",
+            lambda ts, starts, w: (None, orig(ts, starts, w)[1]),
+        )
+        got = rolling_window(t, window_minutes=30.0)
+        assert got.equals(want)
+
+
+def _brute_asof(trades: pa.Table, quotes: pa.Table):
+    td, qd = trades.to_pandas(), quotes.to_pandas()
+    out = {}
+    for i in range(len(td)):
+        c = qd[(qd["user_id"] == td["user_id"][i]) & (qd["ts"] <= td["ts"][i])]
+        if len(c) == 0:
+            out[td["event_id"][i]] = (None, None)
+        else:
+            c = c.sort_values(["ts", "event_id"])
+            out[td["event_id"][i]] = (
+                int(c["event_id"].iloc[-1]),
+                float(c["value"].iloc[-1]),
+            )
+    return out
+
+
+class TestAsofJoin:
+    def test_matches_brute_force(self):
+        t = _events(seed=3)
+        eid = t["event_id"].to_numpy()
+        trades = t.filter(pa.array(eid % 2 == 1)).select(
+            ["event_id", "user_id", "ts"]
+        )
+        quotes = t.filter(pa.array(eid % 2 == 0))
+        out = asof_join(
+            trades,
+            quotes,
+            value_cols=(("value", "quote_value"),),
+            out_left_id="trade_id",
+            out_right_id="quote_id",
+        ).to_pandas()
+        assert len(out) == len(trades)
+        want = _brute_asof(trades, quotes)
+        for _, r in out.iterrows():
+            wq, wv = want[r["trade_id"]]
+            if wq is None:
+                assert pd.isna(r["quote_id"]) and pd.isna(r["quote_value"])
+            else:
+                assert r["quote_id"] == wq
+                assert r["quote_value"] == wv
+
+    def test_equal_ts_quote_visible_and_max_id_wins(self):
+        # trade at the exact ts of TWO quotes: inclusive match, tie →
+        # max quote id
+        ts = pa.array(
+            np.array([1000 * US, 1000 * US, 1000 * US], dtype="datetime64[us]")
+        )
+        trades = pa.table(
+            {
+                "event_id": pa.array([7]),
+                "user_id": pa.array([1]),
+                "ts": ts.slice(0, 1),
+            }
+        )
+        quotes = pa.table(
+            {
+                "event_id": pa.array([2, 4]),
+                "user_id": pa.array([1, 1]),
+                "ts": ts.slice(1, 2),
+                "value": pa.array([1.5, 2.5]),
+            }
+        )
+        out = asof_join(
+            trades, quotes, value_cols=("value",)
+        ).to_pandas()
+        assert out["right_id"].tolist() == [4]
+        assert out["value"].tolist() == [2.5]
+
+    def test_dataset_matches_table(self, ray_session):
+        import ray.data
+
+        t = _events(seed=9)
+        eid = t["event_id"].to_numpy()
+        trades = t.filter(pa.array(eid % 2 == 1)).select(
+            ["event_id", "user_id", "ts"]
+        )
+        quotes = t.filter(pa.array(eid % 2 == 0))
+        kw = dict(
+            value_cols=(("value", "quote_value"),),
+            out_left_id="trade_id",
+            out_right_id="quote_id",
+        )
+        want = (
+            asof_join(trades, quotes, **kw)
+            .to_pandas()
+            .sort_values("trade_id", ignore_index=True)
+        )
+        got = (
+            asof_join(
+                ray.data.from_arrow(trades).repartition(4),
+                ray.data.from_arrow(quotes).repartition(3),
+                **kw,
+            )
+            .to_pandas()
+            .sort_values("trade_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+def _brute_range(points: pa.Table, iv: pa.Table):
+    pd_, id_ = points.to_pandas(), iv.to_pandas()
+    rows = {}
+    for i in range(len(id_)):
+        m = (pd_["ts"] >= id_["start"][i]) & (pd_["ts"] < id_["end"][i])
+        if m.sum():
+            rows[id_["interval_id"][i]] = (
+                int(m.sum()),
+                int(pd_["event_id"][m].sum()),
+            )
+    return rows
+
+
+class TestRangeJoinAgg:
+    def _intervals(self, t, k=17, w_us=3600 * US):
+        eid = t["event_id"].to_numpy()
+        a = t.filter(pa.array(eid % k == 0))
+        ts = a["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        return pa.table(
+            {
+                "interval_id": a["event_id"],
+                "start": a["ts"],
+                "end": pa.array((ts + w_us).astype("datetime64[us]")),
+            }
+        )
+
+    def test_matches_brute_force(self):
+        t = _events(seed=13)
+        iv = self._intervals(t)
+        out = range_join_agg(
+            t.select(["event_id", "ts"]), iv, bucket_minutes=60.0
+        ).to_pandas()
+        want = _brute_range(t, iv)
+        assert len(out) == len(want)
+        for _, r in out.iterrows():
+            assert (r["n_win"], r["eid_sum"]) == want[r["interval_id"]]
+
+    def test_boundary_exclusive_and_bucket_straddle(self):
+        # points exactly at start (in), exactly at end (out), interval
+        # straddling a bucket boundary
+        pts_ts = np.array(
+            [3590 * US, 3600 * US, 7199 * US, 7200 * US], dtype="datetime64[us]"
+        )
+        points = pa.table(
+            {"event_id": pa.array([1, 2, 3, 4]), "ts": pa.array(pts_ts)}
+        )
+        iv = pa.table(
+            {
+                "interval_id": pa.array([100]),
+                "start": pa.array(
+                    np.array([3600 * US], dtype="datetime64[us]")
+                ),
+                "end": pa.array(
+                    np.array([7200 * US], dtype="datetime64[us]")
+                ),
+            }
+        )
+        out = range_join_agg(points, iv, bucket_minutes=60.0).to_pandas()
+        # [3600s, 7200s): includes events 2 and 3 only
+        assert out["n_win"].tolist() == [2]
+        assert out["eid_sum"].tolist() == [5]
+
+    def test_zero_match_interval_dropped(self):
+        points = pa.table(
+            {
+                "event_id": pa.array([1]),
+                "ts": pa.array(np.array([0], dtype="datetime64[us]")),
+            }
+        )
+        iv = pa.table(
+            {
+                "interval_id": pa.array([9]),
+                "start": pa.array(
+                    np.array([10**12], dtype="datetime64[us]")
+                ),
+                "end": pa.array(
+                    np.array([10**12 + 60 * US], dtype="datetime64[us]")
+                ),
+            }
+        )
+        out = range_join_agg(points, iv, bucket_minutes=60.0)
+        assert len(out) == 0
+
+    def test_interval_longer_than_bucket_raises(self):
+        t = _events(seed=13)
+        iv = self._intervals(t, w_us=2 * 3600 * US)
+        with pytest.raises(ValueError, match="longer than bucket"):
+            range_join_agg(
+                t.select(["event_id", "ts"]), iv, bucket_minutes=60.0
+            )
+
+    def test_dataset_matches_table(self, ray_session):
+        import ray.data
+
+        t = _events(seed=21, coarse=False)
+        iv = self._intervals(t, k=11)
+        want = (
+            range_join_agg(
+                t.select(["event_id", "ts"]), iv, bucket_minutes=60.0
+            )
+            .to_pandas()
+            .sort_values("interval_id", ignore_index=True)
+        )
+        got = (
+            range_join_agg(
+                ray.data.from_arrow(t.select(["event_id", "ts"])).repartition(6),
+                ray.data.from_arrow(iv).repartition(2),
+                bucket_minutes=60.0,
+            )
+            .to_pandas()
+            .sort_values("interval_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
