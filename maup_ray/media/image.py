@@ -330,12 +330,21 @@ class ImageStatsStage:
 
 def phash_signatures(images, concurrency: int = 4, batch_size=None):
     """(image_id, phash_computed) Dataset: the PhashStage decode+hash
-    pass with payload columns dropped before anything wide happens."""
+    pass with payload columns dropped before anything wide happens.
+
+    Task mode with a per-worker cached stage instance (the r1
+    actor-respawn lesson: PhashStage state is a tiny bit-packing
+    table, and an actor pool pays ~2 s respawn per Dataset
+    execution)."""
+    from ..ops.assign import _cached_instance
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached_instance(PhashStage, ("phash",), {})(batch)
+
     return images.map_batches(
-        PhashStage,
+        fn,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, int(concurrency)),
         batch_size=batch_size,
     ).select_columns(["image_id", "phash_computed"])
 
@@ -442,15 +451,27 @@ def image_near_dup(
         # min label of a component maps back to the min rep id
         code_i = pc.index_in(pairs["id_i"], uniq).combine_chunks()
         code_j = pc.index_in(pairs["id_j"], uniq).combine_chunks()
-        edges = ray.data.from_arrow(
-            pa.table(
-                {
-                    "a": pc.cast(code_i, pa.int64()),
-                    "b": pc.cast(code_j, pa.int64()),
-                }
+        if pairs.num_rows <= 200_000:
+            # rep edges are tiny after exact-class reduction: a
+            # driver union-find beats the BSP rounds' fixed per-job
+            # latency (same measured-size plan choice as prorate's
+            # broadcast-vs-coshuffle)
+            from ..text.cluster import local_components
+
+            comp = local_components(
+                code_i.to_numpy(zero_copy_only=False),
+                code_j.to_numpy(zero_copy_only=False),
+            ).to_pandas()
+        else:
+            edges = ray.data.from_arrow(
+                pa.table(
+                    {
+                        "a": pc.cast(code_i, pa.int64()),
+                        "b": pc.cast(code_j, pa.int64()),
+                    }
+                )
             )
-        )
-        comp = connected_components(edges).to_pandas()
+            comp = connected_components(edges).to_pandas()
         u = uniq.to_pylist()
         for n_, l_ in zip(comp["node"], comp["component"]):
             rep_label[u[int(n_)]] = u[int(l_)]

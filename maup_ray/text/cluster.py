@@ -319,6 +319,48 @@ def _cc_reduce(labels: pa.Table, *msg_tabs):
     )
 
 
+def local_components(a, b) -> pa.Table:
+    """Driver-side union-find over a SMALL edge list (int node codes)
+    -> (node, component) with component = min reachable node, the same
+    contract as connected_components. The scale-adaptive twin: callers
+    whose edge table is already local and tiny (e.g. image near-dup
+    reps after exact-class reduction) should not pay the BSP rounds'
+    fixed per-job latency just to label a few hundred edges."""
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    code = {int(v): i for i, v in enumerate(nodes)}
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for u, v in zip(a, b):
+        ru, rv = find(code[int(u)]), find(code[int(v)])
+        if ru != rv:
+            # union by smaller root keeps roots = small indices, and
+            # nodes are processed in sorted order below anyway
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    roots = np.array([find(i) for i in range(len(nodes))])
+    # component label = min node id in the component; nodes sorted
+    # ascending → the root's own node id is NOT necessarily the min,
+    # so reduce explicitly
+    lab = np.full(len(nodes), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(lab, roots, nodes)
+    return pa.table(
+        {
+            "node": pa.array(nodes),
+            "component": pa.array(lab[roots]),
+        }
+    )
+
+
 def connected_components(
     edges,
     a_col: str = "a",

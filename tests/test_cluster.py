@@ -137,6 +137,30 @@ class TestConnectedComponents:
         assert set(got.values()) == {50}
 
 
+class TestLocalComponents:
+    def test_matches_distributed_and_brute(self, ray_session):
+        import numpy as np
+
+        from maup_ray.text.cluster import local_components
+
+        rng = np.random.RandomState(3)
+        edges = [
+            (int(a), int(b))
+            for a, b in zip(rng.randint(0, 60, 120), rng.randint(0, 60, 120))
+            if a != b
+        ] + [(i, i + 1) for i in range(100, 140)]  # long chain too
+        out = local_components(
+            np.array([e[0] for e in edges]),
+            np.array([e[1] for e in edges]),
+        ).to_pandas()
+        got = {
+            int(n): int(c) for n, c in zip(out["node"], out["component"])
+        }
+        assert got == _brute_components(edges)
+        dist = TestConnectedComponents()._run(ray_session, edges)
+        assert got == dist
+
+
 class TestNearDupComponents:
     def test_components_match_bruteforce(self, ray_session):
         import ray.data
