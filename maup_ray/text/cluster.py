@@ -329,7 +329,8 @@ def local_components(a, b) -> pa.Table:
     a = np.asarray(a, dtype=np.int64)
     b = np.asarray(b, dtype=np.int64)
     nodes = np.unique(np.concatenate([a, b]))
-    code = {int(v): i for i, v in enumerate(nodes)}
+    ca = np.searchsorted(nodes, a)
+    cb = np.searchsorted(nodes, b)
     parent = np.arange(len(nodes), dtype=np.int64)
 
     def find(x: int) -> int:
@@ -338,8 +339,8 @@ def local_components(a, b) -> pa.Table:
             x = parent[x]
         return x
 
-    for u, v in zip(a, b):
-        ru, rv = find(code[int(u)]), find(code[int(v)])
+    for u, v in zip(ca.tolist(), cb.tolist()):
+        ru, rv = find(u), find(v)
         if ru != rv:
             # union by smaller root keeps roots = small indices, and
             # nodes are processed in sorted order below anyway
@@ -367,6 +368,7 @@ def connected_components(
     b_col: str = "b",
     max_iters: int = 50,
     num_partitions: int | None = None,
+    local_threshold: int = 400_000,
 ):
     """(node, component) for every node of the undirected edge list;
     component = min node id reachable (so the component id IS the
@@ -407,6 +409,22 @@ def connected_components(
     if not blocks:
         return ray.data.from_arrow(_empty_lbl).rename_columns(
             ["node", "component"]
+        )
+    # scale-adaptive: dup graphs are usually SPARSE relative to the
+    # corpus — when the (already materialized) message table is tiny,
+    # a driver union-find beats paying the BSP rounds' fixed per-job
+    # latency x diameter (the directed table is 2 rows/edge, so this
+    # gate is <= local_threshold/2 edges / a few MB on the driver;
+    # pass local_threshold=0 to force the BSP rounds)
+    if directed.count() <= local_threshold:
+        msgs = pa.concat_tables(
+            [t for t in ray.get(blocks) if t.num_columns]
+        )
+        return ray.data.from_arrow(
+            local_components(
+                msgs["node"].to_numpy(zero_copy_only=False),
+                msgs["nbr"].to_numpy(zero_copy_only=False),
+            )
         )
     if num_partitions is None:
         num_partitions = max(

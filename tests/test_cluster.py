@@ -112,7 +112,10 @@ class TestConnectedComponents:
         a = pa.array([e[0] for e in edges], type=pa.int64())
         b = pa.array([e[1] for e in edges], type=pa.int64())
         ds = ray.data.from_arrow(pa.table({"a": a, "b": b}))
-        out = connected_components(ds).to_pandas()
+        # local_threshold=0 forces the distributed BSP rounds (the
+        # adaptive gate would route these tiny graphs to the driver
+        # union-find and silently drop BSP coverage)
+        out = connected_components(ds, local_threshold=0).to_pandas()
         return {
             int(n): int(c) for n, c in zip(out["node"], out["component"])
         }
