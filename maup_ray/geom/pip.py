@@ -85,12 +85,15 @@ def points_near_segments(
 ) -> np.ndarray:
     """True where a point lies within eps of ANY segment (s0[i], s1[i]).
 
-    Sparse evaluation: a point can only be within eps of a segment
-    whose eps-expanded bbox contains it, so the expensive projection
-    math runs on the (point, segment) pairs surviving a cheap
-    4-comparison bbox mask — on repair workloads (thousands of points
-    × thousands of edges, few genuine contacts) this is ~10× the
-    dense version, which dominated smart_repair profiles."""
+    Sparse evaluation via y-interval stabbing (the _crossing_counts
+    pattern): points sorted by y once, each segment's eps-expanded
+    y-span selects its candidate points by two searchsorted calls, the
+    x-bbox mask then prunes the emitted pairs, and the exact
+    projection runs only on survivors. A pair outside the expanded
+    bbox is > eps away by construction, so results are identical to
+    the dense evaluation while work drops from n×m bbox comparisons
+    (the previous chunked-dense mask, which dominated smart_repair
+    profiles at 2k+ calls per repair) to Σ y-straddles."""
     n = len(pts)
     out = np.zeros(n, dtype=bool)
     if n == 0 or len(s0) == 0:
@@ -105,26 +108,54 @@ def points_near_segments(
     L2 = dx * dx + dy * dy
     L2safe = np.where(L2 == 0, 1.0, L2)
     e2 = eps * eps
-    chunk = max(1, 2_000_000 // max(len(s0), 1))
-    for s in range(0, n, chunk):
-        px_ = pts[s : s + chunk, 0:1]
-        py_ = pts[s : s + chunk, 1:2]
-        cand = (
-            (px_ >= ex_lo) & (px_ <= ex_hi)
-            & (py_ >= ey_lo) & (py_ <= ey_hi)
-        )
-        pi, ei = np.nonzero(cand)
-        if not len(pi):
+    order = np.argsort(pts[:, 1], kind="stable")
+    ys = pts[order, 1]
+    starts = np.searchsorted(ys, ey_lo, side="left")
+    ends = np.searchsorted(ys, ey_hi, side="right")
+    cnt = np.maximum(ends - starts, 0)
+    total = int(cnt.sum())
+    if total == 0:
+        return out
+    m = len(s0)
+    base = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(cnt, out=base[1:])
+    # bound peak pair memory: split the segment axis at cumulative-
+    # pair boundaries (usual case is one block)
+    blocks = max(1, -(-total // 20_000_000))
+    cuts = np.searchsorted(
+        base[1:], np.linspace(0, total, blocks + 1)[1:-1], side="left"
+    )
+    seg_bounds = np.concatenate([[0], cuts + 1, [m]])
+    for bi in range(len(seg_bounds) - 1):
+        a, b = int(seg_bounds[bi]), int(seg_bounds[bi + 1])
+        if a >= b:
             continue
-        qx = pts[s + pi, 0]
-        qy = pts[s + pi, 1]
+        ccnt = cnt[a:b]
+        tot = int(base[b] - base[a])
+        if tot == 0:
+            continue
+        e_idx = np.repeat(np.arange(a, b), ccnt)
+        p_pos = (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(base[a:b] - base[a], ccnt)
+            + np.repeat(starts[a:b], ccnt)
+        )
+        p_idx = order[p_pos]
+        qx = pts[p_idx, 0]
+        mask = (qx >= ex_lo[e_idx]) & (qx <= ex_hi[e_idx])
+        if not mask.any():
+            continue
+        pi = p_idx[mask]
+        ei = e_idx[mask]
+        qx = qx[mask]
+        qy = pts[pi, 1]
         t = ((qx - x0[ei]) * dx[ei] + (qy - y0[ei]) * dy[ei]) / L2safe[ei]
         t = np.clip(t, 0.0, 1.0)
         ddx = qx - (x0[ei] + t * dx[ei])
         ddy = qy - (y0[ei] + t * dy[ei])
         hit = ddx * ddx + ddy * ddy <= e2
         if hit.any():
-            out[s + pi[hit]] = True
+            out[pi[hit]] = True
     return out
 
 
