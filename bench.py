@@ -236,6 +236,17 @@ def main():
             )
         )
         return
+    def _loadavg():
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except OSError:
+            return None
+
+    # host contention bursts (minutes-long, hypervisor-level) can hit
+    # the MIDDLE of a run: report load before and after so polluted
+    # draws are identifiable (a quiet pre + loaded post = burst)
+    pre = _loadavg()
     head = run_headline(NUM_CPUS)
     queries = run_queries(NUM_CPUS)
     print(
@@ -249,6 +260,8 @@ def main():
                 "queries": queries,
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
+                "ambient_loadavg_pre": pre,
+                "ambient_loadavg_post": _loadavg(),
             }
         )
     )
