@@ -8,10 +8,10 @@ PSNR≥40dB fidelity invariant stays byte equality); ``fmt == "jpeg"``
 payloads decode through the from-scratch baseline-JPEG codec in
 :mod:`maup_ray.media.jpeg` (lossy — fixtures are encoded at
 quality 98, which measures >40 dB PSNR even on the adversarial
-high-frequency synth pattern). Only video frame-sampling remains a
-NotImplementedError stub (no container/codec parsing offline) — its
-Ray-side plumbing (schema, batch shape, actor signature, output
-layout) is real and tested.
+high-frequency synth pattern). Video frame-sampling decodes AVI
+containers (MJPEG / uncompressed-DIB codecs) through the from-scratch
+RIFF parser in :mod:`maup_ray.media.avi`; interframe codecs (H.264 …)
+raise ``NotImplementedError`` (no codec library offline).
 
 These run as actor-pool map_batches stages
 (``ds.map_batches(PhashStage, concurrency=N, batch_size=B)``) so any
@@ -186,17 +186,75 @@ class ResizeStage:
 
 
 class FrameSampleStage:
-    """Video frame sampling STUB — no video codec in this container.
-    The signature and output schema are the real design: input rows
-    (video_id, bytes, fmt, n_frames), output one row per sampled frame
-    (video_id, frame_idx, bytes, w, h, fmt='raw')."""
+    """Video frame sampling over opaque AVI payloads (from-scratch RIFF
+    container parse + MJPEG/DIB decode, :mod:`maup_ray.media.avi`).
 
-    def __init__(self, every_n: int = 30):
-        self.every_n = every_n
+    Input rows (video_id, bytes, fmt='avi'); output ONE row per sampled
+    frame: (video_id, frame_idx:int32, bytes, w:int32, h:int32,
+    fmt='raw'). Sampling is ``every_n`` (frames 0, n, 2n, …) or, when
+    ``uniform_k`` is set, k frames evenly spaced across the clip —
+    both deterministic. Only the SAMPLED frames are decoded: the
+    container parse locates chunk offsets without touching payloads,
+    so a 1-of-30 sample reads ~1/30 of the pixel work (MJPEG frames
+    are independent; there is no interframe state to replay).
+
+    Interframe codecs (H.264 …) raise ``NotImplementedError`` from the
+    parser — no codec library exists in this container."""
+
+    def __init__(self, every_n: int = 30, uniform_k: int | None = None):
+        self.every_n = max(1, int(every_n))
+        self.uniform_k = uniform_k
+
+    def _sample_idx(self, n_frames: int) -> np.ndarray:
+        if self.uniform_k is not None:
+            k = min(self.uniform_k, n_frames)
+            if k <= 0:
+                return np.empty(0, dtype=np.int64)
+            return np.unique(
+                (np.arange(k, dtype=np.float64) * n_frames / k).astype(
+                    np.int64
+                )
+            )
+        return np.arange(0, n_frames, self.every_n, dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "video decode requires a codec library; stage plumbing only"
+        from .avi import decode_avi_frame, parse_avi
+
+        vid_out: list = []
+        idx_out: list[int] = []
+        blob_out: list[bytes] = []
+        w_out: list[int] = []
+        h_out: list[int] = []
+        for vid, blob, fmt in zip(
+            batch["video_id"], batch["bytes"], batch["fmt"]
+        ):
+            f = fmt.as_py()
+            if f != "avi":
+                raise NotImplementedError(
+                    f"video fmt {f!r}: only AVI containers (MJPG/DIB "
+                    "codecs) decode in this environment"
+                )
+            buf = blob.as_py()
+            info = parse_avi(buf)
+            for i in self._sample_idx(info.n_frames):
+                img = decode_avi_frame(buf, info, int(i))
+                vid_out.append(vid.as_py())
+                idx_out.append(int(i))
+                blob_out.append(img.tobytes())
+                h_out.append(img.shape[0])
+                w_out.append(img.shape[1])
+        n = len(idx_out)
+        return pa.table(
+            {
+                "video_id": pa.array(vid_out, type=pa.string()),
+                "frame_idx": pa.array(
+                    np.asarray(idx_out, dtype=np.int32)
+                ),
+                "bytes": pa.array(blob_out, type=pa.binary()),
+                "w": pa.array(np.asarray(w_out, dtype=np.int32)),
+                "h": pa.array(np.asarray(h_out, dtype=np.int32)),
+                "fmt": pa.array(["raw"] * n, type=pa.string()),
+            }
         )
 
 

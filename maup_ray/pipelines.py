@@ -548,6 +548,29 @@ def q_image_phash(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_video_frames(sf_dir: str):
+    """Video frame sampling (rows-only: container/codec decode is not
+    SQL-expressible): synth AVI table sized from documents (mixed
+    MJPEG + lossless-DIB codecs) → FrameSampleStage (from-scratch RIFF
+    parse, decode ONLY the sampled frames) → one row per sampled frame.
+    Payload columns are dropped before anything leaves the stage;
+    frame fidelity (DIB byte-exact, MJPEG PSNR≥40dB) is pinned by
+    tests/test_video.py."""
+    import pyarrow.parquet as pq
+
+    from .media.image import FrameSampleStage
+    from .synth.videos import video_dataset
+
+    n = max(40, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows // 2)
+    ds = video_dataset(n, n_frames=8)
+    out = ds.map_batches(
+        FrameSampleStage(every_n=2),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).select_columns(["video_id", "frame_idx", "w", "h"])
+    return out
+
+
 def q_sessions(sf_dir: str):
     """Gap-based sessionization of the events stream (30-min gap)."""
     from .ops.sessions import sessionize
