@@ -196,7 +196,7 @@ def _convexify_gap(gap, out_geoms, neighbors):
     or None when the gap has <2 distinct owners, has holes, or no arc
     cuts a positive-area piece (already convex)."""
     from ..geom.core import normalize_polygon
-    from ..geom.funnel import shortest_path_in_ring, visible_pairs
+    from ..geom.funnel import RingGeodesics
 
     if len(gap) != 1:
         return None
@@ -207,13 +207,13 @@ def _convexify_gap(gap, out_geoms, neighbors):
     if len(distinct) < 2:
         return None
     runs = [r for r in _owner_runs(owner) if r[0] >= 0]
-    vis = visible_pairs(ring)
+    geo = RingGeodesics(ring)
     garea = poly_area([gap])
     additions: dict[int, list] = {}
     pieces = []
     for own, a, b in runs:
         i0, i1 = a % m, (b + 1) % m
-        path = shortest_path_in_ring(ring, i0, i1, vis)
+        path = geo.path(i0, i1)
         if len(path) < 2:
             continue
         arc_idx = [k % m for k in range(a, b + 2)]
@@ -378,50 +378,6 @@ def _polyline_dist(A, B) -> float:
     return best
 
 
-def _path_from_interior(ring, vis, C, target: int):
-    """Shortest path from interior point C to ring[target] inside the
-    ring: Dijkstra over ring vertices + C (C linked to vertices it
-    sees). Returns coords [C, ..., ring[target]] or None."""
-    import heapq
-
-    from ..geom.funnel import _segment_inside
-
-    m = len(ring)
-    see = np.array(
-        [_segment_inside(C, ring[k], ring) for k in range(m)], dtype=bool
-    )
-    if not see.any():
-        return None
-    if see[target]:
-        return np.vstack([C[None, :], ring[[target]]])
-    dist = np.full(m, np.inf)
-    prev = np.full(m, -2, dtype=np.int64)  # -1 marks "from C"
-    heap = []
-    for k in np.nonzero(see)[0]:
-        d = float(np.hypot(*(ring[k] - C)))
-        dist[k] = d
-        prev[k] = -1
-        heapq.heappush(heap, (d, int(k)))
-    while heap:
-        d, u = heapq.heappop(heap)
-        if d > dist[u]:
-            continue
-        if u == target:
-            break
-        for v in np.nonzero(vis[u])[0]:
-            nd = d + float(np.hypot(*(ring[v] - ring[u])))
-            if nd < dist[v]:
-                dist[v] = nd
-                prev[v] = u
-                heapq.heappush(heap, (nd, int(v)))
-    if not np.isfinite(dist[target]):
-        return None
-    path = [int(target)]
-    while prev[path[-1]] != -1:
-        path.append(int(prev[path[-1]]))
-    return np.vstack([C[None, :], ring[path[::-1]]])
-
-
 def _hull_incenter(A, B, Cv):
     a = float(np.hypot(*(B - Cv)))
     b = float(np.hypot(*(Cv - A)))
@@ -430,10 +386,10 @@ def _hull_incenter(A, B, Cv):
     return (a * A + b * B + c * Cv) / s if s > 0 else (A + B + Cv) / 3.0
 
 
-def _split_3runs(gap, ring, runs, vis):
+def _split_3runs(gap, ring, runs, geo):
     """3-boundary split (ref :1150-1452). Returns [(owner, piece)] or
-    None when degenerate (caller falls back to absorb)."""
-    from ..geom.funnel import shortest_path_in_ring
+    None when degenerate (caller falls back to absorb). ``geo`` is a
+    :class:`~maup_ray.geom.funnel.RingGeodesics` for the ring."""
     from ..geom.pip import point_in_polygon
 
     m = len(ring)
@@ -462,7 +418,7 @@ def _split_3runs(gap, ring, runs, vis):
                 return [(o1, [gap])]
             if v == ext_vs[-1]:
                 return [(o2, [gap])]
-        sp = shortest_path_in_ring(ring, u, v, vis)  # u → v
+        sp = geo.path(u, v)  # u → v
         piece1 = _close_piece(gap, ring[_walk_idx(m, v, u)], sp[::-1])
         piece2 = _close_piece(gap, ring[_walk_idx(m, u, v)], sp)
         out = []
@@ -481,7 +437,7 @@ def _split_3runs(gap, ring, runs, vis):
         point_in_polygon(C[None, :], gap, include_boundary=False)[0]
     )
     if inside:
-        paths = [_path_from_interior(ring, vis, C, mv) for mv in mains]
+        paths = [geo.path_from_point(C, mv) for mv in mains]
         if all(p is not None for p in paths):
             # reject crossing/overlapping paths: interior vertex sets
             # must be pairwise disjoint (ref builds them in disjoint
@@ -548,13 +504,11 @@ def _split_at(P, seg_idx, X):
     return pre, suf
 
 
-def _reduce_multi(gap, ring, runs, vis):
+def _reduce_multi(gap, ring, runs, geo):
     """≥4-boundary reduction (ref :1454-1700): connect the closest
     non-adjacent boundary pair with shortest-path 'triangles' attached
     to their owners, leaving smaller gaps. Returns
     (additions [(owner, piece)], subgaps [gap, ...]) or None."""
-    from ..geom.funnel import shortest_path_in_ring
-
     m = len(ring)
     arcs = []
     for o, a, b in runs:
@@ -593,8 +547,8 @@ def _reduce_multi(gap, ring, runs, vis):
                 for v in idx_j
             ]
             v = idx_j[int(np.argmin(dv))]
-            p1 = shortest_path_in_ring(ring, ai, v, vis)
-            p2 = shortest_path_in_ring(ring, ti, v, vis)
+            p1 = geo.path(ai, v)
+            p2 = geo.path(ti, v)
             s1 = {tuple(q) for q in p1[1:-1]}
             s2 = {tuple(q) for q in p2[1:-1]}
             if s1 & s2:
@@ -607,8 +561,8 @@ def _reduce_multi(gap, ring, runs, vis):
             rest = boolean.difference([gap], piece)
             return additions, list(rest)
         # both real owners
-        tp1 = shortest_path_in_ring(ring, ai, tj, vis)
-        tp2 = shortest_path_in_ring(ring, ti, aj, vis)
+        tp1 = geo.path(ai, tj)
+        tp2 = geo.path(ti, aj)
         if {tuple(q) for q in tp1} & {tuple(q) for q in tp2}:
             continue
         if oi == oj:
@@ -628,8 +582,8 @@ def _reduce_multi(gap, ring, runs, vis):
                 continue
             additions = [(oi, piece)]
         else:
-            p1 = shortest_path_in_ring(ring, ai, aj, vis)  # crosses p2
-            p2 = shortest_path_in_ring(ring, ti, tj, vis)
+            p1 = geo.path(ai, aj)  # crosses p2
+            p2 = geo.path(ti, tj)
             hit = _path_crossing(p1, p2)
             if hit is None:
                 continue
@@ -790,7 +744,7 @@ def smart_repair_table(
         from collections import deque
 
         from ..geom.core import normalize_polygon
-        from ..geom.funnel import visible_pairs
+        from ..geom.funnel import RingGeodesics
 
         def touching_neighbors(gap):
             """bbox prefilter before the (noding-pass-priced)
@@ -880,16 +834,16 @@ def smart_repair_table(
                             continue
                     absorb_whole(gap, real)
                     continue
-                vis = visible_pairs(ring)
+                geo = RingGeodesics(ring)
                 if len(runs) == 3:
-                    pieces = _split_3runs(gap, ring, runs, vis)
+                    pieces = _split_3runs(gap, ring, runs, geo)
                     if pieces:
                         for o, p in pieces:
                             out_geoms[o] = boolean.union(out_geoms[o], p)
                         continue
                     absorb_whole(gap, neighbors_g)
                     continue
-                red = _reduce_multi(gap, ring, runs, vis)
+                red = _reduce_multi(gap, ring, runs, geo)
                 if red is None:
                     absorb_whole(gap, neighbors_g)
                     continue

@@ -348,3 +348,110 @@ class TestVisiblePairsVectorized:
             got = visible_pairs(ring)
             want = brute(ring)
             assert (got == want).all(), np.argwhere(got != want)
+
+
+class TestRingGeodesicsFunnel:
+    def test_funnel_matches_dijkstra_lengths(self):
+        """Triangulation-sleeve funnel paths (RingGeodesics large-ring
+        mode) must have the same euclidean length as the
+        visibility-graph Dijkstra (the geodesic is unique in generic
+        position; equal-length reroutes would still be correct)."""
+        import numpy as np
+
+        from maup_ray.geom.funnel import (
+            RingGeodesics,
+            shortest_path_in_ring,
+            visible_pairs,
+        )
+
+        rng = np.random.RandomState(23)
+        for _ in range(12):
+            m = rng.randint(8, 48)
+            th = np.sort(rng.uniform(0, 2 * np.pi, m))
+            r = rng.uniform(0.5, 2.0, m)
+            ring = np.column_stack([r * np.cos(th), r * np.sin(th)])
+            geo = RingGeodesics(ring, small=4)  # force funnel mode
+            assert geo._tris is not None
+            vis = visible_pairs(ring)
+            for _ in range(6):
+                i0, i1 = rng.randint(0, m, 2)
+                pf = geo.path(i0, i1)
+                pd = shortest_path_in_ring(ring, i0, i1, vis)
+                lf = np.hypot(*np.diff(pf, axis=0).T).sum()
+                ld = np.hypot(*np.diff(pd, axis=0).T).sum()
+                assert np.isclose(lf, ld, rtol=1e-9), (i0, i1, lf, ld)
+
+    def test_funnel_point_paths_match(self):
+        import numpy as np
+
+        from maup_ray.geom.funnel import (
+            RingGeodesics,
+            path_from_interior,
+            visible_pairs,
+        )
+        from maup_ray.geom.pip import point_in_polygon
+
+        rng = np.random.RandomState(5)
+        checked = 0
+        while checked < 10:
+            m = rng.randint(8, 40)
+            th = np.sort(rng.uniform(0, 2 * np.pi, m))
+            r = rng.uniform(0.5, 2.0, m)
+            ring = np.column_stack([r * np.cos(th), r * np.sin(th)])
+            C = ring.mean(axis=0) * 0.3
+            if not point_in_polygon(
+                C[None, :], [ring], include_boundary=False
+            )[0]:
+                continue
+            geo = RingGeodesics(ring, small=4)
+            if geo._tris is None:
+                continue
+            vis = visible_pairs(ring)
+            tgt = int(rng.randint(0, m))
+            pf = geo.path_from_point(C, tgt)
+            pd = path_from_interior(ring, vis, C, tgt)
+            if pd is None:
+                continue
+            lf = np.hypot(*np.diff(pf, axis=0).T).sum()
+            ld = np.hypot(*np.diff(pd, axis=0).T).sum()
+            assert np.isclose(lf, ld, rtol=1e-9)
+            checked += 1
+
+    def test_triangulation_covers_ring(self):
+        """Ear-clip triangles are CCW, tile the polygon (area sums to
+        the ring area) and form a connected dual tree."""
+        import numpy as np
+
+        from maup_ray.geom.funnel import triangulate_ring
+
+        # L-shape with collinear-ish edges
+        ring = np.array(
+            [[0, 0], [4, 0], [4, 1], [1, 1], [1, 3], [0, 3]], dtype=float
+        )
+        tris = triangulate_ring(ring)
+        assert len(tris) == len(ring) - 2
+        area = 0.0
+        for a, b, c in tris:
+            A, B, C = ring[a], ring[b], ring[c]
+            cr = (B[0] - A[0]) * (C[1] - A[1]) - (B[1] - A[1]) * (
+                C[0] - A[0]
+            )
+            assert cr >= 0  # CCW
+            area += cr / 2
+        assert np.isclose(area, 6.0)  # L-shape area (4×1 + 1×2)
+
+    def test_degenerate_ring_falls_back(self):
+        """A ring with a duplicate vertex defeats ear clipping; the
+        RingGeodesics wrapper must still answer via the visibility
+        path."""
+        import numpy as np
+
+        from maup_ray.geom.funnel import RingGeodesics
+
+        ring = np.array(
+            [[0, 0], [2, 0], [2, 2], [1, 1], [2, 2.0], [0, 2]], dtype=float
+        )
+        geo = RingGeodesics(ring, small=2)
+        p = geo.path(0, 3)
+        assert len(p) >= 2
+        assert (p[0] == ring[0]).all() and (p[-1] == ring[3]).all()
