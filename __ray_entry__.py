@@ -76,6 +76,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": p.q_asof_join,
         "range_join": p.q_range_join,
         # training-data family
+        "sample": p.q_sample,
+        "topk_user": p.q_topk_user,
+        "percentiles": p.q_percentiles,
         "token_count": p.q_token_count,
         "token_bpe": p.q_token_bpe,
         "quality": p.q_quality,

@@ -1,0 +1,191 @@
+"""Corpus-curation primitives: deterministic hash sampling, per-group
+top-k, and exact grouped quantiles.
+
+These are the relational workhorses of a training-data pipeline
+(holdout splits, per-user/“per-source best-k” selection, score
+distribution monitoring) expressed in the engine's scale shapes:
+
+* :func:`hash_sample` — stateless ``map_batches`` filter; nothing
+  shuffles, the sample decision is a pure function of the id so the
+  split is reproducible across runs and machines.
+* :func:`top_k_per_group` — per-batch partial top-k (combiner) BEFORE
+  the keyed shuffle, so at most ``k`` rows per (group × input block)
+  move; the final per-group top-k runs once per hash partition
+  (``ops/shuffle.hash_group_apply``), fully vectorized.
+* :func:`grouped_quantiles` — exact distributed quantiles over a
+  bounded integer domain: per-batch ``(key, value)`` count histograms
+  (``ops/agg.grouped_sum_count`` partial-agg discipline) shuffle only
+  distinct-value counts, then one cumulative walk per key. Exactness
+  matches DuckDB's ``quantile_disc``: the q-th quantile is the
+  smallest value whose cumulative count reaches ``ceil(q·n)``, with q
+  handled as an exact rational (DuckDB parses ``0.9`` as DECIMAL) so
+  no float rounding can shift the index.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["hash_sample", "top_k_per_group", "grouped_quantiles"]
+
+
+def hash_sample(ds, id_col: str, keep: int, mod: int = 100,
+                a: int = 48271, b: int = 11):
+    """Deterministic bucket sample: keep rows where
+    ``(id*a + b) mod mod < keep`` — a keep/mod fraction.
+
+    The affine-mod bucket is SQL-expressible (the correctness oracle
+    runs the same expression); a production split over adversarial id
+    spaces would swap in a 64-bit mixer (splitmix64) with uint64
+    wraparound — same shape, same cost, not expressible in portable
+    SQL, which is why the oracled variant uses the affine form.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((ids * a + b) % mod < keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _group_topk(gidx: np.ndarray, order: np.ndarray, tie: np.ndarray,
+                k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-group top-k: row indices of the k best rows per
+    group (``order`` DESC, ``tie`` ASC) and their 1-based ranks."""
+    # lexsort: last key is primary
+    perm = np.lexsort((tie, -order, gidx))
+    g_sorted = gidx[perm]
+    # rank within group along the sorted order
+    starts = np.flatnonzero(np.diff(g_sorted, prepend=g_sorted[0] - 1))
+    rank = np.arange(len(perm), dtype=np.int64) - np.repeat(
+        starts, np.diff(np.append(starts, len(perm)))
+    )
+    keep = rank < k
+    return perm[keep], rank[keep] + 1
+
+
+def top_k_per_group(
+    ds,
+    group_col: str,
+    order_col: str,
+    k: int,
+    tie_col: str,
+    rank_col: str = "rank",
+):
+    """Top ``k`` rows per group by ``order_col`` DESC (ties broken by
+    ``tie_col`` ASC), with a 1-based ``rank_col`` — the distributed
+    ``row_number() OVER (PARTITION BY g ORDER BY v DESC, t) <= k``.
+
+    Columns must be integer-typed (the exactness discipline: ordering
+    and ranks are then identical to the SQL oracle's)."""
+    from .shuffle import hash_group_apply
+
+    cols = [group_col, order_col, tie_col]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(cols)
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        # per-batch combiner: group values are unsorted, so factorize
+        # via np.unique codes (order within a code doesn't matter)
+        codes = np.unique(g, return_inverse=True)[1]
+        idx, _ = _group_topk(
+            codes,
+            batch[order_col].to_numpy(zero_copy_only=False),
+            batch[tie_col].to_numpy(zero_copy_only=False),
+            k,
+        )
+        return batch.select(cols).take(pa.array(np.sort(idx)))
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def final(tbl, starts):
+        empty = pa.table(
+            {
+                **{c: pa.array([], type=pa.int64()) for c in cols},
+                rank_col: pa.array([], type=pa.int64()),
+            }
+        )
+        if tbl is None or tbl.num_rows == 0:
+            return empty
+        counts = np.diff(np.append(starts, tbl.num_rows))
+        gidx = np.repeat(np.arange(len(starts)), counts)
+        idx, rank = _group_topk(
+            gidx,
+            tbl[order_col].to_numpy(zero_copy_only=False),
+            tbl[tie_col].to_numpy(zero_copy_only=False),
+            k,
+        )
+        order = np.argsort(idx, kind="stable")
+        out = tbl.select(cols).take(pa.array(idx[order]))
+        return out.append_column(rank_col, pa.array(rank[order]))
+
+    return hash_group_apply(partials, [group_col], final)
+
+
+def grouped_quantiles(
+    ds,
+    key: str,
+    value_col: str,
+    qs: tuple[tuple[int, int], ...] = ((1, 2), (9, 10), (99, 100)),
+    q_names: tuple[str, ...] = ("p50", "p90", "p99"),
+    count_col: str = "n",
+):
+    """Exact per-``key`` quantiles of an integer ``value_col`` via a
+    distributed count histogram.
+
+    ``qs`` are exact rationals (num, den); the q-quantile is the
+    smallest value whose cumulative count ≥ ceil(q·n) — DuckDB
+    ``quantile_disc`` semantics under DECIMAL q. The shuffle carries
+    only (key, value, count) distinct-value rows, never the inputs;
+    correctness does not depend on the value domain's size, cost is
+    O(distinct values per key)."""
+    from .agg import grouped_sum_count
+    from .shuffle import hash_group_apply
+
+    hist = grouped_sum_count(
+        ds, [key, value_col], count_col="_c", final="shuffle"
+    )
+
+    def walk(tbl, starts):
+        key_t = pa.int64() if tbl is None else tbl.schema.field(key).type
+        empty = pa.table(
+            {
+                key: pa.array([], type=key_t),
+                count_col: pa.array([], type=pa.int64()),
+                **{nm: pa.array([], type=pa.int64()) for nm in q_names},
+            }
+        )
+        if tbl is None or tbl.num_rows == 0:
+            return empty
+        counts = np.diff(np.append(starts, tbl.num_rows))
+        vals = tbl[value_col].to_numpy(zero_copy_only=False)
+        cnts = tbl["_c"].to_numpy(zero_copy_only=False)
+        out_q = {nm: [] for nm in q_names}
+        ns = []
+        for s, c in zip(starts, counts):
+            v = vals[s : s + c]
+            n_ = cnts[s : s + c]
+            cum = np.cumsum(n_)
+            total = int(cum[-1])
+            ns.append(total)
+            for (num, den), nm in zip(qs, q_names):
+                t = -((-num * total) // den)  # ceil(num*total/den), exact
+                j = int(np.searchsorted(cum, max(t, 1)))
+                out_q[nm].append(int(v[min(j, len(v) - 1)]))
+        return pa.table(
+            {
+                key: tbl[key].take(pa.array(starts)),
+                count_col: pa.array(np.asarray(ns, dtype=np.int64)),
+                **{
+                    nm: pa.array(np.asarray(out_q[nm], dtype=np.int64))
+                    for nm in q_names
+                },
+            }
+        )
+
+    # sort_cols: the cumulative walk needs ascending value order
+    return hash_group_apply(hist, [key], walk, sort_cols=(value_col,))

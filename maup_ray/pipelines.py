@@ -652,6 +652,67 @@ def q_range_join(sf_dir: str):
     )
 
 
+SAMPLE_KEEP = 7  # keep 7% of documents in the deterministic split
+TOPK_K = 3
+
+
+def q_sample(sf_dir: str):
+    """Deterministic hash sample (reproducible holdout split): keep
+    documents whose affine-mod id bucket falls below the keep
+    fraction. Stateless filter — nothing shuffles."""
+    from .ops.curate import hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return hash_sample(ds, "doc_id", keep=SAMPLE_KEEP)
+
+
+def q_topk_user(sf_dir: str):
+    """Per-user top-3 events by value (integer cents, event_id ties):
+    the distributed row_number() window. Per-batch combiner keeps at
+    most k rows per (user × block) ahead of the keyed shuffle."""
+    from .ops.curate import top_k_per_group
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "value_cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+                "event_id": b["event_id"],
+            }
+        )
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return top_k_per_group(
+        ds, "user_id", "value_cents", TOPK_K, "event_id"
+    )
+
+
+def q_percentiles(sf_dir: str):
+    """Exact per-event-type value percentiles (p50/p90/p99 over
+    integer cents) via the distributed count-histogram: the shuffle
+    carries only distinct (type, cents) counts."""
+    from .ops.curate import grouped_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "value_cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_quantiles(ds, "event_type", "value_cents")
+
+
 KNN_K = 3
 RASTER_RES = 4
 
@@ -949,6 +1010,32 @@ def oracle_queries() -> dict[str, str]:
                    CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)
                        AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "sample": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE (doc_id * 48271 + 11) % 100 < {SAMPLE_KEEP}
+        """,
+        "topk_user": f"""
+            SELECT user_id, value_cents, event_id, rank FROM (
+              SELECT user_id,
+                CAST(round(value*100, 0) AS BIGINT) AS value_cents,
+                event_id,
+                row_number() OVER (
+                  PARTITION BY user_id
+                  ORDER BY CAST(round(value*100, 0) AS BIGINT) DESC,
+                           event_id) AS rank
+              FROM events)
+            WHERE rank <= {TOPK_K}
+        """,
+        "percentiles": """
+            SELECT event_type, count(*) AS n,
+                   quantile_disc(value_cents, 0.5) AS p50,
+                   quantile_disc(value_cents, 0.9) AS p90,
+                   quantile_disc(value_cents, 0.99) AS p99
+            FROM (SELECT event_type,
+                    CAST(round(value*100, 0) AS BIGINT) AS value_cents
+                  FROM events)
+            GROUP BY event_type
         """,
         "sessions": """
             WITH ordered AS (

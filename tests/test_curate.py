@@ -1,0 +1,146 @@
+"""Curation primitives: hash sampling, per-group top-k, exact grouped
+quantiles — brute-force oracles on small inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _to_df(ds) -> pd.DataFrame:
+    return ds.to_pandas()
+
+
+class TestHashSample:
+    def test_matches_expression(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.curate import hash_sample
+
+        ids = np.arange(1000, dtype=np.int64)
+        ds = ray.data.from_arrow(pa.table({"doc_id": ids}))
+        out = _to_df(hash_sample(ds, "doc_id", keep=13))
+        want = ids[(ids * 48271 + 11) % 100 < 13]
+        assert sorted(out["doc_id"]) == sorted(want)
+
+    def test_deterministic_across_runs(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.curate import hash_sample
+
+        ids = np.arange(500, dtype=np.int64)
+        ds = ray.data.from_arrow(pa.table({"doc_id": ids}))
+        a = sorted(_to_df(hash_sample(ds, "doc_id", keep=7))["doc_id"])
+        b = sorted(_to_df(hash_sample(ds, "doc_id", keep=7))["doc_id"])
+        assert a == b
+
+
+class TestTopKPerGroup:
+    def _brute(self, df, k):
+        df = df.sort_values(
+            ["g", "v", "t"], ascending=[True, False, True]
+        )
+        df["rank"] = df.groupby("g").cumcount() + 1
+        return df[df["rank"] <= k].reset_index(drop=True)
+
+    @pytest.mark.parametrize("blocks", [1, 4])
+    def test_matches_brute(self, ray_session, blocks):
+        import ray.data
+
+        from maup_ray.ops.curate import top_k_per_group
+
+        rng = np.random.RandomState(3)
+        n = 400
+        tbl = pa.table(
+            {
+                "g": pa.array(rng.randint(0, 30, n).astype(np.int64)),
+                "v": pa.array(rng.randint(0, 10, n).astype(np.int64)),
+                "t": pa.array(np.arange(n, dtype=np.int64)),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        out = (
+            _to_df(top_k_per_group(ds, "g", "v", 3, "t"))
+            .sort_values(["g", "rank"])
+            .reset_index(drop=True)
+        )
+        want = (
+            self._brute(tbl.to_pandas(), 3)
+            .sort_values(["g", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            out[["g", "v", "t", "rank"]], want[["g", "v", "t", "rank"]]
+        )
+
+    def test_ties_break_by_tie_col(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.curate import top_k_per_group
+
+        tbl = pa.table(
+            {
+                "g": pa.array([1, 1, 1, 1], type=pa.int64()),
+                "v": pa.array([5, 5, 5, 5], type=pa.int64()),
+                "t": pa.array([40, 10, 30, 20], type=pa.int64()),
+            }
+        )
+        out = _to_df(
+            top_k_per_group(ray.data.from_arrow(tbl), "g", "v", 2, "t")
+        ).sort_values("rank")
+        assert list(out["t"]) == [10, 20]
+        assert list(out["rank"]) == [1, 2]
+
+
+class TestGroupedQuantiles:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from maup_ray.ops.curate import grouped_quantiles
+
+        rng = np.random.RandomState(9)
+        n = 3000
+        tbl = pa.table(
+            {
+                "k": pa.array(
+                    rng.choice(["a", "b", "c"], n).astype(object),
+                    type=pa.string(),
+                ),
+                "v": pa.array(rng.randint(0, 97, n).astype(np.int64)),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        out = (
+            _to_df(grouped_quantiles(ds, "k", "v"))
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = con.execute(
+            """SELECT k, count(*) AS n,
+                 quantile_disc(v, 0.5) AS p50,
+                 quantile_disc(v, 0.9) AS p90,
+                 quantile_disc(v, 0.99) AS p99
+               FROM t GROUP BY k ORDER BY k"""
+        ).df()
+        for c in ("n", "p50", "p90", "p99"):
+            assert list(out[c]) == list(want[c]), c
+
+    def test_single_value_group(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.curate import grouped_quantiles
+
+        tbl = pa.table(
+            {
+                "k": pa.array(["x"] * 5, type=pa.string()),
+                "v": pa.array([42] * 5, type=pa.int64()),
+            }
+        )
+        out = _to_df(grouped_quantiles(ray.data.from_arrow(tbl), "k", "v"))
+        assert out.iloc[0]["p50"] == 42 == out.iloc[0]["p99"]
+        assert out.iloc[0]["n"] == 5
