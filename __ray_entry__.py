@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": p.q_asof_join,
         "range_join": p.q_range_join,
         # training-data family
+        "order_totals": p.q_order_totals,
         "sample": p.q_sample,
         "topk_user": p.q_topk_user,
         "percentiles": p.q_percentiles,

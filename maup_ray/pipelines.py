@@ -713,6 +713,51 @@ def q_percentiles(sf_dir: str):
     return grouped_quantiles(ds, "event_type", "value_cents")
 
 
+def q_order_totals(sf_dir: str):
+    """Distributed equi-join + grouped aggregate (the relational
+    backbone behind every enrichment pass): orders ⋈ customer on
+    custkey, then count + exact integer-cents revenue per nation.
+    Both sides are column-pruned at the read; the join is Ray Data's
+    hash-partitioned join; the reaggregation ships per-batch Arrow
+    partials only (ops/agg discipline)."""
+    import ray
+
+    from .ops.agg import grouped_sum_count
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    orders = orders.map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=max(8, int(ray.cluster_resources().get("CPU", 8))),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    out = grouped_sum_count(
+        joined,
+        ["c_nationkey"],
+        sum_cols=["price_cents"],
+        count_col="n_orders",
+        final="driver",
+    )
+    return out.sort_by("c_nationkey")
+
+
 KNN_K = 3
 RASTER_RES = 4
 
@@ -1010,6 +1055,14 @@ def oracle_queries() -> dict[str, str]:
                    CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)
                        AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "order_totals": """
+            SELECT c_nationkey,
+                   CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT))
+                        AS BIGINT) AS price_cents,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         "sample": f"""
             SELECT doc_id, lang, n_chars FROM documents
