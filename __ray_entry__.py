@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": p.q_minhash_pairs,
         "simhash_pairs": p.q_simhash_pairs,
         "ann_lsh": p.q_ann_lsh,
+        "ann_ivf": p.q_ann_ivf,
         "image_phash": p.q_image_phash,
         "image_dedup": p.q_image_dedup,
         "video_frames": p.q_video_frames,

@@ -505,6 +505,17 @@ def q_ann_lsh(sf_dir: str):
     return lsh_topk(corpus, queries, k=ANN_K)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate top-k (rows-only: approximate by design, recall
+    pinned by tests/test_text.py planted-dup fixtures): bounded-sample
+    k-means coarse quantizer, centroids broadcast, each corpus batch
+    scores only the queries probing its centroid."""
+    from .vector.ann import ivf_topk
+
+    corpus, queries = _ann_inputs(sf_dir)
+    return ivf_topk(corpus, queries, k=ANN_K)
+
+
 def q_image_dedup(sf_dir: str):
     """Perceptual near-duplicate image CLUSTERS (rows-only: phash is
     not SQL-expressible): synth image table sized from documents →
