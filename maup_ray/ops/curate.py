@@ -133,6 +133,7 @@ def grouped_quantiles(
     qs: tuple[tuple[int, int], ...] = ((1, 2), (9, 10), (99, 100)),
     q_names: tuple[str, ...] = ("p50", "p90", "p99"),
     count_col: str = "n",
+    final: str = "shuffle",
 ):
     """Exact per-``key`` quantiles of an integer ``value_col`` via a
     distributed count histogram.
@@ -142,50 +143,79 @@ def grouped_quantiles(
     ``quantile_disc`` semantics under DECIMAL q. The shuffle carries
     only (key, value, count) distinct-value rows, never the inputs;
     correctness does not depend on the value domain's size, cost is
-    O(distinct values per key)."""
+    O(distinct values per key).
+
+    ``final="shuffle"`` (default) runs the histogram merge and the
+    cumulative walk distributed — the path when keys × distinct
+    values is itself wide. ``final="driver"`` merges the per-batch
+    partials on the driver and walks locally, returning a
+    ``pa.Table`` — right when the domain is provably bounded (e.g.
+    integer cents) and the key count is tiny, where two keyed-shuffle
+    jobs' fixed cost dwarfs the work (the grouped_sum_count
+    driver-final discipline)."""
     from .agg import grouped_sum_count
     from .shuffle import hash_group_apply
 
+    if final == "driver":
+        merged = grouped_sum_count(
+            ds, [key, value_col], count_col="_c", final="driver"
+        )
+        merged = merged.combine_chunks().sort_by(
+            [(key, "ascending"), (value_col, "ascending")]
+        )
+        from .shuffle import group_starts
+
+        starts = group_starts(merged, [key])
+        return _quantile_walk(
+            merged, starts, key, value_col, qs, q_names, count_col
+        )
     hist = grouped_sum_count(
         ds, [key, value_col], count_col="_c", final="shuffle"
     )
 
     def walk(tbl, starts):
-        key_t = pa.int64() if tbl is None else tbl.schema.field(key).type
-        empty = pa.table(
+        return _quantile_walk(
+            tbl, starts, key, value_col, qs, q_names, count_col
+        )
+
+    # sort_cols: the cumulative walk needs ascending value order
+    return hash_group_apply(hist, [key], walk, sort_cols=(value_col,))
+
+
+def _quantile_walk(tbl, starts, key, value_col, qs, q_names, count_col):
+    """Cumulative-count quantile walk over a (key, value, _c) histogram
+    sorted by (key, value); groups start at ``starts``."""
+    key_t = pa.int64() if tbl is None else tbl.schema.field(key).type
+    if tbl is None or tbl.num_rows == 0:
+        return pa.table(
             {
                 key: pa.array([], type=key_t),
                 count_col: pa.array([], type=pa.int64()),
                 **{nm: pa.array([], type=pa.int64()) for nm in q_names},
             }
         )
-        if tbl is None or tbl.num_rows == 0:
-            return empty
-        counts = np.diff(np.append(starts, tbl.num_rows))
-        vals = tbl[value_col].to_numpy(zero_copy_only=False)
-        cnts = tbl["_c"].to_numpy(zero_copy_only=False)
-        out_q = {nm: [] for nm in q_names}
-        ns = []
-        for s, c in zip(starts, counts):
-            v = vals[s : s + c]
-            n_ = cnts[s : s + c]
-            cum = np.cumsum(n_)
-            total = int(cum[-1])
-            ns.append(total)
-            for (num, den), nm in zip(qs, q_names):
-                t = -((-num * total) // den)  # ceil(num*total/den), exact
-                j = int(np.searchsorted(cum, max(t, 1)))
-                out_q[nm].append(int(v[min(j, len(v) - 1)]))
-        return pa.table(
-            {
-                key: tbl[key].take(pa.array(starts)),
-                count_col: pa.array(np.asarray(ns, dtype=np.int64)),
-                **{
-                    nm: pa.array(np.asarray(out_q[nm], dtype=np.int64))
-                    for nm in q_names
-                },
-            }
-        )
-
-    # sort_cols: the cumulative walk needs ascending value order
-    return hash_group_apply(hist, [key], walk, sort_cols=(value_col,))
+    counts = np.diff(np.append(starts, tbl.num_rows))
+    vals = tbl[value_col].to_numpy(zero_copy_only=False)
+    cnts = tbl["_c"].to_numpy(zero_copy_only=False)
+    out_q = {nm: [] for nm in q_names}
+    ns = []
+    for s, c in zip(starts, counts):
+        v = vals[s : s + c]
+        n_ = cnts[s : s + c]
+        cum = np.cumsum(n_)
+        total = int(cum[-1])
+        ns.append(total)
+        for (num, den), nm in zip(qs, q_names):
+            t = -((-num * total) // den)  # ceil(num*total/den), exact
+            j = int(np.searchsorted(cum, max(t, 1)))
+            out_q[nm].append(int(v[min(j, len(v) - 1)]))
+    return pa.table(
+        {
+            key: tbl[key].take(pa.array(starts)),
+            count_col: pa.array(np.asarray(ns, dtype=np.int64)),
+            **{
+                nm: pa.array(np.asarray(out_q[nm], dtype=np.int64))
+                for nm in q_names
+            },
+        }
+    )

@@ -1,0 +1,72 @@
+"""Generic equi-join with the measured-size plan choice.
+
+The same discipline as ``prorate`` (ops/prorate.py:90-110): a side
+that provably fits a worker heap is broadcast ONCE via ``ray.put``
+and every batch joins against it with vectorized ``pc.index_in`` —
+no shuffle, no join-operator fixed cost (Ray Data's hash join spins
+up aggregator actors worth several seconds per job at bench scale).
+Anything bigger falls through to Ray Data's hash-partitioned
+``Dataset.join`` — the true 100-TB path when BOTH sides are large.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["broadcast_hash_join", "equi_join"]
+
+
+def broadcast_hash_join(ds, right: pa.Table, left_on: str, right_on: str,
+                        take_cols):
+    """Inner equi-join of a Dataset against a SMALL right table.
+
+    ``right`` is broadcast once (object store); each batch computes
+    ``index_in`` against the key column and appends ``take_cols`` by
+    ``take`` — one vectorized pass, zero-copy reads on every worker.
+    Right keys must be unique (dimension-table shape)."""
+    import ray
+
+    right = right.combine_chunks()
+    ref = ray.put(right)
+
+    def f(batch: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        idx = pc.index_in(batch[left_on], r[right_on].chunk(0))
+        mask = pc.is_valid(idx)
+        out = batch.filter(mask)
+        idx = pc.filter(idx, mask)
+        for c in take_cols:
+            out = out.append_column(c, pc.take(r[c], idx))
+        return out
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def equi_join(
+    ds,
+    right,
+    left_on: str,
+    right_on: str,
+    take_cols,
+    broadcast_limit: int = 2_000_000,
+):
+    """Inner equi-join picking broadcast vs hash-shuffle by measured
+    size: a ``pa.Table`` right side under ``broadcast_limit`` rows
+    broadcasts; otherwise both sides co-shuffle through Ray Data's
+    join operator."""
+    import ray
+
+    if isinstance(right, pa.Table) and len(right) <= broadcast_limit:
+        return broadcast_hash_join(ds, right, left_on, right_on, take_cols)
+    if isinstance(right, pa.Table):
+        import ray.data
+
+        right = ray.data.from_arrow(right)
+    return ds.join(
+        right.select_columns([right_on, *take_cols]),
+        join_type="inner",
+        num_partitions=max(8, int(ray.cluster_resources().get("CPU", 8))),
+        on=(left_on,),
+        right_on=(right_on,),
+    )

@@ -704,8 +704,12 @@ def q_topk_user(sf_dir: str):
 
 def q_percentiles(sf_dir: str):
     """Exact per-event-type value percentiles (p50/p90/p99 over
-    integer cents) via the distributed count-histogram: the shuffle
-    carries only distinct (type, cents) counts."""
+    integer cents) via the distributed count-histogram. The cents
+    domain is provably bounded (~18k distinct at any sf) and there
+    are 5 event types, so the histogram merge + walk run driver-final
+    (per-batch partials only reach the driver); the distributed
+    final="shuffle" mode is the wide-key scale path and is
+    equivalence-tested in tests/test_curate.py."""
     from .ops.curate import grouped_quantiles
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
@@ -721,22 +725,36 @@ def q_percentiles(sf_dir: str):
         )
 
     ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
-    return grouped_quantiles(ds, "event_type", "value_cents")
+    return grouped_quantiles(ds, "event_type", "value_cents", final="driver")
 
 
 def q_order_totals(sf_dir: str):
     """Distributed equi-join + grouped aggregate (the relational
     backbone behind every enrichment pass): orders ⋈ customer on
     custkey, then count + exact integer-cents revenue per nation.
-    Both sides are column-pruned at the read; the join is Ray Data's
-    hash-partitioned join; the reaggregation ships per-batch Arrow
-    partials only (ops/agg discipline)."""
-    import ray
+    Both sides are column-pruned at the read; the join picks its plan
+    by measured size (ops/join.equi_join): the 2-column customer
+    dimension broadcasts under the same 2M-row limit prorate uses —
+    Ray Data's hash-join operator costs ~6 s of aggregator-actor
+    fixed latency at bench scale — and co-shuffles above it. The
+    reaggregation ships per-batch Arrow partials only (ops/agg
+    discipline)."""
+    import pyarrow.parquet as pq
 
     from .ops.agg import grouped_sum_count
+    from .ops.join import equi_join
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    # plan by metadata BEFORE touching data: only a provably-small
+    # dimension is ever pulled to the driver for broadcast
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    if n_cust <= 2_000_000:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"],
+        )
+    else:
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
     def cents(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -752,12 +770,8 @@ def q_order_totals(sf_dir: str):
     orders = orders.map_batches(
         cents, batch_format="pyarrow", zero_copy_batch=True
     )
-    joined = orders.join(
-        cust,
-        join_type="inner",
-        num_partitions=max(8, int(ray.cluster_resources().get("CPU", 8))),
-        on=("o_custkey",),
-        right_on=("c_custkey",),
+    joined = equi_join(
+        orders, cust, "o_custkey", "c_custkey", ["c_nationkey"]
     )
     out = grouped_sum_count(
         joined,

@@ -130,6 +130,37 @@ class TestGroupedQuantiles:
         for c in ("n", "p50", "p90", "p99"):
             assert list(out[c]) == list(want[c]), c
 
+    def test_driver_final_equals_shuffle(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.curate import grouped_quantiles
+
+        rng = np.random.RandomState(17)
+        n = 2000
+        tbl = pa.table(
+            {
+                "k": pa.array(
+                    rng.choice(["x", "y"], n).astype(object),
+                    type=pa.string(),
+                ),
+                "v": pa.array(rng.randint(0, 53, n).astype(np.int64)),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        dist = (
+            grouped_quantiles(ds, "k", "v")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        drv = (
+            grouped_quantiles(ds, "k", "v", final="driver")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(dist, drv)
+
     def test_single_value_group(self, ray_session):
         import ray.data
 
