@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_bpe": p.q_token_bpe,
         "quality": p.q_quality,
         "dedup_exact": p.q_dedup_exact,
+        "curation": p.q_curation,
         "near_dup": p.q_near_dup,
         "ann_topk": p.q_ann_topk,
         "embed_dedup": p.q_embed_dedup,

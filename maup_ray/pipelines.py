@@ -398,6 +398,35 @@ def q_dedup_exact(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def q_curation(sf_dir: str):
+    """Composite end-to-end curation DAG — the canonical LLM-data
+    pre-training pass expressed as ONE streaming pipeline: quality
+    scoring (vectorized per batch) → threshold filter → exact
+    content dedup (hash-keyed keeper pick; only 24 B/row shuffles) →
+    deterministic holdout sample. Each stage is individually oracled
+    (quality / dedup_exact / sample); this query oracles their
+    COMPOSITION, the thing a real pipeline actually runs."""
+    from .ops.curate import hash_sample
+    from .text.analysis import quality_batch
+    from .text.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep_good(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        keep = pc.and_(
+            pc.greater_equal(q["n_tokens"], 5),
+            pc.less(q["mean_token_len"], 12.0),
+        )
+        return batch.filter(keep)
+
+    good = ds.map_batches(
+        keep_good, batch_format="pyarrow", zero_copy_batch=True
+    )
+    kept = exact_dedup(good).select_columns(["doc_id"])
+    return hash_sample(kept, "doc_id", keep=50)
+
+
 def q_near_dup(sf_dir: str):
     """Near-duplicate CLUSTERING: exact word-3-shingle Jaccard ≥ 0.5
     candidate pairs (shared-shingle join) → connected components via
@@ -1080,6 +1109,23 @@ def oracle_queries() -> dict[str, str]:
                    CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)
                        AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "curation": r"""
+            WITH q AS (
+              SELECT doc_id, text,
+                CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                     AS BIGINT) AS n_tokens,
+                CAST(length(regexp_replace(text, '\s+', '', 'g'))
+                     AS DOUBLE)
+                  / CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                         AS DOUBLE) AS mean_token_len
+              FROM documents),
+            kept AS (
+              SELECT min(doc_id) AS doc_id FROM q
+              WHERE n_tokens >= 5 AND mean_token_len < 12.0
+              GROUP BY text)
+            SELECT doc_id FROM kept
+            WHERE (doc_id * 48271 + 11) % 100 < 50
         """,
         "order_totals": """
             SELECT c_nationkey,
