@@ -433,7 +433,17 @@ def _build_dcel(q0, q1, owners, n_geoms, tol):
       = face shell walked CCW, negative = hole/outer cycle).
     """
     keys = np.round(np.vstack([q0, q1]) / tol).astype(np.int64)
-    uk, inv = np.unique(keys, axis=0, return_inverse=True)
+    # manual lexicographic pair-unique: same sorted order and inverse
+    # as np.unique(axis=0) without its void-view sort (~3× faster on
+    # the small arrays this hot path sees)
+    korder = np.lexsort((keys[:, 1], keys[:, 0]))
+    ks = keys[korder]
+    newk = np.empty(len(ks), dtype=bool)
+    newk[0] = True
+    np.any(ks[1:] != ks[:-1], axis=1, out=newk[1:])
+    uk = ks[newk]
+    inv = np.empty(len(keys), np.int64)
+    inv[korder] = np.cumsum(newk) - 1
     ncoord = uk.astype(np.float64) * tol
     n = len(q0)
     a, b = inv[:n], inv[n:]
@@ -469,19 +479,23 @@ def _build_dcel(q0, q1, owners, n_geoms, tol):
     p = pos_of[np.arange(2 * E) ^ 1]  # twin's position in sorted order
     g0 = grp_start[grp_id[p]]
     nxt = order[g0 + (p - g0 - 1) % grp_cnt[grp_id[p]]]
-    orbit = np.full(2 * E, -1, np.int64)
+    # permutation-cycle walk on python ints (numpy scalar indexing in
+    # this loop was a measurable constant of real-corpus assign)
+    nxt_l = nxt.tolist()
+    orbit_l = [-1] * (2 * E)
     orbit_rings: list[np.ndarray] = []
     for h0 in range(2 * E):
-        if orbit[h0] >= 0:
+        if orbit_l[h0] >= 0:
             continue
         oid = len(orbit_rings)
         cyc = []
         h = h0
-        while orbit[h] < 0:
-            orbit[h] = oid
+        while orbit_l[h] < 0:
+            orbit_l[h] = oid
             cyc.append(h)
-            h = int(nxt[h])
+            h = nxt_l[h]
         orbit_rings.append(org[np.array(cyc, dtype=np.int64)])
+    orbit = np.asarray(orbit_l, dtype=np.int64)
     orbit_area = np.array(
         [ring_signed_area(ncoord[r]) for r in orbit_rings]
     )
@@ -550,36 +564,44 @@ def _resolve_faces(dc, n_geoms):
         f = int(resolved[o]) if o >= 0 and resolved[o] >= 0 else 0
         for x in chain:
             resolved[x] = f
-    # exact membership propagation across the face-adjacency graph
+    # exact membership propagation across the face-adjacency graph —
+    # fully vectorized (the per-edge python BFS with a per-visit
+    # (mem[g] == m).all() was ~1/3 of real-corpus assign wall: tiny
+    # arrangements × millions of python-level edge visits). Frontier
+    # expansion assigns each newly-reached face from ONE incident
+    # crossing edge; one whole-array consistency pass at the end flags
+    # exactly the inconsistencies the BFS flagged incrementally (parity
+    # inconsistency is a property of cycles, invariant under which
+    # spanning assignment was chosen), so `clean` is identical and
+    # `mem` is identical whenever clean.
     E = len(ea)
     fL = resolved[orbit[0::2]]
     fR = resolved[orbit[1::2]]
     mem = np.zeros((F, n_geoms), dtype=bool)
+    clean = True
+    diff = fL != fR
+    if toggle[~diff].any():
+        clean = False  # boundary edge interior to ONE face: pinhole
+    l_, r_ = fL[diff], fR[diff]
+    tg = toggle[diff]
+    u = np.concatenate([l_, r_])
+    v = np.concatenate([r_, l_])
+    tg2 = np.concatenate([tg, tg], axis=0)
     seen = np.zeros(F, dtype=bool)
     seen[0] = True
-    clean = True
-    adj: list[list[tuple[int, int]]] = [[] for _ in range(F)]
-    for e in range(E):
-        l, r = int(fL[e]), int(fR[e])
-        if l != r:
-            adj[l].append((r, e))
-            adj[r].append((l, e))
-        elif toggle[e].any():
-            clean = False  # boundary edge interior to ONE face: pinhole
-    from collections import deque
-
-    q = deque([0])
-    while q:
-        f = q.popleft()
-        for g, e in adj[f]:
-            m = mem[f] ^ toggle[e]
-            if seen[g]:
-                if not (mem[g] == m).all():
-                    clean = False
-            else:
-                mem[g] = m
-                seen[g] = True
-                q.append(g)
+    while True:
+        act = seen[u] & ~seen[v]
+        if not act.any():
+            break
+        ua, va, ta = u[act], v[act], tg2[act]
+        uniq, first = np.unique(va, return_index=True)
+        mem[uniq] = mem[ua[first]] ^ ta[first]
+        seen[uniq] = True
+    both = seen[u] & seen[v]
+    if both.any() and not (
+        mem[v[both]] == (mem[u[both]] ^ tg2[both])
+    ).all():
+        clean = False
     if not seen.all():
         clean = False
     return resolved, mem, clean
