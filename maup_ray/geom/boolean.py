@@ -86,12 +86,12 @@ def _candidate_pairs(b_a: np.ndarray, b_b: np.ndarray | None = None):
     if na == 0 or nb == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     if na * nb <= 1_000_000:
-        ia, ib = np.nonzero(
-            (b_a[:, None, 0] <= b_b[None, :, 2])
-            & (b_a[:, None, 2] >= b_b[None, :, 0])
-            & (b_a[:, None, 1] <= b_b[None, :, 3])
-            & (b_a[:, None, 3] >= b_b[None, :, 1])
-        )
+        # single reused (na, nb) temp instead of four broadcast allocs
+        m = b_a[:, None, 0] <= b_b[None, :, 2]
+        np.logical_and(m, b_a[:, None, 2] >= b_b[None, :, 0], out=m)
+        np.logical_and(m, b_a[:, None, 1] <= b_b[None, :, 3], out=m)
+        np.logical_and(m, b_a[:, None, 3] >= b_b[None, :, 1], out=m)
+        ia, ib = np.nonzero(m)
         if self_join:
             keep = ia < ib
             ia, ib = ia[keep], ib[keep]
