@@ -248,3 +248,49 @@ class TestDoctorCounts:
         # invariants (repaired corpora: 0 overlaps / 10 holes,
         # published) are asserted in test_repaired_vintages.
         assert d["n_gaps"] == 13, d
+
+
+class TestDistributedPathParity:
+    def test_distributed_assign_matches_local(self, corpus, assignments,
+                                              ray_session):
+        """The Dataset (distributed) assign path must produce the
+        IDENTICAL assignment as the local Table path on the real
+        Denver corpus — the scale story is 'same result, 32 cpus':
+        measured 31 s local single-core vs ~3 s distributed."""
+        import ray.data
+
+        from maup_ray.ops.assign import assign
+
+        blocks, precincts = corpus
+        ptab = precincts["2020"]
+        srcs = pa.table(
+            {
+                "source_id": blocks["GEOID20"],
+                "geometry": blocks["geometry"],
+            }
+        )
+        tgts = pa.table(
+            {
+                "target_id": pa.array(
+                    np.arange(ptab.num_rows, dtype=np.int64)
+                ),
+                "geometry": ptab["geometry"],
+            }
+        )
+        ds = ray.data.from_arrow(srcs).repartition(16)
+        got = (
+            assign(ds, tgts)
+            .to_pandas()
+            .sort_values("source_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            assignments["2020"]
+            .to_pandas()
+            .sort_values("source_id")
+            .reset_index(drop=True)
+        )
+        assert (got["source_id"] == want["source_id"]).all()
+        assert (
+            got["target_id"].fillna(-1) == want["target_id"].fillna(-1)
+        ).all()
