@@ -535,31 +535,34 @@ def image_near_dup(
             rep_label[u[int(n_)]] = u[int(l_)]
     # phash → cluster map (tiny: one entry per near-dup class),
     # broadcast into the member stream
-    ph2cl = {
-        int(p_): rep_label[r]
+    sel = [
+        (p_, rep_label[r])
         for p_, r in zip(
             classes["phash_computed"].to_pylist(),
             classes["rep"].to_pylist(),
         )
         if r in rep_label
-    }
-    ref = ray.put(ph2cl)
+    ]
+    map_tbl = pa.table(
+        {
+            "ph": pa.array([p_ for p_, _ in sel], type=pa.int64()),
+            "cl": pa.array([c for _, c in sel], type=pa.string()),
+        }
+    )
+    ref = ray.put(map_tbl)
 
     def tag(batch: pa.Table) -> pa.Table:
+        # vectorized map-side lookup (per-row dict.get here would be a
+        # python loop over the whole corpus stream)
         m = ray.get(ref)
-        ph = batch["phash_computed"].to_numpy()
-        cl = [m.get(int(v)) for v in ph]
-        keep = np.array([c is not None for c in cl])
-        out = pa.table(
+        idx = pc.index_in(batch["phash_computed"], m["ph"].chunk(0))
+        keep = pc.is_valid(idx)
+        return pa.table(
             {
-                "image_id": batch["image_id"],
-                "cluster_id": pa.array(
-                    [c if c is not None else "" for c in cl],
-                    type=pa.string(),
-                ),
+                "image_id": pc.filter(batch["image_id"], keep),
+                "cluster_id": pc.take(m["cl"], pc.filter(idx, keep)),
             }
         )
-        return out.filter(pa.array(keep))
 
     return sigs.map_batches(
         tag, batch_format="pyarrow", zero_copy_batch=True
