@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample": p.q_sample,
         "topk_user": p.q_topk_user,
         "percentiles": p.q_percentiles,
+        "distinct_users": p.q_distinct_users,
         "token_count": p.q_token_count,
         "token_bpe": p.q_token_bpe,
         "quality": p.q_quality,

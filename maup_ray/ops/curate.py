@@ -27,7 +27,73 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hash_sample", "top_k_per_group", "grouped_quantiles"]
+__all__ = [
+    "hash_sample",
+    "top_k_per_group",
+    "grouped_quantiles",
+    "grouped_distinct_count",
+]
+
+
+def grouped_distinct_count(ds, key: str, value: str, count_col: str = "n"):
+    """Exact per-``key`` COUNT(DISTINCT value) — the aggregate Ray's
+    own ``Unique`` cannot compute at scale (its accumulator merge
+    crashes on ndarray partials at high block counts; the r2 islands
+    lesson).
+
+    Shape: per-batch pair dedup (Arrow ``group_by``, so each block
+    contributes each (key, value) pair once) → ONE hash shuffle of
+    the deduped 16-B pairs partitioned by pair → per-partition pair
+    dedup + per-key partial counts (a pair lives in exactly one
+    partition, so partial counts are disjoint) → driver sum over the
+    tiny (n_partitions × n_keys) partials. The values themselves
+    never gather anywhere."""
+    import ray
+
+    from .shuffle import hash_group_apply
+
+    def dedup_batch(batch: pa.Table) -> pa.Table:
+        return batch.select([key, value]).group_by(
+            [key, value], use_threads=False
+        ).aggregate([])
+
+    pairs = ds.map_batches(
+        dedup_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def count_part(tbl, starts):
+        key_t = pa.int64() if tbl is None else tbl.schema.field(key).type
+        if tbl is None or len(starts) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], type=key_t),
+                    count_col: pa.array([], type=pa.int64()),
+                }
+            )
+        # rows at `starts` are the distinct (key, value) pairs of this
+        # partition; count them per key
+        firsts = tbl[key].take(pa.array(starts))
+        g = pa.table({key: firsts}).group_by(
+            [key], use_threads=False
+        ).aggregate([([], "count_all")])
+        g = g.rename_columns(
+            [count_col if c == "count_all" else c for c in g.column_names]
+        )
+        return g.select([key, count_col])
+
+    parts = hash_group_apply(pairs, [key, value], count_part)
+    merged = pa.concat_tables(
+        [ray.get(r) for r in parts.materialize().to_arrow_refs()]
+    )
+    if merged.num_rows == 0:
+        return merged
+    out = merged.group_by([key], use_threads=False).aggregate(
+        [(count_col, "sum")]
+    )
+    out = out.rename_columns(
+        [key if c == key else count_col for c in out.column_names]
+    )
+    return out.select([key, count_col]).sort_by(key)
 
 
 def hash_sample(ds, id_col: str, keep: int, mod: int = 100,

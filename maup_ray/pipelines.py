@@ -731,6 +731,19 @@ def q_topk_user(sf_dir: str):
     )
 
 
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type — the aggregate
+    Ray's native Unique cannot compute at high block counts (r2
+    islands lesson): per-batch pair dedup → one 16 B/row pair-keyed
+    shuffle → disjoint partial counts → driver sum."""
+    from .ops.curate import grouped_distinct_count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_distinct_count(
+        ds, "event_type", "user_id", count_col="n_users"
+    )
+
+
 def q_percentiles(sf_dir: str):
     """Exact per-event-type value percentiles (p50/p90/p99 over
     integer cents) via the distributed count-histogram. The cents
@@ -1150,6 +1163,10 @@ def oracle_queries() -> dict[str, str]:
                            event_id) AS rank
               FROM events)
             WHERE rank <= {TOPK_K}
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "percentiles": """
             SELECT event_type, count(*) AS n,

@@ -94,6 +94,36 @@ class TestTopKPerGroup:
         assert list(out["rank"]) == [1, 2]
 
 
+class TestGroupedDistinctCount:
+    @pytest.mark.parametrize("blocks", [1, 6])
+    def test_matches_pandas(self, ray_session, blocks):
+        import ray.data
+
+        from maup_ray.ops.curate import grouped_distinct_count
+
+        rng = np.random.RandomState(31)
+        n = 3000
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], n),
+                "v": rng.randint(0, 80, n).astype(np.int64),
+            }
+        )
+        # duplicates across blocks must not double-count
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        out = (
+            grouped_distinct_count(ds, "k", "v")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = (
+            df.groupby("k")["v"].nunique().sort_index()
+        )
+        assert list(out["k"]) == list(want.index)
+        assert list(out["n"]) == list(want.values)
+
+
 class TestGroupedQuantiles:
     def test_matches_duckdb(self, ray_session):
         import duckdb
