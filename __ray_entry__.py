@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash": p.q_image_phash,
         "image_dedup": p.q_image_dedup,
         "video_frames": p.q_video_frames,
+        "video_dedup": p.q_video_dedup,
         # repair family (rows-only; pytest brute-force oracles)
         "quick_repair": p.q_quick_repair,
         "smart_repair": p.q_smart_repair,

@@ -30,6 +30,9 @@ __all__ = [
     "AugmentStage",
     "ImageStatsStage",
     "FrameSampleStage",
+    "VideoSignatureStage",
+    "signature_near_dup",
+    "video_near_dup",
     "phash64",
     "phash_signatures",
     "image_near_dup",
@@ -414,26 +417,49 @@ def image_near_dup(
     max_bucket: int = 1024,
 ):
     """Perceptually-near-duplicate image CLUSTERS → (image_id,
-    cluster_id) Dataset, cluster_id = the smallest member id (the
-    canonical keeper). Scale shape, in order:
+    cluster_id) Dataset: decode → phash in the stage pool (payload
+    never leaves it), then the generic signature clustering of
+    :func:`signature_near_dup`."""
+    sigs = phash_signatures(images, concurrency=concurrency).materialize()
+    return signature_near_dup(
+        sigs,
+        id_col="image_id",
+        sig_col="phash_computed",
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
 
-    1. decode → phash in the actor pool (payload never leaves it),
-    2. EXACT-group by phash (keyed shuffle of (8 B sig, id) only):
-       web corpora are dominated by byte-identical/phash-identical
+
+def signature_near_dup(
+    sigs,
+    id_col: str = "image_id",
+    sig_col: str = "phash_computed",
+    max_hamming: int = 3,
+    max_bucket: int = 1024,
+):
+    """Near-duplicate CLUSTERS over a 64-bit signature column →
+    (id_col, cluster_id) Dataset, cluster_id = the smallest member id
+    (the canonical keeper). Generic over the id/signature columns
+    (image phash, video signature, simhash…). Scale shape, in order:
+
+    1. EXACT-group by signature (keyed shuffle of (8 B sig, id) only):
+       web corpora are dominated by byte-identical/signature-identical
        classes with hundreds of members — pairing inside such a class
        is O(c²) for zero information, so only one REPRESENTATIVE
-       (min id) per distinct phash goes further,
-    3. quarter-pigeonhole hamming candidates over the distinct-phash
+       (min id) per distinct signature goes further,
+    2. quarter-pigeonhole hamming candidates over the distinct-sig
        table (small by construction — its size is the number of
-       DISTINCT perceptual contents, not the corpus),
-    4. BSP connected components over the rep edges (text/cluster.py),
-    5. broadcast the tiny phash→cluster map back over the member
+       DISTINCT contents, not the corpus),
+    3. components over the rep edges (driver union-find when tiny,
+       BSP otherwise — text/cluster.py),
+    4. broadcast the tiny sig→cluster map back over the member
        stream; members of singleton classes with no near-dup edge
        drop out.
 
     The rep of a class is its min member and the component label is
     the min rep, so the component label IS the cluster's global min
-    member id — no second pass needed."""
+    member id — no second pass needed. ``sigs`` must be a
+    materialized Dataset (it is consumed twice)."""
     import ray
     import ray.data
     import pyarrow.compute as pc
@@ -442,12 +468,10 @@ def image_near_dup(
     from ..text.cluster import connected_components
     from ..text.dedup import hamming_candidates
 
-    sigs = phash_signatures(images, concurrency=concurrency).materialize()
-
     def class_stats(tbl, starts):
         empty = pa.table(
             {
-                "phash_computed": pa.array([], type=pa.int64()),
+                sig_col: pa.array([], type=pa.int64()),
                 "rep": pa.array([], type=pa.string()),
                 "members": pa.array([], type=pa.int64()),
             }
@@ -455,19 +479,17 @@ def image_near_dup(
         if tbl is None or len(starts) == 0:
             return empty
         ends = np.append(starts[1:], tbl.num_rows)
-        ids = tbl["image_id"].to_numpy(zero_copy_only=False)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "phash_computed": tbl["phash_computed"].take(
-                    pa.array(starts)
-                ),
+                sig_col: tbl[sig_col].take(pa.array(starts)),
                 "rep": pa.array(ids[starts], type=pa.string()),
                 "members": pa.array(ends - starts),
             }
         )
 
     classes_ds = hash_group_apply(
-        sigs, ["phash_computed"], class_stats, sort_cols=("image_id",)
+        sigs, [sig_col], class_stats, sort_cols=(id_col,)
     )
     classes = pa.concat_tables(
         [ray.get(r) for r in classes_ds.materialize().to_arrow_refs()]
@@ -476,18 +498,18 @@ def image_near_dup(
         return ray.data.from_arrow(
             pa.table(
                 {
-                    "image_id": pa.array([], type=pa.string()),
+                    id_col: pa.array([], type=pa.string()),
                     "cluster_id": pa.array([], type=pa.string()),
                 }
             )
         )
-    reps = classes.select(["rep", "phash_computed"]).rename_columns(
-        ["image_id", "phash_computed"]
+    reps = classes.select(["rep", sig_col]).rename_columns(
+        [id_col, sig_col]
     )
     pairs = hamming_candidates(
         reps,
-        "phash_computed",
-        id_col="image_id",
+        sig_col,
+        id_col=id_col,
         max_hamming=max_hamming,
         max_bucket=max_bucket,
     )
@@ -533,12 +555,12 @@ def image_near_dup(
         u = uniq.to_pylist()
         for n_, l_ in zip(comp["node"], comp["component"]):
             rep_label[u[int(n_)]] = u[int(l_)]
-    # phash → cluster map (tiny: one entry per near-dup class),
+    # sig → cluster map (tiny: one entry per near-dup class),
     # broadcast into the member stream
     sel = [
         (p_, rep_label[r])
         for p_, r in zip(
-            classes["phash_computed"].to_pylist(),
+            classes[sig_col].to_pylist(),
             classes["rep"].to_pylist(),
         )
         if r in rep_label
@@ -555,15 +577,93 @@ def image_near_dup(
         # vectorized map-side lookup (per-row dict.get here would be a
         # python loop over the whole corpus stream)
         m = ray.get(ref)
-        idx = pc.index_in(batch["phash_computed"], m["ph"].chunk(0))
+        idx = pc.index_in(batch[sig_col], m["ph"].chunk(0))
         keep = pc.is_valid(idx)
         return pa.table(
             {
-                "image_id": pc.filter(batch["image_id"], keep),
+                id_col: pc.filter(batch[id_col], keep),
                 "cluster_id": pc.take(m["cl"], pc.filter(idx, keep)),
             }
         )
 
     return sigs.map_batches(
         tag, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+class VideoSignatureStage:
+    """Per-VIDEO perceptual signature: sample frames (AVI parse,
+    decode only the sampled ones), phash each sampled frame, combine
+    by per-bit MAJORITY across frames — robust to per-frame MJPEG
+    noise, deterministic, and computed entirely inside the stage (no
+    frame rows ever leave it). Output: (video_id, vsig:int64,
+    n_frames:int32)."""
+
+    def __init__(self, every_n: int = 2, uniform_k: int | None = None):
+        self.sampler = FrameSampleStage(every_n, uniform_k)
+        self._pow = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .avi import decode_avi_frame, parse_avi
+
+        ids, sigs, nfr = [], [], []
+        for vid, blob, fmt in zip(
+            batch["video_id"], batch["bytes"], batch["fmt"]
+        ):
+            if fmt.as_py() != "avi":
+                raise NotImplementedError("only AVI videos decode here")
+            buf = blob.as_py()
+            info = parse_avi(buf)
+            idxs = self.sampler._sample_idx(info.n_frames)
+            if len(idxs) == 0:
+                continue
+            bits = np.zeros(64, dtype=np.int64)
+            for i in idxs:
+                h = np.uint64(
+                    np.int64(phash64(decode_avi_frame(buf, info, int(i))))
+                )
+                bits += ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                    np.int64
+                )
+            maj = bits * 2 > len(idxs)  # strict majority
+            code = (maj.astype(np.uint64) * self._pow).sum()
+            ids.append(vid.as_py())
+            sigs.append(int(np.uint64(code).view(np.int64)))
+            nfr.append(info.n_frames)
+        return pa.table(
+            {
+                "video_id": pa.array(ids, type=pa.string()),
+                "vsig": pa.array(np.asarray(sigs, dtype=np.int64)),
+                "n_frames": pa.array(np.asarray(nfr, dtype=np.int32)),
+            }
+        )
+
+
+def video_near_dup(
+    videos,
+    every_n: int = 2,
+    max_hamming: int = 3,
+    max_bucket: int = 1024,
+):
+    """Perceptually-near-duplicate video CLUSTERS → (video_id,
+    cluster_id): per-video majority-phash signatures computed inside
+    the stage (frames never leave it), then the generic
+    exact-class-reduction + pigeonhole-hamming + components pipeline
+    of :func:`signature_near_dup`."""
+    from ..ops.assign import _cached_instance
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached_instance(
+            VideoSignatureStage, ("vsig", every_n), {"every_n": every_n}
+        )(batch)
+
+    sigs = videos.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["video_id", "vsig"]).materialize()
+    return signature_near_dup(
+        sigs,
+        id_col="video_id",
+        sig_col="vsig",
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
     )

@@ -611,6 +611,23 @@ def q_video_frames(sf_dir: str):
     return out
 
 
+def q_video_dedup(sf_dir: str):
+    """Perceptual video near-dup CLUSTERS (rows-only): per-video
+    majority-of-frame-phashes signature computed inside the stage
+    (frames never leave it) → exact-class rep reduction →
+    quarter-pigeonhole hamming → components → (video_id, cluster_id).
+    The synthetic videos differ by per-id luminance offsets, so
+    signature-equal classes occur naturally at every scale."""
+    import pyarrow.parquet as pq
+
+    from .media.image import video_near_dup
+    from .synth.videos import video_dataset
+
+    n = max(40, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows // 2)
+    out = video_near_dup(video_dataset(n, n_frames=8), every_n=2)
+    return out.sort("video_id")
+
+
 def q_sessions(sf_dir: str):
     """Gap-based sessionization of the events stream (30-min gap)."""
     from .ops.sessions import sessionize

@@ -130,3 +130,48 @@ def test_frame_sample_dataset_pipeline(ray_session):
         "fmt",
     ]
     assert tbl.schema.field("frame_idx").type == pa.int32()
+
+
+class TestVideoNearDup:
+    def test_signature_deterministic_and_codec_robust(self):
+        from maup_ray.media.image import VideoSignatureStage
+        from maup_ray.media.avi import encode_avi
+        from maup_ray.synth.videos import gen_video_frame
+
+        frames = [gen_video_frame(5, t, 16, 16) for t in range(6)]
+        stage = VideoSignatureStage(every_n=2)
+        rows = []
+        for codec in ("DIB ", "MJPG"):
+            buf = encode_avi(frames, codec=codec)
+            tbl = pa.table(
+                {
+                    "video_id": pa.array([codec.strip()]),
+                    "bytes": pa.array([buf], type=pa.binary()),
+                    "fmt": pa.array(["avi"]),
+                }
+            )
+            rows.append(stage(tbl))
+        dib, mjpg = rows
+        # same content through lossless and lossy codecs → hamming
+        # distance of the majority signature stays tiny
+        a = np.uint64(np.int64(dib["vsig"][0].as_py()))
+        b = np.uint64(np.int64(mjpg["vsig"][0].as_py()))
+        ham = bin(int(a ^ b)).count("1")
+        assert ham <= 3
+
+    def test_clusters_group_phash_equal_videos(self, ray_session):
+        from maup_ray.media.image import video_near_dup
+        from maup_ray.synth.videos import video_dataset
+
+        out = (
+            video_near_dup(video_dataset(24, n_frames=6), every_n=2)
+            .to_pandas()
+            .sort_values("video_id")
+        )
+        # the synthetic family differs only by per-id luminance
+        # offsets → signature-equal classes exist; every cluster_id is
+        # the smallest member of its cluster
+        assert len(out) > 0
+        for cl, grp in out.groupby("cluster_id"):
+            assert cl == grp["video_id"].min()
+            assert len(grp) >= 2
