@@ -398,6 +398,20 @@ def q_dedup_exact(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+NGRAM_MIN_COUNT = 5
+
+
+def q_ngrams(sf_dir: str):
+    """Corpus-wide frequent word 3-grams (contamination/boilerplate
+    statistics): per-batch vectorized gram construction + partial
+    counts, ONE keyed sum over distinct grams — the token stream
+    never shuffles."""
+    from .text.analysis import frequent_ngrams
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return frequent_ngrams(ds, n=3, min_count=NGRAM_MIN_COUNT)
+
+
 def q_curation(sf_dir: str):
     """Composite end-to-end curation DAG — the canonical LLM-data
     pre-training pass expressed as ONE streaming pipeline: quality
@@ -1139,6 +1153,17 @@ def oracle_queries() -> dict[str, str]:
                    CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)
                        AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "ngrams": f"""
+            WITH t AS (SELECT string_split(text, ' ') AS toks
+                       FROM documents),
+            g AS (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         AS gram
+                  FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+                        FROM t WHERE len(toks) >= 3))
+            SELECT gram, count(*) AS n_occ FROM g
+            GROUP BY gram HAVING count(*) >= {NGRAM_MIN_COUNT}
+            ORDER BY gram
         """,
         "curation": r"""
             WITH q AS (

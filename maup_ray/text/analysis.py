@@ -204,3 +204,66 @@ def fingerprints(ds, **kw):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def ngram_count_batch(
+    batch: pa.Table, text_col="text", n: int = 3
+) -> pa.Table:
+    """Per-batch word n-gram counts → (gram, n_occ) partials.
+
+    Single-space tokenization (matches DuckDB ``string_split(text,
+    ' ')`` — the near_dup shingle discipline); gram construction is
+    fully vectorized: flatten all tokens, compute valid window starts
+    per doc with repeat arithmetic, join the n shifted takes with one
+    ``binary_join_element_wise``. Partial counting happens HERE so
+    only (gram, count) distinct rows leave the batch — the corpus
+    token stream never shuffles."""
+    toks = pc.split_pattern(batch[text_col], " ")
+    flat = pc.list_flatten(toks).combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    offs = np.r_[0, np.cumsum(lens)]
+    valid = np.maximum(lens - (n - 1), 0)
+    cum = np.r_[0, np.cumsum(valid)]
+    pos = np.arange(cum[-1], dtype=np.int64) - np.repeat(cum[:-1], valid)
+    j = np.repeat(offs[:-1], valid) + pos
+    if len(j) == 0:
+        return pa.table(
+            {
+                "gram": pa.array([], type=pa.string()),
+                "n_occ": pa.array([], type=pa.int64()),
+            }
+        )
+    parts = [pc.take(flat, pa.array(j + k)) for k in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    g = (
+        pa.table({"gram": grams})
+        .group_by(["gram"], use_threads=False)
+        .aggregate([([], "count_all")])
+    )
+    g = g.rename_columns(
+        ["n_occ" if c == "count_all" else c for c in g.column_names]
+    )
+    return g.select(["gram", "n_occ"])
+
+
+def frequent_ngrams(ds, n: int = 3, min_count: int = 2):
+    """Corpus-wide frequent word n-grams → Dataset (gram, n_occ) with
+    n_occ ≥ min_count — the contamination/boilerplate statistic of a
+    curation pipeline. Per-batch partial counts (above) then one keyed
+    sum over distinct grams; the result is sorted by gram for
+    deterministic output."""
+    from ..ops.agg import grouped_sum_count
+
+    partials = ds.map_batches(
+        lambda b: ngram_count_batch(b, n=n),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = grouped_sum_count(
+        partials, ["gram"], sum_cols=["n_occ"], final="shuffle"
+    )
+    return out.filter(
+        expr=f"n_occ >= {int(min_count)}"
+    ).sort("gram")
