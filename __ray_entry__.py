@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": p.q_dedup_exact,
         "curation": p.q_curation,
         "ngrams": p.q_ngrams,
+        "profile": p.q_profile,
         "near_dup": p.q_near_dup,
         "ann_topk": p.q_ann_topk,
         "embed_dedup": p.q_embed_dedup,

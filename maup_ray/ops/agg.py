@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["grouped_sum_count"]
+__all__ = ["grouped_sum_count", "profile_columns"]
 
 
 def grouped_sum_count(
@@ -114,3 +114,66 @@ def grouped_sum_count(
     if count_col is not None:
         aggs.append(Sum(on=count_col, alias_name=count_col))
     return partials.groupby(keys).aggregate(*aggs)
+
+
+def profile_columns(ds, cols):
+    """Per-column profile (count, nulls, min, max) in ONE streaming
+    pass: per-batch scalar partials (pc.min_max / null counts — a few
+    numbers per block per column), merged on the driver. Exact for any
+    orderable type; numeric min/max surface as float64. Returns a
+    pa.Table (column, n, n_null, min_v, max_v) sorted by column —
+    the `describe` utility every ingestion pipeline runs first."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    cols = list(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs = [], [], [], [], []
+        for c in cols:
+            arr = batch[c]
+            mm = pc.min_max(arr)
+            names.append(c)
+            ns.append(len(arr))
+            nulls.append(arr.null_count)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            mins.append(float(mn) if mn is not None else None)
+            maxs.append(float(mx) if mx is not None else None)
+        return pa.table(
+            {
+                "column": pa.array(names, type=pa.string()),
+                "n": pa.array(np.asarray(ns, dtype=np.int64)),
+                "n_null": pa.array(np.asarray(nulls, dtype=np.int64)),
+                "min_v": pa.array(mins, type=pa.float64()),
+                "max_v": pa.array(maxs, type=pa.float64()),
+            }
+        )
+
+    import ray
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = pa.concat_tables(
+        [
+            t
+            for t in (
+                ray.get(r) for r in parts.materialize().to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    )
+    g = merged.group_by(["column"], use_threads=False).aggregate(
+        [("n", "sum"), ("n_null", "sum"), ("min_v", "min"), ("max_v", "max")]
+    )
+    names = []
+    for c in g.column_names:
+        for suf in ("_sum", "_min", "_max"):
+            if c.endswith(suf):
+                c = c[: -len(suf)]
+                break
+        names.append(c)
+    g = g.rename_columns(names)
+    return g.select(["column", "n", "n_null", "min_v", "max_v"]).sort_by(
+        "column"
+    )

@@ -398,6 +398,19 @@ def q_dedup_exact(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_profile(sf_dir: str):
+    """Per-column profile of the widest table (count/nulls/min/max in
+    one streaming pass of scalar partials) — the `describe` utility an
+    ingestion pipeline runs before anything else."""
+    from .ops.agg import profile_columns
+
+    ds = _read(sf_dir, "lineitem", PROFILE_COLS)
+    return profile_columns(ds, PROFILE_COLS)
+
+
 NGRAM_MIN_COUNT = 5
 
 
@@ -1154,6 +1167,15 @@ def oracle_queries() -> dict[str, str]:
                        AS value_cents
             FROM events GROUP BY 1, 2
         """,
+        "profile": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS "column", count(*) AS n,
+                   count(*) - count({c}) AS n_null,
+                   CAST(min({c}) AS DOUBLE) AS min_v,
+                   CAST(max({c}) AS DOUBLE) AS max_v
+            FROM lineitem"""
+            for c in PROFILE_COLS
+        ) + ' ORDER BY "column"',
         "ngrams": f"""
             WITH t AS (SELECT string_split(text, ' ') AS toks
                        FROM documents),
