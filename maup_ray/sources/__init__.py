@@ -11,9 +11,13 @@ from .geojson import (
     table_to_geojson,
     write_geojson,
 )
+from .jsonl import jsonl_dataset, read_jsonl, write_jsonl
 from .shapefile import read_shapefile_zip, shapefile_dataset
 
 __all__ = [
+    "read_jsonl",
+    "jsonl_dataset",
+    "write_jsonl",
     "read_geopackage",
     "geopackage_layers",
     "geopackage_dataset",
