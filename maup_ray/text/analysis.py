@@ -254,16 +254,50 @@ def frequent_ngrams(ds, n: int = 3, min_count: int = 2):
     curation pipeline. Per-batch partial counts (above) then one keyed
     sum over distinct grams; the result is sorted by gram for
     deterministic output."""
-    from ..ops.agg import grouped_sum_count
+    from ..ops.shuffle import hash_group_apply
 
     partials = ds.map_batches(
         lambda b: ngram_count_batch(b, n=n),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    out = grouped_sum_count(
-        partials, ["gram"], sum_cols=["n_occ"], final="shuffle"
-    )
-    return out.filter(
-        expr=f"n_occ >= {int(min_count)}"
-    ).sort("gram")
+
+    def final(tbl, starts):
+        if tbl is None or len(starts) == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], type=pa.string()),
+                    "n_occ": pa.array([], type=pa.int64()),
+                }
+            )
+        counts = np.diff(np.append(starts, tbl.num_rows))
+        occ = tbl["n_occ"].to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(occ, starts)
+        keep = sums >= min_count
+        return pa.table(
+            {
+                "gram": tbl["gram"].take(pa.array(starts[keep])),
+                "n_occ": pa.array(sums[keep]),
+            }
+        )
+
+    # hash_group_apply instead of the Ray keyed aggregate: the keyed
+    # Aggregate operator costs ~3 s of fixed latency per job at bench
+    # scale (the grouped_sum_count driver-final lesson), while the
+    # raw-task hash shuffle moves the same (gram, count) partials for
+    # a fraction of it; min_count filtering happens inside the reduce,
+    # so only the ABOVE-THRESHOLD grams (the useful, small output of a
+    # boilerplate statistic) ever reach the driver, where one Arrow
+    # sort beats a whole Dataset.sort job
+    import ray
+
+    refs = hash_group_apply(partials, ["gram"], final, return_refs=True)
+    tabs = [t for t in ray.get(refs) if t is not None and t.num_rows]
+    if not tabs:
+        return pa.table(
+            {
+                "gram": pa.array([], type=pa.string()),
+                "n_occ": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.concat_tables(tabs).combine_chunks().sort_by("gram")
