@@ -411,6 +411,24 @@ def q_profile(sf_dir: str):
     return profile_columns(ds, PROFILE_COLS)
 
 
+BPE_MERGES = 50
+
+
+def q_bpe_train(sf_dir: str):
+    """BPE tokenizer trained on the corpus then applied to it
+    (rows-only: the merge loop is iterative, not SQL-expressible;
+    algorithm invariants pinned by tests/test_bpe.py): ONE streaming
+    word-frequency pass → driver merge loop over the distinct-word
+    table → distributed application encoding only each batch's
+    distinct words."""
+    from .text.bpe import apply_bpe, train_bpe, word_frequencies
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    wf = word_frequencies(ds)
+    merges = train_bpe(wf, BPE_MERGES)
+    return apply_bpe(ds, merges)
+
+
 NGRAM_MIN_COUNT = 5
 
 
