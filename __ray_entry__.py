@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data family
         "order_totals": p.q_order_totals,
         "sample": p.q_sample,
+        "stratified_sample": p.q_stratified_sample,
         "topk_user": p.q_topk_user,
         "percentiles": p.q_percentiles,
         "distinct_users": p.q_distinct_users,

@@ -411,6 +411,36 @@ def q_profile(sf_dir: str):
     return profile_columns(ds, PROFILE_COLS)
 
 
+STRAT_K = 2
+STRAT_MOD = 100_000
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: K docs per language, ranked
+    by an affine-mod hash of the id (reproducible across runs and
+    machines — no RNG state). Pure composition: derive the hash rank
+    per batch, then the distributed top-k-per-group window."""
+    from .ops.curate import top_k_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def rank_key(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        # NEGATED hash so top-k-DESC picks the smallest hash values
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "neg_hash": pa.array(-((ids * 48271 + 11) % STRAT_MOD)),
+                "doc_id": b["doc_id"],
+            }
+        )
+
+    ds = ds.map_batches(
+        rank_key, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return top_k_per_group(ds, "lang", "neg_hash", STRAT_K, "doc_id")
+
+
 BPE_MERGES = 50
 
 
@@ -1245,6 +1275,18 @@ def oracle_queries() -> dict[str, str]:
                            event_id) AS rank
               FROM events)
             WHERE rank <= {TOPK_K}
+        """,
+        "stratified_sample": f"""
+            SELECT lang, neg_hash, doc_id, rank FROM (
+              SELECT lang,
+                -((doc_id * 48271 + 11) % {STRAT_MOD}) AS neg_hash,
+                doc_id,
+                row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY -((doc_id * 48271 + 11) % {STRAT_MOD}) DESC,
+                           doc_id) AS rank
+              FROM documents)
+            WHERE rank <= {STRAT_K}
         """,
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
