@@ -32,7 +32,13 @@ def broadcast_hash_join(ds, right: pa.Table, left_on: str, right_on: str,
 
     def f(batch: pa.Table) -> pa.Table:
         r = ray.get(ref)
-        idx = pc.index_in(batch[left_on], r[right_on].chunk(0))
+        vs = r[right_on]
+        vs = (
+            vs.chunk(0)
+            if vs.num_chunks
+            else pa.array([], type=vs.type)  # empty dimension table
+        )
+        idx = pc.index_in(batch[left_on], vs)
         mask = pc.is_valid(idx)
         out = batch.filter(mask)
         idx = pc.filter(idx, mask)
