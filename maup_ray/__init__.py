@@ -38,4 +38,24 @@ from .state.target_index import TargetIndex as IndexedGeometries  # noqa: F401
 from .ops.smart_repair import smart_repair  # noqa: F401
 from .progress import progress  # noqa: F401
 
+# training-data-pipeline family (beyond the reference surface; each is
+# documented in its module and exercised by a queries() entry)
+from .ops.curate import (  # noqa: F401
+    grouped_distinct_count,
+    grouped_quantiles,
+    hash_sample,
+    top_k_per_group,
+)
+from .ops.join import equi_join  # noqa: F401
+from .ops.agg import grouped_sum_count, profile_columns  # noqa: F401
+from .ops.sessions import sessionize  # noqa: F401
+from .text.dedup import exact_dedup  # noqa: F401
+from .text.bpe import apply_bpe, train_bpe, word_frequencies  # noqa: F401
+from .text.analysis import frequent_ngrams, quality_scores  # noqa: F401
+from .media.image import (  # noqa: F401
+    image_near_dup,
+    signature_near_dup,
+    video_near_dup,
+)
+
 __version__ = "0.1.0"
