@@ -205,3 +205,37 @@ class TestGroupedQuantiles:
         out = _to_df(grouped_quantiles(ray.data.from_arrow(tbl), "k", "v"))
         assert out.iloc[0]["p50"] == 42 == out.iloc[0]["p99"]
         assert out.iloc[0]["n"] == 5
+
+
+class TestProfileColumns:
+    def test_counts_nulls_minmax_across_blocks(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.agg import profile_columns
+
+        tbl = pa.table(
+            {
+                "a": pa.array([1, None, 3, None, 5], type=pa.int64()),
+                "b": pa.array([2.5, 0.5, None, 9.0, -1.0]),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        out = profile_columns(ds, ["a", "b"]).to_pandas()
+        a = out[out["column"] == "a"].iloc[0]
+        b = out[out["column"] == "b"].iloc[0]
+        assert a["n"] == 5 and a["n_null"] == 2
+        assert a["min_v"] == 1.0 and a["max_v"] == 5.0
+        assert b["n"] == 5 and b["n_null"] == 1
+        assert b["min_v"] == -1.0 and b["max_v"] == 9.0
+
+    def test_all_null_column(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.agg import profile_columns
+
+        tbl = pa.table({"a": pa.array([None, None], type=pa.int64())})
+        out = profile_columns(
+            ray.data.from_arrow(tbl), ["a"]
+        ).to_pandas()
+        assert out.iloc[0]["n_null"] == 2
+        assert np.isnan(out.iloc[0]["min_v"])
