@@ -23,10 +23,14 @@ per-group) grouped apply.
 
 PARTITIONING ASSUMPTIONS (the custom-operator contract):
 * every row of one key lands in one partition (guaranteed by the
-  hash); the largest partition must fit one worker's heap, so P should
-  scale with the cluster (default 2 × cluster CPUs) and pathological
-  single-key skew is the caller's to handle (salt, or cap group size
-  as LSH's max_bucket does).
+  hash); the largest partition must fit one worker's heap, so the
+  default P scales with BOTH the cluster (2 × cluster CPUs, keeps all
+  reducers busy on small inputs) and the DATA
+  (input_bytes / TARGET_PARTITION_BYTES — at 100 TB, P keyed to cores
+  alone would hand each reducer a multi-TB partition; see
+  ``_choose_partitions``). Pathological single-key skew is the
+  caller's to handle (``salt_keys`` below, or cap group size as LSH's
+  max_bucket does).
 * key columns are integer-valued (hashed with a splitmix64-style mix);
   the shuffle payload should be a pruned projection, never wide rows.
 * ``fn`` must return a correctly-typed (possibly empty) Arrow table
@@ -38,9 +42,56 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hash_group_apply", "group_starts"]
+__all__ = ["hash_group_apply", "group_starts", "salt_keys"]
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+# Reduce partitions are sized so one partition (plus the ~2× working
+# set of the concat+sort in _apply_partition) fits comfortably in a
+# worker heap regardless of cluster size.
+TARGET_PARTITION_BYTES = 128 * 2**20
+
+
+def _choose_partitions(input_bytes: int | None, cpus: float) -> int:
+    """Default reduce-partition count: max of the parallelism floor
+    (2 × cluster CPUs) and the memory ceiling (input_bytes /
+    TARGET_PARTITION_BYTES). Keyed to data volume, not cores: on a
+    fixed-size cluster P must keep growing with the input or stage-2
+    partitions outgrow worker heaps."""
+    p = max(2, int(cpus) * 2)
+    if input_bytes:
+        p = max(p, -(-int(input_bytes) // TARGET_PARTITION_BYTES))
+    return p
+
+
+def salt_keys(ds, keys, buckets: int, salt_col: str = "_salt"):
+    """Append a deterministic salt column for skewed-key shuffles.
+
+    A single hot key otherwise lands its whole group in one reduce
+    partition (the documented skew caveat above). Callers whose
+    per-group fn is a combinable partial (sum/count/top-k partials…)
+    can shuffle on ``keys + [salt_col]`` instead — the hot group is
+    spread over ``buckets`` partitions — then merge the per-salt
+    partials with a second, tiny ``hash_group_apply`` on ``keys``
+    alone. The salt is a splitmix avalanche of the row's key hash
+    mixed with a row counter, so it is deterministic per run but
+    uncorrelated with the partition hash (which re-mixes per column).
+    """
+    keys = list(keys)
+
+    def add(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        h = _hash_keys(batch, keys)
+        r = np.arange(n, dtype=np.uint64)
+        x = (h + r * _MIX) * np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(31)
+        return batch.append_column(
+            salt_col, pa.array((x % np.uint64(buckets)).astype(np.int64))
+        )
+
+    if isinstance(ds, pa.Table):
+        return add(ds)
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _hash_keys(tbl: pa.Table, keys: list[str]) -> np.ndarray:
@@ -140,11 +191,14 @@ def hash_group_apply(
     keys = list(keys)
     if isinstance(ds, pa.Table):
         blocks = [ray.put(ds)]
+        input_bytes = ds.nbytes
     else:
-        blocks = ds.materialize().to_arrow_refs()
+        mat = ds.materialize()
+        blocks = mat.to_arrow_refs()
+        input_bytes = mat.size_bytes()
     if num_partitions is None:
-        num_partitions = max(
-            2, int(ray.cluster_resources().get("CPU", 8)) * 2
+        num_partitions = _choose_partitions(
+            input_bytes, ray.cluster_resources().get("CPU", 8)
         )
     P = int(num_partitions)
     split = ray.remote(num_returns=P)(_split_block) if P > 1 else (

@@ -139,3 +139,99 @@ class TestAugmentStage:
         ).to_pandas()
         assert len(out) == 12
         assert set(out["w"]) == {4} and set(out["h"]) == {4}
+
+
+def _mix64(i):
+    # splitmix64 (python ints, explicit mod 2^64) — spreads ints over
+    # the 64-bit space so random hamming<=3 collisions are
+    # (overwhelmingly) absent
+    m = (1 << 64) - 1
+    x = (i + 0x9E3779B97F4A7C15) & m
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & m
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & m
+    return x ^ (x >> 31)
+
+
+def _sig_dataset(n_distinct=5000, n_dup_classes=5, dup_members=3):
+    """Synthetic signature corpus: n_distinct unique singletons, a few
+    exact-duplicate classes, and one hamming-1 near pair."""
+    ids, sigs = [], []
+    for i in range(n_distinct):
+        ids.append(f"s{i:06d}")
+        sigs.append(_mix64(i))
+    for k in range(n_dup_classes):
+        s = _mix64(1_000_000 + k)
+        for j in range(dup_members):
+            ids.append(f"d{k}_{j}")
+            sigs.append(s)
+    base = _mix64(2_000_000)
+    ids += ["near_a", "near_b"]
+    sigs += [base, base ^ 1]
+    return pa.table(
+        {
+            "image_id": pa.array(ids, type=pa.string()),
+            "phash_computed": pa.array(
+                np.array(sigs, dtype=np.uint64).view(np.int64)
+            ),
+        }
+    )
+
+
+class TestSignatureNearDupScale:
+    def _expected(self, out):
+        m = dict(zip(out["image_id"], out["cluster_id"]))
+        for k in range(5):
+            assert m[f"d{k}_0"] == m[f"d{k}_1"] == m[f"d{k}_2"] == f"d{k}_0"
+        assert m["near_a"] == m["near_b"] == "near_a"
+        # no singleton leaks into the output
+        assert len(out) == 5 * 3 + 2
+
+    def test_driver_map_is_o_duplicated_not_o_distinct(self, ray_session):
+        # the r3 weak spot: with 5000 distinct singleton signatures
+        # the driver-resident sig->cluster map must stay at the size
+        # of the DUPLICATED structure (5 classes + 2 near reps), never
+        # the distinct-signature count
+        import ray.data
+
+        from maup_ray.media import image as img_mod
+        from maup_ray.media.image import signature_near_dup
+
+        ds = ray.data.from_arrow(_sig_dataset()).repartition(8).materialize()
+        out = signature_near_dup(ds).to_pandas()
+        self._expected(out)
+        stats = img_mod.LAST_NEAR_DUP_STATS
+        assert stats["path"] == "broadcast"
+        # 5 dup classes + 2 edge-bearing reps (+ slack for freak
+        # hamming collisions among random sigs) — far below 5000
+        assert stats["map_rows"] <= 32
+
+    def test_shuffle_path_equivalence(self, ray_session):
+        # broadcast_limit=0 forces the hash co-shuffle tag join — the
+        # 100-TB fallback must produce identical clusters
+        import ray.data
+
+        from maup_ray.media import image as img_mod
+        from maup_ray.media.image import signature_near_dup
+
+        ds = (
+            ray.data.from_arrow(_sig_dataset(n_distinct=500))
+            .repartition(8)
+            .materialize()
+        )
+        base = (
+            signature_near_dup(ds)
+            .to_pandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        assert img_mod.LAST_NEAR_DUP_STATS["path"] == "broadcast"
+        shuf = (
+            signature_near_dup(ds, broadcast_limit=0)
+            .to_pandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        assert img_mod.LAST_NEAR_DUP_STATS["path"] == "shuffle"
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(base, shuf)

@@ -177,3 +177,105 @@ class TestGroupedSumCountEmpty:
         )
         assert out.num_rows == 0
         assert out.column_names == ["g", "x", "n"]
+
+
+class TestChoosePartitions:
+    def test_floor_is_two_x_cpus(self):
+        from maup_ray.ops.shuffle import _choose_partitions
+
+        assert _choose_partitions(None, 16) == 32
+        assert _choose_partitions(0, 16) == 32
+        assert _choose_partitions(10 * 2**20, 16) == 32
+
+    def test_p_grows_with_input_bytes(self):
+        # the 100-TB contract: P is keyed to data volume, not cores —
+        # stage-2 partitions must stay under a worker heap
+        from maup_ray.ops.shuffle import (
+            TARGET_PARTITION_BYTES,
+            _choose_partitions,
+        )
+
+        gib = 2**30
+        assert _choose_partitions(64 * gib, 16) == 64 * gib // (
+            TARGET_PARTITION_BYTES
+        )
+        # monotone in bytes
+        ps = [
+            _choose_partitions(b, 16)
+            for b in [0, 8 * gib, 64 * gib, 512 * gib, 100 * 1024 * gib]
+        ]
+        assert ps == sorted(ps)
+        # 100 TB at the default target → ~820k partitions, each
+        # ≤ TARGET_PARTITION_BYTES expected size
+        assert ps[-1] * TARGET_PARTITION_BYTES >= 100 * 1024 * gib
+
+
+class TestSaltKeys:
+    def test_salt_spreads_hot_key_and_partials_merge(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.shuffle import salt_keys
+
+        # one hot key (90% of rows) + a long tail
+        rng = np.random.RandomState(3)
+        n = 30_000
+        k = np.where(
+            rng.rand(n) < 0.9, 7, rng.randint(100, 200, n)
+        ).astype(np.int64)
+        v = rng.randint(-50, 50, n).astype(np.int64)
+        t = pa.table({"k": pa.array(k), "v": pa.array(v)})
+
+        salted = salt_keys(t, ["k"], buckets=16)
+        assert salted.num_rows == n
+        # deterministic
+        again = salt_keys(t, ["k"], buckets=16)
+        assert salted["_salt"].equals(again["_salt"])
+        # the hot key is spread over many salt buckets
+        hot = salted.filter(pa.array(k == 7))
+        assert len(np.unique(hot["_salt"].to_numpy())) >= 12
+
+        # combinable-partial contract: sum per (k, _salt) then merge
+        # per k == plain groupby sum
+        def merge_part(tbl, starts):
+            schema = pa.schema([("k", pa.int64()), ("s", pa.int64())])
+            if tbl is None or len(starts) == 0:
+                return schema.empty_table()
+            kk = tbl["k"].to_numpy()
+            ss = tbl["s"].to_numpy()
+            return pa.table(
+                {
+                    "k": pa.array(kk[starts]),
+                    "s": pa.array(np.add.reduceat(ss, starts)),
+                }
+            )
+
+        def salted_sum(tbl, starts):
+            schema = pa.schema([("k", pa.int64()), ("s", pa.int64())])
+            if tbl is None or len(starts) == 0:
+                return schema.empty_table()
+            kk = tbl["k"].to_numpy()
+            vv = tbl["v"].to_numpy()
+            return pa.table(
+                {
+                    "k": pa.array(kk[starts]),
+                    "s": pa.array(np.add.reduceat(vv, starts)),
+                }
+            )
+
+        ds = ray.data.from_arrow(salted).repartition(6)
+        partials = hash_group_apply(ds, ["k", "_salt"], salted_sum)
+        merged = (
+            hash_group_apply(partials, ["k"], merge_part)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = (
+            t.to_pandas()
+            .groupby("k")["v"]
+            .sum()
+            .reset_index(name="s")
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(merged, want)
