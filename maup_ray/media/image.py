@@ -389,14 +389,16 @@ class ImageStatsStage:
         )
 
 
-def phash_signatures(images, concurrency: int = 4, batch_size=None):
+def phash_signatures(images, batch_size=None):
     """(image_id, phash_computed) Dataset: the PhashStage decode+hash
     pass with payload columns dropped before anything wide happens.
 
     Task mode with a per-worker cached stage instance (the r1
     actor-respawn lesson: PhashStage state is a tiny bit-packing
     table, and an actor pool pays ~2 s respawn per Dataset
-    execution)."""
+    execution) — task parallelism is scheduler-driven, so there is
+    deliberately no ``concurrency`` knob (a r3 leftover parameter was
+    silently ignored — ADVICE r3)."""
     from ..ops.assign import _cached_instance
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -413,14 +415,13 @@ def phash_signatures(images, concurrency: int = 4, batch_size=None):
 def image_near_dup(
     images,
     max_hamming: int = 3,
-    concurrency: int = 4,
     max_bucket: int = 1024,
 ):
     """Perceptually-near-duplicate image CLUSTERS → (image_id,
     cluster_id) Dataset: decode → phash in the stage pool (payload
     never leaves it), then the generic signature clustering of
     :func:`signature_near_dup`."""
-    sigs = phash_signatures(images, concurrency=concurrency).materialize()
+    sigs = phash_signatures(images).materialize()
     return signature_near_dup(
         sigs,
         id_col="image_id",

@@ -97,10 +97,20 @@ class AssignActor:
             tpos = self._assign_points(batch)
         idx = self.index
         valid = tpos >= 0
-        tgt = pa.array(
-            [idx.id_numpy[t] if v else None for t, v in zip(tpos, valid)],
-            type=idx.ids.type,
-        )
+        if len(idx.ids) == 0 or not valid.any():
+            tgt = pa.nulls(len(tpos), type=idx.ids.type)
+        else:
+            # pure-Arrow id mapping: take against the target-id column
+            # with a null mask (a per-row python loop here ran on
+            # every batch of the headline path)
+            import pyarrow.compute as pc
+
+            taken = idx.ids.take(
+                pa.array(np.where(valid, tpos, 0))
+            ).combine_chunks()
+            tgt = pc.if_else(
+                pa.array(valid), taken, pa.scalar(None, type=idx.ids.type)
+            )
         cols = {self.source_id_col: batch[self.source_id_col]}
         for c in self.keep_cols:
             cols[c] = batch[c]

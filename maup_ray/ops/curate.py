@@ -106,10 +106,21 @@ def hash_sample(ds, id_col: str, keep: int, mod: int = 100,
     spaces would swap in a 64-bit mixer (splitmix64) with uint64
     wraparound — same shape, same cost, not expressible in portable
     SQL, which is why the oracled variant uses the affine form.
+
+    Ids must satisfy ``|id*a + b| < 2^63``: numpy would wrap silently
+    where the SQL oracle raises, a silent engine/oracle divergence
+    (ADVICE r3) — so out-of-range ids raise here too.
     """
+    id_limit = (2**63 - 1 - abs(b)) // a
 
     def f(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) and max(abs(int(ids.max())), abs(int(ids.min()))) > id_limit:
+            raise ValueError(
+                f"hash_sample: |{id_col}| exceeds {id_limit} and the "
+                "affine step would overflow int64 (DuckDB raises, "
+                "numpy wraps); rescale ids or use a 64-bit mixer split"
+            )
         return batch.filter(pa.array((ids * a + b) % mod < keep))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

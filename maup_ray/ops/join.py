@@ -24,10 +24,22 @@ def broadcast_hash_join(ds, right: pa.Table, left_on: str, right_on: str,
     ``right`` is broadcast once (object store); each batch computes
     ``index_in`` against the key column and appends ``take_cols`` by
     ``take`` — one vectorized pass, zero-copy reads on every worker.
-    Right keys must be unique (dimension-table shape)."""
+    Right keys must be unique (dimension-table shape): ``index_in``
+    keeps only the FIRST match per key, so a duplicate-key right side
+    would silently drop join rows — checked here while the table is
+    still driver-local (ADVICE r3)."""
     import ray
 
     right = right.combine_chunks()
+    n_distinct = pc.count_distinct(right[right_on], mode="all").as_py()
+    if n_distinct != len(right):
+        raise ValueError(
+            f"broadcast_hash_join: right side has duplicate "
+            f"'{right_on}' keys ({len(right)} rows, {n_distinct} "
+            "distinct) — inner-join row duplication is not supported "
+            "on the broadcast plan; dedup the dimension table or use "
+            "a co-shuffle join"
+        )
     ref = ray.put(right)
 
     def f(batch: pa.Table) -> pa.Table:

@@ -82,12 +82,7 @@ class KnnActor:
         sy = batch[self.y_col].to_numpy().astype(np.float64)
         sids = batch[self.source_id_col].to_numpy(zero_copy_only=False)
         if self.mode == "cells":
-            rows = [
-                self._one_cells(sids[i], sx[i], sy[i]) for i in range(len(sx))
-            ]
-            out_s = [r0 for r in rows for r0 in r[0]]
-            out_t = [r1 for r in rows for r1 in r[1]]
-            out_r = [r2 for r in rows for r2 in r[2]]
+            out_s, out_t, out_r = self._cells_batch(sids, sx, sy)
         else:
             out_s, out_t, out_r = self._broadcast(sids, sx, sy)
         return pa.table(
@@ -98,81 +93,151 @@ class KnnActor:
             }
         )
 
-    def _topk(self, sid, d2, cand_idx):
-        ids = self.tids[cand_idx]
-        if self.exclude_same_id:
-            keep = ids != sid
-            d2, cand_idx, ids = d2[keep], cand_idx[keep], ids[keep]
-        kk = min(self.k, len(ids))
-        if kk == 0:
-            return [], [], []
-        # exact order: (d2, target_id)
-        sel = np.argsort(
-            np.core.records.fromarrays([d2, ids], names="d,i"),
-            order=("d", "i"),
-            kind="stable",
-        )[:kk]
-        return [sid] * kk, ids[sel].tolist(), list(range(1, kk + 1))
-
     def _broadcast(self, sids, sx, sy):
+        """Chunked exact kNN against the full target matrix — all rows
+        of a chunk resolved in one stable argsort (targets are
+        id-sorted in ``__init__``, so the stable sort keeps
+        id-ascending order within distance ties = (d2, id) order)."""
+        nt = len(self.tx)
+        z = np.empty(0, dtype=np.int64)
+        if nt == 0 or len(sx) == 0:
+            return sids[:0], z, z
         out_s, out_t, out_r = [], [], []
-        chunk = max(1, 4_000_000 // max(len(self.tx), 1))
+        chunk = max(1, 4_000_000 // nt)
+        width = min(self.k, nt)
+        ranks = np.arange(width, dtype=np.int64)[None, :] + 1
         for s in range(0, len(sx), chunk):
             dx = sx[s : s + chunk, None] - self.tx[None, :]
             dy = sy[s : s + chunk, None] - self.ty[None, :]
             d2 = dx * dx + dy * dy
-            for i in range(d2.shape[0]):
-                a, b, c = self._topk(sids[s + i], d2[i], np.arange(len(self.tx)))
-                out_s += a
-                out_t += b
-                out_r += c
-        return out_s, out_t, out_r
+            csids = sids[s : s + chunk]
+            if self.exclude_same_id:
+                mask = self.tids[None, :] == csids[:, None]
+                d2 = np.where(mask, np.inf, d2)
+                counts = nt - mask.sum(axis=1)
+            else:
+                counts = np.full(len(csids), nt, dtype=np.int64)
+            kk = np.minimum(counts, self.k).astype(np.int64)
+            sel = np.argsort(d2, axis=1, kind="stable")[:, :width]
+            keep = np.arange(width)[None, :] < kk[:, None]
+            rows = np.nonzero(keep)[0]
+            out_s.append(csids[rows])
+            out_t.append(self.tids[sel[keep]])
+            out_r.append(np.broadcast_to(ranks, keep.shape)[keep])
+        return (
+            np.concatenate(out_s),
+            np.concatenate(out_t),
+            np.concatenate(out_r),
+        )
 
-    def _one_cells(self, sid, x, y):
+    def _cells_batch(self, sids, sx, sy):
+        """Batch-vectorized cells mode: sources grouped by their cell
+        (they share candidate rings exactly), ring expansion runs once
+        PER OCCUPIED CELL with all of that cell's sources evaluated in
+        one distance matrix (the r3 per-row ``_one_cells`` loop is
+        gone). Ring certification is per cell group — expansion stops
+        when EVERY source in the group has ≥k candidates and a kth
+        distance strictly inside the guaranteed-covered radius, so
+        each source sees a superset of its minimal candidate set and
+        the top-k is unchanged (superset-invariance)."""
         cs = self.cell_size
-        cx, cy = int(np.floor(x / cs)), int(np.floor(y / cs))
+        cx = np.floor(sx / cs).astype(np.int64)
+        cy = np.floor(sy / cs).astype(np.int64)
+        order = np.lexsort((cy, cx))
+        keys = np.column_stack([cx, cy])[order]
+        if len(keys) > 1:
+            bounds_ = (
+                np.nonzero(np.any(keys[1:] != keys[:-1], axis=1))[0] + 1
+            )
+        else:
+            bounds_ = np.empty(0, dtype=np.int64)
+        starts = np.concatenate([[0], bounds_, [len(keys)]]).astype(
+            np.int64
+        )
+        out_s, out_t, out_r = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            gs = order[s:e]
+            a, b, c = self._cell_group(
+                sids[gs], sx[gs], sy[gs], int(keys[s][0]), int(keys[s][1])
+            )
+            out_s.append(a)
+            out_t.append(b)
+            out_r.append(c)
+        if not out_s:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        return (
+            np.concatenate(out_s),
+            np.concatenate(out_t),
+            np.concatenate(out_r),
+        )
+
+    def _cell_group(self, sids, sx, sy, ccx, ccy):
+        """Ring expansion + exact top-k for all sources of ONE cell."""
+        cs = self.cell_size
+        k = self.k
+        n_src = len(sx)
         cand: list[np.ndarray] = []
-        n_cand = 0
         ring = 0
-        best_kth = np.inf
         while True:
-            added = 0
             for dx in range(-ring, ring + 1):
                 for dy in range(-ring, ring + 1):
                     if max(abs(dx), abs(dy)) != ring:
                         continue
-                    b = self.buckets.get((cx + dx, cy + dy))
-                    if b is not None:
-                        # exclude the source's own point BEFORE it can
-                        # contribute to n_cand / best_kth, else d2=0
-                        # stops ring expansion one ring early and true
-                        # neighbors are never gathered (ADVICE r1 high)
-                        if self.exclude_same_id:
-                            b = b[self.tids[b] != sid]
-                        if len(b):
-                            cand.append(b)
-                            added += len(b)
-            n_cand += added
-            # can any point beyond this ring beat the kth distance?
-            ring_dist = ring * cs  # min distance to cells outside ring
-            if n_cand >= self.k and ring_dist * ring_dist > best_kth:
-                break
-            if n_cand >= self.k or added or ring < 2:
-                idx = np.concatenate(cand) if cand else np.empty(0, np.int64)
-                # best_kth is only meaningful once >= k candidates exist;
-                # with fewer, the (len<k)-th best is an UNDER-estimate of
-                # the true kth distance and stops expansion a ring early
-                if len(idx) >= self.k:
-                    d2 = (self.tx[idx] - x) ** 2 + (self.ty[idx] - y) ** 2
-                    best_kth = np.partition(d2, self.k - 1)[self.k - 1]
+                    b = self.buckets.get((ccx + dx, ccy + dy))
+                    if b is not None and len(b):
+                        cand.append(b)
+            idx = (
+                np.concatenate(cand) if cand else np.empty(0, np.int64)
+            )
+            if len(idx):
+                d2, counts = self._group_d2(sids, sx, sy, idx)
+                if (counts >= k).all():
+                    kth = np.partition(d2, k - 1, axis=1)[:, k - 1]
+                    # strict: points beyond the ring are ≥ ring*cs away
+                    ring_dist = ring * cs
+                    if (ring_dist * ring_dist > kth).all():
+                        break
             ring += 1
-            if ring > 64:  # sparse fallback: brute force
+            if ring > 64:  # sparse fallback: brute force for the group
                 idx = np.arange(len(self.tx))
-                d2 = (self.tx - x) ** 2 + (self.ty - y) ** 2
-                return self._topk(sid, d2, idx)
-        idx = np.concatenate(cand)
-        d2 = (self.tx[idx] - x) ** 2 + (self.ty[idx] - y) ** 2
-        return self._topk(sid, d2, idx)
+                break
+        # exact (d2, target_id) top-k, all sources at once: candidates
+        # sorted by id once, then a stable row-wise argsort on d2 keeps
+        # id-ascending order within distance ties
+        if len(idx) == 0:
+            z = np.empty(0, dtype=np.int64)
+            return sids[:0], z, z
+        o = np.argsort(self.tids[idx], kind="stable")
+        idx = idx[o]
+        d2, counts = self._group_d2(sids, sx, sy, idx)
+        kk = np.minimum(counts, k).astype(np.int64)
+        width = min(k, d2.shape[1])
+        sel = np.argsort(d2, axis=1, kind="stable")[:, :width]
+        keep = np.arange(width)[None, :] < kk[:, None]
+        rows = np.nonzero(keep)[0]
+        picked = sel[keep]
+        ranks = np.arange(width, dtype=np.int64)[None, :] + 1
+        return (
+            sids[rows],
+            self.tids[idx][picked],
+            np.broadcast_to(ranks, keep.shape)[keep],
+        )
+
+    def _group_d2(self, sids, sx, sy, idx):
+        """Distance matrix sources × candidates with self matches
+        masked to inf (they must not count toward n_cand / kth — the
+        ADVICE r1 high finding), plus per-source candidate counts."""
+        d2 = (sx[:, None] - self.tx[idx][None, :]) ** 2 + (
+            sy[:, None] - self.ty[idx][None, :]
+        ) ** 2
+        if self.exclude_same_id:
+            mask = self.tids[idx][None, :] == sids[:, None]
+            d2 = np.where(mask, np.inf, d2)
+            counts = len(idx) - mask.sum(axis=1)
+        else:
+            counts = np.full(len(sx), len(idx), dtype=np.int64)
+        return d2, counts
 
 
 def knn_self_join(

@@ -75,9 +75,86 @@ def remove_repeated_vertices(obj, geometry_col: str = "geometry"):
     return _map_geometry(obj, dedup_geom, geometry_col)
 
 
+def _needs_valid_fix(g, tol: float) -> bool:
+    """Cheap invalidity screen, two necessary symptoms:
+
+    (a) noding the geometry's OWN boundary splits a segment — some
+        ring self-intersects, crosses another ring, or has a vertex in
+        another segment's interior (valid polygons touch only at
+        finitely many vertices, which split nothing);
+    (b) one polygon part's representative point lies strictly inside
+        another part — nested shells / fully-contained duplicates,
+        which produce no crossings at all.
+
+    False for clean geometries, so the hot path stays bit-identical
+    (the parity rebuild below never runs on valid input)."""
+    for poly in g:
+        for ring in poly:
+            # a non-consecutive repeated vertex = ring touches itself
+            # (figure-8) — invalid but split-free, so test explicitly
+            rr = np.round(ring / tol) * tol
+            if len(np.unique(rr, axis=0)) != len(rr):
+                return True
+    p0, p1 = boolean._gather_segments([g])
+    if len(p0) == 0:
+        return False
+    p0s = np.round(p0 / tol) * tol
+    p1s = np.round(p1 / tol) * tol
+    nz = int(((p0s != p1s).any(axis=1)).sum())
+    q0, _ = boolean._node_segments(p0, p1, tol)
+    if len(q0) != nz:
+        return True
+    if len(g) > 1:
+        from ..geom.core import representative_point
+        from ..geom.pip import point_in_polygon
+
+        for i, poly in enumerate(g):
+            pt = np.array([representative_point([poly])])
+            for j, other in enumerate(g):
+                if i != j and point_in_polygon(
+                    pt, other, include_boundary=False
+                )[0]:
+                    return True
+    return False
+
+
+def _make_valid_geom(g):
+    """Noding + even-odd re-polygonization — shapely ``make_valid``'s
+    default 'linework' semantics on polygonal input (ref repair.py:
+    47-57, smart_repair.py:128-160): every ring becomes a closed
+    curve, and the valid output is the union of arrangement faces
+    enclosed an ODD number of times. A bowtie/figure-8 shell splits
+    into its lobes, a hole crossing its shell is clipped to it, and a
+    doubly-enclosed nested shell flips into a hole.
+
+    Fast path: geometries that pass the :func:`_needs_valid_fix`
+    screen only go through ``dedup_geom`` (bit-identical to the r3
+    bounded make_valid — keeps every oracle and pinned hash stable);
+    the arrangement rebuild runs on dirty rows only."""
+    g = dedup_geom(g)
+    if not g:
+        return g
+    tol = boolean._default_tol([g])
+    if not _needs_valid_fix(g, tol):
+        return g
+    # each ring (shell OR hole) becomes one single-ring input; face
+    # membership in the arrangement is even-odd crossing parity per
+    # input, so summing memberships mod 2 is the even-odd winding of
+    # the whole boundary multicurve
+    rings = [[[ring]] for poly in g for ring in poly if len(ring) >= 3]
+    faces = boolean.arrangement_faces(rings, tol=tol)
+    keep = [piece for piece, mem in faces if sum(mem) % 2 == 1]
+    if not keep:
+        return []
+    return boolean.union_all(keep, tol=tol)
+
+
 def make_valid(obj, geometry_col: str = "geometry"):
-    """Bounded make_valid: dedup + orientation + degenerate drop."""
-    return _map_geometry(obj, dedup_geom, geometry_col)
+    """make_valid (ref repair.py:47-57): dedup + orientation +
+    degenerate drop on clean rows; self-intersecting / crossed-ring /
+    nested-shell rows are rebuilt by noding + even-odd
+    re-polygonization (see :func:`_make_valid_geom`)."""
+    return _map_geometry(obj, _make_valid_geom, geometry_col)
 
 
 # ------------------------------------------------------------ union & holes

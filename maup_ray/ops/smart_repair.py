@@ -611,6 +611,70 @@ def _reduce_multi(gap, ring, runs, geo):
     return None
 
 
+def _reattach_fragments(
+    out_geoms, orig_ncomp, orig_area, disconnection_threshold, ids
+):
+    """Fragment reattachment (ref smart_repair.py:330-470): a geometry
+    that came out MORE disconnected than it went in usually gained a
+    negligible sliver component; each excess smallest component under
+    ``disconnection_threshold × max(area_in, area_out)`` is re-assigned
+    to the touching neighbor with greatest shared perimeter (ties →
+    smallest index; isolated fragments stay put). Mutates
+    ``out_geoms`` in place; warns for anything still worse than the
+    input (ref :473-485)."""
+    import warnings
+
+    n = len(out_geoms)
+    for gi in range(n):
+        cur = out_geoms[gi]
+        if len(cur) <= 1 or len(cur) <= orig_ncomp[gi]:
+            continue
+        excess = len(cur) - orig_ncomp[gi]
+        order_ = sorted(
+            range(len(cur)), key=lambda ci: poly_area([cur[ci]])
+        )
+        big_area = max(poly_area(cur), orig_area[gi])
+        removed: set[int] = set()
+        for ci in order_[:excess]:
+            frag = [cur[ci]]
+            if poly_area(frag) >= disconnection_threshold * big_area:
+                continue
+            fb = bounds(frag)
+            best, best_len = None, 0.0
+            for gj in range(n):
+                if gj == gi or not out_geoms[gj]:
+                    continue
+                ob = bounds(out_geoms[gj])
+                if (
+                    ob[0] > fb[2] or ob[2] < fb[0]
+                    or ob[1] > fb[3] or ob[3] < fb[1]
+                ):
+                    continue
+                ln = _shared_len(frag, out_geoms[gj])
+                if ln > best_len:
+                    best, best_len = gj, ln
+            if best is not None and best_len > 0:
+                out_geoms[best] = boolean.union(out_geoms[best], frag)
+                removed.add(ci)
+        if removed:
+            out_geoms[gi] = [
+                c for ci, c in enumerate(cur) if ci not in removed
+            ]
+            if not out_geoms[gi]:
+                warnings.warn(
+                    "smart_repair: a badly disconnected geometry was "
+                    "entirely redistributed to its neighbors "
+                    "(reference :465-468 semantics)"
+                )
+    for gi in range(n):
+        if len(out_geoms[gi]) > max(orig_ncomp[gi], 1):
+            warnings.warn(
+                f"smart_repair: geometry {ids[gi]!r} may have a "
+                "disconnected component above disconnection_threshold "
+                "(left in place)"
+            )
+
+
 def smart_repair_table(
     table: pa.Table,
     snap_precision: int = 9,
@@ -618,6 +682,9 @@ def smart_repair_table(
     fill_gaps_threshold: float | None = 0.1,
     geometry_col: str = "geometry",
     region_geometry=None,
+    snapped: bool = True,
+    disconnection_threshold: float | None = 1e-4,
+    min_rook_length: float | None = None,
 ) -> pa.Table:
     id_col = [c for c in table.column_names if c != geometry_col][0]
     ids = table[id_col].to_pylist()
@@ -627,15 +694,20 @@ def smart_repair_table(
     n = len(geoms)
     if n == 0:
         return table
-    # --- snap (ref :162-223): grid = 10^(ceil(log10(extent)) - prec)
-    bbs = [bounds(g) for g in geoms]
-    extent = max(
-        max(b[2] for b in bbs) - min(b[0] for b in bbs),
-        max(b[3] for b in bbs) - min(b[1] for b in bbs),
-        1e-300,
-    )
-    grid = 10.0 ** (math.ceil(math.log10(extent)) - snap_precision)
-    geoms = [dedup_geom(snap_geom(g, grid)) for g in geoms]
+    if snapped:
+        # --- snap (ref :162-223): grid = 10^(ceil(log10(extent)) - prec)
+        bbs = [bounds(g) for g in geoms]
+        extent = max(
+            max(b[2] for b in bbs) - min(b[0] for b in bbs),
+            max(b[3] for b in bbs) - min(b[1] for b in bbs),
+            1e-300,
+        )
+        grid = 10.0 ** (math.ceil(math.log10(extent)) - snap_precision)
+        geoms = [dedup_geom(snap_geom(g, grid)) for g in geoms]
+    # the reference's disconnection check compares against the
+    # make_valid'd+snapped INPUT (geometries0_df, ref :162)
+    orig_ncomp = [len(g) for g in geoms]
+    orig_area = [poly_area(g) if g else 0.0 for g in geoms]
 
     # --- arrangement → overlap tower
     faces = arrangement_faces(geoms)
@@ -893,6 +965,11 @@ def smart_repair_table(
             else:
                 fill_one(gap)
 
+    if disconnection_threshold is not None:
+        _reattach_fragments(
+            out_geoms, orig_ncomp, orig_area, disconnection_threshold, ids
+        )
+
     # --- final common-arrangement weld: absorptions above union each
     # parcel separately, so a split path shared by two parcels can be
     # re-snapped DIFFERENTLY per side, leaving ~1e-12-area hairline
@@ -923,7 +1000,7 @@ def smart_repair_table(
             )
 
     i = table.column_names.index(geometry_col)
-    return table.set_column(
+    out = table.set_column(
         i,
         geometry_col,
         pa.array(
@@ -931,6 +1008,13 @@ def smart_repair_table(
             type=pa.binary(),
         ),
     )
+    if min_rook_length is not None:
+        # ref :487-491: convert sub-threshold rook adjacencies to
+        # queen as the final step of the repair itself
+        from .rook_to_queen import small_rook_to_queen
+
+        out = small_rook_to_queen(out, min_rook_length, geometry_col)
+    return out
 
 
 def smart_repair(
@@ -941,15 +1025,28 @@ def smart_repair(
     fill_gaps_threshold: float | None = 0.1,
     geometry_col: str = "geometry",
     concurrency: int = 8,
+    snapped: bool = True,
+    disconnection_threshold: float | None = 1e-4,
+    min_rook_length: float | None = None,
 ):
     """Table → local repair. Dataset + regions → per-region
     ``groupby(region).map_groups`` (the distributed axis: repairs never
-    cross region boundaries, ref :272-328)."""
+    cross region boundaries, ref :272-328).
+
+    Parameter parity with the reference (smart_repair.py:49-60):
+    ``snapped`` gates the vertex-snap stage, ``disconnection_threshold``
+    bounds the relative area of excess disconnected fragments that are
+    reattached to neighbors by shared perimeter (ref :330-470), and
+    ``min_rook_length`` chains :func:`small_rook_to_queen` inside the
+    repair (ref :487-491)."""
     if isinstance(obj, pa.Table):
         if regions is None:
             return smart_repair_table(
                 obj, snap_precision, fill_gaps, fill_gaps_threshold,
                 geometry_col,
+                snapped=snapped,
+                disconnection_threshold=disconnection_threshold,
+                min_rook_length=min_rook_length,
             )
         obj_ds = None
     from .assign import assign
@@ -1004,6 +1101,9 @@ def smart_repair(
         fixed = smart_repair_table(
             t, snap_precision, fill_gaps, fill_gaps_threshold, geometry_col,
             region_geometry=rb,
+            snapped=snapped,
+            disconnection_threshold=disconnection_threshold,
+            min_rook_length=min_rook_length,
         )
         out = fixed.to_pandas()
         if dropped:

@@ -183,6 +183,13 @@ def asof_join(
         (c, c) if isinstance(c, str) else tuple(c) for c in value_cols
     ]
     val = [out for _, out in pairs]
+    # value columns keep their SOURCE Arrow type end to end (a float64
+    # cast here corrupted int64 values above 2^53 — ADVICE r3); the
+    # left side's typed nulls are derived from the right schema
+    rsch = right.schema if isinstance(right, pa.Table) else right.schema()
+    if hasattr(rsch, "base_schema"):  # ray.data.Schema wrapper
+        rsch = rsch.base_schema
+    val_types = {out: rsch.field(src).type for src, out in pairs}
 
     def proj_left(b: pa.Table) -> pa.Table:
         n = len(b)
@@ -193,7 +200,7 @@ def asof_join(
             "_side": pa.array(np.ones(n, dtype=np.int8)),
         }
         for out in val:
-            cols[out] = pa.nulls(n, type=pa.float64())
+            cols[out] = pa.nulls(n, type=val_types[out])
         return pa.table(cols)
 
     def proj_right(b: pa.Table) -> pa.Table:
@@ -205,7 +212,7 @@ def asof_join(
             "_side": pa.array(np.zeros(n, dtype=np.int8)),
         }
         for src, out in pairs:
-            cols[out] = b[src].cast(pa.float64())
+            cols[out] = b[src]
         return pa.table(cols)
 
     def asof_part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
@@ -216,7 +223,7 @@ def asof_join(
                 (ts_col, pa.timestamp("us") if tbl is None else tbl.schema.field(ts_col).type),
                 (out_right_id, pa.int64()),
             ]
-            + [(c, pa.float64()) for c in val]
+            + [(c, val_types[c]) for c in val]
         )
         if tbl is None or len(tbl) == 0:
             return schema.empty_table()

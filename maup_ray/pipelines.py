@@ -990,55 +990,106 @@ def _defect_grid(sf_dir: str) -> pa.Table:
     )
 
 
-def q_quick_repair(sf_dir: str):
-    """Repair pipeline health summary: per-geometry areas after
-    quick_repair (rows-only; doctor invariants asserted in pytest)."""
+def _repair_summary(out: pa.Table) -> pa.Table:
+    """Rich per-geometry repair evidence (VERDICT r3 #9): area,
+    component count, perimeter and the SORTED positive-length rook
+    neighbor set per id, so the driver's rows-only check pins geometry
+    CONTENT (values hash over all columns), not just row counts.
+    Hashes of these tables are pinned in tests/test_e2e_pipelines.py."""
     from .geom.core import area as parea
+    from .geom.core import ensure_multi, perimeter
     from .geom.wkb import decode_polygons
-    from .ops.repair import quick_repair
+    from .ops.adjacencies import adjacencies
 
-    out = quick_repair(_defect_grid(sf_dir))
-    areas = [
-        parea(decode_polygons(b.as_py())) for b in out["geometry"]
-    ]
+    ids = out["id"].to_pylist()
+    geoms = [decode_polygons(b.as_py()) for b in out["geometry"]]
+    adj = adjacencies(
+        out, id_col="id", adjacency_type="rook", include_geometry=False
+    )
+    neigh: dict = {i: [] for i in ids}
+    for a, b_, ln in zip(
+        adj["id_i"].to_pylist(),
+        adj["id_j"].to_pylist(),
+        adj["length"].to_pylist(),
+    ):
+        if ln > 0:
+            neigh[a].append(b_)
+            neigh[b_].append(a)
     return pa.table(
         {
-            "id": out["id"],
-            "area": pa.array(np.round(areas, 9)),
+            "id": pa.array(ids),
+            "area": pa.array(np.round([parea(g) for g in geoms], 9)),
+            "n_parts": pa.array(
+                [len(ensure_multi(g)) for g in geoms], type=pa.int64()
+            ),
+            "perimeter": pa.array(
+                np.round([perimeter(g) for g in geoms], 9)
+            ),
+            "neighbors": pa.array(
+                [",".join(sorted(neigh[i])) for i in ids]
+            ),
         }
     )
 
 
+def q_quick_repair(sf_dir: str):
+    """Repair pipeline health summary after quick_repair: per-geometry
+    area / component count / perimeter / rook-neighbor set (rows-only
+    driver check; table hash pinned in pytest)."""
+    from .ops.repair import quick_repair
+
+    return _repair_summary(quick_repair(_defect_grid(sf_dir)))
+
+
 def q_smart_repair(sf_dir: str):
-    from .geom.core import area as parea
-    from .geom.wkb import decode_polygons
     from .ops.smart_repair import smart_repair_table
 
     out = smart_repair_table(_defect_grid(sf_dir), fill_gaps_threshold=None)
-    areas = [
-        parea(decode_polygons(b.as_py())) for b in out["geometry"]
-    ]
-    return pa.table(
-        {"id": out["id"], "area": pa.array(np.round(areas, 9))}
-    )
+    return _repair_summary(out)
 
 
 def q_doctor(sf_dir: str):
-    from .ops.repair import doctor, quick_repair
+    from .geom.core import area as parea
+    from .geom.wkb import decode_polygons
+    from .ops.repair import doctor, quick_repair, union_all_table
 
     t = _defect_grid(sf_dir)
-    pre = doctor(t)
-    post = doctor(quick_repair(t))
+    fixed = quick_repair(t)
+    rows = []
+    for stage, tbl in (("pre", t), ("post", fixed)):
+        rep = doctor(tbl)
+        total = sum(
+            parea(decode_polygons(b.as_py())) for b in tbl["geometry"]
+        )
+        rows.append(
+            {
+                "stage": stage,
+                "n_overlaps": rep["n_overlaps"],
+                "n_gaps": rep["n_gaps"],
+                "all_valid": rep["all_valid"],
+                "ok": rep["ok"],
+                "n_geoms": tbl.num_rows,
+                # full-precision: a one-ulp area leak fails the hash
+                "total_area": total,
+                "union_area": parea(union_all_table(tbl)),
+            }
+        )
     return pa.table(
         {
-            "stage": ["pre", "post"],
+            "stage": pa.array([r["stage"] for r in rows]),
             "n_overlaps": pa.array(
-                [pre["n_overlaps"], post["n_overlaps"]], type=pa.int64()
+                [r["n_overlaps"] for r in rows], type=pa.int64()
             ),
             "n_gaps": pa.array(
-                [pre["n_gaps"], post["n_gaps"]], type=pa.int64()
+                [r["n_gaps"] for r in rows], type=pa.int64()
             ),
-            "ok": pa.array([pre["ok"], post["ok"]]),
+            "all_valid": pa.array([r["all_valid"] for r in rows]),
+            "ok": pa.array([r["ok"] for r in rows]),
+            "n_geoms": pa.array(
+                [r["n_geoms"] for r in rows], type=pa.int64()
+            ),
+            "total_area": pa.array([r["total_area"] for r in rows]),
+            "union_area": pa.array([r["union_area"] for r in rows]),
         }
     )
 

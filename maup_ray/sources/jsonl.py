@@ -75,8 +75,28 @@ def read_jsonl(buf: bytes, columns=None) -> pa.Table:
         else:
             typ = pa.string()
         if typ == pa.float64():
-            vals = [float(v) if v is not None else None for v in vals]
-        cols[k] = pa.array(vals, type=typ)
+            try:
+                vals = [
+                    float(v) if v is not None else None for v in vals
+                ]
+            except (TypeError, ValueError):
+                typ = pa.string()
+        try:
+            cols[k] = pa.array(vals, type=typ)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+            # real-world schema-free shards mix types in one key (int
+            # and string is common); degrade the column to string
+            # instead of failing the shard (ADVICE r3) — non-strings
+            # render as their JSON literal
+            cols[k] = pa.array(
+                [
+                    None
+                    if v is None
+                    else (v if isinstance(v, str) else json.dumps(v))
+                    for v in vals
+                ],
+                type=pa.string(),
+            )
     return pa.table(cols)
 
 
@@ -91,9 +111,10 @@ def jsonl_dataset(paths, columns=None, **read_kwargs):
         ]
         tabs = [t for t in tabs if t.num_rows]
         if not tabs:
-            return pa.table(
-                {c: pa.array([], type=pa.string()) for c in columns or []}
-            )
+            # schema-LESS empty block: unifies with whatever types the
+            # non-empty shards carry (a hardcoded all-string schema
+            # conflicted with typed blocks downstream — ADVICE r3)
+            return pa.table({})
         return pa.concat_tables(tabs, promote_options="default")
 
     return ray.data.read_binary_files(paths, **read_kwargs).map_batches(

@@ -455,9 +455,12 @@ def minhash_candidates(
     sig_tbl = pa.concat_tables(sig_tabs)
     sids = sig_tbl[id_col].to_numpy().astype(np.int64)
     smat = _sig_matrix(sig_tbl)
-    pos = {int(v): i for i, v in enumerate(sids)}
-    ii = np.fromiter((pos[int(v)] for v in uniq[:, 0]), np.int64, len(uniq))
-    jj = np.fromiter((pos[int(v)] for v in uniq[:, 1]), np.int64, len(uniq))
+    # candidate-position lookup via searchsorted on the sorted sid
+    # array (a python dict per candidate id was the r3 driver tail)
+    order = np.argsort(sids, kind="stable")
+    sids_sorted = sids[order]
+    ii = order[np.searchsorted(sids_sorted, uniq[:, 0])]
+    jj = order[np.searchsorted(sids_sorted, uniq[:, 1])]
     est = (smat[ii] == smat[jj]).mean(axis=1)
     keep = est >= min_est_jaccard
     return pa.table(

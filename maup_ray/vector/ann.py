@@ -118,10 +118,43 @@ def ivf_topk(
 
     qm = _normalize(embedding_matrix(queries, col))
     qids = queries[query_id_col].to_numpy(zero_copy_only=False)
-    # --- train coarse quantizer on a bounded deterministic sample
+    # --- train coarse quantizer on a bounded deterministic sample.
+    # A deterministic HASH sample of the whole corpus, not ds.limit():
+    # the head of an id- or time-sorted corpus is a skewed quantizer
+    # with silently bad recall. Rows whose id-hash falls under a
+    # fraction sized from the corpus count pass the filter; the
+    # driver then ranks by the same hash and caps at sample_size, so
+    # the sample is independent of block order and layout.
+    from ..ops.shuffle import _hash_keys
+
+    ds = ds.materialize()  # consumed twice (count+sample, then scan)
+    n_total = ds.count()
+    if n_total > sample_size:
+        mod = np.uint64(1 << 20)
+        frac = np.uint64(
+            min(int(mod), int(int(mod) * sample_size * 1.3 / n_total) + 1)
+        )
+
+        def samp(batch: pa.Table) -> pa.Table:
+            h = _hash_keys(batch.select([id_col]), [id_col])
+            return batch.filter(pa.array(h % mod < frac))
+
+        sample_src = ds.map_batches(
+            samp, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        sample_src = ds
+    tabs = [
+        ray.get(r)
+        for r in sample_src.materialize().to_arrow_refs()
+    ]
     sample_tbl = pa.concat_tables(
-        [ray.get(r) for r in ds.limit(sample_size).materialize().to_arrow_refs()]
-    )
+        [t for t in tabs if t.num_columns]
+    ).combine_chunks()
+    if len(sample_tbl) > sample_size:
+        h = _hash_keys(sample_tbl.select([id_col]), [id_col])
+        order = np.argsort(h, kind="stable")[:sample_size]
+        sample_tbl = sample_tbl.take(pa.array(order))
     X = _normalize(embedding_matrix(sample_tbl, col))
     rng = np.random.RandomState(seed)
     init = rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)

@@ -239,3 +239,34 @@ class TestProfileColumns:
         ).to_pandas()
         assert out.iloc[0]["n_null"] == 2
         assert np.isnan(out.iloc[0]["min_v"])
+
+
+class TestHashSampleOverflowGuard:
+    def test_out_of_range_ids_raise_instead_of_wrapping(self, ray_session):
+        # ADVICE r3: numpy wraps (id*a+b) silently where the DuckDB
+        # oracle raises OutOfRange — the engine must raise too
+        import ray.data
+
+        from maup_ray.ops.curate import hash_sample
+
+        t = pa.table(
+            {"id": pa.array([2**62], type=pa.int64())}
+        )
+        ds = ray.data.from_arrow(t)
+        with pytest.raises(Exception, match="overflow|exceeds"):
+            hash_sample(ds, "id", keep=35).to_pandas()
+
+    def test_in_range_ids_unaffected(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.curate import hash_sample
+
+        ids = np.arange(1000, dtype=np.int64)
+        t = pa.table({"id": pa.array(ids)})
+        got = (
+            hash_sample(ray.data.from_arrow(t), "id", keep=35)
+            .to_pandas()["id"]
+            .to_numpy()
+        )
+        want = ids[(ids * 48271 + 11) % 100 < 35]
+        assert np.array_equal(np.sort(got), want)

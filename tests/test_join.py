@@ -72,3 +72,25 @@ class TestEquiJoin:
         ).to_pandas()
         assert set(out["k"]) == {3}
         assert set(out["tag"]) == {"only"}
+
+
+class TestBroadcastJoinKeyUniqueness:
+    def test_duplicate_right_keys_raise(self, ray_session):
+        # ADVICE r3: index_in keeps only the FIRST match per key, so a
+        # duplicate-key dimension table silently dropped join rows —
+        # now checked while the table is driver-local
+        import ray.data
+
+        from maup_ray.ops.join import broadcast_hash_join
+
+        left = ray.data.from_arrow(
+            pa.table({"k": pa.array([1, 2], type=pa.int64())})
+        )
+        dup_right = pa.table(
+            {
+                "k": pa.array([1, 1, 2], type=pa.int64()),
+                "v": pa.array([10, 11, 20], type=pa.int64()),
+            }
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            broadcast_hash_join(left, dup_right, "k", "k", ["v"])

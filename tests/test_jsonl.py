@@ -106,3 +106,36 @@ class TestJsonlRoundTrip:
         t = read_jsonl(_shard(rows))
         assert t.schema.field("v").type == pa.float64()
         assert t["v"].to_pylist() == [1.0, 2.5]
+
+
+class TestMixedTypeDegradation:
+    def test_int_then_string_column_degrades_to_string(self):
+        # ADVICE r3: real JSONL corpora mix types in one key; the
+        # shard must parse (degrade to string) instead of raising
+        t = read_jsonl(_shard([{"a": 1}, {"a": "x"}, {"a": None}]))
+        assert t.schema.field("a").type == pa.string()
+        assert t["a"].to_pylist() == ["1", "x", None]
+
+    def test_bool_then_string_degrades(self):
+        t = read_jsonl(_shard([{"a": True}, {"a": "x"}]))
+        assert t["a"].to_pylist() == ["true", "x"]
+
+    def test_int_float_string_mix_degrades(self):
+        t = read_jsonl(_shard([{"a": 1}, {"a": 1.5}, {"a": "x"}]))
+        assert t.schema.field("a").type == pa.string()
+
+    def test_empty_shard_unifies_with_typed_blocks(
+        self, ray_session, tmp_path
+    ):
+        # an all-empty shard must not pin an all-string schema that
+        # conflicts with typed blocks from other shards
+        p1 = os.path.join(tmp_path, "a.jsonl")
+        p2 = os.path.join(tmp_path, "b.jsonl")
+        with open(p1, "w") as f:
+            f.write('{"k": 1, "v": 2.5}\n{"k": 2, "v": 3.5}\n')
+        with open(p2, "w") as f:
+            f.write("\n")  # empty shard
+        ds = jsonl_dataset([p1, p2], columns=["k", "v"])
+        df = ds.to_pandas().sort_values("k").reset_index(drop=True)
+        assert df["k"].tolist() == [1, 2]
+        assert df["v"].tolist() == [2.5, 3.5]

@@ -311,3 +311,77 @@ class TestConcave:
         assert dd["ok"]
         # smart_repair snaps to a 1e-8 grid (non-dyadic inputs move)
         assert sum(areas_of(sm).values()) == pytest.approx(8.7, abs=1e-6)
+
+
+class TestMakeValidNoding:
+    """Noding + even-odd make_valid (VERDICT r3 #5; ref repair.py:47-57)."""
+
+    def _encode(self, polys):
+        from maup_ray.geom import encode_multipolygon
+
+        return pa.table(
+            {
+                "id": [f"g{i}" for i in range(len(polys))],
+                "geometry": pa.array(
+                    [encode_multipolygon(p) for p in polys],
+                    type=pa.binary(),
+                ),
+            }
+        )
+
+    def test_bowtie_splits_into_lobes(self):
+        bow = [[np.array([[0, 0], [2, 2], [2, 0], [0, 2]], float)]]
+        out = make_valid(self._encode([bow]))
+        g = decode_polygons(out["geometry"][0].as_py())
+        assert len(g) == 2  # two triangles
+        assert abs(parea(g) - 2.0) < 1e-12  # brute shoelace: 1 + 1
+
+    def test_figure8_self_touch_splits(self):
+        f8 = [
+            [
+                np.array(
+                    [[0, 0], [1, 0], [1, 1], [2, 1],
+                     [2, 2], [1, 2], [1, 1], [0, 1]],
+                    float,
+                )
+            ]
+        ]
+        out = make_valid(self._encode([f8]))
+        g = decode_polygons(out["geometry"][0].as_py())
+        assert abs(parea(g) - 2.0) < 1e-12  # two unit squares
+
+    def test_nested_shell_becomes_hole(self):
+        nest = [[sq(0, 0, 4, 4)], [sq(1, 1, 2, 2)]]
+        out = make_valid(self._encode([nest]))
+        g = decode_polygons(out["geometry"][0].as_py())
+        assert len(g) == 1 and len(g[0]) == 2  # one polygon, one hole
+        assert abs(parea(g) - 15.0) < 1e-12  # 16 - 1 (even-odd)
+
+    def test_clean_rows_bit_identical(self):
+        # valid donut + island: the screen must not trigger and the
+        # bytes must pass through the r3 bounded path unchanged
+        donut = [
+            [sq(0, 0, 6, 6), sq(1, 1, 5, 5)[::-1].copy()],
+            [sq(2, 2, 3, 3)],
+        ]
+        t = self._encode([donut])
+        out = make_valid(t)
+        assert out["geometry"][0].as_py() == make_valid(t)["geometry"][0].as_py()
+        g = decode_polygons(out["geometry"][0].as_py())
+        assert abs(parea(g) - (36 - 16 + 1)) < 1e-12
+
+    def test_doctor_clean_after_quick_repair_on_dirty_corpus(self):
+        # dirty fixture: a bowtie neighbor + clean squares — after
+        # quick_repair the corpus must doctor clean and conserve the
+        # brute-force (even-odd) total area
+        bow = np.array([[2, 0], [4, 1], [4, 0], [2, 1]], float)
+        t = tbl(
+            ["a", "b", "bow"],
+            [sq(0, 0, 1, 1), sq(1, 0, 2, 1), bow],
+        )
+        fixed = quick_repair(t)
+        rep = doctor(fixed, accept_holes=True)
+        assert rep["ok"]
+        total = sum(areas_of(fixed).values())
+        # brute: 1 + 1 + two lobes of the bowtie (0.5 each)
+        assert abs(total - 3.0) < 1e-9

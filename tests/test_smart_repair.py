@@ -507,3 +507,121 @@ class TestReferenceRemainderSplit:
         assert areas["P"] > 4.0 + 0.5
         assert areas["Q"] > 4.0 + 0.5
         assert sum(areas.values()) == pytest.approx(12.0, abs=1e-9)
+
+
+class TestSmartRepairParamParity:
+    """Parameter parity with ref smart_repair.py:49-60 (VERDICT r3 #4)."""
+
+    def _quad_grid_short_wall(self):
+        # 4 clean quads; A and D share a deliberate 0.02-length rook
+        # edge at the center junction (ref tests/test_smart_repair.py:
+        # 100-118 pattern: min_rook_length inside the repair)
+        polys = {
+            "a": sq(0, 0, 1, 1),
+            "b": np.array([[1, 0], [2, 0], [2, 1], [1, 1]], dtype=float),
+            "c": np.array(
+                [[0, 1], [0.98, 1], [0.98, 2], [0, 2]], dtype=float
+            ),
+            "d": np.array(
+                [[0.98, 1], [2, 1], [2, 2], [0.98, 2]], dtype=float
+            ),
+        }
+        return pa.table(
+            {
+                "id": list(polys),
+                "geometry": pa.array(
+                    [encode_polygon([r]) for r in polys.values()],
+                    type=pa.binary(),
+                ),
+            }
+        )
+
+    def test_min_rook_length_chains_rook_to_queen(self):
+        from maup_ray.ops.adjacencies import adjacencies
+
+        t = self._quad_grid_short_wall()
+        plain = smart_repair(t)
+        adj = adjacencies(plain, id_col="id", adjacency_type="rook")
+        lens = [v for v in adj["length"].to_pylist() if v > 0]
+        assert min(lens) < 0.05  # the short a-d wall survives
+
+        srtq = smart_repair(t, min_rook_length=0.05)
+        adj2 = adjacencies(srtq, id_col="id", adjacency_type="rook")
+        lens2 = [v for v in adj2["length"].to_pylist() if v > 0]
+        assert min(lens2) > 0.05  # converted to queen inside repair
+        # area conserved through the conversion
+        tot_in = sum(
+            parea(decode_polygons(b.as_py())) for b in t["geometry"]
+        )
+        tot_out = sum(
+            parea(decode_polygons(b.as_py())) for b in srtq["geometry"]
+        )
+        assert abs(tot_in - tot_out) < 1e-6
+
+    def test_snapped_false_skips_grid_snap(self):
+        # one clean square with a non-grid vertex: snapped=True at a
+        # coarse precision moves it to the 10^-2 grid, snapped=False
+        # leaves it (up to the boolean kernels' 2^-30 relative snap)
+        ring = np.array(
+            [[0, 0], [1, 0], [1, 1], [0.123456, 1]], dtype=float
+        )
+        t = pa.table(
+            {
+                "id": ["z"],
+                "geometry": pa.array(
+                    [encode_polygon([ring])], type=pa.binary()
+                ),
+            }
+        )
+        snapped_out = smart_repair_table(t, snap_precision=2)
+        xs = np.vstack(
+            decode_polygons(snapped_out["geometry"][0].as_py())[0]
+        )[:, 0]
+        assert np.any(np.isclose(xs, 0.12, atol=1e-9))
+        raw_out = smart_repair_table(t, snapped=False)
+        xs2 = np.vstack(
+            decode_polygons(raw_out["geometry"][0].as_py())[0]
+        )[:, 0]
+        assert np.any(np.isclose(xs2, 0.123456, atol=1e-6))
+        assert not np.any(np.isclose(xs2, 0.12, atol=1e-9))
+
+    def test_reattach_fragment_by_shared_perimeter(self):
+        from maup_ray.ops.smart_repair import _reattach_fragments
+
+        # direct contract of the ref :330-470 loop: geometry 0 came
+        # out with an excess tiny component touching geometry 1 — it
+        # must move to geometry 1 under the threshold, stay otherwise
+        def mp(*rects):
+            return [[r] for r in rects]
+
+        big = sq(0, 0, 1, 1)
+        sliver = sq(1.9, 0, 2.0, 1)  # area 0.1, touches neighbor at x=1.9
+        neighbor = sq(1, 0, 1.9, 1)
+        out_geoms = [mp(big, sliver), mp(neighbor)]
+        _reattach_fragments(
+            out_geoms, [1, 1], [3.0, 0.9], 0.05, ["g0", "g1"]
+        )
+        assert len(out_geoms[0]) == 1  # sliver gone from g0
+        assert abs(parea(out_geoms[0]) - 1.0) < 1e-12
+        assert abs(parea(out_geoms[1]) - 1.0) < 1e-12  # absorbed
+
+        # below-threshold case: 0.1/3.0 > 0.01 -> left in place (warns)
+        out_geoms = [mp(big, sliver), mp(neighbor)]
+        with pytest.warns(UserWarning, match="disconnected"):
+            _reattach_fragments(
+                out_geoms, [1, 1], [3.0, 0.9], 0.01, ["g0", "g1"]
+            )
+        assert len(out_geoms[0]) == 2
+
+    def test_isolated_fragment_stays(self):
+        from maup_ray.ops.smart_repair import _reattach_fragments
+
+        # no touching neighbor -> fragment is left alone (ref :431-433)
+        big = sq(0, 0, 1, 1)
+        island = sq(5, 5, 5.1, 5.1)
+        out_geoms = [[[big], [island]], [[sq(1, 0, 2, 1)]]]
+        with pytest.warns(UserWarning, match="disconnected"):
+            _reattach_fragments(
+                out_geoms, [1, 1], [2.0, 1.0], 0.5, ["g0", "g1"]
+            )
+        assert len(out_geoms[0]) == 2

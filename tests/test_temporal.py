@@ -300,3 +300,42 @@ class TestRangeJoinAgg:
             .sort_values("interval_id", ignore_index=True)
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestAsofJoinTypePreservation:
+    def test_int64_values_above_2_53_round_trip(self):
+        # ADVICE r3 (medium): a float64 cast on value_cols corrupted
+        # int64 values above 2^53 — values must carry their source
+        # Arrow type end to end, including the null placeholders
+        big = 2**60 + 1
+        trades = pa.table(
+            {
+                "event_id": pa.array([1, 3], type=pa.int64()),
+                "user_id": pa.array([7, 7], type=pa.int64()),
+                "ts": pa.array([10, 30], type=pa.timestamp("us")),
+            }
+        )
+        quotes = pa.table(
+            {
+                "event_id": pa.array([2], type=pa.int64()),
+                "user_id": pa.array([7], type=pa.int64()),
+                "ts": pa.array([20], type=pa.timestamp("us")),
+                "value": pa.array([big], type=pa.int64()),
+            }
+        )
+        out = asof_join(
+            trades,
+            quotes,
+            value_cols=(("value", "quote_value"),),
+            out_left_id="trade_id",
+            out_right_id="quote_id",
+        )
+        assert out.schema.field("quote_value").type == pa.int64()
+        by_id = dict(
+            zip(
+                out["trade_id"].to_pylist(),
+                out["quote_value"].to_pylist(),
+            )
+        )
+        assert by_id[1] is None  # no quote yet -> typed null
+        assert by_id[3] == big  # bit-exact, no 2^53 rounding

@@ -461,3 +461,59 @@ class TestImageStats:
             concurrency=2,
         )
         assert ds.count() == 256
+
+
+class TestIVFSampleBias:
+    def test_id_sorted_corpus_quantizer_not_head_biased(self, ray_session):
+        # adversarial layout: the first `sample_size` rows are ONE
+        # tight cluster. A head-of-dataset sample (ds.limit) trains
+        # every centroid on that cluster and silently loses recall on
+        # the rest of the corpus; the hash sample sees a cross-section
+        import ray.data
+
+        from maup_ray.vector.ann import ivf_topk
+
+        rng = np.random.RandomState(21)
+        head_dir = rng.normal(size=16)
+        head = head_dir + rng.normal(scale=0.01, size=(500, 16))
+        base = rng.normal(size=(5, 16))
+        tail = np.vstack(
+            [rng.normal(size=(495, 16)),
+             base + rng.normal(scale=0.05, size=base.shape)]
+        )
+        corpus_vecs = np.vstack([head, tail])  # planted dups at the END
+        corpus = pa.table(
+            {
+                "vec_id": pa.array(
+                    range(len(corpus_vecs)), type=pa.int64()
+                ),
+                "embedding": pa.array(
+                    [list(map(float, e)) for e in corpus_vecs],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        queries = pa.table(
+            {
+                "query_id": pa.array(range(5), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, e)) for e in base],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        out = ivf_topk(
+            ray.data.from_arrow(corpus).repartition(8),
+            queries,
+            k=3,
+            n_centroids=8,
+            n_probe=3,
+            sample_size=64,
+        ).to_pandas()
+        found = 0
+        planted0 = len(corpus_vecs) - 5
+        for q in range(5):
+            tops = out[out.query_id == q].sort_values("rank")
+            if len(tops) and tops["vec_id"].iloc[0] == planted0 + q:
+                found += 1
+        assert found >= 4
