@@ -518,13 +518,20 @@ def signature_near_dup(
             }
         )
 
-    # one row per DISTINCT signature — never collected to the driver
-    classes_ds = hash_group_apply(
-        sigs, [sig_col], class_stats, sort_cols=(id_col,)
-    ).materialize()
-    if classes_ds.count() == 0:
+    # one row per DISTINCT signature — never collected to the driver.
+    # return_refs: the per-partition outputs are already object-store
+    # resident, so both downstream consumers (reps → hamming, and
+    # build_map) read the SAME refs with no re-execution and no extra
+    # materialize job (image_dedup wall-time note, r4)
+    class_refs = hash_group_apply(
+        sigs, [sig_col], class_stats, sort_cols=(id_col,),
+        return_refs=True,
+    )
+    nrows = ray.remote(lambda t: t.num_rows)
+    if sum(ray.get([nrows.remote(r) for r in class_refs])) == 0:
         LAST_NEAR_DUP_STATS = {"map_rows": 0, "path": "empty"}
         return ray.data.from_arrow(out_schema.empty_table())
+    classes_ds = ray.data.from_arrow_refs(class_refs)
 
     def to_reps(tbl: pa.Table) -> pa.Table:
         return pa.table({id_col: tbl["rep"], sig_col: tbl[sig_col]})
