@@ -528,6 +528,39 @@ def q_lang_id(sf_dir: str):
     return lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _plant_pii(b: pa.Table) -> pa.Table:
+    """Append deterministic doc_id-derived PII (an email, an IPv4, a
+    phone) to every document — the SQL oracle derives the identical
+    string with `||` concatenation, so the redaction compare is
+    byte-exact and guaranteed non-trivial on every row."""
+    import pyarrow.compute as pc
+
+    ids = b["doc_id"].to_numpy()
+    s_id = pc.cast(b["doc_id"], pa.string())
+    s_m7 = pc.cast(pa.array(ids % 7), pa.string())
+    s_m256 = pc.cast(pa.array(ids % 256), pa.string())
+    s_m100 = pc.cast(pa.array(ids % 100), pa.string())
+    t = pc.binary_join_element_wise(
+        b["text"],
+        " contact user", s_id, "@ex", s_m7, ".com from 10.",
+        s_m256, ".0.", s_m100, " call +1555000", s_id,
+        "",  # element-wise join separator
+    )
+    return pa.table({"doc_id": b["doc_id"], "text": t})
+
+
+def q_redact(sf_dir: str):
+    """PII scrubbing (emails / IPv4s / phone digit runs → tokens) over
+    documents with planted PII — value-exact vs the DuckDB
+    regexp_replace oracle (both engines run RE2)."""
+    from .text.analysis import redact_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _plant_pii, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return redact_pii(ds)
+
+
 def q_fingerprint(sf_dir: str):
     from .text.analysis import fingerprints
 
@@ -1097,6 +1130,35 @@ def q_doctor(sf_dir: str):
 # ------------------------------------------------------------ oracle SQL
 
 
+def _redact_sql() -> str:
+    """DuckDB oracle for q_redact: identical planted-PII derivation,
+    identical RE2 patterns nested in the same replace order."""
+    from .text.analysis import PII_PATTERNS
+
+    (email, e_tok), (ip, i_tok), (phone, p_tok) = PII_PATTERNS
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex'
+              || CAST(doc_id % 7 AS VARCHAR) || '.com from 10.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+              || CAST(doc_id % 100 AS VARCHAR)
+              || ' call +1555000' || CAST(doc_id AS VARCHAR) AS t
+          FROM documents
+        )
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(t,
+            '{email}', '{e_tok}', 'g'),
+            '{ip}', '{i_tok}', 'g'),
+            '{phone}', '{p_tok}', 'g') AS clean_text,
+          CAST(len(regexp_extract_all(t, '{email}'))
+             + len(regexp_extract_all(t, '{ip}'))
+             + len(regexp_extract_all(t, '{phone}')) AS BIGINT)
+            AS n_redacted
+        FROM planted
+    """
+
+
 def _points_expr():
     return (
         f"((doc_id*{AX}+{BX})%{EXTENT})+0.5",
@@ -1534,6 +1596,7 @@ def oracle_queries() -> dict[str, str]:
                   >= {EMBED_DUP_THRESHOLD}
         """,
         "token_bpe": _token_bpe_sql(),
+        "redact": _redact_sql(),
         "lang_id": _langid_sql(),
         "fingerprint": r"""
             WITH RECURSIVE fp AS (

@@ -301,3 +301,53 @@ def frequent_ngrams(ds, n: int = 3, min_count: int = 2):
             }
         )
     return pa.concat_tables(tabs).combine_chunks().sort_by("gram")
+
+
+# ------------------------------------------------------------ PII redaction
+
+# RE2-compatible patterns (pyarrow and DuckDB both run RE2, so the
+# engine and the SQL oracle are byte-exact on the same expressions —
+# verified including the '1.2.3.4 is an IP' and 'x@y.z has no 2-char
+# TLD' edge cases). No lookarounds: RE2 has none.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\-\s()]{6,}\d", "<PHONE>"),
+)
+
+
+def redact_pii_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """(id, clean_text, n_redacted) for one batch: sequential global
+    regex replacement (email → ip → phone — order matters and the SQL
+    oracle nests in the same order) plus the pre-redaction match
+    count, all in Arrow's RE2 kernels."""
+    arr = batch[text_col]
+    out = arr
+    cnt = None
+    for pat, tok in PII_PATTERNS:
+        c = pc.count_substring_regex(arr, pattern=pat)
+        cnt = c if cnt is None else pc.add(cnt, c)
+        out = pc.replace_substring_regex(out, pattern=pat, replacement=tok)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "clean_text": out,
+            "n_redacted": pc.cast(cnt, pa.int64()),
+        }
+    )
+
+
+def redact_pii(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """PII scrubbing over a document Dataset — the standard
+    training-data curation stage (emails / IPv4s / phone-like digit
+    runs → fixed tokens). Stateless vectorized map; text never
+    shuffles."""
+    if isinstance(ds, pa.Table):
+        return redact_pii_batch(ds, text_col, id_col)
+    return ds.map_batches(
+        lambda b: redact_pii_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -517,3 +517,65 @@ class TestIVFSampleBias:
             if len(tops) and tops["vec_id"].iloc[0] == planted0 + q:
                 found += 1
         assert found >= 4
+
+
+class TestRedactPII:
+    def test_edge_cases_match_duckdb(self, ray_session):
+        import duckdb
+
+        from maup_ray.text.analysis import PII_PATTERNS, redact_pii
+
+        texts = [
+            "mail me at john.doe+spam@sub.example.co.uk or 10.0.42.7 ok",
+            "call +12345678901 or 555-123-4567; ip 999.1.2.3 borderline",
+            "no pii here, just 3.14 and version 1.2.3.4 hmm",
+            "a@b.io x@y.z 192.168.0.1",
+            "",
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        got = redact_pii(t).to_pandas()
+        (email, e_tok), (ip, i_tok), (phone, p_tok) = PII_PATTERNS
+        want = duckdb.connect().execute(
+            f"""
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '{email}', '{e_tok}', 'g'),
+                '{ip}', '{i_tok}', 'g'),
+                '{phone}', '{p_tok}', 'g') AS clean_text,
+              CAST(len(regexp_extract_all(text, '{email}'))
+                 + len(regexp_extract_all(text, '{ip}'))
+                 + len(regexp_extract_all(text, '{phone}')) AS BIGINT)
+                AS n_redacted
+            FROM t ORDER BY doc_id
+            """
+        ).df()
+        assert got["clean_text"].tolist() == want["clean_text"].tolist()
+        assert got["n_redacted"].tolist() == want["n_redacted"].tolist()
+        # the interesting edges, pinned directly
+        m = dict(zip(got["doc_id"], got["clean_text"]))
+        assert m[0] == "mail me at <EMAIL> or <IP> ok"
+        assert m[3] == "<EMAIL> x@y.z <IP>"  # 1-char TLD not an email
+
+    def test_dataset_path(self, ray_session):
+        import ray.data
+
+        from maup_ray.text.analysis import redact_pii
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(["a@b.io", "clean"]),
+            }
+        )
+        out = (
+            redact_pii(ray.data.from_arrow(t))
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["clean_text"].tolist() == ["<EMAIL>", "clean"]
+        assert out["n_redacted"].tolist() == [1, 0]
