@@ -51,7 +51,12 @@ from .ops.agg import grouped_sum_count, profile_columns  # noqa: F401
 from .ops.sessions import sessionize  # noqa: F401
 from .text.dedup import exact_dedup  # noqa: F401
 from .text.bpe import apply_bpe, train_bpe, word_frequencies  # noqa: F401
-from .text.analysis import frequent_ngrams, quality_scores  # noqa: F401
+from .text.analysis import (  # noqa: F401
+    chunk_text,
+    frequent_ngrams,
+    quality_scores,
+    redact_pii,
+)
 from .media.image import (  # noqa: F401
     image_near_dup,
     signature_near_dup,

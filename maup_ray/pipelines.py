@@ -561,6 +561,23 @@ def q_redact(sf_dir: str):
     return redact_pii(ds)
 
 
+CHUNK_SIZE = 120
+CHUNK_OVERLAP = 30
+
+
+def q_chunks(sf_dir: str):
+    """Context-window chunking of documents (flat_map shape) —
+    value-exact vs the DuckDB substr/series oracle (Arrow
+    utf8_slice_codeunits and SQL substr share codepoint semantics)."""
+    from .text.analysis import chunk_text
+
+    return chunk_text(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        chunk_size=CHUNK_SIZE,
+        overlap=CHUNK_OVERLAP,
+    )
+
+
 def q_fingerprint(sf_dir: str):
     from .text.analysis import fingerprints
 
@@ -1159,6 +1176,24 @@ def _redact_sql() -> str:
     """
 
 
+def _chunks_sql() -> str:
+    c, o = CHUNK_SIZE, CHUNK_OVERLAP
+    s = c - o
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text,
+            CASE WHEN len(text) <= {c} THEN 1
+                 ELSE (len(text) - {c} + {s - 1}) // {s} + 1 END AS n
+          FROM documents
+        ), ks AS (
+          SELECT unnest(range(0, (SELECT max(n) FROM d))) AS k
+        )
+        SELECT doc_id, k AS chunk_idx,
+               substr(text, CAST(1 + k*{s} AS INT), {c}) AS chunk
+        FROM d JOIN ks ON ks.k < d.n
+    """
+
+
 def _points_expr():
     return (
         f"((doc_id*{AX}+{BX})%{EXTENT})+0.5",
@@ -1597,6 +1632,7 @@ def oracle_queries() -> dict[str, str]:
         """,
         "token_bpe": _token_bpe_sql(),
         "redact": _redact_sql(),
+        "chunks": _chunks_sql(),
         "lang_id": _langid_sql(),
         "fingerprint": r"""
             WITH RECURSIVE fp AS (

@@ -351,3 +351,88 @@ def redact_pii(ds, text_col: str = "text", id_col: str = "doc_id"):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# ------------------------------------------------------------ chunking
+
+
+def chunk_text_batch(
+    batch: pa.Table,
+    chunk_size: int = 200,
+    overlap: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Fixed-window character chunks with overlap for one batch →
+    (id, chunk_idx, chunk). Vectorized per CHUNK INDEX, not per row:
+    for each k the still-chunking rows are sliced with one Arrow
+    utf8_slice_codeunits call (codepoint semantics — identical to SQL
+    substr), so the loop count is the max chunks of any one document,
+    never the row count. Documents shorter than chunk_size emit one
+    chunk (possibly empty for empty text)."""
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("chunk_text: overlap must be < chunk_size")
+    arr = batch[text_col]
+    ids = batch[id_col]
+    lens = pc.utf8_length(arr).to_numpy(zero_copy_only=False)
+    n_chunks = np.where(
+        lens <= chunk_size, 1, (lens - chunk_size + stride - 1) // stride + 1
+    ).astype(np.int64)
+    out_ids, out_k, out_chunks = [], [], []
+    for k in range(int(n_chunks.max()) if len(n_chunks) else 0):
+        mask = pa.array(n_chunks > k)
+        out_ids.append(pc.filter(ids, mask))
+        sub = pc.utf8_slice_codeunits(
+            pc.filter(arr, mask),
+            start=k * stride,
+            stop=k * stride + chunk_size,
+        )
+        out_chunks.append(sub)
+        out_k.append(
+            pa.array(
+                np.full(len(sub), k, dtype=np.int64), type=pa.int64()
+            )
+        )
+    if not out_ids:
+        return pa.table(
+            {
+                id_col: pa.array([], type=ids.type),
+                "chunk_idx": pa.array([], type=pa.int64()),
+                "chunk": pa.array([], type=pa.string()),
+            }
+        )
+    return pa.table(
+        {
+            id_col: pa.concat_arrays(
+                [c.combine_chunks() for c in out_ids]
+            ),
+            "chunk_idx": pa.concat_arrays(out_k),
+            "chunk": pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                 else c for c in out_chunks]
+            ),
+        }
+    )
+
+
+def chunk_text(
+    ds,
+    chunk_size: int = 200,
+    overlap: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Context-window chunking over a document Dataset — the training
+    sequence prep stage (flat_map shape: output longer than input).
+    Stateless vectorized map; each chunk carries (doc_id, chunk_idx)
+    so downstream packing/shuffling never needs the parent row."""
+    if isinstance(ds, pa.Table):
+        return chunk_text_batch(ds, chunk_size, overlap, text_col, id_col)
+    return ds.map_batches(
+        lambda b: chunk_text_batch(
+            b, chunk_size, overlap, text_col, id_col
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -579,3 +579,71 @@ class TestRedactPII:
         )
         assert out["clean_text"].tolist() == ["<EMAIL>", "clean"]
         assert out["n_redacted"].tolist() == [1, 0]
+
+
+class TestChunkText:
+    def test_matches_brute_force(self, ray_session):
+        from maup_ray.text.analysis import chunk_text
+
+        texts = [
+            "abcdefghijklmnopqrstuvwxyz",
+            "short",
+            "",
+            "exactly10!",
+            "0123456789abcdefghij",
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        got = (
+            chunk_text(t, chunk_size=10, overlap=3)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        # brute-force oracle
+        want = []
+        for i, s in enumerate(texts):
+            n = 1 if len(s) <= 10 else (len(s) - 10 + 6) // 7 + 1
+            for k in range(n):
+                want.append((i, k, s[k * 7 : k * 7 + 10]))
+        assert list(
+            got.itertuples(index=False, name=None)
+        ) == want
+
+    def test_dataset_flat_map_shape(self, ray_session):
+        import ray.data
+
+        from maup_ray.text.analysis import chunk_text
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([7], type=pa.int64()),
+                "text": pa.array(["x" * 100]),
+            }
+        )
+        out = (
+            chunk_text(
+                ray.data.from_arrow(t), chunk_size=40, overlap=10
+            )
+            .to_pandas()
+            .sort_values("chunk_idx")
+        )
+        assert len(out) == 3  # (100-40+29)//30+1
+        # overlap: consecutive chunks share `overlap` chars
+        assert out["chunk"].iloc[0][-10:] == out["chunk"].iloc[1][:10]
+
+    def test_overlap_ge_chunk_raises(self):
+        from maup_ray.text.analysis import chunk_text
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1], type=pa.int64()),
+                "text": pa.array(["abc"]),
+            }
+        )
+        with pytest.raises(ValueError):
+            chunk_text(t, chunk_size=5, overlap=5)
