@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dedup": p.q_embed_dedup,
         "redact": p.q_redact,
         "chunks": p.q_chunks,
+        "pack": p.q_pack,
         # rows-only (non-SQL-expressible: hash/LSH/model-ish ops)
         "lang_id": p.q_lang_id,
         "fingerprint": p.q_fingerprint,

@@ -563,6 +563,21 @@ def q_redact(sf_dir: str):
 
 CHUNK_SIZE = 120
 CHUNK_OVERLAP = 30
+PACK_BUDGET = 256
+PACK_RANGE = 64
+
+
+def q_pack(sf_dir: str):
+    """Greedy sequence packing into ≤PACK_BUDGET-token bins per
+    id-range partition — value-exact vs the DuckDB per-partition
+    recursive-scan oracle."""
+    from .text.analysis import pack_documents
+
+    return pack_documents(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        budget=PACK_BUDGET,
+        range_size=PACK_RANGE,
+    )
 
 
 def q_chunks(sf_dir: str):
@@ -1194,6 +1209,33 @@ def _chunks_sql() -> str:
     """
 
 
+def _pack_sql() -> str:
+    """Per-partition greedy packing as a recursive scan: every id-range
+    partition advances one doc per recursion step in parallel chains
+    (same whitespace token measure as the token_count oracle)."""
+    b, r = PACK_BUDGET, PACK_RANGE
+    return rf"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, doc_id // {r} AS part,
+            len(regexp_split_to_array(trim(text), '\s+')) AS t,
+            row_number() OVER (
+              PARTITION BY doc_id // {r} ORDER BY doc_id
+            ) AS rn
+          FROM documents
+        ), s AS (
+          SELECT part, rn, doc_id, t,
+                 CAST(0 AS BIGINT) AS bin, t AS fill
+          FROM d WHERE rn = 1
+          UNION ALL
+          SELECT d.part, d.rn, d.doc_id, d.t,
+            CASE WHEN s.fill + d.t <= {b} THEN s.bin ELSE s.bin + 1 END,
+            CASE WHEN s.fill + d.t <= {b} THEN s.fill + d.t ELSE d.t END
+          FROM s JOIN d ON d.part = s.part AND d.rn = s.rn + 1
+        )
+        SELECT doc_id, part * 4294967296 + bin AS bin_id FROM s
+    """
+
+
 def _points_expr():
     return (
         f"((doc_id*{AX}+{BX})%{EXTENT})+0.5",
@@ -1633,6 +1675,7 @@ def oracle_queries() -> dict[str, str]:
         "token_bpe": _token_bpe_sql(),
         "redact": _redact_sql(),
         "chunks": _chunks_sql(),
+        "pack": _pack_sql(),
         "lang_id": _langid_sql(),
         "fingerprint": r"""
             WITH RECURSIVE fp AS (

@@ -436,3 +436,82 @@ def chunk_text(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# ------------------------------------------------------------ packing
+
+
+def pack_documents(
+    ds,
+    budget: int = 512,
+    range_size: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Greedy sequence packing — the training-batch prep stage: docs
+    in id order are packed first-fit into bins of ≤ ``budget``
+    whitespace tokens (an oversize doc gets its own bin).
+
+    Global sequential packing is inherently serial, so the
+    DISTRIBUTED contract packs each id-RANGE partition
+    (``doc_id // range_size``) independently: deterministic,
+    embarrassingly parallel (one keyed shuffle of (id, part, n_tok) —
+    12 B/row, text never moves), and exactly replicated by the SQL
+    oracle's per-partition recursive scan. Within a partition the bin
+    walk is vectorized over BINS (one searchsorted on the token
+    cumsum per bin), never over rows.
+
+    → (id_col, bin_id) with ``bin_id = part * 2^32 + k``."""
+    import pyarrow.compute as pc  # noqa: F401  (kept local for clarity)
+
+    from ..ops.shuffle import hash_group_apply
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = pc.cast(
+            pc.list_value_length(_tokens(batch[text_col])), pa.int64()
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "part": pa.array(ids // range_size),
+                "n_tok": n,
+            }
+        )
+
+    def pack_part(tbl, starts):
+        schema = pa.schema([(id_col, pa.int64()), ("bin_id", pa.int64())])
+        if tbl is None or len(starts) == 0:
+            return schema.empty_table()
+        n = tbl.num_rows
+        toks = tbl["n_tok"].to_numpy(zero_copy_only=False)
+        parts = tbl["part"].to_numpy(zero_copy_only=False)
+        ends = np.append(starts[1:], n)
+        out_bin = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            csum = np.cumsum(toks[s:e])
+            base = 0
+            start, k = 0, 0
+            m = e - s
+            while start < m:
+                stop = int(
+                    np.searchsorted(csum, base + budget, side="right")
+                )
+                stop = max(stop, start + 1)  # oversize doc: own bin
+                out_bin[s + start : s + stop] = (
+                    int(parts[s]) * (1 << 32) + k
+                )
+                base = int(csum[stop - 1])
+                start, k = stop, k + 1
+        return pa.table(
+            {id_col: tbl[id_col], "bin_id": pa.array(out_bin)}
+        )
+
+    pruned = (
+        derive(ds)
+        if isinstance(ds, pa.Table)
+        else ds.map_batches(
+            derive, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    return hash_group_apply(pruned, ["part"], pack_part, sort_cols=(id_col,))

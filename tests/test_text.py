@@ -647,3 +647,65 @@ class TestChunkText:
         )
         with pytest.raises(ValueError):
             chunk_text(t, chunk_size=5, overlap=5)
+
+
+class TestPackDocuments:
+    def test_greedy_rule_brute_force(self, ray_session):
+        from maup_ray.text.analysis import pack_documents
+
+        rng = np.random.RandomState(17)
+        n = 200
+        texts = [
+            " ".join(["w"] * int(k)) for k in rng.randint(1, 60, n)
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        got = (
+            pack_documents(t, budget=100, range_size=50)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # brute: greedy first-fit in id order per partition
+        toks = [len(s.split()) for s in texts]
+        want = []
+        for part in range(0, n, 50):
+            fill, b = None, -1
+            for i in range(part, min(part + 50, n)):
+                if fill is None or fill + toks[i] > 100:
+                    b += 1
+                    fill = toks[i]
+                else:
+                    fill += toks[i]
+                want.append((part // 50) * (1 << 32) + b)
+        assert got["bin_id"].tolist() == want
+        # budget respected except single-oversize-doc bins
+        merged = got.copy()
+        merged["tok"] = toks
+        per_bin = merged.groupby("bin_id").agg(
+            tot=("tok", "sum"), cnt=("tok", "size")
+        )
+        assert (
+            (per_bin["tot"] <= 100) | (per_bin["cnt"] == 1)
+        ).all()
+
+    def test_oversize_doc_gets_own_bin(self, ray_session):
+        from maup_ray.text.analysis import pack_documents
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array(["a b", " ".join(["x"] * 999), "c d"]),
+            }
+        )
+        out = (
+            pack_documents(t, budget=10, range_size=100)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        bins = out["bin_id"].tolist()
+        assert bins[0] != bins[1] and bins[1] != bins[2]
