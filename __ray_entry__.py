@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": p.q_simhash_pairs,
         "ann_lsh": p.q_ann_lsh,
         "ann_ivf": p.q_ann_ivf,
+        "embed_cluster": p.q_embed_cluster,
         "bpe_train": p.q_bpe_train,
         "image_phash": p.q_image_phash,
         "image_dedup": p.q_image_dedup,

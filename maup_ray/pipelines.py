@@ -593,6 +593,16 @@ def q_chunks(sf_dir: str):
     )
 
 
+def q_embed_cluster(sf_dir: str):
+    """Distributed k-means clustering of the embeddings table
+    (rows-only: Lloyd's is not SQL-expressible; pytest pins the
+    planted-structure recovery and the numpy-replica equivalence)."""
+    from .vector.kmeans import kmeans
+
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans(corpus, k=8, iters=4)
+
+
 def q_fingerprint(sf_dir: str):
     from .text.analysis import fingerprints
 

@@ -709,3 +709,78 @@ class TestPackDocuments:
         )
         bins = out["bin_id"].tolist()
         assert bins[0] != bins[1] and bins[1] != bins[2]
+
+
+class TestKmeans:
+    def _corpus(self, n_per=60, k=4, d=8, seed=3):
+        rng = np.random.RandomState(seed)
+        centers = rng.normal(size=(k, d)) * 3
+        vecs = np.vstack(
+            [c + rng.normal(scale=0.1, size=(n_per, d)) for c in centers]
+        )
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        return t, vecs, n_per, k
+
+    def test_recovers_planted_clusters_and_matches_replica(
+        self, ray_session
+    ):
+        import ray.data
+
+        from maup_ray.vector.ann import _normalize
+        from maup_ray.vector.kmeans import kmeans_assign, kmeans_fit
+
+        t, vecs, n_per, k = self._corpus()
+        ds = ray.data.from_arrow(t).repartition(6)
+        C = kmeans_fit(ds, k=k, iters=5)
+        out = (
+            kmeans_assign(ds, C)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        # each planted group lands in exactly one cluster; clusters
+        # distinct across groups
+        labels = [
+            set(out["cluster"][i * n_per : (i + 1) * n_per])
+            for i in range(k)
+        ]
+        assert all(len(s) == 1 for s in labels)
+        assert len(set.union(*labels)) == k
+        # local numpy replica of the same algorithm (same init: the
+        # corpus is under sample_size so init uses all rows) agrees on
+        # centroids to float tolerance
+        X = _normalize(vecs.astype(np.float64))
+        rng = np.random.RandomState(99)
+        init = rng.choice(len(X), size=k, replace=False)
+        C2 = X[init].copy()
+        for _ in range(5):
+            a = np.argmax(X @ C2.T, axis=1)
+            for j in range(k):
+                pts = X[a == j]
+                if len(pts):
+                    m = pts.mean(axis=0)
+                    nn = np.linalg.norm(m)
+                    if nn > 0:
+                        C2[j] = m / nn
+        # order-insensitive centroid match
+        d2 = np.abs(C[:, None, :] - C2[None, :, :]).sum(axis=2)
+        assert (d2.min(axis=1) < 1e-6).all()
+
+    def test_fixed_blocks_deterministic(self, ray_session):
+        import ray.data
+
+        from maup_ray.vector.kmeans import kmeans_fit
+
+        t, _, _, k = self._corpus(seed=11)
+        ds = ray.data.from_arrow(t).repartition(4).materialize()
+        C1 = kmeans_fit(ds, k=k, iters=3)
+        C2 = kmeans_fit(ds, k=k, iters=3)
+        assert np.array_equal(C1, C2)
