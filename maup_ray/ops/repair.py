@@ -439,18 +439,81 @@ def resolve_overlaps(
     )
 
 
+def weld_table(
+    table: pa.Table,
+    geometry_col: str = "geometry",
+    preserve_genuine: bool = True,
+) -> pa.Table:
+    """Common-arrangement weld: rebuild every geometry from shared
+    atomic faces so neighboring borders come out coordinate-equal
+    (the smart_repair final-weld discipline, applied to a table).
+
+    A multi-covered face that is a snap-grid SLIVER (area ≤
+    tol·perimeter — the doctor demotion test) goes to its lowest-index
+    owner; with ``preserve_genuine`` (default), a multi-covered face
+    of real extent is kept with ALL its owners, so over-threshold
+    overlaps that resolve_overlaps deliberately left to the user
+    (ref repair.py:153-158 semantics) survive the weld unchanged."""
+    geoms = _decode_all(table, geometry_col)
+    filled = [i for i, g in enumerate(geoms) if g]
+    if len(filled) <= 1:
+        return table
+    tol = boolean._default_tol([geoms[i] for i in filled])
+    faces = boolean.arrangement_faces(
+        [geoms[i] for i in filled], tol=tol
+    )
+    rebuilt: dict[int, list] = {i: [] for i in filled}
+    for piece, mem in faces:
+        owners = np.flatnonzero(mem)
+        if len(owners) == 0:
+            continue
+        if len(owners) == 1:
+            rebuilt[filled[int(owners[0])]].extend(piece)
+            continue
+        a = poly_area(piece)
+        if preserve_genuine and a > tol * perimeter(piece):
+            for o in owners:  # genuine overlap: every owner keeps it
+                rebuilt[filled[int(o)]].extend(piece)
+        else:  # hairline seam: lowest-index owner
+            rebuilt[filled[int(owners[0])]].extend(piece)
+    out = list(geoms)
+    for i in filled:
+        parts = rebuilt[i]
+        out[i] = (
+            boolean.union_all([[p] for p in parts], tol=tol)
+            if parts
+            else []
+        )
+    col = table.column_names.index(geometry_col)
+    return table.set_column(
+        col,
+        geometry_col,
+        pa.array(
+            [encode_multipolygon(g) if g else b"" for g in out],
+            type=pa.binary(),
+        ),
+    )
+
+
 def quick_repair(
     table: pa.Table,
     relative_threshold: float | None = 0.1,
     geometry_col: str = "geometry",
 ):
     """remove_repeated_vertices → make_valid → resolve_overlaps →
-    close_gaps (ref: repair.py:178-239)."""
+    close_gaps (ref: repair.py:178-239) → hairline weld.
+
+    The final :func:`weld_table` is beyond-reference: per-pair
+    absorption can re-snap a shared boundary differently per side,
+    leaving ~tol-width seam overlaps the reference never sees (GEOS
+    snaps identically on both sides). The weld rebuilds all outputs
+    from ONE common arrangement, so only those seams collapse —
+    genuine over-threshold overlaps still pass through untouched."""
     t = make_valid(remove_repeated_vertices(table, geometry_col), geometry_col)
     t = resolve_overlaps(t, relative_threshold, geometry_col)
     t = make_valid(t, geometry_col)
     t = close_gaps(t, relative_threshold, geometry_col)
-    return make_valid(t, geometry_col)
+    return weld_table(make_valid(t, geometry_col), geometry_col)
 
 
 autorepair = quick_repair

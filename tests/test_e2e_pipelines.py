@@ -211,7 +211,7 @@ class TestRepairQueryPinnedHashes:
         assert set(t.column_names) == {
             "id", "area", "n_parts", "perimeter", "neighbors"
         }
-        assert self._h(t) == "cf1d47cc7bbf38df"
+        assert self._h(t) == "c2f47f5a58386559"
 
     def test_smart_repair_pinned(self):
         from maup_ray.pipelines import q_smart_repair
@@ -225,13 +225,15 @@ class TestRepairQueryPinnedHashes:
 
         t = q_doctor("/root/testdata/sf0.001")
         df = t.to_pandas().set_index("stage")
-        # quick_repair reduces but need not eliminate overlaps (no
-        # final weld — reference autorepair semantics; smart_repair is
-        # the doctor-clean path): 10 -> 2 hairline seams pinned here
+        # quick_repair's hairline weld removes engine-specific seam
+        # overlaps; the one survivor (10 -> 1) is reference-faithful:
+        # pairwise overlap pieces re-absorbed independently can
+        # double-assign a 3+-fold corner region (the reference's
+        # resolve_overlaps has the identical property — that's why
+        # smart_repair exists)
         assert df.loc["pre", "n_overlaps"] > df.loc["post", "n_overlaps"]
+        assert df.loc["post", "n_overlaps"] <= 1
         assert df.loc["post", "total_area"] == pytest.approx(
             df.loc["post", "union_area"], abs=1e-2
         )
-        # area conservation: post total equals post union (no overlap
-        # double-count) — checked at full float precision by the hash
-        assert self._h(t) == "0dcd29134af80eaf"
+        assert self._h(t) == "d69f12ecc0b391a7"
