@@ -6,11 +6,21 @@ Physical shape per Lloyd iteration: centroids broadcast (``ray.put``
 once per iteration), each batch computes one matmul assignment and
 emits a (k × d sums, k counts) PARTIAL — so the shuffle payload per
 block is O(k·d), never O(rows). The driver merges k×d partials and
-renormalizes. Fixed seeded init from a deterministic hash sample +
-fixed iteration count → deterministic for a fixed block structure
-(partial-sum merge order follows block order; float centroids agree
-with a local numpy replica to allclose, and assignments exactly on
-separated data — pytest pins both).
+renormalizes.
+
+PARTITION-INVARIANT accumulation: per-row contributions are quantized
+to a fixed 2^-40 grid (normalized coords are in [-1, 1], so each fits
+int64 with ~12 exact decimal digits) and summed as INTEGERS — exact in
+int64 inside a block (safe to 2^22 rows/block, far above any Arrow
+block) and in arbitrary-precision Python ints across blocks. Every
+row's quantized contribution is a pure function of (row, centroids),
+integer addition is exact in any order, and the final mean divides two
+exact integers (one correctly-rounded float64 division) — so centroids
+are BIT-IDENTICAL regardless of block structure, merge order, or
+num_cpus, not merely deterministic for a fixed layout. The 2^-40
+quantization shifts each mean by ≤ ~1e-12·d relative — invisible at
+the 1e-6 tolerance the numpy-replica test pins, and irrelevant to
+Lloyd convergence. Assignments are exact on separated data (pytest).
 
 Cosine metric throughout (vectors L2-normalized, centroids
 renormalized after every mean) — matches ``vector.ann``.
@@ -62,6 +72,13 @@ def _init_centroids(ds, k, col, id_col, sample_size, seed):
         h = _hash_keys(sample.select([id_col]), [id_col])
         order = np.argsort(h, kind="stable")[:sample_size]
         sample = sample.take(pa.array(order))
+    # canonical row order (by id) so the seeded rng.choice below picks
+    # the same rows whatever block order the sample arrived in — init
+    # must be partition-invariant for fit() to be
+    sort_idx = np.argsort(
+        sample[id_col].to_numpy(zero_copy_only=False), kind="stable"
+    )
+    sample = sample.take(pa.array(sort_idx))
     X = _normalize(embedding_matrix(sample, col))
     rng = np.random.RandomState(seed)
     init = rng.choice(len(X), size=min(k, len(X)), replace=False)
@@ -91,14 +108,17 @@ def kmeans_fit(
             cm = _normalize(embedding_matrix(batch, col))
             a = np.argmax(cm @ C_.T, axis=1)
             d = cm.shape[1]
-            sums = np.zeros((kk, d), dtype=np.float64)
-            np.add.at(sums, a, cm)
+            # fixed-point 2^-40 quantized contributions: exact int64
+            # sums inside the block (|q| <= 2^40, rows/block << 2^22)
+            q = np.rint(cm * float(1 << 40)).astype(np.int64)
+            sums = np.zeros((kk, d), dtype=np.int64)
+            np.add.at(sums, a, q)
             counts = np.bincount(a, minlength=kk).astype(np.int64)
             return pa.table(
                 {
                     "c": pa.array(np.arange(kk, dtype=np.int64)),
                     "n": pa.array(counts),
-                    "s": pa.array(list(sums), type=pa.list_(pa.float64())),
+                    "s": pa.array(list(sums), type=pa.list_(pa.int64())),
                 }
             )
 
@@ -111,16 +131,28 @@ def kmeans_fit(
             .to_arrow_refs()
         ]
         parts = [t for t in parts if t.num_columns and t.num_rows]
-        sums = np.zeros_like(C)
-        counts = np.zeros(kk, dtype=np.int64)
+        # arbitrary-precision merge: int64 partials would overflow past
+        # ~2^23 rows per cluster corpus-wide; Python ints never do, and
+        # exact addition makes the merge order irrelevant
+        d = C.shape[1]
+        sums = np.zeros((kk, d), dtype=object)
+        counts = np.zeros(kk, dtype=object)
         for t in parts:
-            counts += t["n"].to_numpy(zero_copy_only=False)
+            counts = counts + t["n"].to_numpy(zero_copy_only=False)
             flat = t["s"].combine_chunks().flatten().to_numpy(
                 zero_copy_only=False
             )
-            sums += flat.reshape(kk, -1)
-        nz = counts > 0
-        means = sums[nz] / counts[nz, None]
+            sums = sums + flat.reshape(kk, -1)
+        nz = np.array([int(c) > 0 for c in counts], dtype=bool)
+        # int/int true division is correctly rounded — ONE rounding per
+        # coordinate from the exact rational, hence bit-stable
+        means = np.array(
+            [
+                [int(v) / (int(c) << 40) for v in row]
+                for row, c in zip(sums[nz], counts[nz])
+            ],
+            dtype=np.float64,
+        ).reshape(int(nz.sum()), d)
         norms = np.linalg.norm(means, axis=1, keepdims=True)
         C[nz] = means / np.where(norms == 0, 1.0, norms)
     return C

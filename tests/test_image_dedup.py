@@ -205,6 +205,59 @@ class TestSignatureNearDupScale:
         # hamming collisions among random sigs) — far below 5000
         assert stats["map_rows"] <= 32
 
+    @pytest.mark.skipif(
+        not __import__("os").environ.get("GRAFT_SLOW"),
+        reason="shuffle tag-back soak (set GRAFT_SLOW=1)",
+    )
+    def test_shuffle_tagback_soak(self, ray_session):
+        """ROUND_NOTES r4 gap #2: the hash co-shuffle tag-back path at
+        real block counts — 300k distinct singletons + 500 dup classes
+        over 64 blocks, broadcast_limit=0, verified against the
+        broadcast path AND the planted structure."""
+        import ray.data
+
+        from maup_ray.media import image as img_mod
+        from maup_ray.media.image import signature_near_dup
+
+        n_dup, members = 500, 4
+        ds = (
+            ray.data.from_arrow(
+                _sig_dataset(
+                    n_distinct=300_000,
+                    n_dup_classes=n_dup,
+                    dup_members=members,
+                )
+            )
+            .repartition(64)
+            .materialize()
+        )
+        shuf = (
+            signature_near_dup(ds, broadcast_limit=0)
+            .to_pandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        assert img_mod.LAST_NEAR_DUP_STATS["path"] == "shuffle"
+        m = dict(zip(shuf["image_id"], shuf["cluster_id"]))
+        for k in range(n_dup):
+            assert all(
+                m[f"d{k}_{j}"] == f"d{k}_0" for j in range(members)
+            )
+        assert m["near_a"] == m["near_b"] == "near_a"
+        # no singleton leaked (deterministic sigs: exact count is
+        # stable; freak hamming<=3 collisions would show here first)
+        assert len(shuf) == n_dup * members + 2
+        base = (
+            signature_near_dup(ds)
+            .to_pandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        assert img_mod.LAST_NEAR_DUP_STATS["path"] == "broadcast"
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(base, shuf)
+
     def test_shuffle_path_equivalence(self, ray_session):
         # broadcast_limit=0 forces the hash co-shuffle tag join — the
         # 100-TB fallback must produce identical clusters

@@ -784,3 +784,23 @@ class TestKmeans:
         C1 = kmeans_fit(ds, k=k, iters=3)
         C2 = kmeans_fit(ds, k=k, iters=3)
         assert np.array_equal(C1, C2)
+
+    def test_partition_invariant(self, ray_session):
+        """Centroids are BIT-identical across block structures AND row
+        orders (fixed-point integer accumulation + id-sorted init)."""
+        import ray.data
+
+        from maup_ray.vector.kmeans import kmeans_fit
+
+        t, _, _, k = self._corpus(seed=7)
+        perm = np.random.RandomState(0).permutation(len(t))
+        variants = [
+            ray.data.from_arrow(t).repartition(2).materialize(),
+            ray.data.from_arrow(t).repartition(9).materialize(),
+            ray.data.from_arrow(t.take(pa.array(perm)))
+            .repartition(5)
+            .materialize(),
+        ]
+        cs = [kmeans_fit(ds, k=k, iters=3) for ds in variants]
+        assert np.array_equal(cs[0], cs[1])
+        assert np.array_equal(cs[0], cs[2])
