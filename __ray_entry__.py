@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact": p.q_redact,
         "chunks": p.q_chunks,
         "pack": p.q_pack,
+        "bm25": p.q_bm25,
         # rows-only (non-SQL-expressible: hash/LSH/model-ish ops)
         "lang_id": p.q_lang_id,
         "fingerprint": p.q_fingerprint,
@@ -103,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": p.q_ann_lsh,
         "ann_ivf": p.q_ann_ivf,
         "embed_cluster": p.q_embed_cluster,
+        "embed_prune": p.q_embed_prune,
         "bpe_train": p.q_bpe_train,
         "image_phash": p.q_image_phash,
         "image_dedup": p.q_image_dedup,

@@ -593,6 +593,24 @@ def q_chunks(sf_dir: str):
     )
 
 
+BM25_TERMS = ("hash", "vector", "join")
+BM25_K = 20
+
+
+def q_bm25(sf_dir: str):
+    """BM25 top-k retrieval over documents — value-exact vs the DuckDB
+    oracle: exact-integer (tf, df, dl, N, Σdl) statistics, algebraic
+    (log-free) idf, one fixed IEEE expression mirrored in the SQL
+    (text/rank.py exactness note)."""
+    from .text.rank import bm25_topk
+
+    return bm25_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        terms=BM25_TERMS,
+        k=BM25_K,
+    )
+
+
 def q_embed_cluster(sf_dir: str):
     """Distributed k-means clustering of the embeddings table
     (rows-only: Lloyd's is not SQL-expressible; pytest pins the
@@ -601,6 +619,16 @@ def q_embed_cluster(sf_dir: str):
 
     corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return kmeans(corpus, k=8, iters=4)
+
+
+def q_embed_prune(sf_dir: str):
+    """SemDeDup-style cluster-then-prune over the embeddings table
+    (rows-only: the k-means phase is not SQL-expressible; pytest pins
+    planted-duplicate pruning and partition invariance)."""
+    from .vector.prune import semantic_prune
+
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_prune(corpus, k=8, iters=4, threshold=0.99)
 
 
 def q_fingerprint(sf_dir: str):
@@ -1219,6 +1247,49 @@ def _chunks_sql() -> str:
     """
 
 
+def _bm25_sql() -> str:
+    """BM25 top-k, expression-for-expression the engine's fixed IEEE
+    form (text/rank.py): algebraic idf, dyadic constants k1=1.25,
+    b=0.75, k1+1=2.25, left-to-right per-term sum."""
+    tf_cols = ",\n            ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n            ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    term_exprs = "\n          + ".join(
+        f"(CAST(tf{i} AS DOUBLE) * 2.25)"
+        f" / (CAST(tf{i} AS DOUBLE) + 1.25 * ((1.0 - 0.75)"
+        f" + 0.75 * (CAST(dl AS DOUBLE)"
+        f" / (CAST(total_len AS DOUBLE) / CAST(n AS DOUBLE)))))"
+        f" * ((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+            {tf_cols}
+          FROM documents
+        ), g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(dl) AS BIGINT) AS total_len,
+            {df_cols}
+          FROM s
+        )
+        SELECT doc_id,
+          {term_exprs} AS score
+        FROM s, g
+        ORDER BY score DESC, doc_id
+        LIMIT {BM25_K}
+    """
+
+
 def _pack_sql() -> str:
     """Per-partition greedy packing as a recursive scan: every id-range
     partition advances one doc per recursion step in parallel chains
@@ -1686,6 +1757,7 @@ def oracle_queries() -> dict[str, str]:
         "redact": _redact_sql(),
         "chunks": _chunks_sql(),
         "pack": _pack_sql(),
+        "bm25": _bm25_sql(),
         "lang_id": _langid_sql(),
         "fingerprint": r"""
             WITH RECURSIVE fp AS (

@@ -804,3 +804,155 @@ class TestKmeans:
         cs = [kmeans_fit(ds, k=k, iters=3) for ds in variants]
         assert np.array_equal(cs[0], cs[1])
         assert np.array_equal(cs[0], cs[2])
+
+
+class TestBM25:
+    def _docs(self):
+        texts = [
+            "hash join fast table scan",
+            "vector vector vector",
+            "the quick brown fox",
+            "join join hash",
+            "scan filter merge sort",
+            "hash",
+            "",
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+
+    def test_matches_local_replica_and_ranks(self, ray_session):
+        import ray.data
+
+        from maup_ray.text.rank import bm25_topk
+
+        t = self._docs()
+        local = bm25_topk(t, ["hash", "vector", "join"], k=5)
+        dist = bm25_topk(
+            ray.data.from_arrow(t).repartition(3),
+            ["hash", "vector", "join"],
+            k=5,
+        )
+        assert local.equals(dist)
+        ids = local["doc_id"].to_pylist()
+        scores = local["score"].to_pylist()
+        # doc 3 ("join join hash") and doc 1 (pure "vector") carry the
+        # highest term mass; zero-match docs score 0 and rank by id
+        assert scores == sorted(scores, reverse=True) or all(
+            a > b or (a == b) for a, b in zip(scores, scores[1:])
+        )
+        assert set(ids[:2]) <= {0, 1, 3}
+        assert all(s >= 0 for s in scores)
+
+    def test_partition_invariant_scores(self, ray_session):
+        import ray.data
+
+        from maup_ray.text.rank import bm25_topk
+
+        t = self._docs()
+        outs = [
+            bm25_topk(
+                ray.data.from_arrow(t).repartition(p),
+                ["hash", "join"],
+                k=7,
+            )
+            for p in (1, 2, 5)
+        ]
+        assert outs[0].equals(outs[1]) and outs[0].equals(outs[2])
+
+
+class TestSemanticPrune:
+    JITTER = False
+
+    def _corpus(self, n_groups=6, dups_per=3, d=8, seed=13):
+        rng = np.random.RandomState(seed)
+        base = rng.normal(size=(n_groups, d)) * 4
+        rows, gids = [], []
+        vid = 0
+        for g in range(n_groups):
+            jitter = rng.normal(scale=1e-4, size=(dups_per, d))
+            for j in range(dups_per):
+                # members of a group are bit-identical (exact semantic
+                # duplicates) so they provably share a k-means cluster
+                # whatever the centroid draw; the partition-invariance
+                # test below uses the jittered variant
+                rows.append(
+                    base[g] + (jitter[j] if self.JITTER else 0.0)
+                )
+                gids.append((vid, g, j))
+                vid += 1
+        vecs = np.vstack(rows)
+        t = pa.table(
+            {
+                "vec_id": pa.array(
+                    [i for i, _, _ in gids], type=pa.int64()
+                ),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        return t, gids
+
+    def test_planted_duplicates_pruned(self, ray_session):
+        import ray.data
+
+        from maup_ray.vector.prune import semantic_prune
+
+        t, gids = self._corpus()
+        out = (
+            semantic_prune(
+                ray.data.from_arrow(t).repartition(4).materialize(),
+                k=6,
+                iters=4,
+                threshold=0.99,
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(t)
+        # exactly one keeper per planted group (the min id), duplicates
+        # point their dup_of at a kept member of the same group
+        by_group = {}
+        for (vid, g, _), keep, dup in zip(
+            gids, out["keep"], out["dup_of"]
+        ):
+            by_group.setdefault(g, []).append((vid, keep, dup))
+        for g, members in by_group.items():
+            keepers = [v for v, k, _ in members if k]
+            assert keepers == [min(v for v, _, _ in members)]
+            kept_set = set(keepers)
+            for v, k, dup in members:
+                if not k:
+                    assert dup in kept_set
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data
+
+        from maup_ray.vector.prune import semantic_prune
+
+        self.JITTER = True
+        try:
+            t, _ = self._corpus(seed=29)
+        finally:
+            self.JITTER = False
+        outs = [
+            semantic_prune(
+                ray.data.from_arrow(t).repartition(p).materialize(),
+                k=6,
+                iters=3,
+                threshold=0.99,
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+            for p in (2, 7)
+        ]
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(outs[0], outs[1])
