@@ -38,7 +38,16 @@ __all__ = ["kmeans_fit", "kmeans_assign", "kmeans"]
 
 def _init_centroids(ds, k, col, id_col, sample_size, seed):
     """Deterministic hash-sampled init (the ivf_topk discipline: never
-    the head of the dataset)."""
+    the head of the dataset).
+
+    Materializes ``ds`` once so the ``iters`` Lloyd passes reuse
+    object-store blocks instead of re-reading storage per iteration —
+    the right trade for a pruned (id, embedding) projection, which is
+    what callers pass (q_embed_cluster reads exactly two columns). The
+    object store spills past memory; with very large corpora and few
+    iterations, passing a non-materialized Dataset re-reads instead —
+    both paths produce bit-identical centroids (partition invariance
+    above)."""
     import ray
 
     from ..ops.shuffle import _hash_keys
