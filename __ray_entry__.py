@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunks": p.q_chunks,
         "pack": p.q_pack,
         "bm25": p.q_bm25,
+        "bm25_multi": p.q_bm25_multi,
         # rows-only (non-SQL-expressible: hash/LSH/model-ish ops)
         "lang_id": p.q_lang_id,
         "fingerprint": p.q_fingerprint,

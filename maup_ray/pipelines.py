@@ -611,6 +611,28 @@ def q_bm25(sf_dir: str):
     )
 
 
+BM25_MULTI = {
+    # term ORDER is semantic: it fixes the IEEE per-term sum order,
+    # mirrored term-for-term in the SQL oracle branches.
+    "q_hash_join": ("hash", "join"),
+    "q_scan_filter": ("scan", "filter", "column"),
+    "q_stream": ("stream", "vector", "merge", "sort"),
+}
+
+
+def q_bm25_multi(sf_dir: str):
+    """Batched-retrieval BM25: top-k per query for a query SET in the
+    same two corpus passes as q_bm25 (ROUND_NOTES r5 candidate #3 —
+    one scan serves every query instead of one scan per query)."""
+    from .text.rank import bm25_topk_multi
+
+    return bm25_topk_multi(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        queries=BM25_MULTI,
+        k=BM25_K,
+    )
+
+
 def q_embed_cluster(sf_dir: str):
     """Distributed k-means clustering of the embeddings table
     (rows-only: Lloyd's is not SQL-expressible; pytest pins the
@@ -1290,6 +1312,64 @@ def _bm25_sql() -> str:
     """
 
 
+def _bm25_multi_sql() -> str:
+    """Per-query branches over ONE shared tf/df CTE pair (the union
+    vocabulary), each branch's per-term sum in the query's own term
+    order — token-for-token the engine's fixed IEEE expression."""
+    vocab = sorted({t for q in BM25_MULTI for t in BM25_MULTI[q]})
+    vpos = {t: i for i, t in enumerate(vocab)}
+    tf_cols = ",\n            ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(vocab)
+    )
+    df_cols = ",\n            ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}"
+        for i in range(len(vocab))
+    )
+
+    def term_expr(i: int) -> str:
+        return (
+            f"(CAST(tf{i} AS DOUBLE) * 2.25)"
+            f" / (CAST(tf{i} AS DOUBLE) + 1.25 * ((1.0 - 0.75)"
+            f" + 0.75 * (CAST(dl AS DOUBLE)"
+            f" / (CAST(total_len AS DOUBLE) / CAST(n AS DOUBLE)))))"
+            f" * ((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        )
+
+    joiner = "\n          + "
+    branch_list = []
+    for q in sorted(BM25_MULTI):
+        qsum = joiner.join(term_expr(vpos[t]) for t in BM25_MULTI[q])
+        branch_list.append(
+            f"""        (SELECT '{q}' AS query, doc_id,
+          {qsum} AS score
+        FROM s, g
+        ORDER BY score DESC, doc_id
+        LIMIT {BM25_K})"""
+        )
+    branches = "\n        UNION ALL\n".join(branch_list)
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+            {tf_cols}
+          FROM documents
+        ), g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(dl) AS BIGINT) AS total_len,
+            {df_cols}
+          FROM s
+        )
+        SELECT * FROM (
+{branches}
+        )
+        ORDER BY query, score DESC, doc_id
+    """
+
+
 def _pack_sql() -> str:
     """Per-partition greedy packing as a recursive scan: every id-range
     partition advances one doc per recursion step in parallel chains
@@ -1758,6 +1838,7 @@ def oracle_queries() -> dict[str, str]:
         "chunks": _chunks_sql(),
         "pack": _pack_sql(),
         "bm25": _bm25_sql(),
+        "bm25_multi": _bm25_multi_sql(),
         "lang_id": _langid_sql(),
         "fingerprint": r"""
             WITH RECURSIVE fp AS (

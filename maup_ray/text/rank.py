@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["bm25_topk", "bm25_score_batch"]
+__all__ = ["bm25_topk", "bm25_topk_multi", "bm25_score_batch"]
 
 K1 = 1.25  # dyadic — exactly representable
 B = 0.75
@@ -44,8 +44,21 @@ B = 0.75
 
 def _term_tfs(batch: pa.Table, terms, text_col: str):
     """(dl, [tf_t per term]) for one batch — vectorized: one token
-    flatten, one equality mask + bincount per term."""
-    toks = pc.split_pattern(batch[text_col], " ")
+    flatten, one equality mask + bincount per term.
+
+    Null text is treated as the EMPTY document (dl=0, every tf=0 ⇒
+    score 0.0). Note the SQL side differs there — DuckDB propagates
+    NULL through the whole expression — but the oracle corpus
+    (documents.text) is non-null, so the guard only changes behavior
+    on inputs the oracle can't express anyway.
+    """
+    col = batch[text_col]
+    nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+    nulls = np.asarray(nulls, dtype=bool)
+    has_null = bool(nulls.any())
+    if has_null:
+        col = pc.fill_null(col, "")
+    toks = pc.split_pattern(col, " ")
     lens = (
         pc.list_value_length(toks)
         .to_numpy(zero_copy_only=False)
@@ -53,10 +66,15 @@ def _term_tfs(batch: pa.Table, terms, text_col: str):
     )
     flat = pc.list_flatten(toks).combine_chunks()
     doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+    if has_null:
+        lens = np.where(nulls, 0, lens)
+        live_tok = ~nulls[doc_idx]  # drop the filler "" token rows
     tfs = []
     for t in terms:
         mask = pc.equal(flat, t).to_numpy(zero_copy_only=False)
         mask = np.asarray(mask, dtype=bool)
+        if has_null:
+            mask &= live_tok
         tfs.append(
             np.bincount(doc_idx[mask], minlength=len(batch)).astype(
                 np.int64
@@ -132,8 +150,14 @@ def bm25_topk(
             }
         )
 
+    # every document empty/null ⇒ avgdl would be 0/… ⇒ define all
+    # scores as 0 rather than dividing into NaN
+    total_len_safe = total_len if total_len > 0 else 1
+
     def score_topk(batch: pa.Table) -> pa.Table:
-        s = bm25_score_batch(batch, terms, n_docs, total_len, dfs, text_col)
+        s = bm25_score_batch(
+            batch, terms, n_docs, total_len_safe, dfs, text_col
+        )
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, -s))[:k]
         return pa.table(
@@ -165,3 +189,134 @@ def bm25_topk(
         )
     )[:k]
     return winners.take(pa.array(order))
+
+
+def bm25_topk_multi(
+    ds,
+    queries: dict,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Top-k per query for a BATCH of queries in the same two corpus
+    passes as ``bm25_topk`` — the retrieval-style shape (many queries,
+    one corpus scan), vs one scan per query.
+
+    ``queries`` maps query name → term sequence. The stats pass emits
+    one O(|vocab|) partial row per block for the UNION vocabulary; the
+    score pass computes each vocab term's tf once per batch and reuses
+    it across queries, emitting ≤ k rows per (query × block).
+
+    Exactness: per-query scores use the identical fixed IEEE
+    expression as ``bm25_topk`` with the per-term sum in the QUERY's
+    given term order (the SQL oracle mirrors that order token for
+    token), so a single-query call of this function equals
+    ``bm25_topk`` bit for bit. Output (query, id, score) is sorted by
+    (query ASC, score DESC, id ASC), k rows per query.
+    """
+    qnames = sorted(queries)
+    vocab = sorted({t for q in qnames for t in queries[q]})
+    vpos = {t: i for i, t in enumerate(vocab)}
+
+    def stats(batch: pa.Table) -> pa.Table:
+        dl, tfs = _term_tfs(batch, vocab, text_col)
+        cols = {
+            "n_docs": pa.array([len(batch)], type=pa.int64()),
+            "total_len": pa.array([int(dl.sum())], type=pa.int64()),
+        }
+        for i, tf in enumerate(tfs):
+            cols[f"df_{i}"] = pa.array(
+                [int((tf > 0).sum())], type=pa.int64()
+            )
+        return pa.table(cols)
+
+    if isinstance(ds, pa.Table):
+        rows = stats(ds).to_pylist()
+    else:
+        rows = ds.map_batches(
+            stats, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+    n_docs = sum(r["n_docs"] for r in rows)
+    total_len = sum(r["total_len"] for r in rows)
+    dfs = [sum(r[f"df_{i}"] for r in rows) for i in range(len(vocab))]
+
+    def empty() -> pa.Table:
+        return pa.table(
+            {
+                "query": pa.array([], type=pa.string()),
+                id_col: pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+
+    if n_docs == 0:
+        return empty()
+    # all-empty corpus guard: avgdl 0 would produce NaN; tf is 0
+    # everywhere so any positive avgdl yields the same 0.0 scores
+    avgdl = float(total_len if total_len > 0 else 1) / float(n_docs)
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty()
+        dl, tfs = _term_tfs(batch, vocab, text_col)
+        x = dl.astype(np.float64) / avgdl
+        denom_len = K1 * ((1.0 - B) + B * x)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        parts = []
+        for q in qnames:
+            score = None
+            for t in queries[q]:
+                i = vpos[t]
+                tf_f = tfs[i].astype(np.float64)
+                idf = (float(n_docs) - float(dfs[i]) + 0.5) / (
+                    float(dfs[i]) + 0.5
+                )
+                s = (tf_f * (K1 + 1.0)) / (tf_f + denom_len) * idf
+                score = s if score is None else score + s
+            order = np.lexsort((ids, -score))[:k]
+            parts.append(
+                pa.table(
+                    {
+                        "query": pa.array(
+                            [q] * len(order), type=pa.string()
+                        ),
+                        id_col: batch[id_col].take(pa.array(order)),
+                        "score": pa.array(
+                            score[order], type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    if isinstance(ds, pa.Table):
+        winners = score_topk(ds)
+    else:
+        wrows = ds.map_batches(
+            score_topk, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        winners = pa.table(
+            {
+                "query": pa.array(
+                    [r["query"] for r in wrows], type=pa.string()
+                ),
+                id_col: pa.array([r[id_col] for r in wrows]),
+                "score": pa.array(
+                    [r["score"] for r in wrows], type=pa.float64()
+                ),
+            }
+        )
+    if winners.num_rows == 0:
+        return empty()
+    # per-query global top-k, then (query, score DESC, id) total order
+    qarr = winners["query"].to_numpy(zero_copy_only=False)
+    ids = winners[id_col].to_numpy(zero_copy_only=False)
+    sc = winners["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -sc, qarr))
+    qsort = qarr[order]
+    starts = np.r_[0, 1 + np.flatnonzero(qsort[1:] != qsort[:-1])]
+    ends = np.r_[starts[1:], len(qsort)]
+    keep = np.concatenate(
+        [order[s : min(s + k, e)] for s, e in zip(starts, ends)]
+    )
+    return winners.take(pa.array(keep))

@@ -33,7 +33,28 @@ import pyarrow as pa
 
 from .ann import _normalize, embedding_matrix
 
-__all__ = ["kmeans_fit", "kmeans_assign", "kmeans"]
+__all__ = ["kmeans_fit", "kmeans_assign", "kmeans", "det_sims"]
+
+
+def det_sims(cm: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Deterministic (batch-shape-independent) similarity matrix.
+
+    BLAS dgemm's rounding depends on the matrix shapes (blocking /
+    kernel choice), so ``cm @ C.T`` gives last-ulp-different dot
+    products when the same rows arrive in different-sized batches —
+    observed as num_cpus-dependent ``sim`` hashes on bit-identical
+    centroids. numpy's ufunc reduce along a contiguous last axis is a
+    pure per-row function of (d, values), so one multiply + row-sum
+    per centroid yields bit-identical similarities whatever the block
+    structure. O(n·k·d) flops like the matmul, one O(n·d) temp."""
+    n, d = cm.shape
+    k = len(C)
+    out = np.empty((n, k), dtype=np.float64)
+    tmp = np.empty_like(cm)
+    for j in range(k):
+        np.multiply(cm, C[j], out=tmp)
+        np.sum(tmp, axis=1, out=out[:, j])
+    return out
 
 
 def _init_centroids(ds, k, col, id_col, sample_size, seed):
@@ -115,7 +136,7 @@ def kmeans_fit(
         def partial(batch: pa.Table) -> pa.Table:
             C_ = ray.get(ref)
             cm = _normalize(embedding_matrix(batch, col))
-            a = np.argmax(cm @ C_.T, axis=1)
+            a = np.argmax(det_sims(cm, C_), axis=1)
             d = cm.shape[1]
             # fixed-point 2^-40 quantized contributions: exact int64
             # sums inside the block (|q| <= 2^40, rows/block << 2^22)
@@ -182,7 +203,7 @@ def kmeans_assign(
     def assign(batch: pa.Table) -> pa.Table:
         C = ray.get(ref)
         cm = _normalize(embedding_matrix(batch, col))
-        sims = cm @ C.T
+        sims = det_sims(cm, C)
         a = np.argmax(sims, axis=1)
         return pa.table(
             {

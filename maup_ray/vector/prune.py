@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from .ann import _normalize, embedding_matrix
-from .kmeans import kmeans_fit
+from .kmeans import det_sims, kmeans_fit
 
 __all__ = ["semantic_prune"]
 
@@ -44,7 +44,9 @@ def _prune_group(V: np.ndarray, order: np.ndarray, threshold: float):
             keep[pos] = True
             kept_rows.append(pos)
             continue
-        sims = V[kept_rows] @ V[pos]
+        # det_sims (not BLAS matvec): keep/drop must not depend on how
+        # many rows are in the kept set when a sim sits at threshold
+        sims = det_sims(V[kept_rows], V[pos : pos + 1])[:, 0]
         j = int(np.argmax(sims))
         if sims[j] >= threshold:
             dup_pos[pos] = kept_rows[j]
@@ -63,15 +65,27 @@ def semantic_prune(
     id_col: str = "vec_id",
     sample_size: int = 2048,
     seed: int = 99,
+    salt: int = 1,
 ):
     """→ Dataset (id_col, cluster, keep, dup_of): every input row with
     its cluster, whether it survives pruning, and (for dropped rows)
     the kept member it duplicates. ``ds`` must be reusable (fit
-    materializes it; a pa.Table is used directly)."""
+    materializes it; a pa.Table is used directly).
+
+    ``salt > 1`` sub-splits every cluster into ``salt`` deterministic
+    shards by a pure hash of the row id (NOT ops/shuffle.salt_keys,
+    whose row-counter mix is partition-dependent) — the hot-cluster
+    skew escape hatch when k alone can't bound the largest cluster.
+    The documented trade (same as LSH max_bucket): near-duplicates
+    that land in different shards of the same cluster are NOT
+    compared, so recall drops roughly by the cross-shard pair
+    fraction; exact-duplicate groups still keep exactly their
+    per-shard min ids. Output stays partition-invariant because the
+    shard is a pure function of the id."""
     import ray
     import ray.data
 
-    from ..ops.shuffle import hash_group_apply
+    from ..ops.shuffle import _hash_keys, hash_group_apply
 
     C = kmeans_fit(
         ds,
@@ -87,14 +101,16 @@ def semantic_prune(
     def assign_with_vec(batch: pa.Table) -> pa.Table:
         C_ = ray.get(ref)
         cm = _normalize(embedding_matrix(batch, col))
-        a = np.argmax(cm @ C_.T, axis=1)
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "cluster": pa.array(a.astype(np.int64)),
-                col: batch[col],
-            }
-        )
+        a = np.argmax(det_sims(cm, C_), axis=1)
+        cols = {
+            id_col: batch[id_col],
+            "cluster": pa.array(a.astype(np.int64)),
+            col: batch[col],
+        }
+        if salt > 1:
+            shard = _hash_keys(batch, [id_col]) % np.uint64(salt)
+            cols["_salt"] = pa.array(shard.astype(np.int64))
+        return pa.table(cols)
 
     if isinstance(ds, pa.Table):
         assigned = assign_with_vec(ds)
@@ -147,4 +163,5 @@ def semantic_prune(
             }
         )
 
-    return hash_group_apply(assigned, ["cluster"], prune_fn)
+    keys = ["cluster"] if salt <= 1 else ["cluster", "_salt"]
+    return hash_group_apply(assigned, keys, prune_fn)

@@ -237,3 +237,26 @@ class TestRepairQueryPinnedHashes:
             df.loc["post", "union_area"], abs=1e-2
         )
         assert self._h(t) == "d69f12ecc0b391a7"
+
+    def test_embed_prune_pinned(self, ray_session):
+        """ROUND_NOTES r5 candidate #4: embed_prune is rows-only at the
+        driver, so pin its full value content here (k-means centroids +
+        cluster assignment + keep/dup_of through the hash shuffle are
+        all deterministic by construction)."""
+        from maup_ray.pipelines import q_embed_prune
+
+        t = q_embed_prune("/root/testdata/sf0.001")
+        df = t.to_pandas()
+        assert len(df) == 500
+        assert self._h(t) == "4d2af23bebb7041d"
+
+    def test_embed_cluster_pinned(self, ray_session):
+        from maup_ray.pipelines import q_embed_cluster
+
+        # hash verified identical in fresh num_cpus=4 AND num_cpus=8
+        # sessions: the sim column uses det_sims (ufunc row-reduce),
+        # not BLAS dgemm whose rounding varies with batch shape
+        t = q_embed_cluster("/root/testdata/sf0.001")
+        df = t.to_pandas()
+        assert len(df) == 500
+        assert self._h(t) == "abe342c6d8e578d1"

@@ -863,6 +863,99 @@ class TestBM25:
         ]
         assert outs[0].equals(outs[1]) and outs[0].equals(outs[2])
 
+    def test_null_text_is_empty_document(self, ray_session):
+        """Null text rows = empty docs (dl 0, tf 0, score 0) and do not
+        poison anyone else's statistics (r5 candidate #1)."""
+        from maup_ray.text.rank import bm25_topk
+
+        t = self._docs()
+        texts = t["text"].to_pylist()
+        with_null = pa.table(
+            {
+                "doc_id": pa.array(
+                    range(len(texts) + 1), type=pa.int64()
+                ),
+                "text": pa.array(texts + [None]),
+            }
+        )
+        out = bm25_topk(with_null, ["hash", "join"], k=len(texts) + 1)
+        base = bm25_topk(t, ["hash", "join"], k=len(texts))
+        # corpus stats (N grows by one empty doc) shift every score, so
+        # compare ORDER, not values: the null doc scores 0 and ranks
+        # with the other zero-score docs by id
+        got = dict(
+            zip(out["doc_id"].to_pylist(), out["score"].to_pylist())
+        )
+        assert got[len(texts)] == 0.0
+        nonzero_base = [
+            i
+            for i, s in zip(
+                base["doc_id"].to_pylist(), base["score"].to_pylist()
+            )
+            if s > 0
+        ]
+        nonzero_out = [
+            i for i in out["doc_id"].to_pylist() if got[i] > 0
+        ]
+        assert nonzero_out == nonzero_base
+        # an all-null corpus has total_len 0: scores must be 0.0, not
+        # NaN from a 0/0 avgdl
+        allnull = pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": pa.array([None, None], type=pa.string()),
+            }
+        )
+        res = bm25_topk(allnull, ["hash"], k=2)
+        assert res["score"].to_pylist() == [0.0, 0.0]
+        assert res["doc_id"].to_pylist() == [0, 1]
+
+    def test_multi_matches_single_query(self, ray_session):
+        """bm25_topk_multi restricted to one query == bm25_topk bit for
+        bit (same fixed IEEE expression, same term-sum order)."""
+        import ray.data
+
+        from maup_ray.text.rank import bm25_topk, bm25_topk_multi
+
+        t = self._docs()
+        queries = {
+            "a": ["hash", "join"],
+            "b": ["vector"],
+            "c": ["scan", "merge", "hash"],
+        }
+        multi = bm25_topk_multi(t, queries, k=5)
+        for q, terms in queries.items():
+            single = bm25_topk(t, terms, k=5)
+            part = multi.filter(
+                pa.compute.equal(multi["query"], q)
+            ).drop_columns(["query"])
+            assert part.equals(single), q
+        # distributed == local, partition-invariant
+        for p in (2, 5):
+            dist = bm25_topk_multi(
+                ray.data.from_arrow(t).repartition(p), queries, k=5
+            )
+            assert dist.equals(multi)
+
+
+class TestDetSims:
+    def test_shape_independent_and_close_to_blas(self):
+        """det_sims row j is a pure function of (row, centroid) — the
+        same rows in a 5-row slice and the full matrix produce
+        BIT-identical sims (BLAS dgemm does not guarantee this; the
+        num_cpus-dependent sim hash it caused is pinned in
+        test_e2e_pipelines.test_embed_cluster_pinned)."""
+        from maup_ray.vector.kmeans import det_sims
+
+        rng = np.random.RandomState(7)
+        X = rng.normal(size=(64, 33))
+        C = rng.normal(size=(9, 33))
+        full = det_sims(X, C)
+        for lo, hi in [(0, 5), (3, 64), (10, 11)]:
+            assert np.array_equal(det_sims(X[lo:hi], C), full[lo:hi])
+        # and it IS the dot product (BLAS agrees to float tolerance)
+        assert np.allclose(full, X @ C.T, rtol=1e-12, atol=1e-12)
+
 
 class TestSemanticPrune:
     JITTER = False
@@ -956,3 +1049,57 @@ class TestSemanticPrune:
         import pandas as pd
 
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_hot_cluster_salting(self, ray_session):
+        """salt > 1 (r5 candidate #2): per-shard greedy prune is still
+        partition-invariant, keeps a superset of the unsalted keepers
+        on exact-dup groups (cross-shard dups are the documented recall
+        trade), and every drop's dup_of stays in its own shard."""
+        import pandas as pd
+        import ray.data
+
+        from maup_ray.ops.shuffle import _hash_keys
+        from maup_ray.vector.prune import semantic_prune
+
+        t, gids = self._corpus(n_groups=4, dups_per=6)
+
+        def run(salt, parts):
+            return (
+                semantic_prune(
+                    ray.data.from_arrow(t)
+                    .repartition(parts)
+                    .materialize(),
+                    k=4,
+                    iters=4,
+                    threshold=0.99,
+                    salt=salt,
+                )
+                .to_pandas()
+                .sort_values("vec_id")
+                .reset_index(drop=True)
+            )
+
+        salted = run(4, 3)
+        pd.testing.assert_frame_equal(salted, run(4, 8))
+        base = run(1, 3)
+        kept_base = set(base.loc[base["keep"], "vec_id"])
+        kept_salt = set(salted.loc[salted["keep"], "vec_id"])
+        assert kept_base <= kept_salt
+        assert len(kept_salt) <= len(t)
+        # shard = pure hash of id: recompute and check dup_of locality
+        shard = (
+            _hash_keys(t, ["vec_id"]) % np.uint64(4)
+        ).astype(np.int64)
+        shard_of = dict(zip(t["vec_id"].to_pylist(), shard))
+        group_of = {vid: g for vid, g, _ in gids}
+        for _, row in salted[~salted["keep"]].iterrows():
+            v, d = int(row["vec_id"]), int(row["dup_of"])
+            assert shard_of[v] == shard_of[d]
+            assert group_of[v] == group_of[d]
+            # per-shard min id is the keeper
+            assert d == min(
+                u
+                for u in group_of
+                if group_of[u] == group_of[v]
+                and shard_of[u] == shard_of[v]
+            )
