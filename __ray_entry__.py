@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_bpe": p.q_token_bpe,
         "quality": p.q_quality,
         "dedup_exact": p.q_dedup_exact,
+        "decontaminate": p.q_decontaminate,
         "curation": p.q_curation,
         "ngrams": p.q_ngrams,
         "profile": p.q_profile,

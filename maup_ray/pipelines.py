@@ -653,6 +653,31 @@ def q_embed_prune(sf_dir: str):
     return semantic_prune(corpus, k=8, iters=4, threshold=0.99)
 
 
+DECON_MOD = 89  # doc_id % MOD == 0 rows play the "benchmark" set
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: corpus docs (doc_id % 89 != 0)
+    flagged iff they share any word 3-shingle with the benchmark
+    slice (doc_id % 89 == 0). Broadcast shingle semi-join with exact
+    string confirm — value-exact vs the DuckDB string join."""
+    from .text.decontaminate import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(rem_zero: bool):
+        def f(b):
+            ids = b["doc_id"].to_numpy()
+            m = (ids % DECON_MOD == 0) == rem_zero
+            return b.filter(pa.array(m))
+
+        return docs.map_batches(
+            f, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    return decontaminate(part(False), part(True), k=3)
+
+
 def q_fingerprint(sf_dir: str):
     from .text.analysis import fingerprints
 
@@ -1773,6 +1798,30 @@ def oracle_queries() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        # decontaminate: exact word-3-shingle semi-join of the corpus
+        # (doc_id % 89 != 0) against the benchmark slice (% 89 == 0) —
+        # same single-space split + chr(1) shingle join as near_dup.
+        # The engine's hash probe is a prefilter only; the exact
+        # string confirm makes this string-join-identical.
+        "decontaminate": f"""
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            idx AS (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - 1)) AS i
+                    FROM t WHERE len(toks) >= 3),
+            shing AS (SELECT DISTINCT doc_id,
+                        toks[i] || chr(1) || toks[i+1] || chr(1)
+                          || toks[i+2] AS sh
+                      FROM idx),
+            bench AS (SELECT DISTINCT sh FROM shing
+                      WHERE doc_id % {DECON_MOD} = 0),
+            hit AS (SELECT DISTINCT s.doc_id FROM shing s
+                    JOIN bench b ON s.sh = b.sh
+                    WHERE s.doc_id % {DECON_MOD} != 0)
+            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+            FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id
+            WHERE d.doc_id % {DECON_MOD} != 0
         """,
         # near_dup: exact word-3-shingle Jaccard >= 0.5 pairs, then
         # connected components (transitive closure, min-id label).

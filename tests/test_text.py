@@ -938,6 +938,104 @@ class TestBM25:
             assert dist.equals(multi)
 
 
+class TestDecontaminate:
+    def _tables(self):
+        bench = pa.table(
+            {
+                "doc_id": pa.array([100, 101], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "the quick brown fox jumps",
+                        "hash join over sorted runs",
+                    ]
+                ),
+            }
+        )
+        corpus = pa.table(
+            {
+                "doc_id": pa.array(range(6), type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "we saw the quick brown fox today",  # hit
+                        "quick brown dog",  # shares words, no 3-gram
+                        "hash join over everything",  # "hash join over"
+                        "totally unrelated text here now",
+                        "fox jumps",  # too short for a 3-gram hit? 2 toks of bench tail
+                        "",
+                    ]
+                ),
+            }
+        )
+        return corpus, bench
+
+    def test_exact_shingle_semantics(self, ray_session):
+        from maup_ray.text.decontaminate import decontaminate
+
+        corpus, bench = self._tables()
+        out = decontaminate(corpus, bench, k=3)
+        got = dict(
+            zip(
+                out["doc_id"].to_pylist(),
+                out["contaminated"].to_pylist(),
+            )
+        )
+        assert got == {
+            0: True,
+            1: False,
+            2: True,
+            3: False,
+            4: False,  # "fox jumps" has no 3-shingle at all
+            5: False,
+        }
+
+    def test_dataset_matches_table_and_partition_invariant(
+        self, ray_session
+    ):
+        import ray.data
+
+        from maup_ray.text.decontaminate import decontaminate
+
+        corpus, bench = self._tables()
+        local = decontaminate(corpus, bench, k=3)
+        for p in (1, 3):
+            dist = (
+                decontaminate(
+                    ray.data.from_arrow(corpus).repartition(p),
+                    ray.data.from_arrow(bench),
+                    k=3,
+                )
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            assert dist.equals(
+                local.to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+
+    def test_broadcast_limit_guard(self, ray_session):
+        import pytest
+        import ray.data
+
+        from maup_ray.text.decontaminate import decontaminate
+
+        corpus, bench = self._tables()
+        with pytest.raises(ValueError, match="broadcast_limit"):
+            decontaminate(
+                corpus,
+                ray.data.from_arrow(bench),
+                broadcast_limit=1,
+            )
+
+    def test_empty_benchmark_flags_nothing(self, ray_session):
+        from maup_ray.text.decontaminate import decontaminate
+
+        corpus, bench = self._tables()
+        out = decontaminate(corpus, bench.slice(0, 0), k=3)
+        assert not any(out["contaminated"].to_pylist())
+
+
 class TestDetSims:
     def test_shape_independent_and_close_to_blas(self):
         """det_sims row j is a pure function of (row, centroid) — the
