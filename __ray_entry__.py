@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": p.q_simhash_pairs,
         "ann_lsh": p.q_ann_lsh,
         "ann_ivf": p.q_ann_ivf,
+        "approx_distinct": p.q_approx_distinct,
         "embed_cluster": p.q_embed_cluster,
         "embed_prune": p.q_embed_prune,
         "bpe_train": p.q_bpe_train,

@@ -653,6 +653,23 @@ def q_embed_prune(sf_dir: str):
     return semantic_prune(corpus, k=8, iters=4, threshold=0.99)
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog cardinalities of four events columns in ONE
+    streaming pass, no shuffle (rows-only: the sketch is deliberately
+    approximate; pytest pins the exact register-determined values and
+    the ≤2% error bound vs exact distinct)."""
+    from .ops.sketch import approx_distinct
+
+    return approx_distinct(
+        _read(
+            sf_dir,
+            "events",
+            ["event_id", "user_id", "event_type", "props"],
+        ),
+        ["event_id", "user_id", "event_type", "props"],
+    )
+
+
 DECON_MOD = 89  # doc_id % MOD == 0 rows play the "benchmark" set
 
 

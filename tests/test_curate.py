@@ -270,3 +270,69 @@ class TestHashSampleOverflowGuard:
         )
         want = ids[(ids * 48271 + 11) % 100 < 35]
         assert np.array_equal(np.sort(got), want)
+
+
+class TestHyperLogLog:
+    def test_small_range_is_exact_and_error_bounded(self):
+        from maup_ray.ops.sketch import approx_distinct
+
+        rng = np.random.RandomState(3)
+        n_distinct = 50_000
+        vals = rng.randint(0, n_distinct, size=200_000) * 7919 + 13
+        t = pa.table({"v": pa.array(vals, type=pa.int64())})
+        est = approx_distinct(t, ["v"], p=14)["approx_distinct"][0].as_py()
+        exact = len(np.unique(vals))
+        assert abs(est - exact) / exact < 0.02  # 1.04/sqrt(2^14) ≈ 0.8%
+        # tiny cardinality sits in the linear-counting regime: exact
+        t2 = pa.table({"v": pa.array([1, 2, 3, 2, 1], type=pa.int64())})
+        assert (
+            approx_distinct(t2, ["v"], p=12)["approx_distinct"][0].as_py()
+            == 3
+        )
+
+    def test_partition_and_duplicate_invariant(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.sketch import approx_distinct
+
+        vals = np.arange(10_000, dtype=np.int64) * 104729
+        t = pa.table({"v": pa.array(vals)})
+        dup = pa.concat_tables([t, t, t.slice(0, 500)])
+        outs = [
+            approx_distinct(
+                ray.data.from_arrow(x).repartition(p), ["v"], p=13
+            )["approx_distinct"][0].as_py()
+            for x, p in [(t, 1), (t, 9), (dup, 4)]
+        ]
+        # registers are max-merged: block structure AND duplicates
+        # cannot change any register, hence identical estimates
+        assert outs[0] == outs[1] == outs[2]
+
+    def test_nulls_skipped(self):
+        from maup_ray.ops.sketch import approx_distinct
+
+        t = pa.table(
+            {"v": pa.array([1, None, 2, None, 1], type=pa.int64())}
+        )
+        assert (
+            approx_distinct(t, ["v"], p=12)["approx_distinct"][0].as_py()
+            == 2
+        )
+
+    def test_query_pinned_values(self, ray_session):
+        """Deterministic register contents ⇒ pinned estimates at
+        sf0.001 (exact values: 1000/15/5/100)."""
+        from maup_ray.pipelines import q_approx_distinct
+
+        got = {
+            r["column"]: r["approx_distinct"]
+            for r in q_approx_distinct("/root/testdata/sf0.001")
+            .to_pandas()
+            .to_dict("records")
+        }
+        assert got == {
+            "event_id": 998,  # 0.2% off the exact 1000 — in spec
+            "user_id": 15,
+            "event_type": 5,
+            "props": 100,
+        }
