@@ -54,70 +54,11 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # single source of truth: maup_ray.pipelines.query_registry — the
+    # same mapping drives `python -m maup_ray run <query>` (job CLI)
     from maup_ray import pipelines as p
 
-    return {
-        # maup spatial family (SQL-oracled, value-exact by construction)
-        "assign_points": p.q_assign_points,
-        "assign_blocks": p.q_assign_blocks,
-        "pieces": p.q_pieces,
-        "assign_by_area": p.q_assign_by_area,
-        "normalize": p.q_normalize,
-        "prorate": p.q_prorate,
-        "adjacencies": p.q_adjacencies,
-        "islands": p.q_islands,
-        "count_overlaps": p.q_count_overlaps,
-        "cell_tiles": p.q_cell_tiles,
-        "events_hourly": p.q_events_hourly,
-        "knn": p.q_knn,
-        "rasterize": p.q_rasterize,
-        "sessions": p.q_sessions,
-        "rolling_window": p.q_rolling_window,
-        "asof_join": p.q_asof_join,
-        "range_join": p.q_range_join,
-        # training-data family
-        "order_totals": p.q_order_totals,
-        "sample": p.q_sample,
-        "stratified_sample": p.q_stratified_sample,
-        "topk_user": p.q_topk_user,
-        "percentiles": p.q_percentiles,
-        "distinct_users": p.q_distinct_users,
-        "token_count": p.q_token_count,
-        "token_bpe": p.q_token_bpe,
-        "quality": p.q_quality,
-        "dedup_exact": p.q_dedup_exact,
-        "decontaminate": p.q_decontaminate,
-        "curation": p.q_curation,
-        "ngrams": p.q_ngrams,
-        "profile": p.q_profile,
-        "near_dup": p.q_near_dup,
-        "ann_topk": p.q_ann_topk,
-        "embed_dedup": p.q_embed_dedup,
-        "redact": p.q_redact,
-        "chunks": p.q_chunks,
-        "pack": p.q_pack,
-        "bm25": p.q_bm25,
-        "bm25_multi": p.q_bm25_multi,
-        # rows-only (non-SQL-expressible: hash/LSH/model-ish ops)
-        "lang_id": p.q_lang_id,
-        "fingerprint": p.q_fingerprint,
-        "minhash_pairs": p.q_minhash_pairs,
-        "simhash_pairs": p.q_simhash_pairs,
-        "ann_lsh": p.q_ann_lsh,
-        "ann_ivf": p.q_ann_ivf,
-        "approx_distinct": p.q_approx_distinct,
-        "embed_cluster": p.q_embed_cluster,
-        "embed_prune": p.q_embed_prune,
-        "bpe_train": p.q_bpe_train,
-        "image_phash": p.q_image_phash,
-        "image_dedup": p.q_image_dedup,
-        "video_frames": p.q_video_frames,
-        "video_dedup": p.q_video_dedup,
-        # repair family (rows-only; pytest brute-force oracles)
-        "quick_repair": p.q_quick_repair,
-        "smart_repair": p.q_smart_repair,
-        "doctor": p.q_doctor,
-    }
+    return p.query_registry()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -88,7 +88,16 @@ def write_partitioned(
 
     lineage = ds.groupby(partition_col).map_groups(write_group)
     # consume to force the writes; lineage is small (one row/partition)
-    return lineage.to_pandas()
+    df = lineage.to_pandas()
+    if "rows" not in df.columns:
+        # fully-resumed run: every partition was skipped upstream and
+        # map_groups yields a column-less empty frame
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"partition": [], "rows": [], "bytes": [], "path": []}
+        ).astype({"rows": "int64", "bytes": "int64"})
+    return df
 
 
 def manifest(root: str) -> pa.Table:

@@ -1518,6 +1518,74 @@ def _langid_sql() -> str:
         """
 
 
+def query_registry():
+    """name → callable(sf_dir) for every shipped pipeline — the single
+    source of truth shared by the driver contract (__ray_entry__.py)
+    and the job CLI (python -m maup_ray)."""
+    return {
+        # maup spatial family (SQL-oracled, value-exact by construction)
+        "assign_points": q_assign_points,
+        "assign_blocks": q_assign_blocks,
+        "pieces": q_pieces,
+        "assign_by_area": q_assign_by_area,
+        "normalize": q_normalize,
+        "prorate": q_prorate,
+        "adjacencies": q_adjacencies,
+        "islands": q_islands,
+        "count_overlaps": q_count_overlaps,
+        "cell_tiles": q_cell_tiles,
+        "events_hourly": q_events_hourly,
+        "knn": q_knn,
+        "rasterize": q_rasterize,
+        "sessions": q_sessions,
+        "rolling_window": q_rolling_window,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        # training-data family
+        "order_totals": q_order_totals,
+        "sample": q_sample,
+        "stratified_sample": q_stratified_sample,
+        "topk_user": q_topk_user,
+        "percentiles": q_percentiles,
+        "distinct_users": q_distinct_users,
+        "token_count": q_token_count,
+        "token_bpe": q_token_bpe,
+        "quality": q_quality,
+        "dedup_exact": q_dedup_exact,
+        "decontaminate": q_decontaminate,
+        "curation": q_curation,
+        "ngrams": q_ngrams,
+        "profile": q_profile,
+        "near_dup": q_near_dup,
+        "ann_topk": q_ann_topk,
+        "embed_dedup": q_embed_dedup,
+        "redact": q_redact,
+        "chunks": q_chunks,
+        "pack": q_pack,
+        "bm25": q_bm25,
+        "bm25_multi": q_bm25_multi,
+        # rows-only (non-SQL-expressible: hash/LSH/model-ish ops)
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "approx_distinct": q_approx_distinct,
+        "embed_cluster": q_embed_cluster,
+        "embed_prune": q_embed_prune,
+        "bpe_train": q_bpe_train,
+        "image_phash": q_image_phash,
+        "image_dedup": q_image_dedup,
+        "video_frames": q_video_frames,
+        "video_dedup": q_video_dedup,
+        # repair family (rows-only; pytest brute-force oracles)
+        "quick_repair": q_quick_repair,
+        "smart_repair": q_smart_repair,
+        "doctor": q_doctor,
+    }
+
+
 def oracle_queries() -> dict[str, str]:
     px, py = _points_expr()
     dist = districts_sql(N_DISTRICTS)

@@ -11,10 +11,18 @@ from .geojson import (
     table_to_geojson,
     write_geojson,
 )
+from .images import (
+    IMAGE_SCHEMA,
+    conform_image_batch,
+    read_image_table,
+)
 from .jsonl import jsonl_dataset, read_jsonl, write_jsonl
 from .shapefile import read_shapefile_zip, shapefile_dataset
 
 __all__ = [
+    "IMAGE_SCHEMA",
+    "conform_image_batch",
+    "read_image_table",
     "read_jsonl",
     "jsonl_dataset",
     "write_jsonl",
