@@ -68,18 +68,27 @@ def _term_tfs(batch: pa.Table, terms, text_col: str):
     doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
     if has_null:
         lens = np.where(nulls, 0, lens)
-        live_tok = ~nulls[doc_idx]  # drop the filler "" token rows
-    tfs = []
-    for t in terms:
-        mask = pc.equal(flat, t).to_numpy(zero_copy_only=False)
-        mask = np.asarray(mask, dtype=bool)
-        if has_null:
-            mask &= live_tok
-        tfs.append(
-            np.bincount(doc_idx[mask], minlength=len(batch)).astype(
-                np.int64
-            )
-        )
+    # ONE pass over the token stream for the whole vocabulary:
+    # index_in maps each token to its term slot (-1 = not a term),
+    # then a single bincount over doc×term cells — O(tokens + n·T)
+    # instead of one equality scan per term. Dedup first so a repeated
+    # query term still gets its own (identical) tf column.
+    uniq = list(dict.fromkeys(terms))
+    T = len(uniq)
+    slot = pc.fill_null(
+        pc.index_in(flat, pa.array(uniq, type=pa.string())), -1
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    valid = slot >= 0
+    if has_null:
+        valid &= ~nulls[doc_idx]  # drop the filler "" token rows
+    cells = doc_idx[valid] * T + slot[valid]
+    tf = (
+        np.bincount(cells, minlength=len(batch) * T)
+        .reshape(len(batch), T)
+        .astype(np.int64)
+    )
+    upos = {t: i for i, t in enumerate(uniq)}
+    tfs = [tf[:, upos[t]] for t in terms]
     return lens, tfs
 
 
