@@ -804,6 +804,20 @@ def q_image_dedup(sf_dir: str):
     return out.sort("image_id")
 
 
+def q_image_doctor(sf_dir: str):
+    """maup.doctor re-aimed at the multimodal table: one streaming
+    pass of integer partials over the synth image corpus → corruption
+    / consistency report (rows-only; pytest pins the clean-corpus
+    report and the planted-corruption counts)."""
+    import pyarrow.parquet as pq
+
+    from .media.doctor import image_doctor
+    from .synth.images import image_dataset
+
+    n = 4 * pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return image_doctor(image_dataset(n, png_every=8, jpeg_every=12))
+
+
 def q_image_phash(sf_dir: str):
     """Multimodal plumbing: synth image table sized from documents →
     actor-pool decode + perceptual hash. Payload fidelity (byte-exact
@@ -1576,6 +1590,7 @@ def query_registry():
         "embed_prune": q_embed_prune,
         "bpe_train": q_bpe_train,
         "image_phash": q_image_phash,
+        "image_doctor": q_image_doctor,
         "image_dedup": q_image_dedup,
         "video_frames": q_video_frames,
         "video_dedup": q_video_dedup,
