@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["broadcast_hash_join", "equi_join"]
+__all__ = ["broadcast_hash_join", "equi_join", "semi_join", "anti_join"]
 
 
 def broadcast_hash_join(ds, right: pa.Table, left_on: str, right_on: str,
@@ -87,4 +87,74 @@ def equi_join(
         num_partitions=max(8, int(ray.cluster_resources().get("CPU", 8))),
         on=(left_on,),
         right_on=(right_on,),
+    )
+
+
+def _distinct_keys(right, on: str, broadcast_limit: int) -> pa.Array:
+    """right (Table/Dataset) → driver-local DISTINCT key array.
+
+    A Dataset right side pre-distincts per batch so only unique keys
+    per block reach the driver (key columns, never payloads), then
+    guards the merged size — semi/anti joins only ever need the key
+    SET, so the broadcast bound is on distinct keys, not rows."""
+    if isinstance(right, pa.Table):
+        keys = pc.unique(right[on].combine_chunks())
+    else:
+        parts = right.select_columns([on]).map_batches(
+            lambda b: pa.table({on: pc.unique(b[on].combine_chunks())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()
+        keys = pc.unique(pa.array([r[on] for r in parts]))
+    if len(keys) > broadcast_limit:
+        raise ValueError(
+            f"semi/anti join: {len(keys)} distinct '{on}' keys exceed "
+            f"broadcast_limit={broadcast_limit}; a corpus-sized key "
+            "set needs the key-hash co-shuffle (shuffle.hash_group_"
+            "apply with a side tag, the islands flag-sum pattern) "
+            "instead of a broadcast"
+        )
+    return keys
+
+
+def semi_join(
+    ds,
+    right,
+    on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    broadcast_limit: int = 2_000_000,
+):
+    """Streaming semi-join (``anti=True`` → anti-join): keep the left
+    rows whose ``on`` key is (not) present in ``right``'s key set.
+
+    Scale shape: the distinct key set broadcasts ONCE via ``ray.put``
+    and the left side streams through one vectorized ``is_in`` filter
+    per batch — no shuffle, left payloads never move. The right side
+    only ever contributes its distinct keys (pre-distincted per block
+    before they reach the driver)."""
+    import ray
+
+    keys = _distinct_keys(right, right_on or on, broadcast_limit)
+    ref = ray.put(keys)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        m = pc.is_in(batch[on], value_set=ks)
+        # is_in returns null for null inputs under some value-set
+        # types; a null key matches nothing either way
+        m = pc.fill_null(m, False)
+        if anti:
+            m = pc.invert(m)
+        return batch.filter(m)
+
+    if isinstance(ds, pa.Table):
+        return f(ds)
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def anti_join(ds, right, on, right_on=None, broadcast_limit=2_000_000):
+    return semi_join(
+        ds, right, on, right_on=right_on, anti=True,
+        broadcast_limit=broadcast_limit,
     )

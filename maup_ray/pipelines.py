@@ -670,6 +670,25 @@ def q_approx_distinct(sf_dir: str):
     )
 
 
+def q_cust_no_urgent(sf_dir: str):
+    """Anti-join at the streaming surface: customers with NO urgent
+    order. The orders side contributes only its distinct urgent
+    custkeys (pre-distincted per block, broadcast once); the customer
+    stream filters with one vectorized is_in per batch — no shuffle."""
+    from .ops.join import anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def urgent_keys(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["o_orderpriority"], "1-URGENT")
+        return b.filter(m).select(["o_custkey"])
+
+    urgent = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderpriority"]
+    ).map_batches(urgent_keys, batch_format="pyarrow", zero_copy_batch=True)
+    return anti_join(cust, urgent, on="c_custkey", right_on="o_custkey")
+
+
 DECON_MOD = 89  # doc_id % MOD == 0 rows play the "benchmark" set
 
 
@@ -1557,6 +1576,7 @@ def query_registry():
         "range_join": q_range_join,
         # training-data family
         "order_totals": q_order_totals,
+        "cust_no_urgent": q_cust_no_urgent,
         "sample": q_sample,
         "stratified_sample": q_stratified_sample,
         "topk_user": q_topk_user,
@@ -1904,6 +1924,12 @@ def oracle_queries() -> dict[str, str]:
         # same single-space split + chr(1) shingle join as near_dup.
         # The engine's hash probe is a prefilter only; the exact
         # string confirm makes this string-join-identical.
+        "cust_no_urgent": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT o_custkey FROM orders
+              WHERE o_orderpriority = '1-URGENT')
+        """,
         "decontaminate": f"""
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                        FROM documents),

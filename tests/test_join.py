@@ -94,3 +94,76 @@ class TestBroadcastJoinKeyUniqueness:
         )
         with pytest.raises(ValueError, match="duplicate"):
             broadcast_hash_join(left, dup_right, "k", "k", ["v"])
+
+
+class TestSemiAntiJoin:
+    def _left(self):
+        return pa.table(
+            {
+                "k": pa.array([1, 2, 3, None, 5], type=pa.int64()),
+                "v": pa.array([10, 20, 30, 40, 50], type=pa.int64()),
+            }
+        )
+
+    def test_semi_plus_anti_partition_left(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.join import anti_join, semi_join
+
+        left = self._left()
+        right = pa.table(
+            {"k": pa.array([2, 2, 5, 99], type=pa.int64())}
+        )
+        semi = semi_join(left, right, "k")
+        anti = anti_join(left, right, "k")
+        assert semi["v"].to_pylist() == [20, 50]
+        # a null key matches nothing — it lands on the ANTI side
+        assert anti["v"].to_pylist() == [10, 30, 40]
+        assert len(semi) + len(anti) == len(left)
+        # Dataset path identical
+        dsemi = semi_join(
+            ray.data.from_arrow(left).repartition(2),
+            ray.data.from_arrow(right),
+            "k",
+        ).to_pandas()
+        assert sorted(dsemi["v"]) == [20, 50]
+
+    def test_right_on_and_string_keys(self, ray_session):
+        from maup_ray.ops.join import semi_join
+
+        left = pa.table(
+            {"name": pa.array(["a", "b", "c"]),
+             "x": pa.array([1, 2, 3], type=pa.int64())}
+        )
+        right = pa.table({"n2": pa.array(["b", "b", "z"])})
+        out = semi_join(left, right, "name", right_on="n2")
+        assert out["x"].to_pylist() == [2]
+
+    def test_broadcast_limit_guard(self, ray_session):
+        import pytest as _pytest
+
+        from maup_ray.ops.join import semi_join
+
+        left = self._left()
+        right = pa.table(
+            {"k": pa.array([1, 2, 3], type=pa.int64())}
+        )
+        with _pytest.raises(ValueError, match="broadcast_limit"):
+            semi_join(left, right, "k", broadcast_limit=2)
+
+    def test_dataset_right_pre_distincts(self, ray_session):
+        """A Dataset right side with massive duplication still fits a
+        tiny broadcast_limit: only DISTINCT keys reach the driver."""
+        import ray.data
+
+        from maup_ray.ops.join import semi_join
+
+        left = self._left()
+        right = ray.data.from_arrow(
+            pa.table(
+                {"k": pa.array([2] * 5000 + [5] * 5000,
+                               type=pa.int64())}
+            )
+        ).repartition(4)
+        out = semi_join(left, right, "k", broadcast_limit=4)
+        assert out["v"].to_pylist() == [20, 50]
