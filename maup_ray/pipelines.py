@@ -1117,6 +1117,68 @@ def q_order_totals(sf_dir: str):
     return out.sort_by("c_nationkey")
 
 
+def q_region_revenue(sf_dir: str):
+    """Star-schema chain (orders ⋈ customer ⋈ nation ⋈ region → revenue
+    per region name) collapsed the way a 100-TB plan should be: the
+    dim-dim joins (customer→nation→region, all provably small) happen
+    DRIVER-side with plain Arrow take, producing ONE custkey→r_name
+    dimension that broadcasts once; the orders fact stream then does a
+    single vectorized join pass + exact integer-cents reaggregation.
+    Four logical joins, zero shuffles."""
+    import pyarrow.parquet as pq
+
+    from .ops.agg import grouped_sum_count
+    from .ops.join import equi_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    n_reg = region["r_name"].take(
+        pc.index_in(nation["n_regionkey"], region["r_regionkey"].combine_chunks())
+    )
+    c_reg = n_reg.take(
+        pc.index_in(cust["c_nationkey"], nation["n_nationkey"].combine_chunks())
+    )
+    dim = pa.table({"c_custkey": cust["c_custkey"], "r_name": c_reg})
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "revenue_cents": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    joined = equi_join(
+        orders.map_batches(
+            cents, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        dim,
+        "o_custkey",
+        "c_custkey",
+        ["r_name"],
+    )
+    out = grouped_sum_count(
+        joined,
+        ["r_name"],
+        sum_cols=["revenue_cents"],
+        count_col="n_orders",
+        final="driver",
+    )
+    return out.sort_by("r_name")
+
+
 KNN_K = 3
 RASTER_RES = 4
 
@@ -1577,6 +1639,7 @@ def query_registry():
         # training-data family
         "order_totals": q_order_totals,
         "cust_no_urgent": q_cust_no_urgent,
+        "region_revenue": q_region_revenue,
         "sample": q_sample,
         "stratified_sample": q_stratified_sample,
         "topk_user": q_topk_user,
@@ -1929,6 +1992,17 @@ def oracle_queries() -> dict[str, str]:
             WHERE c_custkey NOT IN (
               SELECT o_custkey FROM orders
               WHERE o_orderpriority = '1-URGENT')
+        """,
+        "region_revenue": """
+            SELECT r_name,
+                   CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            GROUP BY r_name ORDER BY r_name
         """,
         "decontaminate": f"""
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
