@@ -20,8 +20,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-__all__ = ["sessionize"]
+__all__ = ["sessionize", "funnel"]
 
 
 def sessionize(
@@ -122,4 +123,92 @@ def sessionize(
 
     return hash_group_apply(
         events, [user_col], sess_part, sort_cols=(ts_col,)
+    )
+
+
+def funnel(
+    events,
+    steps,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
+    """Conversion-funnel analysis: → (user_col, steps_completed) for
+    every user present in the stream, greedy earliest-first matching —
+    step k+1 must occur STRICTLY after the matched step-k timestamp
+    (min-ts semantics, so the result is order-independent and the SQL
+    oracle's chained `min(ts) ... > prev` subqueries mirror it
+    exactly).
+
+    Scale shape: one user-keyed hash shuffle (the sessionize
+    discipline), then one vectorized pass per partition — per step,
+    one equality mask + one segment-min (`np.minimum.reduceat` over
+    the user-contiguous sort), never a per-user loop."""
+    steps = list(steps)
+
+    def funnel_part(tbl, starts):
+        user_type = (
+            tbl.schema.field(user_col).type
+            if tbl is not None
+            else pa.int64()
+        )
+        schema = pa.schema(
+            [
+                (user_col, user_type),
+                ("steps_completed", pa.int64()),
+            ]
+        )
+        if tbl is None or len(starts) == 0:
+            return schema.empty_table()
+        n = len(tbl)
+        nu = len(starts)
+        sizes = np.diff(np.append(starts, n))
+        uidx = np.repeat(np.arange(nu), sizes)
+        tsi = (
+            tbl[ts_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        LO, HI = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+        prev = np.full(nu, LO, dtype=np.int64)
+        completed = np.zeros(nu, dtype=np.int64)
+        for s in steps:
+            is_s = (
+                pc.equal(tbl[type_col], s)
+                .to_numpy(zero_copy_only=False)
+            )
+            is_s = np.asarray(is_s, dtype=bool)
+            cand = np.where(is_s & (tsi > prev[uidx]), tsi, HI)
+            mins = np.minimum.reduceat(cand, starts)
+            hit = mins < HI
+            completed += hit.astype(np.int64)
+            # unmatched users get prev=HI: no later step can match,
+            # so completed counts the maximal PREFIX of the sequence
+            prev = mins
+        return pa.table(
+            {
+                user_col: tbl[user_col].take(pa.array(starts)),
+                "steps_completed": pa.array(completed),
+            }
+        )
+
+    if isinstance(events, pa.Table):
+        # driver-local replica: sort by (user, ts) and reuse the
+        # partition kernel with computed group starts
+        import pyarrow.compute as _pc
+
+        order = _pc.sort_indices(
+            events,
+            sort_keys=[(user_col, "ascending"), (ts_col, "ascending")],
+        )
+        t = events.take(order)
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        starts = np.r_[0, 1 + np.flatnonzero(u[1:] != u[:-1])]
+        return funnel_part(t, starts)
+
+    from .shuffle import hash_group_apply
+
+    return hash_group_apply(
+        events, [user_col], funnel_part, sort_cols=(ts_col,)
     )

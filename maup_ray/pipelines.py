@@ -1117,6 +1117,22 @@ def q_order_totals(sf_dir: str):
     return out.sort_by("c_nationkey")
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel(sf_dir: str):
+    """Conversion funnel view→click→purchase per user: greedy
+    earliest-first step matching with strict-after semantics — one
+    user-keyed hash shuffle + per-partition segment-min arithmetic,
+    value-exact vs the chained min-ts correlated-subquery oracle."""
+    from .ops.sessions import funnel
+
+    return funnel(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        steps=FUNNEL_STEPS,
+    )
+
+
 LOGREG_FEATURES = [
     "n_chars",
     "n_tokens",
@@ -1678,6 +1694,7 @@ def query_registry():
         "knn": q_knn,
         "rasterize": q_rasterize,
         "sessions": q_sessions,
+        "funnel": q_funnel,
         "rolling_window": q_rolling_window,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -1906,6 +1923,32 @@ def oracle_queries() -> dict[str, str]:
                     CAST(round(value*100, 0) AS BIGINT) AS value_cents
                   FROM events)
             GROUP BY event_type
+        """,
+        # funnel: chained min-ts subqueries — step k+1 strictly after
+        # the matched step-k time, exactly the engine's greedy
+        # earliest-first semantics
+        "funnel": f"""
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t FROM events
+                   WHERE event_type = '{FUNNEL_STEPS[0]}'
+                   GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+                   WHERE e.event_type = '{FUNNEL_STEPS[1]}'
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+                   WHERE e.event_type = '{FUNNEL_STEPS[2]}'
+                   GROUP BY e.user_id)
+            SELECT u.user_id,
+              CAST(CASE WHEN s3.t IS NOT NULL THEN 3
+                        WHEN s2.t IS NOT NULL THEN 2
+                        WHEN s1.t IS NOT NULL THEN 1
+                        ELSE 0 END AS BIGINT) AS steps_completed
+            FROM u
+            LEFT JOIN s1 ON s1.user_id = u.user_id
+            LEFT JOIN s2 ON s2.user_id = u.user_id
+            LEFT JOIN s3 ON s3.user_id = u.user_id
         """,
         "sessions": """
             WITH ordered AS (

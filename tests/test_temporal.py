@@ -339,3 +339,78 @@ class TestAsofJoinTypePreservation:
         )
         assert by_id[1] is None  # no quote yet -> typed null
         assert by_id[3] == big  # bit-exact, no 2^53 rounding
+
+
+class TestFunnel:
+    def _events(self):
+        import pandas as pd
+
+        rows = [
+            # u1 completes all three in order
+            (1, "2024-01-01 10:00", "view"),
+            (1, "2024-01-01 10:05", "click"),
+            (1, "2024-01-01 10:10", "purchase"),
+            # u2: purchase BEFORE view/click chain -> only 2 steps
+            (2, "2024-01-01 09:00", "purchase"),
+            (2, "2024-01-01 10:00", "view"),
+            (2, "2024-01-01 10:05", "click"),
+            # u3: click only (no view first) -> 0 steps
+            (3, "2024-01-01 10:00", "click"),
+            (3, "2024-01-01 10:01", "purchase"),
+            # u4: same-ts view and click -> strict-after rejects click
+            (4, "2024-01-01 10:00", "view"),
+            (4, "2024-01-01 10:00", "click"),
+            # u5: greedy earliest view still lets a later click count
+            (5, "2024-01-01 08:00", "view"),
+            (5, "2024-01-01 09:00", "view"),
+            (5, "2024-01-01 09:30", "click"),
+        ]
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [r[0] for r in rows], type=pa.int64()
+                ),
+                "ts": pa.array(
+                    pd.to_datetime([r[1] for r in rows])
+                ).cast(pa.timestamp("us")),
+                "event_type": pa.array([r[2] for r in rows]),
+            }
+        )
+
+    def test_prefix_and_strict_after_semantics(self, ray_session):
+        from maup_ray.ops.sessions import funnel
+
+        out = funnel(
+            self._events(), ["view", "click", "purchase"]
+        )
+        got = dict(
+            zip(
+                out["user_id"].to_pylist(),
+                out["steps_completed"].to_pylist(),
+            )
+        )
+        assert got == {1: 3, 2: 2, 3: 0, 4: 1, 5: 2}
+
+    def test_dataset_matches_local(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.sessions import funnel
+
+        t = self._events()
+        local = (
+            funnel(t, ["view", "click", "purchase"])
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        for p in (1, 4):
+            dist = (
+                funnel(
+                    ray.data.from_arrow(t).repartition(p),
+                    ["view", "click", "purchase"],
+                )
+                .to_pandas()
+                .sort_values("user_id")
+                .reset_index(drop=True)
+            )
+            assert dist.equals(local)
