@@ -1117,6 +1117,32 @@ def q_order_totals(sf_dir: str):
     return out.sort_by("c_nationkey")
 
 
+def q_normalize_text(sf_dir: str):
+    """Text normalization (lower → collapse whitespace → trim) over
+    deterministically-messied documents (the redact_pii planting
+    discipline: both sides derive the same mess — upper-case, a
+    doubled first space, pad + tab — so the normalizer has real work
+    and the RE2/utf8 kernels are exercised byte-for-byte)."""
+    from .text.analysis import normalize_text
+
+    def messy(b: pa.Table) -> pa.Table:
+        up = pc.utf8_upper(b["text"])
+        sp = pc.replace_substring(up, " ", "  ", max_replacements=1)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text": pc.binary_join_element_wise(
+                    " ", sp, " \t", ""
+                ),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        messy, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return normalize_text(docs)
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -1709,6 +1735,7 @@ def query_registry():
         "percentiles": q_percentiles,
         "distinct_users": q_distinct_users,
         "token_count": q_token_count,
+        "normalize_text": q_normalize_text,
         "token_bpe": q_token_bpe,
         "quality": q_quality,
         "dedup_exact": q_dedup_exact,
@@ -1923,6 +1950,18 @@ def oracle_queries() -> dict[str, str]:
                     CAST(round(value*100, 0) AS BIGINT) AS value_cents
                   FROM events)
             GROUP BY event_type
+        """,
+        # normalize_text: identical mess derivation (upper, doubled
+        # first space, pad+tab) then lower + RE2 '\s+' collapse + trim
+        # — non-'g' regexp_replace is first-match-only on BOTH sides
+        # (pc.replace_substring max_replacements=1)
+        "normalize_text": r"""
+            SELECT doc_id,
+              trim(regexp_replace(
+                lower(' ' || regexp_replace(upper(text), ' ', '  ')
+                      || ' ' || chr(9)),
+                '\s+', ' ', 'g')) AS norm_text
+            FROM documents
         """,
         # funnel: chained min-ts subqueries — step k+1 strictly after
         # the matched step-k time, exactly the engine's greedy

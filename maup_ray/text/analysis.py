@@ -515,3 +515,29 @@ def pack_documents(
         )
     )
     return hash_group_apply(pruned, ["part"], pack_part, sort_cols=(id_col,))
+
+
+def normalize_text_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """(id, norm_text): lowercase → collapse whitespace runs to one
+    space → trim. All three are Arrow RE2/utf8 kernels mirrored
+    byte-for-byte by the DuckDB oracle (lower + regexp_replace 'g' +
+    trim) — the redact_pii parity discipline."""
+    t = pc.utf8_lower(batch[text_col])
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim_whitespace(t)
+    return pa.table({id_col: batch[id_col], "norm_text": t})
+
+
+def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Text normalization over a document Dataset — the first stage of
+    every dedup/tokenize pipeline. Stateless vectorized map; one pass,
+    payloads stream."""
+    if isinstance(ds, pa.Table):
+        return normalize_text_batch(ds, text_col, id_col)
+    return ds.map_batches(
+        lambda b: normalize_text_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -1201,3 +1201,43 @@ class TestSemanticPrune:
                 if group_of[u] == group_of[v]
                 and shard_of[u] == shard_of[v]
             )
+
+
+class TestNormalizeText:
+    def test_roundtrip_and_edges(self, ray_session):
+        import ray.data
+
+        from maup_ray.text.analysis import normalize_text
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "  Hello \t WORLD  ",
+                        "already clean",
+                        "",
+                        None,
+                    ]
+                ),
+            }
+        )
+        out = normalize_text(t)
+        assert out["norm_text"].to_pylist() == [
+            "hello world",
+            "already clean",
+            "",
+            None,  # null propagates (SQL semantics)
+        ]
+        # clean text is a fixed point; Dataset path matches local
+        dist = (
+            normalize_text(ray.data.from_arrow(t).repartition(2))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert dist["norm_text"].tolist()[:3] == [
+            "hello world",
+            "already clean",
+            "",
+        ]
