@@ -32,6 +32,7 @@ __all__ = [
     "top_k_per_group",
     "grouped_quantiles",
     "grouped_distinct_count",
+    "grouped_mode",
 ]
 
 
@@ -295,4 +296,97 @@ def _quantile_walk(tbl, starts, key, value_col, qs, q_names, count_col):
                 for nm in q_names
             },
         }
+    )
+
+
+def grouped_mode(
+    ds,
+    key: str,
+    value: str,
+    count_col: str = "n_occ",
+    out_col: str | None = None,
+):
+    """Exact per-``key`` mode of ``value`` (most frequent value; ties
+    broken by smallest value) → ``(key, out_col, count_col)``.
+
+    Scale shape — the partial-aggregation discipline twice over:
+    1. per-batch ``(key, value)`` count partials (Arrow C++ group_by),
+       so the shuffle moves distinct pairs per block, never rows;
+    2. ONE key-hash shuffle of the partials
+       (``ops/shuffle.hash_group_apply``); each partition merges its
+       pair counts with ``reduceat`` and picks each key's argmax with
+       one Arrow sort — no per-group dispatch, no driver collect.
+    Deterministic: the ``(count DESC, value ASC)`` order makes the
+    winner unique, matching the SQL
+    ``row_number() OVER (... ORDER BY count(*) DESC, value) = 1``.
+    """
+    out_col = out_col or value
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select([key, value])
+            .group_by([key, value], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([key, value, count_col])
+
+    def final(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        key_t = tbl.schema.field(key).type if tbl is not None else pa.int64()
+        val_t = (
+            tbl.schema.field(value).type if tbl is not None else pa.string()
+        )
+        schema = pa.schema(
+            [(key, key_t), (out_col, val_t), (count_col, pa.int64())]
+        )
+        if tbl is None or len(tbl) == 0:
+            return schema.empty_table()
+        # merge partial counts for identical (key, value) pairs: rows
+        # arrive sorted by (key, value), so pair boundaries are where
+        # either column changes — reduceat over the counts
+        n = len(tbl)
+        cnt = tbl[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        kc = tbl[key].to_numpy(zero_copy_only=False)
+        ve = tbl[value]
+        if isinstance(ve, pa.ChunkedArray):
+            ve = (
+                ve.chunk(0)
+                if ve.num_chunks == 1
+                else pa.concat_arrays(ve.chunks)
+            )
+        # integer codes for the change-point scan (works for any value
+        # type, including strings, without python compares)
+        vn = ve.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        change = np.ones(n, dtype=bool)
+        change[1:] = (kc[1:] != kc[:-1]) | (vn[1:] != vn[:-1])
+        seg = np.flatnonzero(change)
+        totals = np.add.reduceat(cnt, seg)
+        merged = pa.table(
+            {
+                key: tbl[key].take(pa.array(seg)),
+                out_col: ve.take(pa.array(seg)),
+                count_col: pa.array(totals),
+            }
+        )
+        # per-key argmax: one Arrow sort puts each key's winner first
+        merged = merged.combine_chunks().sort_by(
+            [(key, "ascending"), (count_col, "descending"),
+             (out_col, "ascending")]
+        )
+        km = merged[key].to_numpy(zero_copy_only=False)
+        first = np.ones(len(merged), dtype=bool)
+        first[1:] = km[1:] != km[:-1]
+        return merged.filter(pa.array(first))
+
+    from .shuffle import group_starts, hash_group_apply
+
+    if isinstance(ds, pa.Table):
+        t = partial(ds).combine_chunks().sort_by(
+            [(key, "ascending"), (value, "ascending")]
+        )
+        return final(t, group_starts(t, [key]))
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_group_apply(
+        partials, [key], final, sort_cols=(value,)
     )

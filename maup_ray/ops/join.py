@@ -14,7 +14,13 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["broadcast_hash_join", "equi_join", "semi_join", "anti_join"]
+__all__ = [
+    "broadcast_hash_join",
+    "equi_join",
+    "left_broadcast_join",
+    "semi_join",
+    "anti_join",
+]
 
 
 def broadcast_hash_join(ds, right: pa.Table, left_on: str, right_on: str,
@@ -88,6 +94,64 @@ def equi_join(
         on=(left_on,),
         right_on=(right_on,),
     )
+
+
+def left_broadcast_join(
+    ds, right: pa.Table, left_on: str, right_on: str, take_cols,
+    fill: dict | None = None,
+):
+    """LEFT OUTER equi-join against a SMALL right table: every left
+    row survives; unmatched rows carry typed nulls — or ``fill[col]``
+    where given — in the taken columns.
+
+    Same broadcast shape as ``broadcast_hash_join`` (right side ships
+    once via ``ray.put``, one vectorized ``index_in`` + ``take`` per
+    batch, the left stream never shuffles) with an ``if_else`` null
+    mask instead of the inner-join filter. Right keys must be unique
+    (checked driver-local) — outer row duplication is not a broadcast
+    shape."""
+    import ray
+
+    right = right.combine_chunks()
+    n_distinct = pc.count_distinct(right[right_on], mode="all").as_py()
+    if n_distinct != len(right):
+        raise ValueError(
+            f"left_broadcast_join: right side has duplicate "
+            f"'{right_on}' keys ({len(right)} rows, {n_distinct} "
+            "distinct); dedup the dimension table first"
+        )
+    fill = dict(fill or {})
+    ref = ray.put(right)
+
+    def f(batch: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        out = batch
+        if len(r) == 0:
+            # empty dimension: every left row is unmatched
+            for c in take_cols:
+                t = r.schema.field(c).type
+                col = (
+                    pa.array([fill[c]] * len(batch), type=t)
+                    if c in fill
+                    else pa.nulls(len(batch), type=t)
+                )
+                out = out.append_column(c, col)
+            return out
+        vs = r[right_on].chunk(0)
+        idx = pc.index_in(batch[left_on], vs)
+        mask = pc.is_valid(idx)
+        safe = pc.if_else(mask, idx, pa.scalar(0, idx.type))
+        for c in take_cols:
+            col = pc.take(r[c], safe)
+            col = pc.if_else(mask, col, pa.scalar(None, col.type))
+            if c in fill:
+                col = pc.fill_null(col, fill[c])
+            out = out.append_column(c, col)
+        return out
+
+    if isinstance(ds, pa.Table):
+        return f(ds)
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _distinct_keys(right, on: str, broadcast_limit: int) -> pa.Array:

@@ -34,7 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["rolling_window", "asof_join", "range_join_agg"]
+__all__ = ["rolling_window", "asof_join", "range_join_agg", "lag_deltas"]
 
 _US = 1_000_000
 
@@ -458,4 +458,65 @@ def range_join_agg(
     )
     return hash_group_apply(
         partials, [interval_id_col], final_part
+    )
+
+
+# ------------------------------------------------------- lag deltas
+
+
+def lag_deltas(
+    events,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    out_col: str = "gap_us",
+):
+    """Per-key LAG delta: for every row, the int64 microseconds since
+    the key's PREVIOUS event in ``(ts, id)`` order (null for each
+    key's first row) — the window-function shape
+    ``ts - LAG(ts) OVER (PARTITION BY key ORDER BY ts, id)``.
+
+    Scale shape: ships only the pruned ``(key, ts, id)`` projection
+    (~24 B/row) through ONE key-hash shuffle; each partition is sorted
+    once (Arrow C++) and the deltas are a single vectorized diff —
+    group firsts are nulled via the partition's group-start offsets.
+    Exact by construction (int64 microsecond arithmetic, no floats).
+    """
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        key_t = (
+            tbl.schema.field(key_col).type if tbl is not None else pa.int64()
+        )
+        id_t = (
+            tbl.schema.field(id_col).type if tbl is not None else pa.int64()
+        )
+        schema = pa.schema(
+            [(id_col, id_t), (key_col, key_t), (out_col, pa.int64())]
+        )
+        if tbl is None or len(starts) == 0:
+            return schema.empty_table()
+        ts = _ts_i64(tbl[ts_col])
+        n = len(ts)
+        gaps = np.zeros(n, dtype=np.int64)
+        gaps[1:] = ts[1:] - ts[:-1]
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        return pa.table(
+            {
+                id_col: tbl[id_col],
+                key_col: tbl[key_col],
+                out_col: pa.array(gaps, mask=first),
+            }
+        )
+
+    from .shuffle import group_starts, hash_group_apply
+
+    if isinstance(events, pa.Table):
+        t = events.combine_chunks().sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"),
+             (id_col, "ascending")]
+        )
+        return part(t, group_starts(t, [key_col]))
+    return hash_group_apply(
+        events, [key_col], part, sort_cols=(ts_col, id_col)
     )

@@ -1117,6 +1117,170 @@ def q_order_totals(sf_dir: str):
     return out.sort_by("c_nationkey")
 
 
+PRICING_CUTOFF = "2000-09-02"
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary over the lineitem stream:
+    filtered scan → per-batch integer partials → 6-group rollup.
+
+    Scale shape: the shipdate predicate pushes down to the parquet
+    read (row-group pruning — rows past the cutoff never leave
+    storage); each batch groups locally (Arrow C++) so the final
+    reduction sees n_groups × n_blocks partial rows; the 6-group
+    finish runs on the driver (ops/agg ``final="driver"`` rationale).
+
+    Exactness: money flows as integers end to end — cents,
+    cents×(100−disc) [10⁻⁴ $], cents×(100−disc)×(100+tax) [10⁻⁶ $] —
+    so sums are order-independent; each avg_* is ONE IEEE division
+    sum/count mirrored exactly by the oracle's
+    ``CAST(sum AS DOUBLE)/count(*)``."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from .ops.agg import grouped_sum_count
+
+    cutoff = datetime.fromisoformat(PRICING_CUTOFF)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+        ],
+        filter=(pads.field("l_shipdate") <= pa.scalar(cutoff)),
+    )
+
+    def ints(b: pa.Table) -> pa.Table:
+        def cents(col, scale):
+            return pc.cast(
+                pc.round(pc.multiply(b[col], scale)), pa.int64()
+            )
+
+        qty = cents("l_quantity", 1.0)
+        price = cents("l_extendedprice", 100.0)
+        disc = cents("l_discount", 100.0)
+        tax = cents("l_tax", 100.0)
+        disc_u = pc.multiply(price, pc.subtract(pa.scalar(100), disc))
+        charge_u = pc.multiply(disc_u, pc.add(pa.scalar(100), tax))
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": qty,
+                "base_cents": price,
+                "disc_u": disc_u,
+                "charge_u": charge_u,
+                "disc_pct": disc,
+            }
+        )
+
+    t = grouped_sum_count(
+        ds.map_batches(ints, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        sum_cols=["sum_qty", "base_cents", "disc_u", "charge_u",
+                  "disc_pct"],
+        count_col="n",
+        final="driver",
+    )
+    n = t["n"].to_numpy().astype(np.float64)
+    for avg, src in (
+        ("avg_qty", "sum_qty"),
+        ("avg_price_cents", "base_cents"),
+        ("avg_disc_pct", "disc_pct"),
+    ):
+        t = t.append_column(
+            avg, pa.array(t[src].to_numpy().astype(np.float64) / n)
+        )
+    t = t.drop_columns(["disc_pct"])
+    return t.combine_chunks().sort_by(
+        [("l_returnflag", "ascending"), ("l_linestatus", "ascending")]
+    )
+
+
+def q_event_gaps(sf_dir: str):
+    """Per-user inter-arrival LAG deltas over the events stream (the
+    window-function shape): int64 µs since the user's previous event,
+    null on each user's first — ONE 24 B/row keyed shuffle, one
+    vectorized diff per partition (ops/temporal.lag_deltas)."""
+    from .ops.temporal import lag_deltas
+
+    return lag_deltas(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    )
+
+
+def q_customer_orders(sf_dir: str):
+    """LEFT OUTER enrichment: every customer with order count + exact
+    integer-cents revenue, zero-order customers included at 0 — the
+    outer-join semantics the inner `order_totals` plan cannot express.
+
+    Scale shape: the fact stream pre-aggregates per custkey (partial
+    counts per batch, one keyed reduce bounded by |customers|), the
+    aggregate broadcasts once, and the customer dimension streams
+    through one vectorized index_in + null-mask take
+    (ops/join.left_broadcast_join) — no shuffle of either dimension.
+    """
+    import pyarrow.parquet as pq
+
+    from .ops.agg import grouped_sum_count
+    from .ops.join import left_broadcast_join
+
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    if n_cust > 2_000_000:  # same plan bound as order_totals/prorate
+        raise NotImplementedError(
+            "customer_orders broadcast plan needs |customers| <= 2M; "
+            "use the co-shuffle equi_join plan above it"
+        )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = grouped_sum_count(
+        orders.map_batches(
+            cents, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["o_custkey"],
+        sum_cols=["price_cents"],
+        count_col="n_orders",
+        final="driver",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return left_broadcast_join(
+        cust,
+        agg,
+        "c_custkey",
+        "o_custkey",
+        ["price_cents", "n_orders"],
+        fill={"price_cents": 0, "n_orders": 0},
+    )
+
+
+def q_top_event_type(sf_dir: str):
+    """Exact grouped MODE: each user's most frequent event_type (ties
+    → lexicographically smallest), via per-batch (user,type) count
+    partials + ONE keyed shuffle with a reduceat merge and one Arrow
+    argmax sort per partition (ops/curate.grouped_mode)."""
+    from .ops.curate import grouped_mode
+
+    return grouped_mode(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        "user_id",
+        "event_type",
+        out_col="top_type",
+    )
+
+
 def q_normalize_text(sf_dir: str):
     """Text normalization (lower → collapse whitespace → trim) over
     deterministically-messied documents (the redact_pii planting
@@ -1726,6 +1890,10 @@ def query_registry():
         "range_join": q_range_join,
         # training-data family
         "order_totals": q_order_totals,
+        "pricing_summary": q_pricing_summary,
+        "customer_orders": q_customer_orders,
+        "event_gaps": q_event_gaps,
+        "top_event_type": q_top_event_type,
         "cust_no_urgent": q_cust_no_urgent,
         "region_revenue": q_region_revenue,
         "quality_model": q_quality_model,
@@ -1908,6 +2076,59 @@ def oracle_queries() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "pricing_summary": f"""
+            WITH f AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+                     CAST(round(l_extendedprice*100, 0) AS BIGINT)
+                         AS cents,
+                     CAST(round(l_discount*100, 0) AS BIGINT) AS disc,
+                     CAST(round(l_tax*100, 0) AS BIGINT) AS tax
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}')
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(qty) AS BIGINT) AS sum_qty,
+                   CAST(sum(cents) AS BIGINT) AS base_cents,
+                   CAST(sum(cents*(100-disc)) AS BIGINT) AS disc_u,
+                   CAST(sum(cents*(100-disc)*(100+tax)) AS BIGINT)
+                       AS charge_u,
+                   count(*) AS n,
+                   CAST(sum(qty) AS DOUBLE) / count(*) AS avg_qty,
+                   CAST(sum(cents) AS DOUBLE) / count(*)
+                       AS avg_price_cents,
+                   CAST(sum(disc) AS DOUBLE) / count(*)
+                       AS avg_disc_pct
+            FROM f GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "customer_orders": """
+            SELECT c_custkey, c_mktsegment,
+                   COALESCE(o.price_cents, 0) AS price_cents,
+                   COALESCE(o.n_orders, 0) AS n_orders
+            FROM customer LEFT JOIN (
+              SELECT o_custkey,
+                     CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT))
+                          AS BIGINT) AS price_cents,
+                     count(*) AS n_orders
+              FROM orders GROUP BY 1) o ON c_custkey = o_custkey
+        """,
+        "event_gaps": """
+            SELECT event_id, user_id,
+                   date_diff('microsecond',
+                             LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts) AS gap_us
+            FROM events
+        """,
+        "top_event_type": """
+            SELECT user_id, top_type, n_occ FROM (
+              SELECT user_id, event_type AS top_type,
+                     count(*) AS n_occ,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY count(*) DESC, event_type) AS rn
+              FROM events GROUP BY 1, 2)
+            WHERE rn = 1
         """,
         "sample": f"""
             SELECT doc_id, lang, n_chars FROM documents

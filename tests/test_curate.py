@@ -336,3 +336,68 @@ class TestHyperLogLog:
             "event_type": 5,
             "props": 100,
         }
+
+
+class TestGroupedMode:
+    def _tbl(self, n=500, users=13, types=5, seed=11):
+        rng = np.random.default_rng(seed)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    rng.integers(0, users, n), type=pa.int64()
+                ),
+                "event_type": pa.array(
+                    [f"t{v}" for v in rng.integers(0, types, n)]
+                ),
+            }
+        )
+
+    def test_matches_pandas_brute_with_tie_rule(self, ray_session):
+        from maup_ray.ops.curate import grouped_mode
+
+        tbl = self._tbl()
+        got = (
+            grouped_mode(tbl, "user_id", "event_type", out_col="top")
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        df = tbl.to_pandas()
+        cnt = (
+            df.groupby(["user_id", "event_type"])
+            .size()
+            .reset_index(name="n")
+        )
+        cnt = cnt.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+        )
+        want = cnt.groupby("user_id").head(1).reset_index(drop=True)
+        assert list(got["user_id"]) == list(want["user_id"])
+        assert list(got["top"]) == list(want["event_type"])
+        assert list(got["n_occ"]) == list(want["n"])
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.curate import grouped_mode
+
+        tbl = self._tbl(n=700, seed=4)
+        a = (
+            grouped_mode(tbl, "user_id", "event_type")
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        for blocks in (2, 9):
+            b = (
+                grouped_mode(
+                    ray.data.from_arrow(tbl).repartition(blocks),
+                    "user_id",
+                    "event_type",
+                )
+                .to_pandas()
+                .sort_values("user_id")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(a, b)

@@ -167,3 +167,61 @@ class TestSemiAntiJoin:
         ).repartition(4)
         out = semi_join(left, right, "k", broadcast_limit=4)
         assert out["v"].to_pylist() == [20, 50]
+
+
+class TestLeftBroadcastJoin:
+    def test_unmatched_rows_survive_with_fill_and_null(self, ray_session):
+        from maup_ray.ops.join import left_broadcast_join
+
+        right = pa.table(
+            {
+                "rk": pa.array([0, 1, 2], type=pa.int64()),
+                "cnt": pa.array([10, 20, 30], type=pa.int64()),
+                "tag": pa.array(["a", "b", "c"]),
+            }
+        )
+        ds = _left_ds(ray_session, n=40)  # keys 0..16
+        out = (
+            left_broadcast_join(
+                ds, right, "k", "rk", ["cnt", "tag"], fill={"cnt": 0}
+            )
+            .to_pandas()
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 40  # every left row survives
+        matched = out["k"] < 3
+        assert (out.loc[matched, "cnt"] == (out.loc[matched, "k"] + 1) * 10).all()
+        assert (out.loc[~matched, "cnt"] == 0).all()  # fill applied
+        assert out.loc[~matched, "tag"].isna().all()  # typed null kept
+
+    def test_table_path_and_empty_right(self):
+        from maup_ray.ops.join import left_broadcast_join
+
+        left = pa.table({"k": pa.array([5, 6], type=pa.int64())})
+        right = pa.table(
+            {
+                "rk": pa.array([], type=pa.int64()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+        out = left_broadcast_join(
+            left, right, "k", "rk", ["cnt"], fill={"cnt": 0}
+        )
+        assert out["cnt"].to_pylist() == [0, 0]
+        out2 = left_broadcast_join(left, right, "k", "rk", ["cnt"])
+        assert out2["cnt"].to_pylist() == [None, None]
+        assert out2.schema.field("cnt").type == pa.int64()
+
+    def test_duplicate_right_keys_raise(self):
+        from maup_ray.ops.join import left_broadcast_join
+
+        left = pa.table({"k": pa.array([1], type=pa.int64())})
+        right = pa.table(
+            {
+                "rk": pa.array([1, 1], type=pa.int64()),
+                "cnt": pa.array([1, 2], type=pa.int64()),
+            }
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            left_broadcast_join(left, right, "k", "rk", ["cnt"])

@@ -414,3 +414,59 @@ class TestFunnel:
                 .reset_index(drop=True)
             )
             assert dist.equals(local)
+
+
+class TestLagDeltas:
+    def _events(self, n=400, users=7, seed=3):
+        rng = np.random.default_rng(seed)
+        ts = np.datetime64("2021-05-01T00:00:00", "us") + rng.integers(
+            0, 3_600_000_000, n
+        ).astype("timedelta64[us]")
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    rng.integers(0, users, n), type=pa.int64()
+                ),
+                "ts": pa.array(ts),
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            }
+        )
+
+    def test_matches_pandas_brute(self):
+        from maup_ray.ops.temporal import lag_deltas
+
+        tbl = self._events()
+        got = (
+            lag_deltas(tbl)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        d = df.groupby("user_id")["ts"].diff().to_numpy()
+        # exact integer microseconds (total_seconds()*1e6 rounds)
+        df["gap_us"] = np.where(
+            np.isnat(d),
+            np.nan,
+            d.astype("timedelta64[us]").view(np.int64).astype(np.float64),
+        )
+        want = df.sort_values("event_id").reset_index(drop=True)
+        assert np.array_equal(
+            got["gap_us"].to_numpy(),
+            want["gap_us"].to_numpy(),
+            equal_nan=True,
+        )
+
+    def test_dataset_matches_table(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.temporal import lag_deltas
+
+        tbl = self._events(n=300)
+        a = lag_deltas(tbl).to_pandas()
+        b = lag_deltas(
+            ray.data.from_arrow(tbl).repartition(5)
+        ).to_pandas()
+        a = a.sort_values("event_id").reset_index(drop=True)
+        b = b.sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
