@@ -135,3 +135,98 @@ class CellGrid:
             return 10
         r = int(np.log2(max(self.size / (typical_extent * 2.0), 1.0)))
         return int(np.clip(r, 0, MAX_RES))
+
+
+def children(cell: np.ndarray) -> np.ndarray:
+    """The 4 child cells (next-finer resolution) of each input cell →
+    shape (n, 4). Morton property: child codes are 4·code + {0,1,2,3}."""
+    cell = np.asarray(cell, dtype=np.uint64)
+    res = (cell >> np.uint64(_RES_SHIFT)).astype(np.int64)
+    if np.any(res >= MAX_RES):
+        raise ValueError("children: cell already at MAX_RES")
+    code = cell & ((np.uint64(1) << np.uint64(_RES_SHIFT)) - np.uint64(1))
+    base = (code << np.uint64(2)) | (
+        (res + 1).astype(np.uint64) << np.uint64(_RES_SHIFT)
+    )
+    return base[:, None] + np.arange(4, dtype=np.uint64)[None, :]
+
+
+def compact_cells(cells: np.ndarray, min_res: int = 0) -> np.ndarray:
+    """H3-style ``compact``: a set of SAME-resolution cells → the
+    minimal set of ancestors (resolutions ``min_res..R``) whose
+    disjoint union covers exactly the input set.
+
+    Pure-numpy log-depth loop: cells sort by packed id (= Morton
+    order), the 4 children of a parent are CONTIGUOUS in that order
+    (child codes are 4p..4p+3), so complete sibling groups are
+    run-length-4 runs of equal parent code — one diff/repeat pass per
+    level, no hashing, no python loops. Promotion stops at
+    ``min_res`` (the distributed op's anchor resolution; survivors at
+    ``min_res`` mean "this whole subtree is covered").
+    """
+    cells = np.unique(np.asarray(cells, dtype=np.uint64))
+    if len(cells) == 0:
+        return cells
+    res = (cells >> np.uint64(_RES_SHIFT)).astype(np.int64)
+    r = int(res[0])
+    if np.any(res != r):
+        raise ValueError("compact_cells: input must be single-resolution")
+    out = []
+    cur = cells
+    while r > min_res and len(cur):
+        code = cur & ((np.uint64(1) << np.uint64(_RES_SHIFT)) - np.uint64(1))
+        pcode = code >> np.uint64(2)
+        n = len(cur)
+        change = np.ones(n, dtype=bool)
+        change[1:] = pcode[1:] != pcode[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, n))
+        full = counts == 4
+        member_full = np.repeat(full, counts)
+        out.append(cur[~member_full])
+        cur = (
+            pcode[starts[full]]
+            | (np.uint64(r - 1) << np.uint64(_RES_SHIFT))
+        )
+        r -= 1
+    out.append(cur)
+    return np.concatenate(out) if out else cur
+
+
+def cells_covering_rects(
+    x0: np.ndarray,
+    y0: np.ndarray,
+    x1: np.ndarray,
+    y1: np.ndarray,
+    res: int,
+    extent: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bulk closed-rect → covering cells at ``res`` over the integer
+    grid ``[0, extent)²``, clamped-then-divided so the arithmetic is
+    non-negative truncating division (mirrorable 1:1 in SQL, where
+    ``//`` on negatives would diverge from floor).
+
+    Inputs are integer corner arrays (one rect per row). Returns
+    ``(row_index, cell_id)`` — a flat emission, one output per
+    (rect × covered cell), fully vectorized (repeat + cumsum
+    de-interleave, no per-row loop)."""
+    w = extent >> res
+    n_side = 1 << res
+    cx0 = np.minimum(np.maximum(x0, 0) // w, n_side - 1)
+    cy0 = np.minimum(np.maximum(y0, 0) // w, n_side - 1)
+    cx1 = np.minimum(np.maximum(x1, 0) // w, n_side - 1)
+    cy1 = np.minimum(np.maximum(y1, 0) // w, n_side - 1)
+    nx = (cx1 - cx0 + 1).astype(np.int64)
+    ny = (cy1 - cy0 + 1).astype(np.int64)
+    cnt = nx * ny
+    total = int(cnt.sum())
+    row = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+    offs = np.cumsum(cnt) - cnt
+    idx = np.arange(total, dtype=np.int64) - offs[row]
+    dx = idx // ny[row]
+    dy = idx - dx * ny[row]
+    code = morton_encode(
+        (cx0[row] + dx).astype(np.uint64), (cy0[row] + dy).astype(np.uint64)
+    )
+    cells = code | (np.uint64(res) << np.uint64(_RES_SHIFT))
+    return row, cells

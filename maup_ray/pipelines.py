@@ -1266,6 +1266,45 @@ def q_customer_orders(sf_dir: str):
     )
 
 
+CELL_RES = 10  # 1024×1024 grid (cell width 1024 over EXTENT 2^20)
+CELL_ANCHOR_RES = 3
+
+
+def q_cell_compact(sf_dir: str):
+    """H3-``compact`` parity: cover every document's derived rect with
+    resolution-10 cells, then reduce the corpus-wide distinct cover to
+    the minimal multi-resolution ancestor set (fully-covered sibling
+    quads promote recursively — the standard tile-inventory shrink
+    before a cell set is broadcast as a spatial filter).
+
+    Scale shape (ops/tiling.compact): per-batch dedup, ONE
+    anchor-keyed hash shuffle (each partition holds complete
+    res-{CELL_ANCHOR_RES} subtrees, so the promotion loop is
+    partition-local), ≤ 4^anchor survivors finish on the driver. The
+    rect cover itself is a flat vectorized emission
+    (geom/cells.cells_covering_rects) whose clamped-then-divided
+    arithmetic is mirrored 1:1 by the oracle's
+    greatest/least + `//` + range() lateral."""
+    from .geom.cells import cells_covering_rects
+    from .ops.tiling import compact
+
+    def cover(b: pa.Table) -> pa.Table:
+        k = b["doc_id"].to_numpy()
+        cx = (k * AX + BX) % EXTENT
+        cy = (k * AY + BY) % EXTENT
+        hx = 1000 + (k % 97) * 50
+        hy = 1000 + (k % 89) * 50
+        _, cells = cells_covering_rects(
+            cx - hx, cy - hy, cx + hx, cy + hy, CELL_RES, EXTENT
+        )
+        return pa.table({"cell": pa.array(cells.astype(np.int64))})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        cover, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return compact(ds, anchor_res=CELL_ANCHOR_RES)
+
+
 def q_top_event_type(sf_dir: str):
     """Exact grouped MODE: each user's most frequent event_type (ties
     → lexicographically smallest), via per-batch (user,type) count
@@ -1891,6 +1930,7 @@ def query_registry():
         # training-data family
         "order_totals": q_order_totals,
         "pricing_summary": q_pricing_summary,
+        "cell_compact": q_cell_compact,
         "customer_orders": q_customer_orders,
         "event_gaps": q_event_gaps,
         "top_event_type": q_top_event_type,
@@ -2111,6 +2151,41 @@ def oracle_queries() -> dict[str, str]:
                           AS BIGINT) AS price_cents,
                      count(*) AS n_orders
               FROM orders GROUP BY 1) o ON c_custkey = o_custkey
+        """,
+        "cell_compact": f"""
+            WITH r AS (
+              SELECT (doc_id*{AX}+{BX}) % {EXTENT} AS px,
+                     (doc_id*{AY}+{BY}) % {EXTENT} AS py,
+                     1000 + (doc_id % 97) * 50 AS hx,
+                     1000 + (doc_id % 89) * 50 AS hy
+              FROM documents),
+            b AS (
+              SELECT least(greatest(px - hx, 0) // {EXTENT >> CELL_RES},
+                           {(1 << CELL_RES) - 1}) AS lox,
+                     least(greatest(px + hx, 0) // {EXTENT >> CELL_RES},
+                           {(1 << CELL_RES) - 1}) AS hix,
+                     least(greatest(py - hy, 0) // {EXTENT >> CELL_RES},
+                           {(1 << CELL_RES) - 1}) AS loy,
+                     least(greatest(py + hy, 0) // {EXTENT >> CELL_RES},
+                           {(1 << CELL_RES) - 1}) AS hiy
+              FROM r),
+            xs AS (SELECT unnest(range(lox, hix + 1)) AS cx, loy, hiy
+                   FROM b),
+            cov AS (SELECT DISTINCT cx, cy FROM
+                    (SELECT cx, unnest(range(loy, hiy + 1)) AS cy
+                     FROM xs)),
+            lv AS (SELECT unnest(range(0, {CELL_RES + 1})) AS l),
+            anc AS (SELECT l, cx >> l AS ax, cy >> l AS ay,
+                           count(*) AS cnt
+                    FROM cov, lv GROUP BY 1, 2, 3),
+            comp AS (SELECT l, ax, ay FROM anc
+                     WHERE cnt = (CAST(1 AS BIGINT) << (2*l)))
+            SELECT {CELL_RES} - c.l AS res, c.ax AS cx, c.ay AS cy
+            FROM comp c LEFT JOIN comp p
+              ON p.l = c.l + 1 AND p.ax = c.ax >> 1
+                 AND p.ay = c.ay >> 1
+            WHERE p.l IS NULL
+            ORDER BY res, cx, cy
         """,
         "event_gaps": """
             SELECT event_id, user_id,
