@@ -1266,6 +1266,109 @@ def q_customer_orders(sf_dir: str):
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_pivot(sf_dir: str):
+    """Wide pivot (crosstab): per-user event-type count matrix in ONE
+    streaming pass — the reshape is free: each batch derives one int64
+    indicator column per type (pc.equal), and the partial-sum groupby
+    (ops/agg) reduces them; no (user,type) pair shuffle, no second
+    reshape job. Column set is the fixed type vocabulary, so the
+    output schema is deterministic."""
+    from .ops.agg import grouped_sum_count
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def ind(b: pa.Table) -> pa.Table:
+        cols = {"user_id": b["user_id"]}
+        for t in EVENT_TYPES:
+            cols[f"n_{t}"] = pc.cast(
+                pc.equal(b["event_type"], t), pa.int64()
+            )
+        return pa.table(cols)
+
+    return grouped_sum_count(
+        ds.map_batches(ind, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        sum_cols=[f"n_{t}" for t in EVENT_TYPES],
+        count_col="n_total",
+        final="shuffle",
+    )
+
+
+def q_covar(sf_dir: str):
+    """Exact grouped covariance + correlation (quantity vs discount
+    per returnflag): per-batch integer second-moment partials
+    (Σx, Σy, Σxy, Σx², Σy², n — Arrow C++ group_by per block), tiny
+    driver merge in arbitrary-precision Python ints (n·Σxy overflows
+    int64 at web scale), ONE fixed IEEE expression per output value
+    mirrored token-for-token by the oracle — the same discipline as
+    bm25. Note the mirrored form is the exact-integer identity
+    (n·Σxy − ΣxΣy)/n², NOT the engine-specific streaming covar_pop()
+    kernel, precisely so both sides round identically."""
+    from .ops.agg import grouped_sum_count
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"]
+    )
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        y = pc.cast(
+            pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "sx": x,
+                "sy": y,
+                "sxy": pc.multiply(x, y),
+                "sxx": pc.multiply(x, x),
+                "syy": pc.multiply(y, y),
+            }
+        )
+
+    t = grouped_sum_count(
+        ds.map_batches(
+            moments, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["l_returnflag"],
+        sum_cols=["sx", "sy", "sxy", "sxx", "syy"],
+        count_col="n",
+        final="driver",
+    )
+    import math
+
+    rows = t.to_pylist()  # ≤ |returnflag| rows
+    out = {
+        "l_returnflag": [],
+        "n": [],
+        "covar_pop": [],
+        "corr": [],
+    }
+    for r in sorted(rows, key=lambda r: r["l_returnflag"]):
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxy, sxx, syy = int(r["sxy"]), int(r["sxx"]), int(r["syy"])
+        num = n * sxy - sx * sy
+        d2x = n * sxx - sx * sx
+        d2y = n * syy - sy * sy
+        out["l_returnflag"].append(r["l_returnflag"])
+        out["n"].append(n)
+        out["covar_pop"].append(float(num) / float(n * n))
+        out["corr"].append(
+            float(num) / math.sqrt(float(d2x) * float(d2y))
+        )
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"]),
+            "n": pa.array(out["n"], type=pa.int64()),
+            "covar_pop": pa.array(out["covar_pop"]),
+            "corr": pa.array(out["corr"]),
+        }
+    )
+
+
 CELL_RES = 10  # 1024×1024 grid (cell width 1024 over EXTENT 2^20)
 CELL_ANCHOR_RES = 3
 
@@ -1934,6 +2037,8 @@ def query_registry():
         "customer_orders": q_customer_orders,
         "event_gaps": q_event_gaps,
         "top_event_type": q_top_event_type,
+        "event_pivot": q_event_pivot,
+        "covar": q_covar,
         "cust_no_urgent": q_cust_no_urgent,
         "region_revenue": q_region_revenue,
         "quality_model": q_quality_model,
@@ -2194,6 +2299,31 @@ def oracle_queries() -> dict[str, str]:
                                            ORDER BY ts, event_id),
                              ts) AS gap_us
             FROM events
+        """,
+        "event_pivot": "SELECT user_id, "
+        + ", ".join(
+            f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+            for t in EVENT_TYPES
+        )
+        + ", count(*) AS n_total FROM events GROUP BY user_id",
+        "covar": """
+            WITH f AS (
+              SELECT l_returnflag,
+                     CAST(round(l_quantity, 0) AS BIGINT) AS x,
+                     CAST(round(l_discount*100, 0) AS BIGINT) AS y
+              FROM lineitem),
+            s AS (
+              SELECT l_returnflag, count(*) AS n,
+                     sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                     sum(x*x) AS sxx, sum(y*y) AS syy
+              FROM f GROUP BY 1)
+            SELECT l_returnflag, n,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                     / CAST(n*n AS DOUBLE) AS covar_pop,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                     / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                            * CAST(n*syy - sy*sy AS DOUBLE)) AS corr
+            FROM s ORDER BY l_returnflag
         """,
         "top_event_type": """
             SELECT user_id, top_type, n_occ FROM (
