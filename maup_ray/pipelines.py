@@ -1266,6 +1266,56 @@ def q_customer_orders(sf_dir: str):
     )
 
 
+def q_zonal(sf_dir: str):
+    """Zonal statistics (the raster-analysis classic): per-district
+    coverage-weighted sum of a per-cell integer value surface, as
+    rasterize → vectorized value derive → grouped reduce in one
+    streaming composition.
+
+    Exactness: with integer-coordinate geometry every coverage_area is
+    an integral double ≤ EXTENT²/256 < 2^53, so area × value casts to
+    int64 EXACTLY and the zonal sums are order-independent integers —
+    the oracle mirrors the cast, not a float Σ."""
+    from .ops.agg import grouped_sum_count
+    from .ops.raster import rasterize
+
+    ras = rasterize(
+        _districts(),
+        (0.0, 0.0, float(EXTENT)),
+        RASTER_RES,
+        id_col="district_id",
+    )
+
+    def weight(b: pa.Table) -> pa.Table:
+        val = (
+            b["cx"].to_numpy() * 7 + b["cy"].to_numpy() * 13
+        ) % 100
+        wv = (b["coverage_area"].to_numpy() * val).astype(np.int64)
+        return pa.table(
+            {
+                "district_id": b["district_id"],
+                "zonal_value": pa.array(wv),
+            }
+        )
+
+    if hasattr(ras, "map_batches"):
+        ws = ras.map_batches(
+            weight, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:  # district table is driver-local → rasterize returned a Table
+        import ray.data
+
+        ws = ray.data.from_arrow(weight(ras))
+    out = grouped_sum_count(
+        ws,
+        ["district_id"],
+        sum_cols=["zonal_value"],
+        count_col="n_cells",
+        final="driver",
+    )
+    return out.combine_chunks().sort_by([("district_id", "ascending")])
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -2039,6 +2089,7 @@ def query_registry():
         "top_event_type": q_top_event_type,
         "event_pivot": q_event_pivot,
         "covar": q_covar,
+        "zonal": q_zonal,
         "cust_no_urgent": q_cust_no_urgent,
         "region_revenue": q_region_revenue,
         "quality_model": q_quality_model,
@@ -2509,6 +2560,39 @@ def oracle_queries() -> dict[str, str]:
              AND c.y0 < d.maxy AND c.y0 + {EXTENT // 16} > d.miny
             WHERE greatest(0.0, least(c.x0 + {EXTENT // 16}, d.maxx) - greatest(c.x0, d.minx))
               * greatest(0.0, least(c.y0 + {EXTENT // 16}, d.maxy) - greatest(c.y0, d.miny)) > 0
+        """,
+        "zonal": f"""
+            WITH cells AS (
+              SELECT CAST(i % 16 AS BIGINT) AS cx,
+                     CAST(i // 16 AS BIGINT) AS cy,
+                     CAST((i % 16) * {EXTENT // 16} AS DOUBLE) AS x0,
+                     CAST((i // 16) * {EXTENT // 16} AS DOUBLE) AS y0
+              FROM range(256) t(i)),
+            dist AS (SELECT * FROM {districts_sql(N_DISTRICTS)} ),
+            ras AS (
+              SELECT d.district_id,
+                CAST(
+                  greatest(0.0, least(c.x0 + {EXTENT // 16}, d.maxx)
+                                - greatest(c.x0, d.minx))
+                  * greatest(0.0, least(c.y0 + {EXTENT // 16}, d.maxy)
+                                  - greatest(c.y0, d.miny))
+                  * CAST((c.cx*7 + c.cy*13) % 100 AS DOUBLE)
+                  AS BIGINT) AS zv,
+                greatest(0.0, least(c.x0 + {EXTENT // 16}, d.maxx)
+                              - greatest(c.x0, d.minx))
+                * greatest(0.0, least(c.y0 + {EXTENT // 16}, d.maxy)
+                                - greatest(c.y0, d.miny)) AS cov
+              FROM cells c JOIN dist d
+                ON c.x0 < d.maxx AND c.x0 + {EXTENT // 16} > d.minx
+               AND c.y0 < d.maxy AND c.y0 + {EXTENT // 16} > d.miny
+              WHERE greatest(0.0, least(c.x0 + {EXTENT // 16}, d.maxx)
+                                  - greatest(c.x0, d.minx))
+                * greatest(0.0, least(c.y0 + {EXTENT // 16}, d.maxy)
+                                - greatest(c.y0, d.miny)) > 0)
+            SELECT district_id,
+                   CAST(sum(zv) AS BIGINT) AS zonal_value,
+                   count(*) AS n_cells
+            FROM ras GROUP BY 1 ORDER BY 1
         """,
         "token_count": r"""
             SELECT doc_id,
