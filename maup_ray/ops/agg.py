@@ -33,6 +33,13 @@ def grouped_sum_count(
     ``final`` picks the second stage over the partials:
     * ``"shuffle"`` (default) — Ray keyed aggregate; right when the
       group count itself is large.
+    * ``"hash"`` — the same large-group-count scale shape but through
+      ``ops/shuffle.hash_group_apply`` (one key-hash exchange of the
+      partials + a reduceat merge per partition), skipping the Ray
+      Aggregate operator's multi-second actor spin-up. Requires
+      integer sum columns (reduceat merge order differs across block
+      structures; integer sums are order-independent, float sums are
+      not — use "shuffle" for floats).
     * ``"driver"`` — collect the partial tables (≤ n_groups rows per
       input block) and merge with one Arrow group_by on the driver;
       right for LOW-cardinality keys, where the shuffle operator's
@@ -64,6 +71,38 @@ def grouped_sum_count(
     partials = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
+    if final == "hash":
+        import numpy as np
+
+        from .shuffle import hash_group_apply
+
+        vcols = sum_cols + ([count_col] if count_col is not None else [])
+
+        def merge(tbl: pa.Table | None, starts):
+            if tbl is None or len(tbl) == 0:
+                fields = (
+                    [
+                        pa.field(k, tbl.schema.field(k).type)
+                        for k in keys + vcols
+                    ]
+                    if tbl is not None
+                    else [pa.field(c, pa.int64()) for c in keys + vcols]
+                )
+                return pa.schema(fields).empty_table()
+            idx = pa.array(starts)
+            cols = {k: tbl[k].take(idx) for k in keys}
+            for c in vcols:
+                v = tbl[c].to_numpy(zero_copy_only=False)
+                if v.dtype.kind not in "iu":
+                    raise TypeError(
+                        f"grouped_sum_count(final='hash'): column {c} "
+                        "is not integer; reduceat float merge order is "
+                        "block-structure-dependent — use final='shuffle'"
+                    )
+                cols[c] = pa.array(np.add.reduceat(v, starts))
+            return pa.table(cols)
+
+        return hash_group_apply(partials, keys, merge)
     if final == "driver":
         import ray
 

@@ -1338,12 +1338,15 @@ def q_event_pivot(sf_dir: str):
             )
         return pa.table(cols)
 
+    # final="hash": the wide-key scale shape (per-user cardinality is
+    # corpus-sized at 100 TB) without the Ray Aggregate operator's
+    # actor spin-up; integer counts merge exactly in any order.
     return grouped_sum_count(
         ds.map_batches(ind, batch_format="pyarrow", zero_copy_batch=True),
         ["user_id"],
         sum_cols=[f"n_{t}" for t in EVENT_TYPES],
         count_col="n_total",
-        final="shuffle",
+        final="hash",
     )
 
 

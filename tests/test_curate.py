@@ -401,3 +401,51 @@ class TestGroupedMode:
                 .reset_index(drop=True)
             )
             pd.testing.assert_frame_equal(a, b)
+
+
+class TestGroupedSumCountHashMode:
+    def test_hash_matches_shuffle_and_driver(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.agg import grouped_sum_count
+
+        rng = np.random.default_rng(5)
+        tbl = pa.table(
+            {
+                "k": pa.array(rng.integers(0, 37, 2000), type=pa.int64()),
+                "v": pa.array(rng.integers(0, 100, 2000), type=pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(7)
+        a = (
+            grouped_sum_count(ds, ["k"], ["v"], "n", final="hash")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        b = (
+            grouped_sum_count(ds, ["k"], ["v"], "n", final="driver")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a[["k", "v", "n"]], b[["k", "v", "n"]])
+
+    def test_hash_rejects_float_sums(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.agg import grouped_sum_count
+
+        tbl = pa.table(
+            {
+                "k": pa.array([1, 1, 2], type=pa.int64()),
+                "v": pa.array([0.5, 0.25, 1.0]),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        with pytest.raises(
+            (TypeError, Exception), match="not integer|RayTaskError"
+        ):
+            grouped_sum_count(
+                ds, ["k"], ["v"], final="hash"
+            ).to_pandas()
