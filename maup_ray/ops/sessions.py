@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["sessionize", "funnel"]
+__all__ = ["sessionize", "funnel", "retention"]
 
 
 def sessionize(
@@ -211,4 +211,96 @@ def funnel(
 
     return hash_group_apply(
         events, [user_col], funnel_part, sort_cols=(ts_col,)
+    )
+
+
+def retention(
+    events,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Cohort retention: → (cohort, offset_days, n_users) — for every
+    user, cohort = first active calendar day, and each of the user's
+    distinct active days contributes one count at its day offset from
+    the cohort. The classic product-analytics rollup
+    (``count(distinct user)`` per cohort × day-offset).
+
+    Scale shape: per-batch distinct ``(user, day)`` projection (day =
+    exact int32 epoch-days, 12 B/row) → ONE user-keyed hash shuffle;
+    each partition re-dedups its pairs (per-batch distinct is not
+    global), reads every user's cohort as the group-start day of the
+    (user, day)-sorted run, and pre-counts (cohort, offset) pairs —
+    users land in exactly one partition, so partition counts are
+    disjoint user sets and the final reduce is a plain integer sum
+    over ≤ |days|² partial rows per partition."""
+    _DAY_US = 86_400_000_000
+
+    def days(b: pa.Table) -> pa.Table:
+        from .temporal import _ts_i64
+
+        d = (_ts_i64(b[ts_col]) // _DAY_US).astype(np.int32)
+        t = pa.table({user_col: b[user_col], "day": pa.array(d)})
+        return t.group_by([user_col, "day"], use_threads=False).aggregate([])
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("cohort", pa.date32()),
+                ("offset_days", pa.int64()),
+                ("n_users", pa.int64()),
+            ]
+        )
+        if tbl is None or len(tbl) == 0:
+            return schema.empty_table()
+        u = tbl[user_col].to_numpy(zero_copy_only=False)
+        d = tbl["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(u)
+        # global (user, day) dedup: rows are sorted by (user, day)
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[keep], d[keep]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        gstart = np.flatnonzero(first)
+        sizes = np.diff(np.append(gstart, len(u)))
+        cohort = np.repeat(d[gstart], sizes)
+        off = d - cohort
+        pairs = pa.table(
+            {
+                "cohort": pa.array(cohort.astype(np.int32), pa.date32()),
+                "offset_days": pa.array(off),
+            }
+        )
+        g = pairs.group_by(["cohort", "offset_days"], use_threads=False)
+        out = g.aggregate([([], "count_all")])
+        return out.rename_columns(["cohort", "offset_days", "n_users"])
+
+    from .shuffle import group_starts, hash_group_apply
+
+    if isinstance(events, pa.Table):
+        t = days(events).combine_chunks().sort_by(
+            [(user_col, "ascending"), ("day", "ascending")]
+        )
+        partial = part(t, group_starts(t, [user_col]))
+        g = partial.group_by(
+            ["cohort", "offset_days"], use_threads=False
+        ).aggregate([("n_users", "sum")])
+        g = g.rename_columns(["cohort", "offset_days", "n_users"])
+        return g.combine_chunks().sort_by(
+            [("cohort", "ascending"), ("offset_days", "ascending")]
+        )
+    pre = events.map_batches(
+        days, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = hash_group_apply(pre, [user_col], part, sort_cols=("day",))
+    from .agg import grouped_sum_count
+
+    out = grouped_sum_count(
+        partials,
+        ["cohort", "offset_days"],
+        sum_cols=["n_users"],
+        final="driver",
+    )
+    return out.combine_chunks().sort_by(
+        [("cohort", "ascending"), ("offset_days", "ascending")]
     )

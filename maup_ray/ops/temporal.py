@@ -34,7 +34,13 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["rolling_window", "asof_join", "range_join_agg", "lag_deltas"]
+__all__ = [
+    "rolling_window",
+    "asof_join",
+    "range_join_agg",
+    "lag_deltas",
+    "running_total",
+]
 
 _US = 1_000_000
 
@@ -506,6 +512,66 @@ def lag_deltas(
                 id_col: tbl[id_col],
                 key_col: tbl[key_col],
                 out_col: pa.array(gaps, mask=first),
+            }
+        )
+
+    from .shuffle import group_starts, hash_group_apply
+
+    if isinstance(events, pa.Table):
+        t = events.combine_chunks().sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"),
+             (id_col, "ascending")]
+        )
+        return part(t, group_starts(t, [key_col]))
+    return hash_group_apply(
+        events, [key_col], part, sort_cols=(ts_col, id_col)
+    )
+
+
+def running_total(
+    events,
+    value_col: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    out_col: str = "running_sum",
+):
+    """Per-key cumulative sum in ``(ts, id)`` order — the
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED
+    PRECEDING)`` window shape, exact for integer ``value_col``.
+
+    Same scale shape as :func:`lag_deltas`: one pruned-projection
+    keyed shuffle, then ONE vectorized pass per partition — a global
+    cumsum re-based per group by subtracting each group's prefix
+    offset (no per-key loop)."""
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        key_t = (
+            tbl.schema.field(key_col).type if tbl is not None else pa.int64()
+        )
+        id_t = (
+            tbl.schema.field(id_col).type if tbl is not None else pa.int64()
+        )
+        schema = pa.schema(
+            [(id_col, id_t), (key_col, key_t), (out_col, pa.int64())]
+        )
+        if tbl is None or len(starts) == 0:
+            return schema.empty_table()
+        v = tbl[value_col].to_numpy(zero_copy_only=False)
+        if v.dtype.kind not in "iu":
+            raise TypeError(
+                "running_total: value_col must be integer (float "
+                "cumsum is order-sensitive; convert to integer units)"
+            )
+        cs = np.cumsum(v.astype(np.int64))
+        n = len(v)
+        sizes = np.diff(np.append(starts, n))
+        base = np.repeat(cs[starts] - v[starts], sizes)
+        return pa.table(
+            {
+                id_col: tbl[id_col],
+                key_col: tbl[key_col],
+                out_col: pa.array(cs - base),
             }
         )
 

@@ -1266,6 +1266,45 @@ def q_customer_orders(sf_dir: str):
     )
 
 
+def q_running_total(sf_dir: str):
+    """Per-user cumulative integer-cents revenue in (ts, event_id)
+    order — the SUM OVER (... ROWS UNBOUNDED PRECEDING) window shape
+    (ops/temporal.running_total: one pruned keyed shuffle, global
+    cumsum re-based per group, exact int64)."""
+    from .ops.temporal import running_total
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+                "value_cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return running_total(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "value_cents",
+        out_col="running_cents",
+    )
+
+
+def q_retention(sf_dir: str):
+    """Cohort retention over the events stream: users cohorted by
+    first active day; one row per (cohort, day-offset) with the
+    distinct-user count (ops/sessions.retention — per-batch distinct
+    (user, day) 12 B/row projection, ONE user-keyed shuffle,
+    disjoint-by-construction partition counts)."""
+    from .ops.sessions import retention
+
+    return retention(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
 def q_zonal(sf_dir: str):
     """Zonal statistics (the raster-analysis classic): per-district
     coverage-weighted sum of a per-cell integer value surface, as
@@ -2093,6 +2132,8 @@ def query_registry():
         "event_pivot": q_event_pivot,
         "covar": q_covar,
         "zonal": q_zonal,
+        "retention": q_retention,
+        "running_total": q_running_total,
         "cust_no_urgent": q_cust_no_urgent,
         "region_revenue": q_region_revenue,
         "quality_model": q_quality_model,
@@ -2353,6 +2394,27 @@ def oracle_queries() -> dict[str, str]:
                                            ORDER BY ts, event_id),
                              ts) AS gap_us
             FROM events
+        """,
+        "running_total": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value*100, 0) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS running_cents
+            FROM events
+        """,
+        "retention": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('day', ts) AS DATE) AS day
+              FROM events),
+            c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1)
+            SELECT c.cohort,
+                   CAST(date_diff('day', c.cohort, d.day) AS BIGINT)
+                       AS offset_days,
+                   count(*) AS n_users
+            FROM d JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "event_pivot": "SELECT user_id, "
         + ", ".join(

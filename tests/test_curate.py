@@ -449,3 +449,65 @@ class TestGroupedSumCountHashMode:
             grouped_sum_count(
                 ds, ["k"], ["v"], final="hash"
             ).to_pandas()
+
+
+class TestRetention:
+    def test_handcrafted_cohorts(self):
+        from maup_ray.ops.sessions import retention
+
+        ts = pa.array(
+            np.array(
+                [
+                    "2020-01-01T05:00:00",  # u1 cohort day 0
+                    "2020-01-01T07:00:00",  # u1 same day (dedup)
+                    "2020-01-03T01:00:00",  # u1 offset 2
+                    "2020-01-02T01:00:00",  # u2 cohort
+                    "2020-01-04T02:00:00",  # u2 offset 2
+                    "2020-01-01T09:00:00",  # u3 cohort day 0
+                ],
+                dtype="datetime64[us]",
+            )
+        )
+        t = pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2, 2, 3], type=pa.int64()),
+                "ts": ts,
+            }
+        )
+        out = retention(t).to_pandas()
+        out["cohort"] = out["cohort"].astype(str)
+        rows = set(
+            zip(out["cohort"], out["offset_days"], out["n_users"])
+        )
+        assert rows == {
+            ("2020-01-01", 0, 2),
+            ("2020-01-01", 2, 1),
+            ("2020-01-02", 0, 1),
+            ("2020-01-02", 2, 1),
+        }
+
+    def test_dataset_matches_table_with_cross_block_dups(
+        self, ray_session
+    ):
+        import ray.data
+
+        from maup_ray.ops.sessions import retention
+
+        rng = np.random.default_rng(2)
+        n = 400
+        ts = np.datetime64("2021-03-01", "us") + rng.integers(
+            0, 20 * 86_400_000_000, n
+        ).astype("timedelta64[us]")
+        tbl = pa.table(
+            {
+                "user_id": pa.array(
+                    rng.integers(0, 25, n), type=pa.int64()
+                ),
+                "ts": pa.array(ts),
+            }
+        )
+        a = retention(tbl).to_pandas()
+        b = retention(
+            ray.data.from_arrow(tbl).repartition(7)
+        ).to_pandas()
+        pd.testing.assert_frame_equal(a, b)

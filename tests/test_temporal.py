@@ -470,3 +470,61 @@ class TestLagDeltas:
         a = a.sort_values("event_id").reset_index(drop=True)
         b = b.sort_values("event_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestRunningTotal:
+    def test_matches_pandas_and_partition_invariant(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.temporal import running_total
+
+        rng = np.random.default_rng(9)
+        n = 350
+        ts = np.datetime64("2021-05-01", "us") + rng.integers(
+            0, 3_600_000_000, n
+        ).astype("timedelta64[us]")
+        tbl = pa.table(
+            {
+                "user_id": pa.array(
+                    rng.integers(0, 6, n), type=pa.int64()
+                ),
+                "ts": pa.array(ts),
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "v": pa.array(
+                    rng.integers(-50, 100, n), type=pa.int64()
+                ),
+            }
+        )
+        got = (
+            running_total(tbl, "v")
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        df["running_sum"] = df.groupby("user_id")["v"].cumsum()
+        want = df.sort_values("event_id").reset_index(drop=True)
+        assert list(got["running_sum"]) == list(want["running_sum"])
+        ds_out = (
+            running_total(ray.data.from_arrow(tbl).repartition(5), "v")
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, ds_out)
+
+    def test_float_values_rejected(self):
+        from maup_ray.ops.temporal import running_total
+
+        tbl = pa.table(
+            {
+                "user_id": pa.array([1], type=pa.int64()),
+                "ts": pa.array(
+                    np.array(["2020-01-01"], dtype="datetime64[us]")
+                ),
+                "event_id": pa.array([0], type=pa.int64()),
+                "v": pa.array([0.5]),
+            }
+        )
+        with pytest.raises(TypeError, match="integer"):
+            running_total(tbl, "v")
