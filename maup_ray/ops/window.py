@@ -1,0 +1,165 @@
+"""Grouped ranking / ordered-aggregation windows — ``dense_rank`` and
+ordered ``string_agg`` over arbitrary-cardinality key domains.
+
+Beyond-reference relational operators (the reference is purely spatial;
+these are the per-group window shapes every curation pipeline leans on:
+"rank candidates within a group", "collapse a group's ordered events to
+one row"). Both use the engine's keyed-shuffle workhorse
+(``ops.shuffle.hash_group_apply``): one hash exchange of the PRUNED
+projection, one Arrow sort per partition, one vectorized pass — no
+per-group Python, no per-row Python.
+
+Exactness discipline: ``dense_rank`` is invariant to tie order (equal
+sort values share a rank), and the ordered concat totalizes its order
+with the caller's unique ``order_col``, so both are value-exact against
+their SQL window/aggregate oracles regardless of partitioning.
+
+Scale shape (100 TB): the shuffle payload is keys + order + value
+columns only (callers prune upstream); partition count is bytes-aware
+(`_choose_partitions`). Per-key skew is the documented
+``hash_group_apply`` caveat — a single pathological group lands in one
+partition (cap or salt upstream; rank partials do not merge across
+salts, so salting does not apply here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .shuffle import hash_group_apply
+
+__all__ = ["grouped_dense_rank", "grouped_concat"]
+
+
+def grouped_dense_rank(
+    ds,
+    key_cols,
+    value_col: str,
+    rank_name: str = "rnk",
+    descending: bool = True,
+    keep_cols=(),
+):
+    """Per-group dense rank of ``value_col`` — SQL
+    ``dense_rank() OVER (PARTITION BY keys ORDER BY value [DESC])``.
+
+    Rows of one group are shuffled to one partition and sorted by
+    (keys, value'); the rank is one vectorized cumsum of
+    value-change flags rebased at group starts. Equal values share a
+    rank (dense semantics), so the result is deterministic without a
+    tie-break column. Output: keys + [value_col] + keep_cols + rank.
+    """
+    keys = list(key_cols)
+    keep = list(keep_cols)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys + [value_col] + keep)
+        if descending:
+            # sort ascending on the negated value (exact for ints and
+            # IEEE doubles alike) — hash_group_apply sorts ascending
+            v = t[value_col].to_numpy(zero_copy_only=False)
+            t = t.append_column("_negv", pa.array(-v))
+        return t
+
+    pruned = (
+        prune(ds)
+        if isinstance(ds, pa.Table)
+        else ds.map_batches(
+            prune, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    sort_col = "_negv" if descending else value_col
+    out_fields = keys + [value_col] + keep
+
+    def rank_part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None or len(tbl) == 0:
+            if tbl is not None:
+                t = tbl.select(out_fields)
+                return t.append_column(
+                    rank_name, pa.array([], type=pa.int64())
+                )
+            fields = [pa.field(c, pa.int64()) for c in out_fields]
+            fields.append(pa.field(rank_name, pa.int64()))
+            return pa.schema(fields).empty_table()
+        n = len(tbl)
+        v = tbl[sort_col].to_numpy(zero_copy_only=False)
+        newv = np.empty(n, dtype=bool)
+        newv[0] = True
+        newv[1:] = v[1:] != v[:-1]
+        newv[starts] = True  # a group's first row is always rank 1
+        c = np.cumsum(newv)
+        sizes = np.diff(np.append(starts, n))
+        rank = c - np.repeat(c[starts] - 1, sizes)
+        return tbl.select(out_fields).append_column(
+            rank_name, pa.array(rank.astype(np.int64))
+        )
+
+    return hash_group_apply(pruned, keys, rank_part, sort_cols=[sort_col])
+
+
+def grouped_concat(
+    ds,
+    key_cols,
+    value_col: str,
+    order_col: str,
+    sep: str = ",",
+    out_name: str = "concat",
+    count_name: str | None = None,
+):
+    """Ordered per-group string concatenation — SQL
+    ``string_agg(value, sep ORDER BY order_col)`` (+ optional
+    ``count(*)``). ``order_col`` must totalize order within a group
+    (unique per group) for a deterministic result.
+
+    One keyed shuffle of (keys, order, value); per partition, the
+    sorted value column becomes ONE Arrow list array sliced at group
+    starts and ``pc.binary_join`` emits every group's string in a
+    single C++ kernel call. Group size bounds the output string — the
+    caller's contract, as with any string_agg.
+    """
+    import pyarrow.compute as pc
+
+    keys = list(key_cols)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return batch.select(keys + [order_col, value_col])
+
+    pruned = (
+        prune(ds)
+        if isinstance(ds, pa.Table)
+        else ds.map_batches(
+            prune, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def concat_part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None or len(tbl) == 0:
+            if tbl is not None:
+                cols = {k: tbl[k] for k in keys}
+                cols[out_name] = pa.array([], type=pa.string())
+                if count_name:
+                    cols[count_name] = pa.array([], type=pa.int64())
+                return pa.table(cols)
+            fields = [pa.field(k, pa.int64()) for k in keys]
+            fields.append(pa.field(out_name, pa.string()))
+            if count_name:
+                fields.append(pa.field(count_name, pa.int64()))
+            return pa.schema(fields).empty_table()
+        n = len(tbl)
+        offsets = np.append(starts, n).astype(np.int32)
+        vals = tbl[value_col].combine_chunks()
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.chunk(0)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), vals)
+        joined = pc.binary_join(lists, sep)
+        idx = pa.array(starts)
+        cols = {k: tbl[k].take(idx) for k in keys}
+        cols[out_name] = joined
+        if count_name:
+            sizes = np.diff(offsets).astype(np.int64)
+            cols[count_name] = pa.array(sizes)
+        return pa.table(cols)
+
+    return hash_group_apply(
+        pruned, keys, concat_part, sort_cols=[order_col]
+    )

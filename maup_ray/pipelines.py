@@ -1841,7 +1841,205 @@ def q_doctor(sf_dir: str):
     )
 
 
+def q_supplier_rank(sf_dir: str):
+    """Per-nation dense_rank of suppliers by account balance — the
+    grouped window-rank shape (ops/window.grouped_dense_rank): one
+    keyed shuffle of the pruned projection, one Arrow sort + cumsum of
+    value-change flags per partition. Dense semantics make the result
+    tie-order-invariant, hence value-exact vs the SQL window oracle."""
+    from .ops.window import grouped_dense_rank
+
+    return grouped_dense_rank(
+        _read(sf_dir, "supplier", ["s_nationkey", "s_suppkey", "s_acctbal"]),
+        ["s_nationkey"],
+        "s_acctbal",
+        rank_name="bal_rank",
+        descending=True,
+        keep_cols=["s_suppkey"],
+    )
+
+
+def q_order_concat(sf_dir: str):
+    """Ordered grouped string_agg: each customer's order priorities
+    concatenated in o_orderkey order (ops/window.grouped_concat) — one
+    keyed shuffle, then ONE pc.binary_join over a group-sliced list
+    array per partition (no per-group Python)."""
+    from .ops.window import grouped_concat
+
+    return grouped_concat(
+        _read(
+            sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderpriority"]
+        ),
+        ["o_custkey"],
+        "o_orderpriority",
+        order_col="o_orderkey",
+        sep=",",
+        out_name="priorities",
+        count_name="n_orders",
+    )
+
+
+def q_custdist(sf_dir: str):
+    """TPC-H Q13 shape — DOUBLE aggregation: orders-per-customer
+    (bytes-aware keyed hash exchange of per-batch partials over the
+    customer-cardinality key), then the tiny histogram of those counts
+    (driver merge — ≤ max_orders_per_customer rows). The zero-order
+    bucket is arithmetic (total customers − customers with orders, one
+    metadata read), not a corpus-sized outer join."""
+    import pyarrow.parquet as pq
+
+    from .ops.agg import grouped_sum_count
+
+    per_cust = grouped_sum_count(
+        _read(sf_dir, "orders", ["o_custkey"]),
+        ["o_custkey"],
+        count_col="c_count",
+        final="hash",
+    )
+    hist = grouped_sum_count(
+        per_cust, ["c_count"], count_col="custdist", final="driver"
+    )
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    n_zero = n_cust - int(pc.sum(hist["custdist"]).as_py() or 0)
+    if n_zero > 0:
+        hist = pa.concat_tables(
+            [
+                hist,
+                pa.table(
+                    {
+                        "c_count": pa.array([0], type=pa.int64()),
+                        "custdist": pa.array([n_zero], type=pa.int64()),
+                    }
+                ),
+            ]
+        )
+    return hist
+
+
+def q_nearest_district(sf_dir: str):
+    """1-NN join: each derived document point → nearest district
+    CENTER (squared Euclidean, ties → smallest district_id). The 64
+    centers ship in the stage closure; each batch is one vectorized
+    (n×64) distance matrix + argmin — the brute-force leg of a
+    cell-bucketed nearest-facility join (the kNN ring-round path
+    covers the corpus-sized-targets case). Value-exact: points and
+    centers are multiples of 0.5 with |coord| < 2^20, so every squared
+    distance is an exact dyadic double on both sides."""
+    cents = district_table(N_DISTRICTS)
+    cx = (
+        (cents["minx"].to_numpy() + cents["maxx"].to_numpy()) / 2.0
+    )
+    cy = (
+        (cents["miny"].to_numpy() + cents["maxy"].to_numpy()) / 2.0
+    )
+    ids = cents["district_id"].to_numpy()
+
+    def nearest(batch: pa.Table) -> pa.Table:
+        k = batch["doc_id"].to_numpy()
+        x = ((k * AX + BX) % EXTENT).astype(np.float64) + 0.5
+        y = ((k * AY + BY) % EXTENT).astype(np.float64) + 0.5
+        dx = x[:, None] - cx[None, :]
+        dy = y[:, None] - cy[None, :]
+        d2 = dx * dx + dy * dy
+        j = np.argmin(d2, axis=1)  # first min → smallest district_id
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "district_id": pa.array(ids[j]),
+                "d2": pa.array(d2[np.arange(len(k)), j]),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        nearest, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+PR_SCALE = 10**12
+PR_ITERS = 3
+PR_EDGE_C = 12345  # per-slot stride in the derived edge destinations
+
+
+def q_pagerank(sf_dir: str):
+    """Fixed-point PageRank (ops/graph.pagerank) over a deterministic
+    document graph: node = doc_id, out-degree 1 + doc_id%3, edge k →
+    (doc_id·AX + k·PR_EDGE_C + BX) mod n. Three BSP iterations, each
+    two keyed exchanges (source-keyed rank propagate, dest-keyed
+    combine) — exact int64 mass arithmetic end to end, mirrored by a
+    3×-unrolled join/group CTE oracle. doc_id·AX must stay inside
+    int64 (holds to ~10^14 nodes)."""
+    import pyarrow.parquet as pq
+
+    from .ops.graph import pagerank
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        k = batch["doc_id"].to_numpy()
+        deg = 1 + (k % 3)
+        src = np.repeat(k, deg)
+        start = np.repeat(np.cumsum(deg) - deg, deg)
+        slot = np.arange(len(src), dtype=np.int64) - start
+        dst = (src * AX + slot * PR_EDGE_C + BX) % n
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "outdeg": pa.array(np.repeat(deg, deg)),
+            }
+        )
+
+    edges = docs.map_batches(
+        mk_edges, batch_format="pyarrow", zero_copy_batch=True
+    )
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b["doc_id"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = pagerank(edges, nodes, n, iterations=PR_ITERS, scale=PR_SCALE)
+    return out.map_batches(
+        lambda b: b.rename_columns(["doc_id", "r"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # ------------------------------------------------------------ oracle SQL
+
+
+def _pagerank_sql() -> str:
+    """3×-unrolled fixed-point PageRank oracle — every arithmetic step
+    (floor div on positive ints) mirrors ops/graph.pagerank exactly;
+    DuckDB's HUGEINT sums collapse back to BIGINT per iteration."""
+    n = "(SELECT count(*) FROM documents)"
+    base = f"(15 * {PR_SCALE}) // (100 * {n})"
+
+    def step(prev: str, name: str) -> str:
+        return f"""
+        {name} AS (
+          SELECT d.doc_id AS v,
+                 CAST({base} + COALESCE(t.s, 0) AS BIGINT) AS r
+          FROM documents d
+          LEFT JOIN (
+            SELECT e.dst AS v, sum((85 * p.r) // (100 * e.outdeg)) AS s
+            FROM edges e JOIN {prev} p ON e.src = p.v
+            GROUP BY e.dst) t ON d.doc_id = t.v)"""
+
+    return f"""
+        WITH ks AS (SELECT unnest(range(0, 3)) AS k),
+        edges AS (
+          SELECT doc_id AS src,
+                 (doc_id * {AX} + k * {PR_EDGE_C} + {BX}) % {n} AS dst,
+                 1 + doc_id % 3 AS outdeg
+          FROM documents, ks WHERE k < 1 + doc_id % 3),
+        r0 AS (
+          SELECT doc_id AS v,
+                 CAST({PR_SCALE} // {n} AS BIGINT) AS r
+          FROM documents),{step("r0", "r1")},{step("r1", "r2")},{step("r2", "r3")}
+        SELECT v AS doc_id, r FROM r3
+    """
 
 
 def _redact_sql() -> str:
@@ -2135,6 +2333,11 @@ def query_registry():
         "retention": q_retention,
         "running_total": q_running_total,
         "cust_no_urgent": q_cust_no_urgent,
+        "supplier_rank": q_supplier_rank,
+        "order_concat": q_order_concat,
+        "custdist": q_custdist,
+        "nearest_district": q_nearest_district,
+        "pagerank": q_pagerank,
         "region_revenue": q_region_revenue,
         "quality_model": q_quality_model,
         "sample": q_sample,
@@ -2696,6 +2899,41 @@ def oracle_queries() -> dict[str, str]:
               SELECT o_custkey FROM orders
               WHERE o_orderpriority = '1-URGENT')
         """,
+        "supplier_rank": """
+            SELECT s_nationkey, s_acctbal, s_suppkey,
+                   dense_rank() OVER (PARTITION BY s_nationkey
+                                      ORDER BY s_acctbal DESC) AS bal_rank
+            FROM supplier
+        """,
+        "order_concat": """
+            SELECT o_custkey,
+                   string_agg(o_orderpriority, ','
+                              ORDER BY o_orderkey) AS priorities,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        """,
+        "custdist": """
+            WITH per_cust AS (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "nearest_district": f"""
+            WITH c AS (
+              SELECT doc_id, district_id,
+                (({_points_expr()[0]}) - (minx + maxx) / 2)
+                  * (({_points_expr()[0]}) - (minx + maxx) / 2)
+                + (({_points_expr()[1]}) - (miny + maxy) / 2)
+                  * (({_points_expr()[1]}) - (miny + maxy) / 2) AS d2
+              FROM documents, {dist})
+            SELECT doc_id, district_id, d2 FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY d2, district_id) AS rn FROM c)
+            WHERE rn = 1
+        """,
+        "pagerank": _pagerank_sql(),
         "region_revenue": """
             SELECT r_name,
                    CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT))

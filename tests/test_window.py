@@ -1,0 +1,212 @@
+"""ops/window (grouped dense_rank, ordered grouped concat) and
+ops/graph (fixed-point PageRank) — pandas/numpy replicas + partition
+invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from maup_ray.ops.graph import pagerank
+from maup_ray.ops.window import grouped_concat, grouped_dense_rank
+
+
+def _collect(ds) -> pd.DataFrame:
+    import ray
+
+    tabs = [ray.get(r) for r in ds.materialize().to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_rows] or tabs[:1]
+    return pa.concat_tables(tabs).to_pandas()
+
+
+def _rank_frame(n=5000, n_keys=60, seed=3):
+    rng = np.random.RandomState(seed)
+    return pa.table(
+        {
+            "k": pa.array(rng.randint(0, n_keys, n).astype(np.int64)),
+            # coarse grid → plenty of in-group ties
+            "v": pa.array(rng.randint(-20, 20, n).astype(np.float64)),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+
+
+class TestDenseRank:
+    @pytest.mark.parametrize("n_blocks", [1, 9])
+    def test_matches_pandas(self, ray_session, n_blocks):
+        import ray.data
+
+        t = _rank_frame()
+        df = t.to_pandas()
+        df["rnk"] = (
+            df.groupby("k")["v"]
+            .rank(method="dense", ascending=False)
+            .astype(np.int64)
+        )
+        want = df.sort_values(["k", "id"], ignore_index=True)[
+            ["k", "v", "id", "rnk"]
+        ]
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        got = (
+            _collect(
+                grouped_dense_rank(
+                    ds, ["k"], "v", rank_name="rnk", keep_cols=["id"]
+                )
+            )
+            .sort_values(["k", "id"], ignore_index=True)[
+                ["k", "v", "id", "rnk"]
+            ]
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_ascending(self, ray_session):
+        import ray.data
+
+        t = _rank_frame(n=800, n_keys=7, seed=11)
+        df = t.to_pandas()
+        df["rnk"] = (
+            df.groupby("k")["v"]
+            .rank(method="dense", ascending=True)
+            .astype(np.int64)
+        )
+        want = df.sort_values(["k", "id"], ignore_index=True)[
+            ["k", "v", "id", "rnk"]
+        ]
+        got = _collect(
+            grouped_dense_rank(
+                ray.data.from_arrow(t),
+                ["k"],
+                "v",
+                rank_name="rnk",
+                descending=False,
+                keep_cols=["id"],
+            )
+        ).sort_values(["k", "id"], ignore_index=True)[
+            ["k", "v", "id", "rnk"]
+        ]
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_table_input(self, ray_session):
+        t = _rank_frame(n=300, n_keys=4, seed=5)
+        got = _collect(
+            grouped_dense_rank(t, ["k"], "v", keep_cols=["id"])
+        )
+        assert len(got) == 300
+        # every group's rank set is 1..n_distinct
+        for _, g in got.groupby("k"):
+            n_distinct = g["v"].nunique()
+            assert sorted(g["rnk"].unique()) == list(
+                range(1, n_distinct + 1)
+            )
+
+
+class TestGroupedConcat:
+    @pytest.mark.parametrize("n_blocks", [1, 9])
+    def test_matches_pandas(self, ray_session, n_blocks):
+        import ray.data
+
+        rng = np.random.RandomState(4)
+        n = 4000
+        t = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 97, n).astype(np.int64)),
+                "o": pa.array(
+                    rng.permutation(n).astype(np.int64)
+                ),  # unique order key
+                "s": pa.array(
+                    np.char.add("w", rng.randint(0, 9, n).astype(str))
+                ),
+            }
+        )
+        df = t.to_pandas()
+        want = (
+            df.sort_values("o")
+            .groupby("k")
+            .agg(cat=("s", ",".join), n=("s", "size"))
+            .reset_index()
+            .sort_values("k", ignore_index=True)
+        )
+        want["n"] = want["n"].astype(np.int64)
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        got = (
+            _collect(
+                grouped_concat(
+                    ds,
+                    ["k"],
+                    "s",
+                    order_col="o",
+                    out_name="cat",
+                    count_name="n",
+                )
+            )
+            .sort_values("k", ignore_index=True)[["k", "cat", "n"]]
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+def _pagerank_numpy(src, dst, outdeg, n, iters=3, scale=10**12):
+    base = (15 * scale) // (100 * n)
+    r = np.full(n, scale // n, dtype=np.int64)
+    for _ in range(iters):
+        contrib = (85 * r[src]) // (100 * outdeg)
+        nxt = np.full(n, base, dtype=np.int64)
+        np.add.at(nxt, dst, contrib)
+        r = nxt
+    return r
+
+
+class TestPagerank:
+    def _graph(self, n=700, seed=9):
+        rng = np.random.RandomState(seed)
+        deg = rng.randint(1, 5, n)
+        src = np.repeat(np.arange(n, dtype=np.int64), deg)
+        dst = rng.randint(0, n, len(src)).astype(np.int64)
+        outdeg = np.repeat(deg, deg).astype(np.int64)
+        return src, dst, outdeg, n
+
+    @pytest.mark.parametrize("n_blocks", [1, 8])
+    def test_matches_numpy(self, ray_session, n_blocks):
+        import ray.data
+
+        src, dst, outdeg, n = self._graph()
+        want = _pagerank_numpy(src, dst, outdeg, n)
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(src),
+                    "dst": pa.array(dst),
+                    "outdeg": pa.array(outdeg),
+                }
+            )
+        ).repartition(n_blocks)
+        nodes = ray.data.from_arrow(
+            pa.table({"node": pa.array(np.arange(n, dtype=np.int64))})
+        ).repartition(max(1, n_blocks // 2))
+        got = (
+            _collect(pagerank(edges, nodes, n))
+            .sort_values("node", ignore_index=True)
+        )
+        assert got["node"].tolist() == list(range(n))
+        np.testing.assert_array_equal(got["r"].to_numpy(), want)
+
+    def test_mass_bounded(self, ray_session):
+        import ray.data
+
+        src, dst, outdeg, n = self._graph(n=200, seed=2)
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(src),
+                    "dst": pa.array(dst),
+                    "outdeg": pa.array(outdeg),
+                }
+            )
+        )
+        nodes = ray.data.from_arrow(
+            pa.table({"node": pa.array(np.arange(n, dtype=np.int64))})
+        )
+        got = _collect(pagerank(edges, nodes, n))
+        total = int(got["r"].sum())
+        # floored divisions only ever LEAK mass, never create it
+        assert 0 < total <= 10**12
+        assert (got["r"] > 0).all()
