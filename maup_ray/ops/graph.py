@@ -1,6 +1,6 @@
-"""Iterative graph propagation — fixed-point PageRank as a BSP loop of
-keyed shuffles (the numeric companion to the label-propagation
-connected components in ``text/cluster.py``).
+"""Iterative graph propagation — fixed-point PageRank as a BSP loop
+over an ITERATION-INVARIANT partitioning (the numeric companion to the
+label-propagation connected components in ``text/cluster.py``).
 
 Why fixed-point integers: float PageRank sums are order-dependent, so
 a distributed run would diverge from any serial oracle bit-by-bit.
@@ -15,19 +15,29 @@ token-for-token. The floored remainders leak a little mass per
 iteration — that is part of the operator's DEFINITION, identical on
 both sides, not an approximation error.
 
-Scale shape (100 TB / 10^12-node graphs): nothing node- or edge-sized
-ever lands on the driver. Each iteration is two keyed exchanges:
-  1. propagate: ranks ∪ edges co-shuffle on the SOURCE node
-     (``hash_group_apply``; the islands side-tag pattern) — each
-     partition broadcasts its group's rank across that group's edge
-     rows vectorized and emits (dst, contrib) pairs, 16 B/row;
-  2. combine: contributions ∪ per-node base rows reduce with
-     ``grouped_sum_count(final="hash")`` — per-batch partials, then
-     one bytes-aware hash exchange.
-Hot destination nodes pre-combine inside the partial pass; hot SOURCE
-nodes (a node with billions of out-edges) are the documented
-hash_group_apply skew caveat — split them upstream by salting the
-edge list and replicating the rank row per salt.
+Scale shape (100 TB / 10^12-node graphs): ONE partitioning key (the
+node id hash) is chosen up front and reused by every stage of every
+iteration — the "pick one partitioning key and reuse it" discipline:
+
+  * edges hash-partition by src ONCE (the only time edge bytes move);
+    the node universe hash-partitions by node id with the SAME hash,
+    so partition p holds exactly the rank rows its edge rows need.
+  * each iteration is two raw-task rounds over that fixed layout:
+    propagate (per partition: one index_in rank lookup + the contrib
+    arithmetic + a per-dst pre-combine, emitting 16 B/row partials
+    hash-split by dst — again the same hash) and combine (per
+    partition: reduceat-merge the incoming partials onto the node
+    part). The new rank vector lands already partitioned for the next
+    iteration — zero re-shuffles, zero driver round-trips of node- or
+    edge-sized data.
+
+Raw tasks (not per-iteration Dataset jobs) are the documented
+last-resort case: the Dataset API cannot express "keep this exact
+partitioning across N dependent rounds", and re-deriving it per round
+costs one all-to-all per iteration plus the per-job fixed overhead.
+Hot SOURCE nodes (a node with billions of out-edges) are the usual
+hash-partition skew caveat — salt the edge list upstream and replicate
+the rank row per salt; hot DESTINATIONS pre-combine inside propagate.
 """
 
 from __future__ import annotations
@@ -35,10 +45,74 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .agg import grouped_sum_count
-from .shuffle import hash_group_apply
+from .shuffle import _choose_partitions, _hash_keys, _split_block
 
 __all__ = ["pagerank"]
+
+
+def _propagate_part(
+    edge_part: pa.Table,
+    rank_part: pa.Table,
+    P: int,
+    d_num: int,
+    d_den: int,
+):
+    """One propagate task: contribs of this partition's edges, summed
+    per dst (pre-combine), hash-split by dst into P sub-tables."""
+    empty = pa.table(
+        {
+            "dst": pa.array([], type=pa.int64()),
+            "contrib": pa.array([], type=pa.int64()),
+        }
+    )
+    if edge_part.num_rows == 0:
+        return [empty] * P if P > 1 else empty
+    import pyarrow.compute as pc
+
+    nodes = rank_part["node"].combine_chunks()
+    if isinstance(nodes, pa.ChunkedArray):
+        nodes = (
+            nodes.chunk(0)
+            if nodes.num_chunks
+            else pa.array([], type=pa.int64())
+        )
+    idx = pc.index_in(edge_part["src"], nodes)
+    r = pc.take(rank_part["r"], idx).to_numpy(zero_copy_only=False)
+    # a src outside the node universe contributes nothing (defined 0)
+    r = np.where(np.isnan(r), 0, r).astype(np.int64) if r.dtype.kind == "f" else r
+    outdeg = edge_part["outdeg"].to_numpy(zero_copy_only=False)
+    contrib = (d_num * r) // (d_den * outdeg)
+    dst = edge_part["dst"].to_numpy(zero_copy_only=False)
+    # pre-combine per dst: order-independent (exact ints)
+    order = np.argsort(dst, kind="stable")
+    ds_ = dst[order]
+    starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+    t = pa.table(
+        {
+            "dst": pa.array(ds_[starts]),
+            "contrib": pa.array(np.add.reduceat(contrib[order], starts)),
+        }
+    )
+    return _split_block(t, ["dst"], P)
+
+
+def _combine_part(node_part: pa.Table, base: int, *subs: pa.Table):
+    """One combine task: new rank rows for this partition's nodes —
+    base + merged contrib partials."""
+    node = node_part["node"].to_numpy(zero_copy_only=False)
+    r = np.full(len(node), base, dtype=np.int64)
+    live = [s for s in subs if s.num_rows]
+    if live:
+        m = live[0] if len(live) == 1 else pa.concat_tables(live)
+        dst = m["dst"].to_numpy(zero_copy_only=False)
+        c = m["contrib"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        pos = np.searchsorted(node[order], dst)
+        # every dst is in the node universe by construction (same hash
+        # routed it here); guard anyway so a stray dst can't corrupt
+        ok = (pos < len(node)) & (node[order][np.minimum(pos, len(node) - 1)] == dst)
+        np.add.at(r, order[pos[ok]], c[ok])
+    return pa.table({"node": node_part["node"], "r": pa.array(r)})
 
 
 def pagerank(
@@ -48,6 +122,7 @@ def pagerank(
     iterations: int = 3,
     scale: int = 10**12,
     damping: tuple[int, int] = (85, 100),
+    num_partitions: int | None = None,
 ):
     """``iterations`` rounds of fixed-point PageRank.
 
@@ -61,125 +136,79 @@ def pagerank(
     Returns a Dataset (node:int64, r:int64) with the iteration-
     ``iterations`` mass on the ``scale`` grid.
     """
+    import ray
     import ray.data
 
     d_num, d_den = damping
     base = (scale * (d_den - d_num)) // (d_den * n_nodes)
     r0 = scale // n_nodes
 
-    def to_ds(x):
-        return ray.data.from_arrow(x) if isinstance(x, pa.Table) else x
+    def block_refs(x):
+        if isinstance(x, pa.Table):
+            return [ray.put(x)], x.nbytes
+        mat = x.materialize()
+        return mat.to_arrow_refs(), mat.size_bytes()
 
-    edges = to_ds(edges)
-    nodes = to_ds(nodes)
-
-    # side-tagged union payload for the source-keyed propagate pass:
-    # rank rows carry (key=node, r, is_rank=1), edge rows
-    # (key=src, dst, outdeg, is_rank=0). Pruned: 33 B/row.
-    def tag_edges(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "key": batch["src"],
-                "dst": batch["dst"],
-                "outdeg": batch["outdeg"],
-                "r": pa.array(np.zeros(n, dtype=np.int64)),
-                "is_rank": pa.array(np.zeros(n, dtype=np.int8)),
-            }
+    edge_blocks, edge_bytes = block_refs(edges)
+    node_blocks, node_bytes = block_refs(nodes)
+    if num_partitions is None:
+        num_partitions = _choose_partitions(
+            edge_bytes + node_bytes, ray.cluster_resources().get("CPU", 8)
         )
+    P = int(num_partitions)
 
-    tagged_edges = edges.map_batches(
-        tag_edges, batch_format="pyarrow", zero_copy_batch=True
+    # ---- one-time layout: hash-partition edges by src, nodes by id
+    # (same hash function → co-located), then concat each partition
+    split = (
+        ray.remote(num_returns=P)(_split_block)
+        if P > 1
+        else ray.remote(_split_block)
     )
 
-    def base_rows(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "dst": batch["node"],
-                "contrib": pa.array(np.full(n, base, dtype=np.int64)),
-            }
-        )
+    concat = ray.remote(_concat_parts)
 
-    base_ds = nodes.map_batches(
-        base_rows, batch_format="pyarrow", zero_copy_batch=True
+    def partition(blocks, keys):
+        parts = [split.remote(b, keys, P) for b in blocks]
+        if P == 1:
+            parts = [[p] for p in parts]
+        return [
+            concat.remote(*[p[i] for p in parts]) for i in range(P)
+        ]
+
+    edge_parts = partition(edge_blocks, ["src"])
+    node_parts = partition(node_blocks, ["node"])
+
+    init = ray.remote(_init_ranks)
+    rank_parts = [init.remote(np_, r0) for np_ in node_parts]
+
+    prop = ray.remote(num_returns=P)(_propagate_part) if P > 1 else (
+        ray.remote(_propagate_part)
     )
-
-    def propagate(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
-        empty = pa.schema(
-            [pa.field("dst", pa.int64()), pa.field("contrib", pa.int64())]
-        ).empty_table()
-        if tbl is None or len(tbl) == 0:
-            return empty
-        n = len(tbl)
-        sizes = np.diff(np.append(starts, n))
-        is_rank = tbl["is_rank"].to_numpy(zero_copy_only=False)
-        r = tbl["r"].to_numpy(zero_copy_only=False)
-        # sorted ascending by is_rank within the group → the rank row
-        # (if present) is the group's LAST row
-        last = starts + sizes - 1
-        r_group = np.where(is_rank[last] == 1, r[last], 0)
-        r_row = np.repeat(r_group, sizes)
-        edge_mask = is_rank == 0
-        if not edge_mask.any():
-            return empty
-        outdeg = tbl["outdeg"].to_numpy(zero_copy_only=False)[edge_mask]
-        contrib = (d_num * r_row[edge_mask]) // (d_den * outdeg)
-        return pa.table(
-            {
-                "dst": tbl["dst"].filter(pa.array(edge_mask)),
-                "contrib": pa.array(contrib.astype(np.int64)),
-            }
-        )
-
-    def rank_to_tagged(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "key": batch["node"],
-                "dst": pa.array(np.zeros(n, dtype=np.int64)),
-                "outdeg": pa.array(np.ones(n, dtype=np.int64)),
-                "r": batch["r"],
-                "is_rank": pa.array(np.ones(n, dtype=np.int8)),
-            }
-        )
-
-    def uniform_rank(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "key": batch["node"],
-                "dst": pa.array(np.zeros(n, dtype=np.int64)),
-                "outdeg": pa.array(np.ones(n, dtype=np.int64)),
-                "r": pa.array(np.full(n, r0, dtype=np.int64)),
-                "is_rank": pa.array(np.ones(n, dtype=np.int8)),
-            }
-        )
-
-    tagged_ranks = nodes.map_batches(
-        uniform_rank, batch_format="pyarrow", zero_copy_batch=True
-    )
-    ranks = None
+    comb = ray.remote(_combine_part)
     for _ in range(iterations):
-        if ranks is not None:
-            tagged_ranks = ranks.map_batches(
-                rank_to_tagged, batch_format="pyarrow", zero_copy_batch=True
-            )
-        contribs = hash_group_apply(
-            tagged_edges.union(tagged_ranks),
-            ["key"],
-            propagate,
-            sort_cols=["is_rank"],
-        )
-        summed = grouped_sum_count(
-            contribs.union(base_ds),
-            ["dst"],
-            sum_cols=["contrib"],
-            final="hash",
-        )
-        ranks = summed.map_batches(
-            lambda b: b.rename_columns(["node", "r"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-    return ranks
+        outs = [
+            prop.remote(edge_parts[p], rank_parts[p], P, d_num, d_den)
+            for p in range(P)
+        ]
+        if P == 1:
+            outs = [[o] for o in outs]
+        rank_parts = [
+            comb.remote(node_parts[q], base, *[o[q] for o in outs])
+            for q in range(P)
+        ]
+    return ray.data.from_arrow_refs(rank_parts)
+
+
+def _init_ranks(node_part: pa.Table, r0: int) -> pa.Table:
+    return pa.table(
+        {
+            "node": node_part["node"],
+            "r": pa.array(np.full(node_part.num_rows, r0, dtype=np.int64)),
+        }
+    )
+
+
+def _concat_parts(*tabs: pa.Table) -> pa.Table:
+    live = [t for t in tabs if t.num_rows] or list(tabs[:1])
+    t = live[0] if len(live) == 1 else pa.concat_tables(live)
+    return t.combine_chunks()
