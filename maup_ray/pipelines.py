@@ -1955,6 +1955,85 @@ def q_nearest_district(sf_dir: str):
     )
 
 
+IMG_MULT = 16  # image rows per documents row (entry()'s flagship ratio)
+
+
+def _image_points(sf_dir: str):
+    """Streaming image+caption table (BASELINE.json input_hint schema)
+    sized from the sf's documents table → phash-derived (x, y) points.
+    The Morton de-interleave of the phash's low 40 bits is mirrored
+    bit-for-bit by the oracle's HUGEINT-mod-2^64 multiply + 20-term
+    bit-extraction expression (``_image_pts_cte``)."""
+    import pyarrow.parquet as pq
+
+    from .synth.images import image_dataset, phash_xy
+
+    n = IMG_MULT * pq.read_metadata(
+        f"{sf_dir}/documents.parquet"
+    ).num_rows
+    images = image_dataset(n=n)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        x, y = phash_xy(batch["phash"].to_numpy())
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+
+    return images.map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_image_assign(sf_dir: str):
+    """THE flagship north-star pipeline, driver-oracled: image+caption
+    table → phash-derived coordinates → district assign (broadcast
+    STRtree index, exact point-in-polygon) → per-district image count.
+    Same DAG as ``__ray_entry__.entry()`` but with a value-exact DuckDB
+    oracle (the BSP rect districts + the bit-exact phash→xy SQL)."""
+    from .ops.agg import grouped_sum_count
+    from .ops.assign import assign
+
+    assigned = assign(
+        _image_points(sf_dir),
+        _districts(),
+        source_id_col="image_id",
+        target_id_col="district_id",
+        targets_id_col="district_id",
+    )
+    return grouped_sum_count(
+        assigned, ["district_id"], count_col="n_images", final="driver"
+    )
+
+
+def q_image_cells(sf_dir: str):
+    """Tile (cell) assignment over the image table — the north rule's
+    "tile assignments" check as a value-exact query: phash→xy → res-4
+    hierarchical cell → count per cell (per-batch partials, 256-group
+    driver merge)."""
+    from .ops.agg import grouped_sum_count
+
+    def tile(batch: pa.Table) -> pa.Table:
+        from .geom.cells import CellGrid
+
+        g = CellGrid(0, 0, EXTENT)
+        cells = g.cell_of_points(
+            batch["x"].to_numpy(), batch["y"].to_numpy(), 4
+        )
+        cx, cy, _ = CellGrid.unpack(cells)
+        return pa.table({"cx": pa.array(cx), "cy": pa.array(cy)})
+
+    ds = _image_points(sf_dir).map_batches(
+        tile, batch_format="pyarrow"
+    )
+    return grouped_sum_count(
+        ds, ["cx", "cy"], count_col="n_images", final="driver"
+    )
+
+
 PR_SCALE = 10**12
 PR_ITERS = 3
 PR_EDGE_C = 12345  # per-slot stride in the derived edge destinations
@@ -2007,6 +2086,32 @@ def q_pagerank(sf_dir: str):
 
 
 # ------------------------------------------------------------ oracle SQL
+
+
+def _image_pts_cte() -> str:
+    """CTEs imgs(p) + ipts(x, y): the synthetic image table's phash
+    and Morton-derived point, bit-exact vs synth/images (validated:
+    HUGEINT (id·M) mod 2^63 == the engine's uint64 wrap + mask; the
+    20-term bit extraction == _compact1by1 on the low 40 bits)."""
+    mult = 0x9E3779B97F4A7C15
+    cx = " + ".join(f"((p >> {2 * k}) & 1) * {1 << k}" for k in range(20))
+    cy = " + ".join(
+        f"((p >> {2 * k + 1}) & 1) * {1 << k}" for k in range(20)
+    )
+    # DuckDB's range() table function can't take a subquery bound, so
+    # the id domain 0..16n-1 is derived as doc_id*16 + k — doc_id is
+    # the contiguous 0-based row index of the driver's documents table
+    # (verified 0..n-1 at every sf)
+    return f"""
+        imgs AS (
+          SELECT CAST((CAST(doc_id * {IMG_MULT} + k AS HUGEINT) * {mult})
+                      % 9223372036854775808 AS BIGINT) AS p
+          FROM documents,
+               (SELECT unnest(range(0, {IMG_MULT})) AS k)),
+        ipts AS (
+          SELECT CAST(({cx}) AS DOUBLE) + 0.5 AS x,
+                 CAST(({cy}) AS DOUBLE) + 0.5 AS y
+          FROM imgs)"""
 
 
 def _pagerank_sql() -> str:
@@ -2338,6 +2443,8 @@ def query_registry():
         "custdist": q_custdist,
         "nearest_district": q_nearest_district,
         "pagerank": q_pagerank,
+        "image_assign": q_image_assign,
+        "image_cells": q_image_cells,
         "region_revenue": q_region_revenue,
         "quality_model": q_quality_model,
         "sample": q_sample,
@@ -2934,6 +3041,20 @@ def oracle_queries() -> dict[str, str]:
             WHERE rn = 1
         """,
         "pagerank": _pagerank_sql(),
+        "image_assign": f"""
+            WITH {_image_pts_cte()}
+            SELECT district_id, count(*) AS n_images
+            FROM ipts, {dist}
+            WHERE x >= minx AND x < maxx AND y >= miny AND y < maxy
+            GROUP BY district_id
+        """,
+        "image_cells": f"""
+            WITH {_image_pts_cte()}
+            SELECT CAST(floor(x / {EXTENT // 16}) AS BIGINT) AS cx,
+                   CAST(floor(y / {EXTENT // 16}) AS BIGINT) AS cy,
+                   count(*) AS n_images
+            FROM ipts GROUP BY 1, 2
+        """,
         "region_revenue": """
             SELECT r_name,
                    CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT))
