@@ -29,7 +29,7 @@ import pyarrow as pa
 
 from .shuffle import hash_group_apply
 
-__all__ = ["grouped_dense_rank", "grouped_concat"]
+__all__ = ["grouped_dense_rank", "grouped_concat", "grouped_ntile"]
 
 
 def grouped_dense_rank(
@@ -95,6 +95,63 @@ def grouped_dense_rank(
         )
 
     return hash_group_apply(pruned, keys, rank_part, sort_cols=[sort_col])
+
+
+def grouped_ntile(
+    ds,
+    key_cols,
+    order_cols,
+    n_buckets: int,
+    tile_name: str = "tile",
+):
+    """Per-group ``ntile(n_buckets)`` — SQL
+    ``ntile(b) OVER (PARTITION BY keys ORDER BY order_cols)``.
+
+    ``order_cols`` must totalize order within a group (include a
+    unique tie-break column) for a deterministic result. Standard
+    ntile fill: with n rows and q = n//b, r = n%b, the first r buckets
+    get q+1 rows — computed as one vectorized expression over group
+    positions. Output: keys + order_cols + tile (1-based int64).
+    """
+    keys = list(key_cols)
+    order = list(order_cols)
+    b = int(n_buckets)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return batch.select(keys + order)
+
+    pruned = (
+        prune(ds)
+        if isinstance(ds, pa.Table)
+        else ds.map_batches(
+            prune, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def tile_part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None or len(tbl) == 0:
+            if tbl is not None:
+                return tbl.append_column(
+                    tile_name, pa.array([], type=pa.int64())
+                )
+            fields = [pa.field(c, pa.int64()) for c in keys + order]
+            fields.append(pa.field(tile_name, pa.int64()))
+            return pa.schema(fields).empty_table()
+        n = len(tbl)
+        sizes = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        gn = np.repeat(sizes, sizes)
+        q, r = gn // b, gn % b
+        big = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+        qsafe = np.maximum(q, 1)  # q=0 rows all fall in the big branch
+        tile = np.where(
+            pos < big, pos // (q + 1), r + (pos - big) // qsafe
+        )
+        return tbl.append_column(
+            tile_name, pa.array((tile + 1).astype(np.int64))
+        )
+
+    return hash_group_apply(pruned, keys, tile_part, sort_cols=order)
 
 
 def grouped_concat(

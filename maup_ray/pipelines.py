@@ -1955,6 +1955,144 @@ def q_nearest_district(sf_dir: str):
     )
 
 
+def q_event_tiles(sf_dir: str):
+    """Per-user ntile(4) bucketing over the events stream ordered by
+    (ts, event_id) — the quantile-bucket window shape
+    (ops/window.grouped_ntile): one keyed shuffle of the 24 B/row
+    projection, one vectorized bucket-fill expression per partition."""
+    from .ops.window import grouped_ntile
+
+    return grouped_ntile(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
+        ["user_id"],
+        ["ts", "event_id"],
+        4,
+        tile_name="tile",
+    )
+
+
+Q3_CUTOFF = "1998-06-01"
+Q3_SEGMENT = "BUILDING"
+Q3_TOPN = 10
+
+
+def q_top_unshipped(sf_dir: str):
+    """TPC-H Q3 shape — top-N unshipped-revenue orders for one market
+    segment: lineitem (shipdate predicate pushed to the parquet read)
+    → integer-cents revenue → semi-filter against the qualifying-order
+    key set (broadcast; date + segment filters applied on the
+    dimension side) → per-batch revenue partials + bytes-aware keyed
+    merge → orderdate attach (broadcast) → per-block top-N combiner +
+    driver merge. Revenue is cents×(100−disc) [10⁻⁴ $] so sums are
+    order-independent (pricing_summary discipline); rank order is
+    totalized by (revenue DESC, orderkey)."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .ops.agg import grouped_sum_count
+    from .ops.join import broadcast_hash_join, semi_join
+
+    cutoff = datetime.fromisoformat(Q3_CUTOFF)
+    # dimension: date-filtered orders of the segment's customers —
+    # planned by metadata before touching data (order_totals pattern)
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n_orders > 2_000_000:
+        raise NotImplementedError(
+            "top_unshipped: orders side exceeds the broadcast plan; "
+            "use the Dataset co-shuffle join (ops/join.equi_join with "
+            "a Dataset right side) for corpus-sized order tables"
+        )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    ckeys = pc.filter(
+        cust["c_custkey"],
+        pc.equal(cust["c_mktsegment"], Q3_SEGMENT),
+    )
+    ot = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    dim = ot.filter(
+        pc.and_(
+            pc.less(ot["o_orderdate"], pa.scalar(cutoff)),
+            pc.is_in(ot["o_custkey"], value_set=ckeys.combine_chunks()),
+        )
+    ).select(["o_orderkey", "o_orderdate"])
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pads.field("l_shipdate") > pa.scalar(cutoff)),
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        price = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "revenue_u": pc.multiply(
+                    price, pc.subtract(pa.scalar(100, pa.int64()), disc)
+                ),
+            }
+        )
+
+    li = semi_join(
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
+        dim,
+        "l_orderkey",
+        right_on="o_orderkey",
+    )
+    per_order = grouped_sum_count(
+        li, ["l_orderkey"], sum_cols=["revenue_u"], final="hash"
+    )
+    dated = broadcast_hash_join(
+        per_order, dim, "l_orderkey", "o_orderkey", ["o_orderdate"]
+    )
+
+    def top_block(b: pa.Table) -> pa.Table:
+        r = b["revenue_u"].to_numpy(zero_copy_only=False)
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, -r))[:Q3_TOPN]
+        return b.take(pa.array(order))
+
+    winners = pa.concat_tables(
+        [
+            t
+            for t in (
+                __import__("ray").get(r)
+                for r in dated.map_batches(
+                    top_block, batch_format="pyarrow", zero_copy_batch=True
+                ).materialize().to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        or [
+            pa.schema(
+                [
+                    ("l_orderkey", pa.int64()),
+                    ("revenue_u", pa.int64()),
+                    ("o_orderdate", pa.timestamp("us")),
+                ]
+            ).empty_table()
+        ]
+    )
+    r = winners["revenue_u"].to_numpy(zero_copy_only=False)
+    k = winners["l_orderkey"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((k, -r))[:Q3_TOPN]
+    return winners.take(pa.array(order))
+
+
 IMG_MULT = 16  # image rows per documents row (entry()'s flagship ratio)
 
 
@@ -2445,6 +2583,8 @@ def query_registry():
         "pagerank": q_pagerank,
         "image_assign": q_image_assign,
         "image_cells": q_image_cells,
+        "event_tiles": q_event_tiles,
+        "top_unshipped": q_top_unshipped,
         "region_revenue": q_region_revenue,
         "quality_model": q_quality_model,
         "sample": q_sample,
@@ -3054,6 +3194,33 @@ def oracle_queries() -> dict[str, str]:
                    CAST(floor(y / {EXTENT // 16}) AS BIGINT) AS cy,
                    count(*) AS n_images
             FROM ipts GROUP BY 1, 2
+        """,
+        "event_tiles": """
+            SELECT user_id, ts, event_id,
+                   CAST(ntile(4) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT)
+                       AS tile
+            FROM events
+        """,
+        "top_unshipped": f"""
+            WITH f AS (
+              SELECT l_orderkey,
+                CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+                  AS rev
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '{Q3_CUTOFF}'),
+            o AS (
+              SELECT o_orderkey, o_orderdate FROM orders
+              WHERE o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+                AND o_custkey IN (SELECT c_custkey FROM customer
+                                  WHERE c_mktsegment = '{Q3_SEGMENT}'))
+            SELECT l_orderkey, CAST(sum(f.rev) AS BIGINT) AS revenue_u,
+                   o_orderdate
+            FROM f JOIN o ON l_orderkey = o_orderkey
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue_u DESC, l_orderkey
+            LIMIT {Q3_TOPN}
         """,
         "region_revenue": """
             SELECT r_name,

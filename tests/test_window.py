@@ -8,7 +8,11 @@ import pyarrow as pa
 import pytest
 
 from maup_ray.ops.graph import pagerank
-from maup_ray.ops.window import grouped_concat, grouped_dense_rank
+from maup_ray.ops.window import (
+    grouped_concat,
+    grouped_dense_rank,
+    grouped_ntile,
+)
 
 
 def _collect(ds) -> pd.DataFrame:
@@ -142,6 +146,53 @@ class TestGroupedConcat:
             .sort_values("k", ignore_index=True)[["k", "cat", "n"]]
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestNtile:
+    @pytest.mark.parametrize("b", [1, 3, 4, 7])
+    def test_matches_duckdb(self, ray_session, b):
+        import duckdb
+        import ray.data
+
+        rng = np.random.RandomState(8)
+        n = 3000
+        t = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 40, n).astype(np.int64)),
+                "o": pa.array(rng.permutation(n).astype(np.int64)),
+            }
+        )
+        want = duckdb.sql(
+            f"""SELECT k, o, CAST(ntile({b}) OVER (PARTITION BY k
+                ORDER BY o) AS BIGINT) AS tile FROM t
+                ORDER BY k, o"""
+        ).df()
+        got = (
+            _collect(
+                grouped_ntile(
+                    ray.data.from_arrow(t).repartition(7),
+                    ["k"],
+                    ["o"],
+                    b,
+                )
+            )
+            .sort_values(["k", "o"], ignore_index=True)[["k", "o", "tile"]]
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_small_groups(self, ray_session):
+        # groups smaller than the bucket count: tile == position+1
+        t = pa.table(
+            {
+                "k": pa.array([0, 0, 1], type=pa.int64()),
+                "o": pa.array([5, 2, 9], type=pa.int64()),
+            }
+        )
+        got = (
+            _collect(grouped_ntile(t, ["k"], ["o"], 10))
+            .sort_values(["k", "o"], ignore_index=True)
+        )
+        assert got["tile"].tolist() == [1, 2, 1]
 
 
 def _pagerank_numpy(src, dst, outdeg, n, iters=3, scale=10**12):
