@@ -2093,6 +2093,72 @@ def q_top_unshipped(sf_dir: str):
     return winners.take(pa.array(order))
 
 
+EMB_DIM = 64
+EMB_QSCALE = 1 << 20  # power of two → the quantizing multiply is EXACT
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids — the list-column grouped
+    aggregate (vector-building shape: class means for SemDeDup-style
+    pruning / nearest-class-mean labeling). Each batch reshapes the
+    flattened list<float> to (n, 64) and emits per-label integer
+    partial sums (one reduceat per batch, ≤ labels×64 partial rows per
+    block); the 640-group finish runs on the driver.
+
+    Exactness: float32→float64 is exact, ×2^20 is exact (power of
+    two), floor has no rounding ties (unlike round-half modes, which
+    differ between Arrow and DuckDB), so the quantized sums are exact
+    ints on both sides and each centroid is ONE IEEE division."""
+    from .ops.agg import grouped_sum_count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        emb = batch["embedding"].combine_chunks()
+        if isinstance(emb, pa.ChunkedArray):
+            emb = (
+                emb.chunk(0)
+                if emb.num_chunks
+                else pa.array([], type=pa.list_(pa.float32()))
+            )
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        assert len(flat) == n * EMB_DIM, "embedding dim mismatch"
+        q = np.floor(
+            flat.astype(np.float64).reshape(n, EMB_DIM) * EMB_QSCALE
+        ).astype(np.int64)
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        order = np.argsort(labels, kind="stable")
+        ls = labels[order]
+        starts = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
+        sums = np.add.reduceat(q[order], starts, axis=0)
+        counts = np.diff(np.append(starts, n))
+        g = len(starts)
+        return pa.table(
+            {
+                "label": pa.array(
+                    np.repeat(ls[starts], EMB_DIM), type=pa.int32()
+                ),
+                "dim": pa.array(
+                    np.tile(
+                        np.arange(1, EMB_DIM + 1, dtype=np.int64), g
+                    )
+                ),
+                "sum_q": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(counts, EMB_DIM)),
+            }
+        )
+
+    parts = _read(sf_dir, "embeddings", ["label", "embedding"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    t = grouped_sum_count(
+        parts, ["label", "dim"], sum_cols=["sum_q", "n"], final="driver"
+    )
+    centroid = t["sum_q"].to_numpy().astype(np.float64) / t[
+        "n"
+    ].to_numpy().astype(np.float64)
+    return t.append_column("centroid", pa.array(centroid))
+
+
 IMG_MULT = 16  # image rows per documents row (entry()'s flagship ratio)
 
 
@@ -2585,6 +2651,7 @@ def query_registry():
         "image_cells": q_image_cells,
         "event_tiles": q_event_tiles,
         "top_unshipped": q_top_unshipped,
+        "label_centroids": q_label_centroids,
         "region_revenue": q_region_revenue,
         "quality_model": q_quality_model,
         "sample": q_sample,
@@ -3201,6 +3268,19 @@ def oracle_queries() -> dict[str, str]:
                                        ORDER BY ts, event_id) AS BIGINT)
                        AS tile
             FROM events
+        """,
+        "label_centroids": f"""
+            WITH e AS (
+              SELECT label, i.i AS dim,
+                CAST(floor(CAST(embedding[i.i] AS DOUBLE)
+                           * {EMB_QSCALE}) AS BIGINT) AS q
+              FROM embeddings,
+                   (SELECT unnest(range(1, {EMB_DIM + 1})) AS i) i)
+            SELECT label, dim, CAST(sum(q) AS BIGINT) AS sum_q,
+                   count(*) AS n,
+                   CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*)
+                       AS centroid
+            FROM e GROUP BY label, dim
         """,
         "top_unshipped": f"""
             WITH f AS (
