@@ -2093,6 +2093,26 @@ def q_top_unshipped(sf_dir: str):
     return winners.take(pa.array(order))
 
 
+DWITHIN_R = 1 << 15  # power of two → R² compares exactly
+
+
+def q_points_within(sf_dir: str):
+    """Fixed-radius spatial self-join (the geo range join): all
+    document-point pairs within R (ops/dwithin.dwithin_self_join) —
+    ≤4× cell replication of a 41 B projection, one cell-keyed shuffle,
+    one vectorized home×resident distance pass per partition,
+    structural dedup (no pair shuffle). Value-exact vs the cross-join
+    oracle (integer dx/dy, power-of-two R²)."""
+    from .ops.dwithin import dwithin_self_join
+
+    pts = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        derive_points, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return dwithin_self_join(
+        pts, float(DWITHIN_R), id_col="doc_id"
+    )
+
+
 EMB_DIM = 64
 EMB_QSCALE = 1 << 20  # power of two → the quantizing multiply is EXACT
 
@@ -2652,6 +2672,7 @@ def query_registry():
         "event_tiles": q_event_tiles,
         "top_unshipped": q_top_unshipped,
         "label_centroids": q_label_centroids,
+        "points_within": q_points_within,
         "region_revenue": q_region_revenue,
         "quality_model": q_quality_model,
         "sample": q_sample,
@@ -3268,6 +3289,18 @@ def oracle_queries() -> dict[str, str]:
                                        ORDER BY ts, event_id) AS BIGINT)
                        AS tile
             FROM events
+        """,
+        "points_within": f"""
+            WITH p AS (
+              SELECT doc_id, CAST({_points_expr()[0]} AS DOUBLE) AS x,
+                     CAST({_points_expr()[1]} AS DOUBLE) AS y
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+            FROM p a, p b
+            WHERE a.doc_id < b.doc_id
+              AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                  <= {DWITHIN_R * DWITHIN_R}
         """,
         "label_centroids": f"""
             WITH e AS (
