@@ -1976,7 +1976,7 @@ Q3_SEGMENT = "BUILDING"
 Q3_TOPN = 10
 
 
-def q_top_unshipped(sf_dir: str):
+def q_top_unshipped(sf_dir: str, broadcast_limit: int = 2_000_000):
     """TPC-H Q3 shape — top-N unshipped-revenue orders for one market
     segment: lineitem (shipdate predicate pushed to the parquet read)
     → integer-cents revenue → semi-filter against the qualifying-order
@@ -1985,7 +1985,14 @@ def q_top_unshipped(sf_dir: str):
     merge → orderdate attach (broadcast) → per-block top-N combiner +
     driver merge. Revenue is cents×(100−disc) [10⁻⁴ $] so sums are
     order-independent (pricing_summary discipline); rank order is
-    totalized by (revenue DESC, orderkey)."""
+    totalized by (revenue DESC, orderkey).
+
+    Plan by metadata (order_totals pattern): an orders table past
+    ``broadcast_limit`` switches to the corpus-sized path — customer
+    and orders co-shuffle through Ray Data's hash join, the semi
+    filter folds into that inner join, and only the per-order partials
+    (already reduced) join the dimension stream; equivalence with the
+    broadcast plan is pinned in tests/test_e2e_pipelines.py."""
     from datetime import datetime
 
     import pyarrow.dataset as pads
@@ -1996,33 +2003,7 @@ def q_top_unshipped(sf_dir: str):
     from .ops.join import broadcast_hash_join, semi_join
 
     cutoff = datetime.fromisoformat(Q3_CUTOFF)
-    # dimension: date-filtered orders of the segment's customers —
-    # planned by metadata before touching data (order_totals pattern)
     n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
-    if n_orders > 2_000_000:
-        raise NotImplementedError(
-            "top_unshipped: orders side exceeds the broadcast plan; "
-            "use the Dataset co-shuffle join (ops/join.equi_join with "
-            "a Dataset right side) for corpus-sized order tables"
-        )
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_mktsegment"],
-    )
-    ckeys = pc.filter(
-        cust["c_custkey"],
-        pc.equal(cust["c_mktsegment"], Q3_SEGMENT),
-    )
-    ot = pq.read_table(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    )
-    dim = ot.filter(
-        pc.and_(
-            pc.less(ot["o_orderdate"], pa.scalar(cutoff)),
-            pc.is_in(ot["o_custkey"], value_set=ckeys.combine_chunks()),
-        )
-    ).select(["o_orderkey", "o_orderdate"])
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -2047,24 +2028,84 @@ def q_top_unshipped(sf_dir: str):
             }
         )
 
-    li = semi_join(
-        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
-        dim,
-        "l_orderkey",
-        right_on="o_orderkey",
-    )
-    per_order = grouped_sum_count(
-        li, ["l_orderkey"], sum_cols=["revenue_u"], final="hash"
-    )
-    dated = broadcast_hash_join(
-        per_order, dim, "l_orderkey", "o_orderkey", ["o_orderdate"]
-    )
+    li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+
+    if n_orders <= broadcast_limit:
+        # dimension: date-filtered orders of the segment's customers,
+        # driver-local (provably small) and broadcast
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        ckeys = pc.filter(
+            cust["c_custkey"],
+            pc.equal(cust["c_mktsegment"], Q3_SEGMENT),
+        )
+        ot = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+        dim = ot.filter(
+            pc.and_(
+                pc.less(ot["o_orderdate"], pa.scalar(cutoff)),
+                pc.is_in(
+                    ot["o_custkey"], value_set=ckeys.combine_chunks()
+                ),
+            )
+        ).select(["o_orderkey", "o_orderdate"])
+        li = semi_join(li, dim, "l_orderkey", right_on="o_orderkey")
+        per_order = grouped_sum_count(
+            li, ["l_orderkey"], sum_cols=["revenue_u"], final="hash"
+        )
+        dated = broadcast_hash_join(
+            per_order, dim, "l_orderkey", "o_orderkey", ["o_orderdate"]
+        )
+    else:
+        # corpus-sized dimension: everything co-shuffles. The revenue
+        # partials are reduced per orderkey BEFORE the join, so the
+        # join's left side is orders-sized, not lineitem-sized.
+        ncpu = max(8, int(
+            __import__("ray").cluster_resources().get("CPU", 8)
+        ))
+        cust_ds = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"],
+            filter=(pads.field("c_mktsegment") == Q3_SEGMENT),
+        ).select_columns(["c_custkey"])
+        orders_ds = (
+            ray.data.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                filter=(pads.field("o_orderdate") < pa.scalar(cutoff)),
+            )
+            .join(
+                cust_ds,
+                join_type="inner",
+                num_partitions=ncpu,
+                on=("o_custkey",),
+                right_on=("c_custkey",),
+            )
+            .select_columns(["o_orderkey", "o_orderdate"])
+        )
+        per_order = grouped_sum_count(
+            li, ["l_orderkey"], sum_cols=["revenue_u"], final="hash"
+        )
+        dated = per_order.join(
+            orders_ds,
+            join_type="inner",
+            num_partitions=ncpu,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
 
     def top_block(b: pa.Table) -> pa.Table:
         r = b["revenue_u"].to_numpy(zero_copy_only=False)
         k = b["l_orderkey"].to_numpy(zero_copy_only=False)
         order = np.lexsort((k, -r))[:Q3_TOPN]
-        return b.take(pa.array(order))
+        # normalize: the co-shuffle join path may carry its key twins
+        return b.select(
+            ["l_orderkey", "revenue_u", "o_orderdate"]
+        ).take(pa.array(order))
 
     winners = pa.concat_tables(
         [

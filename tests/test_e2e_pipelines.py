@@ -260,3 +260,21 @@ class TestRepairQueryPinnedHashes:
         df = t.to_pandas()
         assert len(df) == 500
         assert self._h(t) == "abe342c6d8e578d1"
+
+
+class TestTopUnshippedPlans:
+    def test_coshuffle_matches_broadcast(self, ray_session):
+        """broadcast_limit=0 forces the corpus-sized co-shuffle plan
+        (Dataset hash joins); it must equal the broadcast plan row for
+        row — same integer revenue, same top-N order."""
+        from maup_ray.pipelines import q_top_unshipped
+
+        a = q_top_unshipped("/root/testdata/sf0.001").to_pandas()
+        b = q_top_unshipped(
+            "/root/testdata/sf0.001", broadcast_limit=0
+        ).to_pandas()
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
