@@ -77,9 +77,16 @@ def _propagate_part(
             else pa.array([], type=pa.int64())
         )
     idx = pc.index_in(edge_part["src"], nodes)
-    r = pc.take(rank_part["r"], idx).to_numpy(zero_copy_only=False)
-    # a src outside the node universe contributes nothing (defined 0)
-    r = np.where(np.isnan(r), 0, r).astype(np.int64) if r.dtype.kind == "f" else r
+    # a src outside the node universe contributes nothing (defined 0);
+    # stay int64 end-to-end — a null→NaN float round-trip would corrupt
+    # ranks above 2^53 for large `scale`
+    if rank_part.num_rows == 0:
+        r = np.zeros(edge_part.num_rows, dtype=np.int64)
+    else:
+        found = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        safe = pc.fill_null(idx, 0)
+        r = pc.take(rank_part["r"], safe).to_numpy(zero_copy_only=False)
+        r = np.where(found, r, 0)
     outdeg = edge_part["outdeg"].to_numpy(zero_copy_only=False)
     contrib = (d_num * r) // (d_den * outdeg)
     dst = edge_part["dst"].to_numpy(zero_copy_only=False)
@@ -134,7 +141,10 @@ def pagerank(
     (nodes without in-edges still receive the base term).
 
     Returns a Dataset (node:int64, r:int64) with the iteration-
-    ``iterations`` mass on the ``scale`` grid.
+    ``iterations`` mass on the ``scale`` grid. Caller bound:
+    ``damping[0] * scale`` must fit int64 (a single node can
+    accumulate nearly the whole mass), so scale ≤ ~2^56 at the
+    default damping.
     """
     import ray
     import ray.data

@@ -240,6 +240,64 @@ class TestPagerank:
         assert got["node"].tolist() == list(range(n))
         np.testing.assert_array_equal(got["r"].to_numpy(), want)
 
+    def test_phantom_sources_contribute_zero(self, ray_session):
+        """Edges from srcs OUTSIDE the node universe are defined as
+        zero contribution — and must not corrupt the int64 path."""
+        import ray.data
+
+        n = 50
+        src = np.array([0, 1, 999, 998], dtype=np.int64)  # 2 phantoms
+        dst = np.array([1, 2, 3, 4], dtype=np.int64)
+        outdeg = np.ones(4, dtype=np.int64)
+        want = _pagerank_numpy(
+            src[:2], dst[:2], outdeg[:2], n
+        )  # phantoms drop
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(src),
+                    "dst": pa.array(dst),
+                    "outdeg": pa.array(outdeg),
+                }
+            )
+        )
+        nodes = ray.data.from_arrow(
+            pa.table({"node": pa.array(np.arange(n, dtype=np.int64))})
+        )
+        got = (
+            _collect(pagerank(edges, nodes, n))
+            .sort_values("node", ignore_index=True)
+        )
+        np.testing.assert_array_equal(got["r"].to_numpy(), want)
+
+    def test_large_scale_stays_int64_exact(self, ray_session):
+        """scale=2^56: ranks exceed 2^53 (a float round-trip in the
+        engine would diverge from the numpy int replica) while
+        d_num·r = 85·2^56 still fits int64 — the documented caller
+        bound."""
+        import ray.data
+
+        src, dst, outdeg, n = self._graph(n=64, seed=5)
+        scale = 1 << 56
+        want = _pagerank_numpy(src, dst, outdeg, n, scale=scale)
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(src),
+                    "dst": pa.array(dst),
+                    "outdeg": pa.array(outdeg),
+                }
+            )
+        ).repartition(4)
+        nodes = ray.data.from_arrow(
+            pa.table({"node": pa.array(np.arange(n, dtype=np.int64))})
+        )
+        got = (
+            _collect(pagerank(edges, nodes, n, scale=scale))
+            .sort_values("node", ignore_index=True)
+        )
+        np.testing.assert_array_equal(got["r"].to_numpy(), want)
+
     def test_mass_bounded(self, ray_session):
         import ray.data
 
