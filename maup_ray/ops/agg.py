@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["grouped_sum_count", "profile_columns"]
+__all__ = ["grouped_sum_count", "grouped_minmax", "profile_columns"]
 
 
 def grouped_sum_count(
@@ -153,6 +153,74 @@ def grouped_sum_count(
     if count_col is not None:
         aggs.append(Sum(on=count_col, alias_name=count_col))
     return partials.groupby(keys).aggregate(*aggs)
+
+
+def grouped_minmax(
+    ds,
+    keys,
+    cols,
+    count_col: str | None = None,
+):
+    """groupby(keys) computing min_<c>/max_<c> per ``cols`` (+ optional
+    count(*)) — the bbox-style geometry-keyed aggregate. Same
+    partial-before-shuffle shape as ``grouped_sum_count``: each batch
+    groups locally (Arrow C++), so only n_groups × n_blocks partial
+    rows reach the driver merge. min/max partials re-merge exactly for
+    any orderable type (no float-order caveat). Driver-final only —
+    callers assert low key cardinality by choosing this op; a
+    corpus-sized key domain needs ``grouped_sum_count(final="hash")``
+    with min/max folded into a hash_group_apply instead."""
+    import ray
+
+    keys = list(keys)
+    cols = list(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        aggs = [(c, "min") for c in cols] + [(c, "max") for c in cols]
+        if count_col is not None:
+            aggs.append(([], "count_all"))
+        g = batch.group_by(keys, use_threads=False).aggregate(aggs)
+        names = []
+        for f in g.column_names:
+            if f.endswith("_min"):
+                names.append(f"min_{f[:-4]}")
+            elif f.endswith("_max"):
+                names.append(f"max_{f[:-4]}")
+            elif f == "count_all":
+                names.append(count_col)
+            else:
+                names.append(f)
+        return g.rename_columns(names)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    raw = [ray.get(r) for r in partials.materialize().to_arrow_refs()]
+    tabs = [t for t in raw if t.num_rows]
+    vnames = [f"min_{c}" for c in cols] + [f"max_{c}" for c in cols]
+    want = keys + vnames + ([count_col] if count_col is not None else [])
+    if not tabs:
+        for t in raw:
+            if all(c in t.column_names for c in want):
+                return t.select(want)
+        return pa.schema(
+            [pa.field(c, pa.int64()) for c in want]
+        ).empty_table()
+    merged = pa.concat_tables(tabs)
+    aggs = [(f"min_{c}", "min") for c in cols] + [
+        (f"max_{c}", "max") for c in cols
+    ]
+    if count_col is not None:
+        aggs.append((count_col, "sum"))
+    out = merged.group_by(keys, use_threads=False).aggregate(aggs)
+    names = []
+    for f in out.column_names:
+        for suf in ("_min", "_max", "_sum"):
+            if f.endswith(suf):
+                f = f[: -len(suf)]
+                break
+        names.append(f)
+    return out.rename_columns(names).select(want)
 
 
 def profile_columns(ds, cols):

@@ -2299,6 +2299,31 @@ def q_image_cells(sf_dir: str):
     )
 
 
+def q_district_bbox(sf_dir: str):
+    """Geometry-keyed groupby-aggregate on the flagship table (the
+    north star's "aggregate" op): per-district bounding box + count of
+    the assigned image points — per-batch Arrow min/max partials, 64-
+    group driver merge (ops/agg.grouped_minmax). min/max partials
+    re-merge exactly, so the result is partition-invariant."""
+    from .ops.agg import grouped_minmax
+    from .ops.assign import assign
+
+    assigned = assign(
+        _image_points(sf_dir),
+        _districts(),
+        source_id_col="image_id",
+        target_id_col="district_id",
+        targets_id_col="district_id",
+        keep_cols=("x", "y"),
+    )
+    return grouped_minmax(
+        assigned,
+        ["district_id"],
+        ["x", "y"],
+        count_col="n_images",
+    )
+
+
 PR_SCALE = 10**12
 PR_ITERS = 3
 PR_EDGE_C = 12345  # per-slot stride in the derived edge destinations
@@ -2714,6 +2739,7 @@ def query_registry():
         "top_unshipped": q_top_unshipped,
         "label_centroids": q_label_centroids,
         "points_within": q_points_within,
+        "district_bbox": q_district_bbox,
         "region_revenue": q_region_revenue,
         "quality_model": q_quality_model,
         "sample": q_sample,
@@ -3323,6 +3349,16 @@ def oracle_queries() -> dict[str, str]:
                    CAST(floor(y / {EXTENT // 16}) AS BIGINT) AS cy,
                    count(*) AS n_images
             FROM ipts GROUP BY 1, 2
+        """,
+        "district_bbox": f"""
+            WITH {_image_pts_cte()}
+            SELECT district_id,
+                   min(x) AS min_x, min(y) AS min_y,
+                   max(x) AS max_x, max(y) AS max_y,
+                   count(*) AS n_images
+            FROM ipts, {dist}
+            WHERE x >= minx AND x < maxx AND y >= miny AND y < maxy
+            GROUP BY district_id
         """,
         "event_tiles": """
             SELECT user_id, ts, event_id,
