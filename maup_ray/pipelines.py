@@ -2299,6 +2299,40 @@ def q_image_cells(sf_dir: str):
     )
 
 
+def q_props_extract(sf_dir: str):
+    """Semi-structured extraction: parse the events JSON ``props``
+    column ({"k": N}), pull the integer field and reduce per
+    event_type — one vectorized RE2 ``extract_regex`` per batch (no
+    per-row JSON parser in the hot path), integer partials, tiny
+    driver merge. Value-exact vs DuckDB's json_extract: both sides
+    yield NULL on a missing key (regex no-match → null, skipped by
+    sum on both engines)."""
+    from .ops.agg import grouped_sum_count
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], r'"k":\s*(?P<v>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "k": k,
+                "has_k": pc.cast(pc.is_valid(k), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_type", "props"]).map_batches(
+        extract, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = grouped_sum_count(
+        ds,
+        ["event_type"],
+        sum_cols=["k", "has_k"],
+        count_col="n",
+        final="driver",
+    )
+    return out.rename_columns(["event_type", "sum_k", "n_with_k", "n"])
+
+
 def q_district_bbox(sf_dir: str):
     """Geometry-keyed groupby-aggregate on the flagship table (the
     north star's "aggregate" op): per-district bounding box + count of
@@ -2740,6 +2774,7 @@ def query_registry():
         "label_centroids": q_label_centroids,
         "points_within": q_points_within,
         "district_bbox": q_district_bbox,
+        "props_extract": q_props_extract,
         "region_revenue": q_region_revenue,
         "quality_model": q_quality_model,
         "sample": q_sample,
@@ -3349,6 +3384,14 @@ def oracle_queries() -> dict[str, str]:
                    CAST(floor(y / {EXTENT // 16}) AS BIGINT) AS cy,
                    count(*) AS n_images
             FROM ipts GROUP BY 1, 2
+        """,
+        "props_extract": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   count(json_extract(props, '$.k')) AS n_with_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "district_bbox": f"""
             WITH {_image_pts_cte()}
