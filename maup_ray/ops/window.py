@@ -1,5 +1,6 @@
-"""Grouped ranking / ordered-aggregation windows — ``dense_rank`` and
-ordered ``string_agg`` over arbitrary-cardinality key domains.
+"""Grouped ranking / ordered-aggregation windows — ``dense_rank``,
+``ntile``, ordered ``string_agg`` and latest-row-per-key over
+arbitrary-cardinality key domains.
 
 Beyond-reference relational operators (the reference is purely spatial;
 these are the per-group window shapes every curation pipeline leans on:
@@ -27,9 +28,64 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .shuffle import hash_group_apply
+from .shuffle import group_starts, hash_group_apply
 
-__all__ = ["grouped_dense_rank", "grouped_concat", "grouped_ntile"]
+__all__ = [
+    "grouped_dense_rank",
+    "grouped_concat",
+    "grouped_ntile",
+    "grouped_latest",
+]
+
+
+def grouped_latest(ds, key_cols, order_cols, value_cols=()):
+    """Latest row per key — SQL ``row_number() OVER (PARTITION BY keys
+    ORDER BY order DESC...) = 1`` (the SCD current-state shape).
+
+    ``order_cols`` must totalize order within a key (include a unique
+    tie-break). Scale shape: each batch PRE-COMBINES to one row per
+    key (one lexsort + group-last take), so the keyed exchange moves
+    ≤ 1 row per key × block — then the identical take-last reduction
+    runs once per partition. The reduction is associative and
+    order-independent given the total order, hence partition-invariant.
+    """
+    keys = list(key_cols)
+    order = list(order_cols)
+    vals = list(value_cols)
+    cols = keys + order + vals
+
+    def last_per_key(tbl: pa.Table) -> pa.Table:
+        t = tbl.select(cols).combine_chunks()
+        t = t.sort_by([(c, "ascending") for c in keys + order])
+        n = len(t)
+        if n == 0:
+            return t
+        starts = group_starts(t, keys)
+        ends = np.append(starts[1:], n) - 1
+        return t.take(pa.array(ends))
+
+    partials = (
+        last_per_key(ds)
+        if isinstance(ds, pa.Table)
+        else ds.map_batches(
+            last_per_key, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def reduce_part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None:
+            return pa.schema(
+                [pa.field(c, pa.int64()) for c in cols]
+            ).empty_table()
+        if len(tbl) == 0:
+            return tbl.select(cols)
+        n = len(tbl)
+        ends = np.append(starts[1:], n) - 1
+        return tbl.select(cols).take(pa.array(ends))
+
+    if isinstance(partials, pa.Table):
+        return partials
+    return hash_group_apply(partials, keys, reduce_part, sort_cols=order)
 
 
 def grouped_dense_rank(

@@ -1971,6 +1971,28 @@ def q_event_tiles(sf_dir: str):
     )
 
 
+def q_latest_event(sf_dir: str):
+    """Latest event per user (the SCD current-state shape,
+    ops/window.grouped_latest): each batch PRE-COMBINES to one row per
+    user (one Arrow sort + group-last take), so the keyed exchange
+    carries ≤ 1 row per user × block; the identical take-last
+    reduction runs once per partition. (ts, event_id) totalizes order
+    within a user, so the result is partition-invariant and value-
+    exact vs the SQL row_number()=1 window oracle."""
+    from .ops.window import grouped_latest
+
+    return grouped_latest(
+        _read(
+            sf_dir,
+            "events",
+            ["user_id", "ts", "event_id", "event_type", "value"],
+        ),
+        ["user_id"],
+        ["ts", "event_id"],
+        value_cols=["event_type", "value"],
+    )
+
+
 Q3_CUTOFF = "1998-06-01"
 Q3_SEGMENT = "BUILDING"
 Q3_TOPN = 10
@@ -2770,6 +2792,7 @@ def query_registry():
         "image_assign": q_image_assign,
         "image_cells": q_image_cells,
         "event_tiles": q_event_tiles,
+        "latest_event": q_latest_event,
         "top_unshipped": q_top_unshipped,
         "label_centroids": q_label_centroids,
         "points_within": q_points_within,
@@ -3409,6 +3432,15 @@ def oracle_queries() -> dict[str, str]:
                                        ORDER BY ts, event_id) AS BIGINT)
                        AS tile
             FROM events
+        """,
+        "latest_event": """
+            SELECT user_id, ts, event_id, event_type, value
+            FROM (SELECT user_id, ts, event_id, event_type, value,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC,
+                                                     event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
         """,
         "points_within": f"""
             WITH p AS (

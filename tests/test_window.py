@@ -11,6 +11,7 @@ from maup_ray.ops.graph import pagerank
 from maup_ray.ops.window import (
     grouped_concat,
     grouped_dense_rank,
+    grouped_latest,
     grouped_ntile,
 )
 
@@ -193,6 +194,71 @@ class TestNtile:
             .sort_values(["k", "o"], ignore_index=True)
         )
         assert got["tile"].tolist() == [1, 2, 1]
+
+
+class TestGroupedLatest:
+    def _frame(self, n=4000, n_keys=80, seed=6):
+        rng = np.random.RandomState(seed)
+        return pa.table(
+            {
+                "k": pa.array(rng.randint(0, n_keys, n).astype(np.int64)),
+                # coarse order values → in-group ties broken by id
+                "o": pa.array(rng.randint(0, 50, n).astype(np.int64)),
+                "id": pa.array(np.arange(n, dtype=np.int64)),
+                "s": pa.array(
+                    np.char.add("v", rng.randint(0, 9, n).astype(str))
+                ),
+                "v": pa.array(rng.randn(n)),
+            }
+        )
+
+    def _want(self, t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        return (
+            df.sort_values(["k", "o", "id"])
+            .groupby("k", as_index=False)
+            .last()
+            .sort_values("k", ignore_index=True)[
+                ["k", "o", "id", "s", "v"]
+            ]
+        )
+
+    @pytest.mark.parametrize("n_blocks", [1, 9])
+    def test_matches_pandas(self, ray_session, n_blocks):
+        import ray.data
+
+        t = self._frame()
+        want = self._want(t)
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        got = (
+            _collect(
+                grouped_latest(
+                    ds, ["k"], ["o", "id"], value_cols=["s", "v"]
+                )
+            )
+            .sort_values("k", ignore_index=True)[
+                ["k", "o", "id", "s", "v"]
+            ]
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_table_input(self, ray_session):
+        t = self._frame(n=500, n_keys=11, seed=2)
+        got = (
+            grouped_latest(t, ["k"], ["o", "id"], value_cols=["s", "v"])
+            .to_pandas()
+            .sort_values("k", ignore_index=True)[["k", "o", "id", "s", "v"]]
+        )
+        pd.testing.assert_frame_equal(got, self._want(t))
+
+    def test_precombine_bounds_shuffle_rows(self, ray_session):
+        """The per-batch combiner collapses a table input to ≤ 1 row
+        per key BEFORE any exchange — the scale contract (the shuffle
+        never carries the corpus)."""
+        t = self._frame(n=3000, n_keys=5, seed=9)
+        out = grouped_latest(t, ["k"], ["o", "id"], value_cols=["s", "v"])
+        assert isinstance(out, pa.Table)  # table in → combined table out
+        assert len(out) <= 5
 
 
 def _pagerank_numpy(src, dst, outdeg, n, iters=3, scale=10**12):
