@@ -17,7 +17,12 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["grouped_sum_count", "grouped_minmax", "profile_columns"]
+__all__ = [
+    "grouped_sum_count",
+    "grouped_minmax",
+    "grouped_rollup",
+    "profile_columns",
+]
 
 
 def grouped_sum_count(
@@ -153,6 +158,67 @@ def grouped_sum_count(
     if count_col is not None:
         aggs.append(Sum(on=count_col, alias_name=count_col))
     return partials.groupby(keys).aggregate(*aggs)
+
+
+def grouped_rollup(ds, keys, sum_cols=(), count_col: str | None = None):
+    """SQL ``GROUP BY ROLLUP(keys)`` — every prefix level of the key
+    hierarchy in one result, rolled-up key columns NULL (the reporting
+    hierarchy shape: region → nation → grand total).
+
+    Scale shape: the corpus is reduced ONCE by the finest-level
+    ``grouped_sum_count`` partial discipline (per-batch Arrow combine →
+    n_groups × n_blocks partial rows); every coarser level then re-sums
+    the finest AGGREGATE, which has at most ∏|key domains| rows —
+    driver-local by construction for a reporting hierarchy. Integer
+    sum partials re-sum exactly at every level, so the rollup is
+    order- and partition-invariant.
+
+    Returns a pa.Table with columns keys + sum_cols + [count_col] and
+    len(keys)+1 stacked levels (finest first, grand total last).
+    """
+    import pyarrow.compute as pc
+
+    keys = list(keys)
+    vals = list(sum_cols) + ([count_col] if count_col is not None else [])
+    finest = grouped_sum_count(
+        ds, keys, sum_cols=list(sum_cols), count_col=count_col,
+        final="driver",
+    )
+    out_cols = keys + vals
+    levels = [finest.select(out_cols)]
+    for lvl in range(len(keys) - 1, -1, -1):
+        gk = keys[:lvl]
+        if gk:
+            g = finest.group_by(gk, use_threads=False).aggregate(
+                [(c, "sum") for c in vals]
+            )
+            names = [
+                f[: -len("_sum")] if f.endswith("_sum") else f
+                for f in g.column_names
+            ]
+            g = g.rename_columns(names)
+        else:
+            g = pa.table(
+                {
+                    c: pa.array(
+                        [pc.sum(finest[c]).as_py()],
+                        type=finest.schema.field(c).type,
+                    )
+                    for c in vals
+                }
+            )
+        n = len(g)
+        cols = {}
+        for k in keys:
+            cols[k] = (
+                g[k]
+                if k in gk
+                else pa.nulls(n, type=finest.schema.field(k).type)
+            )
+        for c in vals:
+            cols[c] = g[c]
+        levels.append(pa.table(cols).select(out_cols))
+    return pa.concat_tables(levels)
 
 
 def grouped_minmax(

@@ -38,37 +38,41 @@ __all__ = [
 ]
 
 
-def grouped_latest(ds, key_cols, order_cols, value_cols=()):
-    """Latest row per key — SQL ``row_number() OVER (PARTITION BY keys
-    ORDER BY order DESC...) = 1`` (the SCD current-state shape).
+def grouped_latest(ds, key_cols, order_cols, value_cols=(), take="last"):
+    """Latest (or earliest, ``take="first"``) row per key — SQL
+    ``row_number() OVER (PARTITION BY keys ORDER BY order DESC...) = 1``
+    (the SCD current-state shape; ``first`` is the cohort-entry shape).
 
     ``order_cols`` must totalize order within a key (include a unique
     tie-break). Scale shape: each batch PRE-COMBINES to one row per
-    key (one lexsort + group-last take), so the keyed exchange moves
-    ≤ 1 row per key × block — then the identical take-last reduction
+    key (one lexsort + group-extreme take), so the keyed exchange moves
+    ≤ 1 row per key × block — then the identical take-extreme reduction
     runs once per partition. The reduction is associative and
     order-independent given the total order, hence partition-invariant.
     """
+    if take not in ("last", "first"):
+        raise ValueError(f"take must be 'last' or 'first', got {take!r}")
     keys = list(key_cols)
     order = list(order_cols)
     vals = list(value_cols)
     cols = keys + order + vals
+    last = take == "last"
 
-    def last_per_key(tbl: pa.Table) -> pa.Table:
+    def extreme_per_key(tbl: pa.Table) -> pa.Table:
         t = tbl.select(cols).combine_chunks()
         t = t.sort_by([(c, "ascending") for c in keys + order])
         n = len(t)
         if n == 0:
             return t
         starts = group_starts(t, keys)
-        ends = np.append(starts[1:], n) - 1
-        return t.take(pa.array(ends))
+        idx = np.append(starts[1:], n) - 1 if last else starts
+        return t.take(pa.array(idx))
 
     partials = (
-        last_per_key(ds)
+        extreme_per_key(ds)
         if isinstance(ds, pa.Table)
         else ds.map_batches(
-            last_per_key, batch_format="pyarrow", zero_copy_batch=True
+            extreme_per_key, batch_format="pyarrow", zero_copy_batch=True
         )
     )
 
@@ -80,8 +84,8 @@ def grouped_latest(ds, key_cols, order_cols, value_cols=()):
         if len(tbl) == 0:
             return tbl.select(cols)
         n = len(tbl)
-        ends = np.append(starts[1:], n) - 1
-        return tbl.select(cols).take(pa.array(ends))
+        idx = np.append(starts[1:], n) - 1 if last else starts
+        return tbl.select(cols).take(pa.array(idx))
 
     if isinstance(partials, pa.Table):
         return partials

@@ -1664,6 +1664,79 @@ def q_region_revenue(sf_dir: str):
     return out.sort_by("r_name")
 
 
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(region, nation) revenue — the reporting-
+    hierarchy shape (ops/agg.grouped_rollup): the orders stream is
+    reduced ONCE at the finest (r_name, n_name) level (per-batch
+    integer-cents partials, driver merge), then each coarser level
+    re-sums that ≤125-row aggregate. Rolled-up keys surface as 'ALL'
+    (fill_null) so the driver hash never compares raw NULL cells."""
+    import pyarrow.parquet as pq
+
+    from .ops.agg import grouped_rollup
+    from .ops.join import equi_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_regionkey", "n_name"],
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    nidx = pc.index_in(
+        cust["c_nationkey"], nation["n_nationkey"].combine_chunks()
+    )
+    ridx = pc.index_in(
+        nation["n_regionkey"].take(nidx),
+        region["r_regionkey"].combine_chunks(),
+    )
+    dim = pa.table(
+        {
+            "c_custkey": cust["c_custkey"],
+            "r_name": region["r_name"].take(ridx),
+            "n_name": nation["n_name"].take(nidx),
+        }
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "revenue_cents": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    joined = equi_join(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            cents, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        dim,
+        "o_custkey",
+        "c_custkey",
+        ["r_name", "n_name"],
+    )
+    out = grouped_rollup(
+        joined,
+        ["r_name", "n_name"],
+        sum_cols=["revenue_cents"],
+        count_col="n_orders",
+    )
+    return pa.table(
+        {
+            "r_name": pc.fill_null(out["r_name"], "ALL"),
+            "n_name": pc.fill_null(out["n_name"], "ALL"),
+            "revenue_cents": out["revenue_cents"],
+            "n_orders": out["n_orders"],
+        }
+    )
+
+
 KNN_K = 3
 RASTER_RES = 4
 
@@ -1990,6 +2063,26 @@ def q_latest_event(sf_dir: str):
         ["user_id"],
         ["ts", "event_id"],
         value_cols=["event_type", "value"],
+    )
+
+
+def q_first_order(sf_dir: str):
+    """Each customer's FIRST order (earliest o_orderdate, orderkey
+    tie-break) — the cohort-entry twin of `latest_event`
+    (ops/window.grouped_latest take="first"): same ≤1-row-per-key×block
+    pre-combine, same partition-invariant take-extreme reduction."""
+    from .ops.window import grouped_latest
+
+    return grouped_latest(
+        _read(
+            sf_dir,
+            "orders",
+            ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+        ),
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        value_cols=["o_totalprice"],
+        take="first",
     )
 
 
@@ -2793,12 +2886,14 @@ def query_registry():
         "image_cells": q_image_cells,
         "event_tiles": q_event_tiles,
         "latest_event": q_latest_event,
+        "first_order": q_first_order,
         "top_unshipped": q_top_unshipped,
         "label_centroids": q_label_centroids,
         "points_within": q_points_within,
         "district_bbox": q_district_bbox,
         "props_extract": q_props_extract,
         "region_revenue": q_region_revenue,
+        "rollup_revenue": q_rollup_revenue,
         "quality_model": q_quality_model,
         "sample": q_sample,
         "stratified_sample": q_stratified_sample,
@@ -3442,6 +3537,15 @@ def oracle_queries() -> dict[str, str]:
                   FROM events)
             WHERE rn = 1
         """,
+        "first_order": """
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+            FROM (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate,
+                                                     o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn = 1
+        """,
         "points_within": f"""
             WITH p AS (
               SELECT doc_id, CAST({_points_expr()[0]} AS DOUBLE) AS x,
@@ -3497,6 +3601,18 @@ def oracle_queries() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             JOIN region ON r_regionkey = n_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(r_name, 'ALL') AS r_name,
+                   coalesce(n_name, 'ALL') AS n_name,
+                   CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
         """,
         "decontaminate": f"""
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

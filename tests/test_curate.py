@@ -511,3 +511,65 @@ class TestRetention:
             ray.data.from_arrow(tbl).repartition(7)
         ).to_pandas()
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestGroupedRollup:
+    def _tbl(self, n=3000, seed=7):
+        rng = np.random.default_rng(seed)
+        return pa.table(
+            {
+                "a": pa.array(
+                    np.char.add("r", rng.integers(0, 4, n).astype(str))
+                ),
+                "b": pa.array(
+                    np.char.add("n", rng.integers(0, 13, n).astype(str))
+                ),
+                "v": pa.array(rng.integers(-50, 50, n), type=pa.int64()),
+            }
+        )
+
+    @pytest.mark.parametrize("n_blocks", [1, 8])
+    def test_matches_duckdb_rollup(self, ray_session, n_blocks):
+        import duckdb
+        import ray.data
+
+        from maup_ray.ops.agg import grouped_rollup
+
+        t = self._tbl()
+        want = duckdb.sql(
+            """SELECT a, b, CAST(sum(v) AS BIGINT) AS v,
+                      count(*) AS n
+               FROM t GROUP BY ROLLUP(a, b)
+               ORDER BY a NULLS LAST, b NULLS LAST"""
+        ).arrow()
+        got = grouped_rollup(
+            ray.data.from_arrow(t).repartition(n_blocks),
+            ["a", "b"],
+            sum_cols=["v"],
+            count_col="n",
+        ).sort_by(
+            [("a", "ascending"), ("b", "ascending")]
+        )
+        # Arrow sort puts nulls last by default — same as the SQL
+        pd.testing.assert_frame_equal(
+            got.to_pandas(), want.to_pandas().astype({"n": "int64"})
+        )
+
+    def test_level_count_and_exact_totals(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.agg import grouped_rollup
+
+        t = self._tbl(n=500, seed=3)
+        out = grouped_rollup(
+            ray.data.from_arrow(t), ["a", "b"], sum_cols=["v"],
+            count_col="n",
+        )
+        df = out.to_pandas()
+        grand = df[df["a"].isna()]
+        assert len(grand) == 1
+        assert int(grand["v"].iloc[0]) == int(t["v"].to_pandas().sum())
+        assert int(grand["n"].iloc[0]) == len(t)
+        # every level's totals re-sum to the grand total
+        lvl_finest = df[df["b"].notna()]
+        assert int(lvl_finest["v"].sum()) == int(grand["v"].iloc[0])

@@ -251,6 +251,34 @@ class TestGroupedLatest:
         )
         pd.testing.assert_frame_equal(got, self._want(t))
 
+    @pytest.mark.parametrize("n_blocks", [1, 9])
+    def test_take_first_matches_pandas(self, ray_session, n_blocks):
+        import ray.data
+
+        t = self._frame(seed=13)
+        df = t.to_pandas()
+        want = (
+            df.sort_values(["k", "o", "id"])
+            .groupby("k", as_index=False)
+            .first()
+            .sort_values("k", ignore_index=True)[["k", "o", "id", "s", "v"]]
+        )
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        got = (
+            _collect(
+                grouped_latest(
+                    ds, ["k"], ["o", "id"], value_cols=["s", "v"],
+                    take="first",
+                )
+            )
+            .sort_values("k", ignore_index=True)[["k", "o", "id", "s", "v"]]
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_bad_take_raises(self, ray_session):
+        with pytest.raises(ValueError):
+            grouped_latest(self._frame(n=10), ["k"], ["o"], take="mid")
+
     def test_precombine_bounds_shuffle_rows(self, ray_session):
         """The per-batch combiner collapses a table input to ≤ 1 row
         per key BEFORE any exchange — the scale contract (the shuffle
