@@ -33,7 +33,101 @@ __all__ = [
     "grouped_quantiles",
     "grouped_distinct_count",
     "grouped_mode",
+    "grouped_outliers",
 ]
+
+
+def grouped_outliers(
+    ds,
+    key_col: str,
+    value_col: str,
+    sigmas: tuple[int, int] = (3, 1),
+    keep_cols=(),
+):
+    """Rows more than ``sigmas`` (a rational num/den) population
+    standard deviations ABOVE their group mean — the grouped
+    anomaly-filter shape, exact to the last bit.
+
+    Two streaming phases over an INT64 ``value_col`` (callers
+    quantize, e.g. cents):
+
+    1. per-group exact integer moments (n, S=Σv, Q=Σv²) — per-batch
+       Arrow C++ partials, tiny driver merge (≤ n_groups × n_blocks
+       rows; per-block Σv² stays inside int64 for v² ≤ 2^40 at 2^22
+       rows/block, the engine's block bound);
+    2. the z-test collapses to ONE int64 compare per row against a
+       per-group integer threshold: with D = nQ − S² and k = num/den,
+       v > μ + kσ  ⟺  den·(vn−S) > 0 ∧ (den·(vn−S))² > num²·D
+                   ⟺  v ≥ T,  T = ceil((S + ceil((isqrt(num²·D)+1)/den))/n),
+       computed once on the driver in arbitrary-precision Python ints
+       (exact integer sqrt — no float rounding step), then applied in
+       a stateless vectorized filter (thresholds ride the stage
+       closure; groups were all seen in phase 1 so every lookup hits).
+
+    Returns a Dataset with columns [key_col, value_col] + keep_cols.
+    """
+    import math
+
+    from .agg import grouped_sum_count
+
+    num, den = int(sigmas[0]), int(sigmas[1])
+    if num <= 0 or den <= 0:
+        raise ValueError("sigmas must be a positive rational (num, den)")
+    keep = list(keep_cols)
+
+    def moments(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = b[value_col]
+        if not pa.types.is_integer(v.type):
+            raise TypeError(
+                f"grouped_outliers: {value_col} must be integer "
+                "(quantize upstream — exactness contract)"
+            )
+        return pa.table(
+            {
+                key_col: b[key_col],
+                "s": v,
+                "q": pc.multiply(v, v),
+            }
+        )
+
+    mom = grouped_sum_count(
+        ds.map_batches(
+            moments, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        [key_col],
+        sum_cols=["s", "q"],
+        count_col="n",
+        final="driver",
+    )
+    thresholds: dict = {}
+    for r in mom.to_pylist():
+        n, s, q = int(r["n"]), int(r["s"]), int(r["q"])
+        d = n * q - s * s  # ≥ 0 by Cauchy–Schwarz
+        t = math.isqrt(num * num * d)
+        a_min = -((-(t + 1)) // den)  # ceil((t+1)/den)
+        thresholds[r[key_col]] = -((-(s + a_min)) // n)  # ceil(.../n)
+
+    keys = list(thresholds)
+    thr = np.array([thresholds[k] for k in keys], dtype=np.int64)
+    key_arr = pa.array(keys)
+
+    def flag(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pos = pc.index_in(b[key_col], key_arr).to_numpy(
+            zero_copy_only=False
+        )
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        mask = v >= thr[pos]
+        return b.select([key_col, value_col] + keep).filter(
+            pa.array(mask)
+        )
+
+    return ds.map_batches(
+        flag, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def grouped_distinct_count(ds, key: str, value: str, count_col: str = "n"):

@@ -47,7 +47,7 @@ import pyarrow as pa
 
 from .shuffle import _choose_partitions, _hash_keys, _split_block
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
 
 
 def _propagate_part(
@@ -222,3 +222,129 @@ def _concat_parts(*tabs: pa.Table) -> pa.Table:
     live = [t for t in tabs if t.num_rows] or list(tabs[:1])
     t = live[0] if len(live) == 1 else pa.concat_tables(live)
     return t.combine_chunks()
+
+
+def triangle_count(edges_ds, src: str = "u", dst: str = "v"):
+    """Exact triangle count of an undirected graph — the standard
+    two-round wedge-closure algorithm, fully distributed.
+
+    Round 1 (keyed by the lower endpoint): edges arrive oriented
+    u < v (self-loops dropped, both done per batch upstream of the
+    exchange); each partition holds ALL of a node's greater neighbors,
+    so it can (a) dedup the edge multiset and (b) emit every wedge
+    (v, w), v < w, as one vectorized segment-arange pass — no Python
+    per-node loop. Deduped edges ride along flagged ``is_edge=1`` so
+    round 2 needs no second pipeline over the input.
+
+    Round 2 (keyed by the wedge pair): a wedge (v, w) closes iff the
+    deduped edge (v, w) lands in the same hash partition — one
+    reduceat per partition counts wedges in groups that contain an
+    edge row. Partials are single int64 rows; the driver sums ≤ P of
+    them.
+
+    Scale shape: edge bytes move exactly twice (once per round), both
+    times as 17 B/row (u, v, flag) projections. Skew caveat: a node of
+    degree d emits d(d−1)/2 wedges — the documented hash-partition
+    hot-key assumption (bound the max degree upstream, or split hot
+    nodes by salting their neighbor lists and correcting the
+    within-salt undercount, before handing edges to this op).
+
+    Returns a 1-row pa.Table {n_triangles: int64}.
+    """
+    import ray
+
+    from .shuffle import hash_group_apply
+
+    def orient(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = b[src]
+        v = b[dst]
+        lo = pc.min_element_wise(u, v)
+        hi = pc.max_element_wise(u, v)
+        t = pa.table({"u": lo, "v": hi})
+        return t.filter(pc.less(lo, hi))
+
+    oriented = edges_ds.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def wedges_part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "is_edge": pa.array([], type=pa.int64()),
+            }
+        )
+        if tbl is None or len(tbl) == 0:
+            return empty
+        u = tbl["u"].to_numpy(zero_copy_only=False)
+        v = tbl["v"].to_numpy(zero_copy_only=False)
+        # dedup: (u, v) sorted by hash_group_apply(sort_cols=["v"])
+        keepm = np.empty(len(u), dtype=bool)
+        keepm[0] = True
+        keepm[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        u, v = u[keepm], v[keepm]
+        n = len(u)
+        # group starts after dedup
+        gs = np.flatnonzero(
+            np.concatenate(([True], u[1:] != u[:-1]))
+        )
+        ends = np.append(gs[1:], n)
+        # rights count per element: (group_end - pos - 1)
+        rights = np.repeat(ends, ends - gs) - np.arange(n) - 1
+        total = int(rights.sum())
+        if total:
+            left = np.repeat(np.arange(n), rights)
+            offs = np.cumsum(rights) - rights
+            right = (
+                np.arange(total)
+                - np.repeat(offs, rights)
+                + np.repeat(np.arange(n) + 1, rights)
+            )
+            wa, wb = v[left], v[right]
+        else:
+            wa = wb = np.empty(0, dtype=v.dtype)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([wa, u]).astype(np.int64)),
+                "b": pa.array(np.concatenate([wb, v]).astype(np.int64)),
+                "is_edge": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(total, dtype=np.int64),
+                            np.ones(n, dtype=np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    mixed = hash_group_apply(oriented, ["u"], wedges_part, sort_cols=["v"])
+
+    def close_part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None or len(tbl) == 0:
+            return pa.table({"n": pa.array([0], type=pa.int64())})
+        flags = tbl["is_edge"].to_numpy(zero_copy_only=False)
+        n = len(flags)
+        has_edge = np.add.reduceat(flags, starts) > 0
+        sizes = np.diff(np.append(starts, n))
+        wedge_counts = sizes - np.add.reduceat(flags, starts)
+        return pa.table(
+            {
+                "n": pa.array(
+                    [int(wedge_counts[has_edge].sum())], type=pa.int64()
+                )
+            }
+        )
+
+    partials = hash_group_apply(mixed, ["a", "b"], close_part)
+    total = sum(
+        int(t["n"][0].as_py())
+        for t in (
+            ray.get(r) for r in partials.materialize().to_arrow_refs()
+        )
+        if t.num_rows
+    )
+    return pa.table({"n_triangles": pa.array([total], type=pa.int64())})

@@ -1664,6 +1664,73 @@ def q_region_revenue(sf_dir: str):
     return out.sort_by("r_name")
 
 
+def q_triangles(sf_dir: str):
+    """Exact triangle count (ops/graph.triangle_count) over a
+    deterministic synthetic graph on the documents universe: node i
+    links to i+1, i+2 and (7i+3) mod N — the ring guarantees N
+    consecutive-triple triangles, the affine map adds random-like
+    closures. Two keyed rounds (wedge generation by lower endpoint,
+    wedge–edge closure by pair), 17 B/row exchanges, single-int
+    partials; oracle = DuckDB 3-way self-join on the same edge CTE."""
+    import pyarrow.parquet as pq
+
+    from .ops.graph import triangle_count
+
+    n_docs = pq.ParquetFile(
+        f"{sf_dir}/documents.parquet"
+    ).metadata.num_rows
+
+    def edges(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy()
+        u = np.concatenate([i, i, i])
+        v = np.concatenate(
+            [(i + 1) % n_docs, (i + 2) % n_docs, (i * 7 + 3) % n_docs]
+        )
+        return pa.table(
+            {
+                "u": pa.array(u.astype(np.int64)),
+                "v": pa.array(v.astype(np.int64)),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        edges, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return triangle_count(ds)
+
+
+def q_outliers(sf_dir: str):
+    """Grouped anomaly filter: events more than 1.5 population σ above
+    their event_type's mean value (ops/curate.grouped_outliers) — the
+    z-test collapses to ONE int64 compare per row against a per-group
+    integer threshold derived with exact integer sqrt on the driver
+    (no float rounding step anywhere), so the filter set is bit-exact
+    vs the oracle's HUGEINT inequality."""
+    from .ops.curate import grouped_outliers
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "v_cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+                "event_id": b["event_id"],
+            }
+        )
+
+    ds = _read(
+        sf_dir, "events", ["event_type", "value", "event_id"]
+    ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_outliers(
+        ds,
+        "event_type",
+        "v_cents",
+        sigmas=(3, 2),
+        keep_cols=["event_id"],
+    )
+
+
 def q_rollup_revenue(sf_dir: str):
     """GROUP BY ROLLUP(region, nation) revenue — the reporting-
     hierarchy shape (ops/agg.grouped_rollup): the orders stream is
@@ -2894,6 +2961,8 @@ def query_registry():
         "props_extract": q_props_extract,
         "region_revenue": q_region_revenue,
         "rollup_revenue": q_rollup_revenue,
+        "outliers": q_outliers,
+        "triangles": q_triangles,
         "quality_model": q_quality_model,
         "sample": q_sample,
         "stratified_sample": q_stratified_sample,
@@ -3601,6 +3670,42 @@ def oracle_queries() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             JOIN region ON r_regionkey = n_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "triangles": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            raw AS (SELECT doc_id AS i,
+                           (doc_id + 1) % nn.n AS j1,
+                           (doc_id + 2) % nn.n AS j2,
+                           (doc_id * 7 + 3) % nn.n AS j3
+                    FROM documents, nn),
+            und AS (SELECT least(i, j) AS u, greatest(i, j) AS v
+                    FROM (SELECT i, j1 AS j FROM raw
+                          UNION ALL SELECT i, j2 FROM raw
+                          UNION ALL SELECT i, j3 FROM raw)
+                    WHERE i <> j),
+            e AS (SELECT DISTINCT u, v FROM und)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e a
+            JOIN e b ON b.u = a.u AND b.v > a.v
+            JOIN e c ON c.u = a.v AND c.v = b.v
+        """,
+        "outliers": """
+            WITH c AS (SELECT event_id, event_type,
+                              CAST(round(value*100, 0) AS BIGINT)
+                                  AS v_cents
+                       FROM events),
+            g AS (SELECT event_type,
+                         CAST(count(*) AS HUGEINT) AS n,
+                         sum(CAST(v_cents AS HUGEINT)) AS s,
+                         sum(CAST(v_cents AS HUGEINT)
+                             * CAST(v_cents AS HUGEINT)) AS q
+                  FROM c GROUP BY event_type)
+            SELECT c.event_type, c.v_cents, c.event_id
+            FROM c JOIN g USING (event_type)
+            WHERE 2*(CAST(c.v_cents AS HUGEINT)*n - s) > 0
+              AND (2*(CAST(c.v_cents AS HUGEINT)*n - s))
+                  * (2*(CAST(c.v_cents AS HUGEINT)*n - s))
+                  > 9 * (n*q - s*s)
         """,
         "rollup_revenue": """
             SELECT coalesce(r_name, 'ALL') AS r_name,

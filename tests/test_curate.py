@@ -573,3 +573,83 @@ class TestGroupedRollup:
         # every level's totals re-sum to the grand total
         lvl_finest = df[df["b"].notna()]
         assert int(lvl_finest["v"].sum()) == int(grand["v"].iloc[0])
+
+
+class TestGroupedOutliers:
+    def _brute(self, k, v, num, den):
+        """Exact rational z-test per group, arbitrary-precision."""
+        import math
+
+        out = np.zeros(len(v), dtype=bool)
+        for g in np.unique(k):
+            m = k == g
+            vv = v[m]
+            n, s = len(vv), int(vv.sum())
+            q = int((vv.astype(object) ** 2).sum())
+            d = n * q - s * s
+            a = vv.astype(object) * n - s
+            out[m] = [
+                int(x) * den > 0
+                and (int(x) * den) ** 2 > num * num * d
+                for x in a
+            ]
+        return out
+
+    @pytest.mark.parametrize("n_blocks", [1, 7])
+    @pytest.mark.parametrize("num,den", [(3, 1), (3, 2), (1, 1)])
+    def test_matches_brute(self, ray_session, n_blocks, num, den):
+        import ray.data
+
+        from maup_ray.ops.curate import grouped_outliers
+
+        rng = np.random.default_rng(11)
+        n = 3000
+        k = rng.integers(0, 6, n)
+        # heavy-tailed-ish: mostly small, a few large spikes
+        v = rng.integers(-100, 100, n)
+        v[rng.integers(0, n, 30)] += 5000
+        t = pa.table(
+            {
+                "g": pa.array(k, type=pa.int64()),
+                "v": pa.array(v, type=pa.int64()),
+                "id": pa.array(np.arange(n, dtype=np.int64)),
+            }
+        )
+        want_ids = sorted(
+            np.arange(n)[self._brute(k, v, num, den)].tolist()
+        )
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        got = (
+            grouped_outliers(
+                ds, "g", "v", sigmas=(num, den), keep_cols=["id"]
+            )
+            .to_pandas()
+        )
+        assert sorted(got["id"].tolist()) == want_ids
+
+    def test_constant_group_no_outliers(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.curate import grouped_outliers
+
+        t = pa.table(
+            {
+                "g": pa.array([0] * 50, type=pa.int64()),
+                "v": pa.array([7] * 50, type=pa.int64()),
+            }
+        )
+        got = grouped_outliers(
+            ray.data.from_arrow(t), "g", "v"
+        ).to_pandas()
+        assert len(got) == 0
+
+    def test_rejects_float_values(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.curate import grouped_outliers
+
+        t = pa.table({"g": pa.array([0]), "v": pa.array([0.5])})
+        with pytest.raises(Exception, match="integer|RayTaskError"):
+            grouped_outliers(
+                ray.data.from_arrow(t), "g", "v"
+            ).to_pandas()

@@ -413,3 +413,66 @@ class TestPagerank:
         # floored divisions only ever LEAK mass, never create it
         assert 0 < total <= 10**12
         assert (got["r"] > 0).all()
+
+
+class TestTriangleCount:
+    def _brute(self, u, v, n):
+        a = np.zeros((n, n), dtype=np.int64)
+        m = u != v
+        a[u[m], v[m]] = 1
+        a[v[m], u[m]] = 1
+        return int(np.trace(a @ a @ a)) // 6
+
+    @pytest.mark.parametrize("n_blocks", [1, 8])
+    @pytest.mark.parametrize("seed", [0, 4])
+    def test_matches_brute(self, ray_session, n_blocks, seed):
+        import ray.data
+
+        from maup_ray.ops.graph import triangle_count
+
+        rng = np.random.RandomState(seed)
+        n, m = 60, 400
+        u = rng.randint(0, n, m).astype(np.int64)
+        v = rng.randint(0, n, m).astype(np.int64)
+        want = self._brute(u, v, n)
+        assert want > 0  # dense enough to be a real test
+        ds = ray.data.from_arrow(
+            pa.table({"u": pa.array(u), "v": pa.array(v)})
+        ).repartition(n_blocks)
+        got = triangle_count(ds)
+        assert got["n_triangles"][0].as_py() == want
+
+    def test_multi_edges_and_loops_ignored(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.graph import triangle_count
+
+        # one triangle, duplicated edges (both orientations), loops
+        t = pa.table(
+            {
+                "u": pa.array(
+                    [0, 1, 2, 1, 0, 3, 2], type=pa.int64()
+                ),
+                "v": pa.array(
+                    [1, 2, 0, 0, 0, 3, 1], type=pa.int64()
+                ),
+            }
+        )
+        got = triangle_count(ray.data.from_arrow(t))
+        assert got["n_triangles"][0].as_py() == 1
+
+    def test_triangle_free(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.graph import triangle_count
+
+        # a path graph has no triangles
+        n = 30
+        t = pa.table(
+            {
+                "u": pa.array(np.arange(n - 1, dtype=np.int64)),
+                "v": pa.array(np.arange(1, n, dtype=np.int64)),
+            }
+        )
+        got = triangle_count(ray.data.from_arrow(t))
+        assert got["n_triangles"][0].as_py() == 0
