@@ -40,6 +40,7 @@ __all__ = [
     "range_join_agg",
     "lag_deltas",
     "running_total",
+    "merge_intervals",
 ]
 
 _US = 1_000_000
@@ -585,4 +586,86 @@ def running_total(
         return part(t, group_starts(t, [key_col]))
     return hash_group_apply(
         events, [key_col], part, sort_cols=(ts_col, id_col)
+    )
+
+
+def merge_intervals(ds, key_cols, start_col: str, end_col: str,
+                    n_col: str = "n_merged"):
+    """Gaps-and-islands: merge overlapping-or-touching integer
+    ``[start, end]`` intervals per key into maximal islands — the
+    availability/session-coverage shape (SQL: running ``max(end)``
+    window → new-island flags → island groupby).
+
+    One keyed exchange of the (keys, start, end) projection; per
+    partition ONE vectorized pass: rows sorted by (keys, start, end),
+    the within-group running max(end) computed in RANK space with a
+    per-group offset (monotone rank transform preserves every
+    comparison exactly and bounds the offset arithmetic inside int64
+    for any partition below ~10^9 rows), islands cut where
+    start > prev running max (strict — touching intervals merge).
+    Island output is invariant to the order of tied (start, end) rows,
+    so no tie-break column is needed and the result is
+    partition-invariant.
+
+    Returns keys + [start_col, end_col, n_col] per island.
+    """
+    from .shuffle import hash_group_apply
+
+    keys = list(key_cols)
+    cols = keys + [start_col, end_col]
+
+    def prune(b: pa.Table) -> pa.Table:
+        return b.select(cols)
+
+    pruned = (
+        prune(ds)
+        if isinstance(ds, pa.Table)
+        else ds.map_batches(
+            prune, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None or len(tbl) == 0:
+            if tbl is not None:
+                t = tbl.select(cols)
+                return t.append_column(
+                    n_col, pa.array([], type=pa.int64())
+                )
+            fields = [pa.field(c, pa.int64()) for c in cols + [n_col]]
+            return pa.schema(fields).empty_table()
+        s = tbl[start_col].to_numpy(zero_copy_only=False)
+        e = tbl[end_col].to_numpy(zero_copy_only=False)
+        n = len(s)
+        # rank space: strict/equal compares survive the monotone map
+        uniq = np.unique(np.concatenate([s, e]))
+        rs = np.searchsorted(uniq, s)
+        re_ = np.searchsorted(uniq, e)
+        is_gs = np.zeros(n, dtype=bool)
+        is_gs[starts] = True
+        gidx = np.cumsum(is_gs) - 1
+        big = np.int64(len(uniq) + 1)
+        acc = np.maximum.accumulate(re_ + gidx * big)
+        prev = np.empty_like(acc)
+        prev[0] = -1
+        prev[1:] = acc[:-1]
+        # first row of a group sees prev_rank < 0 → always an island
+        new_island = rs > (prev - gidx * big)
+        isl = np.flatnonzero(new_island)
+        sizes = np.diff(np.append(isl, n))
+        out = {k: tbl[k].take(pa.array(isl)) for k in keys}
+        out[start_col] = pa.array(s[isl])
+        out[end_col] = pa.array(np.maximum.reduceat(e, isl))
+        out[n_col] = pa.array(sizes.astype(np.int64))
+        return pa.table(out)
+
+    if isinstance(pruned, pa.Table):
+        from .shuffle import group_starts
+
+        t = pruned.combine_chunks().sort_by(
+            [(c, "ascending") for c in cols]
+        )
+        return part(t, group_starts(t, keys))
+    return hash_group_apply(
+        pruned, keys, part, sort_cols=[start_col, end_col]
     )

@@ -1664,6 +1664,36 @@ def q_region_revenue(sf_dir: str):
     return out.sort_by("r_name")
 
 
+def q_intervals(sf_dir: str):
+    """Gaps-and-islands (ops/temporal.merge_intervals): each event
+    opens an availability window of value-cents hours; overlapping-or-
+    touching windows per user merge into maximal islands. All-integer
+    µs arithmetic both sides (epoch µs + cents×3.6e6), so the island
+    cuts are bit-exact vs the SQL running-max window oracle."""
+    from .ops.temporal import merge_intervals
+
+    def iv(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["ts"], pa.int64())
+        dur = pc.multiply(
+            pc.cast(
+                pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+            ),
+            3_600_000,
+        )
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "start_us": s,
+                "end_us": pc.add(s, dur),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        iv, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return merge_intervals(ds, ["user_id"], "start_us", "end_us")
+
+
 def q_triangles(sf_dir: str):
     """Exact triangle count (ops/graph.triangle_count) over a
     deterministic synthetic graph on the documents universe: node i
@@ -2963,6 +2993,7 @@ def query_registry():
         "rollup_revenue": q_rollup_revenue,
         "outliers": q_outliers,
         "triangles": q_triangles,
+        "intervals": q_intervals,
         "quality_model": q_quality_model,
         "sample": q_sample,
         "stratified_sample": q_stratified_sample,
@@ -3670,6 +3701,33 @@ def oracle_queries() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             JOIN region ON r_regionkey = n_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "intervals": """
+            WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                               epoch_us(ts)
+                                 + CAST(round(value*100, 0) AS BIGINT)
+                                   * 3600000 AS e,
+                               event_id
+                        FROM events),
+            m AS (SELECT user_id, s, e, event_id,
+                         max(e) OVER (PARTITION BY user_id
+                                      ORDER BY s, e, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING) AS pm
+                  FROM iv),
+            f AS (SELECT user_id, s, e, event_id,
+                         CASE WHEN pm IS NULL OR s > pm
+                              THEN 1 ELSE 0 END AS ni
+                  FROM m),
+            g AS (SELECT user_id, s, e,
+                         sum(ni) OVER (PARTITION BY user_id
+                                       ORDER BY s, e, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW) AS isl
+                  FROM f)
+            SELECT user_id, min(s) AS start_us, max(e) AS end_us,
+                   count(*) AS n_merged
+            FROM g GROUP BY user_id, isl
         """,
         "triangles": """
             WITH nn AS (SELECT count(*) AS n FROM documents),

@@ -528,3 +528,82 @@ class TestRunningTotal:
         )
         with pytest.raises(TypeError, match="integer"):
             running_total(tbl, "v")
+
+
+class TestMergeIntervals:
+    def _brute(self, k, s, e):
+        """Per-key sort-and-sweep island merge."""
+        rows = sorted(zip(k, s, e))
+        out = []
+        for key, st, en in rows:
+            if out and out[-1][0] == key and st <= out[-1][2]:
+                last = out[-1]
+                out[-1] = (key, last[1], max(last[2], en), last[3] + 1)
+            else:
+                out.append((key, st, en, 1))
+        return sorted(out)
+
+    @pytest.mark.parametrize("n_blocks", [1, 7])
+    def test_matches_brute(self, ray_session, n_blocks):
+        import ray.data
+
+        from maup_ray.ops.temporal import merge_intervals
+
+        rng = np.random.RandomState(3)
+        n = 2500
+        k = rng.randint(0, 40, n).astype(np.int64)
+        s = rng.randint(0, 10_000, n).astype(np.int64)
+        e = s + rng.randint(0, 600, n)
+        t = pa.table(
+            {
+                "k": pa.array(k),
+                "s": pa.array(s),
+                "e": pa.array(e),
+            }
+        )
+        want = self._brute(k, s, e)
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        got_df = (
+            merge_intervals(ds, ["k"], "s", "e")
+            .to_pandas()
+            .sort_values(["k", "s"], ignore_index=True)
+        )
+        got = sorted(
+            zip(
+                got_df["k"], got_df["s"], got_df["e"],
+                got_df["n_merged"],
+            )
+        )
+        assert got == want
+
+    def test_touching_merge_and_gap_split(self, ray_session):
+        from maup_ray.ops.temporal import merge_intervals
+
+        t = pa.table(
+            {
+                "k": pa.array([1, 1, 1, 1], type=pa.int64()),
+                "s": pa.array([0, 10, 25, 10], type=pa.int64()),
+                "e": pa.array([10, 20, 30, 20], type=pa.int64()),
+            }
+        )
+        # table input → table output (single partition path)
+        got = merge_intervals(t, ["k"], "s", "e").to_pandas()
+        got = got.sort_values("s", ignore_index=True)
+        # [0,10] touches [10,20] (twice, tied) → one island; gap to [25,30]
+        assert got["s"].tolist() == [0, 25]
+        assert got["e"].tolist() == [20, 30]
+        assert got["n_merged"].tolist() == [3, 1]
+
+    def test_containment(self, ray_session):
+        from maup_ray.ops.temporal import merge_intervals
+
+        t = pa.table(
+            {
+                "k": pa.array([0, 0], type=pa.int64()),
+                "s": pa.array([0, 2], type=pa.int64()),
+                "e": pa.array([100, 5], type=pa.int64()),
+            }
+        )
+        got = merge_intervals(t, ["k"], "s", "e").to_pandas()
+        assert len(got) == 1
+        assert int(got["e"].iloc[0]) == 100
