@@ -34,6 +34,7 @@ __all__ = [
     "grouped_distinct_count",
     "grouped_mode",
     "grouped_outliers",
+    "cooccurrence_counts",
 ]
 
 
@@ -484,3 +485,126 @@ def grouped_mode(
     return hash_group_apply(
         partials, [key], final, sort_cols=(value,)
     )
+
+
+def cooccurrence_counts(
+    ds,
+    key_col: str,
+    item_col: str,
+    count_col: str = "n_keys",
+):
+    """Pairwise co-occurrence counts — for every unordered item pair
+    (a < b), in how many keys do both appear? (The market-basket /
+    co-click matrix shape.)
+
+    One keyed exchange of the DISTINCT (key, item) projection; per
+    partition ONE vectorized pass: rows sorted by (key, item), dedup,
+    then the same segment-arange pair expansion as
+    ``ops/graph.triangle_count`` (a key with d distinct items emits
+    d(d−1)/2 pairs — bound the basket size upstream, the documented
+    skew caveat), finished by an Arrow C++ pair-count per partition.
+    Partials are ≤ |item domain|² rows each; the driver merge is one
+    tiny group_by-sum over them — exact integer counts throughout.
+
+    Returns a pa.Table (item_a, item_b, count_col) with item_a < item_b.
+    """
+    from .shuffle import hash_group_apply
+
+    def prune(b: pa.Table) -> pa.Table:
+        # per-batch dedup shrinks the exchange; the partition pass
+        # re-dedups globally
+        return (
+            b.select([key_col, item_col])
+            .group_by([key_col, item_col], use_threads=False)
+            .aggregate([])
+        )
+
+    pruned = (
+        prune(ds)
+        if isinstance(ds, pa.Table)
+        else ds.map_batches(
+            prune, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def pairs_part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field(
+                    "item_a",
+                    tbl.schema.field(item_col).type
+                    if tbl is not None
+                    else pa.string(),
+                ),
+                pa.field(
+                    "item_b",
+                    tbl.schema.field(item_col).type
+                    if tbl is not None
+                    else pa.string(),
+                ),
+                pa.field(count_col, pa.int64()),
+            ]
+        )
+        if tbl is None or len(tbl) == 0:
+            return schema.empty_table()
+        items = tbl[item_col].combine_chunks()
+        k = tbl[key_col].to_numpy(zero_copy_only=False)
+        iv = np.asarray(items.to_numpy(zero_copy_only=False))
+        n = len(k)
+        keepm = np.empty(n, dtype=bool)
+        keepm[0] = True
+        keepm[1:] = (k[1:] != k[:-1]) | (iv[1:] != iv[:-1])
+        sel = np.flatnonzero(keepm)
+        k = k[sel]
+        items = items.take(pa.array(sel))
+        n = len(k)
+        gs = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        ends = np.append(gs[1:], n)
+        rights = np.repeat(ends, ends - gs) - np.arange(n) - 1
+        total = int(rights.sum())
+        if not total:
+            return schema.empty_table()
+        left = np.repeat(np.arange(n), rights)
+        offs = np.cumsum(rights) - rights
+        right = (
+            np.arange(total)
+            - np.repeat(offs, rights)
+            + np.repeat(np.arange(n) + 1, rights)
+        )
+        pairs = pa.table(
+            {
+                "item_a": items.take(pa.array(left)),
+                "item_b": items.take(pa.array(right)),
+            }
+        )
+        g = pairs.group_by(
+            ["item_a", "item_b"], use_threads=False
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["item_a", "item_b", count_col])
+
+    import ray
+
+    partials = hash_group_apply(
+        pruned, [key_col], pairs_part, sort_cols=[item_col]
+    )
+    tabs = [
+        t
+        for t in (
+            ray.get(r) for r in partials.materialize().to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not tabs:
+        return pa.schema(
+            [
+                pa.field("item_a", pa.string()),
+                pa.field("item_b", pa.string()),
+                pa.field(count_col, pa.int64()),
+            ]
+        ).empty_table()
+    merged = (
+        pa.concat_tables(tabs)
+        .group_by(["item_a", "item_b"], use_threads=False)
+        .aggregate([(count_col, "sum")])
+    )
+    return merged.rename_columns(["item_a", "item_b", count_col])

@@ -1664,6 +1664,37 @@ def q_region_revenue(sf_dir: str):
     return out.sort_by("r_name")
 
 
+def q_order_rank(sf_dir: str):
+    """GLOBAL row_number over every order by (totalprice DESC,
+    orderkey) — ops/window.global_row_number: one range-partitioned
+    Ray sort of the pruned 16 B/row projection, then per-block arange
+    stamps offset by block COUNTS (ints cross the wire, not rows)."""
+    from .ops.window import global_row_number
+
+    return global_row_number(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+        ["o_totalprice", "o_orderkey"],
+        descending=[True, False],
+        rank_name="rank",
+    )
+
+
+def q_cooccur(sf_dir: str):
+    """Market-basket co-occurrence (ops/curate.cooccurrence_counts):
+    for every unordered event_type pair, how many users triggered
+    both — distinct (user, type) pairs exchange once, the pair
+    expansion is the triangle-count segment-arange kernel, counts
+    finish as exact integer partial sums."""
+    from .ops.curate import cooccurrence_counts
+
+    return cooccurrence_counts(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        "user_id",
+        "event_type",
+        count_col="n_users",
+    )
+
+
 def q_intervals(sf_dir: str):
     """Gaps-and-islands (ops/temporal.merge_intervals): each event
     opens an availability window of value-cents hours; overlapping-or-
@@ -2994,6 +3025,8 @@ def query_registry():
         "outliers": q_outliers,
         "triangles": q_triangles,
         "intervals": q_intervals,
+        "cooccur": q_cooccur,
+        "order_rank": q_order_rank,
         "quality_model": q_quality_model,
         "sample": q_sample,
         "stratified_sample": q_stratified_sample,
@@ -3701,6 +3734,21 @@ def oracle_queries() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             JOIN region ON r_regionkey = n_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "order_rank": """
+            SELECT o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (ORDER BY o_totalprice DESC,
+                                                    o_orderkey)
+                        AS BIGINT) AS rank
+            FROM orders
+        """,
+        "cooccur": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   count(*) AS n_users
+            FROM d a JOIN d b ON a.user_id = b.user_id
+                             AND a.event_type < b.event_type
+            GROUP BY 1, 2
         """,
         "intervals": """
             WITH iv AS (SELECT user_id, epoch_us(ts) AS s,

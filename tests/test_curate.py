@@ -653,3 +653,72 @@ class TestGroupedOutliers:
             grouped_outliers(
                 ray.data.from_arrow(t), "g", "v"
             ).to_pandas()
+
+
+class TestCooccurrence:
+    @pytest.mark.parametrize("n_blocks", [1, 7])
+    def test_matches_brute(self, ray_session, n_blocks):
+        import itertools
+
+        import ray.data
+
+        from maup_ray.ops.curate import cooccurrence_counts
+
+        rng = np.random.RandomState(5)
+        n = 4000
+        k = rng.randint(0, 300, n).astype(np.int64)
+        items = np.char.add("t", rng.randint(0, 8, n).astype(str))
+        want: dict = {}
+        per_key: dict = {}
+        for kk, it in zip(k, items):
+            per_key.setdefault(kk, set()).add(it)
+        for s in per_key.values():
+            for a, b in itertools.combinations(sorted(s), 2):
+                want[(a, b)] = want.get((a, b), 0) + 1
+        t = pa.table({"k": pa.array(k), "item": pa.array(items)})
+        got = cooccurrence_counts(
+            ray.data.from_arrow(t).repartition(n_blocks),
+            "k",
+            "item",
+            count_col="n",
+        ).to_pandas()
+        got_d = {
+            (r.item_a, r.item_b): r.n for r in got.itertuples()
+        }
+        assert got_d == want
+        # orientation invariant: every pair is emitted a < b
+        assert (got["item_a"] < got["item_b"]).all()
+
+    def test_single_item_keys_emit_nothing(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.curate import cooccurrence_counts
+
+        t = pa.table(
+            {
+                "k": pa.array([1, 2, 3], type=pa.int64()),
+                "item": pa.array(["a", "b", "a"]),
+            }
+        )
+        got = cooccurrence_counts(
+            ray.data.from_arrow(t), "k", "item"
+        )
+        assert len(got) == 0
+
+    def test_duplicates_count_once(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.curate import cooccurrence_counts
+
+        # same (key, item) repeated many times → still one pair
+        t = pa.table(
+            {
+                "k": pa.array([7] * 10, type=pa.int64()),
+                "item": pa.array(["x", "y"] * 5),
+            }
+        )
+        got = cooccurrence_counts(
+            ray.data.from_arrow(t).repartition(3), "k", "item"
+        ).to_pandas()
+        assert len(got) == 1
+        assert got["n_keys"].iloc[0] == 1

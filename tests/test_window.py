@@ -476,3 +476,57 @@ class TestTriangleCount:
         )
         got = triangle_count(ray.data.from_arrow(t))
         assert got["n_triangles"][0].as_py() == 0
+
+
+class TestGlobalRowNumber:
+    @pytest.mark.parametrize("n_blocks", [1, 9])
+    def test_matches_duckdb(self, ray_session, n_blocks):
+        import duckdb
+        import ray.data
+
+        from maup_ray.ops.window import global_row_number
+
+        rng = np.random.RandomState(2)
+        n = 5000
+        t = pa.table(
+            {
+                # coarse values → cross-block ties broken by id
+                "v": pa.array(
+                    rng.randint(0, 40, n).astype(np.float64)
+                ),
+                "id": pa.array(rng.permutation(n).astype(np.int64)),
+            }
+        )
+        want = duckdb.sql(
+            """SELECT v, id,
+                      CAST(row_number() OVER (ORDER BY v DESC, id)
+                           AS BIGINT) AS rank
+               FROM t ORDER BY rank"""
+        ).df()
+        got = (
+            _collect(
+                global_row_number(
+                    ray.data.from_arrow(t).repartition(n_blocks),
+                    ["v", "id"],
+                    descending=[True, False],
+                )
+            )
+            .sort_values("rank", ignore_index=True)[["v", "id", "rank"]]
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_ranks_are_a_permutation(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.window import global_row_number
+
+        n = 777
+        t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64))})
+        got = _collect(
+            global_row_number(
+                ray.data.from_arrow(t).repartition(5), ["id"]
+            )
+        )
+        assert sorted(got["rank"].tolist()) == list(range(1, n + 1))
+        # ascending id ⇒ rank == id + 1
+        assert (got["rank"] == got["id"] + 1).all()
