@@ -19,6 +19,7 @@ import pyarrow as pa
 
 __all__ = [
     "grouped_sum_count",
+    "grouped_sums_exact",
     "grouped_minmax",
     "grouped_rollup",
     "profile_columns",
@@ -158,6 +159,65 @@ def grouped_sum_count(
     if count_col is not None:
         aggs.append(Sum(on=count_col, alias_name=count_col))
     return partials.groupby(keys).aggregate(*aggs)
+
+
+def grouped_sums_exact(ds, keys, sum_cols=(), count_col: str | None = None):
+    """Arbitrary-precision grouped sums for LOW-cardinality keys —
+    the second-moment merge ``final="driver"`` cannot do safely at web
+    scale: per-BLOCK int64 Arrow partials are overflow-safe (Σv² ≤
+    2^22 rows × 2^40 per row inside a block), but the cross-block
+    total (10^12 rows × v²) exceeds int64, and an Arrow/numpy merge
+    would WRAP SILENTLY. Here the driver merge runs in Python ints —
+    exact at any magnitude.
+
+    Returns ``list[dict]`` (keys + sums + count as Python ints), one
+    dict per group — the shape the moment-consuming callers (covar,
+    grouped_outliers) feed their exact arithmetic from. Driver bytes
+    are bounded by n_blocks × n_groups partial rows.
+    """
+    import ray
+
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sum_cols]
+        if count_col is not None:
+            aggs.append(([], "count_all"))
+        g = batch.group_by(keys, use_threads=False).aggregate(aggs)
+        names = []
+        for f in g.column_names:
+            if f.endswith("_sum"):
+                names.append(f[: -len("_sum")])
+            elif f == "count_all":
+                names.append(count_col)
+            else:
+                names.append(f)
+        return g.rename_columns(names)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    vals = sum_cols + ([count_col] if count_col is not None else [])
+    acc: dict = {}
+    for ref in partials.materialize().to_arrow_refs():
+        t = ray.get(ref)
+        if not t.num_rows:
+            continue
+        for row in t.to_pylist():
+            k = tuple(row[c] for c in keys)
+            slot = acc.get(k)
+            if slot is None:
+                acc[k] = {c: int(row[c]) for c in vals}
+            else:
+                for c in vals:
+                    slot[c] += int(row[c])
+    out = []
+    for k, sums in acc.items():
+        d = dict(zip(keys, k))
+        d.update(sums)
+        out.append(d)
+    return out
 
 
 def grouped_rollup(ds, keys, sum_cols=(), count_col: str | None = None):

@@ -35,6 +35,7 @@ __all__ = [
     "grouped_mode",
     "grouped_outliers",
     "cooccurrence_counts",
+    "weighted_sample",
 ]
 
 
@@ -53,9 +54,11 @@ def grouped_outliers(
     quantize, e.g. cents):
 
     1. per-group exact integer moments (n, S=Σv, Q=Σv²) — per-batch
-       Arrow C++ partials, tiny driver merge (≤ n_groups × n_blocks
-       rows; per-block Σv² stays inside int64 for v² ≤ 2^40 at 2^22
-       rows/block, the engine's block bound);
+       Arrow C++ partials (per-block Σv² stays inside int64 for
+       v² ≤ 2^40 at 2^22 rows/block, the engine's block bound), then
+       a Python-int driver merge (ops/agg.grouped_sums_exact) because
+       the CROSS-block Σv² exceeds int64 at web scale and an Arrow
+       merge would wrap silently;
     2. the z-test collapses to ONE int64 compare per row against a
        per-group integer threshold: with D = nQ − S² and k = num/den,
        v > μ + kσ  ⟺  den·(vn−S) > 0 ∧ (den·(vn−S))² > num²·D
@@ -69,7 +72,7 @@ def grouped_outliers(
     """
     import math
 
-    from .agg import grouped_sum_count
+    from .agg import grouped_sums_exact
 
     num, den = int(sigmas[0]), int(sigmas[1])
     if num <= 0 or den <= 0:
@@ -93,17 +96,16 @@ def grouped_outliers(
             }
         )
 
-    mom = grouped_sum_count(
+    mom = grouped_sums_exact(
         ds.map_batches(
             moments, batch_format="pyarrow", zero_copy_batch=True
         ),
         [key_col],
         sum_cols=["s", "q"],
         count_col="n",
-        final="driver",
     )
     thresholds: dict = {}
-    for r in mom.to_pylist():
+    for r in mom:
         n, s, q = int(r["n"]), int(r["s"]), int(r["q"])
         d = n * q - s * s  # ≥ 0 by Cauchy–Schwarz
         t = math.isqrt(num * num * d)
@@ -218,6 +220,68 @@ def hash_sample(ds, id_col: str, keep: int, mod: int = 100,
                 "numpy wraps); rescale ids or use a 64-bit mixer split"
             )
         return batch.filter(pa.array((ids * a + b) % mod < keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_LEHMER_A = 48271
+_LEHMER_P = 2147483647  # 2^31 − 1 (prime; Park–Miller minstd modulus)
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, max_weight: int):
+    """Deterministic weighted (importance) sample: keep row i iff
+    ``h(id) · max_weight  <  w_i · P`` — inclusion probability
+    ≈ w_i / max_weight, a pure function of the id, so the sample is
+    reproducible across runs, machines and partitionings (the
+    importance-sampling curation shape: keep high-value rows at higher
+    rates without a shuffle or a random state).
+
+    ``h`` is TWO steps of the Park–Miller minstd generator,
+    ``h = (((id mod (P−1)) + 1)·a mod P)·a mod P`` with a = 48271,
+    P = 2^31−1: one affine step is LINEAR for ids below P/a (no
+    wraparound → the "sample" would just be an id-range cut); the
+    second multiplication wraps for every seed, giving uniform h even
+    on dense small-id domains. Seeds land in [1, P−1] by construction,
+    so h ∈ [1, P−1]: w = 0 rows are never kept, w = max_weight always.
+
+    Stateless vectorized ``map_batches`` filter — nothing moves, same
+    scale shape as :func:`hash_sample`. Exactness: every product is
+    bounded by P·max(a, max_weight) < 2^62, pure int64, mirrored
+    token-for-token by the SQL oracle. ``weight_col`` must be int64 in
+    [0, max_weight]; out-of-range weights raise (a silent clamp would
+    diverge from the oracle). Ids must be non-negative.
+    """
+    if max_weight <= 0 or max_weight > 2**31:
+        raise ValueError(
+            "weighted_sample: need 0 < max_weight ≤ 2^31 "
+            "(int64 product bound)"
+        )
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        w = batch[weight_col].to_numpy(zero_copy_only=False)
+        if len(ids):
+            if int(ids.min()) < 0:
+                raise ValueError(
+                    f"weighted_sample: {id_col} must be non-negative"
+                )
+            if w.dtype.kind not in "iu":
+                raise TypeError(
+                    f"weighted_sample: {weight_col} must be integer "
+                    "(quantize upstream — exactness contract)"
+                )
+            if int(w.min()) < 0 or int(w.max()) > max_weight:
+                raise ValueError(
+                    f"weighted_sample: {weight_col} outside "
+                    f"[0, {max_weight}]"
+                )
+        seed = ids % (_LEHMER_P - 1) + 1
+        h = (seed * _LEHMER_A % _LEHMER_P) * _LEHMER_A % _LEHMER_P
+        return batch.filter(
+            pa.array(
+                h * max_weight < w.astype(np.int64) * _LEHMER_P
+            )
+        )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -1399,7 +1399,7 @@ def q_covar(sf_dir: str):
     bm25. Note the mirrored form is the exact-integer identity
     (n·Σxy − ΣxΣy)/n², NOT the engine-specific streaming covar_pop()
     kernel, precisely so both sides round identically."""
-    from .ops.agg import grouped_sum_count
+    from .ops.agg import grouped_sums_exact
 
     ds = _read(
         sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"]
@@ -1421,18 +1421,15 @@ def q_covar(sf_dir: str):
             }
         )
 
-    t = grouped_sum_count(
+    rows = grouped_sums_exact(
         ds.map_batches(
             moments, batch_format="pyarrow", zero_copy_batch=True
         ),
         ["l_returnflag"],
         sum_cols=["sx", "sy", "sxy", "sxx", "syy"],
         count_col="n",
-        final="driver",
-    )
+    )  # ≤ |returnflag| dicts, Python-int exact at any corpus size
     import math
-
-    rows = t.to_pylist()  # ≤ |returnflag| rows
     out = {
         "l_returnflag": [],
         "n": [],
@@ -1662,6 +1659,34 @@ def q_region_revenue(sf_dir: str):
         final="driver",
     )
     return out.sort_by("r_name")
+
+
+def q_weighted_sample(sf_dir: str):
+    """Importance sampling (ops/curate.weighted_sample): keep events
+    with probability ∝ value — a stateless deterministic int64
+    compare per row (hash·max_weight < weight·mod), nothing shuffles,
+    reproducible across runs and partitionings; the oracle runs the
+    identical integer expression."""
+    from .ops.curate import weighted_sample
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "v_cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "value"]
+    ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return weighted_sample(
+        ds, "event_id", "v_cents", max_weight=100_000
+    )
 
 
 def q_order_rank(sf_dir: str):
@@ -3027,6 +3052,7 @@ def query_registry():
         "intervals": q_intervals,
         "cooccur": q_cooccur,
         "order_rank": q_order_rank,
+        "weighted_sample": q_weighted_sample,
         "quality_model": q_quality_model,
         "sample": q_sample,
         "stratified_sample": q_stratified_sample,
@@ -3734,6 +3760,17 @@ def oracle_queries() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             JOIN region ON r_regionkey = n_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "weighted_sample": """
+            WITH c AS (SELECT event_id, user_id, event_type,
+                              CAST(round(value*100, 0) AS BIGINT)
+                                  AS v_cents
+                       FROM events)
+            SELECT event_id, user_id, event_type, v_cents
+            FROM c
+            WHERE (((event_id % 2147483646 + 1) * 48271 % 2147483647)
+                   * 48271 % 2147483647) * 100000
+                  < v_cents * 2147483647
         """,
         "order_rank": """
             SELECT o_orderkey, o_totalprice,

@@ -722,3 +722,118 @@ class TestCooccurrence:
         ).to_pandas()
         assert len(got) == 1
         assert got["n_keys"].iloc[0] == 1
+
+
+class TestGroupedSumsExact:
+    def test_cross_block_overflow_is_exact(self, ray_session):
+        """Per-block Σv² fits int64 but the cross-block total exceeds
+        2^63 — an Arrow/numpy driver merge would wrap silently; the
+        Python-int merge must be exact."""
+        import ray.data
+
+        from maup_ray.ops.agg import grouped_sums_exact
+
+        v = 1 << 31  # v² = 2^62 per row
+        t = pa.table(
+            {
+                "k": pa.array([0, 0, 0, 1], type=pa.int64()),
+                "q": pa.array([v * v] * 3 + [5], type=pa.int64()),
+            }
+        )
+        # one row per block → partials are fine, the TOTAL overflows
+        rows = grouped_sums_exact(
+            ray.data.from_arrow(t).repartition(4), ["k"], ["q"],
+            count_col="n",
+        )
+        by_k = {r["k"]: r for r in rows}
+        assert by_k[0]["q"] == 3 * (1 << 62)  # > 2^63: needs bigint
+        assert by_k[0]["q"] > (1 << 63) - 1
+        assert by_k[0]["n"] == 3
+        assert by_k[1]["q"] == 5
+
+    def test_matches_driver_mode_in_range(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.agg import grouped_sum_count, grouped_sums_exact
+
+        rng = np.random.default_rng(9)
+        t = pa.table(
+            {
+                "k": pa.array(rng.integers(0, 9, 1000), type=pa.int64()),
+                "v": pa.array(
+                    rng.integers(-1000, 1000, 1000), type=pa.int64()
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(5)
+        a = {
+            r["k"]: (r["v"], r["n"])
+            for r in grouped_sums_exact(ds, ["k"], ["v"], count_col="n")
+        }
+        b_tbl = grouped_sum_count(
+            ds, ["k"], ["v"], count_col="n", final="driver"
+        )
+        b = {
+            r["k"]: (r["v"], r["n"]) for r in b_tbl.to_pylist()
+        }
+        assert a == b
+
+
+class TestWeightedSample:
+    def test_edge_weights_and_determinism(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.curate import weighted_sample
+
+        n = 2000
+        ids = np.arange(n, dtype=np.int64)
+        w = np.zeros(n, dtype=np.int64)
+        w[: n // 3] = 0          # never kept
+        w[n // 3: 2 * n // 3] = 1000  # always kept (== max_weight)
+        w[2 * n // 3:] = 500     # ~half kept
+        t = pa.table({"id": pa.array(ids), "w": pa.array(w)})
+        got1 = weighted_sample(
+            ray.data.from_arrow(t).repartition(1), "id", "w", 1000
+        ).to_pandas()
+        got7 = weighted_sample(
+            ray.data.from_arrow(t).repartition(7), "id", "w", 1000
+        ).to_pandas()
+        # deterministic: identical sample for any partitioning
+        assert sorted(got1["id"]) == sorted(got7["id"])
+        kept = set(got1["id"])
+        assert not (kept & set(ids[: n // 3]))
+        assert set(ids[n // 3: 2 * n // 3]) <= kept
+        mid = kept & set(ids[2 * n // 3:])
+        assert 0.3 < len(mid) / (n / 3) < 0.7  # ≈ w/max = 0.5
+
+    def test_out_of_range_weight_raises(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.curate import weighted_sample
+
+        t = pa.table(
+            {
+                "id": pa.array([1], type=pa.int64()),
+                "w": pa.array([1001], type=pa.int64()),
+            }
+        )
+        with pytest.raises(Exception, match="outside|RayTaskError"):
+            weighted_sample(
+                ray.data.from_arrow(t), "id", "w", 1000
+            ).to_pandas()
+
+    def test_bad_params_raise(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.curate import weighted_sample
+
+        t = pa.table(
+            {"id": pa.array([1], type=pa.int64()),
+             "w": pa.array([1], type=pa.int64())}
+        )
+        with pytest.raises(ValueError):
+            weighted_sample(ray.data.from_arrow(t), "id", "w", 0)
+        with pytest.raises(ValueError):
+            weighted_sample(
+                ray.data.from_arrow(t), "id", "w", 2**32
+            )
