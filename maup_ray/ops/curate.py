@@ -36,6 +36,7 @@ __all__ = [
     "grouped_outliers",
     "cooccurrence_counts",
     "weighted_sample",
+    "winsorize",
 ]
 
 
@@ -672,3 +673,55 @@ def cooccurrence_counts(
         .aggregate([(count_col, "sum")])
     )
     return merged.rename_columns(["item_a", "item_b", count_col])
+
+
+def winsorize(
+    ds,
+    key_col: str,
+    value_col: str,
+    q: tuple[int, int] = (9, 10),
+    keep_cols=(),
+    out_col: str | None = None,
+):
+    """Grouped winsorization: cap each row's integer ``value_col`` at
+    its group's exact q-quantile — the outlier-repair twin of
+    :func:`grouped_outliers` (clamp instead of filter).
+
+    Two streaming phases: (1) the group caps come from
+    :func:`grouped_quantiles` (distinct-value count histograms — the
+    corpus never shuffles, cost is O(distinct values per key)),
+    driver-final because winsorize keys are low-cardinality by the
+    same contract; (2) one stateless vectorized clamp pass
+    (``min(v, cap[key])`` via index_in + element-wise min — groups
+    were all seen in phase 1 so every lookup hits). Quantile
+    semantics are DuckDB ``quantile_disc`` under exact rational q, so
+    the capped values are bit-exact vs the SQL oracle.
+
+    Returns a Dataset with [key_col, out_col] + keep_cols, where
+    ``out_col`` (default ``value_col``) is the capped value.
+    """
+    out_col = out_col or value_col
+    keep = list(keep_cols)
+    caps_tbl = grouped_quantiles(
+        ds, key_col, value_col, qs=(tuple(q),), q_names=("cap",),
+        final="driver",
+    )
+    keys_arr = caps_tbl[key_col].combine_chunks()
+    caps = caps_tbl["cap"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def clamp(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pos = pc.index_in(b[key_col], keys_arr).to_numpy(
+            zero_copy_only=False
+        )
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        capped = np.minimum(v, caps[pos])
+        out = {key_col: b[key_col], out_col: pa.array(capped)}
+        for c in keep:
+            out[c] = b[c]
+        return pa.table(out)
+
+    return ds.map_batches(
+        clamp, batch_format="pyarrow", zero_copy_batch=True
+    )

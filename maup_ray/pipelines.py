@@ -1661,6 +1661,33 @@ def q_region_revenue(sf_dir: str):
     return out.sort_by("r_name")
 
 
+def q_winsorize(sf_dir: str):
+    """Grouped winsorization (ops/curate.winsorize): every event's
+    value capped at its event_type's exact p90 — the quantile caps
+    come from the distinct-value count-histogram path (corpus never
+    shuffles), the clamp is one stateless vectorized pass. quantile
+    semantics = DuckDB quantile_disc under exact rational q."""
+    from .ops.curate import winsorize
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "v_cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+                "event_id": b["event_id"],
+            }
+        )
+
+    ds = _read(
+        sf_dir, "events", ["event_type", "value", "event_id"]
+    ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return winsorize(
+        ds, "event_type", "v_cents", q=(9, 10), keep_cols=["event_id"]
+    )
+
+
 def q_weighted_sample(sf_dir: str):
     """Importance sampling (ops/curate.weighted_sample): keep events
     with probability ∝ value — a stateless deterministic int64
@@ -3053,6 +3080,7 @@ def query_registry():
         "cooccur": q_cooccur,
         "order_rank": q_order_rank,
         "weighted_sample": q_weighted_sample,
+        "winsorize": q_winsorize,
         "quality_model": q_quality_model,
         "sample": q_sample,
         "stratified_sample": q_stratified_sample,
@@ -3760,6 +3788,18 @@ def oracle_queries() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             JOIN region ON r_regionkey = n_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "winsorize": """
+            WITH c AS (SELECT event_type, event_id,
+                              CAST(round(value*100, 0) AS BIGINT)
+                                  AS v_cents
+                       FROM events),
+            caps AS (SELECT event_type,
+                            quantile_disc(v_cents, 0.9) AS cap
+                     FROM c GROUP BY event_type)
+            SELECT c.event_type, least(c.v_cents, caps.cap) AS v_cents,
+                   c.event_id
+            FROM c JOIN caps USING (event_type)
         """,
         "weighted_sample": """
             WITH c AS (SELECT event_id, user_id, event_type,

@@ -837,3 +837,58 @@ class TestWeightedSample:
             weighted_sample(
                 ray.data.from_arrow(t), "id", "w", 2**32
             )
+
+
+class TestWinsorize:
+    @pytest.mark.parametrize("n_blocks", [1, 6])
+    def test_matches_duckdb(self, ray_session, n_blocks):
+        import duckdb
+        import ray.data
+
+        from maup_ray.ops.curate import winsorize
+
+        rng = np.random.RandomState(7)
+        n = 3000
+        t = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 5, n).astype(np.int64)),
+                "v": pa.array(rng.randint(0, 500, n).astype(np.int64)),
+                "id": pa.array(np.arange(n, dtype=np.int64)),
+            }
+        )
+        want = duckdb.sql(
+            """WITH caps AS (SELECT k, quantile_disc(v, 0.9) AS cap
+                             FROM t GROUP BY k)
+               SELECT t.k, least(t.v, caps.cap) AS v, t.id
+               FROM t JOIN caps USING (k) ORDER BY id"""
+        ).df()
+        got = (
+            winsorize(
+                ray.data.from_arrow(t).repartition(n_blocks),
+                "k",
+                "v",
+                q=(9, 10),
+                keep_cols=["id"],
+            )
+            .to_pandas()
+            .sort_values("id", ignore_index=True)[["k", "v", "id"]]
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_cap_is_reached_not_exceeded(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.curate import winsorize
+
+        t = pa.table(
+            {
+                "k": pa.array([0] * 10, type=pa.int64()),
+                "v": pa.array(list(range(1, 11)), type=pa.int64()),
+            }
+        )
+        got = winsorize(
+            ray.data.from_arrow(t), "k", "v", q=(1, 2)
+        ).to_pandas()
+        # p50 of 1..10 (quantile_disc, ceil(0.5*10)=5th value) = 5
+        assert got["v"].max() == 5
+        assert len(got) == 10
