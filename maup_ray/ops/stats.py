@@ -1,0 +1,295 @@
+"""Exact grouped distribution statistics — Gini concentration,
+weighted median, and median-absolute-deviation — over integer-quantized
+value columns.
+
+These are the "how skewed / how concentrated / how spread is this
+group" monitors a training-data curation pipeline runs continuously
+(source-contribution inequality, robust per-domain score spread,
+quantity-weighted price levels), expressed in the engine's one
+scale shape for order statistics: the **distinct-value count
+histogram** (``ops/curate.grouped_quantiles`` discipline). Per-batch
+Arrow group_by partials mean only distinct ``(key, value, count)``
+rows ever move — the corpus itself never shuffles — and every
+statistic below is a pure function of that histogram, so cost is
+O(distinct values per key) regardless of row count.
+
+Exactness discipline (CLAUDE.md): all inputs are int64 (callers
+quantize, e.g. cents); every intermediate is an exact integer
+(numpy int64 under a proven bound, arbitrary-precision Python ints
+past it — never a silent wrap, never a float partial); the only
+float each statistic emits is ONE final correctly-rounded IEEE
+division of two exact integers, mirrored token-for-token in the
+DuckDB oracle (``CAST(num AS DOUBLE) / CAST(den AS DOUBLE)``).
+
+Gini from a histogram (why it is tie-invariant): with distinct sorted
+values v_1<…<v_m, counts c_j and prefix P_j = Σ_{i<j} c_i, the rank
+positions of v_j are P_j+1 … P_j+c_j whose sum is
+c_j·P_j + c_j(c_j+1)/2, so
+
+    Σ_sorted rank·x  =  Σ_j v_j·(c_j·P_j + c_j(c_j+1)/2)
+    gini             =  (2·Σ rank·x − (n+1)·Σx) / (n·Σx)
+
+which equals the SQL ``row_number()``-based formula for EVERY
+tie-breaking order (equal values swap equal x between ranks).
+
+ref parity note: the reference repo has no statistics module; these
+are part of the beyond-reference training-data family the engine adds
+(see SURVEY.md §2 "LLM-data-pipeline operators").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["grouped_gini", "grouped_weighted_median", "grouped_mad"]
+
+
+def _int64_safe(bound: int) -> bool:
+    """True when every intermediate ≤ ``bound`` fits int64 with slack."""
+    return bound < (1 << 62)
+
+
+def _gini_walk(tbl, starts, key, value_col, count_col, gini_col):
+    """Per-group Gini over a (key, value, _c) histogram sorted by
+    (key, value); groups start at ``starts``."""
+    key_t = pa.int64() if tbl is None else tbl.schema.field(key).type
+    if tbl is None or tbl.num_rows == 0:
+        return pa.table(
+            {
+                key: pa.array([], type=key_t),
+                count_col: pa.array([], type=pa.int64()),
+                gini_col: pa.array([], type=pa.float64()),
+            }
+        )
+    counts = np.diff(np.append(starts, tbl.num_rows))
+    vals = tbl[value_col].to_numpy(zero_copy_only=False)
+    cnts = tbl["_c"].to_numpy(zero_copy_only=False)
+    ns, ginis = [], []
+    for s, c in zip(starts, counts):
+        v = vals[s : s + c]
+        cj = cnts[s : s + c]
+        cum = np.cumsum(cj)
+        n = int(cum[-1])
+        maxabs = int(np.max(np.abs(v))) if len(v) else 0
+        # every term below is ≤ 2·maxabs·n² (RS) or (n+1)·maxabs·n (S
+        # term) — check the loose common bound once, exactly, in
+        # Python ints, then pick the fast path
+        if _int64_safe(4 * max(maxabs, 1) * n * n):
+            prefix = cum - cj
+            s_ = int(np.sum(v * cj))
+            rs = int(np.sum(v * (cj * prefix + cj * (cj + 1) // 2)))
+        else:  # arbitrary-precision fallback: exact past 2^62
+            vl, cl = v.tolist(), cj.tolist()
+            p, s_, rs = 0, 0, 0
+            for vv, cc in zip(vl, cl):
+                s_ += vv * cc
+                rs += vv * (cc * p + cc * (cc + 1) // 2)
+                p += cc
+        num = 2 * rs - (n + 1) * s_  # exact Python int
+        den = n * s_
+        ns.append(n)
+        # the ONE rounding step: float() of an int is correctly
+        # rounded (CPython), as is CAST(HUGEINT AS DOUBLE) in DuckDB,
+        # and x/y on two doubles — the oracle mirrors this expression
+        ginis.append(float(num) / float(den) if den else float("nan"))
+    return pa.table(
+        {
+            key: tbl[key].take(pa.array(starts)),
+            count_col: pa.array(np.asarray(ns, dtype=np.int64)),
+            gini_col: pa.array(np.asarray(ginis, dtype=np.float64)),
+        }
+    )
+
+
+def grouped_gini(
+    ds,
+    key: str,
+    value_col: str,
+    count_col: str = "n",
+    gini_col: str = "gini",
+    final: str = "shuffle",
+):
+    """Exact per-``key`` Gini coefficient of integer ``value_col``.
+
+    ``final="shuffle"`` walks each key's histogram inside one
+    ``hash_group_apply`` partition (wide-key path); ``final="driver"``
+    merges the per-batch partials on the driver and returns a
+    ``pa.Table`` — right when keys are few and the value domain is
+    bounded (integer cents), where two keyed-shuffle jobs' fixed cost
+    dwarfs the work (the ``grouped_quantiles`` driver-final
+    discipline).
+    """
+    from .agg import grouped_sum_count
+    from .shuffle import group_starts, hash_group_apply
+
+    if final == "driver":
+        merged = grouped_sum_count(
+            ds, [key, value_col], count_col="_c", final="driver"
+        )
+        merged = merged.combine_chunks().sort_by(
+            [(key, "ascending"), (value_col, "ascending")]
+        )
+        starts = group_starts(merged, [key])
+        return _gini_walk(merged, starts, key, value_col, count_col, gini_col)
+    hist = grouped_sum_count(
+        ds, [key, value_col], count_col="_c", final="shuffle"
+    )
+
+    def walk(tbl, starts):
+        return _gini_walk(tbl, starts, key, value_col, count_col, gini_col)
+
+    return hash_group_apply(hist, [key], walk, sort_cols=(value_col,))
+
+
+def _wmedian_walk(tbl, starts, key, value_col, total_col, out_col):
+    """Per-group weighted median over a (key, value, _w) weighted
+    histogram sorted by (key, value): the smallest value whose
+    cumulative weight reaches ceil(W/2) — i.e. 2·cum ≥ W, the
+    lower weighted median."""
+    key_t = pa.int64() if tbl is None else tbl.schema.field(key).type
+    if tbl is None or tbl.num_rows == 0:
+        return pa.table(
+            {
+                key: pa.array([], type=key_t),
+                total_col: pa.array([], type=pa.int64()),
+                out_col: pa.array([], type=pa.int64()),
+            }
+        )
+    counts = np.diff(np.append(starts, tbl.num_rows))
+    vals = tbl[value_col].to_numpy(zero_copy_only=False)
+    ws = tbl["_w"].to_numpy(zero_copy_only=False)
+    tot, med = [], []
+    for s, c in zip(starts, counts):
+        cum = np.cumsum(ws[s : s + c])
+        w_total = int(cum[-1])
+        # 2·cum ≥ W  ⟺  cum ≥ ceil(W/2) — no doubling, no overflow
+        j = int(np.searchsorted(cum, (w_total + 1) // 2))
+        tot.append(w_total)
+        med.append(int(vals[s + min(j, c - 1)]))
+    return pa.table(
+        {
+            key: tbl[key].take(pa.array(starts)),
+            total_col: pa.array(np.asarray(tot, dtype=np.int64)),
+            out_col: pa.array(np.asarray(med, dtype=np.int64)),
+        }
+    )
+
+
+def grouped_weighted_median(
+    ds,
+    key: str,
+    value_col: str,
+    weight_col: str,
+    total_col: str = "w_total",
+    out_col: str = "wmedian",
+    final: str = "shuffle",
+):
+    """Exact per-``key`` weighted (lower) median: the smallest value
+    v with 2·Σ_{x≤v} w(x) ≥ Σ w. Weights and values are int64; the
+    per-batch partial sums weight per distinct (key, value), so the
+    shuffle carries the weighted histogram, never rows. ``final`` as
+    in :func:`grouped_gini`."""
+    from .agg import grouped_sum_count
+    from .shuffle import group_starts, hash_group_apply
+
+    proj = ds.map_batches(
+        lambda b: pa.table(
+            {key: b[key], value_col: b[value_col], "_w": b[weight_col]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if final == "driver":
+        merged = grouped_sum_count(
+            proj, [key, value_col], sum_cols=["_w"], final="driver"
+        )
+        merged = merged.combine_chunks().sort_by(
+            [(key, "ascending"), (value_col, "ascending")]
+        )
+        starts = group_starts(merged, [key])
+        return _wmedian_walk(
+            merged, starts, key, value_col, total_col, out_col
+        )
+    hist = grouped_sum_count(
+        proj, [key, value_col], sum_cols=["_w"], final="shuffle"
+    )
+
+    def walk(tbl, starts):
+        return _wmedian_walk(tbl, starts, key, value_col, total_col, out_col)
+
+    return hash_group_apply(hist, [key], walk, sort_cols=(value_col,))
+
+
+def grouped_mad(
+    ds,
+    key: str,
+    value_col: str,
+    median_col: str = "median",
+    mad_col: str = "mad",
+    final: str = "driver",
+):
+    """Exact per-``key`` median absolute deviation:
+    ``mad = quantile_disc(|v − median(v)|, 0.5)`` with
+    ``median = quantile_disc(v, 0.5)`` — the robust spread monitor.
+
+    Two histogram passes: pass 1 computes each key's exact discrete
+    median; pass 2 re-reads the input with the (small) median map
+    riding the stage closure, quantizes ``|v − m|`` per row
+    (int64-exact), and walks the deviation histogram. Only distinct
+    (key, value) counts ever shuffle; the median map is one row per
+    key (broadcast-small by construction).
+
+    Returns a pa.Table (``final="driver"``, the few-key path) or a
+    Dataset (``final="shuffle"``) with columns
+    ``[key, median_col, mad_col]``.
+    """
+    from .curate import grouped_quantiles
+
+    med = grouped_quantiles(
+        ds,
+        key,
+        value_col,
+        qs=((1, 2),),
+        q_names=(median_col,),
+        count_col="_n",
+        final="driver",
+    )
+    med_keys = med[key].to_pylist()
+    med_vals = np.asarray(med[median_col].to_pylist(), dtype=np.int64)
+    key_arr = pa.array(med_keys)
+
+    def absdev(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # every key was seen in pass 1 ⇒ index_in never misses
+        idx = pc.index_in(b[key], key_arr).to_numpy(zero_copy_only=False)
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        dev = np.abs(v - med_vals[idx.astype(np.int64)])
+        return pa.table({key: b[key], "_dev": pa.array(dev)})
+
+    devs = ds.map_batches(absdev, batch_format="pyarrow", zero_copy_batch=True)
+    mad = grouped_quantiles(
+        devs,
+        key,
+        "_dev",
+        qs=((1, 2),),
+        q_names=(mad_col,),
+        count_col="_n",
+        final=final,
+    )
+    if final != "driver":
+        raise NotImplementedError(
+            "grouped_mad final='shuffle' join-back not wired; use "
+            "final='driver' (few-key contract) — the deviation "
+            "histogram pass itself is already distributed"
+        )
+    mad = mad.combine_chunks().sort_by([(key, "ascending")])
+    med = med.combine_chunks().sort_by([(key, "ascending")])
+    return pa.table(
+        {
+            key: med[key],
+            median_col: med[median_col],
+            mad_col: mad[mad_col],
+        }
+    )

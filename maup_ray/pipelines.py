@@ -1844,6 +1844,91 @@ def q_outliers(sf_dir: str):
     )
 
 
+def q_gini(sf_dir: str):
+    """Per-priority Gini concentration of order value (ops/stats.
+    grouped_gini) — the source-contribution-inequality monitor. Only
+    distinct (priority, cents, count) histogram rows move; gini is a
+    pure tie-invariant function of that histogram (module docstring
+    derivation), every intermediate an exact integer, and the single
+    float is ONE correctly-rounded division mirrored in the oracle's
+    CAST(HUGEINT AS DOUBLE) expression (parity validated bit-for-bit
+    over ±10^25 before wiring). Five keys ⇒ driver-final."""
+    from .ops.stats import grouped_gini
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "v_cents": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_totalprice"]
+    ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_gini(ds, "o_orderpriority", "v_cents", final="driver")
+
+
+def q_wmedian(sf_dir: str):
+    """Quantity-weighted median unit price per returnflag
+    (ops/stats.grouped_weighted_median): the smallest price cents p
+    with 2·Σ_{x≤p} qty ≥ Σ qty. The shuffle carries the weighted
+    distinct-price histogram (price never re-reads); the walk is a
+    ceil((W+1)/2) searchsorted per group — all-integer, so the oracle's
+    window-cumsum formulation matches exactly. Three keys ⇒
+    driver-final."""
+    from .ops.stats import grouped_weighted_median
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "p_cents": pc.cast(
+                    pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                    pa.int64(),
+                ),
+                "qty": pc.cast(
+                    pc.round(b["l_quantity"]), pa.int64()
+                ),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_weighted_median(
+        ds, "l_returnflag", "p_cents", "qty", final="driver"
+    )
+
+
+def q_mad(sf_dir: str):
+    """Per-event_type median absolute deviation of value
+    (ops/stats.grouped_mad) — the robust spread monitor for score
+    drift. Two distinct-value histogram passes (median, then
+    |v − median| with the one-row-per-key median map riding the stage
+    closure); both quantiles are DuckDB quantile_disc semantics under
+    exact rational q=(1,2)."""
+    from .ops.stats import grouped_mad
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "v_cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_mad(ds, "event_type", "v_cents")
+
+
 def q_rollup_revenue(sf_dir: str):
     """GROUP BY ROLLUP(region, nation) revenue — the reporting-
     hierarchy shape (ops/agg.grouped_rollup): the orders stream is
@@ -3081,6 +3166,9 @@ def query_registry():
         "order_rank": q_order_rank,
         "weighted_sample": q_weighted_sample,
         "winsorize": q_winsorize,
+        "gini": q_gini,
+        "wmedian": q_wmedian,
+        "mad": q_mad,
         "quality_model": q_quality_model,
         "sample": q_sample,
         "stratified_sample": q_stratified_sample,
@@ -3788,6 +3876,62 @@ def oracle_queries() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             JOIN region ON r_regionkey = n_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        # gini: row_number formulation — equals the engine's
+        # tie-invariant histogram formula for every tie order (see
+        # ops/stats.py docstring); HUGEINT sums, ONE double division
+        "gini": """
+            WITH c AS (SELECT o_orderpriority,
+                              CAST(round(o_totalprice*100, 0) AS BIGINT)
+                                  AS v
+                       FROM orders),
+            r AS (SELECT o_orderpriority, v,
+                         CAST(row_number() OVER (
+                             PARTITION BY o_orderpriority ORDER BY v)
+                           AS HUGEINT) AS rn
+                  FROM c),
+            a AS (SELECT o_orderpriority, count(*) AS n,
+                         sum(CAST(v AS HUGEINT)) AS s,
+                         sum(rn * v) AS rs
+                  FROM r GROUP BY o_orderpriority)
+            SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+                   CAST(2*rs - (CAST(n AS HUGEINT)+1)*s AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT)*s AS DOUBLE) AS gini
+            FROM a
+        """,
+        # wmedian: lower weighted median — smallest price whose
+        # running weight reaches ceil(W/2); all-integer window cumsum
+        "wmedian": """
+            WITH c AS (SELECT l_returnflag,
+                              CAST(round(l_extendedprice*100, 0)
+                                   AS BIGINT) AS p,
+                              CAST(round(l_quantity, 0) AS BIGINT) AS w
+                       FROM lineitem),
+            g AS (SELECT l_returnflag, p, sum(w) AS w
+                  FROM c GROUP BY l_returnflag, p),
+            s AS (SELECT l_returnflag, p,
+                         sum(w) OVER (PARTITION BY l_returnflag
+                                      ORDER BY p) AS cw,
+                         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+                  FROM g)
+            SELECT l_returnflag,
+                   CAST(any_value(tw) AS BIGINT) AS w_total,
+                   min(p) AS wmedian
+            FROM s WHERE cw >= (tw + 1) // 2
+            GROUP BY l_returnflag
+        """,
+        # mad: both quantiles are quantile_disc under DECIMAL 0.5 —
+        # the engine replicates ceil(n/2) with integer rationals
+        "mad": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value*100, 0) AS BIGINT) AS v
+                       FROM events),
+            m AS (SELECT event_type, quantile_disc(v, 0.5) AS med
+                  FROM c GROUP BY event_type)
+            SELECT c.event_type, any_value(m.med) AS median,
+                   quantile_disc(abs(c.v - m.med), 0.5) AS mad
+            FROM c JOIN m USING (event_type)
+            GROUP BY c.event_type
         """,
         "winsorize": """
             WITH c AS (SELECT event_type, event_id,

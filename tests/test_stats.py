@@ -1,0 +1,314 @@
+"""ops/stats: grouped Gini / weighted median / MAD — DuckDB parity,
+shuffle-vs-driver equivalence, tie invariance, and the exact
+arbitrary-precision fallback past int64."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_df(obj):
+    import pandas as pd
+
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    return obj.to_pandas()
+
+
+def _brute_gini(v):
+    """Textbook sorted-rank Gini in exact Python ints."""
+    xs = sorted(int(x) for x in v)
+    n = len(xs)
+    s = sum(xs)
+    rs = sum((i + 1) * x for i, x in enumerate(xs))
+    return float(2 * rs - (n + 1) * s) / float(n * s)
+
+
+class TestGroupedGini:
+    def test_matches_duckdb_and_brute(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from maup_ray.ops.stats import grouped_gini
+
+        rng = np.random.RandomState(3)
+        n = 4000
+        tbl = pa.table(
+            {
+                "k": pa.array(
+                    rng.choice(["a", "b", "c"], n).astype(object),
+                    type=pa.string(),
+                ),
+                "v": pa.array(
+                    rng.randint(1, 5000, n).astype(np.int64)
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(5)
+        out = (
+            _to_df(grouped_gini(ds, "k", "v", final="driver"))
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = con.execute(
+            """WITH r AS (SELECT k, v,
+                  CAST(row_number() OVER (PARTITION BY k ORDER BY v)
+                       AS HUGEINT) AS rn FROM t),
+               a AS (SELECT k, count(*) AS n,
+                     sum(CAST(v AS HUGEINT)) AS s, sum(rn*v) AS rs
+                     FROM r GROUP BY k)
+               SELECT k, CAST(n AS BIGINT) AS n,
+                 CAST(2*rs - (CAST(n AS HUGEINT)+1)*s AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT)*s AS DOUBLE) AS gini
+               FROM a ORDER BY k"""
+        ).df()
+        assert list(out["n"]) == list(want["n"])
+        # bit-exact, not allclose — the exactness contract
+        assert [g.hex() for g in out["gini"]] == [
+            g.hex() for g in want["gini"]
+        ]
+        df = tbl.to_pandas()
+        for k, grp in df.groupby("k"):
+            got = float(out.set_index("k")["gini"][k])
+            assert got.hex() == _brute_gini(grp["v"]).hex()
+
+    def test_shuffle_equals_driver(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.stats import grouped_gini
+
+        rng = np.random.RandomState(7)
+        tbl = pa.table(
+            {
+                "k": pa.array(
+                    rng.randint(0, 12, 2000).astype(np.int64)
+                ),
+                "v": pa.array(
+                    rng.randint(0, 300, 2000).astype(np.int64)
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        a = (
+            _to_df(grouped_gini(ds, "k", "v", final="driver"))
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        b = (
+            _to_df(grouped_gini(ds, "k", "v", final="shuffle"))
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert list(a["n"]) == list(b["n"])
+        assert [x.hex() for x in a["gini"]] == [
+            x.hex() for x in b["gini"]
+        ]
+
+    def test_bignum_fallback_exact(self, ray_session):
+        """Values near 2^40 with n large enough that rank·value sums
+        blow past 2^62 — the walk must take the Python-int path and
+        still be bit-exact vs the brute formula."""
+        import ray.data
+
+        from maup_ray.ops.stats import _gini_walk, grouped_gini
+
+        rng = np.random.RandomState(11)
+        n = 3000
+        base = np.int64(1) << np.int64(40)
+        v = (base + rng.randint(0, 1 << 20, n)).astype(np.int64)
+        tbl = pa.table(
+            {
+                "k": pa.array(np.zeros(n, dtype=np.int64)),
+                "v": pa.array(v),
+            }
+        )
+        # force the guard decision check: 4·maxabs·n² ≥ 2^62 here
+        assert 4 * int(v.max()) * n * n >= (1 << 62)
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        out = _to_df(grouped_gini(ds, "k", "v", final="driver"))
+        assert float(out["gini"][0]).hex() == _brute_gini(v).hex()
+
+    def test_tie_invariance(self, ray_session):
+        """Heavy ties: histogram formula equals brute row_number Gini
+        regardless of tie order (the derivation's claim)."""
+        import ray.data
+
+        from maup_ray.ops.stats import grouped_gini
+
+        v = np.array([5, 5, 5, 1, 1, 9, 9, 9, 9, 2], dtype=np.int64)
+        tbl = pa.table(
+            {"k": pa.array(["x"] * len(v)), "v": pa.array(v)}
+        )
+        ds = ray.data.from_arrow(tbl).repartition(2)
+        out = _to_df(grouped_gini(ds, "k", "v", final="driver"))
+        assert float(out["gini"][0]).hex() == _brute_gini(v).hex()
+
+
+class TestGroupedWeightedMedian:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from maup_ray.ops.stats import grouped_weighted_median
+
+        rng = np.random.RandomState(5)
+        n = 3000
+        tbl = pa.table(
+            {
+                "k": pa.array(
+                    rng.choice(["p", "q"], n).astype(object),
+                    type=pa.string(),
+                ),
+                "v": pa.array(rng.randint(0, 400, n).astype(np.int64)),
+                "w": pa.array(rng.randint(1, 50, n).astype(np.int64)),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        out = (
+            _to_df(grouped_weighted_median(ds, "k", "v", "w", final="driver"))
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = con.execute(
+            """WITH g AS (SELECT k, v, sum(w) AS w FROM t GROUP BY k, v),
+               s AS (SELECT k, v,
+                     sum(w) OVER (PARTITION BY k ORDER BY v) AS cw,
+                     sum(w) OVER (PARTITION BY k) AS tw FROM g)
+               SELECT k, CAST(any_value(tw) AS BIGINT) AS w_total,
+                      min(v) AS wmedian
+               FROM s WHERE cw >= (tw + 1) // 2
+               GROUP BY k ORDER BY k"""
+        ).df()
+        assert list(out["w_total"]) == list(want["w_total"])
+        assert list(out["wmedian"]) == list(want["wmedian"])
+
+    def test_shuffle_equals_driver(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.stats import grouped_weighted_median
+
+        rng = np.random.RandomState(8)
+        tbl = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 9, 1500).astype(np.int64)),
+                "v": pa.array(rng.randint(0, 99, 1500).astype(np.int64)),
+                "w": pa.array(rng.randint(1, 7, 1500).astype(np.int64)),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        a = (
+            _to_df(grouped_weighted_median(ds, "k", "v", "w", final="driver"))
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        b = (
+            _to_df(
+                grouped_weighted_median(ds, "k", "v", "w", final="shuffle")
+            )
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+    def test_unit_weights_equal_median(self, ray_session):
+        """With all weights 1, the weighted median is quantile_disc
+        0.5 — cross-checks the two histogram walks against each
+        other."""
+        import ray.data
+
+        from maup_ray.ops.curate import grouped_quantiles
+        from maup_ray.ops.stats import grouped_weighted_median
+
+        rng = np.random.RandomState(13)
+        tbl = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 4, 900).astype(np.int64)),
+                "v": pa.array(rng.randint(0, 50, 900).astype(np.int64)),
+                "w": pa.array(np.ones(900, dtype=np.int64)),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        wm = (
+            _to_df(grouped_weighted_median(ds, "k", "v", "w", final="driver"))
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        med = (
+            _to_df(
+                grouped_quantiles(
+                    ds, "k", "v", qs=((1, 2),), q_names=("m",),
+                    final="driver",
+                )
+            )
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert list(wm["wmedian"]) == list(med["m"])
+
+
+class TestGroupedMad:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from maup_ray.ops.stats import grouped_mad
+
+        rng = np.random.RandomState(21)
+        n = 2500
+        tbl = pa.table(
+            {
+                "k": pa.array(
+                    rng.choice(["a", "b", "c", "d"], n).astype(object),
+                    type=pa.string(),
+                ),
+                "v": pa.array(
+                    rng.randint(-500, 500, n).astype(np.int64)
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        out = (
+            _to_df(grouped_mad(ds, "k", "v"))
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = con.execute(
+            """WITH m AS (SELECT k, quantile_disc(v, 0.5) AS med
+                          FROM t GROUP BY k)
+               SELECT t.k, any_value(m.med) AS median,
+                      quantile_disc(abs(t.v - m.med), 0.5) AS mad
+               FROM t JOIN m USING (k) GROUP BY t.k ORDER BY t.k"""
+        ).df()
+        assert list(out["median"]) == list(want["median"])
+        assert list(out["mad"]) == list(want["mad"])
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.stats import grouped_mad
+
+        rng = np.random.RandomState(2)
+        tbl = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 5, 1200).astype(np.int64)),
+                "v": pa.array(rng.randint(0, 800, 1200).astype(np.int64)),
+            }
+        )
+        outs = []
+        for p in (1, 7):
+            ds = ray.data.from_arrow(tbl).repartition(p)
+            outs.append(
+                _to_df(grouped_mad(ds, "k", "v"))
+                .sort_values("k")
+                .reset_index(drop=True)
+            )
+        assert outs[0].equals(outs[1])
