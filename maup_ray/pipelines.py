@@ -1929,6 +1929,36 @@ def q_mad(sf_dir: str):
     return grouped_mad(ds, "event_type", "v_cents")
 
 
+def q_typo_pairs(sf_dir: str):
+    """Edit-distance-1 fuzzy self-join (text/fuzzy.edit1_pairs — the
+    SymSpell deletion-variant blocking shape): all distinct code pairs
+    exactly one edit apart. Codes derive deterministically from doc_id
+    (5 base-5 letter digits, leading 'a's stripped — variable length,
+    so deletion/insertion pairs exist alongside substitutions; the
+    corpus vocabulary itself has zero d1 pairs). Exchanges are
+    vocabulary-sized (variant rows, then candidate pairs); equal-length
+    verification is one fixed-width codepoint compare per length
+    class. The oracle is the brute levenshtein cross-join."""
+    from .text.fuzzy import edit1_pairs
+
+    letters = np.array(list("abcde"), dtype="<U1")
+
+    def codes(b: pa.Table) -> pa.Table:
+        k = b["doc_id"].to_numpy(zero_copy_only=False)
+        digs = np.empty((len(k), 5), dtype="<U1")
+        for j in range(5):
+            digs[:, 4 - j] = letters[(k // (5**j)) % 5]
+        full = digs.view("<U5").ravel()
+        return pa.table(
+            {"tok": pa.array(np.char.lstrip(full, "a"), type=pa.string())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        codes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return edit1_pairs(ds, "tok")
+
+
 def q_rollup_revenue(sf_dir: str):
     """GROUP BY ROLLUP(region, nation) revenue — the reporting-
     hierarchy shape (ops/agg.grouped_rollup): the orders stream is
@@ -3167,6 +3197,7 @@ def query_registry():
         "weighted_sample": q_weighted_sample,
         "winsorize": q_winsorize,
         "gini": q_gini,
+        "typo_pairs": q_typo_pairs,
         "wmedian": q_wmedian,
         "mad": q_mad,
         "quality_model": q_quality_model,
@@ -3876,6 +3907,23 @@ def oracle_queries() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             JOIN region ON r_regionkey = n_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        # typo_pairs: brute levenshtein cross-join over the distinct
+        # derived codes — the length-band predicate is a sound
+        # prefilter (lev=1 forces |Δlen| ≤ 1), not a semantic change
+        "typo_pairs": """
+            WITH codes AS (SELECT DISTINCT
+                ltrim(chr(97 + CAST((doc_id//625)%5 AS INT))
+                   || chr(97 + CAST((doc_id//125)%5 AS INT))
+                   || chr(97 + CAST((doc_id//25)%5 AS INT))
+                   || chr(97 + CAST((doc_id//5)%5 AS INT))
+                   || chr(97 + CAST(doc_id%5 AS INT)), 'a') AS t
+              FROM documents)
+            SELECT a.t AS tok_a, b.t AS tok_b
+            FROM codes a JOIN codes b
+              ON a.t < b.t
+             AND abs(length(a.t) - length(b.t)) <= 1
+             AND levenshtein(a.t, b.t) = 1
         """,
         # gini: row_number formulation — equals the engine's
         # tie-invariant histogram formula for every tie order (see
