@@ -24,7 +24,7 @@ from ..geom.core import area as poly_area
 from ..geom.core import bounds, rect
 from ..geom.wkb import decode_polygons, encode_multipolygon
 
-__all__ = ["rasterize", "vectorize"]
+__all__ = ["rasterize", "vectorize", "raster_components"]
 
 
 def _rasterize_batch(batch, grid: CellGrid, res: int, id_col, geometry_col):
@@ -107,3 +107,211 @@ def vectorize(
             "geometry": pa.array(out_geoms, type=pa.binary()),
         }
     )
+
+
+def raster_components(
+    cells,
+    cx_col: str = "cx",
+    cy_col: str = "cy",
+    width: int = 1 << 20,
+    weight_col: str | None = None,
+    component_col: str = "component",
+    final: str = "driver",
+):
+    """4-adjacency connected-component labeling of a raster mask —
+    the image-processing region-labeling primitive (blob extraction
+    over an occupancy / classification grid), distributed.
+
+    ``cells`` is a Dataset or Table of DISTINCT mask cells
+    (cx, cy[, weight]). Returns per-component aggregates
+    ``(component, n_cells[, weight sum])`` where the component id is
+    the minimum linear cell id ``cy·width + cx`` reachable — the
+    canonical representative, matching the SQL recursive-CTE
+    min-label fixpoint.
+
+    Scale shape — nothing is ever driver-resident or O(grid):
+    1. each mask cell emits itself plus two neighbor PROBES (east,
+       north); one cell-id-keyed exchange intersects probes with
+       present cells, so the edge list materializes without a join
+       operator and boundary edges between any two blocks are found
+       regardless of partitioning;
+    2. edges feed ``text/cluster.connected_components`` — the BSP
+       min-label propagation (messages shrink every round; tiny
+       graphs take its driver union-find shortcut);
+    3. isolated cells never appear in edges, so a second keyed
+       exchange tags every cell with its label-if-any (else itself) —
+       the broadcast-free left join — and per-component partial sums
+       finish it (``grouped_sum_count``).
+    """
+    import pyarrow.compute as pc
+
+    from ..text.cluster import connected_components
+    from .agg import grouped_sum_count
+    from .shuffle import hash_group_apply
+
+    W = int(width)
+
+    def probes(b: pa.Table) -> pa.Table:
+        cx = b[cx_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cy = b[cy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        own = cy * W + cx
+        # kind 0 = cell presence; kind 1 = probe, src riding along
+        east_ok = cx + 1 < W
+        east = own[east_ok] + 1
+        north = own + W
+        key = np.concatenate([own, east, north])
+        kind = np.concatenate(
+            [
+                np.zeros(len(own), dtype=np.int64),
+                np.ones(len(east) + len(north), dtype=np.int64),
+            ]
+        )
+        src = np.concatenate([own, own[east_ok], own])
+        return pa.table(
+            {
+                "_key": pa.array(key),
+                "_kind": pa.array(kind),
+                "_src": pa.array(src),
+            }
+        )
+
+    tagged = (
+        probes(cells)
+        if isinstance(cells, pa.Table)
+        else cells.map_batches(
+            probes, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    edge_schema = pa.schema(
+        [pa.field("a", pa.int64()), pa.field("b", pa.int64())]
+    )
+
+    def match(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None or not len(tbl):
+            return edge_schema.empty_table()
+        key = tbl["_key"].to_numpy(zero_copy_only=False)
+        kind = tbl["_kind"].to_numpy(zero_copy_only=False)
+        src = tbl["_src"].to_numpy(zero_copy_only=False)
+        counts = np.diff(np.append(starts, len(tbl)))
+        # rows sorted by (_key, _kind): a group whose first row is a
+        # presence row (kind 0) turns every following probe into an
+        # edge (probe src, present cell)
+        present = kind[starts] == 0
+        grp = np.repeat(np.arange(len(starts)), counts)
+        is_edge = present[grp] & (kind == 1)
+        sel = np.flatnonzero(is_edge)
+        return pa.table(
+            {"a": pa.array(src[sel]), "b": pa.array(key[sel])}
+        )
+
+    edges = hash_group_apply(tagged, ["_key"], match, sort_cols=("_kind",))
+    labels = connected_components(edges, "a", "b")
+
+    def cell_rows(b: pa.Table) -> pa.Table:
+        cx = b[cx_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cy = b[cy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        own = cy * W + cx
+        w = (
+            b[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if weight_col
+            else np.ones(len(cx), dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "_id": pa.array(own),
+                "_kind": pa.array(np.zeros(len(own), dtype=np.int64)),
+                "_comp": pa.array(own),  # default: own id (isolated)
+                "_w": pa.array(w),
+            }
+        )
+
+    def label_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_id": pc.cast(b["node"], pa.int64()),
+                "_kind": pa.array(
+                    np.ones(len(b), dtype=np.int64)
+                ),
+                "_comp": pc.cast(b["component"], pa.int64()),
+                "_w": pa.array(np.zeros(len(b), dtype=np.int64)),
+            }
+        )
+
+    import ray.data
+
+    cells_ds = (
+        ray.data.from_arrow(cell_rows(cells))
+        if isinstance(cells, pa.Table)
+        else cells.map_batches(
+            cell_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    lab_ds = labels.map_batches(
+        label_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    out_schema = pa.schema(
+        [pa.field(component_col, pa.int64()), pa.field("_w", pa.int64())]
+    )
+
+    def resolve(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None or not len(tbl):
+            return out_schema.empty_table()
+        kind = tbl["_kind"].to_numpy(zero_copy_only=False)
+        comp = tbl["_comp"].to_numpy(zero_copy_only=False)
+        w = tbl["_w"].to_numpy(zero_copy_only=False)
+        counts = np.diff(np.append(starts, len(tbl)))
+        # sorted by (_id, _kind): kind-0 cell row first, optional
+        # kind-1 label row second — the label (group's LAST row) wins
+        ends = starts + counts - 1
+        lab = comp[ends]
+        # weight comes from the cell row (kind 0, the group's first)
+        cw = w[starts]
+        # groups with no cell row (label for a cell not in this
+        # input — can't happen: labels ⊆ cells) are guarded anyway
+        has_cell = kind[starts] == 0
+        sel = np.flatnonzero(has_cell)
+        return pa.table(
+            {
+                component_col: pa.array(lab[sel]),
+                "_w": pa.array(cw[sel]),
+            }
+        )
+
+    resolved = hash_group_apply(
+        cells_ds.union(lab_ds), ["_id"], resolve, sort_cols=("_kind",)
+    )
+    # ``final``: "driver" returns a pa.Table (right when the component
+    # count is provably small); "hash" keeps the per-component sums
+    # distributed (int64 partials — the unbounded-component-count path)
+    out = grouped_sum_count(
+        resolved,
+        [component_col],
+        sum_cols=["_w"],
+        count_col="n_cells",
+        final=final,
+    )
+    wname = weight_col if weight_col else "_w"
+    if final != "driver":
+        if not weight_col:
+            return out.select_columns([component_col, "n_cells"])
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    component_col: b[component_col],
+                    "n_cells": b["n_cells"],
+                    wname: b["_w"],
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    tbl = pa.table(
+        {
+            component_col: out[component_col],
+            "n_cells": out["n_cells"],
+            **({wname: out["_w"]} if weight_col else {}),
+        }
+    )
+    return tbl.sort_by([(component_col, "ascending")])

@@ -2709,6 +2709,43 @@ def q_image_cells(sf_dir: str):
     )
 
 
+def q_raster_components(sf_dir: str):
+    """Raster blob extraction over the image-occupancy grid
+    (ops/raster.raster_components): cells with above-average image
+    count form a mask; 4-adjacent mask cells merge into components
+    labeled by their min linear cell id. Edges materialize via
+    cell-id-keyed neighbor probes (no join operator), the labeling is
+    the BSP min-propagation, isolated cells rejoin through a second
+    keyed exchange — the oracle is a recursive-CTE min-label
+    fixpoint."""
+    from .ops.agg import grouped_sum_count
+    from .ops.raster import raster_components
+
+    def tile(batch: pa.Table) -> pa.Table:
+        from .geom.cells import CellGrid
+
+        g = CellGrid(0, 0, EXTENT)
+        cells = g.cell_of_points(
+            batch["x"].to_numpy(), batch["y"].to_numpy(), 4
+        )
+        cx, cy, _ = CellGrid.unpack(cells)
+        return pa.table({"cx": pa.array(cx), "cy": pa.array(cy)})
+
+    ds = _image_points(sf_dir).map_batches(tile, batch_format="pyarrow")
+    cnt = grouped_sum_count(
+        ds, ["cx", "cy"], count_col="n_images", final="driver"
+    )
+    total = int(pc.sum(cnt["n_images"]).as_py())
+    thr = total // 256 + 1
+    mask = cnt.filter(pc.greater_equal(cnt["n_images"], thr))
+    import ray.data
+
+    mask_ds = ray.data.from_arrow(mask).repartition(4)
+    return raster_components(
+        mask_ds, width=16, weight_col="n_images"
+    )
+
+
 def q_props_extract(sf_dir: str):
     """Semi-structured extraction: parse the events JSON ``props``
     column ({"k": N}), pull the integer field and reduce per
@@ -3198,6 +3235,7 @@ def query_registry():
         "winsorize": q_winsorize,
         "gini": q_gini,
         "typo_pairs": q_typo_pairs,
+        "raster_components": q_raster_components,
         "wmedian": q_wmedian,
         "mad": q_mad,
         "quality_model": q_quality_model,
@@ -3925,6 +3963,35 @@ def oracle_queries() -> dict[str, str]:
              AND abs(length(a.t) - length(b.t)) <= 1
              AND levenshtein(a.t, b.t) = 1
         """,
+        # raster_components: recursive-CTE min-label fixpoint — `lab`
+        # enumerates every (cell, reachable label) pair (bounded by
+        # Σ component_size², fine at the 16×16 mask), min per cell at
+        # the end; engine = probes + BSP CC + isolated-cell rejoin
+        "raster_components": f"""
+            WITH RECURSIVE {{ipts}},
+            cnt AS (SELECT CAST(floor(x / {{D}}) AS BIGINT) AS cx,
+                           CAST(floor(y / {{D}}) AS BIGINT) AS cy,
+                           count(*) AS n
+                    FROM ipts GROUP BY 1, 2),
+            mask AS (SELECT cy*16 + cx AS id, cx, cy, n FROM cnt
+                     WHERE n >= (SELECT count(*) FROM ipts) // 256 + 1),
+            e AS (SELECT a.id AS s, b.id AS t FROM mask a JOIN mask b
+                  ON (b.cx = a.cx + 1 AND b.cy = a.cy)
+                  OR (b.cx = a.cx AND b.cy = a.cy + 1)),
+            ee AS (SELECT s, t FROM e UNION ALL SELECT t, s FROM e),
+            lab AS (SELECT id, id AS lbl FROM mask
+                    UNION
+                    SELECT ee.s, lab.lbl FROM ee
+                    JOIN lab ON lab.id = ee.t),
+            comp AS (SELECT id, min(lbl) AS component FROM lab
+                     GROUP BY id)
+            SELECT c.component, count(*) AS n_cells,
+                   CAST(sum(m.n) AS BIGINT) AS n_images
+            FROM comp c JOIN mask m ON m.id = c.id
+            GROUP BY c.component
+        """.replace("{ipts}", _image_pts_cte()).replace(
+            "{D}", str(EXTENT // 16)
+        ),
         # gini: row_number formulation — equals the engine's
         # tie-invariant histogram formula for every tie order (see
         # ops/stats.py docstring); HUGEINT sums, ONE double division
