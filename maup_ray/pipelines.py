@@ -2709,6 +2709,67 @@ def q_image_cells(sf_dir: str):
     )
 
 
+def q_caption_stats(sf_dir: str):
+    """Cross-modal flagship composite: image+caption table →
+    phash-derived points → district assign (broadcast STRtree, exact
+    PIP) → join each image back to its source DOCUMENT (equi_join:
+    measured-size broadcast-vs-coshuffle plan) → per-district caption
+    statistics (image count + exact caption-chars sum). The image→doc
+    key parses the zero-padded decimal in image_id — deterministic
+    parity with the oracle's doc_id-carrying point CTE."""
+    import pyarrow.parquet as pq
+
+    from .ops.agg import grouped_sum_count
+    from .ops.assign import assign
+    from .ops.join import equi_join
+
+    def with_doc(b: pa.Table) -> pa.Table:
+        # image_id = 'img' + 12-digit row index; doc_id = idx // 16
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(b["image_id"], 3, 15), pa.int64()
+        )
+        return pa.table(
+            {
+                "image_id": b["image_id"],
+                "doc_id": pc.divide(idx, IMG_MULT),
+                "x": b["x"],
+                "y": b["y"],
+            }
+        )
+
+    pts = _image_points(sf_dir).map_batches(
+        with_doc, batch_format="pyarrow", zero_copy_batch=True
+    )
+    assigned = assign(
+        pts,
+        _districts(),
+        source_id_col="image_id",
+        target_id_col="district_id",
+        targets_id_col="district_id",
+        keep_cols=("doc_id",),
+    )
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    joined = equi_join(
+        assigned, docs, "doc_id", "doc_id", ["n_chars"]
+    )
+    out = grouped_sum_count(
+        joined,
+        ["district_id"],
+        sum_cols=["n_chars"],
+        count_col="n_images",
+        final="driver",
+    )
+    return pa.table(
+        {
+            "district_id": out["district_id"],
+            "n_images": out["n_images"],
+            "caption_chars": out["n_chars"],
+        }
+    )
+
+
 def q_raster_components(sf_dir: str):
     """Raster blob extraction over the image-occupancy grid
     (ops/raster.raster_components): cells with above-average image
@@ -3236,6 +3297,7 @@ def query_registry():
         "gini": q_gini,
         "typo_pairs": q_typo_pairs,
         "raster_components": q_raster_components,
+        "caption_stats": q_caption_stats,
         "wmedian": q_wmedian,
         "mad": q_mad,
         "quality_model": q_quality_model,
@@ -3962,6 +4024,29 @@ def oracle_queries() -> dict[str, str]:
               ON a.t < b.t
              AND abs(length(a.t) - length(b.t)) <= 1
              AND levenshtein(a.t, b.t) = 1
+        """,
+        # caption_stats: doc_id-carrying variant of _image_pts_cte —
+        # same HUGEINT phash + 20-term Morton de-interleave, joined
+        # back to documents for the caption-side aggregate
+        "caption_stats": f"""
+            WITH imgs2 AS (
+              SELECT doc_id,
+                     CAST((CAST(doc_id * {IMG_MULT} + k AS HUGEINT)
+                           * {0x9E3779B97F4A7C15})
+                          % 9223372036854775808 AS BIGINT) AS p
+              FROM documents,
+                   (SELECT unnest(range(0, {IMG_MULT})) AS k)),
+            ipts2 AS (
+              SELECT doc_id,
+                CAST(({" + ".join(f"((p >> {2 * k}) & 1) * {1 << k}" for k in range(20))}) AS DOUBLE) + 0.5 AS x,
+                CAST(({" + ".join(f"((p >> {2 * k + 1}) & 1) * {1 << k}" for k in range(20))}) AS DOUBLE) + 0.5 AS y
+              FROM imgs2)
+            SELECT district_id, count(*) AS n_images,
+                   CAST(sum(d.n_chars) AS BIGINT) AS caption_chars
+            FROM ipts2, {dist}, documents d
+            WHERE x >= minx AND x < maxx AND y >= miny AND y < maxy
+              AND d.doc_id = ipts2.doc_id
+            GROUP BY district_id
         """,
         # raster_components: recursive-CTE min-label fixpoint — `lab`
         # enumerates every (cell, reachable label) pair (bounded by
