@@ -2807,6 +2807,107 @@ def q_raster_components(sf_dir: str):
     )
 
 
+def q_aspect_buckets(sf_dir: str):
+    """SDXL-style aspect-ratio bucketing over the image table
+    (media/buckets.aspect_assign): every image goes to the nearest of
+    17 canonical (w, h) training resolutions by an exact-integer
+    nearest-aspect criterion (|SCALE·w − a·h| argmin — no float ratio,
+    no log), then per-bucket image counts + pixel sums. The synthetic
+    table ships constant 16×16 dims, so the query plants realistic
+    dims from the image index (512..2048 step 64 on each axis — the
+    redact/pagerank planted-derivation pattern); the op itself reads
+    whatever ``w``/``h`` columns the table carries.
+
+    Scale shape: stateless vectorized map_batches (n×17 int64 metric
+    per batch against a module-constant bucket table), 17-group driver
+    merge. No shuffle."""
+    import pyarrow.parquet as pq
+
+    from .media.buckets import aspect_assign
+    from .ops.agg import grouped_sum_count
+    from .synth.images import image_dataset
+
+    n = IMG_MULT * pq.read_metadata(
+        f"{sf_dir}/documents.parquet"
+    ).num_rows
+
+    def plant_dims(b: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(b["image_id"], 3, 15), pa.int64()
+        ).to_numpy()
+        w = (512 + ((idx * 7) % 25) * 64).astype(np.int64)
+        h = (512 + ((idx * 11) % 25) * 64).astype(np.int64)
+        return pa.table(
+            {
+                "image_id": b["image_id"],
+                "w": pa.array(w),
+                "h": pa.array(h),
+                "pixels": pa.array(w * h),
+            }
+        )
+
+    ds = image_dataset(n=n).map_batches(
+        plant_dims, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tagged = aspect_assign(ds)
+    out = grouped_sum_count(
+        tagged,
+        ["bucket_id", "bucket_w", "bucket_h"],
+        sum_cols=["pixels"],
+        count_col="n_images",
+        final="driver",
+    )
+    return out.select(
+        ["bucket_id", "bucket_w", "bucket_h", "n_images", "pixels"]
+    ).sort_by([("bucket_id", "ascending")])
+
+
+SHARD_CAP = 64_000  # bytes per output shard in q_image_shards
+
+
+def q_image_shards(sf_dir: str):
+    """Curated shard manifest — the write-side composite of an image
+    curation pipeline (ops/manifest.shard_manifest): quality-filter
+    the image stream (drop rows whose phash ∈ a 10/97 residue band —
+    the deterministic stand-in for a model-score threshold), then pack
+    survivors into fixed-byte-capacity output shards in image_id order
+    via one exact global cumulative-byte scan. Per shard: row count,
+    byte total, first/last image id (the resumable-writer manifest).
+
+    Rows never move: per-block byte sums (one int per block) → driver
+    prefix → per-block stamp + per-shard partial reduce; the
+    ``bytes`` lengths come from the REAL payload column
+    (binary_length), which for the raw-format synthetic table equals
+    w·h·3 — the SQL oracle's expression."""
+    import pyarrow.parquet as pq
+
+    from .ops.manifest import shard_manifest
+    from .synth.images import image_dataset
+
+    n = IMG_MULT * pq.read_metadata(
+        f"{sf_dir}/documents.parquet"
+    ).num_rows
+
+    def curate(b: pa.Table) -> pa.Table:
+        ph = b["phash"].to_numpy()  # ≥0 by construction (63-bit mask)
+        b = b.filter(pa.array(ph % 97 >= 10))
+        return pa.table(
+            {
+                "image_id": b["image_id"],
+                "blen": pc.cast(
+                    pc.binary_length(b["bytes"]), pa.int64()
+                ),
+            }
+        )
+
+    ds = image_dataset(n=n).map_batches(
+        curate, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return shard_manifest(
+        ds, id_col="image_id", length_col="blen", cap=SHARD_CAP
+    )
+
+
 def q_props_extract(sf_dir: str):
     """Semi-structured extraction: parse the events JSON ``props``
     column ({"k": N}), pull the integer field and reduce per
@@ -2918,6 +3019,16 @@ def q_pagerank(sf_dir: str):
 
 
 # ------------------------------------------------------------ oracle SQL
+
+
+_ASPECT_SCALE = 4096  # == media.buckets.ASPECT_SCALE (asserted below)
+
+
+def _bucket_values() -> str:
+    from .media.buckets import ASPECT_SCALE, bucket_sql_values
+
+    assert ASPECT_SCALE == _ASPECT_SCALE
+    return bucket_sql_values()
 
 
 def _image_pts_cte() -> str:
@@ -3298,6 +3409,8 @@ def query_registry():
         "typo_pairs": q_typo_pairs,
         "raster_components": q_raster_components,
         "caption_stats": q_caption_stats,
+        "aspect_buckets": q_aspect_buckets,
+        "image_shards": q_image_shards,
         "wmedian": q_wmedian,
         "mad": q_mad,
         "quality_model": q_quality_model,
@@ -4077,6 +4190,72 @@ def oracle_queries() -> dict[str, str]:
         """.replace("{ipts}", _image_pts_cte()).replace(
             "{D}", str(EXTENT // 16)
         ),
+        # aspect_buckets: the bucket table VALUES come from the SAME
+        # Python constants the engine uses (media/buckets.
+        # bucket_sql_values), so criterion and tie-break can't drift;
+        # argmin tie goes to the smallest bucket_id on both sides
+        # (np.argmin first-occurrence == ORDER BY metric, bucket_id)
+        "aspect_buckets": f"""
+            WITH imgs AS (
+              SELECT doc_id * {IMG_MULT} + k AS idx
+              FROM documents,
+                   (SELECT unnest(range(0, {IMG_MULT})) AS k)),
+            dims AS (
+              SELECT idx,
+                     CAST(512 + ((idx*7) % 25) * 64 AS BIGINT) AS w,
+                     CAST(512 + ((idx*11) % 25) * 64 AS BIGINT) AS h
+              FROM imgs),
+            buckets(bucket_id, bw, bh, a) AS (
+              VALUES {_bucket_values()}),
+            m AS (
+              SELECT idx, w, h, bucket_id, bw, bh,
+                     abs({_ASPECT_SCALE}*w - a*h) AS metric
+              FROM dims CROSS JOIN buckets),
+            best AS (
+              SELECT * FROM m
+              QUALIFY row_number() OVER (
+                  PARTITION BY idx ORDER BY metric, bucket_id) = 1)
+            SELECT CAST(bucket_id AS BIGINT) AS bucket_id,
+                   CAST(any_value(bw) AS INT) AS bucket_w,
+                   CAST(any_value(bh) AS INT) AS bucket_h,
+                   CAST(count(*) AS BIGINT) AS n_images,
+                   CAST(sum(w*h) AS BIGINT) AS pixels
+            FROM best GROUP BY bucket_id ORDER BY bucket_id
+        """,
+        # image_shards: window cumulative-byte sum over the curated
+        # stream in image_id order; blen = w*h*3 (the raw-format
+        # payload length the engine measures with binary_length);
+        # min/max idx ≡ min/max image_id (zero-padded decimal)
+        "image_shards": f"""
+            WITH imgs AS (
+              SELECT doc_id * {IMG_MULT} + k AS idx,
+                     CAST((CAST(doc_id * {IMG_MULT} + k AS HUGEINT)
+                           * {0x9E3779B97F4A7C15})
+                          % 9223372036854775808 AS BIGINT) AS p
+              FROM documents,
+                   (SELECT unnest(range(0, {IMG_MULT})) AS k)),
+            keep AS (
+              SELECT idx, CAST(16*16*3 AS BIGINT) AS blen
+              FROM imgs WHERE p % 97 >= 10),
+            c AS (
+              SELECT idx, blen,
+                     sum(blen) OVER (ORDER BY idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum
+              FROM keep),
+            s AS (SELECT idx, blen,
+                         CAST((cum - blen) // {SHARD_CAP} AS BIGINT)
+                             AS shard_id
+                  FROM c)
+            SELECT shard_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(blen) AS BIGINT) AS shard_bytes,
+                   'img' || lpad(CAST(min(idx) AS VARCHAR), 12, '0')
+                       AS first_id,
+                   'img' || lpad(CAST(max(idx) AS VARCHAR), 12, '0')
+                       AS last_id
+            FROM s GROUP BY shard_id ORDER BY shard_id
+        """,
         # gini: row_number formulation — equals the engine's
         # tie-invariant histogram formula for every tie order (see
         # ops/stats.py docstring); HUGEINT sums, ONE double division
