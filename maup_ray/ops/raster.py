@@ -24,7 +24,7 @@ from ..geom.core import area as poly_area
 from ..geom.core import bounds, rect
 from ..geom.wkb import decode_polygons, encode_multipolygon
 
-__all__ = ["rasterize", "vectorize", "raster_components"]
+__all__ = ["rasterize", "vectorize", "raster_components", "hot_cells"]
 
 
 def _rasterize_batch(batch, grid: CellGrid, res: int, id_col, geometry_col):
@@ -315,3 +315,129 @@ def raster_components(
         }
     )
     return tbl.sort_by([(component_col, "ascending")])
+
+
+def hot_cells(
+    cells,
+    cx_col: str = "cx",
+    cy_col: str = "cy",
+    weight_col: str | None = None,
+    width: int = 1 << 20,
+):
+    """8-neighborhood local-maxima detection over a weighted raster
+    grid — the hot-cell / skew-detection primitive of the tiling
+    layer (north rule: "hot-cell skew splitting" needs the hot cells
+    first): a cell is HOT iff its weight strictly exceeds every
+    Chebyshev-distance-1 neighbor's weight (absent neighbors count 0).
+
+    ``cells`` is a Dataset or Table of DISTINCT cells
+    (cx, cy[, weight]); without ``weight_col`` every cell weighs 1
+    (hot ⇔ isolated). Returns a Dataset of ALL input cells with
+    ``n_neighbors`` (occupied 8-neighbors), ``max_neighbor_w`` and
+    ``is_hot`` — callers filter.
+
+    Scale shape (the raster_components probe pattern): each cell sends
+    its weight to its ≤8 in-range neighbors plus one presence row to
+    itself; ONE cell-id-keyed exchange groups presence + incoming
+    probes, and a vectorized reduceat pass per partition computes the
+    neighborhood max — no join operator, no O(grid) driver state,
+    correct across any block partitioning (neighbor pairs meet at the
+    target cell's key regardless of which blocks they came from).
+    """
+    W = int(width)
+    offs = [
+        (dx, dy)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    ]
+
+    def probes(b: pa.Table) -> pa.Table:
+        cx = b[cx_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cy = b[cy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (
+            b[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if weight_col
+            else np.ones(len(cx), dtype=np.int64)
+        )
+        own = cy * W + cx
+        keys = [own]
+        kinds = [np.zeros(len(own), dtype=np.int64)]
+        vals = [w]
+        for dx, dy in offs:
+            nx, ny = cx + dx, cy + dy
+            ok = (nx >= 0) & (nx < W) & (ny >= 0) & (ny < W)
+            keys.append(ny[ok] * W + nx[ok])
+            kinds.append(np.ones(int(ok.sum()), dtype=np.int64))
+            vals.append(w[ok])
+        return pa.table(
+            {
+                "_key": pa.array(np.concatenate(keys)),
+                "_kind": pa.array(np.concatenate(kinds)),
+                "_w": pa.array(np.concatenate(vals)),
+            }
+        )
+
+    import ray.data
+
+    from .shuffle import hash_group_apply
+
+    tagged = (
+        ray.data.from_arrow(probes(cells))
+        if isinstance(cells, pa.Table)
+        else cells.map_batches(
+            probes, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    out_schema = pa.schema(
+        [
+            (cx_col, pa.int64()),
+            (cy_col, pa.int64()),
+            ("_w", pa.int64()),
+            ("n_neighbors", pa.int64()),
+            ("max_neighbor_w", pa.int64()),
+            ("is_hot", pa.bool_()),
+        ]
+    )
+
+    def resolve(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None or not len(tbl):
+            return out_schema.empty_table()
+        key = tbl["_key"].to_numpy(zero_copy_only=False)
+        kind = tbl["_kind"].to_numpy(zero_copy_only=False)
+        w = tbl["_w"].to_numpy(zero_copy_only=False)
+        counts = np.diff(np.append(starts, len(tbl)))
+        # sorted by (_key, _kind): a PRESENT cell's group leads with
+        # its kind-0 row; probe-only groups (empty cells) drop
+        present = kind[starts] == 0
+        own_w = w[starts]
+        # neighborhood max excluding the own row: mask it to -1 (all
+        # weights are ≥0 here; single-row groups then clip to 0)
+        wm = w.copy()
+        wm[starts] = -1
+        gmax = np.maximum.reduceat(wm, starts)
+        max_nb = np.maximum(gmax, 0)
+        sel = np.flatnonzero(present)
+        k = key[starts[sel]]
+        return pa.table(
+            {
+                cx_col: pa.array(k % W),
+                cy_col: pa.array(k // W),
+                "_w": pa.array(own_w[sel]),
+                "n_neighbors": pa.array((counts - 1)[sel]),
+                "max_neighbor_w": pa.array(max_nb[sel]),
+                "is_hot": pa.array(own_w[sel] > max_nb[sel]),
+            }
+        )
+
+    out = hash_group_apply(tagged, ["_key"], resolve, sort_cols=("_kind",))
+    if weight_col:
+        return out.map_batches(
+            lambda b: b.rename_columns(
+                [weight_col if c == "_w" else c for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return out

@@ -2807,6 +2807,53 @@ def q_raster_components(sf_dir: str):
     )
 
 
+def _collect(ds) -> pa.Table:
+    """Small-result Dataset → driver pa.Table. Materialize FIRST —
+    bare to_arrow_refs() re-executes the whole plan a second time for
+    its schema fetch (ROUND_NOTES measurement discipline)."""
+    import ray
+
+    raw = [ray.get(r) for r in ds.materialize().to_arrow_refs()]
+    tabs = [t for t in raw if t.num_rows] or raw[:1]
+    return pa.concat_tables(tabs, promote_options="default")
+
+
+def q_hot_cells(sf_dir: str):
+    """Hot-cell detection over the image-occupancy grid
+    (ops/raster.hot_cells): res-4 cell counts of the phash-derived
+    image points, then 8-neighborhood strict local maxima — the
+    skew-detection step that feeds hot-cell splitting. One cell-keyed
+    probe exchange (no join operator), vectorized reduceat
+    neighborhood max per partition; oracle = LEFT self-join on
+    Chebyshev distance ≤ 1."""
+    import ray.data
+
+    from .ops.agg import grouped_sum_count
+    from .ops.raster import hot_cells
+
+    def tile(batch: pa.Table) -> pa.Table:
+        from .geom.cells import CellGrid
+
+        g = CellGrid(0, 0, EXTENT)
+        cells = g.cell_of_points(
+            batch["x"].to_numpy(), batch["y"].to_numpy(), 4
+        )
+        cx, cy, _ = CellGrid.unpack(cells)
+        return pa.table({"cx": pa.array(cx), "cy": pa.array(cy)})
+
+    ds = _image_points(sf_dir).map_batches(tile, batch_format="pyarrow")
+    cnt = grouped_sum_count(
+        ds, ["cx", "cy"], count_col="n_images", final="driver"
+    )
+    cells = ray.data.from_arrow(cnt).repartition(4)
+    out = hot_cells(cells, weight_col="n_images", width=16)
+    tbl = _collect(out)
+    hot = tbl.filter(tbl["is_hot"])
+    return hot.select(
+        ["cx", "cy", "n_images", "n_neighbors", "max_neighbor_w"]
+    ).sort_by([("cx", "ascending"), ("cy", "ascending")])
+
+
 def q_aspect_buckets(sf_dir: str):
     """SDXL-style aspect-ratio bucketing over the image table
     (media/buckets.aspect_assign): every image goes to the nearest of
@@ -3411,6 +3458,7 @@ def query_registry():
         "caption_stats": q_caption_stats,
         "aspect_buckets": q_aspect_buckets,
         "image_shards": q_image_shards,
+        "hot_cells": q_hot_cells,
         "wmedian": q_wmedian,
         "mad": q_mad,
         "quality_model": q_quality_model,
@@ -4187,6 +4235,31 @@ def oracle_queries() -> dict[str, str]:
                    CAST(sum(m.n) AS BIGINT) AS n_images
             FROM comp c JOIN mask m ON m.id = c.id
             GROUP BY c.component
+        """.replace("{ipts}", _image_pts_cte()).replace(
+            "{D}", str(EXTENT // 16)
+        ),
+        # hot_cells: LEFT self-join on Chebyshev distance <= 1 over
+        # the res-4 occupancy counts; strict > against the neighbor
+        # max (absent neighbors coalesce to 0) on both sides
+        "hot_cells": f"""
+            WITH {{ipts}},
+            cnt AS (SELECT CAST(floor(x / {{D}}) AS BIGINT) AS cx,
+                           CAST(floor(y / {{D}}) AS BIGINT) AS cy,
+                           count(*) AS n
+                    FROM ipts GROUP BY 1, 2),
+            nb AS (
+              SELECT a.cx, a.cy, a.n,
+                     count(b.cx) AS n_neighbors,
+                     coalesce(max(b.n), 0) AS mx
+              FROM cnt a LEFT JOIN cnt b
+                ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+               AND NOT (b.cx = a.cx AND b.cy = a.cy)
+              GROUP BY a.cx, a.cy, a.n)
+            SELECT cx, cy,
+                   CAST(n AS BIGINT) AS n_images,
+                   CAST(n_neighbors AS BIGINT) AS n_neighbors,
+                   CAST(mx AS BIGINT) AS max_neighbor_w
+            FROM nb WHERE n > mx ORDER BY cx, cy
         """.replace("{ipts}", _image_pts_cte()).replace(
             "{D}", str(EXTENT // 16)
         ),

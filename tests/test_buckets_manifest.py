@@ -202,3 +202,76 @@ class TestShardManifest:
             r["shard_id"]: r["n_rows"] for r in out.to_pylist()
         }
         assert got == {0: 2, 50: 1}
+
+
+class TestHotCells:
+    def _brute(self, occ):
+        # occ: dict (cx,cy) -> w
+        out = {}
+        for (cx, cy), w in occ.items():
+            nbs = [
+                occ[(cx + dx, cy + dy)]
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                if (dx, dy) != (0, 0) and (cx + dx, cy + dy) in occ
+            ]
+            mx = max(nbs) if nbs else 0
+            out[(cx, cy)] = (w, len(nbs), mx, w > mx)
+        return out
+
+    def test_matches_bruteforce_sparse_grid(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.raster import hot_cells
+
+        rng = np.random.RandomState(3)
+        W = 32
+        # ~40% occupancy with random weights, includes border cells
+        pts = {
+            (int(x), int(y)): int(w)
+            for x, y, w in zip(
+                rng.randint(0, W, 400),
+                rng.randint(0, W, 400),
+                rng.randint(1, 50, 400),
+            )
+        }
+        occ = dict(pts)
+        want = self._brute(occ)
+        t = pa.table(
+            {
+                "cx": pa.array([k[0] for k in occ], pa.int64()),
+                "cy": pa.array([k[1] for k in occ], pa.int64()),
+                "w": pa.array(list(occ.values()), pa.int64()),
+            }
+        )
+        for parts in (1, 5):
+            ds = ray.data.from_arrow(t).repartition(parts)
+            out = hot_cells(ds, weight_col="w", width=W).to_pandas()
+            got = {
+                (r.cx, r.cy): (
+                    r.w,
+                    r.n_neighbors,
+                    r.max_neighbor_w,
+                    r.is_hot,
+                )
+                for r in out.itertuples()
+            }
+            assert got == want
+
+    def test_isolated_cell_is_hot(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.raster import hot_cells
+
+        t = pa.table(
+            {
+                "cx": pa.array([0, 5], pa.int64()),
+                "cy": pa.array([0, 5], pa.int64()),
+            }
+        )
+        out = hot_cells(
+            ray.data.from_arrow(t), width=16
+        ).to_pandas().sort_values("cx")
+        assert out["is_hot"].tolist() == [True, True]
+        assert out["n_neighbors"].tolist() == [0, 0]
+        assert out["_w"].tolist() == [1, 1]
