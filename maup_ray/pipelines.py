@@ -2807,6 +2807,268 @@ def q_raster_components(sf_dir: str):
     )
 
 
+Q18_QTY = 150  # per-order quantity threshold (big_orders)
+Q18_TOPN = 100
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1998-01-01"
+Q5_REGION = 0  # n_regionkey filter (local_volume)
+
+
+def q_big_orders(sf_dir: str):
+    """TPC-H Q18 shape — large-volume orders: per-order exact quantity
+    sums over lineitem (integer partials + bytes-aware keyed merge),
+    HAVING-filter to the hot set (collected: it is small by the
+    threshold's construction), attach order + customer dimensions by
+    broadcast join, then global top-N by (totalprice DESC, orderkey)
+    via per-block combiners + driver merge — no full sort, no
+    all-to-all beyond the per-order reduce."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .ops.agg import grouped_sum_count
+    from .ops.join import broadcast_hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"],
+    )
+
+    def qty(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "qty": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+            }
+        )
+
+    per_order = grouped_sum_count(
+        li.map_batches(qty, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"],
+        sum_cols=["qty"],
+        final="hash",
+    )
+    hot = _collect(
+        per_order.map_batches(
+            lambda b: b.filter(
+                pc.greater(b["qty"], pa.scalar(Q18_QTY, pa.int64()))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    joined = broadcast_hash_join(
+        orders, hot, "o_orderkey", "l_orderkey", ["qty"]
+    )
+    joined = broadcast_hash_join(
+        joined, cust, "o_custkey", "c_custkey", ["c_name"]
+    )
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "c_custkey": b["o_custkey"],
+                "c_name": b["c_name"],
+                "o_orderdate": b["o_orderdate"],
+                "totalprice_c": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                    pa.int64(),
+                ),
+                "sum_qty": b["qty"],
+            }
+        )
+
+    def top_block(b: pa.Table) -> pa.Table:
+        if b.num_rows <= Q18_TOPN:
+            return b
+        order = pc.sort_indices(
+            b,
+            sort_keys=[
+                ("totalprice_c", "descending"),
+                ("o_orderkey", "ascending"),
+            ],
+        )
+        return b.take(order.slice(0, Q18_TOPN))
+
+    shaped = joined.map_batches(
+        shape, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(top_block, batch_format="pyarrow", zero_copy_batch=True)
+    all_tops = _collect(shaped)
+    order = pc.sort_indices(
+        all_tops,
+        sort_keys=[
+            ("totalprice_c", "descending"),
+            ("o_orderkey", "ascending"),
+        ],
+    )
+    return all_tops.take(order.slice(0, Q18_TOPN))
+
+
+def q_local_volume(sf_dir: str, broadcast_limit: int = 2_000_000):
+    """TPC-H Q5 shape — local supplier volume: revenue of lineitems
+    whose SUPPLIER and CUSTOMER share a nation inside one region, per
+    nation, over a two-year order window. Join plan: nation-filtered
+    supplier and customer dimensions broadcast once; the date filter
+    pushes to the orders parquet read; orders attach the customer
+    nation by broadcast, lineitem attaches the supplier nation by
+    broadcast, and the one genuinely corpus-sized join
+    (lineitem ⋈ orders) goes through equi_join's measured-size plan
+    (broadcast under ``broadcast_limit`` table rows, Dataset
+    co-shuffle above). Revenue is exact integer 10⁻⁴ dollars."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .ops.agg import grouped_sum_count
+    from .ops.join import broadcast_hash_join, equi_join
+
+    lo = datetime.fromisoformat(Q5_DATE_LO)
+    hi = datetime.fromisoformat(Q5_DATE_HI)
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    nkeys = nation.filter(
+        pc.equal(nation["n_regionkey"], Q5_REGION)
+    )
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sup = sup.filter(
+        pc.is_in(
+            sup["s_nationkey"],
+            value_set=nkeys["n_nationkey"].combine_chunks(),
+        )
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust = cust.filter(
+        pc.is_in(
+            cust["c_nationkey"],
+            value_set=nkeys["n_nationkey"].combine_chunks(),
+        )
+    )
+
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    odate = (pads.field("o_orderdate") >= pa.scalar(lo)) & (
+        pads.field("o_orderdate") < pa.scalar(hi)
+    )
+    if n_orders <= broadcast_limit:
+        ot = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+        ot = ot.filter(
+            pc.and_(
+                pc.greater_equal(ot["o_orderdate"], pa.scalar(lo)),
+                pc.less(ot["o_orderdate"], pa.scalar(hi)),
+            )
+        )
+        idx = pc.index_in(ot["o_custkey"], cust["c_custkey"].combine_chunks())
+        mask = pc.is_valid(idx)
+        odim = pa.table(
+            {
+                "o_orderkey": pc.filter(ot["o_orderkey"], mask),
+                "cust_nation": pc.take(
+                    cust["c_nationkey"], pc.filter(idx, mask)
+                ),
+            }
+        )
+    else:
+        odim = broadcast_hash_join(
+            ray.data.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_custkey"],
+                filter=odate,
+            ),
+            cust,
+            "o_custkey",
+            "c_custkey",
+            ["c_nationkey"],
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "cust_nation": b["c_nationkey"],
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        price = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "revenue_u": pc.multiply(
+                    price, pc.subtract(pa.scalar(100, pa.int64()), disc)
+                ),
+            }
+        )
+
+    li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    li = broadcast_hash_join(
+        li, sup, "l_suppkey", "s_suppkey", ["s_nationkey"]
+    )
+    li = equi_join(
+        li,
+        odim,
+        "l_orderkey",
+        "o_orderkey",
+        ["cust_nation"],
+        broadcast_limit=broadcast_limit,
+    )
+    li = li.map_batches(
+        lambda b: b.filter(
+            pc.equal(b["s_nationkey"], b["cust_nation"])
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = grouped_sum_count(
+        li,
+        ["s_nationkey"],
+        sum_cols=["revenue_u"],
+        count_col="n_lineitems",
+        final="driver",
+    )
+    # attach nation names driver-side (tiny dimension)
+    idx = pc.index_in(
+        out["s_nationkey"], nation["n_nationkey"].combine_chunks()
+    )
+    out = out.append_column("n_name", pc.take(nation["n_name"], idx))
+    out = out.select(
+        ["s_nationkey", "n_name", "revenue_u", "n_lineitems"]
+    )
+    return out.sort_by(
+        [("revenue_u", "descending"), ("s_nationkey", "ascending")]
+    )
+
+
 def _collect(ds) -> pa.Table:
     """Small-result Dataset → driver pa.Table. Materialize FIRST —
     bare to_arrow_refs() re-executes the whole plan a second time for
@@ -3459,6 +3721,8 @@ def query_registry():
         "aspect_buckets": q_aspect_buckets,
         "image_shards": q_image_shards,
         "hot_cells": q_hot_cells,
+        "big_orders": q_big_orders,
+        "local_volume": q_local_volume,
         "wmedian": q_wmedian,
         "mad": q_mad,
         "quality_model": q_quality_model,
@@ -4238,6 +4502,51 @@ def oracle_queries() -> dict[str, str]:
         """.replace("{ipts}", _image_pts_cte()).replace(
             "{D}", str(EXTENT // 16)
         ),
+        # big_orders (TPC-H Q18 shape): HAVING over per-order exact
+        # integer quantity sums, dimension joins, total order
+        # (totalprice_c DESC, o_orderkey) + LIMIT on both sides
+        "big_orders": f"""
+            WITH po AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(round(l_quantity, 0) AS BIGINT))
+                          AS BIGINT) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum_qty > {Q18_QTY})
+            SELECT o.o_orderkey,
+                   o.o_custkey AS c_custkey,
+                   c.c_name,
+                   o.o_orderdate,
+                   CAST(round(o_totalprice*100, 0) AS BIGINT)
+                       AS totalprice_c,
+                   po.sum_qty
+            FROM po
+            JOIN orders o ON o.o_orderkey = po.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY totalprice_c DESC, o.o_orderkey
+            LIMIT {Q18_TOPN}
+        """,
+        # local_volume (TPC-H Q5 shape): five-way join with the
+        # same-nation customer=supplier predicate; integer-cents
+        # revenue identical token-for-token to the engine expression
+        "local_volume": f"""
+            SELECT s.s_nationkey, n.n_name,
+                   CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+                            * (100 - CAST(round(l_discount*100, 0)
+                                           AS BIGINT))) AS BIGINT)
+                       AS revenue_u,
+                   CAST(count(*) AS BIGINT) AS n_lineitems
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE c.c_nationkey = s.s_nationkey
+              AND n.n_regionkey = {Q5_REGION}
+              AND o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+              AND o.o_orderdate < TIMESTAMP '{Q5_DATE_HI}'
+            GROUP BY s.s_nationkey, n.n_name
+            ORDER BY revenue_u DESC, s.s_nationkey
+        """,
         # hot_cells: LEFT self-join on Chebyshev distance <= 1 over
         # the res-4 occupancy counts; strict > against the neighbor
         # max (absent neighbors coalesce to 0) on both sides

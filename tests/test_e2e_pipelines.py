@@ -284,3 +284,22 @@ class TestTopUnshippedPlans:
         pd.testing.assert_frame_equal(
             a.reset_index(drop=True), b.reset_index(drop=True)
         )
+
+
+class TestLocalVolumePlans:
+    def test_coshuffle_matches_broadcast(self, ray_session):
+        """Q5's one corpus-sized join (lineitem ⋈ orders) on the
+        Dataset co-shuffle plan (broadcast_limit=0) must match the
+        driver-table broadcast plan exactly — integer revenue sums are
+        order-independent, so the plans can't legitimately differ."""
+        from maup_ray.pipelines import q_local_volume
+
+        a = q_local_volume("/root/testdata/sf0.001").to_pandas()
+        b = q_local_volume(
+            "/root/testdata/sf0.001", broadcast_limit=0
+        ).to_pandas()
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
