@@ -805,3 +805,61 @@ def video_near_dup(
         max_hamming=max_hamming,
         max_bucket=max_bucket,
     )
+
+
+def patch_stats(images, patch: int = 4):
+    """ViT-style patchify statistics from REAL decoded pixels: decode
+    each payload (raw / PNG / JPEG through the from-scratch codecs),
+    split the raster into ``patch``×``patch`` tiles and emit one row
+    per (image, tile) with the EXACT integer pixel sum over the tile's
+    h×w×3 uint8 block — the patch-embedding precursor every
+    vision-training pipeline computes (brightness maps, patch
+    normalization stats, dead-tile screens).
+
+    Dims not divisible by ``patch`` crop to the largest multiple
+    (bottom/right trim — the standard patchify convention). Payload
+    bytes never leave the stage; the output is 4 small columns per
+    tile. Per-image reduction is one vectorized reshape-sum; the
+    Python loop is only over rows of the batch (decode is inherently
+    per-payload).
+    """
+
+    def tile(batch: pa.Table) -> pa.Table:
+        imgs = decode_raw_batch(batch)
+        ids, pxs, pys, sums = [], [], [], []
+        for rid, img in zip(batch["image_id"].to_pylist(), imgs):
+            h, w = img.shape[:2]
+            hh, ww = (h // patch) * patch, (w // patch) * patch
+            if hh == 0 or ww == 0:
+                continue
+            v = img[:hh, :ww].astype(np.int64)
+            ps = v.reshape(
+                hh // patch, patch, ww // patch, patch, 3
+            ).sum(axis=(1, 3, 4))
+            ny, nx = ps.shape
+            ids.extend([rid] * (ny * nx))
+            gy, gx = np.mgrid[0:ny, 0:nx]
+            pys.append(gy.ravel())
+            pxs.append(gx.ravel())
+            sums.append(ps.ravel())
+        if not ids:
+            return pa.schema(
+                [
+                    ("image_id", batch.schema.field("image_id").type),
+                    ("px", pa.int64()),
+                    ("py", pa.int64()),
+                    ("psum", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "image_id": pa.array(ids),
+                "px": pa.array(np.concatenate(pxs).astype(np.int64)),
+                "py": pa.array(np.concatenate(pys).astype(np.int64)),
+                "psum": pa.array(np.concatenate(sums)),
+            }
+        )
+
+    return images.map_batches(
+        tile, batch_format="pyarrow", zero_copy_batch=True
+    )

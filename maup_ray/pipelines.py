@@ -3116,6 +3116,71 @@ def q_hot_cells(sf_dir: str):
     ).sort_by([("cx", "ascending"), ("cy", "ascending")])
 
 
+def q_patch_stats(sf_dir: str):
+    """Pixel-level patchify statistics over the image table
+    (media/image.patch_stats): decode every payload — every 5th row
+    travels through the from-scratch PNG codec, the rest are raw; PNG
+    is LOSSLESS so the pixel oracle stays exact — split each raster
+    into 4×4 tiles and reduce the per-(image, tile) exact integer
+    pixel sums to a corpus-level per-tile brightness map
+    (sum/min/max/count). The oracle recomputes every pixel from the
+    synthetic generator's closed form ((idx·M + seed + 97·j) mod 256)
+    — byte-identical to what the codec path decodes."""
+    import pyarrow.parquet as pq
+
+    from .media.image import patch_stats
+    from .synth.images import image_dataset
+
+    n = IMG_MULT * pq.read_metadata(
+        f"{sf_dir}/documents.parquet"
+    ).num_rows
+    images = image_dataset(n=n, png_every=5)
+    tiles = patch_stats(images, patch=4)
+
+    def _rename(g: pa.Table, m: dict) -> pa.Table:
+        # name-matching: Arrow group_by's output order is not
+        # keys-first (the grouped_sum_count lesson)
+        return g.rename_columns([m.get(c, c) for c in g.column_names])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["px", "py"], use_threads=False).aggregate(
+            [("psum", "sum"), ("psum", "min"), ("psum", "max"),
+             ([], "count_all")]
+        )
+        return _rename(
+            g,
+            {
+                "psum_sum": "pixel_sum",
+                "psum_min": "min_patch_sum",
+                "psum_max": "max_patch_sum",
+                "count_all": "n_images",
+            },
+        )
+
+    merged = _collect(
+        tiles.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    out = merged.group_by(["px", "py"], use_threads=False).aggregate(
+        [("pixel_sum", "sum"), ("min_patch_sum", "min"),
+         ("max_patch_sum", "max"), ("n_images", "sum")]
+    )
+    out = _rename(
+        out,
+        {
+            "pixel_sum_sum": "pixel_sum",
+            "min_patch_sum_min": "min_patch_sum",
+            "max_patch_sum_max": "max_patch_sum",
+            "n_images_sum": "n_images",
+        },
+    )
+    return out.select(
+        ["px", "py", "n_images", "pixel_sum", "min_patch_sum",
+         "max_patch_sum"]
+    ).sort_by([("px", "ascending"), ("py", "ascending")])
+
+
 def q_aspect_buckets(sf_dir: str):
     """SDXL-style aspect-ratio bucketing over the image table
     (media/buckets.aspect_assign): every image goes to the nearest of
@@ -3723,6 +3788,7 @@ def query_registry():
         "hot_cells": q_hot_cells,
         "big_orders": q_big_orders,
         "local_volume": q_local_volume,
+        "patch_stats": q_patch_stats,
         "wmedian": q_wmedian,
         "mad": q_mad,
         "quality_model": q_quality_model,
@@ -4502,6 +4568,34 @@ def oracle_queries() -> dict[str, str]:
         """.replace("{ipts}", _image_pts_cte()).replace(
             "{D}", str(EXTENT // 16)
         ),
+        # patch_stats: every pixel recomputed from the synthetic
+        # generator's closed form — pixel(idx, j) = (idx·M + seed +
+        # 97·j) mod 256 with j = (row·16 + col)·3 + ch; the engine
+        # decodes the same bytes through the raw / PNG codec paths
+        # (PNG is lossless, so equality is exact). o enumerates the 48
+        # in-tile offsets (r0 = o//12, c0 = (o%12)//3, ch = o%3).
+        "patch_stats": f"""
+            WITH imgs AS (
+              SELECT doc_id * {IMG_MULT} + k AS idx
+              FROM documents,
+                   (SELECT unnest(range(0, {IMG_MULT})) AS k)),
+            o AS (SELECT unnest(range(0, 48)) AS o),
+            g AS (SELECT unnest(range(0, 4)) AS p),
+            pp AS (
+              SELECT i.idx, gx.p AS px, gy.p AS py,
+                     sum((i.idx * 2654435761 + 42
+                          + 97 * (((4*gy.p + o.o // 12) * 16
+                                   + 4*gx.p + (o.o % 12) // 3) * 3
+                                  + o.o % 3)) % 256) AS psum
+              FROM imgs i, g gx, g gy, o
+              GROUP BY 1, 2, 3)
+            SELECT px, py,
+                   CAST(count(*) AS BIGINT) AS n_images,
+                   CAST(sum(psum) AS BIGINT) AS pixel_sum,
+                   CAST(min(psum) AS BIGINT) AS min_patch_sum,
+                   CAST(max(psum) AS BIGINT) AS max_patch_sum
+            FROM pp GROUP BY px, py ORDER BY px, py
+        """,
         # big_orders (TPC-H Q18 shape): HAVING over per-order exact
         # integer quantity sums, dimension joins, total order
         # (totalprice_c DESC, o_orderkey) + LIMIT on both sides
