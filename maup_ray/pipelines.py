@@ -3116,6 +3116,19 @@ def q_hot_cells(sf_dir: str):
     ).sort_by([("cx", "ascending"), ("cy", "ascending")])
 
 
+def q_tfidf(sf_dir: str):
+    """Per-document top-3 tf-idf keywords (text/rank.tfidf_topk):
+    exact-integer document frequencies (disjoint per-batch partials —
+    a doc lives in one batch), integer-quantized score
+    (tf·10⁶·N) // df broadcast-joined back, per-doc top-k emitted
+    batch-locally. Totalized by (score_u DESC, term)."""
+    from .text.rank import tfidf_topk
+
+    return tfidf_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=3
+    )
+
+
 def q_patch_stats(sf_dir: str):
     """Pixel-level patchify statistics over the image table
     (media/image.patch_stats): decode every payload — every 5th row
@@ -3789,6 +3802,7 @@ def query_registry():
         "big_orders": q_big_orders,
         "local_volume": q_local_volume,
         "patch_stats": q_patch_stats,
+        "tfidf": q_tfidf,
         "wmedian": q_wmedian,
         "mad": q_mad,
         "quality_model": q_quality_model,
@@ -4568,6 +4582,29 @@ def oracle_queries() -> dict[str, str]:
         """.replace("{ipts}", _image_pts_cte()).replace(
             "{D}", str(EXTENT // 16)
         ),
+        # tfidf: same single-space tokenization as near_dup/bm25; the
+        # rank key is the INTEGER floor-division score (HUGEINT in
+        # SQL), totalized by (score_u DESC, term) on both sides
+        "tfidf": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term,
+                          CAST(count(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY 1, 2),
+            df AS (SELECT term,
+                          CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                   FROM toks GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                         CAST((CAST(tf.tf AS HUGEINT) * 1000000 * nn.n)
+                              // df.df AS BIGINT) AS score_u
+                  FROM tf JOIN df USING (term), nn)
+            SELECT doc_id, term, tf, df, score_u FROM s
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score_u DESC, term) <= 3
+        """,
         # patch_stats: every pixel recomputed from the synthetic
         # generator's closed form — pixel(idx, j) = (idx·M + seed +
         # 97·j) mod 256 with j = (row·16 + col)·3 + ch; the engine

@@ -329,3 +329,158 @@ def bm25_topk_multi(
         [order[s : min(s + k, e)] for s, e in zip(starts, ends)]
     )
     return winners.take(pa.array(keep))
+
+
+def tfidf_topk(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    scale: int = 10**6,
+    vocab_limit: int = 2_000_000,
+):
+    """Per-document top-k terms by tf-idf — the keyword-extraction /
+    data-selection primitive (topic tagging, per-doc summaries,
+    lexical-diversity filters).
+
+    Exactness: the rank key is the INTEGER-quantized score
+    ``score_u = (tf · scale · N) // df`` (floor division of exact
+    ints — no float idf, no log), totalized by (score_u DESC, term) —
+    the SQL mirror is the same HUGEINT expression. Caller bound:
+    ``tf·scale·N < 2^63`` (at web scale drop ``scale``; the engine
+    computes in HUGEINT-equivalent object ints only on the SQL side,
+    so the int64 bound is asserted here).
+
+    Scale shape: two streaming passes, no corpus-sized shuffle.
+    Pass 1 reduces per-batch per-term document frequencies (each doc
+    lives in exactly one batch, so partials are disjoint and sum
+    exactly) to the VOCABULARY-sized df table, driver-merged under
+    ``vocab_limit`` rows and broadcast back; beyond the limit the op
+    raises and points at a term-keyed co-shuffle variant rather than
+    silently materializing an unbounded vocabulary (the embed_dedup
+    discipline). Pass 2 re-tokenizes each batch, scores against the
+    broadcast df map and emits only each doc's top-k rows — per-doc
+    top-k is batch-local because a document is one row.
+    """
+    import ray
+
+    from ..ops.agg import grouped_sum_count
+
+    def _doc_terms(batch: pa.Table):
+        """(doc_ids_rep, flat_terms, doc_lens) for one batch."""
+        toks = pc.split_pattern(
+            pc.fill_null(batch[text_col], ""), " "
+        )
+        lens = (
+            pc.list_value_length(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = pc.list_flatten(toks).combine_chunks()
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        return doc_idx, flat, lens
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        doc_idx, flat, _ = _doc_terms(batch)
+        # distinct (doc, term) presence -> per-term counts
+        t = pa.table(
+            {"d": pa.array(doc_idx), "term": flat}
+        ).group_by(["d", "term"], use_threads=False).aggregate([])
+        g = t.group_by(["term"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        g = g.rename_columns(
+            ["df" if c == "count_all" else c for c in g.column_names]
+        )
+        return g.append_column(
+            "n_docs_p",
+            pa.array(
+                np.full(len(g), 0, dtype=np.int64)
+            ) if len(g) == 0 else pa.array(
+                np.concatenate(
+                    ([np.int64(len(batch))], np.zeros(len(g) - 1,
+                                                      dtype=np.int64))
+                )
+            ),
+        )
+
+    dfs = grouped_sum_count(
+        ds.map_batches(
+            df_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["term"],
+        sum_cols=["df", "n_docs_p"],
+        final="driver",
+    )
+    if len(dfs) > vocab_limit:
+        raise ValueError(
+            f"tfidf_topk: vocabulary has {len(dfs)} distinct terms — "
+            f"past vocab_limit={vocab_limit} the df table must not "
+            "be driver-resident; use a term-keyed co-shuffle join "
+            "(ops/shuffle.hash_group_apply) for this corpus"
+        )
+    n_docs = int(pc.sum(dfs["n_docs_p"]).as_py() or 0)
+    vocab = dfs["term"].combine_chunks()
+    dfv = dfs["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    max_tf_bound = (2**63 - 1) // max(scale * max(n_docs, 1), 1)
+    ref = ray.put((vocab, dfv))
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+            ("score_u", pa.int64()),
+        ]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        voc, dfn = ray.get(ref)
+        doc_idx, flat, _ = _doc_terms(batch)
+        t = pa.table(
+            {"d": pa.array(doc_idx), "term": flat}
+        ).group_by(["d", "term"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        if len(t) == 0:
+            return out_schema.empty_table()
+        tf = t["count_all"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if tf.max(initial=0) > max_tf_bound:
+            raise OverflowError(
+                "tfidf_topk: tf*scale*N exceeds int64 — lower `scale`"
+            )
+        slot = pc.index_in(t["term"], voc).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        df_row = dfn[slot]
+        score_u = (tf * scale * np.int64(n_docs)) // df_row
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-doc top-k: stable lexsort — primary doc, then score
+        # DESC, then term ASC (exact ORDER BY mirror)
+        term_np = t["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((term_np, -score_u, d))
+        ds_ = d[order]
+        first = np.flatnonzero(
+            np.diff(ds_, prepend=ds_[0] - 1)
+        )
+        rank = np.arange(len(ds_)) - np.repeat(
+            first, np.diff(np.append(first, len(ds_)))
+        )
+        keep = order[rank < k]
+        ids = batch[id_col].take(pa.array(d[keep]))
+        return pa.table(
+            {
+                id_col: ids,
+                "term": t["term"].take(pa.array(keep)),
+                "tf": pa.array(tf[keep]),
+                "df": pa.array(df_row[keep]),
+                "score_u": pa.array(score_u[keep]),
+            }
+        )
+
+    return ds.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

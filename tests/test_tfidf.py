@@ -1,0 +1,86 @@
+"""text/rank.tfidf_topk — brute-force oracle, ties, vocab guard."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+import pytest
+
+from maup_ray.text.rank import tfidf_topk
+
+DOCS = [
+    (0, "apple banana apple cherry"),
+    (1, "banana banana date"),
+    (2, "apple cherry cherry cherry date"),
+    (3, "elderberry"),
+]
+
+
+def _brute(k=3, scale=10**6):
+    n = len(DOCS)
+    df = Counter()
+    tfs = {}
+    for d, text in DOCS:
+        tf = Counter(text.split(" "))
+        tfs[d] = tf
+        for t in tf:
+            df[t] += 1
+    out = []
+    for d, tf in tfs.items():
+        scored = sorted(
+            (((tf[t] * scale * n) // df[t], t) for t in tf),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        for s, t in scored:
+            out.append((d, t, tf[t], df[t], s))
+    return sorted(out)
+
+
+class TestTfidfTopk:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+                "text": pa.array([s for _, s in DOCS]),
+            }
+        )
+        for parts in (1, 3):
+            ds = ray.data.from_arrow(t).repartition(parts)
+            out = tfidf_topk(ds, k=3).to_pandas()
+            got = sorted(
+                (r.doc_id, r.term, r.tf, r.df, r.score_u)
+                for r in out.itertuples()
+            )
+            assert got == _brute()
+
+    def test_tie_breaks_by_term(self, ray_session):
+        import ray.data
+
+        # two terms with identical tf and df in one doc: term ASC wins
+        t = pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["zed alpha"]),
+            }
+        )
+        out = tfidf_topk(
+            ray.data.from_arrow(t), k=1
+        ).to_pandas()
+        assert out["term"].tolist() == ["alpha"]
+
+    def test_vocab_limit_raises(self, ray_session):
+        import ray.data
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["a b c d e"]),
+            }
+        )
+        with pytest.raises(ValueError, match="vocab"):
+            tfidf_topk(
+                ray.data.from_arrow(t), k=1, vocab_limit=2
+            )
