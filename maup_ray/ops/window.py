@@ -35,6 +35,7 @@ __all__ = [
     "grouped_concat",
     "grouped_ntile",
     "grouped_latest",
+    "grouped_percent_rank",
     "global_row_number",
 ]
 
@@ -339,3 +340,70 @@ def global_row_number(
     import ray.data
 
     return ray.data.from_arrow_refs(out)
+
+
+def grouped_percent_rank(
+    ds,
+    key_cols,
+    value_col: str,
+    pr_name: str = "pr",
+    keep_cols=(),
+):
+    """Per-group ``percent_rank() OVER (PARTITION BY keys ORDER BY
+    value)`` — (rank−1)/(n−1) with gaps semantics (peers share the
+    min rank) and the SQL-standard 0.0 for single-row partitions.
+
+    Same shape as grouped_dense_rank: one keyed shuffle, rows sorted
+    by (keys, value) per partition, rank from a vectorized
+    forward-fill of run starts; the division is ONE correctly-rounded
+    float64 (int)/(int) per row — bit-equal to DuckDB's window
+    implementation (probed: peers→min rank, n=1→0.0)."""
+    keys = list(key_cols)
+    keep = list(keep_cols)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return batch.select(keys + [value_col] + keep)
+
+    pruned = (
+        prune(ds)
+        if isinstance(ds, pa.Table)
+        else ds.map_batches(
+            prune, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    out_fields = keys + [value_col] + keep
+
+    def rank_part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None or len(tbl) == 0:
+            if tbl is not None:
+                return tbl.select(out_fields).append_column(
+                    pr_name, pa.array([], type=pa.float64())
+                )
+            fields = [pa.field(c, pa.int64()) for c in out_fields]
+            fields.append(pa.field(pr_name, pa.float64()))
+            return pa.schema(fields).empty_table()
+        n = len(tbl)
+        v = tbl[value_col].to_numpy(zero_copy_only=False)
+        newv = np.empty(n, dtype=bool)
+        newv[0] = True
+        newv[1:] = v[1:] != v[:-1]
+        newv[starts] = True
+        r = np.arange(n, dtype=np.int64)
+        # forward-fill the position of each value-run start; group
+        # boundaries always reset (newv[starts] is True)
+        ff = np.maximum.accumulate(np.where(newv, r, -1))
+        sizes = np.diff(np.append(starts, n))
+        gstart = np.repeat(starts.astype(np.int64), sizes)
+        rank0 = ff - gstart  # rank − 1, 0-based
+        denom = np.repeat(sizes, sizes).astype(np.int64) - 1
+        pr = np.where(
+            denom > 0,
+            rank0.astype(np.float64)
+            / np.where(denom > 0, denom, 1).astype(np.float64),
+            0.0,
+        )
+        return tbl.select(out_fields).append_column(
+            pr_name, pa.array(pr)
+        )
+
+    return hash_group_apply(pruned, keys, rank_part, sort_cols=[value_col])

@@ -3116,6 +3116,22 @@ def q_hot_cells(sf_dir: str):
     ).sort_by([("cx", "ascending"), ("cy", "ascending")])
 
 
+def q_supplier_prank(sf_dir: str):
+    """Per-nation percent_rank of supplier account balances
+    (ops/window.grouped_percent_rank): one keyed shuffle, vectorized
+    run-start forward-fill rank, ONE float64 (rank−1)/(n−1) division
+    per row — gaps semantics with the SQL-standard single-row 0.0."""
+    from .ops.window import grouped_percent_rank
+
+    return grouped_percent_rank(
+        _read(sf_dir, "supplier",
+              ["s_suppkey", "s_nationkey", "s_acctbal"]),
+        ["s_nationkey"],
+        "s_acctbal",
+        keep_cols=["s_suppkey"],
+    )
+
+
 def q_tfidf(sf_dir: str):
     """Per-document top-3 tf-idf keywords (text/rank.tfidf_topk):
     exact-integer document frequencies (disjoint per-batch partials —
@@ -3803,6 +3819,7 @@ def query_registry():
         "local_volume": q_local_volume,
         "patch_stats": q_patch_stats,
         "tfidf": q_tfidf,
+        "supplier_prank": q_supplier_prank,
         "wmedian": q_wmedian,
         "mad": q_mad,
         "quality_model": q_quality_model,
@@ -4582,6 +4599,16 @@ def oracle_queries() -> dict[str, str]:
         """.replace("{ipts}", _image_pts_cte()).replace(
             "{D}", str(EXTENT // 16)
         ),
+        # supplier_prank: DuckDB's percent_rank is the same
+        # (rank-1)/(n-1) double division (probed: peers share min
+        # rank, single-row partition = 0.0)
+        "supplier_prank": """
+            SELECT s_nationkey, s_acctbal, s_suppkey,
+                   percent_rank() OVER (
+                       PARTITION BY s_nationkey
+                       ORDER BY s_acctbal) AS pr
+            FROM supplier
+        """,
         # tfidf: same single-space tokenization as near_dup/bm25; the
         # rank key is the INTEGER floor-division score (HUGEINT in
         # SQL), totalized by (score_u DESC, term) on both sides

@@ -84,3 +84,56 @@ class TestTfidfTopk:
             tfidf_topk(
                 ray.data.from_arrow(t), k=1, vocab_limit=2
             )
+
+
+class TestPercentRank:
+    def test_matches_bruteforce(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from maup_ray.ops.window import grouped_percent_rank
+
+        rng = np.random.RandomState(13)
+        n = 2000
+        g = rng.randint(0, 20, n).astype(np.int64)
+        v = rng.randint(0, 40, n).astype(np.int64)  # many ties
+        ids = np.arange(n, dtype=np.int64)
+        t = pa.table({"g": g, "v": v, "id": ids})
+
+        # brute: per group, pr = (#strictly-smaller)/(n-1)
+        want = {}
+        for grp in np.unique(g):
+            vals = v[g == grp]
+            iids = ids[g == grp]
+            m = len(vals)
+            for val, i in zip(vals, iids):
+                pr = (
+                    0.0
+                    if m == 1
+                    else float(int((vals < val).sum())) / float(m - 1)
+                )
+                want[int(i)] = pr
+
+        for parts in (1, 6):
+            ds = ray.data.from_arrow(t).repartition(parts)
+            out = grouped_percent_rank(
+                ds, ["g"], "v", keep_cols=["id"]
+            ).to_pandas()
+            got = dict(zip(out["id"], out["pr"]))
+            assert got == want
+
+    def test_single_row_partition_zero(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.window import grouped_percent_rank
+
+        t = pa.table(
+            {
+                "g": pa.array([1, 2, 2], pa.int64()),
+                "v": pa.array([9, 1, 2], pa.int64()),
+            }
+        )
+        out = grouped_percent_rank(
+            ray.data.from_arrow(t), ["g"], "v"
+        ).to_pandas().sort_values(["g", "v"])
+        assert out["pr"].tolist() == [0.0, 0.0, 1.0]
