@@ -281,6 +281,59 @@ def grouped_rollup(ds, keys, sum_cols=(), count_col: str | None = None):
     return pa.concat_tables(levels)
 
 
+def grouped_cube(ds, keys, sum_cols=(), count_col: str | None = None):
+    """SQL ``GROUP BY CUBE(keys)`` — every SUBSET of the key set in
+    one result, absent key columns NULL (the cross-tab / OLAP shape).
+
+    Same scale discipline as grouped_rollup: ONE corpus reduction to
+    the finest aggregate (per-batch integer partials), then the other
+    2^k − 1 groupings re-sum that driver-local aggregate exactly.
+    """
+    import pyarrow.compute as pc
+
+    keys = list(keys)
+    vals = list(sum_cols) + ([count_col] if count_col is not None else [])
+    finest = grouped_sum_count(
+        ds, keys, sum_cols=list(sum_cols), count_col=count_col,
+        final="driver",
+    )
+    out_cols = keys + vals
+    levels = [finest.select(out_cols)]
+    for mask in range(2 ** len(keys) - 2, -1, -1):
+        gk = [k for i, k in enumerate(keys) if (mask >> i) & 1]
+        if gk:
+            g = finest.group_by(gk, use_threads=False).aggregate(
+                [(c, "sum") for c in vals]
+            )
+            names = [
+                f[: -len("_sum")] if f.endswith("_sum") else f
+                for f in g.column_names
+            ]
+            g = g.rename_columns(names)
+        else:
+            g = pa.table(
+                {
+                    c: pa.array(
+                        [pc.sum(finest[c]).as_py()],
+                        type=finest.schema.field(c).type,
+                    )
+                    for c in vals
+                }
+            )
+        n = len(g)
+        cols = {}
+        for k in keys:
+            cols[k] = (
+                g[k]
+                if k in gk
+                else pa.nulls(n, type=finest.schema.field(k).type)
+            )
+        for c in vals:
+            cols[c] = g[c]
+        levels.append(pa.table(cols).select(out_cols))
+    return pa.concat_tables(levels)
+
+
 def grouped_minmax(
     ds,
     keys,

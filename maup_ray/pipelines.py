@@ -3116,6 +3116,37 @@ def q_hot_cells(sf_dir: str):
     ).sort_by([("cx", "ascending"), ("cy", "ascending")])
 
 
+def q_revenue_cube(sf_dir: str):
+    """OLAP cross-tab: integer-cents order totals + counts over
+    GROUP BY CUBE(o_orderpriority, o_orderstatus) — one corpus
+    reduction to the finest aggregate, the other three groupings
+    re-sum it driver-locally and exactly (ops/agg.grouped_cube)."""
+    from .ops.agg import grouped_cube
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "o_orderstatus": b["o_orderstatus"],
+                "total_c": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "orders",
+        ["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_cube(
+        ds,
+        ["o_orderpriority", "o_orderstatus"],
+        sum_cols=["total_c"],
+        count_col="n",
+    )
+
+
 def q_supplier_prank(sf_dir: str):
     """Per-nation percent_rank of supplier account balances
     (ops/window.grouped_percent_rank): one keyed shuffle, vectorized
@@ -3820,6 +3851,7 @@ def query_registry():
         "patch_stats": q_patch_stats,
         "tfidf": q_tfidf,
         "supplier_prank": q_supplier_prank,
+        "revenue_cube": q_revenue_cube,
         "wmedian": q_wmedian,
         "mad": q_mad,
         "quality_model": q_quality_model,
@@ -4599,6 +4631,15 @@ def oracle_queries() -> dict[str, str]:
         """.replace("{ipts}", _image_pts_cte()).replace(
             "{D}", str(EXTENT // 16)
         ),
+        # revenue_cube: CUBE over two categorical keys, integer cents
+        "revenue_cube": """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT))
+                        AS BIGINT) AS total_c,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
         # supplier_prank: DuckDB's percent_rank is the same
         # (rank-1)/(n-1) double division (probed: peers share min
         # rank, single-row partition = 0.0)

@@ -137,3 +137,45 @@ class TestPercentRank:
             ray.data.from_arrow(t), ["g"], "v"
         ).to_pandas().sort_values(["g", "v"])
         assert out["pr"].tolist() == [0.0, 0.0, 1.0]
+
+
+class TestGroupedCube:
+    def test_matches_pandas_cube(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from maup_ray.ops.agg import grouped_cube
+
+        rng = np.random.RandomState(17)
+        n = 300
+        a = rng.choice(["x", "y", "z"], n)
+        b = rng.randint(0, 4, n).astype(np.int64)
+        v = rng.randint(0, 100, n).astype(np.int64)
+        t = pa.table({"a": a, "b": b, "v": v})
+        out = grouped_cube(
+            ray.data.from_arrow(t).repartition(4),
+            ["a", "b"],
+            sum_cols=["v"],
+            count_col="n",
+        ).to_pandas()
+
+        import pandas as pd
+
+        df = pd.DataFrame({"a": a, "b": b, "v": v})
+        # four grouping sets
+        assert len(out) == (
+            df.groupby(["a", "b"]).ngroups
+            + df["a"].nunique()
+            + df["b"].nunique()
+            + 1
+        )
+        both = out.dropna(subset=["a", "b"])
+        fine = df.groupby(["a", "b"])["v"].sum()
+        for r in both.itertuples():
+            assert r.v == fine[(r.a, r.b)]
+        total = out[out["a"].isna() & out["b"].isna()]
+        assert total["v"].tolist() == [int(v.sum())]
+        assert total["n"].tolist() == [n]
+        only_a = out[out["a"].notna() & out["b"].isna()]
+        wa = df.groupby("a")["v"].sum()
+        assert {r.a: r.v for r in only_a.itertuples()} == wa.to_dict()
