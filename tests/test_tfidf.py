@@ -179,3 +179,41 @@ class TestGroupedCube:
         only_a = out[out["a"].notna() & out["b"].isna()]
         wa = df.groupby("a")["v"].sum()
         assert {r.a: r.v for r in only_a.itertuples()} == wa.to_dict()
+
+
+class TestQuantilesCont:
+    def test_matches_duckdb_random(self, ray_session):
+        """Randomized bitwise parity with DuckDB quantile_cont across
+        group sizes 1..40 and both final modes."""
+        import duckdb
+        import numpy as np
+        import ray.data
+
+        from maup_ray.ops.curate import grouped_quantiles_cont
+
+        rng = np.random.RandomState(23)
+        n = 1500
+        g = rng.randint(0, 60, n).astype(np.int64)  # some tiny groups
+        v = rng.randint(-10**12, 10**12, n).astype(np.int64)
+        t = pa.table({"g": g, "v": v})
+        want = duckdb.query_df(
+            t.to_pandas(), "t",
+            """SELECT g, CAST(count(*) AS BIGINT) AS n,
+                      quantile_cont(v, 0.25) AS p25,
+                      quantile_cont(v, 0.50) AS p50,
+                      quantile_cont(v, 0.90) AS p90
+               FROM t GROUP BY g ORDER BY g""",
+        ).to_df()
+        for final in ("driver", "shuffle"):
+            out = grouped_quantiles_cont(
+                ray.data.from_arrow(t).repartition(5),
+                "g", "v", final=final,
+            )
+            df = out.to_pandas()  # pa.Table (driver) or Dataset
+            df = df.sort_values("g").reset_index(drop=True)
+            for col in ("n", "p25", "p50", "p90"):
+                a = df[col].to_numpy()
+                b = want[col].to_numpy()
+                assert (
+                    a.tobytes() == b.tobytes()
+                ), f"{final}:{col} not bit-identical"
