@@ -3116,6 +3116,55 @@ def q_hot_cells(sf_dir: str):
     ).sort_by([("cx", "ascending"), ("cy", "ascending")])
 
 
+def q_search_map(sf_dir: str):
+    """Cross-modal retrieval composite — search WHERE the matching
+    images are: BM25 top-k over the caption-source documents (exact
+    integer stats, fixed IEEE score), then the hit docs' images
+    (semi-filter on the tiny hit-key set, broadcast in-closure),
+    phash-derived points → district assign → per-district counts. One
+    streaming image pass; the text pass reduces to k rows before
+    anything joins."""
+    from .ops.agg import grouped_sum_count
+    from .ops.assign import assign
+    from .text.rank import bm25_topk
+
+    hits = bm25_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        terms=BM25_TERMS,
+        k=BM25_K,
+    )
+    keys = hits["doc_id"].combine_chunks()
+
+    def with_doc(b: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(b["image_id"], 3, 15), pa.int64()
+        )
+        doc = pc.divide(idx, IMG_MULT)
+        mask = pc.is_in(doc, value_set=keys)
+        return pa.table(
+            {
+                "image_id": b["image_id"],
+                "x": b["x"],
+                "y": b["y"],
+            }
+        ).filter(mask)
+
+    pts = _image_points(sf_dir).map_batches(
+        with_doc, batch_format="pyarrow", zero_copy_batch=True
+    )
+    assigned = assign(
+        pts,
+        _districts(),
+        source_id_col="image_id",
+        target_id_col="district_id",
+        targets_id_col="district_id",
+    )
+    out = grouped_sum_count(
+        assigned, ["district_id"], count_col="n_images", final="driver"
+    )
+    return out.sort_by([("district_id", "ascending")])
+
+
 def q_percentiles_cont(sf_dir: str):
     """Interpolated per-priority price quantiles
     (ops/curate.grouped_quantiles_cont): same distinct-value count
@@ -3598,10 +3647,9 @@ def _chunks_sql() -> str:
     """
 
 
-def _bm25_sql() -> str:
-    """BM25 top-k, expression-for-expression the engine's fixed IEEE
-    form (text/rank.py): algebraic idf, dyadic constants k1=1.25,
-    b=0.75, k1+1=2.25, left-to-right per-term sum."""
+def _bm25_ctes() -> tuple[str, str]:
+    """(ctes, top-k select) pair shared by the bm25 oracle and the
+    search_map composite — one generation site, zero drift."""
     tf_cols = ",\n            ".join(
         f"CAST(len(list_filter(string_split(text, ' '), "
         f"x -> x = '{t}')) AS BIGINT) AS tf{i}"
@@ -3621,8 +3669,7 @@ def _bm25_sql() -> str:
         f" / (CAST(df{i} AS DOUBLE) + 0.5))"
         for i in range(len(BM25_TERMS))
     )
-    return f"""
-        WITH s AS (
+    ctes = f"""s AS (
           SELECT doc_id,
             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
             {tf_cols}
@@ -3632,12 +3679,49 @@ def _bm25_sql() -> str:
             CAST(sum(dl) AS BIGINT) AS total_len,
             {df_cols}
           FROM s
-        )
-        SELECT doc_id,
+        )"""
+    select = f"""SELECT doc_id,
           {term_exprs} AS score
         FROM s, g
         ORDER BY score DESC, doc_id
-        LIMIT {BM25_K}
+        LIMIT {BM25_K}"""
+    return ctes, select
+
+
+def _bm25_sql() -> str:
+    """BM25 top-k, expression-for-expression the engine's fixed IEEE
+    form (text/rank.py): algebraic idf, dyadic constants k1=1.25,
+    b=0.75, k1+1=2.25, left-to-right per-term sum."""
+    ctes, select = _bm25_ctes()
+    return f"WITH {ctes}\n        {select}"
+
+
+def _search_map_sql() -> str:
+    """search_map composite oracle: the bm25 top-k CTE feeds the
+    doc_id-carrying image-point CTE (caption_stats pattern) and the
+    district rect join."""
+    ctes, select = _bm25_ctes()
+    cx = " + ".join(f"((p >> {2 * k}) & 1) * {1 << k}" for k in range(20))
+    cy = " + ".join(
+        f"((p >> {2 * k + 1}) & 1) * {1 << k}" for k in range(20)
+    )
+    dist = districts_sql(N_DISTRICTS)
+    return f"""
+        WITH {ctes},
+        hits AS ({select}),
+        imgs3 AS (
+          SELECT CAST((CAST(h.doc_id * {IMG_MULT} + k AS HUGEINT)
+                       * {0x9E3779B97F4A7C15})
+                      % 9223372036854775808 AS BIGINT) AS p
+          FROM hits h, (SELECT unnest(range(0, {IMG_MULT})) AS k)),
+        ipts3 AS (
+          SELECT CAST(({cx}) AS DOUBLE) + 0.5 AS x,
+                 CAST(({cy}) AS DOUBLE) + 0.5 AS y
+          FROM imgs3)
+        SELECT district_id, CAST(count(*) AS BIGINT) AS n_images
+        FROM ipts3, {dist}
+        WHERE x >= minx AND x < maxx AND y >= miny AND y < maxy
+        GROUP BY district_id
     """
 
 
@@ -3880,6 +3964,7 @@ def query_registry():
         "supplier_prank": q_supplier_prank,
         "revenue_cube": q_revenue_cube,
         "percentiles_cont": q_percentiles_cont,
+        "search_map": q_search_map,
         "wmedian": q_wmedian,
         "mad": q_mad,
         "quality_model": q_quality_model,
@@ -4659,6 +4744,9 @@ def oracle_queries() -> dict[str, str]:
         """.replace("{ipts}", _image_pts_cte()).replace(
             "{D}", str(EXTENT // 16)
         ),
+        # search_map: bm25 CTE -> hit docs' image points -> district
+        # rect join (one generation site for the bm25 fragments)
+        "search_map": _search_map_sql(),
         # percentiles_cont: DuckDB quantile_cont — probed bit-exact
         # replica (pos = double(q)*(n-1), lo*(1-frac) + hi*frac)
         "percentiles_cont": """
