@@ -3116,6 +3116,34 @@ def q_hot_cells(sf_dir: str):
     ).sort_by([("cx", "ascending"), ("cy", "ascending")])
 
 
+def q_dedup_rewrite(sf_dir: str):
+    """Dedup REWRITE — the survivor corpus after near-duplicate
+    clustering: cluster members that are not their cluster's canonical
+    (min-id) keeper drop out via a streaming anti-join (the drop-key
+    set is the duplicate count, broadcast once under the guarded
+    limit; corpus payloads never move). Completes the near_dup story:
+    detection (near_dup) → rewrite (this)."""
+    from .ops.join import semi_join
+    from .text.cluster import near_dup_components
+
+    comp = near_dup_components(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    )
+    drops = comp.map_batches(
+        lambda b: b.filter(
+            pc.not_equal(b["doc_id"], b["component_id"])
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return semi_join(
+        _read(sf_dir, "documents", ["doc_id"]),
+        drops,
+        "doc_id",
+        anti=True,
+    )
+
+
 def q_search_map(sf_dir: str):
     """Cross-modal retrieval composite — search WHERE the matching
     images are: BM25 top-k over the caption-source documents (exact
@@ -3696,6 +3724,41 @@ def _bm25_sql() -> str:
     return f"WITH {ctes}\n        {select}"
 
 
+def _near_dup_ctes() -> str:
+    """The shingle→Jaccard→transitive-closure CTE chain shared by the
+    near_dup oracle and the dedup_rewrite composite."""
+    return """
+            t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+            idx AS (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - 1)) AS i
+                    FROM t WHERE len(toks) >= 3),
+            shing AS (SELECT DISTINCT doc_id,
+                        toks[i] || chr(1) || toks[i+1] || chr(1)
+                          || toks[i+2] AS sh
+                      FROM idx),
+            ns AS (SELECT doc_id, count(*) AS n FROM shing
+                   GROUP BY doc_id),
+            pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                             count(*) AS c
+                      FROM shing a JOIN shing b
+                        ON a.sh = b.sh AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+            edges AS (SELECT p.a, p.b FROM pairs p
+                      JOIN ns na ON na.doc_id = p.a
+                      JOIN ns nb ON nb.doc_id = p.b
+                      WHERE CAST(p.c AS DOUBLE)
+                            / (CAST(na.n AS DOUBLE)
+                               + CAST(nb.n AS DOUBLE)
+                               - CAST(p.c AS DOUBLE)) >= 0.5),
+            und AS (SELECT a AS s, b AS d FROM edges
+                    UNION ALL SELECT b, a FROM edges),
+            reach AS (SELECT s, d FROM und
+                      UNION
+                      SELECT r.s, u.d FROM reach r
+                      JOIN und u ON r.d = u.s)"""
+
+
 def _search_map_sql() -> str:
     """search_map composite oracle: the bm25 top-k CTE feeds the
     doc_id-carrying image-point CTE (caption_stats pattern) and the
@@ -3965,6 +4028,7 @@ def query_registry():
         "revenue_cube": q_revenue_cube,
         "percentiles_cont": q_percentiles_cont,
         "search_map": q_search_map,
+        "dedup_rewrite": q_dedup_rewrite,
         "wmedian": q_wmedian,
         "mad": q_mad,
         "quality_model": q_quality_model,
@@ -5159,39 +5223,24 @@ def oracle_queries() -> dict[str, str]:
         # connected components (transitive closure, min-id label).
         # Same single-space split and the same IEEE double expression
         # c/(na+nb-c) as text/cluster.py, so values match bit-for-bit.
-        "near_dup": """
-            WITH RECURSIVE
-            t AS (SELECT doc_id, string_split(text, ' ') AS toks
-                  FROM documents),
-            idx AS (SELECT doc_id, toks,
-                           unnest(range(1, len(toks) - 1)) AS i
-                    FROM t WHERE len(toks) >= 3),
-            shing AS (SELECT DISTINCT doc_id,
-                        toks[i] || chr(1) || toks[i+1] || chr(1)
-                          || toks[i+2] AS sh
-                      FROM idx),
-            ns AS (SELECT doc_id, count(*) AS n FROM shing
-                   GROUP BY doc_id),
-            pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
-                             count(*) AS c
-                      FROM shing a JOIN shing b
-                        ON a.sh = b.sh AND a.doc_id < b.doc_id
-                      GROUP BY a.doc_id, b.doc_id),
-            edges AS (SELECT p.a, p.b FROM pairs p
-                      JOIN ns na ON na.doc_id = p.a
-                      JOIN ns nb ON nb.doc_id = p.b
-                      WHERE CAST(p.c AS DOUBLE)
-                            / (CAST(na.n AS DOUBLE)
-                               + CAST(nb.n AS DOUBLE)
-                               - CAST(p.c AS DOUBLE)) >= 0.5),
-            und AS (SELECT a AS s, b AS d FROM edges
-                    UNION ALL SELECT b, a FROM edges),
-            reach AS (SELECT s, d FROM und
-                      UNION
-                      SELECT r.s, u.d FROM reach r
-                      JOIN und u ON r.d = u.s)
+        "near_dup": f"""
+            WITH RECURSIVE {_near_dup_ctes()}
             SELECT s AS doc_id, least(s, min(d)) AS component_id
             FROM reach GROUP BY s
+        """,
+        # dedup_rewrite: survivors = corpus ANTI JOIN the non-canonical
+        # cluster members (same closure CTEs as near_dup, one
+        # generation site)
+        "dedup_rewrite": f"""
+            WITH RECURSIVE {_near_dup_ctes()},
+            comp AS (SELECT s AS doc_id,
+                            least(s, min(d)) AS component_id
+                     FROM reach GROUP BY s)
+            SELECT d.doc_id FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM comp c
+              WHERE c.doc_id = d.doc_id
+                AND c.component_id <> c.doc_id)
         """,
         "islands": f"""
             WITH {_xl_rects_cte()}
