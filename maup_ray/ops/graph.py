@@ -47,7 +47,7 @@ import pyarrow as pa
 
 from .shuffle import _choose_partitions, _hash_keys, _split_block
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["pagerank", "triangle_count", "bfs_hops"]
 
 
 def _propagate_part(
@@ -348,3 +348,173 @@ def triangle_count(edges_ds, src: str = "u", dst: str = "v"):
         if t.num_rows
     )
     return pa.table({"n_triangles": pa.array([total], type=pa.int64())})
+
+
+_UNREACHED = np.int64(1) << np.int64(62)  # +inf sentinel for min-merge
+
+
+def _bfs_propagate(edge_part: pa.Table, dist_part: pa.Table, P: int):
+    """One BFS propagate task: for this partition's edges whose src is
+    reached, emit (dst, d_src + 1), pre-combined per dst with MIN,
+    hash-split by dst."""
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "dst": pa.array([], type=pa.int64()),
+            "d": pa.array([], type=pa.int64()),
+        }
+    )
+    if edge_part.num_rows == 0 or dist_part.num_rows == 0:
+        return [empty] * P if P > 1 else empty
+    nodes = dist_part["node"].combine_chunks()
+    if isinstance(nodes, pa.ChunkedArray):
+        nodes = (
+            nodes.chunk(0)
+            if nodes.num_chunks
+            else pa.array([], type=pa.int64())
+        )
+    idx = pc.index_in(edge_part["src"], nodes)
+    found = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+    safe = pc.fill_null(idx, 0)
+    d = pc.take(dist_part["d"], safe).to_numpy(zero_copy_only=False)
+    ok = found & (d < _UNREACHED)
+    if not ok.any():
+        return [empty] * P if P > 1 else empty
+    dst = edge_part["dst"].to_numpy(zero_copy_only=False)[ok]
+    nd = d[ok] + 1
+    order = np.argsort(dst, kind="stable")
+    ds_ = dst[order]
+    starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+    t = pa.table(
+        {
+            "dst": pa.array(ds_[starts]),
+            "d": pa.array(np.minimum.reduceat(nd[order], starts)),
+        }
+    )
+    return _split_block(t, ["dst"], P)
+
+
+def _bfs_combine(dist_part: pa.Table, *subs: pa.Table) -> pa.Table:
+    """min-merge incoming distance candidates onto this partition's
+    dist rows."""
+    node = dist_part["node"].to_numpy(zero_copy_only=False)
+    d = dist_part["d"].to_numpy(zero_copy_only=False).copy()
+    live = [s for s in subs if s.num_rows]
+    if live:
+        m = live[0] if len(live) == 1 else pa.concat_tables(live)
+        dst = m["dst"].to_numpy(zero_copy_only=False)
+        nd = m["d"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        pos = np.searchsorted(node[order], dst)
+        ok = (pos < len(node)) & (
+            node[order][np.minimum(pos, len(node) - 1)] == dst
+        )
+        np.minimum.at(d, order[pos[ok]], nd[ok])
+    return pa.table({"node": dist_part["node"], "d": pa.array(d)})
+
+
+def _init_dists(node_part: pa.Table, sources: pa.Array) -> pa.Table:
+    import pyarrow.compute as pc
+
+    node = node_part["node"]
+    is_src = pc.is_in(node, value_set=sources)
+    d = np.where(
+        is_src.to_numpy(zero_copy_only=False),
+        np.int64(0),
+        _UNREACHED,
+    )
+    return pa.table({"node": node, "d": pa.array(d)})
+
+
+def bfs_hops(
+    edges,
+    nodes,
+    sources,
+    max_hops: int,
+    num_partitions: int | None = None,
+):
+    """Multi-source BFS hop distances, bounded at ``max_hops`` rounds —
+    the reachability / influence-radius primitive, on the SAME
+    iteration-invariant layout as ``pagerank``: edges hash-partition
+    by src ONCE, dist rows co-partition by the same node hash, each
+    round is one propagate + one combine raw-task pass (zero
+    per-round Dataset jobs, zero edge re-shuffles).
+
+    After L rounds every node within L hops of the source set carries
+    its exact BFS distance (monotone min-merge induction); nodes
+    farther away stay at the unreached sentinel and are dropped from
+    the output. ``sources`` is a small driver-local id collection
+    (broadcast once inside the init tasks).
+
+    Returns a Dataset (node:int64, hops:int64) for reached nodes.
+    """
+    import ray
+    import ray.data
+
+    src_arr = (
+        sources
+        if isinstance(sources, pa.Array)
+        else pa.array(list(sources), type=pa.int64())
+    )
+
+    def block_refs(x):
+        if isinstance(x, pa.Table):
+            return [ray.put(x)], x.nbytes
+        mat = x.materialize()
+        return mat.to_arrow_refs(), mat.size_bytes()
+
+    edge_blocks, edge_bytes = block_refs(edges)
+    node_blocks, node_bytes = block_refs(nodes)
+    if num_partitions is None:
+        num_partitions = _choose_partitions(
+            edge_bytes + node_bytes, ray.cluster_resources().get("CPU", 8)
+        )
+    P = int(num_partitions)
+
+    split = (
+        ray.remote(num_returns=P)(_split_block)
+        if P > 1
+        else ray.remote(_split_block)
+    )
+    concat = ray.remote(_concat_parts)
+
+    def partition(blocks, keys):
+        parts = [split.remote(b, keys, P) for b in blocks]
+        if P == 1:
+            parts = [[p] for p in parts]
+        return [concat.remote(*[p[i] for p in parts]) for i in range(P)]
+
+    edge_parts = partition(edge_blocks, ["src"])
+    node_parts = partition(node_blocks, ["node"])
+
+    init = ray.remote(_init_dists)
+    dist_parts = [init.remote(np_, src_arr) for np_ in node_parts]
+
+    prop = ray.remote(num_returns=P)(_bfs_propagate) if P > 1 else (
+        ray.remote(_bfs_propagate)
+    )
+    comb = ray.remote(_bfs_combine)
+    for _ in range(int(max_hops)):
+        outs = [
+            prop.remote(edge_parts[p], dist_parts[p], P)
+            for p in range(P)
+        ]
+        if P == 1:
+            outs = [[o] for o in outs]
+        dist_parts = [
+            comb.remote(dist_parts[q], *[o[q] for o in outs])
+            for q in range(P)
+        ]
+
+    def reached(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.filter(
+            pc.less(b["d"], pa.scalar(int(_UNREACHED), pa.int64()))
+        )
+        return pa.table({"node": t["node"], "hops": t["d"]})
+
+    return ray.data.from_arrow_refs(dist_parts).map_batches(
+        reached, batch_format="pyarrow", zero_copy_batch=True
+    )

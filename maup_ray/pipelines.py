@@ -3116,6 +3116,54 @@ def q_hot_cells(sf_dir: str):
     ).sort_by([("cx", "ascending"), ("cy", "ascending")])
 
 
+BFS_HOPS = 4
+BFS_SRC_MOD = 251  # sources = doc_ids ≡ 0 (mod 251)
+
+
+def q_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distances over the deterministic document
+    graph (ops/graph.bfs_hops — the pagerank iteration-invariant
+    layout: edges shuffle once, each round is two raw-task passes).
+    Sources = doc_ids divisible by 251; output = every node within
+    4 hops with its exact distance. Oracle = recursive-CTE min-dist
+    fixpoint bounded at the same depth."""
+    import pyarrow.parquet as pq
+
+    from .ops.graph import bfs_hops
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        k = batch["doc_id"].to_numpy()
+        deg = 1 + (k % 3)
+        src = np.repeat(k, deg)
+        start = np.repeat(np.cumsum(deg) - deg, deg)
+        slot = np.arange(len(src), dtype=np.int64) - start
+        dst = (src * AX + slot * PR_EDGE_C + BX) % n
+        return pa.table(
+            {"src": pa.array(src), "dst": pa.array(dst)}
+        )
+
+    edges = docs.map_batches(
+        mk_edges, batch_format="pyarrow", zero_copy_batch=True
+    )
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b["doc_id"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    sources = pa.array(
+        list(range(0, n, BFS_SRC_MOD)), type=pa.int64()
+    )
+    out = bfs_hops(edges, nodes, sources, max_hops=BFS_HOPS)
+    return out.map_batches(
+        lambda b: b.rename_columns(["doc_id", "hops"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_dedup_rewrite(sf_dir: str):
     """Dedup REWRITE — the survivor corpus after near-duplicate
     clustering: cluster members that are not their cluster's canonical
@@ -4029,6 +4077,7 @@ def query_registry():
         "percentiles_cont": q_percentiles_cont,
         "search_map": q_search_map,
         "dedup_rewrite": q_dedup_rewrite,
+        "bfs_hops": q_bfs_hops,
         "wmedian": q_wmedian,
         "mad": q_mad,
         "quality_model": q_quality_model,
@@ -4808,6 +4857,26 @@ def oracle_queries() -> dict[str, str]:
         """.replace("{ipts}", _image_pts_cte()).replace(
             "{D}", str(EXTENT // 16)
         ),
+        # bfs_hops: recursive-CTE min-dist fixpoint over the same
+        # derived edge set as pagerank, depth-bounded at BFS_HOPS;
+        # UNION dedups (node, d) pairs so rows stay n x (hops+1)
+        "bfs_hops": f"""
+            WITH RECURSIVE
+            ks AS (SELECT unnest(range(0, 3)) AS k),
+            e AS (
+              SELECT doc_id AS src,
+                     (doc_id * {AX} + k * {PR_EDGE_C} + {BX})
+                       % (SELECT count(*) FROM documents) AS dst
+              FROM documents, ks WHERE k < 1 + doc_id % 3),
+            reach AS (
+              SELECT doc_id AS v, 0 AS d FROM documents
+              WHERE doc_id % {BFS_SRC_MOD} = 0
+              UNION
+              SELECT e.dst, r.d + 1 FROM reach r
+              JOIN e ON e.src = r.v WHERE r.d < {BFS_HOPS})
+            SELECT v AS doc_id, CAST(min(d) AS BIGINT) AS hops
+            FROM reach GROUP BY v
+        """,
         # search_map: bm25 CTE -> hit docs' image points -> district
         # rect join (one generation site for the bm25 fragments)
         "search_map": _search_map_sql(),
