@@ -3116,6 +3116,86 @@ def q_hot_cells(sf_dir: str):
     ).sort_by([("cx", "ascending"), ("cy", "ascending")])
 
 
+def q_word_stats(sf_dir: str):
+    """Per-document word-repetition quality signals (the RedPajama
+    duplicate-fraction family): n_words, n_distinct words, max word
+    frequency, and dup_frac = (n_words − n_distinct)/n_words — exact
+    int stats per batch-local group pass (a doc is one row; no
+    shuffle), ONE float division mirrored in the SQL."""
+
+    def stats(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], " ")
+        lens = (
+            pc.list_value_length(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = pc.list_flatten(toks).combine_chunks()
+        doc_idx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+        t = pa.table(
+            {"d": pa.array(doc_idx), "term": flat}
+        ).group_by(["d", "term"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        c = t["count_all"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(d, kind="stable")
+        ds_, cs = d[order], c[order]
+        starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+        n_words = np.add.reduceat(cs, starts)
+        n_distinct = np.diff(np.append(starts, len(ds_)))
+        max_freq = np.maximum.reduceat(cs, starts)
+        dup = (
+            n_words.astype(np.float64) - n_distinct.astype(np.float64)
+        ) / n_words.astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].take(pa.array(ds_[starts])),
+                "n_words": pa.array(n_words),
+                "n_distinct": pa.array(n_distinct.astype(np.int64)),
+                "max_freq": pa.array(max_freq),
+                "dup_frac": pa.array(dup),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+HIST_WIDTH = 500_000  # cents per histogram bucket ($5000)
+
+
+def q_price_hist(sf_dir: str):
+    """Fixed-width histogram of order totals: integer-cents value //
+    width → per-bucket count + exact sum (per-batch partials, tiny
+    driver merge) — the width_bucket reporting shape."""
+    from .ops.agg import grouped_sum_count
+
+    def bucket(b: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+        ).to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(v // HIST_WIDTH),
+                "v": pa.array(v),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = grouped_sum_count(
+        ds, ["bucket"], sum_cols=["v"], count_col="n", final="driver"
+    )
+    return out.rename_columns(
+        ["bucket", "total_c", "n"]
+    ).sort_by([("bucket", "ascending")])
+
+
 BFS_HOPS = 4
 BFS_SRC_MOD = 251  # sources = doc_ids ≡ 0 (mod 251)
 
@@ -4078,6 +4158,8 @@ def query_registry():
         "search_map": q_search_map,
         "dedup_rewrite": q_dedup_rewrite,
         "bfs_hops": q_bfs_hops,
+        "word_stats": q_word_stats,
+        "price_hist": q_price_hist,
         "wmedian": q_wmedian,
         "mad": q_mad,
         "quality_model": q_quality_model,
@@ -4857,6 +4939,31 @@ def oracle_queries() -> dict[str, str]:
         """.replace("{ipts}", _image_pts_cte()).replace(
             "{D}", str(EXTENT // 16)
         ),
+        # word_stats: exact int stats, ONE double division
+        "word_stats": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS c
+                   FROM toks GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(max(c) AS BIGINT) AS max_freq,
+                   (CAST(sum(c) AS DOUBLE) - CAST(count(*) AS DOUBLE))
+                     / CAST(sum(c) AS DOUBLE) AS dup_frac
+            FROM tf GROUP BY doc_id
+        """,
+        # price_hist: integer floor-division width buckets
+        "price_hist": f"""
+            WITH c AS (SELECT CAST(round(o_totalprice*100, 0) AS BIGINT)
+                              AS v
+                       FROM orders)
+            SELECT v // {HIST_WIDTH} AS bucket,
+                   CAST(sum(v) AS BIGINT) AS total_c,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM c GROUP BY bucket ORDER BY bucket
+        """,
         # bfs_hops: recursive-CTE min-dist fixpoint over the same
         # derived edge set as pagerank, depth-bounded at BFS_HOPS;
         # UNION dedups (node, d) pairs so rows stay n x (hops+1)
