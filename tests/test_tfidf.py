@@ -196,14 +196,20 @@ class TestQuantilesCont:
         g = rng.randint(0, 60, n).astype(np.int64)  # some tiny groups
         v = rng.randint(-10**12, 10**12, n).astype(np.int64)
         t = pa.table({"g": g, "v": v})
-        want = duckdb.query_df(
-            t.to_pandas(), "t",
+        # Isolated connection: duckdb.query_df on the module-level
+        # default connection registers a PERSISTENT view named "t"
+        # that shadows other tests' replacement scans of their own
+        # local `t` (broke test_window.py in full-suite runs).
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.execute(
             """SELECT g, CAST(count(*) AS BIGINT) AS n,
                       quantile_cont(v, 0.25) AS p25,
                       quantile_cont(v, 0.50) AS p50,
                       quantile_cont(v, 0.90) AS p90
                FROM t GROUP BY g ORDER BY g""",
-        ).to_df()
+        ).df()
+        con.close()
         for final in ("driver", "shuffle"):
             out = grouped_quantiles_cont(
                 ray.data.from_arrow(t).repartition(5),
