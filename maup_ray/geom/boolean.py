@@ -887,13 +887,19 @@ def _on_boundary(pts, geom, eps):
 
 
 def _point_on_segment(p, a, b, eps):
-    d = b - a
-    L2 = float(d @ d)
+    # Scalar arithmetic, not `@`: BLAS ddot kernels are host-dispatch-
+    # dependent (FMA pairing differs by core type), and a last-ulp
+    # difference here feeds an eps comparison that can flip a topology
+    # decision between hosts. Python-float ops are IEEE-deterministic.
+    dx = float(b[0]) - float(a[0])
+    dy = float(b[1]) - float(a[1])
+    L2 = dx * dx + dy * dy
     if L2 == 0:
         return bool(np.hypot(*(p - a)) <= eps)
-    t = float((p - a) @ d) / L2
+    t = ((float(p[0]) - float(a[0])) * dx
+         + (float(p[1]) - float(a[1])) * dy) / L2
     t = min(max(t, 0.0), 1.0)
-    proj = a + t * d
+    proj = np.array([float(a[0]) + t * dx, float(a[1]) + t * dy])
     return bool(np.hypot(*(p - proj)) <= eps)
 
 

@@ -55,9 +55,16 @@ def ring_signed_area(ring: Ring) -> float:
         return 0.0
     x = ring[:, 0]
     y = ring[:, 1]
-    # shoelace without np.roll allocations (hot path)
-    s = float(x[:-1] @ y[1:]) - float(x[1:] @ y[:-1])
-    s += float(x[-1] * y[0] - x[0] * y[-1])
+    # Shoelace without np.roll allocations (hot path). MUST stay
+    # BLAS-free: `x @ y` routes to OpenBLAS ddot whose partial-sum
+    # order depends on the HOST's dispatched kernel (SKYLAKEX vs
+    # HASWELL vs generic give last-ulp-different sums on non-dyadic
+    # coordinates — observed flipping pinned repair hashes across
+    # sandbox hosts). np.sum's pairwise tree is architecture-
+    # independent (verified bit-identical across the full
+    # NPY_DISABLE_CPU_FEATURES range and all OPENBLAS_CORETYPEs).
+    s = float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+    s += float(x[-1]) * float(y[0]) - float(x[0]) * float(y[-1])
     return s * 0.5
 
 

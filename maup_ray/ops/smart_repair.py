@@ -360,11 +360,19 @@ def _close_piece(gap, walk_pts, back_path):
 
 
 def _seg_point_dist(p, a, b):
-    ab = b - a
-    t = np.clip(
-        np.dot(p - a, ab) / max(float(np.dot(ab, ab)), 1e-300), 0.0, 1.0
-    )
-    return float(np.hypot(*(a + t * ab - p)))
+    # Scalar arithmetic, not np.dot: BLAS ddot kernel choice is host-
+    # dependent (see geom/core.ring_signed_area) and this distance
+    # feeds threshold comparisons that must not flip between hosts.
+    abx = float(b[0]) - float(a[0])
+    aby = float(b[1]) - float(a[1])
+    apx = float(p[0]) - float(a[0])
+    apy = float(p[1]) - float(a[1])
+    t = (apx * abx + apy * aby) / max(abx * abx + aby * aby, 1e-300)
+    t = min(max(t, 0.0), 1.0)
+    return float(np.hypot(
+        float(a[0]) + t * abx - float(p[0]),
+        float(a[1]) + t * aby - float(p[1]),
+    ))
 
 
 def _polyline_dist(A, B) -> float:

@@ -236,13 +236,17 @@ class TestRepairQueryPinnedHashes:
         assert df.loc["post", "total_area"] == pytest.approx(
             df.loc["post", "union_area"], abs=1e-2
         )
-        # re-pinned r4 cont.7: the old pin (d69f12ecc0b391a7) was
-        # irreproducible even at its own commit with identical code +
-        # inputs (likely computed from an in-flight working-tree state
-        # the session-end auto-commit then diverged from). This value
-        # is verified deterministic across fresh processes,
-        # PYTHONHASHSEED ∈ {0,1,12345}, and HEAD vs the pin commit.
-        assert self._h(t) == "dacc7bf7800b9f24"
+        # Pin history: d69f12/dacc7b flip-flopped across sessions
+        # because ring_signed_area used BLAS ddot (`x @ y`) whose
+        # partial-sum order depends on the host's dispatched OpenBLAS
+        # kernel (OPENBLAS_CORETYPE=SKYLAKEX reproduced dacc7b on a
+        # d69f12 host, bit-for-bit). The shoelace is now np.sum-based
+        # (architecture-independent pairwise tree); this pin is
+        # verified IDENTICAL under OPENBLAS_CORETYPE ∈ {default,
+        # HASWELL, SKYLAKEX, NEHALEM, PRESCOTT} and PYTHONHASHSEED
+        # ∈ {0,1,12345}. If it ever breaks again, suspect a new
+        # BLAS-routed reduction on non-dyadic floats.
+        assert self._h(t) == "b7dfcbde4ca580a1"
 
     def test_embed_prune_pinned(self, ray_session):
         """ROUND_NOTES r5 candidate #4: embed_prune is rows-only at the
