@@ -41,6 +41,7 @@ __all__ = [
     "lag_deltas",
     "running_total",
     "merge_intervals",
+    "interval_overlap_join",
 ]
 
 _US = 1_000_000
@@ -669,3 +670,136 @@ def merge_intervals(ds, key_cols, start_col: str, end_col: str,
     return hash_group_apply(
         pruned, keys, part, sort_cols=[start_col, end_col]
     )
+
+
+# ------------------------------------------- interval × interval join
+
+
+def interval_overlap_join(
+    intervals,
+    bucket_us: int,
+    id_col: str = "id",
+    start_col: str = "s",
+    end_col: str = "e",
+):
+    """Self-join of half-open intervals ``[s, e)`` on strict overlap →
+    one row per unordered overlapping pair: ``(id_a, id_b,
+    overlap_us)`` with ``id_a < id_b`` and ``overlap_us =
+    min(e_a, e_b) − max(s_a, s_b)``.
+
+    Plan (the temporal analogue of the ``dwithin`` grid join): every
+    interval replicates to the fixed-width time buckets it covers —
+    ≤ 2 of them, ENFORCED by requiring ``e − s ≤ bucket_us`` — and one
+    keyed shuffle on the bucket co-locates every candidate pair.
+    Dedup is structural: pair (a, b) is emitted only in the canonical
+    bucket ``floor(max(s_a, s_b) / bucket_us)``. Both intervals of an
+    overlapping pair contain the instant ``max(s_a, s_b)``, so both
+    replicas are present there, and no other bucket emits it — exactly
+    one emission, no post-shuffle distinct.
+
+    Per partition (sorted by (s, id)): for row i the candidate earlier
+    starters are ``j ∈ [searchsorted(s, s_i − maxlen), i)`` — a
+    contiguous window because interval length is bounded — expanded
+    with one vectorized repeat/arange pass and filtered on
+    ``e_j > s_i`` (strict overlap) plus the canonical-bucket test.
+    Candidate count per row is O(density × maxlen), the same order as
+    the output itself, so no super-linear blowup.
+
+    All-integer µs arithmetic → bit-exact vs the SQL self-join oracle.
+
+    Scale notes (100 TB): replication ≤ 2×, payload is a 24 B
+    projection; a pathological bucket (all intervals in one epoch
+    window) lands in one partition — shrink ``bucket_us`` (must stay
+    ≥ max length) or pre-split hot buckets, the documented
+    ``hash_group_apply`` skew caveat."""
+    W = int(bucket_us)
+    out_schema = pa.schema(
+        [
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("overlap_us", pa.int64()),
+        ]
+    )
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(s) and int(np.max(e - s)) > W:
+            raise ValueError(
+                "interval_overlap_join: interval length exceeds "
+                "bucket_us — the ≤2-bucket cover argument needs "
+                "max(e - s) <= bucket_us"
+            )
+        live = e > s  # zero-length intervals can never overlap
+        ids, s, e = ids[live], s[live], e[live]
+        b0 = s // W
+        b1 = (e - 1) // W
+        two = b1 != b0
+        bucket = np.concatenate([b0, b1[two]])
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "iid": pa.array(np.concatenate([ids, ids[two]])),
+                "s": pa.array(np.concatenate([s, s[two]])),
+                "e": pa.array(np.concatenate([e, e[two]])),
+            }
+        )
+
+    def pairs(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None or tbl.num_rows == 0:
+            return out_schema.empty_table()
+        bucket = tbl["bucket"].to_numpy(zero_copy_only=False)
+        ids = tbl["iid"].to_numpy(zero_copy_only=False)
+        s = tbl["s"].to_numpy(zero_copy_only=False)
+        e = tbl["e"].to_numpy(zero_copy_only=False)
+        outs = []
+        ends = np.append(starts[1:], len(bucket))
+        for p, q in zip(starts, ends):  # per bucket in this partition
+            bs, be, bi = s[p:q], e[p:q], ids[p:q]
+            n = q - p
+            if n < 2:
+                continue
+            order = np.lexsort((bi, bs))
+            bs, be, bi = bs[order], be[order], bi[order]
+            maxlen = int(np.max(be - bs))
+            lo = np.searchsorted(bs, bs - maxlen, side="left")
+            cnt = np.arange(n) - lo
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            i_idx = np.repeat(np.arange(n), cnt)
+            ofs = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+            j_idx = np.arange(total) - np.repeat(ofs, cnt) + np.repeat(
+                lo, cnt
+            )
+            keep = be[j_idx] > bs[i_idx]
+            # canonical bucket: this one must contain max(s) = s_i
+            keep &= (bs[i_idx] // W) == bucket[p]
+            i_idx, j_idx = i_idx[keep], j_idx[keep]
+            ia = np.minimum(bi[i_idx], bi[j_idx])
+            ib = np.maximum(bi[i_idx], bi[j_idx])
+            ov = np.minimum(be[i_idx], be[j_idx]) - bs[i_idx]
+            outs.append(
+                pa.table(
+                    {
+                        "id_a": pa.array(ia),
+                        "id_b": pa.array(ib),
+                        "overlap_us": pa.array(ov),
+                    },
+                    schema=out_schema,
+                )
+            )
+        if not outs:
+            return out_schema.empty_table()
+        return pa.concat_tables(outs)
+
+    from .shuffle import hash_group_apply
+
+    if isinstance(intervals, pa.Table):
+        rep = replicate(intervals)
+    else:
+        rep = intervals.map_batches(
+            replicate, batch_format="pyarrow", zero_copy_batch=True
+        )
+    return hash_group_apply(rep, ["bucket"], pairs, sort_cols=("s", "iid"))

@@ -4080,6 +4080,98 @@ def _langid_sql() -> str:
         """
 
 
+HULL_G = 8  # hull groups; doc_ids < 2^20 ⇒ no coordinate collisions
+
+IVJ_BUCKET_US = 1 << 28  # ≈ 4.5 min; must stay ≥ the max duration
+IVJ_DUR_UNIT = 1_000_000  # 1 s in µs
+IVJ_DUR_MOD = 240  # durations 1..240 s → avg pair fan-out stays O(1)
+
+
+def q_hull_diameter(sf_dir: str):
+    """Exact per-group convex-hull diameter (ops/hull): squared
+    diameter + lexicographic-min achieving id pair over integer-
+    lattice points derived from doc_id. The hull is an algebraic
+    partial reduction (hull(A∪B) = hull(hull A ∪ hull B)), so each
+    block ships only its per-group hull vertices (O(log m) for random
+    points) and the corpus never shuffles. All-integer cross products
+    and distances → bit-exact vs the O(n²) SQL self-join oracle."""
+    from .ops.hull import grouped_hull_diameter
+
+    def pts(b: pa.Table) -> pa.Table:
+        k = b["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "grp": pa.array((k % HULL_G).astype(np.int64)),
+                "id": b["doc_id"],
+                "x": pa.array(((k * AX + BX) % EXTENT).astype(np.int64)),
+                "y": pa.array(((k * AY + BY) % EXTENT).astype(np.int64)),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        pts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_hull_diameter(ds)
+
+
+def q_pareto(sf_dir: str):
+    """2-D Pareto frontier (ops/pareto.pareto_front) over orders:
+    maximize (price cents, affine-derived score). Dominance is an
+    algebraic partial reduction — each block emits its local frontier
+    (O(log n) expected rows), driver finishes; the corpus never
+    shuffles. The vectorized survivor rule is mirrored token-for-token
+    by the oracle's per-d1 max + strict-prefix running max windows."""
+    from .ops.pareto import pareto_front
+
+    def dims(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy()
+        d1 = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+        )
+        d2 = (k * AX + BX) % EXTENT
+        return pa.table(
+            {
+                "id": b["o_orderkey"],
+                "d1": d1,
+                "d2": pa.array(d2.astype(np.int64)),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        dims, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pareto_front(ds)
+
+
+def q_interval_pairs(sf_dir: str):
+    """Interval-overlap self-join (ops/temporal.interval_overlap_join)
+    over event availability windows (1..240 s from event_id): all
+    strictly-overlapping pairs with exact overlap length. The temporal
+    analogue of the dwithin grid join — ≤2× bucket replication of a
+    32 B projection, ONE keyed shuffle, vectorized window expansion
+    per partition, structural canonical-bucket dedup (no pair-level
+    distinct). All-integer µs arithmetic → bit-exact vs the SQL
+    inequality self-join oracle."""
+    from .ops.temporal import interval_overlap_join
+
+    def iv(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["ts"], pa.int64())
+        k = b["event_id"].to_numpy()
+        dur = (1 + (k % IVJ_DUR_MOD)) * IVJ_DUR_UNIT
+        return pa.table(
+            {
+                "id": b["event_id"],
+                "s": s,
+                "e": pc.add(s, pa.array(dur.astype(np.int64))),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"]).map_batches(
+        iv, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return interval_overlap_join(ds, IVJ_BUCKET_US)
+
+
 def query_registry():
     """name → callable(sf_dir) for every shipped pipeline — the single
     source of truth shared by the driver contract (__ray_entry__.py)
@@ -4185,6 +4277,9 @@ def query_registry():
         "pack": q_pack,
         "bm25": q_bm25,
         "bm25_multi": q_bm25_multi,
+        "hull_diameter": q_hull_diameter,
+        "pareto": q_pareto,
+        "interval_pairs": q_interval_pairs,
         # rows-only (non-SQL-expressible: hash/LSH/model-ish ops)
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -4825,6 +4920,52 @@ def oracle_queries() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
               AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
                   <= {DWITHIN_R * DWITHIN_R}
+        """,
+        "hull_diameter": f"""
+            WITH p AS (
+              SELECT doc_id % {HULL_G} AS grp, doc_id AS id,
+                     (doc_id * {AX} + {BX}) % {EXTENT} AS x,
+                     (doc_id * {AY} + {BY}) % {EXTENT} AS y
+              FROM documents),
+            pr AS (
+              SELECT a.grp AS grp, a.id AS ia, b.id AS ib,
+                     (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+              FROM p a JOIN p b ON a.grp = b.grp AND a.id < b.id),
+            mx AS (SELECT grp, max(d2) AS diam2 FROM pr GROUP BY grp)
+            SELECT grp, diam2, id_a, id_b FROM (
+              SELECT pr.grp, mx.diam2, pr.ia AS id_a, pr.ib AS id_b,
+                     row_number() OVER (PARTITION BY pr.grp
+                                        ORDER BY pr.ia, pr.ib) AS rn
+              FROM pr JOIN mx ON pr.grp = mx.grp AND pr.d2 = mx.diam2)
+            WHERE rn = 1
+        """,
+        "pareto": f"""
+            WITH p AS (
+              SELECT o_orderkey AS id,
+                     CAST(round(o_totalprice * 100, 0) AS BIGINT) AS d1,
+                     (o_orderkey * {AX} + {BX}) % {EXTENT} AS d2
+              FROM orders),
+            w AS (
+              SELECT id, d1, d2,
+                     max(d2) OVER (PARTITION BY d1) AS gmax,
+                     max(d2) OVER (ORDER BY d1 DESC
+                                   RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS run
+              FROM p)
+            SELECT id, d1, d2 FROM w
+            WHERE d2 = gmax AND (run IS NULL OR d2 > run)
+            ORDER BY d1 DESC, d2 DESC, id
+        """,
+        "interval_pairs": f"""
+            WITH iv AS (
+              SELECT event_id AS id, epoch_us(ts) AS s,
+                     epoch_us(ts) + (1 + event_id % {IVJ_DUR_MOD})
+                         * {IVJ_DUR_UNIT} AS e
+              FROM events)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+            FROM iv a, iv b
+            WHERE a.id < b.id AND a.s < b.e AND b.s < a.e
         """,
         "label_centroids": f"""
             WITH e AS (
