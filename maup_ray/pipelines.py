@@ -4172,6 +4172,54 @@ def q_interval_pairs(sf_dir: str):
     return interval_overlap_join(ds, IVJ_BUCKET_US)
 
 
+AUDIO_FRAME = 256  # samples per feature frame (divides every length)
+AUDIO_DECIM = 4  # resample stride (divides every length)
+
+# Synth-audio id→sample arithmetic, mirrored into the DuckDB oracles
+# (synth/audio.py is the single source of truth for the values).
+from .synth.audio import AUD_BASE as _AUD_BASE  # noqa: E402
+from .synth.audio import AUD_MOD as _AUD_MOD  # noqa: E402
+from .synth.audio import AUD_STEP as _AUD_STEP  # noqa: E402
+from .synth.audio import AXA as _AXA  # noqa: E402
+from .synth.audio import BA as _BA  # noqa: E402
+from .synth.audio import CA as _CA  # noqa: E402
+
+
+def q_audio_energy(sf_dir: str):
+    """Audio modality plumbing + features: synth WAV table sized from
+    documents → stage-local RIFF/PCM16 decode → per-frame exact int64
+    energy + zero-crossing rows (media/audio.audio_frame_features).
+    The payload round-trips through the from-scratch codec inside the
+    stage; only 32 B feature rows leave it. The oracle re-derives the
+    samples from the id arithmetic (synth/audio.py docstring) and
+    mirrors the i//frame crossing attribution."""
+    import pyarrow.parquet as pq
+
+    from .media.audio import audio_frame_features
+    from .synth.audio import audio_dataset
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return audio_frame_features(audio_dataset(n), frame=AUDIO_FRAME)
+
+
+def q_audio_resample(sf_dir: str):
+    """Audio transform round-trip: synth WAV → stride-decimate ×4 and
+    RE-ENCODE as WAV (media/audio.resample_audio) → second decode →
+    per-recording position-weighted exact checksum
+    (media/audio.decimated_checksum). Exercises decode→transform→
+    encode→decode composition entirely inside stages; the oracle
+    computes the same Σ(j+1)·v[4j] from the id arithmetic."""
+    import pyarrow.parquet as pq
+
+    from .media.audio import decimated_checksum, resample_audio
+    from .synth.audio import audio_dataset
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return decimated_checksum(
+        resample_audio(audio_dataset(n), AUDIO_DECIM)
+    )
+
+
 def query_registry():
     """name → callable(sf_dir) for every shipped pipeline — the single
     source of truth shared by the driver contract (__ray_entry__.py)
@@ -4280,6 +4328,8 @@ def query_registry():
         "hull_diameter": q_hull_diameter,
         "pareto": q_pareto,
         "interval_pairs": q_interval_pairs,
+        "audio_energy": q_audio_energy,
+        "audio_resample": q_audio_resample,
         # rows-only (non-SQL-expressible: hash/LSH/model-ish ops)
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -4955,6 +5005,43 @@ def oracle_queries() -> dict[str, str]:
             SELECT id, d1, d2 FROM w
             WHERE d2 = gmax AND (run IS NULL OR d2 > run)
             ORDER BY d1 DESC, d2 DESC, id
+        """,
+        "audio_energy": f"""
+            WITH spec AS (
+              SELECT doc_id AS id,
+                     {_AUD_BASE} + (doc_id % {_AUD_MOD}) * {_AUD_STEP}
+                         AS n
+              FROM documents),
+            s AS (
+              SELECT id, i,
+                     (id * {_AXA} + i * {_CA} + {_BA}) % 65536 - 32768
+                         AS v
+              FROM (SELECT id, unnest(range(0, n)) AS i FROM spec)),
+            p AS (
+              SELECT id, i, v,
+                     lag(v) OVER (PARTITION BY id ORDER BY i) AS pv
+              FROM s)
+            SELECT id AS audio_id, i // {AUDIO_FRAME} AS frame,
+                   CAST(sum(v * v) AS BIGINT) AS energy,
+                   CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS crossings
+            FROM p GROUP BY id, i // {AUDIO_FRAME}
+        """,
+        "audio_resample": f"""
+            WITH spec AS (
+              SELECT doc_id AS id,
+                     ({_AUD_BASE} + (doc_id % {_AUD_MOD}) * {_AUD_STEP})
+                         // {AUDIO_DECIM} AS m
+              FROM documents),
+            d AS (
+              SELECT id, j,
+                     (id * {_AXA} + (j * {AUDIO_DECIM}) * {_CA} + {_BA})
+                         % 65536 - 32768 AS v
+              FROM (SELECT id, unnest(range(0, m)) AS j FROM spec))
+            SELECT id AS audio_id, CAST(count(*) AS BIGINT) AS n_out,
+                   CAST(sum((j + 1) * v) AS BIGINT) AS psum
+            FROM d GROUP BY id
         """,
         "interval_pairs": f"""
             WITH iv AS (
