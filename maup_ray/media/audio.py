@@ -27,7 +27,12 @@ __all__ = [
     "audio_frame_features",
     "resample_audio",
     "decimated_checksum",
+    "audio_fingerprint",
+    "audio_near_dup",
 ]
+
+FP_SEGMENTS = 64  # fingerprint segments (one bit per segment)
+FP_WINDOW = 2048  # samples covered by the fingerprint (min row length)
 
 _FEAT_SCHEMA = pa.schema(
     [
@@ -160,4 +165,68 @@ def decimated_checksum(ds, bytes_col: str = "bytes",
 
     return ds.map_batches(
         stage, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def audio_fingerprint(ds, bytes_col: str = "bytes",
+                      id_col: str = "audio_id"):
+    """64-bit energy-contour fingerprint rows ``(audio_id, sig)`` —
+    the audio sibling of the image phash: the first ``FP_WINDOW``
+    samples split into ``FP_SEGMENTS`` equal segments, exact int64
+    energy per segment, bit k = ``e[k] > e[(k+1) % 64]``. Robust to
+    small amplitude perturbations (a ±1 sample change moves a segment
+    energy by ~2·|v| ≪ typical inter-segment gaps) while unrelated
+    recordings land on independent 64-bit patterns.
+
+    Recordings shorter than ``FP_WINDOW`` are zero-padded (trailing
+    empty segments hash deterministically). The signature is int64
+    (the uint64 bit pattern viewed signed) to match the engine's
+    signature_near_dup / hamming_candidates conventions."""
+    seg = FP_WINDOW // FP_SEGMENTS
+    shifts = np.arange(FP_SEGMENTS, dtype=np.uint64)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sigs = np.empty(len(ids), dtype=np.int64)
+        for r, buf in enumerate(batch[bytes_col]):
+            m = _mono(buf).astype(np.int64)
+            if len(m) < FP_WINDOW:
+                m = np.pad(m, (0, FP_WINDOW - len(m)))
+            e = (
+                (m[:FP_WINDOW] * m[:FP_WINDOW])
+                .reshape(FP_SEGMENTS, seg)
+                .sum(axis=1)
+            )
+            bits = (e > np.roll(e, -1)).astype(np.uint64)
+            sigs[r] = (bits << shifts).sum(dtype=np.uint64).astype(
+                np.uint64
+            ).view(np.int64)
+        return pa.table(
+            {
+                "audio_id": pa.array(ids, type=pa.int64()),
+                "sig": pa.array(sigs),
+            }
+        )
+
+    return ds.map_batches(
+        stage, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def audio_near_dup(ds, max_hamming: int = 2, **kwargs):
+    """Near-duplicate audio CLUSTERS ``(audio_id, cluster_id)`` —
+    fingerprint inside the stage (payload never leaves it), then the
+    generic distributed signature clustering shared with the image /
+    video families (media/image.signature_near_dup: exact-class rep
+    reduction → quarter-pigeonhole hamming → BSP components →
+    measured-size tag-back)."""
+    from .image import signature_near_dup
+
+    sigs = audio_fingerprint(ds).materialize()
+    return signature_near_dup(
+        sigs,
+        id_col="audio_id",
+        sig_col="sig",
+        max_hamming=max_hamming,
+        **kwargs,
     )

@@ -35,6 +35,7 @@ __all__ = [
     "grouped_concat",
     "grouped_ntile",
     "grouped_latest",
+    "grouped_ohlc",
     "grouped_percent_rank",
     "global_row_number",
 ]
@@ -407,3 +408,116 @@ def grouped_percent_rank(
         )
 
     return hash_group_apply(pruned, keys, rank_part, sort_cols=[value_col])
+
+
+def grouped_ohlc(ds, key_cols, order_cols, value_col: str):
+    """Per-key open/high/low/close/count over an ordered stream — the
+    time-bucket candlestick shape (SQL: first/last by window order +
+    min/max/count per group).
+
+    ``order_cols`` must totalize order within a key (include a unique
+    tie-break). Scale shape: each batch PRE-COMBINES to one row per
+    key (one Arrow sort, group-boundary takes, min/max reduceat), so
+    the keyed exchange moves ≤ 1 row per key × block; the per-partition
+    final runs the identical merge. open/close are SELECTIONS and
+    high/low/n are semigroup merges — all order-independent given the
+    total order, hence partition-invariant; no float arithmetic ever
+    touches the values, so doubles stay bit-exact vs the SQL oracle.
+
+    Output columns: keys + [open, high, low, close, n].
+    """
+    keys = list(key_cols)
+    order = list(order_cols)
+    o_cols = [f"_o_{c}" for c in order]
+    c_cols = [f"_c_{c}" for c in order]
+    part_cols = keys + o_cols + ["open"] + c_cols + [
+        "close", "high", "low", "n",
+    ]
+
+    def _combine(t: pa.Table) -> pa.Table:
+        """t must carry keys + o_cols + c_cols + open/close/high/low/n
+        and be sorted by keys + o_cols; merges partials (or first-pass
+        rows where open==close==value, n==1) to one row per key."""
+        n = len(t)
+        starts = group_starts(t, keys)
+        ends = np.append(starts[1:], n)
+        st = pa.array(starts)
+        hi = np.maximum.reduceat(
+            t["high"].to_numpy(zero_copy_only=False), starts
+        )
+        lo = np.minimum.reduceat(
+            t["low"].to_numpy(zero_copy_only=False), starts
+        )
+        cnt = np.add.reduceat(
+            t["n"].to_numpy(zero_copy_only=False), starts
+        )
+        # close side needs the (order DESC) extreme — re-sort by the
+        # close-order columns; the key-major group layout (and hence
+        # `starts`) is identical, only rows within a group permute
+        tc = t.sort_by([(c, "ascending") for c in keys + c_cols])
+        en = pa.array(ends - 1)
+        cols = {k: t[k].take(st) for k in keys}
+        for c in o_cols:
+            cols[c] = t[c].take(st)
+        cols["open"] = t["open"].take(st)
+        for c in c_cols:
+            cols[c] = tc[c].take(en)
+        cols["close"] = tc["close"].take(en)
+        cols["high"] = pa.array(hi)
+        cols["low"] = pa.array(lo)
+        cols["n"] = pa.array(cnt)
+        return pa.table(cols).select(part_cols)
+
+    def first_pass(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys + order + [value_col]).combine_chunks()
+        t = t.sort_by([(c, "ascending") for c in keys + order])
+        if len(t) == 0:
+            return pa.table(
+                {
+                    **{k: t[k] for k in keys},
+                    **{c: t[o] for c, o in zip(o_cols, order)},
+                    "open": t[value_col],
+                    **{c: t[o] for c, o in zip(c_cols, order)},
+                    "close": t[value_col],
+                    "high": t[value_col],
+                    "low": t[value_col],
+                    "n": pa.array([], type=pa.int64()),
+                }
+            ).select(part_cols)
+        v = t[value_col]
+        cols = {k: t[k] for k in keys}
+        for c, o in zip(o_cols, order):
+            cols[c] = t[o]
+        cols["open"] = v
+        for c, o in zip(c_cols, order):
+            cols[c] = t[o]
+        cols["close"] = v
+        cols["high"] = v
+        cols["low"] = v
+        cols["n"] = pa.array(
+            np.ones(len(t), dtype=np.int64), type=pa.int64()
+        )
+        return _combine(pa.table(cols).select(part_cols))
+
+    partials = (
+        first_pass(ds)
+        if isinstance(ds, pa.Table)
+        else ds.map_batches(
+            first_pass, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    out_fields = keys + ["open", "high", "low", "close", "n"]
+
+    def reduce_part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None:
+            return pa.schema(
+                [pa.field(c, pa.int64()) for c in out_fields]
+            ).empty_table()
+        if len(tbl) == 0:
+            return tbl.select(out_fields)
+        return _combine(tbl).select(out_fields)
+
+    if isinstance(partials, pa.Table):
+        return partials.select(out_fields)
+    return hash_group_apply(partials, keys, reduce_part, sort_cols=o_cols)

@@ -4220,6 +4220,115 @@ def q_audio_resample(sf_dir: str):
     )
 
 
+def q_audio_dedup(sf_dir: str):
+    """Near-duplicate audio CLUSTERS (rows-only: the energy-contour
+    fingerprint is not SQL-expressible): synth audio with planted
+    4-member near-dup classes (members differ by ±1-amplitude sample
+    perturbations — NOT byte-identical, so exact dedup misses them) →
+    stage-local decode + fingerprint → the generic distributed
+    signature clustering shared with image/video
+    (media/image.signature_near_dup)."""
+    import pyarrow.parquet as pq
+
+    from .media.audio import audio_near_dup
+    from .synth.audio import audio_dataset
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return audio_near_dup(audio_dataset(2 * n, dup_group=4)).sort(
+        "audio_id"
+    )
+
+
+def q_ohlc(sf_dir: str):
+    """Time-bucket OHLC candlesticks per (event_type, hour): open /
+    close by (ts, event_id) window order, high/low/count — one
+    per-batch pre-combine to ≤1 row per key × block, one keyed
+    exchange, identical merge per partition (ops/window.grouped_ohlc).
+    open/close are selections and high/low semigroup merges, so the
+    double values are bit-exact vs the row_number() window oracle."""
+    from .ops.window import grouped_ohlc
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "hour", pc.floor_temporal(batch["ts"], unit="hour")
+        )
+
+    out = grouped_ohlc(
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True),
+        key_cols=["event_type", "hour"],
+        order_cols=["ts", "event_id"],
+        value_col="value",
+    )
+    return out
+
+
+def q_skewkurt(sf_dir: str):
+    """Exact grouped skewness + kurtosis (l_quantity per returnflag):
+    integer moment partials Σx..Σx⁴ per block (Arrow group_by),
+    arbitrary-precision Python-int driver merge (n³·Σx⁴ overflows
+    int64 at web scale), then ONE fixed IEEE expression per output
+    mirrored token-for-token by the oracle. The mirrored forms are the
+    exact-integer identities skew = N3/D2^{3/2} with
+    N3 = n²Σx³ − 3nΣxΣx² + 2(Σx)³, D2 = nΣx² − (Σx)², and
+    kurt = N4/D2² with N4 = n³Σx⁴ − 4n²ΣxΣx³ + 6n(Σx)²Σx² − 3(Σx)⁴
+    (the n-powers cancel algebraically — same discipline as covar)."""
+    import math
+
+    from .ops.agg import grouped_sums_exact
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        x2 = pc.multiply(x, x)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "s1": x,
+                "s2": x2,
+                "s3": pc.multiply(x2, x),
+                "s4": pc.multiply(x2, x2),
+            }
+        )
+
+    rows = grouped_sums_exact(
+        ds.map_batches(
+            moments, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["l_returnflag"],
+        sum_cols=["s1", "s2", "s3", "s4"],
+        count_col="n",
+    )
+    out = {"l_returnflag": [], "n": [], "skew_pop": [], "kurt_pop": []}
+    for r in sorted(rows, key=lambda r: r["l_returnflag"]):
+        n, s1, s2 = int(r["n"]), int(r["s1"]), int(r["s2"])
+        s3, s4 = int(r["s3"]), int(r["s4"])
+        d2 = n * s2 - s1 * s1
+        n3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3
+        n4 = (
+            n**3 * s4
+            - 4 * n * n * s1 * s3
+            + 6 * n * s1 * s1 * s2
+            - 3 * s1**4
+        )
+        out["l_returnflag"].append(r["l_returnflag"])
+        out["n"].append(n)
+        out["skew_pop"].append(
+            float(n3) / (float(d2) * math.sqrt(float(d2)))
+        )
+        out["kurt_pop"].append(float(n4) / float(d2 * d2))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+            "skew_pop": pa.array(out["skew_pop"], type=pa.float64()),
+            "kurt_pop": pa.array(out["kurt_pop"], type=pa.float64()),
+        }
+    )
+
+
 def query_registry():
     """name → callable(sf_dir) for every shipped pipeline — the single
     source of truth shared by the driver contract (__ray_entry__.py)
@@ -4330,6 +4439,8 @@ def query_registry():
         "interval_pairs": q_interval_pairs,
         "audio_energy": q_audio_energy,
         "audio_resample": q_audio_resample,
+        "ohlc": q_ohlc,
+        "skewkurt": q_skewkurt,
         # rows-only (non-SQL-expressible: hash/LSH/model-ish ops)
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -4344,6 +4455,7 @@ def query_registry():
         "image_phash": q_image_phash,
         "image_doctor": q_image_doctor,
         "image_dedup": q_image_dedup,
+        "audio_dedup": q_audio_dedup,
         "video_frames": q_video_frames,
         "video_dedup": q_video_dedup,
         # repair family (rows-only; pytest brute-force oracles)
@@ -5042,6 +5154,55 @@ def oracle_queries() -> dict[str, str]:
             SELECT id AS audio_id, CAST(count(*) AS BIGINT) AS n_out,
                    CAST(sum((j + 1) * v) AS BIGINT) AS psum
             FROM d GROUP BY id
+        """,
+        "ohlc": """
+            WITH b AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour,
+                     ts, event_id, value
+              FROM events),
+            w AS (
+              SELECT *,
+                row_number() OVER (PARTITION BY event_type, hour
+                                   ORDER BY ts, event_id) AS ra,
+                row_number() OVER (PARTITION BY event_type, hour
+                                   ORDER BY ts DESC, event_id DESC) AS rd
+              FROM b)
+            SELECT event_type, hour,
+                   max(CASE WHEN ra = 1 THEN value END) AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   max(CASE WHEN rd = 1 THEN value END) AS close,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM w GROUP BY event_type, hour
+        """,
+        "skewkurt": """
+            WITH m AS (
+              SELECT l_returnflag,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS s1,
+                     CAST(sum(x * x) AS HUGEINT) AS s2,
+                     CAST(sum(x * x * x) AS HUGEINT) AS s3,
+                     CAST(sum(x * x * x * x) AS HUGEINT) AS s4
+              FROM (SELECT l_returnflag,
+                           CAST(round(l_quantity) AS BIGINT) AS x
+                    FROM lineitem)
+              GROUP BY l_returnflag),
+            i AS (
+              SELECT l_returnflag, n,
+                     n * s2 - s1 * s1 AS d2,
+                     n * n * s3 - 3 * n * s1 * s2
+                         + 2 * s1 * s1 * s1 AS n3,
+                     n * n * n * s4 - 4 * n * n * s1 * s3
+                         + 6 * n * s1 * s1 * s2
+                         - 3 * s1 * s1 * s1 * s1 AS n4
+              FROM m)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   CAST(n3 AS DOUBLE)
+                       / (CAST(d2 AS DOUBLE)
+                          * sqrt(CAST(d2 AS DOUBLE))) AS skew_pop,
+                   CAST(n4 AS DOUBLE) / CAST(d2 * d2 AS DOUBLE)
+                       AS kurt_pop
+            FROM i
         """,
         "interval_pairs": f"""
             WITH iv AS (

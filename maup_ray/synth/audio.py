@@ -33,6 +33,7 @@ __all__ = [
     "CA",
     "gen_audio_batch",
     "audio_samples",
+    "dup_samples",
     "audio_dataset",
 ]
 
@@ -59,13 +60,37 @@ def audio_samples(audio_id: int, n: int | None = None) -> np.ndarray:
     return v.astype(np.int16)
 
 
-def gen_audio_batch(ids: np.ndarray) -> pa.Table:
+def dup_samples(audio_id: int, dup_group: int) -> np.ndarray:
+    """Near-duplicate waveform: members of one ``dup_group``-sized id
+    range share the BASE id's content; non-base members additionally
+    flip the low bit of every 997th sample (offset by their rank in
+    the class) — a ±1-amplitude perturbation, so members are NOT
+    byte-identical yet fingerprint-identical (segment-energy
+    comparisons are robust to ±1 sample changes)."""
+    g = int(dup_group)
+    base = (audio_id // g) * g
+    n = int(n_samples_for(np.asarray([audio_id]))[0])
+    v = audio_samples(base, n)
+    off = audio_id - base
+    if off:
+        v = v.copy()
+        v[off::997] ^= 1
+    return v
+
+
+def gen_audio_batch(ids: np.ndarray, dup_group: int = 1) -> pa.Table:
     ids = np.asarray(ids, dtype=np.int64)
     ns = n_samples_for(ids)
-    bufs = [
-        encode_wav(audio_samples(int(k), int(n)), AUD_RATE)
-        for k, n in zip(ids, ns)
-    ]
+    if dup_group > 1:
+        bufs = [
+            encode_wav(dup_samples(int(k), dup_group), AUD_RATE)
+            for k in ids
+        ]
+    else:
+        bufs = [
+            encode_wav(audio_samples(int(k), int(n)), AUD_RATE)
+            for k, n in zip(ids, ns)
+        ]
     return pa.table(
         {
             "audio_id": pa.array(ids, type=pa.int64()),
@@ -79,13 +104,17 @@ def gen_audio_batch(ids: np.ndarray) -> pa.Table:
     )
 
 
-def audio_dataset(n: int, **read_kwargs):
+def audio_dataset(n: int, dup_group: int = 1, **read_kwargs):
     """Streaming Ray Dataset of n synthetic audio rows — generated
-    inside map_batches so no driver-side materialization."""
+    inside map_batches so no driver-side materialization.
+    ``dup_group > 1`` plants near-duplicate classes (see
+    :func:`dup_samples`)."""
     import ray.data
 
+    g = int(dup_group)
+
     def gen(batch: pa.Table) -> pa.Table:
-        return gen_audio_batch(batch.column("id").to_numpy())
+        return gen_audio_batch(batch.column("id").to_numpy(), dup_group=g)
 
     return ray.data.range(n, **read_kwargs).map_batches(
         gen, batch_format="pyarrow", zero_copy_batch=True

@@ -171,3 +171,48 @@ def _as_dataset(t: pa.Table):
     import ray.data
 
     return ray.data.from_arrow(t)
+
+
+# --------------------------------------------------------- near-dup
+
+
+def test_dup_samples_perturbed_not_identical():
+    from maup_ray.synth.audio import dup_samples
+
+    base = dup_samples(8, 4)
+    mem = dup_samples(9, 4)
+    n = min(len(base), len(mem))
+    assert (base[:n] != mem[:n]).any()  # not byte-identical
+    # perturbation is ±1 on a sparse stride
+    d = np.abs(base[:n].astype(np.int32) - mem[:n].astype(np.int32))
+    assert d.max() == 1 and (d > 0).sum() <= n // 997 + 1
+
+
+def test_fingerprint_stable_within_class(ray_session):
+    from maup_ray.media.audio import audio_fingerprint
+    from maup_ray.synth.audio import audio_dataset
+
+    sigs = (
+        audio_fingerprint(audio_dataset(16, dup_group=4))
+        .to_pandas()
+        .sort_values("audio_id")
+    )
+    by_class = sigs.groupby(sigs.audio_id // 4).sig.nunique()
+    assert (by_class == 1).all()  # members share the signature
+    # distinct classes land on distinct signatures
+    assert sigs.groupby(sigs.audio_id // 4).sig.first().nunique() == 4
+
+
+def test_audio_near_dup_clusters(ray_session):
+    from maup_ray.media.audio import audio_near_dup
+    from maup_ray.synth.audio import audio_dataset
+
+    out = (
+        audio_near_dup(audio_dataset(24, dup_group=4))
+        .to_pandas()
+        .sort_values("audio_id")
+        .reset_index(drop=True)
+    )
+    # every row belongs to the cluster anchored at its class base
+    assert (out.cluster_id == (out.audio_id // 4) * 4).all()
+    assert len(out) == 24  # all rows are members of some dup class

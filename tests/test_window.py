@@ -530,3 +530,115 @@ class TestGlobalRowNumber:
         assert sorted(got["rank"].tolist()) == list(range(1, n + 1))
         # ascending id ⇒ rank == id + 1
         assert (got["rank"] == got["id"] + 1).all()
+
+
+class TestGroupedOhlc:
+    def _mk(self, n=500, seed=3):
+        rng = np.random.default_rng(seed)
+        return pa.table(
+            {
+                "k": pa.array(rng.integers(0, 7, n)),
+                "ts": pa.array(rng.integers(0, 40, n)),
+                "id": pa.array(np.arange(n, dtype=np.int64)),
+                "v": pa.array(rng.normal(size=n)),
+            }
+        )
+
+    def _brute(self, t):
+        df = t.to_pandas().sort_values(["k", "ts", "id"])
+        g = df.groupby("k")
+        out = pd.DataFrame(
+            {
+                "open": g["v"].first(),
+                "high": g["v"].max(),
+                "low": g["v"].min(),
+                "close": g["v"].last(),
+                "n": g["v"].size().astype("int64"),
+            }
+        ).reset_index()
+        return out.sort_values("k").reset_index(drop=True)
+
+    def test_matches_brute(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.window import grouped_ohlc
+
+        t = self._mk()
+        got = (
+            grouped_ohlc(
+                ray.data.from_arrow(t).repartition(5),
+                ["k"],
+                ["ts", "id"],
+                "v",
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+            .rename(columns={"k": "k"})
+        )
+        want = self._brute(t)
+        pd.testing.assert_frame_equal(
+            got[["k", "open", "high", "low", "close", "n"]], want
+        )
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.window import grouped_ohlc
+
+        t = self._mk(seed=11)
+        outs = []
+        for parts in (1, 3, 9):
+            out = (
+                grouped_ohlc(
+                    ray.data.from_arrow(t).repartition(parts),
+                    ["k"],
+                    ["ts", "id"],
+                    "v",
+                )
+                .to_pandas()
+                .sort_values("k")
+                .reset_index(drop=True)
+            )
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        pd.testing.assert_frame_equal(outs[0], outs[2])
+
+    def test_table_input(self):
+        from maup_ray.ops.window import grouped_ohlc
+
+        t = self._mk(n=40, seed=5)
+        got = (
+            grouped_ohlc(t, ["k"], ["ts", "id"], "v")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["k", "open", "high", "low", "close", "n"]],
+            self._brute(t),
+        )
+
+
+class TestSkewKurt:
+    def test_matches_scipy_formula(self, ray_session):
+        from maup_ray.pipelines import q_skewkurt
+
+        got = q_skewkurt("/root/testdata/sf0.001").to_pandas()
+        import duckdb
+
+        df = duckdb.connect().execute(
+            "SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) x "
+            "FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+        ).df()
+        for _, row in got.iterrows():
+            x = df[df.l_returnflag == row.l_returnflag].x.to_numpy(
+                dtype=np.float64
+            )
+            m = x.mean()
+            m2 = ((x - m) ** 2).mean()
+            m3 = ((x - m) ** 3).mean()
+            m4 = ((x - m) ** 4).mean()
+            assert row.n == len(x)
+            assert row.skew_pop == pytest.approx(m3 / m2**1.5, rel=1e-9)
+            assert row.kurt_pop == pytest.approx(m4 / m2**2, rel=1e-9)
