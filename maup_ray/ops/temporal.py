@@ -39,6 +39,7 @@ __all__ = [
     "asof_join",
     "range_join_agg",
     "lag_deltas",
+    "time_weighted_avg",
     "running_total",
     "merge_intervals",
     "interval_overlap_join",
@@ -803,3 +804,103 @@ def interval_overlap_join(
             replicate, batch_format="pyarrow", zero_copy_batch=True
         )
     return hash_group_apply(rep, ["bucket"], pairs, sort_cols=("s", "iid"))
+
+
+def time_weighted_avg(
+    events,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value_cents",
+):
+    """Per-key time-weighted average (TWAP): each value holds from its
+    event until the key's NEXT event; the last event carries zero
+    duration. Output rows ``(key, n, num, span_us, twap)`` where
+    ``num = Σ vᵢ·(tᵢ₊₁−tᵢ)`` and ``span_us = t_last − t_first`` are
+    exact int64 and ``twap = num / span_us`` is ONE correctly-rounded
+    IEEE division (null when the key has a single event / zero span).
+
+    Scale shape: same as :func:`lag_deltas` — one key-hash shuffle of
+    the pruned ``(key, ts, id, value)`` projection, one Arrow sort +
+    one vectorized diff/reduceat pass per partition. ``value_col``
+    must be int64 (pre-quantize floats upstream — the exactness
+    contract needs integer products). Overflow bound: per-key
+    ``Σ|v|·dur ≤ max|v| · span_us`` (the durations telescope), so
+    int64 holds to |v|·span ≤ 2^63 — e.g. 10⁶ cents over ~290 years;
+    guard-checked per partition.
+    """
+    from .shuffle import group_starts, hash_group_apply
+
+    cols = [key_col, ts_col, id_col, value_col]
+
+    def prune(b: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(b.schema.field(value_col).type):
+            raise TypeError(
+                f"time_weighted_avg needs an integer {value_col!r}; "
+                "quantize floats upstream"
+            )
+        return b.select(cols)
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        key_t = (
+            tbl.schema.field(key_col).type if tbl is not None else pa.int64()
+        )
+        schema = pa.schema(
+            [
+                (key_col, key_t),
+                ("n", pa.int64()),
+                ("num", pa.int64()),
+                ("span_us", pa.int64()),
+                ("twap", pa.float64()),
+            ]
+        )
+        if tbl is None or len(starts) == 0:
+            return schema.empty_table()
+        ts = _ts_i64(tbl[ts_col])
+        v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ts)
+        ends = np.append(starts[1:], n)
+        dur = np.zeros(n, dtype=np.int64)
+        dur[:-1] = ts[1:] - ts[:-1]
+        dur[ends - 1] = 0  # last event of each key holds nothing
+        prod = v * dur
+        num = np.add.reduceat(prod, starts)
+        span = ts[ends - 1] - ts[starts]
+        cnt = (ends - starts).astype(np.int64)
+        # overflow guard: the reduceat ran in int64; recompute the
+        # magnitude bound exactly (max|v| per group × span)
+        vmax = np.maximum.reduceat(np.abs(v), starts)
+        if (vmax.astype(object) * span.astype(object) > 2**62).any():
+            raise OverflowError(
+                "time_weighted_avg int64 bound exceeded; rescale values"
+            )
+        zero = span == 0
+        twap = np.divide(
+            num.astype(np.float64),
+            span.astype(np.float64),
+            out=np.zeros(len(span)),
+            where=~zero,
+        )
+        return pa.table(
+            {
+                key_col: tbl[key_col].take(pa.array(starts)),
+                "n": pa.array(cnt),
+                "num": pa.array(num),
+                "span_us": pa.array(span),
+                "twap": pa.array(twap, mask=zero),
+            },
+            schema=schema,
+        )
+
+    if isinstance(events, pa.Table):
+        t = prune(events).combine_chunks().sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"),
+             (id_col, "ascending")]
+        )
+        return part(t, group_starts(t, [key_col]))
+    pruned = events.map_batches(
+        prune, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_group_apply(
+        pruned, [key_col], part, sort_cols=(ts_col, id_col)
+    )

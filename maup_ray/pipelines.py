@@ -4264,6 +4264,78 @@ def q_ohlc(sf_dir: str):
     return out
 
 
+def q_twap(sf_dir: str):
+    """Per-user time-weighted average value (TWAP): each event's value
+    holds until the user's next event; num = Σ cents·duration_us and
+    span are exact int64 (durations telescope, so the per-key bound is
+    max|v|·span — guard-checked), twap = ONE IEEE division mirrored by
+    CAST(... AS DOUBLE)/CAST(... AS DOUBLE). One key-hash shuffle of a
+    28 B/row projection (ops/temporal.time_weighted_avg)."""
+    from .ops.temporal import time_weighted_avg
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "value_cents": pc.cast(
+                    pc.round(pc.multiply(batch["value"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return time_weighted_avg(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def q_embed_dims(sf_dir: str):
+    """Per-dimension profile of the embedding list column: (dim 1-based,
+    vmin, vmax) over all vectors — per-batch (d,)-shaped min/max
+    partials off the flattened Arrow list buffer (zero-copy reshape,
+    no unnest materialization), driver merge of n_blocks × d floats.
+    min/max are SELECTIONS so float32 stays bit-exact vs the DuckDB
+    unnest/generate_subscripts oracle."""
+    from .ops.agg import grouped_sum_count  # noqa: F401 (pattern ref)
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        d = len(col[0])
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        m = flat.reshape(-1, d)
+        return pa.table(
+            {
+                "dim": pa.array(
+                    np.arange(1, d + 1, dtype=np.int64), type=pa.int64()
+                ),
+                "vmin": pa.array(m.min(axis=0), type=pa.float32()),
+                "vmax": pa.array(m.max(axis=0), type=pa.float32()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # n_blocks × d tiny partial rows
+    g = parts.groupby("dim", sort=True)
+    return pa.table(
+        {
+            "dim": pa.array(g.vmin.min().index.to_numpy(), type=pa.int64()),
+            "vmin": pa.array(
+                g.vmin.min().to_numpy(), type=pa.float32()
+            ),
+            "vmax": pa.array(
+                g.vmax.max().to_numpy(), type=pa.float32()
+            ),
+        }
+    )
+
+
 def q_skewkurt(sf_dir: str):
     """Exact grouped skewness + kurtosis (l_quantity per returnflag):
     integer moment partials Σx..Σx⁴ per block (Arrow group_by),
@@ -4441,6 +4513,8 @@ def query_registry():
         "audio_resample": q_audio_resample,
         "ohlc": q_ohlc,
         "skewkurt": q_skewkurt,
+        "twap": q_twap,
+        "embed_dims": q_embed_dims,
         # rows-only (non-SQL-expressible: hash/LSH/model-ish ops)
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -5174,6 +5248,38 @@ def oracle_queries() -> dict[str, str]:
                    max(CASE WHEN rd = 1 THEN value END) AS close,
                    CAST(count(*) AS BIGINT) AS n
             FROM w GROUP BY event_type, hour
+        """,
+        "twap": """
+            WITH b AS (
+              SELECT user_id, epoch_us(ts) AS t, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            w AS (
+              SELECT user_id, cents, t,
+                     lead(t) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id) AS nt
+              FROM b)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN nt IS NOT NULL
+                                 THEN cents * (nt - t) ELSE 0 END)
+                        AS BIGINT) AS num,
+                   CAST(max(t) - min(t) AS BIGINT) AS span_us,
+                   CASE WHEN max(t) > min(t) THEN
+                     CAST(sum(CASE WHEN nt IS NOT NULL
+                                   THEN cents * (nt - t) ELSE 0 END)
+                          AS DOUBLE)
+                     / CAST(max(t) - min(t) AS DOUBLE)
+                   END AS twap
+            FROM w GROUP BY user_id
+        """,
+        "embed_dims": """
+            SELECT dim, min(v) AS vmin, max(v) AS vmax
+            FROM (SELECT unnest(embedding) AS v,
+                         CAST(generate_subscripts(embedding, 1)
+                              AS BIGINT) AS dim
+                  FROM embeddings)
+            GROUP BY dim
         """,
         "skewkurt": """
             WITH m AS (

@@ -607,3 +607,91 @@ class TestMergeIntervals:
         got = merge_intervals(t, ["k"], "s", "e").to_pandas()
         assert len(got) == 1
         assert int(got["e"].iloc[0]) == 100
+
+
+class TestTimeWeightedAvg:
+    def _mk(self, n=400, seed=9):
+        rng = np.random.default_rng(seed)
+        return pa.table(
+            {
+                "user_id": pa.array(rng.integers(0, 20, n)),
+                "ts": pa.array(
+                    rng.integers(0, 10**7, n), type=pa.timestamp("us")
+                ),
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "value_cents": pa.array(rng.integers(-500, 500, n)),
+            }
+        )
+
+    def _brute(self, t):
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        rows = []
+        for k, g in df.groupby("user_id"):
+            ts = g.ts.astype("int64").to_numpy()
+            v = g.value_cents.to_numpy()
+            num = int((v[:-1] * np.diff(ts)).sum()) if len(ts) > 1 else 0
+            span = int(ts[-1] - ts[0])
+            rows.append(
+                (
+                    k,
+                    len(g),
+                    num,
+                    span,
+                    float(num) / float(span) if span else None,
+                )
+            )
+        return rows
+
+    def test_matches_brute(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.temporal import time_weighted_avg
+
+        t = self._mk()
+        got = (
+            time_weighted_avg(ray.data.from_arrow(t).repartition(4))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        want = self._brute(t)
+        assert len(got) == len(want)
+        for row, (k, n, num, span, twap) in zip(
+            got.itertuples(index=False), want
+        ):
+            assert (row.user_id, row.n, row.num, row.span_us) == (
+                k, n, num, span,
+            )
+            if twap is None:
+                assert pd.isna(row.twap)
+            else:
+                assert row.twap == twap  # bit-exact: one IEEE division
+
+    def test_table_input_and_float_guard(self):
+        from maup_ray.ops.temporal import time_weighted_avg
+
+        t = self._mk(n=50, seed=2)
+        out = time_weighted_avg(t).to_pandas()
+        assert len(out) == t.to_pandas().user_id.nunique()
+        bad = t.set_column(
+            3,
+            "value_cents",
+            pa.array(np.ones(50), type=pa.float64()),
+        )
+        with pytest.raises(TypeError):
+            time_weighted_avg(bad)
+
+    def test_single_event_key_null_twap(self):
+        from maup_ray.ops.temporal import time_weighted_avg
+
+        t = pa.table(
+            {
+                "user_id": pa.array([7], type=pa.int64()),
+                "ts": pa.array([123], type=pa.timestamp("us")),
+                "event_id": pa.array([0], type=pa.int64()),
+                "value_cents": pa.array([42], type=pa.int64()),
+            }
+        )
+        out = time_weighted_avg(t).to_pandas()
+        assert out.n.iloc[0] == 1 and out.span_us.iloc[0] == 0
+        assert pd.isna(out.twap.iloc[0])
