@@ -4401,6 +4401,83 @@ def q_skewkurt(sf_dir: str):
     )
 
 
+SIMP_S = 120  # bumped-square side (even; bump area = S*h/2 exactly)
+
+
+def q_simplify(sf_dir: str):
+    """Douglas–Peucker simplification (ops/simplify.simplify_geometries)
+    over synthetic bumped-square parcels derived from doc_id: each
+    parcel is a 120-square with four mid-edge bumps of integer heights
+    h_i = (doc_id·m_i + c_i) mod 6. At tol=2 a bump survives iff
+    h_i ≥ 3 (strict >, so the distance-exactly-2 bump drops) —
+    validated exhaustively over all 6⁴ height combinations against the
+    exact-rational DP reference (tests/test_simplify.py). The stage
+    runs the REAL kernel on WKB payloads (bulk synth encode →
+    simplify_geometries → decode/measure); only (doc_id, n_verts,
+    area) rows leave it. Shoelace areas on the integer lattice are
+    exact, so the oracle's closed form is bit-identical.
+
+    Scale shape: stateless row-independent map chain — nothing
+    shuffles, geometry payload never leaves the stage."""
+    from .geom.core import ring_signed_area
+    from .geom.wkb import decode_polygons, encode_rings_bulk
+    from .ops.simplify import simplify_geometries
+
+    S = SIMP_S
+
+    def build(b: pa.Table) -> pa.Table:
+        k = b["doc_id"].to_numpy()
+        n = len(k)
+        P = np.empty((n, 8, 2), dtype=np.float64)
+        P[:, 0, 0] = 0
+        P[:, 0, 1] = 0
+        P[:, 1, 0] = S // 2
+        P[:, 1, 1] = -((k * 7 + 1) % 6)
+        P[:, 2, 0] = S
+        P[:, 2, 1] = 0
+        P[:, 3, 0] = S + (k * 11 + 2) % 6
+        P[:, 3, 1] = S // 2
+        P[:, 4, 0] = S
+        P[:, 4, 1] = S
+        P[:, 5, 0] = S // 2
+        P[:, 5, 1] = S + (k * 13 + 3) % 6
+        P[:, 6, 0] = 0
+        P[:, 6, 1] = S
+        P[:, 7, 0] = -((k * 17 + 5) % 6)
+        P[:, 7, 1] = S // 2
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "geometry": encode_rings_bulk(
+                    P, np.full(n, 8, dtype=np.int64)
+                ),
+            }
+        )
+
+    def measure(b: pa.Table) -> pa.Table:
+        nv, ar = [], []
+        for v in b["geometry"]:
+            ring = decode_polygons(v.as_py())[0][0]
+            nv.append(len(ring))
+            ar.append(
+                int(ring_signed_area(np.asarray(ring, dtype=np.float64)))
+            )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_verts": pa.array(nv, type=pa.int64()),
+                "area": pa.array(ar, type=pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        build, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return simplify_geometries(ds, 2.0).map_batches(
+        measure, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def query_registry():
     """name → callable(sf_dir) for every shipped pipeline — the single
     source of truth shared by the driver contract (__ray_entry__.py)
@@ -4513,6 +4590,7 @@ def query_registry():
         "audio_resample": q_audio_resample,
         "ohlc": q_ohlc,
         "skewkurt": q_skewkurt,
+        "simplify": q_simplify,
         "twap": q_twap,
         "embed_dims": q_embed_dims,
         # rows-only (non-SQL-expressible: hash/LSH/model-ish ops)
@@ -5309,6 +5387,26 @@ def oracle_queries() -> dict[str, str]:
                    CAST(n4 AS DOUBLE) / CAST(d2 * d2 AS DOUBLE)
                        AS kurt_pop
             FROM i
+        """,
+        "simplify": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     (doc_id * 7 + 1) % 6 AS h1,
+                     (doc_id * 11 + 2) % 6 AS h2,
+                     (doc_id * 13 + 3) % 6 AS h3,
+                     (doc_id * 17 + 5) % 6 AS h4
+              FROM documents)
+            SELECT doc_id,
+                   4 + CAST(h1 >= 3 AS BIGINT) + CAST(h2 >= 3 AS BIGINT)
+                     + CAST(h3 >= 3 AS BIGINT) + CAST(h4 >= 3 AS BIGINT)
+                       AS n_verts,
+                   {SIMP_S * SIMP_S}
+                     + {SIMP_S // 2} * (
+                         (CASE WHEN h1 >= 3 THEN h1 ELSE 0 END)
+                       + (CASE WHEN h2 >= 3 THEN h2 ELSE 0 END)
+                       + (CASE WHEN h3 >= 3 THEN h3 ELSE 0 END)
+                       + (CASE WHEN h4 >= 3 THEN h4 ELSE 0 END)) AS area
+            FROM h
         """,
         "interval_pairs": f"""
             WITH iv AS (
