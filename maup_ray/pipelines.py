@@ -4403,6 +4403,99 @@ def q_skewkurt(sf_dir: str):
 
 SIMP_S = 120  # bumped-square side (even; bump area = S*h/2 exactly)
 
+# symbolic bumped-square vertices over (h1..h4) — single source of
+# truth for the engine build stage AND the generated oracle SQL
+_BUMP_VERTS = (
+    ("0", "0"),
+    (f"{SIMP_S // 2}", "0 - h1"),
+    (f"{SIMP_S}", "0"),
+    (f"{SIMP_S} + h2", f"{SIMP_S // 2}"),
+    (f"{SIMP_S}", f"{SIMP_S}"),
+    (f"{SIMP_S // 2}", f"{SIMP_S} + h3"),
+    ("0", f"{SIMP_S}"),
+    ("0 - h4", f"{SIMP_S // 2}"),
+)
+
+
+def _bumped_build(b: pa.Table) -> pa.Table:
+    """doc_id → WKB bumped-square parcel (side SIMP_S, four mid-edge
+    bumps h_i = (doc_id*m_i + c_i) mod 6) — numeric twin of
+    ``_BUMP_VERTS``; one bulk WKB encode, no per-row Python."""
+    from .geom.wkb import encode_rings_bulk
+
+    S = SIMP_S
+    k = b["doc_id"].to_numpy()
+    n = len(k)
+    P = np.empty((n, 8, 2), dtype=np.float64)
+    P[:, 0, 0] = 0
+    P[:, 0, 1] = 0
+    P[:, 1, 0] = S // 2
+    P[:, 1, 1] = -((k * 7 + 1) % 6)
+    P[:, 2, 0] = S
+    P[:, 2, 1] = 0
+    P[:, 3, 0] = S + (k * 11 + 2) % 6
+    P[:, 3, 1] = S // 2
+    P[:, 4, 0] = S
+    P[:, 4, 1] = S
+    P[:, 5, 0] = S // 2
+    P[:, 5, 1] = S + (k * 13 + 3) % 6
+    P[:, 6, 0] = 0
+    P[:, 6, 1] = S
+    P[:, 7, 0] = -((k * 17 + 5) % 6)
+    P[:, 7, 1] = S // 2
+    return pa.table(
+        {
+            "doc_id": b["doc_id"],
+            "geometry": encode_rings_bulk(P, np.full(n, 8, dtype=np.int64)),
+        }
+    )
+
+
+_BUMP_H_CTE = """
+              SELECT doc_id,
+                     (doc_id * 7 + 1) % 6 AS h1,
+                     (doc_id * 11 + 2) % 6 AS h2,
+                     (doc_id * 13 + 3) % 6 AS h3,
+                     (doc_id * 17 + 5) % 6 AS h4
+              FROM documents"""
+
+
+def _compactness_sql() -> str:
+    """Generate the `compactness` oracle from ``_BUMP_VERTS``: literal
+    shoelace moment terms (exact BIGINT) and the perimeter as a
+    LEFT-ASSOCIATIVE sqrt-term sum in edge order — the bit-level twin
+    of ops/measures.geom_measures' np.cumsum accumulation."""
+    cross, sxs, sys_, per = [], [], [], []
+    for i in range(8):
+        xi, yi = _BUMP_VERTS[i]
+        xj, yj = _BUMP_VERTS[(i + 1) % 8]
+        c = f"(({xi})*({yj}) - ({xj})*({yi}))"
+        cross.append(c)
+        sxs.append(f"(({xi})+({xj}))*{c}")
+        sys_.append(f"(({yi})+({yj}))*{c}")
+        per.append(
+            f"sqrt((({xj})-({xi}))*(({xj})-({xi}))"
+            f" + (({yj})-({yi}))*(({yj})-({yi})))"
+        )
+    return f"""
+            WITH h AS ({_BUMP_H_CTE}),
+            m AS (
+              SELECT doc_id,
+                     {' + '.join(cross)} AS a2,
+                     {' + '.join(sxs)} AS sx,
+                     {' + '.join(sys_)} AS sy,
+                     {' + '.join(per)} AS perim
+              FROM h)
+            SELECT doc_id,
+                   CAST(a2 AS DOUBLE) / 2 AS area,
+                   CAST(sx AS DOUBLE) / CAST(3 * a2 AS DOUBLE) AS cx,
+                   CAST(sy AS DOUBLE) / CAST(3 * a2 AS DOUBLE) AS cy,
+                   perim,
+                   4 * pi() * (CAST(a2 AS DOUBLE) / 2)
+                       / (perim * perim) AS polsby
+            FROM m
+        """
+
 
 def q_simplify(sf_dir: str):
     """Douglas–Peucker simplification (ops/simplify.simplify_geometries)
@@ -4420,39 +4513,8 @@ def q_simplify(sf_dir: str):
     Scale shape: stateless row-independent map chain — nothing
     shuffles, geometry payload never leaves the stage."""
     from .geom.core import ring_signed_area
-    from .geom.wkb import decode_polygons, encode_rings_bulk
+    from .geom.wkb import decode_polygons
     from .ops.simplify import simplify_geometries
-
-    S = SIMP_S
-
-    def build(b: pa.Table) -> pa.Table:
-        k = b["doc_id"].to_numpy()
-        n = len(k)
-        P = np.empty((n, 8, 2), dtype=np.float64)
-        P[:, 0, 0] = 0
-        P[:, 0, 1] = 0
-        P[:, 1, 0] = S // 2
-        P[:, 1, 1] = -((k * 7 + 1) % 6)
-        P[:, 2, 0] = S
-        P[:, 2, 1] = 0
-        P[:, 3, 0] = S + (k * 11 + 2) % 6
-        P[:, 3, 1] = S // 2
-        P[:, 4, 0] = S
-        P[:, 4, 1] = S
-        P[:, 5, 0] = S // 2
-        P[:, 5, 1] = S + (k * 13 + 3) % 6
-        P[:, 6, 0] = 0
-        P[:, 6, 1] = S
-        P[:, 7, 0] = -((k * 17 + 5) % 6)
-        P[:, 7, 1] = S // 2
-        return pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "geometry": encode_rings_bulk(
-                    P, np.full(n, 8, dtype=np.int64)
-                ),
-            }
-        )
 
     def measure(b: pa.Table) -> pa.Table:
         nv, ar = [], []
@@ -4471,11 +4533,31 @@ def q_simplify(sf_dir: str):
         )
 
     ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        build, batch_format="pyarrow", zero_copy_batch=True
+        _bumped_build, batch_format="pyarrow", zero_copy_batch=True
     )
     return simplify_geometries(ds, 2.0).map_batches(
         measure, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def q_compactness(sf_dir: str):
+    """Polygon shape measures (ops/measures.polygon_measures) over the
+    bumped-square parcels: exact shoelace area + centroid (one
+    int/int division per axis), strictly-ordered sqrt-sum perimeter,
+    and Polsby-Popper 4*pi*A/P^2 — the standard redistricting
+    compactness metric. The oracle SQL is GENERATED from the same
+    symbolic vertex list as the build stage (_BUMP_VERTS), so the
+    shoelace terms and the left-associative perimeter sum mirror the
+    kernel token-for-token (see ops/measures module docstring).
+
+    Scale shape: stateless row-independent map chain — nothing
+    shuffles, the WKB payload never leaves the fused stage."""
+    from .ops.measures import polygon_measures
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        _bumped_build, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return polygon_measures(ds)
 
 
 def query_registry():
@@ -4591,6 +4673,7 @@ def query_registry():
         "ohlc": q_ohlc,
         "skewkurt": q_skewkurt,
         "simplify": q_simplify,
+        "compactness": q_compactness,
         "twap": q_twap,
         "embed_dims": q_embed_dims,
         # rows-only (non-SQL-expressible: hash/LSH/model-ish ops)
@@ -5389,13 +5472,7 @@ def oracle_queries() -> dict[str, str]:
             FROM i
         """,
         "simplify": f"""
-            WITH h AS (
-              SELECT doc_id,
-                     (doc_id * 7 + 1) % 6 AS h1,
-                     (doc_id * 11 + 2) % 6 AS h2,
-                     (doc_id * 13 + 3) % 6 AS h3,
-                     (doc_id * 17 + 5) % 6 AS h4
-              FROM documents)
+            WITH h AS ({_BUMP_H_CTE})
             SELECT doc_id,
                    4 + CAST(h1 >= 3 AS BIGINT) + CAST(h2 >= 3 AS BIGINT)
                      + CAST(h3 >= 3 AS BIGINT) + CAST(h4 >= 3 AS BIGINT)
@@ -5408,6 +5485,7 @@ def oracle_queries() -> dict[str, str]:
                        + (CASE WHEN h4 >= 3 THEN h4 ELSE 0 END)) AS area
             FROM h
         """,
+        "compactness": _compactness_sql(),
         "interval_pairs": f"""
             WITH iv AS (
               SELECT event_id AS id, epoch_us(ts) AS s,
