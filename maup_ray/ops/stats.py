@@ -42,7 +42,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["grouped_gini", "grouped_weighted_median", "grouped_mad"]
+__all__ = ["grouped_gini", "grouped_weighted_median", "grouped_mad",
+           "grouped_mode"]
 
 
 def _int64_safe(bound: int) -> bool:
@@ -293,3 +294,78 @@ def grouped_mad(
             mad_col: mad[mad_col],
         }
     )
+
+
+def _mode_walk(tbl, starts, key, value_col, count_col):
+    """Per-group mode over a (key, value, _c) histogram sorted by
+    (key, value): the row with max count, ties broken by SMALLEST
+    value (first max in value order — matching the SQL
+    ``row_number() OVER (ORDER BY cnt DESC, value)`` tie-break)."""
+    if tbl is None or tbl.num_rows == 0:
+        key_t = pa.int64() if tbl is None else tbl.schema.field(key).type
+        val_t = (
+            pa.int64() if tbl is None else tbl.schema.field(value_col).type
+        )
+        return pa.table(
+            {
+                key: pa.array([], type=key_t),
+                value_col: pa.array([], type=val_t),
+                count_col: pa.array([], type=pa.int64()),
+            }
+        )
+    cnt = tbl["_c"].to_numpy(zero_copy_only=False)
+    sizes = np.diff(np.append(starts, tbl.num_rows))
+    gmax = np.maximum.reduceat(cnt, starts)
+    hit = np.flatnonzero(cnt == np.repeat(gmax, sizes))
+    pos = hit[np.searchsorted(hit, starts)]  # first max per group
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            key: pc.take(tbl[key], pa.array(starts)),
+            value_col: pc.take(tbl[value_col], pa.array(pos)),
+            count_col: pa.array(gmax.astype(np.int64)),
+        }
+    )
+
+
+def grouped_mode(
+    ds,
+    key: str,
+    value_col: str,
+    count_col: str = "cnt",
+    final: str = "shuffle",
+):
+    """Exact per-``key`` mode (most frequent ``value_col``, ties to the
+    smallest value) on the distinct-value count-histogram shape: only
+    (key, value, count) partials ever move, the corpus never shuffles.
+    ``value_col`` may be int or string (hash_group_apply hashes string
+    keys via polars). ``final="driver"`` merges partials driver-side —
+    the few-key bounded-domain shortcut (grouped_quantiles discipline).
+    """
+    from .agg import grouped_sum_count
+    from .shuffle import group_starts, hash_group_apply
+
+    if final == "driver":
+        if isinstance(ds, pa.Table):
+            merged = ds.group_by(
+                [key, value_col], use_threads=False
+            ).aggregate([([], "count_all")])
+            merged = merged.rename_columns([key, value_col, "_c"])
+        else:
+            merged = grouped_sum_count(
+                ds, [key, value_col], count_col="_c", final="driver"
+            )
+        merged = merged.combine_chunks().sort_by(
+            [(key, "ascending"), (value_col, "ascending")]
+        )
+        starts = group_starts(merged, [key])
+        return _mode_walk(merged, starts, key, value_col, count_col)
+    hist = grouped_sum_count(
+        ds, [key, value_col], count_col="_c", final="shuffle"
+    )
+
+    def walk(tbl, starts):
+        return _mode_walk(tbl, starts, key, value_col, count_col)
+
+    return hash_group_apply(hist, [key], walk, sort_cols=(value_col,))

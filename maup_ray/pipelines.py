@@ -4560,6 +4560,136 @@ def q_compactness(sf_dir: str):
     return polygon_measures(ds)
 
 
+def q_brand_mode(sf_dir: str):
+    """Per-p_type modal brand (ops/stats.grouped_mode): exact grouped
+    mode on the distinct-value count-histogram shape — only
+    (p_type, p_brand, count) partials move, ties break to the
+    lexicographically smallest brand (mirrored by the oracle's
+    ``ORDER BY cnt DESC, p_brand`` row_number). ``final="driver"``:
+    6 types × 25 brands is the bounded-domain few-key case."""
+    from .ops.stats import grouped_mode
+
+    ds = _read(sf_dir, "part", ["p_type", "p_brand"])
+    out = grouped_mode(ds, "p_type", "p_brand", final="driver")
+    return out.sort_by([("p_type", "ascending")])
+
+
+TREND_US_PER_HOUR = 3_600_000_000  # µs per hour (x = epoch-hour index)
+
+
+def q_trend(sf_dir: str):
+    """Exact grouped simple linear regression (events value-cents vs
+    epoch-hour, per event_type): integer moment partials
+    (Σx, Σy, Σxy, Σx², n — Arrow group_by per block), arbitrary-
+    precision Python-int driver merge (n·Σxy overflows int64 at web
+    scale), then ONE fixed IEEE division per output, mirrored
+    token-for-token: slope = (nΣxy − ΣxΣy)/(nΣxx − Σx²) and
+    intercept = (ΣyΣxx − ΣxΣxy)/(nΣxx − Σx²) — the exact-integer
+    normal-equation identities (covar discipline)."""
+    from .ops.agg import grouped_sums_exact
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = pc.cast(b["ts"], pa.int64()).to_numpy() // TREND_US_PER_HOUR
+        y = pc.cast(
+            pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+        ).to_numpy()
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+            }
+        )
+
+    rows = grouped_sums_exact(
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        sum_cols=["sx", "sy", "sxy", "sxx"],
+        count_col="n",
+    )
+    out = {"event_type": [], "n": [], "slope": [], "icept": []}
+    for r in sorted(rows, key=lambda r: r["event_type"]):
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxy, sxx = int(r["sxy"]), int(r["sxx"])
+        d = n * sxx - sx * sx
+        out["event_type"].append(r["event_type"])
+        out["n"].append(n)
+        out["slope"].append(float(n * sxy - sx * sy) / float(d))
+        out["icept"].append(float(sy * sxx - sx * sxy) / float(d))
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+            "slope": pa.array(out["slope"], type=pa.float64()),
+            "icept": pa.array(out["icept"], type=pa.float64()),
+        }
+    )
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape — promotion revenue share: broadcast the part
+    dimension onto lineitem (broadcast_hash_join; uniqueness-checked),
+    conditional exact integer-cents revenue partials (promo vs total),
+    arbitrary-precision driver merge, one mirrored IEEE ratio.
+    Revenue unit is 10⁻⁴ dollars (price-cents × (100 − disc%))."""
+    import pyarrow.parquet as pq
+
+    from .ops.agg import grouped_sums_exact
+    from .ops.join import broadcast_hash_join
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"]
+    )
+    li = broadcast_hash_join(li, part, "l_partkey", "p_partkey", ["p_type"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        price = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64()
+        )
+        r = pc.multiply(
+            price, pc.subtract(pa.scalar(100, pa.int64()), disc)
+        )
+        promo = pc.equal(b["p_type"], "PROMO")
+        return pa.table(
+            {
+                "k": pa.array(
+                    np.zeros(b.num_rows, dtype=np.int64)
+                ),
+                "promo_u": pc.if_else(promo, r, pa.scalar(0, pa.int64())),
+                "total_u": r,
+            }
+        )
+
+    rows = grouped_sums_exact(
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"],
+        sum_cols=["promo_u", "total_u"],
+        count_col="n",
+    )
+    (r,) = rows
+    num, den = int(r["promo_u"]), int(r["total_u"])
+    return pa.table(
+        {
+            "n": pa.array([int(r["n"])], type=pa.int64()),
+            "promo_u": pa.array([float(num)], type=pa.float64()),
+            "total_u": pa.array([float(den)], type=pa.float64()),
+            "promo_pct": pa.array(
+                [100.0 * (float(num) / float(den))], type=pa.float64()
+            ),
+        }
+    )
+
+
 def query_registry():
     """name → callable(sf_dir) for every shipped pipeline — the single
     source of truth shared by the driver contract (__ray_entry__.py)
@@ -4674,6 +4804,9 @@ def query_registry():
         "skewkurt": q_skewkurt,
         "simplify": q_simplify,
         "compactness": q_compactness,
+        "brand_mode": q_brand_mode,
+        "trend": q_trend,
+        "promo_revenue": q_promo_revenue,
         "twap": q_twap,
         "embed_dims": q_embed_dims,
         # rows-only (non-SQL-expressible: hash/LSH/model-ish ops)
@@ -5486,6 +5619,55 @@ def oracle_queries() -> dict[str, str]:
             FROM h
         """,
         "compactness": _compactness_sql(),
+        "brand_mode": """
+            WITH c AS (
+              SELECT p_type, p_brand, count(*) AS cnt
+              FROM part GROUP BY 1, 2),
+            r AS (
+              SELECT p_type, p_brand, cnt,
+                row_number() OVER (PARTITION BY p_type
+                                   ORDER BY cnt DESC, p_brand) AS rn
+              FROM c)
+            SELECT p_type, p_brand, cnt FROM r WHERE rn = 1
+        """,
+        "trend": f"""
+            WITH m AS (
+              SELECT event_type,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS sx,
+                     CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(x * y) AS HUGEINT) AS sxy,
+                     CAST(sum(x * x) AS HUGEINT) AS sxx
+              FROM (SELECT event_type,
+                           epoch_us(ts) // {TREND_US_PER_HOUR} AS x,
+                           CAST(round(value * 100, 0) AS BIGINT) AS y
+                    FROM events)
+              GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                   CAST(sy * sxx - sx * sxy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS icept
+            FROM m
+        """,
+        "promo_revenue": """
+            WITH r AS (
+              SELECT CAST(round(l_extendedprice*100, 0) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100, 0)
+                                      AS BIGINT)) AS rev_u,
+                     p_type = 'PROMO' AS promo
+              FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(CAST(sum(CASE WHEN promo THEN rev_u ELSE 0 END)
+                             AS HUGEINT) AS DOUBLE) AS promo_u,
+                   CAST(CAST(sum(rev_u) AS HUGEINT) AS DOUBLE) AS total_u,
+                   100.0 * (
+                     CAST(CAST(sum(CASE WHEN promo THEN rev_u ELSE 0 END)
+                               AS HUGEINT) AS DOUBLE)
+                     / CAST(CAST(sum(rev_u) AS HUGEINT) AS DOUBLE)
+                   ) AS promo_pct
+            FROM r
+        """,
         "interval_pairs": f"""
             WITH iv AS (
               SELECT event_id AS id, epoch_us(ts) AS s,

@@ -312,3 +312,75 @@ class TestGroupedMad:
                 .reset_index(drop=True)
             )
         assert outs[0].equals(outs[1])
+
+
+class TestGroupedMode:
+    def test_matches_brute_and_duckdb(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from maup_ray.ops.stats import grouped_mode
+
+        rng = np.random.RandomState(11)
+        n = 3000
+        tbl = pa.table(
+            {
+                "k": pa.array(
+                    rng.randint(0, 7, n).astype(np.int64)
+                ),
+                "v": pa.array(
+                    rng.choice(
+                        ["aa", "bb", "cc", "dd", "ee"], n
+                    ).astype(object),
+                    type=pa.string(),
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(5)
+        got = (
+            grouped_mode(ds, "k", "v")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = con.execute(
+            """
+            WITH c AS (SELECT k, v, count(*) AS cnt FROM t GROUP BY 1,2),
+            r AS (SELECT k, v, cnt, row_number() OVER
+                    (PARTITION BY k ORDER BY cnt DESC, v) AS rn FROM c)
+            SELECT k, v, cnt FROM r WHERE rn = 1 ORDER BY k
+            """
+        ).df()
+        con.close()
+        assert got["k"].tolist() == want["k"].tolist()
+        assert got["v"].tolist() == want["v"].tolist()
+        assert got["cnt"].tolist() == want["cnt"].tolist()
+
+    def test_driver_equals_shuffle_and_tie_break(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.stats import grouped_mode
+
+        # planted tie: k=0 has 'b' and 'a' twice each -> 'a' wins
+        tbl = pa.table(
+            {
+                "k": pa.array([0, 0, 0, 0, 1, 1, 1], type=pa.int64()),
+                "v": pa.array(
+                    ["b", "a", "b", "a", "z", "z", "y"], type=pa.string()
+                ),
+            }
+        )
+        drv = grouped_mode(tbl, "k", "v", final="driver")
+        assert drv["v"].to_pylist() == ["a", "z"]
+        assert drv["cnt"].to_pylist() == [2, 2]
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        shf = (
+            grouped_mode(ds, "k", "v")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert shf["v"].tolist() == ["a", "z"]
+        assert shf["cnt"].tolist() == [2, 2]
