@@ -4560,6 +4560,40 @@ def q_compactness(sf_dir: str):
     return polygon_measures(ds)
 
 
+IMG_SEARCH_NQ = 8  # query images
+IMG_SEARCH_STEP = 997  # query id derivation: qid = j*STEP + 3
+IMG_SEARCH_K = 10
+
+
+def q_image_search(sf_dir: str):
+    """Perceptual-hash image retrieval (vector/ann.hamming_topk): 8
+    query phashes (derived from fixed corpus ids) against the full
+    synthetic image corpus, exact hamming top-10 per query with
+    (dist ASC, image_id ASC) total order. Per-block top-k combiner
+    caps the reduction at Q·k rows per block — the corpus (and its
+    pixel payload) never leaves the stage. Oracle = DuckDB
+    bit_count(xor(...)) over the same HUGEINT (id·M) mod 2^63 phash
+    derivation as image_assign, with a row_number() window."""
+    import pyarrow.parquet as pq
+
+    from .synth.images import _PHASH_MULT, image_dataset
+    from .vector.ann import hamming_topk
+
+    n = IMG_MULT * pq.read_metadata(
+        f"{sf_dir}/documents.parquet"
+    ).num_rows
+    qids = (
+        np.arange(IMG_SEARCH_NQ, dtype=np.int64) * IMG_SEARCH_STEP + 3
+    )
+    qsigs = (qids.astype(np.uint64) * _PHASH_MULT) & np.uint64(
+        0x7FFFFFFFFFFFFFFF
+    )
+    images = image_dataset(n=n)
+    return hamming_topk(
+        images, qsigs.astype(np.int64), k=IMG_SEARCH_K
+    )
+
+
 def q_brand_mode(sf_dir: str):
     """Per-p_type modal brand (ops/stats.grouped_mode): exact grouped
     mode on the distinct-value count-histogram shape — only
@@ -4805,6 +4839,7 @@ def query_registry():
         "simplify": q_simplify,
         "compactness": q_compactness,
         "brand_mode": q_brand_mode,
+        "image_search": q_image_search,
         "trend": q_trend,
         "promo_revenue": q_promo_revenue,
         "twap": q_twap,
@@ -5619,6 +5654,33 @@ def oracle_queries() -> dict[str, str]:
             FROM h
         """,
         "compactness": _compactness_sql(),
+        "image_search": f"""
+            WITH imgs AS (
+              SELECT doc_id * {IMG_MULT} + k AS i,
+                     CAST((CAST(doc_id * {IMG_MULT} + k AS HUGEINT)
+                           * {0x9E3779B97F4A7C15})
+                          % 9223372036854775808 AS BIGINT) AS p
+              FROM documents,
+                   (SELECT unnest(range(0, {IMG_MULT})) AS k)),
+            qs AS (
+              SELECT j, CAST((CAST(j * {IMG_SEARCH_STEP} + 3 AS HUGEINT)
+                              * {0x9E3779B97F4A7C15})
+                             % 9223372036854775808 AS BIGINT) AS qp
+              FROM (SELECT unnest(range(0, {IMG_SEARCH_NQ})) AS j)),
+            d AS (
+              SELECT qs.j AS q,
+                     'img' || lpad(CAST(imgs.i AS VARCHAR), 12, '0')
+                         AS image_id,
+                     CAST(bit_count(xor(imgs.p, qs.qp)) AS BIGINT) AS dist
+              FROM imgs, qs),
+            r AS (
+              SELECT q, image_id, dist,
+                row_number() OVER (PARTITION BY q
+                                   ORDER BY dist, image_id) AS rnk
+              FROM d)
+            SELECT q, image_id, dist, rnk
+            FROM r WHERE rnk <= {IMG_SEARCH_K}
+        """,
         "brand_mode": """
             WITH c AS (
               SELECT p_type, p_brand, count(*) AS cnt

@@ -16,7 +16,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["embedding_matrix", "brute_topk", "lsh_topk", "ivf_topk", "cosine_near_dup"]
+__all__ = ["embedding_matrix", "brute_topk", "lsh_topk", "ivf_topk",
+           "cosine_near_dup", "hamming_topk"]
 
 
 def embedding_matrix(batch: pa.Table, col="embedding") -> np.ndarray:
@@ -428,4 +429,108 @@ def cosine_near_dup(
         pairs.groupby(["id_i", "id_j"])
         .aggregate(Count(alias_name="_n"))
         .select_columns(["id_i", "id_j"])
+    )
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (byte-LUT; numpy 1.x has
+    no bitwise_count)."""
+    out = np.zeros(x.shape, dtype=np.int64)
+    for shift in range(0, 64, 8):
+        out += _POP8[
+            ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)
+        ]
+    return out
+
+
+def hamming_topk(
+    ds,
+    query_sigs,
+    k: int = 10,
+    sig_col: str = "phash",
+    id_col: str = "image_id",
+    query_col: str = "q",
+    dist_col: str = "dist",
+    rank_col: str = "rnk",
+) -> pa.Table:
+    """Exact hamming top-k retrieval over an int64 signature column —
+    perceptual-hash image search. The Q query signatures ride into
+    every batch as a tiny closure array (Q × 8 B); each block
+    XOR-popcounts its rows against all queries in one vectorized pass
+    and emits ONLY its local top-k per query, so the reduction payload
+    is Q·k rows per block and the corpus never shuffles. The driver
+    finish re-runs the same selection on the concatenated partials —
+    an algebraic partial reduction (the global top-k is a subset of
+    the union of per-block top-k sets). Ties break by ascending id
+    (rows pre-sorted by id once per block, then a STABLE argsort on
+    distance), the same (dist ASC, id ASC) total order as the SQL
+    ``row_number() OVER (PARTITION BY q ORDER BY dist, id)`` oracle.
+
+    → pa.Table (query_col, id_col, dist_col, rank_col), rank 1..k."""
+    q = np.asarray(query_sigs, dtype=np.int64).view(np.uint64)
+    nq = len(q)
+    id_type = pa.string()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sigs = (
+            batch[sig_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        order0 = np.argsort(ids, kind="stable")
+        ids, sigs = ids[order0], sigs[order0]
+        ham = _popcount64(sigs[:, None] ^ q[None, :])  # (n, Q)
+        qs_o, id_o, d_o = [], [], []
+        for j in range(nq):
+            sel = np.argsort(ham[:, j], kind="stable")[:k]
+            qs_o.append(np.full(len(sel), j, dtype=np.int64))
+            id_o.append(ids[sel])
+            d_o.append(ham[sel, j])
+        return pa.table(
+            {
+                query_col: pa.array(np.concatenate(qs_o)),
+                id_col: pa.array(
+                    np.concatenate(id_o), type=id_type
+                ),
+                dist_col: pa.array(np.concatenate(d_o)),
+            }
+        )
+
+    if isinstance(ds, pa.Table):
+        merged = partial(ds.combine_chunks())
+    else:
+        import ray
+
+        parts = (
+            ds.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .materialize()
+            .to_arrow_refs()
+        )
+        raw = [ray.get(r) for r in parts]
+        raw = [t for t in raw if t.num_rows] or raw[:1]
+        merged = pa.concat_tables(raw, promote_options="default")
+    merged = merged.combine_chunks().sort_by(
+        [
+            (query_col, "ascending"),
+            (dist_col, "ascending"),
+            (id_col, "ascending"),
+        ]
+    )
+    qs = merged[query_col].to_numpy(zero_copy_only=False)
+    n = len(qs)
+    starts = np.flatnonzero(
+        np.concatenate([[True], qs[1:] != qs[:-1]])
+    )
+    sizes = np.diff(np.append(starts, n))
+    rank0 = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    keep = rank0 < k
+    out = merged.filter(pa.array(keep))
+    return out.append_column(
+        rank_col, pa.array(rank0[keep] + 1)
     )

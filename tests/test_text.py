@@ -1241,3 +1241,56 @@ class TestNormalizeText:
             "already clean",
             "",
         ]
+
+
+class TestHammingTopk:
+    def _brute(self, sigs, ids, q, k):
+        d = [bin((int(s) ^ int(q)) & ((1 << 64) - 1)).count("1")
+             for s in sigs]
+        order = sorted(range(len(ids)), key=lambda i: (d[i], ids[i]))
+        return [(ids[i], d[i]) for i in order[:k]]
+
+    def test_matches_brute_force(self, ray_session):
+        import pyarrow.compute as pc
+        import ray.data
+
+        from maup_ray.vector.ann import hamming_topk
+
+        rng = np.random.RandomState(5)
+        n = 500
+        sigs = rng.randint(0, 1 << 62, n).astype(np.int64)
+        ids = [f"im{j:04d}" for j in range(n)]
+        t = pa.table(
+            {"image_id": pa.array(ids, type=pa.string()),
+             "phash": pa.array(sigs)}
+        )
+        queries = sigs[[3, 77]].tolist() + [12345]
+        out = hamming_topk(
+            ray.data.from_arrow(t).repartition(7), queries, k=6
+        )
+        for j, qsig in enumerate(queries):
+            rows = out.filter(pc.equal(out["q"], j))
+            got = list(
+                zip(rows["image_id"].to_pylist(), rows["dist"].to_pylist())
+            )
+            assert got == self._brute(sigs, ids, qsig, 6), j
+            assert rows["rnk"].to_pylist() == list(range(1, 7))
+        # self-queries must find themselves at distance 0, rank 1
+        assert out.filter(pc.equal(out["q"], 0))["dist"][0].as_py() == 0
+
+    def test_partition_invariant_and_table_path(self, ray_session):
+        import ray.data
+
+        from maup_ray.vector.ann import hamming_topk
+
+        rng = np.random.RandomState(9)
+        sigs = rng.randint(0, 1 << 62, 200).astype(np.int64)
+        t = pa.table(
+            {"image_id": pa.array([f"x{j:03d}" for j in range(200)]),
+             "phash": pa.array(sigs)}
+        )
+        q = [1, 2, 3]
+        base = hamming_topk(t, q, k=5).to_pydict()
+        for p in (2, 9):
+            ds = ray.data.from_arrow(t).repartition(p)
+            assert hamming_topk(ds, q, k=5).to_pydict() == base
