@@ -38,6 +38,7 @@ __all__ = [
     "grouped_ohlc",
     "grouped_percent_rank",
     "global_row_number",
+    "rolling_z_flags",
 ]
 
 
@@ -521,3 +522,83 @@ def grouped_ohlc(ds, key_cols, order_cols, value_col: str):
     if isinstance(partials, pa.Table):
         return partials.select(out_fields)
     return hash_group_apply(partials, keys, reduce_part, sort_cols=o_cols)
+
+
+def rolling_z_flags(
+    ds,
+    key_col: str,
+    order_cols,
+    value_col: str,
+    window: int = 16,
+    z2: int = 9,
+    carry_cols=(),
+    dev2_col: str = "dev2",
+    bound_col: str = "bound",
+):
+    """EXACT rolling z-score anomaly flags: emit every row whose
+    integer ``value_col`` deviates from its trailing ``window``-row
+    per-key mean by more than sqrt(z2) population standard deviations
+    (window = the window rows strictly BEFORE the row, full windows
+    only). The z-test is evaluated without any float: with
+    S = Σ window v, Q = Σ window v² and n = window,
+
+        (v·n − S)² > z2 · (n·Q − S²)
+
+    is algebraically z² > z2 — every side an exact int64 (bounds:
+    |v| ≤ 2^21 cents, window ≤ 2^8 keeps both sides < 2^62; per-
+    partition cumsums need Σv < 2^63, i.e. < 4·10^12 such rows per
+    key — document per corpus). SQL mirror: count/sum/sum-of-squares
+    window aggregates over ROWS BETWEEN window PRECEDING AND 1
+    PRECEDING with the identical integer inequality.
+
+    One keyed hash exchange of (key, order, value, carry) projections,
+    one vectorized padded-cumsum pass per partition — no per-row
+    Python, the corpus shuffles once. Output: key + order + carry +
+    value + (dev2, bound) for flagged rows only."""
+    keys = [key_col]
+    order = list(order_cols)
+    carry = list(carry_cols)
+    out_fields = keys + order + carry + [value_col]
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None or len(tbl) == 0:
+            if tbl is not None:
+                t = tbl.select(out_fields)
+                for c in (dev2_col, bound_col):
+                    t = t.append_column(c, pa.array([], type=pa.int64()))
+                return t
+            fields = [pa.field(c, pa.int64()) for c in out_fields]
+            fields += [pa.field(dev2_col, pa.int64()),
+                       pa.field(bound_col, pa.int64())]
+            return pa.schema(fields).empty_table()
+        n = len(tbl)
+        v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sizes = np.diff(np.append(starts, n))
+        gs_row = np.repeat(starts, sizes)
+        cs = np.concatenate([[0], np.cumsum(v)])
+        cq = np.concatenate([[0], np.cumsum(v * v)])
+        i = np.arange(n, dtype=np.int64)
+        lo = i - window
+        valid = lo >= gs_row
+        lo = np.maximum(lo, 0)
+        s = cs[i] - cs[lo]
+        qq = cq[i] - cq[lo]
+        dev = v * window - s
+        dev2 = dev * dev
+        bound = z2 * (window * qq - s * s)
+        flag = valid & (dev2 > bound)
+        out = tbl.select(out_fields).filter(pa.array(flag))
+        out = out.append_column(dev2_col, pa.array(dev2[flag]))
+        return out.append_column(bound_col, pa.array(bound[flag]))
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return batch.select(out_fields)
+
+    pruned = (
+        prune(ds)
+        if isinstance(ds, pa.Table)
+        else ds.map_batches(
+            prune, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    return hash_group_apply(pruned, keys, part, sort_cols=order)

@@ -4664,6 +4664,38 @@ def q_trend(sf_dir: str):
     )
 
 
+def q_rolling_z(sf_dir: str):
+    """Exact rolling z-score anomaly flags (ops/window.rolling_z_flags):
+    per-user events whose value-cents deviate from the trailing
+    16-event mean by more than 3 population standard deviations —
+    evaluated as the INTEGER inequality (v·n − S)² > 9·(nQ − S²), so
+    both engine and oracle compare exact int64s (no float sigma,
+    no sqrt). One keyed exchange of the 32 B projection, one padded-
+    cumsum pass per partition. Oracle = SQL window count/sum/sum-of-
+    squares over ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING with the
+    identical inequality."""
+    from .ops.window import rolling_z_flags
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+                "v": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    return rolling_z_flags(
+        ds, "user_id", ("ts", "event_id"), "v", window=16, z2=9
+    )
+
+
 def q_promo_revenue(sf_dir: str):
     """TPC-H Q14 shape — promotion revenue share: broadcast the part
     dimension onto lineitem (broadcast_hash_join; uniqueness-checked),
@@ -4840,6 +4872,7 @@ def query_registry():
         "compactness": q_compactness,
         "brand_mode": q_brand_mode,
         "image_search": q_image_search,
+        "rolling_z": q_rolling_z,
         "trend": q_trend,
         "promo_revenue": q_promo_revenue,
         "twap": q_twap,
@@ -5711,6 +5744,26 @@ def oracle_queries() -> dict[str, str]:
                    CAST(sy * sxx - sx * sxy AS DOUBLE)
                        / CAST(n * sxx - sx * sx AS DOUBLE) AS icept
             FROM m
+        """,
+        "rolling_z": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(round(value * 100, 0) AS BIGINT) AS v
+              FROM events),
+            w AS (
+              SELECT user_id, ts, event_id, v,
+                     count(v) OVER win AS n,
+                     sum(v) OVER win AS s,
+                     sum(v * v) OVER win AS q
+              FROM e
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING))
+            SELECT user_id, ts, event_id, v,
+                   CAST((v * 16 - s) * (v * 16 - s) AS BIGINT) AS dev2,
+                   CAST(9 * (16 * q - s * s) AS BIGINT) AS bound
+            FROM w
+            WHERE n = 16
+              AND (v * 16 - s) * (v * 16 - s) > 9 * (16 * q - s * s)
         """,
         "promo_revenue": """
             WITH r AS (

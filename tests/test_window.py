@@ -642,3 +642,65 @@ class TestSkewKurt:
             assert row.n == len(x)
             assert row.skew_pop == pytest.approx(m3 / m2**1.5, rel=1e-9)
             assert row.kurt_pop == pytest.approx(m4 / m2**2, rel=1e-9)
+
+
+class TestRollingZFlags:
+    def _brute(self, df, window=4, z2=9):
+        out = []
+        for uid, g in df.groupby("k"):
+            g = g.sort_values(["o", "i"]).reset_index(drop=True)
+            for r in range(len(g)):
+                if r < window:
+                    continue
+                w = g["v"].iloc[r - window : r].astype(object)
+                s, q = int(w.sum()), int((w * w).sum())
+                v = int(g["v"].iloc[r])
+                dev2 = (v * window - s) ** 2
+                bound = z2 * (window * q - s * s)
+                if dev2 > bound:
+                    out.append((uid, int(g["i"].iloc[r]), dev2, bound))
+        return sorted(out)
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.window import rolling_z_flags
+
+        rng = np.random.RandomState(17)
+        n = 2000
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 9, n).astype(np.int64),
+                "o": rng.randint(0, 500, n).astype(np.int64),
+                "i": np.arange(n, dtype=np.int64),  # unique tie-break
+                "v": rng.randint(-50, 2000, n).astype(np.int64),
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(6)
+        got = _collect(
+            rolling_z_flags(ds, "k", ("o", "i"), "v", window=4, z2=9)
+        )
+        gt = sorted(
+            zip(got["k"].astype(int), got["i"].astype(int),
+                got["dev2"].astype(int), got["bound"].astype(int))
+        )
+        assert gt == self._brute(df)
+
+    def test_full_windows_only_and_table_path(self, ray_session):
+        from maup_ray.ops.window import rolling_z_flags
+
+        # one key, a huge spike at the end; first `window` rows can
+        # never flag (partial windows excluded)
+        t = pa.table(
+            {
+                "k": pa.array([1] * 6, type=pa.int64()),
+                "o": pa.array(range(6), type=pa.int64()),
+                "i": pa.array(range(6), type=pa.int64()),
+                "v": pa.array([10, 10, 10, 10, 10, 9000], type=pa.int64()),
+            }
+        )
+        got = _collect(rolling_z_flags(t, "k", ("o", "i"), "v",
+                                       window=5, z2=9))
+        assert got["i"].tolist() == [5]
+        # constant window has zero variance -> any deviation flags
+        assert got["bound"].tolist() == [0]
