@@ -473,6 +473,23 @@ def q_ngrams(sf_dir: str):
     return frequent_ngrams(ds, n=3, min_count=NGRAM_MIN_COUNT)
 
 
+COLLOC_K = 20
+COLLOC_MIN_COUNT = 5
+
+
+def q_collocations(sf_dir: str):
+    """Top-k statistical collocations (bigrams ranked by lift =
+    observed/expected co-occurrence): two frequent_ngrams count passes
+    (token stream never shuffles; distinct (gram,count) partials are
+    the only exchange), vocabulary-bounded driver join, one exact-int
+    division per surviving bigram — float parity recipe in
+    text/analysis.bigram_lift_topk."""
+    from .text.analysis import bigram_lift_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bigram_lift_topk(ds, k=COLLOC_K, min_count=COLLOC_MIN_COUNT)
+
+
 def q_curation(sf_dir: str):
     """Composite end-to-end curation DAG — the canonical LLM-data
     pre-training pass expressed as ONE streaming pipeline: quality
@@ -4852,6 +4869,7 @@ def query_registry():
         "decontaminate": q_decontaminate,
         "curation": q_curation,
         "ngrams": q_ngrams,
+        "collocations": q_collocations,
         "profile": q_profile,
         "near_dup": q_near_dup,
         "ann_topk": q_ann_topk,
@@ -5010,6 +5028,28 @@ def oracle_queries() -> dict[str, str]:
             SELECT gram, count(*) AS n_occ FROM g
             GROUP BY gram HAVING count(*) >= {NGRAM_MIN_COUNT}
             ORDER BY gram
+        """,
+        "collocations": f"""
+            WITH t AS (SELECT string_split(text, ' ') AS toks
+                       FROM documents),
+            u AS (SELECT unnest(toks) AS w FROM t),
+            uc AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+            tot AS (SELECT count(*) AS nu FROM u),
+            nd AS (SELECT count(*) AS n FROM documents),
+            b AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+                  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                        FROM t WHERE len(toks) >= 2)),
+            bc AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY w1, w2
+                   HAVING count(*) >= {COLLOC_MIN_COUNT})
+            SELECT bc.w1 || ' ' || bc.w2 AS gram, bc.c AS n_occ,
+                   CAST(CAST(bc.c AS HUGEINT) * tot.nu * tot.nu
+                        AS DOUBLE)
+                   / CAST(CAST(tot.nu - nd.n AS HUGEINT)
+                          * c1.c * c2.c AS DOUBLE) AS lift
+            FROM bc, tot, nd
+            JOIN uc c1 ON bc.w1 = c1.w
+            JOIN uc c2 ON bc.w2 = c2.w
+            ORDER BY lift DESC, gram LIMIT {COLLOC_K}
         """,
         "curation": r"""
             WITH q AS (

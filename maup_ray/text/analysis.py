@@ -541,3 +541,97 @@ def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id"):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def bigram_lift_topk(ds, k: int = 20, min_count: int = 5,
+                     text_col: str = "text") -> pa.Table:
+    """Top-k statistical collocations: word bigrams ranked by LIFT
+    (observed/expected co-occurrence, the log-free PMI ranking)
+
+        lift(xy) = (c_xy . Nu^2) / (Nb . c_x . c_y)
+
+    with Nu = total tokens, Nb = total bigram slots (= Nu - n_docs for
+    single-space tokenization: every doc contributes len-1 slots), all
+    counts exact integers -- so the one float per row is ONE division
+    of two exactly-computed integer products, each correctly rounded
+    to float64 (int64 fast path when Nu^3 < 2^62 bounds BOTH products;
+    arbitrary-precision Python ints past that), mirrored by the
+    oracle's HUGEINT -> DOUBLE casts.
+
+    Scale shape: both count passes reuse frequent_ngrams (per-batch
+    vectorized partial counts, ONE keyed exchange of distinct
+    (gram, count) rows -- the token stream never shuffles; min_count
+    prunes the bigram table inside the reduce). The unigram table is
+    vocabulary-bounded and lives on the driver (same documented
+    vocab << corpus assumption as frequent_ngrams itself); the lift
+    join is one vectorized index_in against it. Output is
+    total-ordered by (lift DESC, gram ASC) so top-k is deterministic
+    under float ties."""
+    if isinstance(ds, pa.Table):
+        def _counts(n, mc):
+            t = ngram_count_batch(ds, text_col=text_col, n=n)
+            if t.num_rows == 0:
+                return t
+            g = t.group_by("gram").aggregate([("n_occ", "sum")])
+            g = g.rename_columns(["gram", "n_occ"])
+            return g.filter(pc.greater_equal(g["n_occ"], mc)).sort_by(
+                "gram"
+            )
+        n_docs = ds.num_rows
+    else:
+        sel = ds.select_columns([text_col])
+
+        def _counts(n, mc):
+            return frequent_ngrams(sel, n=n, min_count=mc)
+        n_docs = int(ds.count())
+
+    uni = _counts(1, 1)                                   # driver table
+    nu = int(pc.sum(uni["n_occ"]).as_py() or 0)
+    nb = nu - n_docs
+    bi = _counts(2, min_count)                            # driver table
+
+    empty = pa.table(
+        {
+            "gram": pa.array([], type=pa.string()),
+            "n_occ": pa.array([], type=pa.int64()),
+            "lift": pa.array([], type=pa.float64()),
+        }
+    )
+    if bi.num_rows == 0 or nb <= 0:
+        return empty
+
+    parts = pc.split_pattern(bi["gram"], " ")
+    w1 = pc.list_element(parts, 0)
+    w2 = pc.list_element(parts, 1)
+    uni_words = uni["gram"].combine_chunks()
+    uni_counts = uni["n_occ"].to_numpy(zero_copy_only=False)
+    c1 = uni_counts[pc.index_in(w1, uni_words).to_numpy(zero_copy_only=False)]
+    c2 = uni_counts[pc.index_in(w2, uni_words).to_numpy(zero_copy_only=False)]
+    cxy = bi["n_occ"].to_numpy(zero_copy_only=False)
+
+    # c_xy <= Nu and c_x*c_y <= Nu^2, so Nu^3 < 2^62 bounds both the
+    # numerator c_xy*Nu^2 and the denominator Nb*c_x*c_y (Nb < Nu) --
+    # every int64 intermediate stays exact on the fast path.
+    if nu ** 3 < (1 << 62):
+        lift = (cxy * nu * nu).astype(np.float64) / (
+            nb * c1 * c2
+        ).astype(np.float64)
+    else:  # web-scale counts: exact Python ints, one rounded division
+        lift = np.array(
+            [
+                float(int(a) * nu * nu) / float(nb * int(b) * int(c))
+                for a, b, c in zip(cxy, c1, c2)
+            ],
+            dtype=np.float64,
+        )
+    t = pa.table(
+        {
+            "gram": bi["gram"],
+            "n_occ": bi["n_occ"],
+            "lift": pa.array(lift, type=pa.float64()),
+        }
+    )
+    t = t.combine_chunks().sort_by(
+        [("lift", "descending"), ("gram", "ascending")]
+    )
+    return t.slice(0, k)

@@ -1294,3 +1294,70 @@ class TestHammingTopk:
         for p in (2, 9):
             ds = ray.data.from_arrow(t).repartition(p)
             assert hamming_topk(ds, q, k=5).to_pydict() == base
+
+
+class TestCollocations:
+    """bigram_lift_topk vs a brute-force Python lift oracle."""
+
+    @staticmethod
+    def _brute(texts, k, min_count):
+        from collections import Counter
+
+        uni, bi = Counter(), Counter()
+        nd = len(texts)
+        for t in texts:
+            toks = t.split(" ")
+            uni.update(toks)
+            bi.update(
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            )
+        nu = sum(uni.values())
+        nb = nu - nd
+        rows = []
+        for g, c in bi.items():
+            if c < min_count:
+                continue
+            w1, w2 = g.split(" ")
+            rows.append(
+                (g, c, float(c * nu * nu) / float(nb * uni[w1] * uni[w2]))
+            )
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        return rows[:k]
+
+    def test_table_matches_brute_force(self):
+        from maup_ray.text.analysis import bigram_lift_topk
+
+        rng = np.random.default_rng(7)
+        words = ["aa", "bb", "cc", "dd"]
+        texts = [
+            " ".join(rng.choice(words, size=int(n)))
+            for n in rng.integers(2, 9, size=60)
+        ] + ["zz yy", "zz yy", "zz yy"]  # planted high-lift pair
+        out = bigram_lift_topk(docs(texts), k=10, min_count=2)
+        got = list(
+            zip(
+                out["gram"].to_pylist(),
+                out["n_occ"].to_pylist(),
+                out["lift"].to_pylist(),
+            )
+        )
+        assert got == self._brute(texts, 10, 2)
+        assert got[0][0] == "zz yy"  # the planted collocation ranks first
+
+    def test_dataset_partition_invariant(self, ray_session):
+        import ray.data
+
+        from maup_ray.text.analysis import bigram_lift_topk
+
+        rng = np.random.default_rng(11)
+        words = ["aa", "bb", "cc", "dd", "ee"]
+        texts = [
+            " ".join(rng.choice(words, size=int(n)))
+            for n in rng.integers(2, 12, size=200)
+        ]
+        tbl = docs(texts)
+        want = bigram_lift_topk(tbl, k=15, min_count=3)
+        for nparts in (1, 7):
+            ds = ray.data.from_arrow(tbl).repartition(nparts)
+            got = bigram_lift_topk(ds, k=15, min_count=3)
+            assert got.equals(want)
