@@ -4577,6 +4577,68 @@ def q_compactness(sf_dir: str):
     return polygon_measures(ds)
 
 
+DISSOLVE_G = 64  # dissolve key cardinality
+DISSOLVE_D = 8  # rect-chain stride (> max ext 3 ⇒ no triple overlap)
+
+
+def _rect_chain_build(b: pa.Table) -> pa.Table:
+    """doc_id → WKB rectangle in a staggered per-district chain: rect
+    rnk = doc_id // G in district doc_id % G spans x ∈ [rnk·D,
+    rnk·D + D + ext], y ∈ [0, h] with h = (doc_id·7+3) mod 5 + 4 and
+    ext ∈ {-2, 1, 2, 3} (index (doc_id·11+1) mod 4). ext > 0 overlaps
+    the NEXT rect only (ext ≤ 3 < D); ext = -2 leaves a gap (part
+    break). So each district's union obeys pairwise
+    inclusion–exclusion: area = Σ(D+ext)·h − Σ_{pairs} ext·min(h, h'),
+    parts = n − #connecting pairs — the SQL oracle's closed form. The
+    ENGINE sees only (district, WKB) and runs the general union
+    kernel."""
+    from .geom.wkb import encode_rings_bulk
+
+    k = b["doc_id"].to_numpy()
+    n = len(k)
+    g = k % DISSOLVE_G
+    rnk = k // DISSOLVE_G
+    h = (k * 7 + 3) % 5 + 4
+    ext = np.array([-2, 1, 2, 3])[(k * 11 + 1) % 4]
+    x0 = (rnk * DISSOLVE_D).astype(np.float64)
+    x1 = (rnk * DISSOLVE_D + DISSOLVE_D + ext).astype(np.float64)
+    P = np.empty((n, 4, 2), dtype=np.float64)
+    P[:, 0, 0] = x0
+    P[:, 0, 1] = 0
+    P[:, 1, 0] = x1
+    P[:, 1, 1] = 0
+    P[:, 2, 0] = x1
+    P[:, 2, 1] = h
+    P[:, 3, 0] = x0
+    P[:, 3, 1] = h
+    return pa.table(
+        {
+            "district": pa.array(g, type=pa.int64()),
+            "geometry": encode_rings_bulk(
+                P, np.full(n, 4, dtype=np.int64)
+            ),
+            "n_chars": b["n_chars"],
+        }
+    )
+
+
+def q_dissolve(sf_dir: str):
+    """Distributed grouped polygon union (ops/dissolve — the geopandas
+    ``.dissolve`` analog): staggered rectangle chains per district
+    through the REAL snapped boolean-union kernel; exact shoelace area
+    of each union, part/hole counts, and a summed value column. ONE
+    hash exchange keyed on district (the only movement — inherent);
+    all union compute runs inside the reduce partitions. Oracle =
+    pairwise inclusion–exclusion on the generator's overlap structure
+    (see _rect_chain_build)."""
+    from .ops.dissolve import dissolve_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        _rect_chain_build, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return dissolve_stats(ds, "district", sum_cols=("n_chars",))
+
+
 IMG_SEARCH_NQ = 8  # query images
 IMG_SEARCH_STEP = 997  # query id derivation: qid = j*STEP + 3
 IMG_SEARCH_K = 10
@@ -4888,6 +4950,7 @@ def query_registry():
         "skewkurt": q_skewkurt,
         "simplify": q_simplify,
         "compactness": q_compactness,
+        "dissolve": q_dissolve,
         "brand_mode": q_brand_mode,
         "image_search": q_image_search,
         "rolling_z": q_rolling_z,
@@ -5727,6 +5790,41 @@ def oracle_queries() -> dict[str, str]:
             FROM h
         """,
         "compactness": _compactness_sql(),
+        "dissolve": f"""
+            WITH r AS (
+              SELECT doc_id % {DISSOLVE_G} AS district,
+                     doc_id // {DISSOLVE_G} AS rnk,
+                     (doc_id*7+3) % 5 + 4 AS h,
+                     CASE ((doc_id*11+1) % 4)
+                       WHEN 0 THEN -2 WHEN 1 THEN 1
+                       WHEN 2 THEN 2 ELSE 3 END AS ext,
+                     n_chars
+              FROM documents),
+            base AS (
+              SELECT district,
+                     sum(({DISSOLVE_D} + ext) * h) AS tot,
+                     count(*) AS n,
+                     sum(n_chars) AS sc
+              FROM r GROUP BY district),
+            pairs AS (
+              SELECT a.district,
+                     sum(CASE WHEN a.ext > 0
+                              THEN a.ext * least(a.h, b.h)
+                              ELSE 0 END) AS ov,
+                     sum(CASE WHEN a.ext > 0 THEN 1 ELSE 0 END)
+                       AS merges
+              FROM r a JOIN r b
+                ON a.district = b.district AND b.rnk = a.rnk + 1
+              GROUP BY a.district)
+            SELECT base.district,
+                   CAST(tot - COALESCE(ov, 0) AS DOUBLE) AS union_area,
+                   CAST(n - COALESCE(merges, 0) AS BIGINT) AS n_polys,
+                   CAST(0 AS BIGINT) AS n_holes,
+                   CAST(sc AS DOUBLE) AS sum_n_chars
+            FROM base LEFT JOIN pairs
+              ON base.district = pairs.district
+            ORDER BY base.district
+        """,
         "image_search": f"""
             WITH imgs AS (
               SELECT doc_id * {IMG_MULT} + k AS i,
