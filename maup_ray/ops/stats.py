@@ -42,7 +42,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["grouped_gini", "grouped_weighted_median", "grouped_mad",
+__all__ = ["grouped_impurity",
+           "grouped_gini", "grouped_weighted_median", "grouped_mad",
            "grouped_mode"]
 
 
@@ -369,3 +370,46 @@ def grouped_mode(
         return _mode_walk(tbl, starts, key, value_col, count_col)
 
     return hash_group_apply(hist, [key], walk, sort_cols=(value_col,))
+
+
+def grouped_impurity(ds, key: str, cat_col: str) -> "pa.Table":
+    """Gini IMPURITY of a categorical distribution per key (the
+    decision-tree split criterion, distinct from ``grouped_gini``'s
+    Lorenz concentration index):
+
+        impurity(g) = 1 - sum_c (n_gc / n_g)^2 = (n_g^2 - sum_c n_gc^2) / n_g^2
+
+    Scale shape: per-batch Arrow group_by partials reduce the corpus
+    to distinct ``(key, category, count)`` rows -- only those move
+    (grouped_sum_count final="driver"; cardinality = |keys| x
+    |categories|, dimension-sized by assumption). All integer algebra
+    runs in Python ints (exact at any magnitude); the one float per
+    key is a single correctly-rounded division mirrored by the
+    oracle's HUGEINT -> DOUBLE casts."""
+    import pyarrow as pa
+
+    from .agg import grouped_sum_count
+
+    counts = grouped_sum_count(
+        ds, [key, cat_col], count_col="n", final="driver"
+    )
+    per = {}
+    for r in counts.to_pylist():
+        n_g, ss = per.get(r[key], (0, 0))
+        c = int(r["n"])
+        per[r[key]] = (n_g + c, ss + c * c)
+    keys = sorted(per)
+    imp = [
+        float(per[k][0] ** 2 - per[k][1]) / float(per[k][0] ** 2)
+        for k in keys
+    ]
+    key_type = counts.schema.field(key).type  # preserve source dtype
+    return pa.table(
+        {
+            key: pa.array(keys, type=key_type),
+            "impurity": pa.array(imp, type=pa.float64()),
+            "n": pa.array(
+                [per[k][0] for k in keys], type=pa.int64()
+            ),
+        }
+    )

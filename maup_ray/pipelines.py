@@ -4835,6 +4835,186 @@ def q_promo_revenue(sf_dir: str):
     )
 
 
+Q17_BRAND = "Brand#13"
+
+
+def q_small_qty(sf_dir: str):
+    """TPC-H Q17 shape — revenue lost to small-quantity orders of one
+    brand's parts: two streaming lineitem passes, both pruned at the
+    source by the broadcast brand-part key set (semi_join — the left
+    payload never moves). Pass 1 reduces the brand slice to per-part
+    (Σqty, count) via integer partials + one bytes-aware keyed merge;
+    the per-brand stats table (dimension-sized: |part|/|brands| keys)
+    broadcasts back onto pass 2, where the classic correlated
+    subquery ``l_quantity < 0.2·avg(qty)`` becomes the EXACT integer
+    cross-multiply ``5·qty·cnt < Σqty`` (0.2 = 1/5 — no decimal
+    rounding on either side). Output = Σ price-cents / 700.0, one
+    correctly-rounded division mirrored in the oracle."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .ops.agg import grouped_sum_count, grouped_sums_exact
+    from .ops.join import broadcast_hash_join, semi_join
+
+    bp = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        filters=[("p_brand", "==", Q17_BRAND)],
+    ).select(["p_partkey"])
+
+    def qty_int(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "qty": pc.cast(b["l_quantity"], pa.int64()),
+            }
+        )
+
+    li1 = semi_join(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]), bp,
+        "l_partkey", "p_partkey",
+    ).map_batches(qty_int, batch_format="pyarrow", zero_copy_batch=True)
+    stats_ds = grouped_sum_count(
+        li1, ["l_partkey"], sum_cols=["qty"], count_col="cnt",
+        final="hash",
+    )
+    stats = pa.concat_tables(
+        [t for t in ray.get(stats_ds.materialize().to_arrow_refs())
+         if t.num_rows]
+        or [pa.table({"l_partkey": pa.array([], pa.int64()),
+                      "qty": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64())})]
+    )
+
+    li2 = semi_join(
+        _read(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice"],
+        ),
+        bp, "l_partkey", "p_partkey",
+    )
+    li2 = broadcast_hash_join(
+        li2, stats, "l_partkey", "l_partkey", ["qty", "cnt"]
+    )
+
+    def small(b: pa.Table) -> pa.Table:
+        q = pc.cast(b["l_quantity"], pa.int64())
+        keep = pc.less(
+            pc.multiply(pc.multiply(q, pa.scalar(5, pa.int64())),
+                        b["cnt"]),
+            b["qty"],
+        )
+        b = b.filter(keep)
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "cents": cents,
+            }
+        )
+
+    rows = grouped_sums_exact(
+        li2.map_batches(small, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["k"], sum_cols=["cents"], count_col="n",
+    )
+    total = sum(int(r["cents"]) for r in rows)
+    n = sum(int(r["n"]) for r in rows)
+    return pa.table(
+        {
+            "avg_yearly": pa.array(
+                [float(total) / 700.0], type=pa.float64()
+            ),
+            "n_small": pa.array([n], type=pa.int64()),
+        }
+    )
+
+
+Q22_JUMBO = 400000.0
+
+
+def q_idle_customers(sf_dir: str):
+    """TPC-H Q22 shape — per-nation count/balance of customers with an
+    above-average positive balance and NO high-value order: one
+    streaming pass reduces customer to the exact global (Σcents, n)
+    over positive balances; the richer-than-average filter is the
+    integer cross-multiply ``cents·n > Σcents`` (no float average);
+    the no-jumbo-orders test is the broadcast distinct-key anti_join
+    (the filtered orders side contributes only its distinct custkeys —
+    the islands discipline); the tail is a 25-key driver merge of
+    integer partials. (The synthetic corpus gives every customer at
+    least one order, so the anti-join side is the jumbo slice, not
+    all orders — same operator shape as the textbook Q22.)"""
+    from .ops.agg import grouped_sum_count, grouped_sums_exact
+    from .ops.join import anti_join
+
+    def cents_b(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["c_acctbal"], 100.0)), pa.int64()
+        )
+        t = pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_nationkey": b["c_nationkey"],
+                "cents": cents,
+                "k": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.filter(pc.greater(cents, pa.scalar(0, pa.int64())))
+
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(cents_b, batch_format="pyarrow", zero_copy_batch=True)
+
+    rows = grouped_sums_exact(cust, ["k"], sum_cols=["cents"],
+                              count_col="n")
+    s = sum(int(r["cents"]) for r in rows)
+    n = sum(int(r["n"]) for r in rows)
+
+    def rich(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.greater(
+                pc.multiply(b["cents"], pa.scalar(n, pa.int64())),
+                pa.scalar(s, pa.int64()),
+            )
+        ).select(["c_custkey", "c_nationkey", "cents"])
+
+    cust2 = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(cents_b, batch_format="pyarrow", zero_copy_batch=True
+                  ).map_batches(rich, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    jumbo = _read(
+        sf_dir, "orders", ["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater(b["o_totalprice"], Q22_JUMBO)
+        ).select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    idle = anti_join(cust2, jumbo, "c_custkey", "o_custkey")
+    out = grouped_sum_count(
+        idle, ["c_nationkey"], sum_cols=["cents"], count_col="numcust",
+        final="driver",
+    )
+    out = out.rename_columns(["c_nationkey", "totacctbal_cents",
+                              "numcust"])
+    return out.sort_by("c_nationkey")
+
+
+def q_impurity(sf_dir: str):
+    """Per-nation Gini impurity of the market-segment mix
+    (ops/stats.grouped_impurity): distinct (nation, segment, count)
+    partials are the only movement; one exact-int division per
+    nation."""
+    from .ops.stats import grouped_impurity
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    return grouped_impurity(ds, "c_nationkey", "c_mktsegment")
+
+
 def query_registry():
     """name → callable(sf_dir) for every shipped pipeline — the single
     source of truth shared by the driver contract (__ray_entry__.py)
@@ -4951,6 +5131,9 @@ def query_registry():
         "simplify": q_simplify,
         "compactness": q_compactness,
         "dissolve": q_dissolve,
+        "small_qty": q_small_qty,
+        "idle_customers": q_idle_customers,
+        "impurity": q_impurity,
         "brand_mode": q_brand_mode,
         "image_search": q_image_search,
         "rolling_z": q_rolling_z,
@@ -5824,6 +6007,53 @@ def oracle_queries() -> dict[str, str]:
             FROM base LEFT JOIN pairs
               ON base.district = pairs.district
             ORDER BY base.district
+        """,
+        "small_qty": f"""
+            WITH bp AS (SELECT p_partkey FROM part
+                        WHERE p_brand = '{Q17_BRAND}'),
+            s AS (SELECT l_partkey,
+                         SUM(CAST(l_quantity AS BIGINT)) AS sq,
+                         COUNT(*) AS cnt
+                  FROM lineitem JOIN bp ON l_partkey = p_partkey
+                  GROUP BY l_partkey)
+            SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice*100, 0)
+                                          AS BIGINT)), 0) AS DOUBLE)
+                     / 700.0 AS avg_yearly,
+                   COUNT(*) AS n_small
+            FROM lineitem JOIN s ON lineitem.l_partkey = s.l_partkey
+            WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sq
+        """,
+        "idle_customers": f"""
+            WITH c AS (SELECT c_custkey, c_nationkey,
+                              CAST(round(c_acctbal*100, 0) AS BIGINT)
+                                AS cents
+                       FROM customer),
+            pos AS (SELECT SUM(cents) AS s, COUNT(*) AS n FROM c
+                    WHERE cents > 0),
+            rich AS (SELECT c.* FROM c, pos
+                     WHERE cents > 0 AND cents * n > s)
+            SELECT c_nationkey,
+                   CAST(SUM(cents) AS BIGINT) AS totacctbal_cents,
+                   COUNT(*) AS numcust
+            FROM rich
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = rich.c_custkey
+                                AND o_totalprice > {Q22_JUMBO})
+            GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "impurity": """
+            WITH c AS (SELECT c_nationkey, c_mktsegment,
+                              COUNT(*) AS cnt
+                       FROM customer GROUP BY 1, 2),
+            g AS (SELECT c_nationkey,
+                         CAST(SUM(cnt) AS HUGEINT) AS n,
+                         SUM(CAST(cnt AS HUGEINT) * cnt) AS ss
+                  FROM c GROUP BY c_nationkey)
+            SELECT c_nationkey,
+                   CAST(n*n - ss AS DOUBLE) / CAST(n*n AS DOUBLE)
+                     AS impurity,
+                   CAST(n AS BIGINT) AS n
+            FROM g ORDER BY c_nationkey
         """,
         "image_search": f"""
             WITH imgs AS (

@@ -384,3 +384,54 @@ class TestGroupedMode:
         )
         assert shf["v"].tolist() == ["a", "z"]
         assert shf["cnt"].tolist() == [2, 2]
+
+
+class TestGroupedImpurity:
+    def test_matches_brute_force_and_bounds(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.stats import grouped_impurity
+
+        rng = np.random.default_rng(5)
+        k = rng.integers(0, 6, size=400)
+        cats = np.array(["a", "b", "c", "d"])[rng.integers(0, 4, 400)]
+        # one pure group -> impurity exactly 0
+        k = np.r_[k, [9, 9, 9]]
+        cats = np.r_[cats, ["x", "x", "x"]]
+        tbl = pa.table(
+            {
+                "k": pa.array(k, type=pa.int64()),
+                "c": pa.array(cats, type=pa.string()),
+            }
+        )
+        got = grouped_impurity(
+            ray.data.from_arrow(tbl).repartition(5), "k", "c"
+        )
+        from collections import Counter
+
+        for r in got.to_pylist():
+            grp = cats[k == r["k"]]
+            cnt = Counter(grp.tolist())
+            n = len(grp)
+            want = float(n * n - sum(c * c for c in cnt.values())) / float(
+                n * n
+            )
+            assert r["impurity"] == want
+            assert r["n"] == n
+            assert 0.0 <= r["impurity"] < 1.0
+        pure = [r for r in got.to_pylist() if r["k"] == 9][0]
+        assert pure["impurity"] == 0.0
+
+    def test_key_dtype_preserved(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.stats import grouped_impurity
+
+        tbl = pa.table(
+            {
+                "k": pa.array([1, 1, 2], type=pa.int32()),
+                "c": pa.array(["a", "b", "a"]),
+            }
+        )
+        got = grouped_impurity(ray.data.from_arrow(tbl), "k", "c")
+        assert got.schema.field("k").type == pa.int32()
