@@ -5004,6 +5004,24 @@ def q_idle_customers(sf_dir: str):
     return out.sort_by("c_nationkey")
 
 
+def q_unpivot(sf_dir: str):
+    """Wide→long reshape (ops/reshape.unpivot — the melt/UNPIVOT
+    staple): lineitem's three rate columns stacked into (key, metric,
+    value) long format. Stateless streaming pass, values carried
+    bit-identical; the oracle is the literal UNION ALL expansion."""
+    from .ops.reshape import unpivot
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+         "l_tax"],
+    )
+    return unpivot(
+        ds, ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+    )
+
+
 def q_impurity(sf_dir: str):
     """Per-nation Gini impurity of the market-segment mix
     (ops/stats.grouped_impurity): distinct (nation, segment, count)
@@ -5134,6 +5152,7 @@ def query_registry():
         "small_qty": q_small_qty,
         "idle_customers": q_idle_customers,
         "impurity": q_impurity,
+        "unpivot": q_unpivot,
         "brand_mode": q_brand_mode,
         "image_search": q_image_search,
         "rolling_z": q_rolling_z,
@@ -6040,6 +6059,19 @@ def oracle_queries() -> dict[str, str]:
                               WHERE o_custkey = rich.c_custkey
                                 AND o_totalprice > {Q22_JUMBO})
             GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "unpivot": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS metric, l_quantity AS value
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_discount' AS metric, l_discount AS value
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_tax' AS metric, l_tax AS value
+            FROM lineitem
         """,
         "impurity": """
             WITH c AS (SELECT c_nationkey, c_mktsegment,

@@ -704,3 +704,41 @@ class TestRollingZFlags:
         assert got["i"].tolist() == [5]
         # constant window has zero variance -> any deviation flags
         assert got["bound"].tolist() == [0]
+
+
+class TestUnpivot:
+    def test_roundtrip_and_type_guard(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.reshape import unpivot
+
+        tbl = pa.table(
+            {
+                "id": pa.array([1, 2], type=pa.int64()),
+                "a": pa.array([1.5, 2.5]),
+                "b": pa.array([3.0, 4.0]),
+            }
+        )
+        out = unpivot(tbl, ["id"], ["a", "b"])
+        assert out.num_rows == 4
+        assert out.column_names == ["id", "metric", "value"]
+        assert out["metric"].to_pylist() == ["a", "a", "b", "b"]
+        assert out["value"].to_pylist() == [1.5, 2.5, 3.0, 4.0]
+        # dataset path matches table path (order within block preserved)
+        ds_out = unpivot(ray.data.from_arrow(tbl), ["id"], ["a", "b"])
+        got = pa.concat_tables(
+            [pa.Table.from_pandas(df) for df in
+             [ds_out.to_pandas()]]
+        )
+        assert sorted(got.to_pylist(), key=str) == sorted(
+            out.to_pylist(), key=str
+        )
+        # mixed types refuse
+        bad = pa.table(
+            {"id": pa.array([1]), "a": pa.array([1.0]),
+             "n": pa.array([2], type=pa.int64())}
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="share one Arrow type"):
+            unpivot(bad, ["id"], ["a", "n"])
