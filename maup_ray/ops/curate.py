@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = [
+    "heavy_hitters",
     "hash_sample",
     "top_k_per_group",
     "grouped_quantiles",
@@ -828,3 +829,119 @@ def winsorize(
     return ds.map_batches(
         clamp, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def heavy_hitters(ds, col: str, k: int, tokenize: bool = False):
+    """EXACT frequent-item detection at sketch cost — all values with
+    frequency STRICTLY above n/(k+1) of the stream, by the two-pass
+    Misra-Gries discipline:
+
+    pass 1 (candidates): each block keeps only its top-k values by
+    exact in-block count. Any global heavy hitter (freq > n/(k+1))
+    must exceed the n_b/(k+1) share in at least one block (averaging
+    argument), and within a block at most k values can tie-or-beat a
+    qualifying value's count (else the block total would exceed n_b),
+    so EVERY heavy hitter survives some block's top-k under any tie
+    handling. Only k value strings leave each block.
+
+    pass 2 (verify): the candidate set broadcasts; each block emits
+    exact counts of candidates present plus one null-keyed row with
+    its total item count. One merge of <= (k+1) rows per block, then
+    the integer cross-multiply filter ``cnt * (k+1) > n`` (no float
+    threshold).
+
+    Unlike a full count shuffle (frequent_ngrams), the moving payload
+    is O(k) per block regardless of vocabulary size -- the
+    bounded-memory heavy-hitter shape for streams whose distinct-value
+    count is itself corpus-sized. Output: (value, n_occ) sorted by
+    value, exact counts.
+
+    ``tokenize=True`` treats ``col`` as single-space-joined text and
+    streams its tokens (matching string_split semantics)."""
+    import pyarrow.compute as pc
+    import ray
+
+    def values_of(batch: pa.Table):
+        arr = batch[col]
+        if tokenize:
+            arr = pc.list_flatten(pc.split_pattern(arr, " "))
+        return arr.combine_chunks()
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        arr = values_of(batch)
+        if len(arr) == 0:
+            return pa.table({"value": pa.array([], type=pa.string())})
+        vc = arr.value_counts()
+        t = pa.table(
+            {"value": vc.field("values"), "n": vc.field("counts")}
+        ).sort_by([("n", "descending"), ("value", "ascending")])
+        return t.slice(0, k).select(["value"])
+
+    if isinstance(ds, pa.Table):
+        cand_tabs = [candidates(ds)]
+    else:
+        cand_ds = ds.map_batches(
+            candidates, batch_format="pyarrow", zero_copy_batch=True
+        )
+        cand_tabs = [
+            t for t in ray.get(cand_ds.materialize().to_arrow_refs())
+            if t.num_rows
+        ]
+    if not cand_tabs:
+        return pa.table(
+            {
+                "value": pa.array([], type=pa.string()),
+                "n_occ": pa.array([], type=pa.int64()),
+            }
+        )
+    cand = pc.unique(
+        pa.concat_tables(cand_tabs)["value"].combine_chunks()
+    )
+    cand_ref = ray.put(cand)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        arr = values_of(batch)
+        n_b = len(arr)
+        cs = ray.get(cand_ref)
+        hit = arr.filter(pc.fill_null(pc.is_in(arr, value_set=cs), False))
+        vc = hit.value_counts()
+        return pa.table(
+            {
+                "value": pa.concat_arrays(
+                    [pc.cast(vc.field("values"), pa.string()),
+                     pa.array([None], type=pa.string())]
+                ),
+                "cnt": pa.concat_arrays(
+                    [pc.cast(vc.field("counts"), pa.int64()),
+                     pa.array([n_b], type=pa.int64())]
+                ),
+            }
+        )
+
+    if isinstance(ds, pa.Table):
+        parts = [verify(ds)]
+    else:
+        ver_ds = ds.map_batches(
+            verify, batch_format="pyarrow", zero_copy_batch=True
+        )
+        parts = [
+            t for t in ray.get(ver_ds.materialize().to_arrow_refs())
+            if t.num_rows
+        ]
+    merged = pa.concat_tables(parts).combine_chunks()
+    g = merged.group_by("value").aggregate([("cnt", "sum")])
+    total = int(
+        pc.sum(
+            g.filter(pc.is_null(g["value"]))["cnt_sum"]
+        ).as_py() or 0
+    )
+    g = g.filter(pc.is_valid(g["value"]))
+    cnt = g["cnt_sum"]
+    keep = pc.greater(
+        pc.multiply(cnt, pa.scalar(k + 1, pa.int64())),
+        pa.scalar(total, pa.int64()),
+    )
+    out = pa.table(
+        {"value": g["value"], "n_occ": cnt}
+    ).filter(keep)
+    return out.combine_chunks().sort_by("value")

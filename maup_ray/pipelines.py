@@ -5004,6 +5004,23 @@ def q_idle_customers(sf_dir: str):
     return out.sort_by("c_nationkey")
 
 
+HH_K = 29
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact Misra-Gries heavy hitters over the corpus token stream
+    (ops/curate.heavy_hitters): every word with frequency > n/(k+1),
+    found with O(k)-per-block payloads — candidates = per-block exact
+    top-k, then a broadcast verify pass with the integer
+    cross-multiply threshold. The near-uniform synthetic vocabulary
+    puts many words within a fraction of a percent of the cut, so the
+    oracle exercises the exact threshold arithmetic."""
+    from .ops.curate import heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return heavy_hitters(ds, "text", HH_K, tokenize=True)
+
+
 def q_unpivot(sf_dir: str):
     """Wide→long reshape (ops/reshape.unpivot — the melt/UNPIVOT
     staple): lineitem's three rate columns stacked into (key, metric,
@@ -5153,6 +5170,7 @@ def query_registry():
         "idle_customers": q_idle_customers,
         "impurity": q_impurity,
         "unpivot": q_unpivot,
+        "heavy_hitters": q_heavy_hitters,
         "brand_mode": q_brand_mode,
         "image_search": q_image_search,
         "rolling_z": q_rolling_z,
@@ -6059,6 +6077,15 @@ def oracle_queries() -> dict[str, str]:
                               WHERE o_custkey = rich.c_custkey
                                 AND o_totalprice > {Q22_JUMBO})
             GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "heavy_hitters": f"""
+            WITH u AS (SELECT unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            n AS (SELECT count(*) AS n FROM u)
+            SELECT w AS value, count(*) AS n_occ
+            FROM u, n GROUP BY w, n.n
+            HAVING count(*) * {HH_K + 1} > n.n
+            ORDER BY w
         """,
         "unpivot": """
             SELECT l_orderkey, l_linenumber,

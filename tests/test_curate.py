@@ -892,3 +892,84 @@ class TestWinsorize:
         # p50 of 1..10 (quantile_disc, ceil(0.5*10)=5th value) = 5
         assert got["v"].max() == 5
         assert len(got) == 10
+
+
+class TestHeavyHitters:
+    """Exact Misra-Gries two-pass heavy hitters: guarantee says ALL
+    values with freq > n/(k+1) are found with exact counts, none
+    below the cut."""
+
+    @staticmethod
+    def _brute(vals, k):
+        from collections import Counter
+
+        c = Counter(vals)
+        n = len(vals)
+        return {
+            v: m for v, m in c.items() if m * (k + 1) > n
+        }
+
+    def test_zipf_planted_skew(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.curate import heavy_hitters
+
+        rng = np.random.default_rng(3)
+        # zipf-ish: few dominant values over a long uniform tail
+        head = ["hh0"] * 900 + ["hh1"] * 500 + ["hh2"] * 260
+        tail = [f"t{int(i)}" for i in rng.integers(0, 800, size=2400)]
+        vals = head + tail
+        rng.shuffle(vals)
+        tbl = pa.table({"v": pa.array(vals, type=pa.string())})
+        for k in (3, 8, 25):
+            want = self._brute(vals, k)
+            got = heavy_hitters(
+                ray.data.from_arrow(tbl).repartition(7), "v", k
+            )
+            assert dict(
+                zip(got["value"].to_pylist(), got["n_occ"].to_pylist())
+            ) == want
+
+    def test_threshold_boundary_exact(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.curate import heavy_hitters
+
+        # n = 40, k = 3 -> cut is freq > 10: exactly-10 must NOT pass
+        vals = ["a"] * 11 + ["b"] * 10 + ["c"] * 10 + ["d"] * 9
+        tbl = pa.table({"v": pa.array(vals, type=pa.string())})
+        got = heavy_hitters(ray.data.from_arrow(tbl).repartition(5),
+                            "v", 3)
+        assert got["value"].to_pylist() == ["a"]
+        assert got["n_occ"].to_pylist() == [11]
+
+    def test_tokenize_matches_flat(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.curate import heavy_hitters
+
+        rng = np.random.default_rng(9)
+        words = np.array(["x", "y", "z", "w", "q"])
+        docs = [
+            " ".join(words[rng.integers(0, 5, size=int(m))])
+            for m in rng.integers(1, 12, size=120)
+        ]
+        flat = [w for d in docs for w in d.split(" ")]
+        want = self._brute(flat, 2)
+        tbl = pa.table({"text": pa.array(docs)})
+        got = heavy_hitters(
+            ray.data.from_arrow(tbl).repartition(4), "text", 2,
+            tokenize=True,
+        )
+        assert dict(
+            zip(got["value"].to_pylist(), got["n_occ"].to_pylist())
+        ) == want
+
+    def test_table_path_and_empty(self):
+        from maup_ray.ops.curate import heavy_hitters
+
+        tbl = pa.table({"v": pa.array(["a", "a", "b"])})
+        got = heavy_hitters(tbl, "v", 1)
+        assert got["value"].to_pylist() == ["a"]
+        empty = pa.table({"v": pa.array([], type=pa.string())})
+        assert heavy_hitters(empty, "v", 2).num_rows == 0
