@@ -2726,6 +2726,23 @@ def q_image_cells(sf_dir: str):
     )
 
 
+TILE_MAX_ZOOM = 4
+
+
+def q_tile_pyramid(sf_dir: str):
+    """Multi-zoom tile-pyramid build over the image corpus
+    (ops/tiles.tile_pyramid): per-batch counts at the finest zoom,
+    coarser levels rolled up from the PARTIALS by integer halving —
+    one pass over the points, only tile partials move. The overview
+    layer every web-map / COG pipeline precomputes."""
+    from .ops.tiles import tile_pyramid
+
+    return tile_pyramid(
+        _image_points(sf_dir), "x", "y", extent=EXTENT,
+        max_zoom=TILE_MAX_ZOOM,
+    )
+
+
 def q_caption_stats(sf_dir: str):
     """Cross-modal flagship composite: image+caption table →
     phash-derived points → district assign (broadcast STRtree, exact
@@ -5169,6 +5186,7 @@ def query_registry():
         "small_qty": q_small_qty,
         "idle_customers": q_idle_customers,
         "impurity": q_impurity,
+        "tile_pyramid": q_tile_pyramid,
         "unpivot": q_unpivot,
         "heavy_hitters": q_heavy_hitters,
         "brand_mode": q_brand_mode,
@@ -6099,6 +6117,41 @@ def oracle_queries() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber,
                    'l_tax' AS metric, l_tax AS value
             FROM lineitem
+        """,
+        "tile_pyramid": f"""
+            WITH {_image_pts_cte()},
+            ixy AS (SELECT CAST(x - 0.5 AS BIGINT) AS xi,
+                           CAST(y - 0.5 AS BIGINT) AS yi FROM ipts)
+            SELECT CAST(0 AS BIGINT) AS zoom,
+                   (xi * 1) // 1048576 AS tx,
+                   (yi * 1) // 1048576 AS ty,
+                   count(*) AS n
+            FROM ixy GROUP BY 2, 3
+            UNION ALL
+            SELECT 1 AS zoom,
+                   (xi * 2) // 1048576 AS tx,
+                   (yi * 2) // 1048576 AS ty,
+                   count(*) AS n
+            FROM ixy GROUP BY 2, 3
+            UNION ALL
+            SELECT 2 AS zoom,
+                   (xi * 4) // 1048576 AS tx,
+                   (yi * 4) // 1048576 AS ty,
+                   count(*) AS n
+            FROM ixy GROUP BY 2, 3
+            UNION ALL
+            SELECT 3 AS zoom,
+                   (xi * 8) // 1048576 AS tx,
+                   (yi * 8) // 1048576 AS ty,
+                   count(*) AS n
+            FROM ixy GROUP BY 2, 3
+            UNION ALL
+            SELECT 4 AS zoom,
+                   (xi * 16) // 1048576 AS tx,
+                   (yi * 16) // 1048576 AS ty,
+                   count(*) AS n
+            FROM ixy GROUP BY 2, 3
+            ORDER BY zoom, tx, ty
         """,
         "impurity": """
             WITH c AS (SELECT c_nationkey, c_mktsegment,

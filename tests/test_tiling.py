@@ -153,3 +153,61 @@ class TestDistributedCompact:
             {"cx": pa.array(cx), "cy": pa.array(cy)}
         ).sort_by([("cx", "ascending"), ("cy", "ascending")])
         assert back.equals(want)
+
+
+class TestTilePyramid:
+    def test_matches_brute_force_all_zooms(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.tiles import tile_pyramid
+
+        rng = np.random.default_rng(4)
+        extent = 1 << 10
+        xi = rng.integers(0, extent, size=3000)
+        yi = rng.integers(0, extent, size=3000)
+        tbl = pa.table(
+            {
+                "x": pa.array(xi.astype(np.float64) + 0.5),
+                "y": pa.array(yi.astype(np.float64) + 0.5),
+            }
+        )
+        got = tile_pyramid(
+            ray.data.from_arrow(tbl).repartition(6), "x", "y",
+            extent=extent, max_zoom=3,
+        )
+        from collections import Counter
+
+        want = Counter()
+        for z in range(4):
+            for a, b in zip((xi * (1 << z)) // extent,
+                            (yi * (1 << z)) // extent):
+                want[(z, int(a), int(b))] += 1
+        gotmap = {
+            (r["zoom"], r["tx"], r["ty"]): r["n"]
+            for r in got.to_pylist()
+        }
+        assert gotmap == dict(want)
+        # zoom-0 row is the global count; each level sums to n
+        import pandas as pd
+
+        df = got.to_pandas()
+        assert (df.groupby("zoom")["n"].sum() == 3000).all()
+
+    def test_table_path_and_nonpow2_extent(self):
+        from maup_ray.ops.tiles import tile_pyramid
+
+        xi = np.array([0, 99, 100, 299])
+        tbl = pa.table(
+            {
+                "x": pa.array(xi.astype(np.float64) + 0.5),
+                "y": pa.array(np.zeros(4) + 0.5),
+            }
+        )
+        got = tile_pyramid(tbl, "x", "y", extent=300, max_zoom=2)
+        # zoom 2: tile width 75 -> tx = 0,1,1,3
+        z2 = {
+            (r["tx"], r["ty"]): r["n"]
+            for r in got.to_pylist()
+            if r["zoom"] == 2
+        }
+        assert z2 == {(0, 0): 1, (1, 0): 2, (3, 0): 1}
