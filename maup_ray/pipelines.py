@@ -4852,6 +4852,89 @@ def q_promo_revenue(sf_dir: str):
     )
 
 
+def q_trade_volume(sf_dir: str):
+    """TPC-H Q7 shape — cross-nation trade volume per year: lineitem
+    → exact integer revenue units (cents×(100−disc)) + calendar year
+    → orders (equi_join: measured-size broadcast/co-shuffle plan) →
+    customer nation + supplier nation (two more measured-size joins)
+    → (supp_nation, cust_nation, year) grouped integer partials with
+    an arbitrary-precision driver merge (Σ revenue units exceeds
+    int64 at web scale). The one float per group is float(exact int)
+    = the oracle's CAST(HUGEINT SUM AS DOUBLE)."""
+    import pyarrow.parquet as pq
+
+    from .ops.agg import grouped_sums_exact
+    from .ops.join import equi_join
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+         "l_shipdate"],
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        price = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "rev_u": pc.multiply(
+                    price,
+                    pc.subtract(pa.scalar(100, pa.int64()), disc),
+                ),
+                "l_year": pc.cast(pc.year(b["l_shipdate"]), pa.int64()),
+            }
+        )
+
+    li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    li = equi_join(li, orders, "l_orderkey", "o_orderkey", ["o_custkey"])
+    li = equi_join(li, cust, "o_custkey", "c_custkey", ["c_nationkey"])
+    li = equi_join(li, supp, "l_suppkey", "s_suppkey", ["s_nationkey"])
+
+    rows = grouped_sums_exact(
+        li, ["s_nationkey", "c_nationkey", "l_year"],
+        sum_cols=["rev_u"], count_col="n",
+    )
+    rows.sort(
+        key=lambda r: (r["s_nationkey"], r["c_nationkey"], r["l_year"])
+    )
+    return pa.table(
+        {
+            "s_nationkey": pa.array(
+                [r["s_nationkey"] for r in rows], type=pa.int32()
+            ),
+            "c_nationkey": pa.array(
+                [r["c_nationkey"] for r in rows], type=pa.int32()
+            ),
+            "l_year": pa.array(
+                [r["l_year"] for r in rows], type=pa.int64()
+            ),
+            "revenue_u": pa.array(
+                [float(int(r["rev_u"])) for r in rows],
+                type=pa.float64(),
+            ),
+            "n": pa.array([int(r["n"]) for r in rows], type=pa.int64()),
+        }
+    )
+
+
 Q17_BRAND = "Brand#13"
 
 
@@ -5184,6 +5267,7 @@ def query_registry():
         "compactness": q_compactness,
         "dissolve": q_dissolve,
         "small_qty": q_small_qty,
+        "trade_volume": q_trade_volume,
         "idle_customers": q_idle_customers,
         "impurity": q_impurity,
         "tile_pyramid": q_tile_pyramid,
@@ -6062,6 +6146,21 @@ def oracle_queries() -> dict[str, str]:
             FROM base LEFT JOIN pairs
               ON base.district = pairs.district
             ORDER BY base.district
+        """,
+        "trade_volume": """
+            SELECT s_nationkey, c_nationkey,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(round(l_extendedprice*100, 0)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l_discount*100, 0)
+                                          AS BIGINT)))
+                        AS DOUBLE) AS revenue_u,
+                   COUNT(*) AS n
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "small_qty": f"""
             WITH bp AS (SELECT p_partkey FROM part
