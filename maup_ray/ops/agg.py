@@ -199,19 +199,57 @@ def grouped_sums_exact(ds, keys, sum_cols=(), count_col: str | None = None):
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     vals = sum_cols + ([count_col] if count_col is not None else [])
-    acc: dict = {}
-    for ref in partials.materialize().to_arrow_refs():
-        t = ray.get(ref)
-        if not t.num_rows:
+    tabs = [
+        t
+        for t in (ray.get(r) for r in
+                  partials.materialize().to_arrow_refs())
+        if t is not None and t.num_rows
+    ]
+    if not tabs:
+        return []
+    merged = pa.concat_tables(tabs).combine_chunks()
+
+    # Certified int64 fast path: every intermediate partial sum of a
+    # column is bounded by Σ|v| ≤ max|v|·N (any addition order), so
+    # max|v|·N < 2^62 PROVES the Arrow group_by merge cannot wrap —
+    # exact integers either way, just vectorized. The bound check runs
+    # in Python ints (itself overflow-free). Mixed-sign columns are
+    # covered by the absolute bound.
+    import pyarrow.compute as pc  # noqa: F811 (module-local alias)
+
+    n = merged.num_rows
+    safe = True
+    for c in vals:
+        mn = pc.min(merged[c]).as_py()
+        mx = pc.max(merged[c]).as_py()
+        if mn is None:
             continue
-        for row in t.to_pylist():
-            k = tuple(row[c] for c in keys)
-            slot = acc.get(k)
-            if slot is None:
-                acc[k] = {c: int(row[c]) for c in vals}
-            else:
-                for c in vals:
-                    slot[c] += int(row[c])
+        if max(abs(int(mn)), abs(int(mx))) * n >= (1 << 62):
+            safe = False
+            break
+    if safe:
+        g = merged.group_by(keys, use_threads=False).aggregate(
+            [(c, "sum") for c in vals]
+        )
+        out = []
+        cols = {c: g[f"{c}_sum"].to_pylist() for c in vals}
+        kcols = {c: g[c].to_pylist() for c in keys}
+        for i in range(g.num_rows):
+            d = {c: kcols[c][i] for c in keys}
+            d.update({c: int(cols[c][i]) for c in vals})
+            out.append(d)
+        return out
+
+    # web-scale magnitudes: arbitrary-precision Python-int merge
+    acc: dict = {}
+    for row in merged.to_pylist():
+        k = tuple(row[c] for c in keys)
+        slot = acc.get(k)
+        if slot is None:
+            acc[k] = {c: int(row[c]) for c in vals}
+        else:
+            for c in vals:
+                slot[c] += int(row[c])
     out = []
     for k, sums in acc.items():
         d = dict(zip(keys, k))

@@ -973,3 +973,41 @@ class TestHeavyHitters:
         assert got["value"].to_pylist() == ["a"]
         empty = pa.table({"v": pa.array([], type=pa.string())})
         assert heavy_hitters(empty, "v", 2).num_rows == 0
+
+
+class TestGroupedSumsExact:
+    def test_fast_path_equals_bigint_path(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.agg import grouped_sums_exact
+
+        rng = np.random.default_rng(2)
+        k = rng.integers(0, 9, size=2000)
+        v = rng.integers(-(10**6), 10**6, size=2000)
+        tbl = pa.table(
+            {"k": pa.array(k, type=pa.int64()),
+             "v": pa.array(v, type=pa.int64())}
+        )
+        ds = ray.data.from_arrow(tbl).repartition(7)
+        small = grouped_sums_exact(ds, ["k"], sum_cols=["v"],
+                                   count_col="n")
+        # huge magnitudes force the arbitrary-precision branch;
+        # subtracting the shift afterward must reproduce the fast path
+        shift = 1 << 61
+        tbl2 = pa.table(
+            {"k": tbl["k"],
+             "v": pa.array(v + shift, type=pa.int64())}
+        )
+        big = grouped_sums_exact(
+            ray.data.from_arrow(tbl2).repartition(7), ["k"],
+            sum_cols=["v"], count_col="n",
+        )
+        sm = {r["k"]: (r["v"], r["n"]) for r in small}
+        bg = {r["k"]: (r["v"] - r["n"] * shift, r["n"]) for r in big}
+        assert sm == bg
+        # and the fast path matches a straight numpy oracle
+        for key, (s, n) in sm.items():
+            m = k == key
+            assert s == int(v[m].sum()) and n == int(m.sum())
+        # past-int64 totals stay exact (no wrap anywhere)
+        assert all(r["v"] > (1 << 60) for r in big)
