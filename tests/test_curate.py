@@ -991,9 +991,12 @@ class TestGroupedSumsExact:
         ds = ray.data.from_arrow(tbl).repartition(7)
         small = grouped_sums_exact(ds, ["k"], sum_cols=["v"],
                                    count_col="n")
-        # huge magnitudes force the arbitrary-precision branch;
-        # subtracting the shift afterward must reproduce the fast path
-        shift = 1 << 61
+        # magnitudes chosen to stay inside the per-BLOCK int64
+        # contract (rows-in-block x shift << 2^63) while pushing the
+        # MERGE bound max|partial|*n past 2^62 -> the arbitrary-
+        # precision branch; subtracting the shift afterward must
+        # reproduce the fast path
+        shift = 1 << 53
         tbl2 = pa.table(
             {"k": tbl["k"],
              "v": pa.array(v + shift, type=pa.int64())}
@@ -1010,4 +1013,4 @@ class TestGroupedSumsExact:
             m = k == key
             assert s == int(v[m].sum()) and n == int(m.sum())
         # past-int64 totals stay exact (no wrap anywhere)
-        assert all(r["v"] > (1 << 60) for r in big)
+        assert all(r["v"] > (1 << 59) for r in big)
