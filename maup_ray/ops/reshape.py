@@ -19,7 +19,9 @@ casts first if they don't, so no silent unification happens here).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["unpivot"]
 
@@ -42,10 +44,12 @@ def unpivot_batch(
             f"{sorted(map(str, vt))}; cast before unpivoting"
         )
     slices = []
+    zeros = pa.array(np.zeros(batch.num_rows, dtype=np.int32))
     for c in value_cols:
         cols = {k: batch[k] for k in id_cols}
-        cols[var_name] = pa.array(
-            [c] * batch.num_rows, type=pa.string()
+        # vectorized constant replication (no per-row python objects)
+        cols[var_name] = pc.take(
+            pa.array([c], type=pa.string()), zeros
         )
         cols[value_name] = batch[c]
         slices.append(pa.table(cols))
