@@ -4630,12 +4630,46 @@ def _rect_chain_build(b: pa.Table) -> pa.Table:
     P[:, 3, 1] = h
     return pa.table(
         {
+            "doc_id": b["doc_id"],
             "district": pa.array(g, type=pa.int64()),
             "geometry": encode_rings_bulk(
                 P, np.full(n, 4, dtype=np.int64)
             ),
             "n_chars": b["n_chars"],
         }
+    )
+
+
+ERASE_BAND = (3, 5)  # horizontal exclusion band y ∈ [3, 5]
+
+
+def q_erase(sf_dir: str):
+    """Overlay-difference (ops/overlay.erase — geopandas
+    overlay(how="difference")): every rect-chain parcel minus a
+    broadcast exclusion band, through the REAL snapped boolean
+    difference kernel (bbox prefilter skips disjoint rows). Oracle =
+    the generator's closed form: the band y∈[3,5] leaves the bottom
+    slab (height 3) always and a top slab (h−5) iff h > 5, so
+    area = w·(3 + greatest(h−5, 0)) and n_polys = 1 + (h > 5)."""
+    from .geom.wkb import encode_polygon
+    from .ops.overlay import erase
+
+    y0, y1 = ERASE_BAND
+    band = np.array(
+        [[-8.0, y0], [float(EXTENT), y0], [float(EXTENT), y1],
+         [-8.0, y1]]
+    )
+    mask = pa.table(
+        {"geometry": pa.array([encode_polygon([band])],
+                              type=pa.binary())}
+    )
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        _rect_chain_build, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = erase(ds, mask, id_col="doc_id")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "area", "n_polys"]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
 
 
@@ -5266,6 +5300,7 @@ def query_registry():
         "simplify": q_simplify,
         "compactness": q_compactness,
         "dissolve": q_dissolve,
+        "erase": q_erase,
         "small_qty": q_small_qty,
         "trade_volume": q_trade_volume,
         "idle_customers": q_idle_customers,
@@ -6161,6 +6196,20 @@ def oracle_queries() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "erase": """
+            WITH r AS (SELECT doc_id,
+                              (doc_id*7+3) % 5 + 4 AS h,
+                              8 + CASE ((doc_id*11+1) % 4)
+                                    WHEN 0 THEN -2 WHEN 1 THEN 1
+                                    WHEN 2 THEN 2 ELSE 3 END AS w
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(w * (3 + greatest(h - 5, 0)) AS DOUBLE)
+                     AS area,
+                   CAST(1 + CASE WHEN h > 5 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_polys
+            FROM r ORDER BY doc_id
         """,
         "small_qty": f"""
             WITH bp AS (SELECT p_partkey FROM part

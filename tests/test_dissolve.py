@@ -132,3 +132,99 @@ class TestDissolve:
         out = dissolve_stats(tbl, "district")
         assert out.num_rows == 0
         assert out.schema.field("n_polys").type == pa.int64()
+
+
+class TestErase:
+    def test_band_mask_closed_form(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.overlay import erase
+
+        widths_heights = [(6, 4), (9, 5), (10, 6), (11, 8), (7, 7)]
+        rows = []
+        for i, (w, h) in enumerate(widths_heights):
+            rows.append(
+                (i, encode_polygon(_rect(i * 20, 0, i * 20 + w, h)))
+            )
+        tbl = pa.table(
+            {
+                "id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "geometry": pa.array(
+                    [r[1] for r in rows], type=pa.binary()
+                ),
+            }
+        )
+        mask = pa.table(
+            {"geometry": pa.array(
+                [encode_polygon(_rect(-5, 3, 200, 5))],
+                type=pa.binary())}
+        )
+        for inp in (tbl, ray.data.from_arrow(tbl).repartition(3)):
+            out = erase(inp, mask, id_col="id")
+            if not isinstance(out, pa.Table):
+                out = pa.concat_tables(
+                    [pa.Table.from_pandas(out.to_pandas())]
+                )
+            got = {r["id"]: (r["area"], r["n_polys"])
+                   for r in out.to_pylist()}
+            for i, (w, h) in enumerate(widths_heights):
+                assert got[i] == (
+                    float(w * (3 + max(h - 5, 0))), 1 + (h > 5)
+                )
+
+    def test_fully_erased_and_disjoint(self):
+        from maup_ray.ops.overlay import erase
+
+        mask = pa.table(
+            {"geometry": pa.array(
+                [encode_polygon(_rect(-5, 3, 200, 5))],
+                type=pa.binary())}
+        )
+        inside = pa.table(
+            {"id": pa.array([9], type=pa.int64()),
+             "geometry": pa.array(
+                 [encode_polygon(_rect(0, 3, 2, 5))],
+                 type=pa.binary())}
+        )
+        r = erase(inside, mask, id_col="id").to_pylist()[0]
+        assert r["area"] == 0.0 and r["n_polys"] == 0
+        away = pa.table(
+            {"id": pa.array([10], type=pa.int64()),
+             "geometry": pa.array(
+                 [encode_polygon(_rect(0, 10, 2, 12))],
+                 type=pa.binary())}
+        )
+        r = erase(away, mask, id_col="id").to_pylist()[0]
+        assert r["area"] == 4.0 and r["n_polys"] == 1
+
+    def test_multi_rect_mask_unions_first(self):
+        from maup_ray.ops.overlay import erase
+
+        # two overlapping mask rects — must behave as their union
+        mask = pa.table(
+            {"geometry": pa.array(
+                [encode_polygon(_rect(0, 0, 6, 10)),
+                 encode_polygon(_rect(4, 0, 10, 10))],
+                type=pa.binary())}
+        )
+        parcel = pa.table(
+            {"id": pa.array([0], type=pa.int64()),
+             "geometry": pa.array(
+                 [encode_polygon(_rect(0, 0, 12, 10))],
+                 type=pa.binary())}
+        )
+        r = erase(parcel, mask, id_col="id").to_pylist()[0]
+        assert r["area"] == 20.0 and r["n_polys"] == 1
+
+    def test_mask_size_guard(self):
+        from maup_ray.ops.overlay import erase
+
+        mask = pa.table(
+            {"geometry": pa.array(
+                [encode_polygon(_rect(0, 0, 1, 1))] * 5,
+                type=pa.binary())}
+        )
+        with pytest.raises(ValueError, match="broadcast_limit"):
+            erase(pa.table({"id": pa.array([0]),
+                            "geometry": pa.array([b""])}),
+                  mask, id_col="id", broadcast_limit=3)
