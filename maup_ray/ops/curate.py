@@ -865,7 +865,9 @@ def heavy_hitters(ds, col: str, k: int, tokenize: bool = False):
         arr = batch[col]
         if tokenize:
             arr = pc.list_flatten(pc.split_pattern(arr, " "))
-        return arr.combine_chunks()
+        # nulls are not values: they must neither qualify nor inflate
+        # the stream length n (matches GROUP BY over non-null rows)
+        return arr.combine_chunks().drop_null()
 
     def candidates(batch: pa.Table) -> pa.Table:
         arr = values_of(batch)

@@ -336,6 +336,65 @@ def q_cell_tiles(sf_dir: str):
     )
 
 
+def q_gapfill(sf_dir: str):
+    """Time-spine gap filling — the time-series reporting staple: the
+    COMPLETE (event_type × hour) grid over the observed span with
+    zero-filled counts for silent hours. One streaming pass of
+    per-batch (type, hour) count partials (only distinct buckets
+    move); the spine is generated on the driver (dimension-sized:
+    |types| × span-hours) and counts land on it via one Arrow left
+    join. Hour arithmetic is exact integer µs (3600·10⁶ steps from
+    the global floor-truncated min), so the spine matches DuckDB's
+    generate_series(..., INTERVAL 1 HOUR) row for row."""
+    from .ops.agg import grouped_sum_count
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pc.floor_temporal(batch["ts"], unit="hour"),
+            }
+        )
+
+    counts = grouped_sum_count(
+        ds.map_batches(bucket, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "hour"], count_col="n", final="driver",
+    )
+    if counts.num_rows == 0:
+        return counts
+    hours_us = pc.cast(counts["hour"], pa.int64())
+    lo = pc.min(hours_us).as_py()
+    hi = pc.max(hours_us).as_py()
+    step = 3_600_000_000
+    spine_h = np.arange(lo, hi + 1, step, dtype=np.int64)
+    types = pc.unique(counts["event_type"].combine_chunks()).sort()
+    nt, nh = len(types), len(spine_h)
+    spine = pa.table(
+        {
+            "event_type": pc.take(
+                types, pa.array(np.repeat(np.arange(nt), nh))
+            ),
+            "hour": pa.array(
+                np.tile(spine_h, nt), type=pa.int64()
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    out = spine.join(
+        counts, keys=["event_type", "hour"], join_type="left outer"
+    )
+    n = pc.fill_null(pc.cast(out["n"], pa.int64()), 0)
+    return pa.table(
+        {
+            "event_type": out["event_type"],
+            "hour": out["hour"],
+            "n": n,
+        }
+    ).sort_by([("event_type", "ascending"), ("hour", "ascending")])
+
+
 def q_events_hourly(sf_dir: str):
     """Windowed aggregate over the events stream table: count + value
     sum per (event_type, hour)."""
@@ -5201,6 +5260,7 @@ def query_registry():
         "count_overlaps": q_count_overlaps,
         "cell_tiles": q_cell_tiles,
         "events_hourly": q_events_hourly,
+        "gapfill": q_gapfill,
         "knn": q_knn,
         "rasterize": q_rasterize,
         "sessions": q_sessions,
@@ -5421,6 +5481,22 @@ def oracle_queries() -> dict[str, str]:
                    CAST(floor(({py}) / {EXTENT // 16}) AS BIGINT) AS cy,
                    count(*) AS n_docs
             FROM documents GROUP BY 1, 2
+        """,
+        "gapfill": """
+            WITH b AS (SELECT event_type,
+                              date_trunc('hour', ts) AS hour,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            sp AS (SELECT t.event_type, h.hour
+                   FROM (SELECT DISTINCT event_type FROM events) t
+                   CROSS JOIN (SELECT unnest(generate_series(
+                       (SELECT min(hour) FROM b),
+                       (SELECT max(hour) FROM b),
+                       INTERVAL 1 HOUR)) AS hour) h)
+            SELECT sp.event_type, sp.hour, COALESCE(b.n, 0) AS n
+            FROM sp LEFT JOIN b
+              ON sp.event_type = b.event_type AND sp.hour = b.hour
+            ORDER BY 1, 2
         """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
