@@ -164,21 +164,86 @@ def _distinct_keys(right, on: str, broadcast_limit: int) -> pa.Array:
     if isinstance(right, pa.Table):
         keys = pc.unique(right[on].combine_chunks())
     else:
+        import ray
+
         parts = right.select_columns([on]).map_batches(
             lambda b: pa.table({on: pc.unique(b[on].combine_chunks())}),
             batch_format="pyarrow",
             zero_copy_batch=True,
-        ).take_all()
-        keys = pc.unique(pa.array([r[on] for r in parts]))
+        )
+        tabs = [
+            t for t in (ray.get(r) for r in
+                        parts.materialize().to_arrow_refs())
+            if t.num_rows
+        ]
+        if not tabs:
+            return pa.array([], type=pa.string())
+        merged = pa.concat_tables(tabs)
+        keys = pc.unique(merged[on].combine_chunks())
     if len(keys) > broadcast_limit:
         raise ValueError(
             f"semi/anti join: {len(keys)} distinct '{on}' keys exceed "
-            f"broadcast_limit={broadcast_limit}; a corpus-sized key "
-            "set needs the key-hash co-shuffle (shuffle.hash_group_"
-            "apply with a side tag, the islands flag-sum pattern) "
-            "instead of a broadcast"
+            f"broadcast_limit={broadcast_limit}; pass plan=\'shuffle\' "
+            "(or plan=\'auto\' with a Dataset right side) to run the "
+            "key-hash co-shuffle instead of a broadcast"
         )
     return keys
+
+
+def _block_distinct(right, ron):
+    """Per-block distinct-key projection of the right side — the
+    shared first stage of BOTH plans (broadcast collects it, shuffle
+    joins against it)."""
+    import ray.data
+
+    if isinstance(right, pa.Table):
+        right = ray.data.from_arrow(right)
+    return right.select_columns([ron]).map_batches(
+        lambda b: pa.table({ron: pc.unique(b[ron].combine_chunks())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _shuffle_semi(ds, right, on, right_on, anti, rkeys=None):
+    """Corpus-sized-key-set path: Ray Data's native hash co-shuffle
+    semi/anti join against the PRE-DISTINCTED-per-block right key
+    projection (semi/anti semantics are set membership, so per-block
+    dedup only shrinks the exchange — global dedup is unnecessary).
+    Left payloads move once through the shuffle (inherent); right
+    contributes keys only."""
+    import ray
+    import ray.data
+
+    ron = right_on or on
+    if rkeys is None:
+        rkeys = _block_distinct(right, ron)
+    left_was_table = isinstance(ds, pa.Table)
+    if left_was_table:
+        ds = ray.data.from_arrow(ds)
+    out = ds.join(
+        rkeys,
+        join_type="left_anti" if anti else "left_semi",
+        num_partitions=max(8, int(ray.cluster_resources().get("CPU", 8))),
+        on=(on,),
+        right_on=(ron,),
+    )
+    if left_was_table:  # driver-local in → driver-local out (row
+        # order is NOT preserved through the shuffle, unlike the
+        # broadcast plan — semi/anti results are sets)
+        tabs = [
+            t for t in (ray.get(r) for r in
+                        out.materialize().to_arrow_refs())
+            if t.num_rows
+        ]
+        if not tabs:
+            sch = ds.schema()
+            return pa.table(
+                {n: pa.array([], type=t)
+                 for n, t in zip(sch.names, sch.types)}
+            )
+        return pa.concat_tables(tabs).combine_chunks()
+    return out
 
 
 def semi_join(
@@ -188,6 +253,7 @@ def semi_join(
     right_on: str | None = None,
     anti: bool = False,
     broadcast_limit: int = 2_000_000,
+    plan: str = "auto",
 ):
     """Streaming semi-join (``anti=True`` → anti-join): keep the left
     rows whose ``on`` key is (not) present in ``right``'s key set.
@@ -196,10 +262,53 @@ def semi_join(
     and the left side streams through one vectorized ``is_in`` filter
     per batch — no shuffle, left payloads never move. The right side
     only ever contributes its distinct keys (pre-distincted per block
-    before they reach the driver)."""
+    before they reach the driver).
+
+    Plans: ``"broadcast"`` (raise past ``broadcast_limit`` distinct
+    keys), ``"shuffle"`` (Ray Data's native left_semi/left_anti hash
+    co-shuffle — the corpus-sized-key-set path; left payloads move
+    once), or ``"auto"``: broadcast when the right side is provably
+    small (a Table under the limit, or a Dataset whose METADATA row
+    count — an upper bound on distinct keys — is under it), else
+    shuffle without ever dragging the key set to the driver."""
     import ray
 
-    keys = _distinct_keys(right, right_on or on, broadcast_limit)
+    if plan not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"semi_join: unknown plan {plan!r}")
+    if plan == "shuffle":
+        return _shuffle_semi(ds, right, on, right_on, anti)
+    ron = right_on or on
+    if plan == "auto" and isinstance(right, pa.Table):
+        if len(right) > broadcast_limit:
+            return _shuffle_semi(ds, right, on, right_on, anti)
+        keys = _distinct_keys(right, ron, broadcast_limit)
+    elif plan == "auto":
+        # ONE pass computes the per-block distinct projection; merge
+        # it incrementally on the driver and bail to the shuffle plan
+        # (reusing the same materialized projection — no re-read of
+        # the right side) the moment the running distinct count
+        # crosses the limit. Driver memory is bounded by
+        # limit + one block either way.
+        rkeys_ds = _block_distinct(right, ron).materialize()
+        keys = None
+        acc = None
+        for r in rkeys_ds.to_arrow_refs():
+            t = ray.get(r)
+            if not t.num_rows:
+                continue
+            col = t[ron].combine_chunks()
+            acc = col if acc is None else pc.unique(
+                pa.concat_arrays(
+                    [acc.combine_chunks() if isinstance(
+                        acc, pa.ChunkedArray) else acc, col]
+                )
+            )
+            if len(acc) > broadcast_limit:
+                return _shuffle_semi(ds, right, on, right_on, anti,
+                                     rkeys=rkeys_ds)
+        keys = acc if acc is not None else pa.array([], type=pa.string())
+    else:
+        keys = _distinct_keys(right, ron, broadcast_limit)
     ref = ray.put(keys)
 
     def f(batch: pa.Table) -> pa.Table:
@@ -217,8 +326,9 @@ def semi_join(
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def anti_join(ds, right, on, right_on=None, broadcast_limit=2_000_000):
+def anti_join(ds, right, on, right_on=None, broadcast_limit=2_000_000,
+              plan: str = "auto"):
     return semi_join(
         ds, right, on, right_on=right_on, anti=True,
-        broadcast_limit=broadcast_limit,
+        broadcast_limit=broadcast_limit, plan=plan,
     )

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -149,7 +150,11 @@ class TestSemiAntiJoin:
             {"k": pa.array([1, 2, 3], type=pa.int64())}
         )
         with _pytest.raises(ValueError, match="broadcast_limit"):
-            semi_join(left, right, "k", broadcast_limit=2)
+            semi_join(left, right, "k", broadcast_limit=2,
+                      plan="broadcast")
+        # plan="auto" switches to the shuffle path instead of raising
+        got = semi_join(left, right, "k", broadcast_limit=2)
+        assert got.num_rows > 0
 
     def test_dataset_right_pre_distincts(self, ray_session):
         """A Dataset right side with massive duplication still fits a
@@ -165,8 +170,15 @@ class TestSemiAntiJoin:
                                type=pa.int64())}
             )
         ).repartition(4)
-        out = semi_join(left, right, "k", broadcast_limit=4)
+        # plan="broadcast" honors the tiny limit thanks to the
+        # per-block pre-distinct (only 2 distinct keys move)
+        out = semi_join(left, right, "k", broadcast_limit=4,
+                        plan="broadcast")
         assert out["v"].to_pylist() == [20, 50]
+        # auto goes conservative on the 10k-row metadata bound and
+        # shuffles — same row SET (order not preserved)
+        auto = semi_join(left, right, "k", broadcast_limit=4)
+        assert sorted(auto["v"].to_pylist()) == [20, 50]
 
 
 class TestLeftBroadcastJoin:
@@ -225,3 +237,63 @@ class TestLeftBroadcastJoin:
         )
         with pytest.raises(ValueError, match="duplicate"):
             left_broadcast_join(left, right, "k", "rk", ["cnt"])
+
+
+class TestSemiJoinPlans:
+    def test_shuffle_plan_equals_broadcast(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.join import anti_join, semi_join
+
+        rng = np.random.default_rng(6)
+        left = pa.table(
+            {
+                "k": pa.array(rng.integers(0, 50, 400), type=pa.int64()),
+                "v": pa.array(rng.integers(0, 9, 400), type=pa.int64()),
+            }
+        )
+        right = pa.table(
+            {"rk": pa.array(
+                rng.integers(0, 50, 60), type=pa.int64())}
+        )
+        for anti in (False, True):
+            fn = anti_join if anti else semi_join
+            want = fn(left, right, "k", "rk")
+            want = want.to_pandas().sort_values(
+                ["k", "v"]).reset_index(drop=True)
+            got = fn(
+                ray.data.from_arrow(left).repartition(4),
+                ray.data.from_arrow(right).repartition(3),
+                "k", "rk", plan="shuffle",
+            ).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                got[["k", "v"]], want[["k", "v"]]
+            )
+
+    def test_auto_switches_on_metadata_count(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.join import semi_join
+
+        left = pa.table(
+            {"k": pa.array([1, 2, 3, 4], type=pa.int64())}
+        )
+        # right has MANY duplicate rows of few keys: auto must pick
+        # shuffle from the row-count bound without driver collection
+        right = ray.data.from_arrow(
+            pa.table({"k": pa.array([2, 3] * 50, type=pa.int64())})
+        )
+        got = semi_join(
+            ray.data.from_arrow(left), right, "k",
+            broadcast_limit=10, plan="auto",
+        )
+        assert sorted(
+            r["k"] for r in got.to_pandas().to_dict("records")
+        ) == [2, 3]
+
+    def test_unknown_plan_raises(self):
+        from maup_ray.ops.join import semi_join
+
+        with pytest.raises(ValueError, match="unknown plan"):
+            semi_join(pa.table({"k": []}), pa.table({"k": []}), "k",
+                      plan="bogus")
