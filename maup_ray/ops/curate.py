@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = [
+    "grouped_value_topk",
     "heavy_hitters",
     "hash_sample",
     "top_k_per_group",
@@ -947,3 +948,69 @@ def heavy_hitters(ds, col: str, k: int, tokenize: bool = False):
         {"value": g["value"], "n_occ": cnt}
     ).filter(keep)
     return out.combine_chunks().sort_by("value")
+
+
+def grouped_value_topk(ds, key: str, value: str, k: int):
+    """Top-k most-frequent VALUES per key with exact counts — the
+    "dominant categories per group" reporting staple, i.e.
+    ``row_number() OVER (PARTITION BY key ORDER BY count(*) DESC,
+    value) <= k`` over the (key, value) count table.
+
+    Scale shape: per-batch Arrow group_by reduces each block to
+    distinct (key, value, count) partials — only those move through
+    ONE key-hash exchange; each reduce partition re-merges its
+    partials with one Arrow group_by and picks top-k per key with one
+    vectorized lexsort (count DESC, value ASC total order). Output is
+    exact counts, (key, rank) sorted."""
+    import ray
+
+    from .shuffle import hash_group_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([key, value]).group_by(
+            [key, value], use_threads=False
+        ).aggregate([([], "count_all")])
+        return g.rename_columns([key, value, "n_occ"])
+
+    partials = (
+        partial(ds) if isinstance(ds, pa.Table)
+        else ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def final(tbl, starts):
+        empty = pa.table(
+            {
+                key: pa.array([], type=pa.int64()),
+                value: pa.array([], type=pa.string()),
+                "n_occ": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+            }
+        )
+        if tbl is None or tbl.num_rows == 0:
+            return empty
+        m = tbl.group_by([key, value], use_threads=False).aggregate(
+            [("n_occ", "sum")]
+        )
+        gidx = m[key].to_numpy(zero_copy_only=False)
+        cnt = m["n_occ_sum"].to_numpy(zero_copy_only=False)
+        vals = m[value].to_numpy(zero_copy_only=False)
+        idx, rank = _group_topk(gidx, cnt, vals, k)
+        return pa.table(
+            {
+                key: pa.array(gidx[idx], type=m.schema.field(key).type),
+                value: pa.array(vals[idx],
+                                type=m.schema.field(value).type),
+                "n_occ": pa.array(cnt[idx], type=pa.int64()),
+                "rank": pa.array(rank, type=pa.int64()),
+            }
+        )
+
+    refs = hash_group_apply(partials, [key], final, return_refs=True)
+    tabs = [t for t in ray.get(refs) if t is not None and t.num_rows]
+    if not tabs:
+        return final(None, [])
+    return pa.concat_tables(tabs).combine_chunks().sort_by(
+        [(key, "ascending"), ("rank", "ascending")]
+    )

@@ -1434,6 +1434,20 @@ def q_zonal(sf_dir: str):
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
+TOPVAL_K = 2
+
+
+def q_top_event_types(sf_dir: str):
+    """Top-k most-frequent event types per user
+    (ops/curate.grouped_value_topk): distinct (user, type, count)
+    partials are the only exchange; vectorized per-partition lexsort
+    top-k with (count DESC, type ASC) total order."""
+    from .ops.curate import grouped_value_topk
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_value_topk(ds, "user_id", "event_type", TOPVAL_K)
+
+
 def q_event_pivot(sf_dir: str):
     """Wide pivot (crosstab): per-user event-type count matrix in ONE
     streaming pass — the reshape is free: each batch derives one int64
@@ -5261,6 +5275,7 @@ def query_registry():
         "cell_tiles": q_cell_tiles,
         "events_hourly": q_events_hourly,
         "gapfill": q_gapfill,
+        "top_event_types": q_top_event_types,
         "knn": q_knn,
         "rasterize": q_rasterize,
         "sessions": q_sessions,
@@ -5481,6 +5496,17 @@ def oracle_queries() -> dict[str, str]:
                    CAST(floor(({py}) / {EXTENT // 16}) AS BIGINT) AS cy,
                    count(*) AS n_docs
             FROM documents GROUP BY 1, 2
+        """,
+        "top_event_types": f"""
+            WITH c AS (SELECT user_id, event_type, count(*) AS n_occ
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT user_id, event_type, n_occ,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY n_occ DESC, event_type)
+                           AS rank
+                  FROM c)
+            SELECT user_id, event_type, n_occ, rank FROM r
+            WHERE rank <= {TOPVAL_K} ORDER BY user_id, rank
         """,
         "gapfill": """
             WITH b AS (SELECT event_type,

@@ -1014,3 +1014,46 @@ class TestGroupedSumsExact:
             assert s == int(v[m].sum()) and n == int(m.sum())
         # past-int64 totals stay exact (no wrap anywhere)
         assert all(r["v"] > (1 << 59) for r in big)
+
+
+class TestGroupedValueTopk:
+    def test_matches_brute_force_with_ties(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.curate import grouped_value_topk
+
+        rng = np.random.default_rng(8)
+        keys = rng.integers(0, 12, size=800)
+        vals = np.array(["a", "b", "c", "d", "e"])[
+            rng.integers(0, 5, 800)
+        ]
+        tbl = pa.table(
+            {"k": pa.array(keys, type=pa.int64()),
+             "v": pa.array(vals, type=pa.string())}
+        )
+        got = grouped_value_topk(
+            ray.data.from_arrow(tbl).repartition(5), "k", "v", 2
+        )
+        from collections import Counter
+
+        for kk in np.unique(keys):
+            c = Counter(vals[keys == kk].tolist())
+            want = sorted(c.items(), key=lambda t: (-t[1], t[0]))[:2]
+            rows = [r for r in got.to_pylist() if r["k"] == kk]
+            assert [(r["v"], r["n_occ"]) for r in rows] == want
+            assert [r["rank"] for r in rows] == list(
+                range(1, len(want) + 1)
+            )
+
+    def test_table_path(self):
+        from maup_ray.ops.curate import grouped_value_topk
+
+        tbl = pa.table(
+            {"k": pa.array([1, 1, 1, 2], type=pa.int64()),
+             "v": pa.array(["x", "x", "y", "z"])}
+        )
+        got = grouped_value_topk(tbl, "k", "v", 1)
+        assert got.to_pylist() == [
+            {"k": 1, "v": "x", "n_occ": 2, "rank": 1},
+            {"k": 2, "v": "z", "n_occ": 1, "rank": 1},
+        ]
