@@ -177,10 +177,17 @@ def asof_join(
     value_cols: tuple = (),
     out_left_id: str = "left_id",
     out_right_id: str = "right_id",
+    direction: str = "backward",
 ):
     """Left as-of join: for each left row, the latest right row of the
     same key with ``right.ts <= left.ts`` (ties on ts broken by max
     right id — deterministic). Unmatched left rows keep nulls.
+    ``direction="forward"`` mirrors it (pandas merge_asof parity):
+    the EARLIEST right row with ``right.ts >= left.ts``, equal-ts
+    ties broken by MIN right id. Both directions ride the same sorted
+    union — the side flag swaps so the qualifying side lands adjacent
+    in sort order, and the fill runs as a prefix-max (backward) or
+    suffix-min (forward) of right indices.
 
     -> (out_left_id, key_col, ts_col, out_right_id, *value_cols) with
     one row per left row. Each value_cols element is a right-side
@@ -199,6 +206,13 @@ def asof_join(
     if hasattr(rsch, "base_schema"):  # ray.data.Schema wrapper
         rsch = rsch.base_schema
     val_types = {out: rsch.field(src).type for src, out in pairs}
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    fwd = direction == "forward"
+    # sort is (key, ts, _side ASC, _id ASC); the flag assignment puts
+    # the INCLUSIVE side adjacent: backward = rights before lefts at
+    # equal ts, forward = lefts before rights
+    left_flag, right_flag = (0, 1) if fwd else (1, 0)
 
     def proj_left(b: pa.Table) -> pa.Table:
         n = len(b)
@@ -206,7 +220,9 @@ def asof_join(
             key_col: b[key_col],
             ts_col: b[ts_col],
             "_id": b[left_id_col],
-            "_side": pa.array(np.ones(n, dtype=np.int8)),
+            "_side": pa.array(
+                np.full(n, left_flag, dtype=np.int8)
+            ),
         }
         for out in val:
             cols[out] = pa.nulls(n, type=val_types[out])
@@ -218,7 +234,9 @@ def asof_join(
             key_col: b[key_col],
             ts_col: b[ts_col],
             "_id": b[right_id_col],
-            "_side": pa.array(np.zeros(n, dtype=np.int8)),
+            "_side": pa.array(
+                np.full(n, right_flag, dtype=np.int8)
+            ),
         }
         for src, out in pairs:
             cols[out] = b[src]
@@ -238,18 +256,28 @@ def asof_join(
             return schema.empty_table()
         n = len(tbl)
         side = tbl["_side"].to_numpy(zero_copy_only=False)
-        is_left = side == 1
-        # forward-fill the most recent RIGHT row index; a carried
-        # index from a previous group is < this group's start, so the
-        # group reset is a single >= comparison (indices are global
+        is_left = side == left_flag
+        # fill the nearest RIGHT row index; a carried index from a
+        # neighboring group is outside this group's [start, end), so
+        # the group reset is a single comparison (indices are global
         # and increasing — no per-group state)
         idx = np.arange(n, dtype=np.int64)
-        last = np.maximum.accumulate(np.where(~is_left, idx, -1))
         sizes = np.diff(np.append(starts, n))
-        gstart = np.repeat(starts, sizes)
-        ok = last >= gstart
+        if fwd:
+            nxt = np.minimum.accumulate(
+                np.where(~is_left, idx, n)[::-1]
+            )[::-1]
+            gend = np.repeat(starts + sizes, sizes)
+            ok = nxt < gend
+            last = nxt
+        else:
+            last = np.maximum.accumulate(np.where(~is_left, idx, -1))
+            gstart = np.repeat(starts, sizes)
+            ok = last >= gstart
         sel = np.flatnonzero(is_left)
-        match = pa.array(last[sel], mask=~ok[sel])
+        match = pa.array(
+            np.where(ok[sel], last[sel], 0), mask=~ok[sel]
+        )
         lrows = tbl.take(pa.array(sel))
         cols = {
             out_left_id: lrows["_id"],

@@ -1027,6 +1027,40 @@ def q_asof_join(sf_dir: str):
     )
 
 
+def q_asof_forward(sf_dir: str):
+    """Forward as-of join (pandas merge_asof direction="forward"
+    parity): odd-id "trades" matched to the EARLIEST even-id "quote"
+    of the same user at or after their ts (equal-ts ties → min quote
+    id). Same one-exchange sorted-union machinery as `asof_join`,
+    suffix-min fill."""
+    from .ops.temporal import asof_join
+
+    def odd(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.equal(pc.bit_wise_and(b["event_id"], 1), 1)
+        ).select(["event_id", "user_id", "ts"])
+
+    def even(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.equal(pc.bit_wise_and(b["event_id"], 1), 0)
+        ).select(["event_id", "user_id", "ts", "value"])
+
+    trades = _read(
+        sf_dir, "events", ["event_id", "user_id", "ts"]
+    ).map_batches(odd, batch_format="pyarrow", zero_copy_batch=True)
+    quotes = _read(
+        sf_dir, "events", ["event_id", "user_id", "ts", "value"]
+    ).map_batches(even, batch_format="pyarrow", zero_copy_batch=True)
+    return asof_join(
+        trades,
+        quotes,
+        value_cols=(("value", "quote_value"),),
+        out_left_id="trade_id",
+        out_right_id="quote_id",
+        direction="forward",
+    )
+
+
 def q_range_join(sf_dir: str):
     """Keyless interval join: every-17th event anchors a 1-hour
     interval [ts, ts+1h); count + sum event ids of ALL events inside
@@ -5282,6 +5316,7 @@ def query_registry():
         "funnel": q_funnel,
         "rolling_window": q_rolling_window,
         "asof_join": q_asof_join,
+        "asof_forward": q_asof_forward,
         "range_join": q_range_join,
         # training-data family
         "order_totals": q_order_totals,
@@ -5857,6 +5892,31 @@ def oracle_queries() -> dict[str, str]:
                 OVER (PARTITION BY user_id
                       ORDER BY ts, is_trade, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS quote_value
+             FROM u)
+            SELECT event_id AS trade_id, user_id, ts,
+                   quote_id, quote_value
+            FROM m WHERE is_trade = 1
+        """,
+        "asof_forward": """
+            WITH u AS (
+              SELECT event_id, user_id, ts, value,
+                     event_id % 2 AS is_trade
+              FROM events),
+            m AS (SELECT *,
+              first_value(CASE WHEN is_trade=0 THEN event_id END
+                          IGNORE NULLS)
+                OVER (PARTITION BY user_id
+                      ORDER BY ts, is_trade DESC, event_id
+                      ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING)
+                AS quote_id,
+              first_value(CASE WHEN is_trade=0 THEN value END
+                          IGNORE NULLS)
+                OVER (PARTITION BY user_id
+                      ORDER BY ts, is_trade DESC, event_id
+                      ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING)
                 AS quote_value
              FROM u)
             SELECT event_id AS trade_id, user_id, ts,

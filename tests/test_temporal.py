@@ -695,3 +695,76 @@ class TestTimeWeightedAvg:
         out = time_weighted_avg(t).to_pandas()
         assert out.n.iloc[0] == 1 and out.span_us.iloc[0] == 0
         assert pd.isna(out.twap.iloc[0])
+
+
+class TestAsofForward:
+    def test_matches_brute_force_and_mirror(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.temporal import asof_join
+
+        rng = np.random.default_rng(12)
+        nl, nr = 120, 80
+        lt = pa.table(
+            {
+                "event_id": pa.array(np.arange(nl), type=pa.int64()),
+                "user_id": pa.array(
+                    rng.integers(0, 6, nl), type=pa.int64()
+                ),
+                "ts": pa.array(
+                    rng.integers(0, 500, nl), type=pa.int64()
+                ),
+            }
+        )
+        rt = pa.table(
+            {
+                "event_id": pa.array(
+                    np.arange(1000, 1000 + nr), type=pa.int64()
+                ),
+                "user_id": pa.array(
+                    rng.integers(0, 6, nr), type=pa.int64()
+                ),
+                "ts": pa.array(
+                    rng.integers(0, 500, nr), type=pa.int64()
+                ),
+                "value": pa.array(
+                    rng.integers(0, 99, nr), type=pa.int64()
+                ),
+            }
+        )
+        out = asof_join(
+            ray.data.from_arrow(lt).repartition(3),
+            ray.data.from_arrow(rt).repartition(2),
+            value_cols=("value",),
+            direction="forward",
+        )
+        got = {
+            r["left_id"]: (r["right_id"], r["value"])
+            for r in out.to_pandas().to_dict("records")
+        }
+        R = rt.to_pylist()
+        for lrow in lt.to_pylist():
+            cands = [
+                r for r in R
+                if r["user_id"] == lrow["user_id"]
+                and r["ts"] >= lrow["ts"]
+            ]
+            if cands:
+                best = min(cands, key=lambda r: (r["ts"], r["event_id"]))
+                want = (best["event_id"], best["value"])
+            else:
+                want = (None, None)
+            g = got[lrow["event_id"]]
+            g = (None if g[0] is None or g[0] != g[0] else int(g[0]),
+                 None if g[1] is None or g[1] != g[1] else int(g[1]))
+            assert g == want, (lrow, g, want)
+
+    def test_unknown_direction_raises(self):
+        from maup_ray.ops.temporal import asof_join
+
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(
+                pa.table({"user_id": [], "ts": [], "event_id": []}),
+                pa.table({"user_id": [], "ts": [], "event_id": []}),
+                direction="nearest",
+            )
