@@ -42,7 +42,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["grouped_impurity",
+__all__ = ["grouped_spearman", "grouped_impurity",
            "grouped_gini", "grouped_weighted_median", "grouped_mad",
            "grouped_mode"]
 
@@ -413,3 +413,118 @@ def grouped_impurity(ds, key: str, cat_col: str) -> "pa.Table":
             ),
         }
     )
+
+
+def _midrank2(v: "np.ndarray") -> "np.ndarray":
+    """2× midranks of v (ties share the average rank; doubling keeps
+    them integers): for value with count c and P smaller values,
+    midrank2 = 2P + c + 1."""
+    order = np.argsort(v, kind="stable")
+    sv = v[order]
+    uniq_starts = np.flatnonzero(
+        np.diff(sv, prepend=sv[0] - 1 if len(sv) else 0)
+    )
+    counts = np.diff(np.append(uniq_starts, len(sv)))
+    prefix = np.append(0, np.cumsum(counts))[:-1]
+    m2u = 2 * prefix + counts + 1
+    out = np.empty(len(v), dtype=np.int64)
+    out[order] = np.repeat(m2u, counts)
+    return out
+
+
+def grouped_spearman(ds, key: str, x_col: str, y_col: str) -> pa.Table:
+    """Exact Spearman rank correlation per key — Pearson over
+    tie-averaged ranks, with every moment an exact integer:
+    midranks are kept ×2 (so ties stay integral), the five sums
+    Σrx, Σry, Σrx·ry, Σrx², Σry² accumulate as int64 under a proven
+    4·(2n+1)²·n < 2^62 bound (arbitrary-precision Python ints past
+    it), and the ONE float per key is the mirrored IEEE expression
+
+        rho = num / sqrt(denx · deny),  num = n·Sxy − Sx·Sy, …
+
+    token-for-token equal to the oracle's HUGEINT→DOUBLE form (the
+    ×2 scaling cancels algebraically, so no rescale step exists to
+    round differently).
+
+    Scale shape: Spearman needs per-row rank PAIRS within a key, so
+    each key's rows co-locate through ONE hash exchange of pruned
+    (key, x, y) triples; ranking + moments run vectorized per group
+    inside the reduce partition. A single giant key serializes its
+    group (documented skew hatch: pre-bucket values to histograms
+    if that bites)."""
+    import math
+
+    import ray
+
+    from .shuffle import hash_group_apply
+
+    import pyarrow.compute as pc
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: batch[key],
+                "x": pc.cast(batch[x_col], pa.int64()),
+                "y": pc.cast(batch[y_col], pa.int64()),
+            }
+        )
+
+    pruned = (
+        prune(ds) if isinstance(ds, pa.Table)
+        else ds.map_batches(
+            prune, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def final(tbl, starts):
+        empty = pa.table(
+            {
+                key: pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "rho": pa.array([], type=pa.float64()),
+            }
+        )
+        if tbl is None or tbl.num_rows == 0:
+            return empty
+        keys = tbl[key].to_numpy(zero_copy_only=False)
+        xs = tbl["x"].to_numpy(zero_copy_only=False)
+        ys = tbl["y"].to_numpy(zero_copy_only=False)
+        ends = np.append(starts[1:], tbl.num_rows)
+        out_k, out_n, out_rho = [], [], []
+        for s, e in zip(starts, ends):
+            n = int(e - s)
+            rx = _midrank2(xs[s:e])
+            ry = _midrank2(ys[s:e])
+            if _int64_safe(4 * (2 * n + 1) ** 2 * n):
+                sx, sy = int(rx.sum()), int(ry.sum())
+                sxy = int((rx * ry).sum())
+                sxx = int((rx * rx).sum())
+                syy = int((ry * ry).sum())
+            else:  # web-scale group: exact Python ints
+                sx = sum(map(int, rx)); sy = sum(map(int, ry))
+                sxy = sum(int(a) * int(b) for a, b in zip(rx, ry))
+                sxx = sum(int(a) ** 2 for a in rx)
+                syy = sum(int(b) ** 2 for b in ry)
+            num = n * sxy - sx * sy
+            denx = n * sxx - sx * sx
+            deny = n * syy - sy * sy
+            rho = (
+                float(num) / math.sqrt(float(denx) * float(deny))
+                if denx > 0 and deny > 0 else None
+            )
+            out_k.append(int(keys[s]))
+            out_n.append(n)
+            out_rho.append(rho)
+        return pa.table(
+            {
+                key: pa.array(out_k, type=pa.int64()),
+                "n": pa.array(out_n, type=pa.int64()),
+                "rho": pa.array(out_rho, type=pa.float64()),
+            }
+        )
+
+    refs = hash_group_apply(pruned, [key], final, return_refs=True)
+    tabs = [t for t in ray.get(refs) if t is not None and t.num_rows]
+    if not tabs:
+        return final(None, [])
+    return pa.concat_tables(tabs).combine_chunks().sort_by(key)

@@ -1482,6 +1482,36 @@ def q_top_event_types(sf_dir: str):
     return grouped_value_topk(ds, "user_id", "event_type", TOPVAL_K)
 
 
+def q_spearman(sf_dir: str):
+    """Exact grouped Spearman rank correlation
+    (ops/stats.grouped_spearman): quantity vs discount-cents per
+    lineitem line number — tie-averaged ranks kept ×2 integral, exact
+    int moments, ONE mirrored num/sqrt(denx·deny) expression."""
+    from .ops.stats import grouped_spearman
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_linenumber", "l_quantity", "l_discount"]
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b["l_linenumber"], pa.int64()),
+                "x": pc.cast(b["l_quantity"], pa.int64()),
+                "y": pc.cast(
+                    pc.round(pc.multiply(b["l_discount"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return grouped_spearman(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "k", "x", "y",
+    )
+
+
 def q_event_pivot(sf_dir: str):
     """Wide pivot (crosstab): per-user event-type count matrix in ONE
     streaming pass — the reshape is free: each batch derives one int64
@@ -5310,6 +5340,7 @@ def query_registry():
         "events_hourly": q_events_hourly,
         "gapfill": q_gapfill,
         "top_event_types": q_top_event_types,
+        "spearman": q_spearman,
         "knn": q_knn,
         "rasterize": q_rasterize,
         "sessions": q_sessions,
@@ -5531,6 +5562,31 @@ def oracle_queries() -> dict[str, str]:
                    CAST(floor(({py}) / {EXTENT // 16}) AS BIGINT) AS cy,
                    count(*) AS n_docs
             FROM documents GROUP BY 1, 2
+        """,
+        "spearman": """
+            WITH b AS (SELECT CAST(l_linenumber AS BIGINT) AS k,
+                              CAST(l_quantity AS BIGINT) AS x,
+                              CAST(round(l_discount*100, 0) AS BIGINT)
+                                AS y
+                       FROM lineitem),
+            r AS (SELECT k,
+                    2*rank() OVER (PARTITION BY k ORDER BY x)
+                      + count(*) OVER (PARTITION BY k, x) - 1 AS rx,
+                    2*rank() OVER (PARTITION BY k ORDER BY y)
+                      + count(*) OVER (PARTITION BY k, y) - 1 AS ry
+                  FROM b),
+            m AS (SELECT k, count(*) AS n,
+                         SUM(CAST(rx AS HUGEINT)) AS sx,
+                         SUM(CAST(ry AS HUGEINT)) AS sy,
+                         SUM(CAST(rx AS HUGEINT)*ry) AS sxy,
+                         SUM(CAST(rx AS HUGEINT)*rx) AS sxx,
+                         SUM(CAST(ry AS HUGEINT)*ry) AS syy
+                  FROM r GROUP BY k)
+            SELECT k, CAST(n AS BIGINT) AS n,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                   / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                          * CAST(n*syy - sy*sy AS DOUBLE)) AS rho
+            FROM m ORDER BY k
         """,
         "top_event_types": f"""
             WITH c AS (SELECT user_id, event_type, count(*) AS n_occ

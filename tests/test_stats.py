@@ -435,3 +435,73 @@ class TestGroupedImpurity:
         )
         got = grouped_impurity(ray.data.from_arrow(tbl), "k", "c")
         assert got.schema.field("k").type == pa.int32()
+
+
+class TestGroupedSpearman:
+    def test_matches_scipy_free_reference(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.stats import grouped_spearman
+
+        rng = np.random.default_rng(7)
+        n = 600
+        k = rng.integers(0, 4, size=n)
+        x = rng.integers(0, 30, size=n)  # heavy ties
+        # y correlated with x plus noise
+        y = x * 3 + rng.integers(-10, 10, size=n)
+        tbl = pa.table(
+            {"k": pa.array(k, type=pa.int64()),
+             "x": pa.array(x, type=pa.int64()),
+             "y": pa.array(y, type=pa.int64())}
+        )
+        got = grouped_spearman(
+            ray.data.from_arrow(tbl).repartition(5), "k", "x", "y"
+        )
+
+        def mr(v):
+            order = np.argsort(v, kind="stable")
+            sv = v[order]
+            starts = np.flatnonzero(
+                np.diff(sv, prepend=sv[0] - 1)
+            )
+            cnt = np.diff(np.append(starts, len(sv)))
+            pref = np.append(0, np.cumsum(cnt))[:-1]
+            m = (2 * pref + cnt + 1) / 2.0
+            out = np.empty(len(v))
+            out[order] = np.repeat(m, cnt)
+            return out
+
+        for r in got.to_pylist():
+            m = k == r["k"]
+            rx, ry = mr(x[m]), mr(y[m])
+            # pearson of midranks
+            nn = m.sum()
+            num = nn * (rx * ry).sum() - rx.sum() * ry.sum()
+            den = np.sqrt(
+                (nn * (rx * rx).sum() - rx.sum() ** 2)
+                * (nn * (ry * ry).sum() - ry.sum() ** 2)
+            )
+            assert abs(r["rho"] - num / den) < 1e-12
+            assert r["rho"] > 0.8  # planted correlation
+            assert r["n"] == nn
+
+    def test_perfect_and_constant(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.stats import grouped_spearman
+
+        tbl = pa.table(
+            {
+                "k": pa.array([0] * 5 + [1] * 5, type=pa.int64()),
+                "x": pa.array([1, 2, 3, 4, 5] + [1, 2, 3, 4, 5],
+                              type=pa.int64()),
+                "y": pa.array([2, 4, 6, 8, 10] + [7, 7, 7, 7, 7],
+                              type=pa.int64()),
+            }
+        )
+        got = {r["k"]: r["rho"]
+               for r in grouped_spearman(
+                   ray.data.from_arrow(tbl), "k", "x", "y"
+               ).to_pylist()}
+        assert got[0] == 1.0        # perfect monotone
+        assert got[1] is None       # constant y -> undefined
