@@ -939,6 +939,23 @@ def q_image_phash(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_video_cuts(sf_dir: str):
+    """Scene-cut detection (rows-only: codec decode is not
+    SQL-expressible): per-video consecutive-frame absolute-difference
+    integer sums + threshold cuts (media/cuts.scene_cut_stats). The
+    scroll-pattern corpus has CONSTANT per-pair diffs (cyclic shift),
+    an invariant tests/test_video.py pins alongside a planted-cut
+    fixture."""
+    import pyarrow.parquet as pq
+
+    from .media.cuts import scene_cut_stats
+    from .synth.videos import video_dataset
+
+    n = max(40, pq.read_metadata(
+        f"{sf_dir}/documents.parquet").num_rows // 2)
+    return scene_cut_stats(video_dataset(n, n_frames=8))
+
+
 def q_video_frames(sf_dir: str):
     """Video frame sampling (rows-only: container/codec decode is not
     SQL-expressible): synth AVI table sized from documents (mixed
@@ -5472,6 +5489,7 @@ def query_registry():
         "image_dedup": q_image_dedup,
         "audio_dedup": q_audio_dedup,
         "video_frames": q_video_frames,
+        "video_cuts": q_video_cuts,
         "video_dedup": q_video_dedup,
         # repair family (rows-only; pytest brute-force oracles)
         "quick_repair": q_quick_repair,

@@ -175,3 +175,43 @@ class TestVideoNearDup:
         for cl, grp in out.groupby("cluster_id"):
             assert cl == grp["video_id"].min()
             assert len(grp) >= 2
+
+
+class TestSceneCuts:
+    def test_planted_cut_found(self):
+        from maup_ray.media.avi import encode_avi
+        from maup_ray.media.cuts import scene_cut_stats
+        from maup_ray.synth.videos import gen_video_frame
+
+        # segment A (scroll of vid 1) then a HARD cut to segment B
+        # (vid 999 content) — exactly one above-threshold pair
+        a = [gen_video_frame(1, t) for t in range(4)]
+        b = [gen_video_frame(999, t) for t in range(3)]
+        buf = encode_avi(a + b, fps=30, codec="DIB ")
+        tbl = pa.table(
+            {
+                "video_id": pa.array(["x"], type=pa.string()),
+                "bytes": pa.array([buf], type=pa.binary()),
+            }
+        )
+        # scroll pairs have small constant diff; the cut pair is huge
+        # scroll pairs sit at a constant 78/px (base cancels in the
+        # difference); the cross-content cut measures ~124/px
+        out = scene_cut_stats(tbl, threshold_per_px=100).to_pylist()[0]
+        assert out["n_cuts"] == 1
+        assert out["max_diff_sum"] > out["min_diff_sum"]
+
+    def test_scroll_corpus_constant_diffs(self, ray_session):
+        from maup_ray.media.cuts import scene_cut_stats
+        from maup_ray.synth.videos import video_dataset
+
+        out = scene_cut_stats(video_dataset(12, n_frames=6))
+        rows = out.to_pandas().to_dict("records")
+        assert len(rows) == 12
+        for r in rows:
+            if r["video_id"].endswith(("1", "3", "5", "7", "9")) and \
+               int(r["video_id"][3:]) % 2 == 1:
+                continue  # MJPG rows carry lossy noise
+            # lossless DIB scroll: cyclic shift => constant pair diff
+            assert r["max_diff_sum"] == r["min_diff_sum"]
+            assert r["n_cuts"] == 0
