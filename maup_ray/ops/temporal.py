@@ -932,3 +932,84 @@ def time_weighted_avg(
     return hash_group_apply(
         pruned, [key_col], part, sort_cols=(ts_col, id_col)
     )
+
+
+def transition_counts(
+    events,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    state_col: str = "event_type",
+):
+    """First-order state-transition counts (the Markov-chain /
+    session-flow statistic): for every key's event sequence in
+    ``(ts, id)`` order, count each consecutive (src_state, dst_state)
+    pair corpus-wide.
+
+    Scale shape: ONE key-hash exchange of the pruned
+    (key, ts, id, state) projection; each partition sorts once,
+    reads the successor with a single vectorized shift (group lasts
+    masked via the start offsets), and pre-reduces to its distinct
+    (src, dst, n) rows — so the driver merge sees at most
+    |states|² rows per partition. Exact integer counts.
+    """
+    import ray
+
+    from .shuffle import group_starts, hash_group_apply
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("src", pa.string()),
+                ("dst", pa.string()),
+                ("n", pa.int64()),
+            ]
+        )
+        if tbl is None or len(starts) == 0:
+            return schema.empty_table()
+        n = tbl.num_rows
+        st = tbl[state_col]
+        src_idx = np.arange(n - 1, dtype=np.int64)
+        # the last row of each group has no successor: a row is a
+        # valid transition source iff its NEXT row starts no new group
+        nxt_is_start = np.zeros(n, dtype=bool)
+        nxt_is_start[starts] = True
+        valid = ~nxt_is_start[1:]
+        src_idx = src_idx[valid]
+        pairs = pa.table(
+            {
+                "src": st.take(pa.array(src_idx)),
+                "dst": st.take(pa.array(src_idx + 1)),
+            }
+        )
+        g = pairs.group_by(["src", "dst"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["src", "dst", "n"])
+
+    if isinstance(events, pa.Table):
+        u = events.select(
+            [key_col, ts_col, id_col, state_col]
+        ).sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"),
+             (id_col, "ascending")]
+        )
+        parts = [part(u, group_starts(u, [key_col]))]
+    else:
+        pruned = events.select_columns(
+            [key_col, ts_col, id_col, state_col]
+        )
+        refs = hash_group_apply(
+            pruned, [key_col], part, sort_cols=(ts_col, id_col),
+            return_refs=True,
+        )
+        parts = [t for t in ray.get(refs) if t is not None and t.num_rows]
+    if not parts:
+        return part(None, np.array([], dtype=np.int64))
+    merged = pa.concat_tables(parts).combine_chunks()
+    g = merged.group_by(["src", "dst"], use_threads=False).aggregate(
+        [("n", "sum")]
+    )
+    return g.rename_columns(["src", "dst", "n"]).sort_by(
+        [("src", "ascending"), ("dst", "ascending")]
+    )

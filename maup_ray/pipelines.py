@@ -1326,6 +1326,20 @@ def q_pricing_summary(sf_dir: str):
     )
 
 
+def q_transitions(sf_dir: str):
+    """First-order event-type transition matrix per the whole corpus
+    (ops/temporal.transition_counts): one pruned keyed exchange,
+    vectorized successor shift, per-partition (src,dst) pre-reduce —
+    the Markov/session-flow statistic, exact counts vs the lead()
+    window oracle."""
+    from .ops.temporal import transition_counts
+
+    return transition_counts(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "event_type"])
+    )
+
+
 def q_event_gaps(sf_dir: str):
     """Per-user inter-arrival LAG deltas over the events stream (the
     window-function shape): int64 µs since the user's previous event,
@@ -5365,6 +5379,7 @@ def query_registry():
         "rolling_window": q_rolling_window,
         "asof_join": q_asof_join,
         "asof_forward": q_asof_forward,
+        "transitions": q_transitions,
         "range_join": q_range_join,
         # training-data family
         "order_totals": q_order_totals,
@@ -5971,6 +5986,16 @@ def oracle_queries() -> dict[str, str]:
             SELECT event_id AS trade_id, user_id, ts,
                    quote_id, quote_value
             FROM m WHERE is_trade = 1
+        """,
+        "transitions": """
+            WITH s AS (SELECT event_type,
+                              lead(event_type) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+                       FROM events)
+            SELECT event_type AS src, nxt AS dst, count(*) AS n
+            FROM s WHERE nxt IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "asof_forward": """
             WITH u AS (

@@ -768,3 +768,43 @@ class TestAsofForward:
                 pa.table({"user_id": [], "ts": [], "event_id": []}),
                 direction="nearest",
             )
+
+
+class TestTransitionCounts:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.temporal import transition_counts
+
+        rng = np.random.default_rng(3)
+        n = 300
+        tbl = pa.table(
+            {
+                "user_id": pa.array(
+                    rng.integers(0, 8, n), type=pa.int64()
+                ),
+                "ts": pa.array(rng.integers(0, 900, n), type=pa.int64()),
+                "event_id": pa.array(np.arange(n), type=pa.int64()),
+                "event_type": pa.array(
+                    np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+                ),
+            }
+        )
+        got = transition_counts(
+            ray.data.from_arrow(tbl).repartition(5)
+        )
+        from collections import Counter
+
+        rows = sorted(
+            tbl.to_pylist(),
+            key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+        )
+        want = Counter()
+        for a, b in zip(rows, rows[1:]):
+            if a["user_id"] == b["user_id"]:
+                want[(a["event_type"], b["event_type"])] += 1
+        assert {
+            (r["src"], r["dst"]): r["n"] for r in got.to_pylist()
+        } == dict(want)
+        # table path equals dataset path
+        assert transition_counts(tbl).equals(got)
