@@ -1326,6 +1326,87 @@ def q_pricing_summary(sf_dir: str):
     )
 
 
+def q_trajectory(sf_dir: str):
+    """Per-user trajectory step statistics: derive each event's
+    integer position from its id (affine-mod lattice), order by
+    (ts, id) within user, and reduce the squared step lengths
+    dx²+dy² (EXACT ints — no sqrt, so sums are order-independent) to
+    (n_steps, total_d2, max_d2) per user. One pruned keyed exchange +
+    one vectorized shift per partition — the movement-analytics shape
+    on the sessions machinery."""
+    from .ops.shuffle import hash_group_apply
+    import ray
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        k = b["event_id"].to_numpy()
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+                "x": pa.array((k * 48271 + 11) % 4096),
+                "y": pa.array((k * 69621 + 23) % 4096),
+            }
+        )
+
+    pruned = ds.map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def part(tbl, starts):
+        schema = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("n_steps", pa.int64()),
+                ("total_d2", pa.int64()),
+                ("max_d2", pa.int64()),
+            ]
+        )
+        if tbl is None or len(starts) == 0:
+            return schema.empty_table()
+        n = tbl.num_rows
+        x = tbl["x"].to_numpy(zero_copy_only=False)
+        y = tbl["y"].to_numpy(zero_copy_only=False)
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        nxt_is_start = np.zeros(n, dtype=bool)
+        nxt_is_start[starts] = True
+        valid = ~nxt_is_start[1:]
+        dx = x[1:] - x[:-1]
+        dy = y[1:] - y[:-1]
+        d2 = (dx * dx + dy * dy)[valid]
+        src_row = np.arange(n - 1, dtype=np.int64)[valid]
+        gi = np.searchsorted(starts, src_row, side="right") - 1
+        out_u, out_n, out_t, out_m = [], [], [], []
+        for g in range(len(starts)):
+            m = gi == g
+            if not m.any():
+                continue  # single-event user: no steps (oracle drops)
+            out_u.append(int(uid[starts[g]]))
+            out_n.append(int(m.sum()))
+            out_t.append(int(d2[m].sum()))
+            out_m.append(int(d2[m].max()))
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, type=pa.int64()),
+                "n_steps": pa.array(out_n, type=pa.int64()),
+                "total_d2": pa.array(out_t, type=pa.int64()),
+                "max_d2": pa.array(out_m, type=pa.int64()),
+            }
+        )
+
+    refs = hash_group_apply(
+        pruned, ["user_id"], part, sort_cols=("ts", "event_id"),
+        return_refs=True,
+    )
+    tabs = [t for t in ray.get(refs) if t is not None and t.num_rows]
+    return (
+        pa.concat_tables(tabs).combine_chunks().sort_by("user_id")
+        if tabs else part(None, np.array([], dtype=np.int64))
+    )
+
+
 def q_transitions(sf_dir: str):
     """First-order event-type transition matrix per the whole corpus
     (ops/temporal.transition_counts): one pruned keyed exchange,
@@ -5380,6 +5461,7 @@ def query_registry():
         "asof_join": q_asof_join,
         "asof_forward": q_asof_forward,
         "transitions": q_transitions,
+        "trajectory": q_trajectory,
         "range_join": q_range_join,
         # training-data family
         "order_totals": q_order_totals,
@@ -5986,6 +6068,25 @@ def oracle_queries() -> dict[str, str]:
             SELECT event_id AS trade_id, user_id, ts,
                    quote_id, quote_value
             FROM m WHERE is_trade = 1
+        """,
+        "trajectory": """
+            WITH p AS (SELECT user_id, ts, event_id,
+                              (event_id * 48271 + 11) % 4096 AS x,
+                              (event_id * 69621 + 23) % 4096 AS y
+                       FROM events),
+            s AS (SELECT user_id,
+                         lead(x) OVER w - x AS dx,
+                         lead(y) OVER w - y AS dy
+                  FROM p
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts, event_id)),
+            d AS (SELECT user_id, dx*dx + dy*dy AS d2 FROM s
+                  WHERE dx IS NOT NULL)
+            SELECT user_id,
+                   count(*) AS n_steps,
+                   CAST(sum(d2) AS BIGINT) AS total_d2,
+                   CAST(max(d2) AS BIGINT) AS max_d2
+            FROM d GROUP BY user_id ORDER BY user_id
         """,
         "transitions": """
             WITH s AS (SELECT event_type,
