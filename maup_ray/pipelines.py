@@ -1326,6 +1326,65 @@ def q_pricing_summary(sf_dir: str):
     )
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Keyed table reconciliation (ops/diff.table_diff): events vs a
+    derived v2 snapshot (every-97th row dropped, every-31st value
+    bumped one cent, synthetic new rows appended from documents) —
+    the migration-regression check. ONE id-hash co-shuffle with a
+    side tag; exact VALUE comparison (never hash-only), output
+    bounded by the delta; summary = (status, n, id_sum)."""
+    from .ops.diff import table_diff
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "vc": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    base = _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def v2(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy()
+        keep = (eid % 97) != 0
+        vc = b["vc"].to_numpy(zero_copy_only=False) + (
+            (eid % 31) == 0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "event_id": b["event_id"],
+                "vc": pa.array(vc, type=pa.int64()),
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    right = base.map_batches(
+        v2, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def adds(b: pa.Table) -> pa.Table:
+        k = b["doc_id"].to_numpy()
+        k = k[(k % 11) == 0]
+        return pa.table(
+            {
+                "event_id": pa.array(10**9 + k, type=pa.int64()),
+                "vc": pa.array(k * 7 + 5, type=pa.int64()),
+            }
+        )
+
+    extra = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        adds, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return table_diff(
+        base, right.union(extra), "event_id", ["vc"], summary=True
+    )
+
+
 def q_trajectory(sf_dir: str):
     """Per-user trajectory step statistics: derive each event's
     integer position from its id (affine-mod lattice), order by
@@ -5462,6 +5521,7 @@ def query_registry():
         "asof_forward": q_asof_forward,
         "transitions": q_transitions,
         "trajectory": q_trajectory,
+        "snapshot_diff": q_snapshot_diff,
         "range_join": q_range_join,
         # training-data family
         "order_totals": q_order_totals,
@@ -6068,6 +6128,31 @@ def oracle_queries() -> dict[str, str]:
             SELECT event_id AS trade_id, user_id, ts,
                    quote_id, quote_value
             FROM m WHERE is_trade = 1
+        """,
+        "snapshot_diff": """
+            WITH l AS (SELECT event_id,
+                              CAST(round(value*100, 0) AS BIGINT) AS vc
+                       FROM events),
+            r AS (SELECT event_id,
+                         vc + CASE WHEN event_id % 31 = 0
+                                   THEN 1 ELSE 0 END AS vc
+                  FROM l WHERE event_id % 97 <> 0
+                  UNION ALL
+                  SELECT 1000000000 + doc_id, doc_id * 7 + 5
+                  FROM documents WHERE doc_id % 11 = 0),
+            j AS (SELECT l.event_id AS lid, r.event_id AS rid,
+                         l.vc AS lv, r.vc AS rv
+                  FROM l FULL OUTER JOIN r ON l.event_id = r.event_id)
+            SELECT status, count(*) AS n,
+                   CAST(sum(id) AS BIGINT) AS id_sum
+            FROM (SELECT CASE WHEN lid IS NULL THEN 'added'
+                              WHEN rid IS NULL THEN 'removed'
+                              WHEN lv <> rv THEN 'changed'
+                              ELSE 'same' END AS status,
+                         COALESCE(lid, rid) AS id
+                  FROM j)
+            WHERE status <> 'same'
+            GROUP BY status ORDER BY status
         """,
         "trajectory": """
             WITH p AS (SELECT user_id, ts, event_id,
