@@ -1435,23 +1435,28 @@ def q_trajectory(sf_dir: str):
         dx = x[1:] - x[:-1]
         dy = y[1:] - y[:-1]
         d2 = (dx * dx + dy * dy)[valid]
+        if len(d2) == 0:
+            return schema.empty_table()
         src_row = np.arange(n - 1, dtype=np.int64)[valid]
         gi = np.searchsorted(starts, src_row, side="right") - 1
-        out_u, out_n, out_t, out_m = [], [], [], []
-        for g in range(len(starts)):
-            m = gi == g
-            if not m.any():
-                continue  # single-event user: no steps (oracle drops)
-            out_u.append(int(uid[starts[g]]))
-            out_n.append(int(m.sum()))
-            out_t.append(int(d2[m].sum()))
-            out_m.append(int(d2[m].max()))
+        # gi is nondecreasing (src_row ascending): one reduceat per
+        # stat over segment boundaries — no per-group python, no
+        # per-group full-array masks (zero-step users never appear)
+        seg = np.flatnonzero(np.diff(gi, prepend=gi[0] - 1))
         return pa.table(
             {
-                "user_id": pa.array(out_u, type=pa.int64()),
-                "n_steps": pa.array(out_n, type=pa.int64()),
-                "total_d2": pa.array(out_t, type=pa.int64()),
-                "max_d2": pa.array(out_m, type=pa.int64()),
+                "user_id": pa.array(
+                    uid[starts[gi[seg]]], type=pa.int64()
+                ),
+                "n_steps": pa.array(
+                    np.diff(np.append(seg, len(d2))), type=pa.int64()
+                ),
+                "total_d2": pa.array(
+                    np.add.reduceat(d2, seg), type=pa.int64()
+                ),
+                "max_d2": pa.array(
+                    np.maximum.reduceat(d2, seg), type=pa.int64()
+                ),
             }
         )
 
