@@ -228,3 +228,24 @@ class TestErase:
             erase(pa.table({"id": pa.array([0]),
                             "geometry": pa.array([b""])}),
                   mask, id_col="id", broadcast_limit=3)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("GRAFT_SLOW"),
+    reason="dissolve scale soak (set GRAFT_SLOW=1)",
+)
+class TestDissolveScaleSoak:
+    def test_50k_rects_partition_invariant(self, ray_session):
+        import ray.data
+
+        ids = np.arange(50_000)
+        tbl, struct = _rect_table(ids, G=256)
+        want = _closed_form(ids, struct)
+        for nparts in (8, 64):
+            ds = ray.data.from_arrow(tbl).repartition(nparts)
+            got = dissolve_stats(ds, "district")
+            assert got.num_rows == 256
+            for r in got.to_pylist():
+                wa, wn = want[r["district"]]
+                assert r["union_area"] == wa
+                assert r["n_polys"] == wn
