@@ -36,6 +36,8 @@ __all__ = [
     "phash64",
     "phash_signatures",
     "image_near_dup",
+    "pixel_histogram",
+    "gradient_energy",
 ]
 
 
@@ -862,4 +864,119 @@ def patch_stats(images, patch: int = 4):
 
     return images.map_batches(
         tile, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _same_shape_raw(batch: pa.Table):
+    """(n, h, w, 3) uint8 view straight off the Arrow binary buffer
+    when every row is ``fmt='raw'`` with identical dims, else None
+    (caller falls back to the per-row decode)."""
+    ws = batch["w"].to_numpy()
+    hs = batch["h"].to_numpy()
+    fmts = set(batch["fmt"].to_pylist())
+    if fmts != {"raw"} or len(set(ws)) != 1 or len(set(hs)) != 1:
+        return None
+    w, h = int(ws[0]), int(hs[0])
+    arr = batch["bytes"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    npx = w * h * 3
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    offs = offs[arr.offset : arr.offset + len(arr) + 1]
+    if not (np.diff(offs) == npx).all():
+        return None
+    flat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return flat[offs[0] : offs[-1]].reshape(len(batch), h, w, 3)
+
+
+def pixel_histogram(images, crop: int | None = None):
+    """Per-channel 256-bin pixel histogram partials — the color/
+    exposure distribution monitor every vision-curation pipeline
+    keeps (clipped-highlight screens, channel-balance drift, dataset
+    shift between crawl snapshots). ``crop=k`` restricts counting to
+    the top-left k×k region-of-interest window (exposure metering;
+    also what makes the synthetic-table oracle layout-sensitive —
+    the full raster's histogram is flat because 97 is a unit mod
+    256).
+
+    Each batch decodes its payloads (raw zero-copy fast path; PNG /
+    JPEG through the from-scratch codecs) and reduces to AT MOST 768
+    ``(ch, v, n)`` partial rows — one ``np.bincount`` per channel —
+    so payload bytes never leave the stage and the downstream merge
+    is a 768-key grouped sum regardless of corpus size. Counts are
+    exact int64.
+    """
+
+    def hist(batch: pa.Table) -> pa.Table:
+        imgs = _same_shape_raw(batch)
+        counts = np.zeros((3, 256), dtype=np.int64)
+        if imgs is not None:
+            if crop is not None:
+                imgs = imgs[:, :crop, :crop, :]
+            px = imgs.reshape(-1, 3)
+            for c in range(3):
+                counts[c] = np.bincount(px[:, c], minlength=256)
+        else:
+            for im in decode_raw_batch(batch):
+                if crop is not None:
+                    im = im[:crop, :crop]
+                px = im.reshape(-1, 3)
+                for c in range(3):
+                    counts[c] += np.bincount(px[:, c], minlength=256)
+        ch = np.repeat(np.arange(3, dtype=np.int64), 256)
+        v = np.tile(np.arange(256, dtype=np.int64), 3)
+        keep = counts.ravel() > 0
+        return pa.table(
+            {
+                "ch": pa.array(ch[keep]),
+                "v": pa.array(v[keep]),
+                "n": pa.array(counts.ravel()[keep]),
+            }
+        )
+
+    return images.map_batches(
+        hist, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def gradient_energy(images):
+    """Per-image total-variation sharpness: the exact integer sum of
+    absolute horizontal + vertical first differences of the summed-
+    channel gray raster ``g = R+G+B`` — the standard cheap blur/
+    flat-image screen a vision-curation pipeline filters on (a
+    division-free stand-in for Laplacian variance; larger = sharper,
+    0 = constant image).
+
+    All arithmetic is exact int64 (g ≤ 765, each |Δ| ≤ 765, and a
+    raster contributes < 2·h·w terms — no overflow for any real
+    image). Same-shape raw batches reduce in ONE vectorized pass off
+    the Arrow buffer; mixed/compressed rows decode through the codec
+    paths. Output is two small columns per image; payloads never
+    leave the stage.
+    """
+
+    def sharp(batch: pa.Table) -> pa.Table:
+        imgs = _same_shape_raw(batch)
+        if imgs is not None:
+            g = imgs.astype(np.int64).sum(axis=3)  # (n, h, w)
+            s = np.abs(np.diff(g, axis=2)).sum(axis=(1, 2))
+            s += np.abs(np.diff(g, axis=1)).sum(axis=(1, 2))
+        else:
+            vals = []
+            for im in decode_raw_batch(batch):
+                g = im.astype(np.int64).sum(axis=2)
+                vals.append(
+                    int(np.abs(np.diff(g, axis=1)).sum())
+                    + int(np.abs(np.diff(g, axis=0)).sum())
+                )
+            s = np.asarray(vals, dtype=np.int64)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "sharpness": pa.array(s.astype(np.int64)),
+            }
+        )
+
+    return images.map_batches(
+        sharp, batch_format="pyarrow", zero_copy_batch=True
     )

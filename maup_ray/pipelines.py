@@ -3875,6 +3875,64 @@ def q_aspect_buckets(sf_dir: str):
     ).sort_by([("bucket_id", "ascending")])
 
 
+def q_image_hist(sf_dir: str):
+    """Region-of-interest pixel histogram over the image table
+    (media/image.pixel_histogram): decode every payload — every 5th
+    row travels through the from-scratch PNG codec, lossless, so the
+    closed-form pixel oracle stays exact — crop the top-left 8×8
+    exposure-metering window and count per-channel byte values. Each
+    batch reduces to ≤768 ``(ch, v, n)`` partial rows (one bincount
+    per channel); the driver merge is a 768-key grouped sum, so
+    payload bytes never leave the stage at any corpus size. The
+    oracle recomputes every cropped byte from the generator's closed
+    form pixel(idx, j) = (idx·M + 42 + 97·j) mod 256, j = 3·(16r+c)+ch
+    (the full-raster histogram is provably flat — 97 is a unit mod
+    256 — so the crop is what makes the check layout-sensitive)."""
+    import pyarrow.parquet as pq
+
+    from .media.image import pixel_histogram
+    from .synth.images import image_dataset
+
+    n = IMG_MULT * pq.read_metadata(
+        f"{sf_dir}/documents.parquet"
+    ).num_rows
+    parts = pixel_histogram(image_dataset(n=n, png_every=5), crop=8)
+    merged = _collect(parts)
+    out = merged.group_by(["ch", "v"], use_threads=False).aggregate(
+        [("n", "sum")]
+    )
+    out = out.rename_columns(
+        [{"n_sum": "n"}.get(c, c) for c in out.column_names]
+    )
+    return out.select(["ch", "v", "n"]).sort_by(
+        [("ch", "ascending"), ("v", "ascending")]
+    )
+
+
+def q_image_sharpness(sf_dir: str):
+    """Per-image total-variation sharpness screen
+    (media/image.gradient_energy): decode every payload (every 3rd
+    row through the from-scratch PNG codec) and emit the exact
+    integer sum of |Δ| of the summed-channel gray raster along both
+    axes — the blur/flat-image filter of a vision-curation pipeline.
+    The oracle exploits that the synthetic raster is a pure function
+    of base = (idx·M + 42) mod 256: it evaluates the 256 possible
+    gray rasters once (256 bases × 256 positions), reduces each to
+    its sharpness, and joins images to their base — so the SQL side
+    is O(docs + 65k) regardless of corpus size while the engine
+    decodes every real payload."""
+    import pyarrow.parquet as pq
+
+    from .media.image import gradient_energy
+    from .synth.images import image_dataset
+
+    n = IMG_MULT * pq.read_metadata(
+        f"{sf_dir}/documents.parquet"
+    ).num_rows
+    out = _collect(gradient_energy(image_dataset(n=n, png_every=3)))
+    return out.sort_by("image_id")
+
+
 SHARD_CAP = 64_000  # bytes per output shard in q_image_shards
 
 
@@ -5575,6 +5633,8 @@ def query_registry():
         "big_orders": q_big_orders,
         "local_volume": q_local_volume,
         "patch_stats": q_patch_stats,
+        "image_hist": q_image_hist,
+        "image_sharpness": q_image_sharpness,
         "tfidf": q_tfidf,
         "supplier_prank": q_supplier_prank,
         "revenue_cube": q_revenue_cube,
@@ -7118,6 +7178,69 @@ def oracle_queries() -> dict[str, str]:
                    CAST(min(psum) AS BIGINT) AS min_patch_sum,
                    CAST(max(psum) AS BIGINT) AS max_patch_sum
             FROM pp GROUP BY px, py ORDER BY px, py
+        """,
+        # image_hist: top-left 8×8 ROI per-channel byte histogram —
+        # every cropped byte recomputed from the generator closed
+        # form pixel(idx, j) = (idx·M + 42 + 97·j) mod 256 with
+        # j = 3·(16r + c) + ch; the engine decodes the same bytes
+        # through the raw / PNG codec paths (lossless → exact)
+        "image_hist": f"""
+            WITH imgs AS (
+              SELECT doc_id * {IMG_MULT} + k AS idx
+              FROM documents,
+                   (SELECT unnest(range(0, {IMG_MULT})) AS k)),
+            pos AS (
+              SELECT (16 * r.r + c.c) * 3 + ch.ch AS j, ch.ch AS ch
+              FROM (SELECT unnest(range(0, 8)) AS r) r,
+                   (SELECT unnest(range(0, 8)) AS c) c,
+                   (SELECT unnest(range(0, 3)) AS ch) ch)
+            SELECT p.ch,
+                   (i.idx * 2654435761 + 42 + 97 * p.j) % 256 AS v,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM imgs i, pos p
+            GROUP BY 1, 2 ORDER BY ch, v
+        """,
+        # image_sharpness: total-variation |Δgray| per image. The
+        # raster is a pure function of base = (idx·M + 42) mod 256,
+        # so the oracle evaluates the 256 possible gray rasters once
+        # (256 bases × 256 positions, gray = Σ_ch (base + 97·(3p+ch))
+        # mod 256), reduces each to Σ|Δh| + Σ|Δv|, and joins images
+        # to their base — O(docs + 65k) on the SQL side while the
+        # engine decodes every real payload
+        "image_sharpness": f"""
+            WITH imgs AS (
+              SELECT doc_id * {IMG_MULT} + k AS idx
+              FROM documents,
+                   (SELECT unnest(range(0, {IMG_MULT})) AS k)),
+            bs AS (SELECT unnest(range(0, 256)) AS base),
+            ps AS (SELECT unnest(range(0, 256)) AS p),
+            g AS (
+              SELECT bs.base, ps.p // 16 AS r, ps.p % 16 AS c,
+                     (bs.base + 97 * (3 * ps.p + 0)) % 256
+                     + (bs.base + 97 * (3 * ps.p + 1)) % 256
+                     + (bs.base + 97 * (3 * ps.p + 2)) % 256 AS gv
+              FROM bs, ps),
+            hx AS (
+              SELECT g1.base, sum(abs(g2.gv - g1.gv)) AS s
+              FROM g g1 JOIN g g2
+                ON g2.base = g1.base AND g2.r = g1.r
+                   AND g2.c = g1.c + 1
+              GROUP BY g1.base),
+            vy AS (
+              SELECT g1.base, sum(abs(g2.gv - g1.gv)) AS s
+              FROM g g1 JOIN g g2
+                ON g2.base = g1.base AND g2.c = g1.c
+                   AND g2.r = g1.r + 1
+              GROUP BY g1.base),
+            sb AS (
+              SELECT hx.base, CAST(hx.s + vy.s AS BIGINT) AS sharpness
+              FROM hx JOIN vy ON vy.base = hx.base)
+            SELECT 'img' || lpad(CAST(i.idx AS VARCHAR), 12, '0')
+                       AS image_id,
+                   sb.sharpness
+            FROM imgs i
+            JOIN sb ON sb.base = (i.idx * 2654435761 + 42) % 256
+            ORDER BY image_id
         """,
         # big_orders (TPC-H Q18 shape): HAVING over per-order exact
         # integer quantity sums, dimension joins, total order

@@ -1,0 +1,150 @@
+"""media/image.pixel_histogram + gradient_energy — pixel-exact
+analysis kernels vs brute-force references, including the mixed
+raw/PNG decode fallback and the ROI crop."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from maup_ray.media.image import gradient_energy, pixel_histogram
+
+
+def _img_table(imgs, fmts=None):
+    from maup_ray.media.png import encode_png
+
+    rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": []}
+    for i, img in enumerate(imgs):
+        f = (fmts or ["raw"] * len(imgs))[i]
+        rows["image_id"].append(f"t{i}")
+        rows["bytes"].append(
+            encode_png(img) if f == "png" else img.tobytes()
+        )
+        rows["w"].append(img.shape[1])
+        rows["h"].append(img.shape[0])
+        rows["fmt"].append(f)
+    return pa.table(
+        {
+            "image_id": pa.array(rows["image_id"]),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "w": pa.array(rows["w"], pa.int32()),
+            "h": pa.array(rows["h"], pa.int32()),
+            "fmt": pa.array(rows["fmt"]),
+        }
+    )
+
+
+def _brute_hist(imgs, crop=None):
+    counts = np.zeros((3, 256), dtype=np.int64)
+    for img in imgs:
+        v = img if crop is None else img[:crop, :crop]
+        for c in range(3):
+            counts[c] += np.bincount(
+                v[:, :, c].ravel(), minlength=256
+            )
+    return counts
+
+
+def _brute_sharp(img):
+    g = img.astype(np.int64).sum(axis=2)
+    return int(np.abs(np.diff(g, axis=1)).sum()) + int(
+        np.abs(np.diff(g, axis=0)).sum()
+    )
+
+
+def _hist_to_counts(df):
+    counts = np.zeros((3, 256), dtype=np.int64)
+    for r in df.itertuples():
+        counts[r.ch, r.v] += r.n
+    return counts
+
+
+class TestPixelHistogram:
+    def test_matches_brute_mixed_shapes(self, ray_session):
+        import ray.data
+
+        rng = np.random.RandomState(3)
+        imgs = [
+            rng.randint(0, 256, (10, 14, 3), dtype=np.uint8),
+            rng.randint(0, 256, (16, 16, 3), dtype=np.uint8),
+            rng.randint(0, 256, (4, 4, 3), dtype=np.uint8),
+        ]
+        ds = ray.data.from_arrow(_img_table(imgs))
+        out = pixel_histogram(ds).to_pandas()
+        got = (
+            out.groupby(["ch", "v"])["n"].sum().reset_index()
+        )
+        assert (_hist_to_counts(got) == _brute_hist(imgs)).all()
+        # exact total: every byte counted exactly once
+        assert got["n"].sum() == sum(i.size for i in imgs)
+
+    def test_crop_and_png_path(self, ray_session):
+        import ray.data
+
+        rng = np.random.RandomState(7)
+        imgs = [
+            rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+            for _ in range(3)
+        ]
+        fmts = ["raw", "png", "raw"]
+        ds = ray.data.from_arrow(_img_table(imgs, fmts))
+        out = pixel_histogram(ds, crop=8).to_pandas()
+        got = out.groupby(["ch", "v"])["n"].sum().reset_index()
+        assert (
+            _hist_to_counts(got) == _brute_hist(imgs, crop=8)
+        ).all()
+
+    def test_same_shape_fast_path_equals_decode(self, ray_session):
+        import ray.data
+
+        rng = np.random.RandomState(11)
+        imgs = [
+            rng.randint(0, 256, (12, 12, 3), dtype=np.uint8)
+            for _ in range(4)
+        ]
+        raw = pixel_histogram(
+            ray.data.from_arrow(_img_table(imgs))
+        ).to_pandas()
+        png = pixel_histogram(
+            ray.data.from_arrow(_img_table(imgs, ["png"] * 4))
+        ).to_pandas()
+        k = ["ch", "v"]
+        a = raw.groupby(k)["n"].sum()
+        b = png.groupby(k)["n"].sum()
+        assert a.equals(b)
+
+
+class TestGradientEnergy:
+    def test_matches_brute(self, ray_session):
+        import ray.data
+
+        rng = np.random.RandomState(5)
+        imgs = [
+            rng.randint(0, 256, (9, 13, 3), dtype=np.uint8),
+            rng.randint(0, 256, (16, 16, 3), dtype=np.uint8),
+        ]
+        ds = ray.data.from_arrow(_img_table(imgs))
+        out = gradient_energy(ds).to_pandas()
+        got = dict(zip(out.image_id, out.sharpness))
+        for i, img in enumerate(imgs):
+            assert got[f"t{i}"] == _brute_sharp(img)
+
+    def test_flat_image_zero_and_png_parity(self, ray_session):
+        import ray.data
+
+        flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+        rng = np.random.RandomState(6)
+        busy = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+        raw = gradient_energy(
+            ray.data.from_arrow(_img_table([flat, busy]))
+        ).to_pandas()
+        png = gradient_energy(
+            ray.data.from_arrow(
+                _img_table([flat, busy], ["png", "png"])
+            )
+        ).to_pandas()
+        r = dict(zip(raw.image_id, raw.sharpness))
+        p = dict(zip(png.image_id, png.sharpness))
+        assert r == p
+        assert r["t0"] == 0
+        assert r["t1"] > 0
