@@ -528,3 +528,114 @@ def grouped_spearman(ds, key: str, x_col: str, y_col: str) -> pa.Table:
     if not tabs:
         return final(None, [])
     return pa.concat_tables(tabs).combine_chunks().sort_by(key)
+
+
+def grouped_kendall(ds, key: str, x_col: str, y_col: str) -> pa.Table:
+    """Exact Kendall rank correlation (tau-b) per key: over all
+    unordered within-key pairs, C−D = Σ sign(Δx)·sign(Δy) and the
+    tie-aware denominator √((n₀−n₁)(n₀−n₂)) with n₀ = n(n−1)/2,
+    n₁/n₂ = pairs tied in x/y. Every count is an exact integer; the
+    ONE float per key is the mirrored IEEE expression
+
+        tau = float(C−D) / sqrt(float(n₀−n₁) · float(n₀−n₂))
+
+    token-for-token equal to the oracle's CAST(… AS DOUBLE)/sqrt form
+    (sqrt and / are correctly rounded on both engines). Keys with
+    n < 2 are dropped (no pairs); a zero denominator yields null.
+
+    Scale shape: like Spearman, Kendall needs within-key row pairs,
+    so each key's pruned (key, x, y) triples co-locate through ONE
+    hash exchange; pair enumeration is vectorized ACROSS every group
+    of a partition (repeat/offset index arithmetic — no per-group
+    Python loop) and the three pair sums reduce per group with
+    np.add.reduceat. Pair count is Σ n_g², so per-key row counts must
+    stay partition-sized — the documented bounded-group assumption
+    shared with sessions/rolling (pre-aggregate or sample a
+    pathological key upstream; the certified alternative at web scale
+    is a merge-sort inversion count, not implemented).
+    """
+    import math  # noqa: F401  (kept for parity with the docstring)
+
+    import ray
+
+    import pyarrow.compute as pc
+
+    from .shuffle import hash_group_apply
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: batch[key],
+                "x": pc.cast(batch[x_col], pa.int64()),
+                "y": batch[y_col],
+            }
+        )
+
+    pruned = (
+        prune(ds) if isinstance(ds, pa.Table)
+        else ds.map_batches(
+            prune, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def final(tbl, starts):
+        empty = pa.table(
+            {
+                key: pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "tau": pa.array([], type=pa.float64()),
+            }
+        )
+        if tbl is None or tbl.num_rows == 0:
+            return empty
+        keys = tbl[key].to_numpy(zero_copy_only=False)
+        xs = tbl["x"].to_numpy(zero_copy_only=False)
+        ys = tbl["y"].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        starts = np.asarray(starts, dtype=np.int64)
+        sizes = np.diff(np.append(starts, n))
+        valid = sizes >= 2
+        if not valid.any():
+            return empty
+        # pair enumeration across ALL groups at once: local position p
+        # pairs with the n_g−1−p following rows of its group
+        pos = np.arange(n) - np.repeat(starts, sizes)
+        cnt = np.repeat(sizes, sizes) - 1 - pos
+        T = int(cnt.sum())
+        left = np.repeat(np.arange(n), cnt)
+        run0 = np.cumsum(cnt) - cnt
+        right = np.arange(T) - np.repeat(run0, cnt) + left + 1
+        sx = np.sign(xs[right] - xs[left]).astype(np.int64)
+        dyl, dyr = ys[left], ys[right]
+        sy = (dyr > dyl).astype(np.int64) - (dyr < dyl).astype(np.int64)
+        # pairs of one group are contiguous, and size<2 groups emit no
+        # pairs — so valid groups' ranges tile [0, T) back-to-back and
+        # reduceat at their starts is the exact per-group sum
+        pg = (sizes * (sizes - 1)) // 2
+        pstart = (np.cumsum(pg) - pg)[valid]
+        cd = np.add.reduceat(sx * sy, pstart)
+        n1 = np.add.reduceat((sx == 0).astype(np.int64), pstart)
+        n2 = np.add.reduceat((sy == 0).astype(np.int64), pstart)
+        n0 = pg[valid]
+        denx, deny = n0 - n1, n0 - n2
+        ok = (denx > 0) & (deny > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tauv = cd.astype(np.float64) / np.sqrt(
+                denx.astype(np.float64) * deny.astype(np.float64)
+            )
+        return pa.table(
+            {
+                key: pa.array(keys[starts[valid]], type=pa.int64()),
+                "n": pa.array(sizes[valid].astype(np.int64)),
+                "tau": pa.array(
+                    np.where(ok, tauv, 0.0), type=pa.float64(),
+                    mask=~ok,
+                ),
+            }
+        )
+
+    refs = hash_group_apply(pruned, [key], final, return_refs=True)
+    tabs = [t for t in ray.get(refs) if t is not None and t.num_rows]
+    if not tabs:
+        return final(None, [])
+    return pa.concat_tables(tabs).combine_chunks().sort_by(key)

@@ -39,6 +39,7 @@ __all__ = [
     "grouped_percent_rank",
     "global_row_number",
     "rolling_z_flags",
+    "grouped_streaks",
 ]
 
 
@@ -602,3 +603,104 @@ def rolling_z_flags(
         )
     )
     return hash_group_apply(pruned, keys, part, sort_cols=order)
+
+
+def grouped_streaks(
+    ds,
+    key: str,
+    ts_col: str,
+    unit_us: int = 86_400_000_000,
+):
+    """Gaps-and-islands: longest run of CONSECUTIVE active periods per
+    key (the "longest daily streak" retention metric), plus the count
+    of distinct active periods. A period is ``floor(ts / unit_us)``
+    (default: calendar day for epoch-positive timestamps — identical
+    to SQL ``CAST(ts AS DATE)``); SQL equivalent is the classic
+    ``day − row_number()`` island grouping.
+
+    Scale shape: each batch PRE-COMBINES to its distinct
+    ``(key, period)`` pairs (one lexsort + neighbor mask), so the one
+    keyed exchange moves ≤ one 16-byte row per active period × block
+    — the raw event stream never shuffles. The per-partition
+    reduction re-dedups cross-block repeats and computes run lengths
+    with one vectorized diff + two reduceats. Distinct-pair dedup is
+    associative, so the result is partition-invariant.
+    """
+    import pyarrow.compute as pc
+
+    from .shuffle import hash_group_apply
+
+    def prune(batch: pa.Table) -> pa.Table:
+        t = batch[ts_col].to_numpy(zero_copy_only=False)
+        t = t.astype("datetime64[us]").view("int64")
+        day = t // unit_us
+        k = batch[key].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, k))
+        ks, ds_ = k[order], day[order]
+        keep = np.ones(len(ks), dtype=bool)
+        keep[1:] = (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])
+        return pa.table(
+            {
+                key: pa.array(ks[keep], type=batch.schema.field(key).type),
+                "_day": pa.array(ds_[keep], type=pa.int64()),
+            }
+        )
+
+    pruned = (
+        prune(ds)
+        if isinstance(ds, pa.Table)
+        else ds.map_batches(
+            prune, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    key_type = (
+        pruned.schema.field(key).type
+        if isinstance(pruned, pa.Table)
+        else None
+    )
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        kt = tbl.schema.field(key).type if tbl is not None else (
+            key_type or pa.int64()
+        )
+        empty = pa.table(
+            {
+                key: pa.array([], type=kt),
+                "n_days": pa.array([], type=pa.int64()),
+                "max_streak": pa.array([], type=pa.int64()),
+            }
+        )
+        if tbl is None or tbl.num_rows == 0:
+            return empty
+        k = tbl[key].to_numpy(zero_copy_only=False)
+        d = tbl["_day"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        # cross-block duplicate (key, day) rows are adjacent post-sort
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        keep = first.copy()
+        keep[1:] |= d[1:] != d[:-1]
+        k, d, first = k[keep], d[keep], first[keep]
+        m = len(k)
+        # island boundaries: new key, or a gap in the period sequence
+        new_run = first.copy()
+        new_run[1:] |= d[1:] != d[:-1] + 1
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id).astype(np.int64)
+        run_key_first = first[new_run]  # first run of each key
+        key_run_starts = np.flatnonzero(run_key_first)
+        max_streak = np.maximum.reduceat(run_len, key_run_starts)
+        n_days = np.add.reduceat(run_len, key_run_starts)
+        out_keys = k[np.flatnonzero(first)]
+        if m == 0:
+            return empty
+        return pa.table(
+            {
+                key: pa.array(out_keys, type=kt),
+                "n_days": pa.array(n_days),
+                "max_streak": pa.array(max_streak),
+            }
+        )
+
+    return hash_group_apply(pruned, [key], part, sort_cols=("_day",))

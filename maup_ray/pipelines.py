@@ -1688,6 +1688,32 @@ def q_spearman(sf_dir: str):
     )
 
 
+def q_kendall(sf_dir: str):
+    """Exact grouped Kendall tau-b (ops/stats.grouped_kendall):
+    time-vs-value rank concordance per user over the event stream —
+    all pair counts exact integers, ONE mirrored
+    float(C−D)/sqrt(float·float) expression; keys with fewer than two
+    events drop (no pairs), matching the oracle's pair-join inner
+    semantics."""
+    from .ops.stats import grouped_kendall
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return grouped_kendall(ds, "user_id", "ts", "value")
+
+
+def q_streaks(sf_dir: str):
+    """Longest consecutive-day activity streak per user
+    (ops/window.grouped_streaks) — the gaps-and-islands retention
+    metric: distinct active days collapse per batch, one keyed
+    exchange of (user, day) pairs, vectorized run-length reduction.
+    Oracle = the classic ``day − row_number()`` island grouping."""
+    from .ops.window import grouped_streaks
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = _collect(grouped_streaks(ds, "user_id", "ts"))
+    return out.sort_by("user_id")
+
+
 def q_event_pivot(sf_dir: str):
     """Wide pivot (crosstab): per-user event-type count matrix in ONE
     streaming pass — the reshape is free: each batch derives one int64
@@ -5575,6 +5601,8 @@ def query_registry():
         "gapfill": q_gapfill,
         "top_event_types": q_top_event_types,
         "spearman": q_spearman,
+        "kendall": q_kendall,
+        "streaks": q_streaks,
         "knn": q_knn,
         "rasterize": q_rasterize,
         "sessions": q_sessions,
@@ -5827,6 +5855,57 @@ def oracle_queries() -> dict[str, str]:
                    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
                           * CAST(n*syy - sy*sy AS DOUBLE)) AS rho
             FROM m ORDER BY k
+        """,
+        # kendall: tau-b from the unordered-pair self-join — the CASE
+        # sign product, tie counts and n0 are exact integers; the one
+        # float expression mirrors the engine token-for-token
+        "kendall": """
+            WITH p AS (
+              SELECT a.user_id,
+                     CASE WHEN (b.ts > a.ts AND b.value > a.value)
+                            OR (b.ts < a.ts AND b.value < a.value)
+                          THEN 1
+                          WHEN (b.ts > a.ts AND b.value < a.value)
+                            OR (b.ts < a.ts AND b.value > a.value)
+                          THEN -1
+                          ELSE 0 END AS s,
+                     CASE WHEN b.ts = a.ts THEN 1 ELSE 0 END AS tx,
+                     CASE WHEN b.value = a.value THEN 1 ELSE 0
+                          END AS ty
+              FROM events a JOIN events b
+                ON a.user_id = b.user_id
+                   AND a.event_id < b.event_id),
+            g AS (SELECT user_id, sum(s) AS cd, sum(tx) AS n1,
+                         sum(ty) AS n2, count(*) AS n0
+                  FROM p GROUP BY user_id),
+            c AS (SELECT user_id, count(*) AS n
+                  FROM events GROUP BY user_id)
+            SELECT c.user_id, CAST(c.n AS BIGINT) AS n,
+                   CASE WHEN g.n0 - g.n1 > 0 AND g.n0 - g.n2 > 0
+                        THEN CAST(g.cd AS DOUBLE)
+                             / sqrt(CAST(g.n0 - g.n1 AS DOUBLE)
+                                    * CAST(g.n0 - g.n2 AS DOUBLE))
+                        ELSE NULL END AS tau
+            FROM c JOIN g ON g.user_id = c.user_id
+            ORDER BY c.user_id
+        """,
+        # streaks: gaps-and-islands — consecutive days share the
+        # day − row_number() island key; CAST(ts AS DATE) equals the
+        # engine's floor(ts_us / 86400e6) for epoch-positive stamps
+        "streaks": """
+            WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE)
+                           AS day
+                       FROM events),
+            r AS (SELECT user_id, day,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY day) AS rn
+                  FROM d),
+            s AS (SELECT user_id, count(*) AS len
+                  FROM r
+                  GROUP BY user_id, day - CAST(rn AS INTEGER))
+            SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+                   CAST(max(len) AS BIGINT) AS max_streak
+            FROM s GROUP BY user_id ORDER BY user_id
         """,
         "top_event_types": f"""
             WITH c AS (SELECT user_id, event_type, count(*) AS n_occ

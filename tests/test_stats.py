@@ -505,3 +505,69 @@ class TestGroupedSpearman:
                ).to_pylist()}
         assert got[0] == 1.0        # perfect monotone
         assert got[1] is None       # constant y -> undefined
+
+
+class TestGroupedKendall:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.stats import grouped_kendall
+
+        rng = np.random.default_rng(11)
+        n = 400
+        k = rng.integers(0, 5, size=n)
+        x = rng.integers(0, 20, size=n)  # heavy ties in both axes
+        y = x * 2 + rng.integers(-5, 5, size=n)
+        tbl = pa.table(
+            {"k": pa.array(k, type=pa.int64()),
+             "x": pa.array(x, type=pa.int64()),
+             "y": pa.array(y, type=pa.int64())}
+        )
+        got = grouped_kendall(
+            ray.data.from_arrow(tbl).repartition(7), "k", "x", "y"
+        )
+
+        def brute(xs, ys):
+            cd = n1 = n2 = 0
+            m = len(xs)
+            for i in range(m):
+                for j in range(i + 1, m):
+                    sx = int(xs[j] > xs[i]) - int(xs[j] < xs[i])
+                    sy = int(ys[j] > ys[i]) - int(ys[j] < ys[i])
+                    cd += sx * sy
+                    n1 += sx == 0
+                    n2 += sy == 0
+            n0 = m * (m - 1) // 2
+            return float(cd) / np.sqrt(
+                float(n0 - n1) * float(n0 - n2)
+            )
+
+        rows = got.to_pylist()
+        assert {r["k"] for r in rows} == set(np.unique(k).tolist())
+        for r in rows:
+            m = k == r["k"]
+            assert r["n"] == int(m.sum())
+            assert r["tau"] == brute(x[m], y[m])
+            assert r["tau"] > 0.5  # planted concordance
+
+    def test_edge_cases(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.stats import grouped_kendall
+
+        tbl = pa.table(
+            {
+                # key 0: perfect discordance; key 1: constant y
+                # (null tau); key 2: single row (dropped)
+                "k": pa.array([0, 0, 0, 1, 1, 2], type=pa.int64()),
+                "x": pa.array([1, 2, 3, 1, 2, 9], type=pa.int64()),
+                "y": pa.array([9, 5, 1, 4, 4, 0], type=pa.int64()),
+            }
+        )
+        got = {r["k"]: r
+               for r in grouped_kendall(
+                   ray.data.from_arrow(tbl), "k", "x", "y"
+               ).to_pylist()}
+        assert set(got) == {0, 1}
+        assert got[0]["tau"] == -1.0
+        assert got[1]["tau"] is None

@@ -742,3 +742,64 @@ class TestUnpivot:
 
         with _pytest.raises(ValueError, match="share one Arrow type"):
             unpivot(bad, ["id"], ["a", "n"])
+
+
+class TestGroupedStreaks:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.window import grouped_streaks
+
+        rng = np.random.default_rng(3)
+        n = 500
+        k = rng.integers(0, 6, size=n)
+        day = rng.integers(0, 40, size=n)  # many repeat days
+        us = day * 86_400_000_000 + rng.integers(
+            0, 86_400_000_000, size=n
+        )
+        tbl = pa.table(
+            {
+                "k": pa.array(k, type=pa.int64()),
+                "ts": pa.array(us, type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+        got = grouped_streaks(
+            ray.data.from_arrow(tbl).repartition(9), "k", "ts"
+        ).take_all()
+
+        def brute(days):
+            ds_ = sorted(set(days.tolist()))
+            best = run = 1
+            for a, b in zip(ds_, ds_[1:]):
+                run = run + 1 if b == a + 1 else 1
+                best = max(best, run)
+            return len(ds_), best
+
+        assert {r["k"] for r in got} == set(np.unique(k).tolist())
+        for r in got:
+            nd, ms = brute(day[k == r["k"]])
+            assert r["n_days"] == nd
+            assert r["max_streak"] == ms
+
+    def test_gaps_and_single_day(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.window import grouped_streaks
+
+        us = [d * 86_400_000_000 for d in (0, 1, 2, 4, 5, 30)]
+        tbl = pa.table(
+            {
+                "k": pa.array([7] * 6 + [8], type=pa.int64()),
+                "ts": pa.array(
+                    us + [86_400_000_000 * 100], type=pa.int64()
+                ).cast(pa.timestamp("us")),
+            }
+        )
+        got = {r["k"]: r
+               for r in grouped_streaks(
+                   ray.data.from_arrow(tbl), "k", "ts"
+               ).take_all()}
+        assert got[7]["n_days"] == 6 and got[7]["max_streak"] == 3
+        assert got[8]["n_days"] == 1 and got[8]["max_streak"] == 1
