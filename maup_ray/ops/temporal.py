@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = [
     "rolling_window",
@@ -43,6 +44,7 @@ __all__ = [
     "running_total",
     "merge_intervals",
     "interval_overlap_join",
+    "intervalize",
 ]
 
 _US = 1_000_000
@@ -1012,4 +1014,79 @@ def transition_counts(
     )
     return g.rename_columns(["src", "dst", "n"]).sort_by(
         [("src", "ascending"), ("dst", "ascending")]
+    )
+
+
+def intervalize(
+    events,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_cols=("value",),
+    open_end_us: int | None = None,
+):
+    """SCD2 intervalization: turn a change-event stream into validity
+    intervals — for each key's events in ``(ts, id)`` order, emit
+    ``valid_from = ts`` and ``valid_to =`` the key's NEXT event time
+    (null for the key's last event, i.e. the currently-open record —
+    or the ``open_end_us`` sentinel microsecond timestamp if given,
+    the classic ``9999-12-31`` warehouse high date).
+    Equivalent to ``LEAD(ts) OVER (PARTITION BY key ORDER BY ts, id)``
+    — the standard warehouse construction of slowly-changing-dimension
+    type-2 tables from CDC logs.
+
+    Scale shape: ONE key-hash exchange of the pruned projection
+    (key, ts, id, values); each partition is sorted once (Arrow C++)
+    and the lead is a single vectorized shift re-based per group by
+    the partition's group-start offsets. Value columns ride through in
+    their SOURCE Arrow types (the asof_join int64-preservation
+    lesson); timestamps stay int64 microseconds end to end — exact.
+    """
+    value_cols = list(value_cols)
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None or tbl.num_rows == 0:
+            fields = [
+                (id_col, pa.int64()),
+                (key_col, pa.int64()),
+                ("valid_from", pa.timestamp("us")),
+                ("valid_to", pa.timestamp("us")),
+            ] + [(c, pa.float64()) for c in value_cols]
+            return pa.schema(fields).empty_table()
+        ts = _ts_i64(tbl[ts_col])
+        n = len(ts)
+        ts_t = tbl.schema.field(ts_col).type
+        if not pa.types.is_timestamp(ts_t):
+            ts_t = pa.timestamp("us")
+        nxt = np.empty(n, dtype=np.int64)
+        nxt[:-1] = ts[1:]
+        nxt[-1] = 0
+        last = np.zeros(n, dtype=bool)
+        last[starts[1:] - 1] = True
+        last[-1] = True
+        if open_end_us is not None:
+            nxt[last] = open_end_us
+            valid_to = pc.cast(pa.array(nxt), ts_t)
+        else:
+            valid_to = pc.cast(pa.array(nxt, mask=last), ts_t)
+        cols = {
+            id_col: tbl[id_col],
+            key_col: tbl[key_col],
+            "valid_from": pc.cast(pa.array(ts), ts_t),
+            "valid_to": valid_to,
+        }
+        for c in value_cols:
+            cols[c] = tbl[c]
+        return pa.table(cols)
+
+    from .shuffle import group_starts, hash_group_apply
+
+    if isinstance(events, pa.Table):
+        t = events.combine_chunks().sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"),
+             (id_col, "ascending")]
+        )
+        return part(t, group_starts(t, [key_col]))
+    return hash_group_apply(
+        events, [key_col], part, sort_cols=(ts_col, id_col)
     )

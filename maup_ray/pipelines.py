@@ -1714,6 +1714,88 @@ def q_streaks(sf_dir: str):
     return out.sort_by("user_id")
 
 
+
+def q_scd2(sf_dir: str):
+    """SCD2 intervalization (ops/temporal.intervalize): the events CDC
+    stream becomes validity intervals — valid_from = ts, valid_to =
+    the user's next event time (the 2200-01-01 warehouse high-date
+    sentinel for the open record — null-free so value hashes compare
+    exactly), value carried in its source Arrow type. One pruned keyed
+    exchange, one vectorized lead per partition. Oracle = coalesced
+    LEAD(ts) OVER (PARTITION BY user ORDER BY ts, event_id)."""
+    from .ops.temporal import intervalize
+
+    # 2200-01-01 in epoch microseconds — a high-date sentinel that
+    # still fits pandas datetime64[ns] (9999-12-31 does not)
+    HIGH_DATE_US = 7258118400000000
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = _collect(intervalize(ds, open_end_us=HIGH_DATE_US))
+    return out.sort_by(
+        [("user_id", "ascending"), ("valid_from", "ascending"),
+         ("event_id", "ascending")]
+    )
+
+
+def q_inverted(sf_dir: str):
+    """Inverted-index build (text/rank.inverted_index): per token df,
+    cf, and the ascending comma-joined posting list — per-batch
+    distinct (token, doc) partials, ONE token-hash exchange, Arrow
+    binary_join posting assembly. min_df=5 filters in the reducer."""
+    from .text.rank import inverted_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(inverted_index(ds, min_df=5))
+    return out.sort_by("token")
+
+
+def q_url_hosts(sf_dir: str):
+    """Web-corpus host curation (text/web.host_stats): canonicalize
+    deterministic synthetic URLs (scheme/case/www/query noise all
+    derived from doc_id — exercises lower + www-strip + query
+    truncation) and aggregate per-host n_urls / n_paths. RE2 regex
+    extraction on BOTH engines (the redact byte-parity precedent)."""
+    from .text.web import host_stats
+
+    def synth(b: pa.Table) -> pa.Table:
+        k = b["doc_id"].to_numpy()
+        site = ((k * 7919) % 97).astype(np.str_)
+        tld = np.array(["com", "org", "net"])[k % 3]
+        www = np.where(k % 2 == 0, "www.", "")
+        host = np.char.add(
+            np.char.add(np.char.add(www, "site"), site),
+            np.char.add(".example.", tld),
+        )
+        host = np.where(
+            k % 5 == 0, np.char.upper(host), host
+        )
+        scheme = np.where(k % 4 == 0, "http://", "https://")
+        path = np.where(
+            k % 7 == 0,
+            "",
+            np.char.add("/p/", (k % 41).astype(np.str_)),
+        )
+        qs = np.where(
+            k % 3 == 0,
+            np.char.add(
+                "?utm_source=feed&ref=", (k % 11).astype(np.str_)
+            ),
+            "",
+        )
+        url = np.char.add(
+            np.char.add(np.char.add(scheme, host), path), qs
+        )
+        return pa.table(
+            {"doc_id": b["doc_id"], "url": pa.array(url.tolist())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = _collect(host_stats(ds))
+    return out.sort_by("host")
+
+
 def q_event_pivot(sf_dir: str):
     """Wide pivot (crosstab): per-user event-type count matrix in ONE
     streaming pass — the reshape is free: each batch derives one int64
@@ -5603,6 +5685,9 @@ def query_registry():
         "spearman": q_spearman,
         "kendall": q_kendall,
         "streaks": q_streaks,
+        "scd2": q_scd2,
+        "inverted": q_inverted,
+        "url_hosts": q_url_hosts,
         "knn": q_knn,
         "rasterize": q_rasterize,
         "sessions": q_sessions,
@@ -5906,6 +5991,79 @@ def oracle_queries() -> dict[str, str]:
             SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
                    CAST(max(len) AS BIGINT) AS max_streak
             FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        # scd2: the classic LEAD validity-interval construction; ties
+        # on ts are totalized by event_id on both sides
+        "scd2": """
+            SELECT event_id, user_id, ts AS valid_from,
+                   coalesce(lead(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                            TIMESTAMP '2200-01-01 00:00:00')
+                       AS valid_to,
+                   value
+            FROM events
+            ORDER BY user_id, valid_from, event_id
+        """,
+        # inverted: single-space tokenization (word_stats discipline);
+        # postings = ascending comma-joined doc ids
+        "inverted": """
+            WITH t AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS token
+                       FROM documents),
+            g AS (SELECT token, doc_id, count(*) AS c
+                  FROM t GROUP BY 1, 2)
+            SELECT token,
+                   CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(c) AS BIGINT) AS cf,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM g GROUP BY token HAVING count(*) >= 5
+            ORDER BY token
+        """,
+        # url_hosts: the same deterministic URL synthesis as the
+        # engine (scheme/www/case/query noise from doc_id), then RE2
+        # host/path extraction + canonicalization — regexp_extract
+        # returns \'\' on no-match where Arrow returns null, so the
+        # path defaults via nullif/coalesce (a matched path is never
+        # empty: the pattern requires a leading /)
+        "url_hosts": """
+            WITH h0 AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE ''
+                      END)
+                     || 'site'
+                     || CAST((doc_id * 7919) % 97 AS VARCHAR)
+                     || '.example.'
+                     || (CASE doc_id % 3 WHEN 0 THEN 'com'
+                         WHEN 1 THEN 'org' ELSE 'net' END) AS h
+              FROM documents),
+            u AS (
+              SELECT (CASE WHEN doc_id % 4 = 0 THEN 'http://'
+                      ELSE 'https://' END)
+                     || (CASE WHEN doc_id % 5 = 0 THEN upper(h)
+                         ELSE h END)
+                     || (CASE WHEN doc_id % 7 = 0 THEN ''
+                         ELSE '/p/' || CAST(doc_id % 41 AS VARCHAR)
+                         END)
+                     || (CASE WHEN doc_id % 3 = 0
+                         THEN '?utm_source=feed&ref='
+                              || CAST(doc_id % 11 AS VARCHAR)
+                         ELSE '' END) AS url
+              FROM h0),
+            c AS (
+              SELECT regexp_replace(
+                       lower(regexp_extract(
+                         url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+                       '^www\.', '') AS host,
+                     coalesce(nullif(regexp_extract(
+                       url, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1),
+                       ''), '/') AS path
+              FROM u),
+            g AS (SELECT host, path, count(*) AS c
+                  FROM c GROUP BY 1, 2)
+            SELECT host, CAST(sum(c) AS BIGINT) AS n_urls,
+                   CAST(count(*) AS BIGINT) AS n_paths
+            FROM g GROUP BY host ORDER BY host
         """,
         "top_event_types": f"""
             WITH c AS (SELECT user_id, event_type, count(*) AS n_occ

@@ -36,7 +36,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["bm25_topk", "bm25_topk_multi", "bm25_score_batch"]
+__all__ = ["bm25_topk", "bm25_topk_multi", "bm25_score_batch",
+           "inverted_index"]
 
 K1 = 1.25  # dyadic — exactly representable
 B = 0.75
@@ -483,4 +484,122 @@ def tfidf_topk(
 
     return ds.map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def inverted_index(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 5,
+):
+    """Distributed inverted-index build: per token, the document
+    frequency ``df``, collection frequency ``cf``, and the posting
+    list as a comma-joined ascending doc-id string — the retrieval-
+    infrastructure counterpart of bm25 (which scores ad hoc; this
+    materializes the index). Tokenization is the corpus single-space
+    split (``string_split(text, ' ')`` parity, the word_stats/ngrams
+    discipline).
+
+    Scale shape: each batch pre-combines the token stream to its
+    distinct ``(token, doc, count)`` partials (one Arrow group_by per
+    block), so the ONE token-hash exchange moves vocabulary-bounded
+    rows, never the corpus. Each reduce partition owns its tokens
+    wholly (hash routing): one sort, one adjacent-duplicate merge for
+    cross-block repeats, reduceat for df/cf, and the posting strings
+    come from Arrow ``binary_join`` over a list array built directly
+    on the sorted values — no per-token Python. min_df filters inside
+    the reducer. Posting lists of web-scale stopwords are the one
+    skew risk: a token's postings must fit a partition row — cap or
+    drop ultra-high-df tokens upstream for corpora where that bites
+    (df >> partition heap / 8 B).
+    """
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        lens = (
+            pc.list_value_length(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = pc.list_flatten(toks).combine_chunks()
+        docs = np.repeat(
+            b[id_col].to_numpy(zero_copy_only=False), lens
+        )
+        t = (
+            pa.table({"token": flat, "doc_id": pa.array(docs)})
+            .group_by(["token", "doc_id"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return t.rename_columns(["token", "doc_id", "c"])
+
+    pruned = (
+        pairs(ds)
+        if isinstance(ds, pa.Table)
+        else ds.map_batches(
+            pairs, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {
+                "token": pa.array([], type=pa.string()),
+                "df": pa.array([], type=pa.int64()),
+                "cf": pa.array([], type=pa.int64()),
+                "postings": pa.array([], type=pa.string()),
+            }
+        )
+        if tbl is None or tbl.num_rows == 0:
+            return empty
+        n = tbl.num_rows
+        d = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        c = tbl["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        # cross-block repeats of one (token, doc) are adjacent after
+        # the contract sort — merge them by summing counts
+        keep = first.copy()
+        keep[1:] |= d[1:] != d[:-1]
+        seg = np.cumsum(keep) - 1
+        c = np.bincount(seg, weights=c).astype(np.int64)
+        d, first = d[keep], first[keep]
+        m = len(d)
+        tok = tbl["token"].combine_chunks()
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.chunk(0) if tok.num_chunks else pa.array(
+                [], type=pa.string()
+            )
+        tok = tok.take(pa.array(np.flatnonzero(keep)))
+        g = np.flatnonzero(first)
+        df = np.diff(np.append(g, m)).astype(np.int64)
+        cf = np.add.reduceat(c, g)
+        # posting strings: list array over the sorted doc ids, joined
+        doc_str = pc.cast(pa.array(d), pa.string())
+        offsets = pa.array(
+            np.append(g, m).astype(np.int32), type=pa.int32()
+        )
+        lists = pa.ListArray.from_arrays(offsets, doc_str)
+        postings = pc.binary_join(lists, ",")
+        out = pa.table(
+            {
+                "token": tok.take(pa.array(g)),
+                "df": pa.array(df),
+                "cf": pa.array(cf),
+                "postings": postings,
+            }
+        )
+        if min_df > 1:
+            out = out.filter(pc.greater_equal(out["df"], min_df))
+        return out
+
+    from ..ops.shuffle import group_starts, hash_group_apply
+
+    if isinstance(pruned, pa.Table):
+        t = pruned.combine_chunks().sort_by(
+            [("token", "ascending"), ("doc_id", "ascending")]
+        )
+        return part(t, group_starts(t, ["token"]))
+    return hash_group_apply(
+        pruned, ["token"], part, sort_cols=("doc_id",)
     )

@@ -808,3 +808,76 @@ class TestTransitionCounts:
         } == dict(want)
         # table path equals dataset path
         assert transition_counts(tbl).equals(got)
+
+
+class TestIntervalize:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.temporal import intervalize
+
+        rng = np.random.default_rng(5)
+        n = 300
+        k = rng.integers(0, 7, size=n)
+        ts = rng.integers(0, 50, size=n) * 1_000_000
+        ids = np.arange(n, dtype=np.int64)
+        v = rng.integers(-100, 100, size=n)
+        tbl = pa.table(
+            {
+                "user_id": pa.array(k, type=pa.int64()),
+                "event_id": pa.array(ids),
+                "ts": pa.array(ts, type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "value": pa.array(v, type=pa.int64()),
+            }
+        )
+        got = (
+            intervalize(
+                ray.data.from_arrow(tbl).repartition(6),
+                value_cols=("value",),
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        # int64 value survives in its source type (asof lesson)
+        assert got["value"].dtype == np.int64
+        order = np.lexsort((ids, ts, k))
+        nxt = {}
+        for pos in range(len(order) - 1, -1, -1):
+            i = order[pos]
+            key = k[i]
+            nxt_ts = nxt.get(("lead", key))
+            exp = None if nxt_ts is None else nxt_ts
+            nxt[("exp", i)] = exp
+            nxt[("lead", key)] = ts[i]
+        for i in range(n):
+            row = got.iloc[i]
+            assert row["event_id"] == i
+            exp = nxt[("exp", i)]
+            vt = row["valid_to"]
+            if exp is None:
+                assert vt is None or vt != vt  # NaT
+            else:
+                assert vt.value // 1000 == exp
+            assert row["valid_from"].value // 1000 == ts[i]
+
+    def test_open_end_sentinel_and_table_path(self, ray_session):
+        from maup_ray.ops.temporal import intervalize
+
+        tbl = pa.table(
+            {
+                "user_id": pa.array([1, 1], type=pa.int64()),
+                "event_id": pa.array([5, 6], type=pa.int64()),
+                "ts": pa.array([10, 20], type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "value": pa.array([1.0, 2.0]),
+            }
+        )
+        out = intervalize(tbl, open_end_us=999)
+        vt = out["valid_to"].to_pylist()
+        assert vt[0].microsecond == 20
+        assert vt[1].microsecond == 999
+        assert out["valid_to"].null_count == 0

@@ -1361,3 +1361,65 @@ class TestCollocations:
             ds = ray.data.from_arrow(tbl).repartition(nparts)
             got = bigram_lift_topk(ds, k=15, min_count=3)
             assert got.equals(want)
+
+
+class TestInvertedIndex:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from maup_ray.text.rank import inverted_index
+
+        rng = np.random.default_rng(13)
+        vocab = [f"w{i}" for i in range(30)]
+        docs, ids = [], []
+        for d in range(60):
+            k = rng.integers(3, 15)
+            docs.append(
+                " ".join(rng.choice(vocab, size=k).tolist())
+            )
+            ids.append(d)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(docs),
+            }
+        )
+        got = {
+            r["token"]: r
+            for r in inverted_index(
+                ray.data.from_arrow(tbl).repartition(6), min_df=3
+            ).take_all()
+        }
+        # brute force
+        from collections import Counter, defaultdict
+
+        post = defaultdict(Counter)
+        for d, txt in zip(ids, docs):
+            for w in txt.split(" "):
+                post[w][d] += 1
+        expected = {
+            w: c for w, c in post.items() if len(c) >= 3
+        }
+        assert set(got) == set(expected)
+        for w, c in expected.items():
+            assert got[w]["df"] == len(c)
+            assert got[w]["cf"] == sum(c.values())
+            assert got[w]["postings"] == ",".join(
+                str(d) for d in sorted(c)
+            )
+
+    def test_table_path_and_min_df(self, ray_session):
+        from maup_ray.text.rank import inverted_index
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(["a a b", "a c"]),
+            }
+        )
+        out = inverted_index(t, min_df=1)
+        rows = {r["token"]: r for r in out.to_pylist()}
+        assert rows["a"]["df"] == 2 and rows["a"]["cf"] == 3
+        assert rows["a"]["postings"] == "1,2"
+        out2 = inverted_index(t, min_df=2)
+        assert out2.num_rows == 1
