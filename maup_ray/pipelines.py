@@ -5828,7 +5828,15 @@ def query_registry():
         "quick_repair": q_quick_repair,
         "smart_repair": q_smart_repair,
         "doctor": q_doctor,
+        # TPC-H shape completion (all SQL-oracled; pipelines_tpch.py)
+        **_tpch_queries(),
     }
+
+
+def _tpch_queries():
+    from .pipelines_tpch import TPCH_QUERIES
+
+    return TPCH_QUERIES
 
 
 def oracle_queries() -> dict[str, str]:
@@ -7890,4 +7898,11 @@ def oracle_queries() -> dict[str, str]:
             SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= {ANN_K}
         """,
+        **_tpch_oracles(),
     }
+
+
+def _tpch_oracles():
+    from .pipelines_tpch import TPCH_ORACLES
+
+    return TPCH_ORACLES
