@@ -46,7 +46,7 @@ Q9_NAME_SUBSTR = "widget"
 Q10_LO, Q10_HI = "1996-10-01", "1997-01-01"
 Q10_TOPN = 20
 Q11_NATION = 3
-Q11_FRAC_DEN = 1000  # keep parts with value * 1000 > total
+Q11_MULT = 2  # keep parts whose value exceeds MULT × the mean value
 Q12_BUCKET_DAYS = 30
 Q12_MAX_BUCKET = 6
 Q15_LO, Q15_HI = "1996-01-01", "1996-04-01"
@@ -490,16 +490,20 @@ def q_returned_revenue(sf_dir: str):
 def q_important_parts(sf_dir: str):
     """Q11 shape — important stock: per-part value (Σ price_cents·qty)
     over nation-3 suppliers' lineitems, keeping parts whose value
-    exceeds 1/1000 of the global total (lineitem plays partsupp).
+    exceeds 2× the MEAN part value (lineitem plays partsupp; the mean
+    multiple replaces TPC-H's 0.0001/SF fraction so the predicate
+    stays scale-invariant — a fixed fraction of the total empties out
+    as the part count grows).
 
     The global-threshold HAVING is the shape this query exists for:
     per-part values stay a DISTRIBUTED keyed aggregate; the global
-    total is an exact driver scalar merged from per-block (hi, lo)
-    2⁶²-limb partials (a certified-int64 np.sum fast path, Python-int
-    fallback — grouped_sums_exact discipline); the filter broadcasts
-    one integer threshold. ``v·1000 > total`` is applied as
-    ``v > total // 1000`` — exactly equivalent over integers (proof:
-    for r = total mod 1000, both reduce to v ≥ ⌊total/1000⌋ + 1)."""
+    (total, count) pair is an exact driver scalar merged from
+    per-block (hi, lo) 2⁶²-limb partials (a certified-int64 np.sum
+    fast path, Python-int fallback — grouped_sums_exact discipline);
+    the filter broadcasts one integer threshold.
+    ``v·cnt > MULT·total`` is applied as ``v > (MULT·total) // cnt`` —
+    exactly equivalent over positive integers (both reduce to
+    v ≥ ⌊MULT·total/cnt⌋ + 1, whether or not cnt divides evenly)."""
     import ray
 
     from .ops.agg import grouped_sum_count
@@ -545,10 +549,12 @@ def q_important_parts(sf_dir: str):
             {
                 "hi": pa.array([s >> 62], pa.int64()),
                 "lo": pa.array([s & (LIMB - 1)], pa.int64()),
+                "cnt": pa.array([n], pa.int64()),
             }
         )
 
     total = 0
+    cnt = 0
     for r in g.map_batches(
         limbs, batch_format="pyarrow", zero_copy_batch=True
     ).materialize().to_arrow_refs():
@@ -557,9 +563,14 @@ def q_important_parts(sf_dir: str):
         # Data skips the UDF on them) — they contribute nothing
         if t.num_rows == 0 or "hi" not in t.column_names:
             continue
-        for hi, lo in zip(t["hi"].to_pylist(), t["lo"].to_pylist()):
+        for hi, lo, c in zip(t["hi"].to_pylist(), t["lo"].to_pylist(),
+                             t["cnt"].to_pylist()):
             total += (int(hi) << 62) | int(lo)
-    thr = total // Q11_FRAC_DEN
+            cnt += int(c)
+    if cnt == 0:
+        return pa.table({"l_partkey": pa.array([], pa.int64()),
+                         "value_u": pa.array([], pa.float64())})
+    thr = (Q11_MULT * total) // cnt
     if thr >= (1 << 63):  # nothing can pass an above-int64 threshold
         return pa.table({"l_partkey": pa.array([], pa.int64()),
                          "value_u": pa.array([], pa.float64())})
@@ -1075,9 +1086,10 @@ TPCH_ORACLES = {
               FROM lineitem JOIN s3 ON l_suppkey = s_suppkey),
         g AS (SELECT l_partkey, SUM(CAST(v AS HUGEINT)) AS value_u
               FROM l GROUP BY 1),
-        t AS (SELECT SUM(value_u) AS total FROM g)
+        t AS (SELECT SUM(value_u) AS total, COUNT(*) AS cnt FROM g)
         SELECT l_partkey, CAST(value_u AS DOUBLE) AS value_u
-        FROM g, t WHERE value_u * {Q11_FRAC_DEN} > total ORDER BY 1
+        FROM g, t
+        WHERE value_u * cnt > {Q11_MULT} * total ORDER BY 1
     """,
     "ship_delay": f"""
         WITH j AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT)

@@ -84,10 +84,14 @@ class TestMinCostSupplier:
 
 class TestImportantParts:
     def test_integer_threshold_equivalence(self, ray_session, lineitem):
-        """Engine applies v > total // 1000; the HAVING is
-        1000·v > total — equivalent over integers (module docstring
-        proof). Pin it against the direct product form."""
-        from maup_ray.pipelines_tpch import Q11_NATION, q_important_parts
+        """Engine applies v > (MULT·total) // cnt; the HAVING is
+        v·cnt > MULT·total — equivalent over positive integers (module
+        docstring proof). Pin it against the direct product form."""
+        from maup_ray.pipelines_tpch import (
+            Q11_MULT,
+            Q11_NATION,
+            q_important_parts,
+        )
 
         got = q_important_parts(SF).to_pandas()
         got = got.sort_values("l_partkey", ignore_index=True)
@@ -98,7 +102,7 @@ class TestImportantParts:
         v = _cents(li.l_extendedprice) * _cents(li.l_quantity, 1.0)
         per = pd.Series(v).groupby(li.l_partkey.to_numpy()).sum()
         total = int(per.sum())
-        want = per[[int(x) * 1000 > total for x in per]]
+        want = per[[int(x) * len(per) > Q11_MULT * total for x in per]]
         assert got.l_partkey.tolist() == sorted(want.index.tolist())
         assert got.value_u.tolist() == [
             float(int(x)) for _, x in want.sort_index().items()
