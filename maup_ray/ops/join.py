@@ -205,6 +205,178 @@ def _block_distinct(right, ron):
     )
 
 
+_BLOOM_SEED1 = 0xA076_1D64_78BD_642F
+_BLOOM_SEED2 = 0xE703_7ED1_A0B4_28DB
+_BLOOM_K = 4
+_BLOOM_BITS_PER_KEY = 16  # k=4 @ 16 b/key → ~0.24% false positives
+_BLOOM_MAX_BITS = 1 << 31  # 256 MiB word array — must fit every worker
+
+
+def _mix64(x: "np.ndarray", seed: int) -> "np.ndarray":
+    """splitmix64 finalizer over a uint64 array (wrapping arithmetic
+    is the point) — the shared build/probe hash, so false negatives
+    are structurally impossible."""
+    import numpy as np
+
+    z = (x ^ np.uint64(seed)) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bloom_positions(keys_u64, nbits: int):
+    """k double-hashed bit positions per key, shape (k, n)."""
+    import numpy as np
+
+    h1 = _mix64(keys_u64, _BLOOM_SEED1)
+    h2 = _mix64(keys_u64, _BLOOM_SEED2) | np.uint64(1)
+    mask = np.uint64(nbits - 1)
+    return [
+        (h1 + np.uint64(i) * h2) & mask for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_keys_u64(col) -> "np.ndarray":
+    """Integer key column → uint64 hash input (nulls pre-filtered by
+    the caller; negative ints wrap deterministically — identical in
+    build and probe, which is all a Bloom filter needs)."""
+    import numpy as np
+
+    v = col.to_numpy(zero_copy_only=False)
+    if not np.issubdtype(v.dtype, np.integer):
+        raise TypeError(
+            "semi/anti join plan='bloom' needs an integer key column "
+            f"(got {v.dtype}); hash the key to int64 upstream"
+        )
+    return v.astype(np.int64, copy=False).astype(np.uint64)
+
+
+def _bloom_semi(ds, right, on, right_on, anti):
+    """Bloom-prefiltered shuffle semi/anti join — the corpus×corpus
+    plan that avoids shuffling MOST of the left side.
+
+    The broadcast/shuffle dichotomy leaves a gap at 100 TB: past
+    ``broadcast_limit`` distinct keys the shuffle plan moves EVERY
+    left row through the exchange even when almost none match (semi)
+    or almost all are kept (anti). Here the right key set is
+    summarized as an m-bit Bloom filter (16 bits/key, k=4 → ~0.24%
+    false positives), built from per-block bitmap partials OR-merged
+    by a binary task tree and broadcast ONCE via ``ray.put``; the left
+    side probes it per batch with two splitmix64 mixes. Bloom filters
+    have NO false negatives, so bloom-negative rows are exactly
+    droppable (semi) or exactly keepable with zero shuffle (anti);
+    only the bloom-POSITIVE slice — true matches + the ~0.24% false
+    positives — enters the exact hash co-shuffle against the
+    pre-distincted right key projection. Null keys match nothing,
+    mirroring the other plans.
+
+    Falls back to the plain shuffle plan when the filter would exceed
+    ``_BLOOM_MAX_BITS`` (the per-worker broadcast budget)."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    ron = right_on or on
+    rkeys = _block_distinct(right, ron).materialize()
+    n_rkeys = rkeys.count()
+    if n_rkeys == 0:
+        # degenerate right side: semi → nothing, anti → left unchanged
+        if anti:
+            return ds
+        if isinstance(ds, pa.Table):
+            return ds.slice(0, 0)
+        return ds.limit(0)
+    # upper bound on distinct keys: per-block-deduped row count
+    n_keys = n_rkeys
+    nbits = 1 << int(n_keys * _BLOOM_BITS_PER_KEY - 1).bit_length()
+    nbits = max(nbits, 1 << 13)
+    if nbits > _BLOOM_MAX_BITS:
+        return _shuffle_semi(ds, right, on, right_on, anti, rkeys=rkeys)
+
+    @ray.remote
+    def block_bitmap(tbl: pa.Table) -> np.ndarray:
+        words = np.zeros(nbits // 64, dtype=np.uint64)
+        # an empty right side can surface as a schema-less empty block
+        if tbl.num_rows == 0 or ron not in tbl.column_names:
+            return words
+        col = tbl[ron]
+        valid = pc.is_valid(col)
+        if not pc.all(valid).as_py():
+            col = col.filter(valid)
+        if len(col) == 0:
+            return words
+        u = _bloom_keys_u64(col.combine_chunks())
+        for idx in _bloom_positions(u, nbits):
+            np.bitwise_or.at(
+                words, (idx >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
+        return words
+
+    @ray.remote
+    def or_merge(*parts):
+        out = parts[0].copy()
+        for p in parts[1:]:
+            np.bitwise_or(out, p, out=out)
+        return out
+
+    refs = [block_bitmap.remote(r) for r in rkeys.to_arrow_refs()]
+    FAN = 8
+    while len(refs) > 1:
+        refs = [
+            or_merge.remote(*refs[i:i + FAN])
+            for i in range(0, len(refs), FAN)
+        ]
+    words_ref = refs[0]
+
+    left_was_table = isinstance(ds, pa.Table)
+    if left_was_table:
+        ds = ray.data.from_arrow(ds)
+
+    def probe(batch: pa.Table, want_positive: bool):
+        words = ray.get(words_ref)
+        col = batch[on]
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        filled = pc.fill_null(col, 0).combine_chunks()
+        u = _bloom_keys_u64(filled)
+        pos = np.ones(len(batch), dtype=bool)
+        for idx in _bloom_positions(u, nbits):
+            w = words[(idx >> np.uint64(6)).astype(np.int64)]
+            pos &= ((w >> (idx & np.uint64(63)))
+                    & np.uint64(1)).astype(bool)
+        pos &= np.asarray(valid, dtype=bool)
+        return batch.filter(pa.array(pos if want_positive else ~pos))
+
+    candidates = ds.map_batches(
+        lambda b: probe(b, True), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    confirmed = _shuffle_semi(candidates, right, on, right_on, anti,
+                              rkeys=rkeys)
+    if anti:
+        definite = ds.map_batches(
+            lambda b: probe(b, False), batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        out = definite.union(confirmed)
+    else:
+        out = confirmed
+    if left_was_table:
+        tabs = [
+            t for t in (ray.get(r) for r in
+                        out.materialize().to_arrow_refs())
+            if t.num_rows
+        ]
+        if not tabs:
+            sch = ds.schema()
+            return pa.table(
+                {n: pa.array([], type=t)
+                 for n, t in zip(sch.names, sch.types)}
+            )
+        return pa.concat_tables(tabs).combine_chunks()
+    return out
+
+
 def _shuffle_semi(ds, right, on, right_on, anti, rkeys=None):
     """Corpus-sized-key-set path: Ray Data's native hash co-shuffle
     semi/anti join against the PRE-DISTINCTED-per-block right key
@@ -267,16 +439,21 @@ def semi_join(
     Plans: ``"broadcast"`` (raise past ``broadcast_limit`` distinct
     keys), ``"shuffle"`` (Ray Data's native left_semi/left_anti hash
     co-shuffle — the corpus-sized-key-set path; left payloads move
-    once), or ``"auto"``: broadcast when the right side is provably
-    small (a Table under the limit, or a Dataset whose METADATA row
-    count — an upper bound on distinct keys — is under it), else
-    shuffle without ever dragging the key set to the driver."""
+    once), ``"bloom"`` (corpus×corpus: broadcast an m-bit Bloom
+    filter of the right key set and shuffle ONLY the bloom-positive
+    left slice — see ``_bloom_semi``; integer keys required), or
+    ``"auto"``: broadcast when the right side is provably small (a
+    Table under the limit, or a Dataset whose METADATA row count — an
+    upper bound on distinct keys — is under it), else shuffle without
+    ever dragging the key set to the driver."""
     import ray
 
-    if plan not in ("auto", "broadcast", "shuffle"):
+    if plan not in ("auto", "broadcast", "shuffle", "bloom"):
         raise ValueError(f"semi_join: unknown plan {plan!r}")
     if plan == "shuffle":
         return _shuffle_semi(ds, right, on, right_on, anti)
+    if plan == "bloom":
+        return _bloom_semi(ds, right, on, right_on, anti)
     ron = right_on or on
     if plan == "auto" and isinstance(right, pa.Table):
         if len(right) > broadcast_limit:

@@ -5661,6 +5661,58 @@ def q_impurity(sf_dir: str):
     return grouped_impurity(ds, "c_nationkey", "c_mktsegment")
 
 
+SETOP_LO = "1996-01-01"
+SETOP_MID = "1997-01-01"
+SETOP_HI = "1998-01-01"
+
+
+def _setop_slices(sf_dir: str):
+    """The two lineitem key projections the set-op queries compare:
+    parts shipped in 1996 vs parts shipped in 1997 (multiplicity =
+    shipment count, so ALL semantics differ from DISTINCT)."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    def sl(lo: str, hi: str):
+        return ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_shipdate"],
+            filter=(
+                (pads.field("l_shipdate")
+                 >= pa.scalar(datetime.fromisoformat(lo)))
+                & (pads.field("l_shipdate")
+                   < pa.scalar(datetime.fromisoformat(hi)))
+            ),
+        ).map_batches(
+            lambda b: b.select(["l_partkey"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    return sl(SETOP_LO, SETOP_MID), sl(SETOP_MID, SETOP_HI)
+
+
+def q_except_parts(sf_dir: str):
+    """SQL EXCEPT ALL as a distributed operator (ops/setops.bag_setop):
+    per-part 1996-shipment multiplicities minus 1997's, max(0, ·)
+    copies each — per-batch (key, cnt) pre-combine, ONE key-hash
+    exchange of the deduped 16 B/row projection, np.repeat emit."""
+    from .ops.setops import bag_setop
+
+    a, b = _setop_slices(sf_dir)
+    return bag_setop(a, b, ["l_partkey"], mode="except_all")
+
+
+def q_intersect_parts(sf_dir: str):
+    """SQL INTERSECT ALL (min multiplicity) — same exchange shape as
+    q_except_parts."""
+    from .ops.setops import bag_setop
+
+    a, b = _setop_slices(sf_dir)
+    return bag_setop(a, b, ["l_partkey"], mode="intersect_all")
+
+
 def query_registry():
     """name → callable(sf_dir) for every shipped pipeline — the single
     source of truth shared by the driver contract (__ray_entry__.py)
@@ -5828,6 +5880,9 @@ def query_registry():
         "quick_repair": q_quick_repair,
         "smart_repair": q_smart_repair,
         "doctor": q_doctor,
+        # SQL set operations (bag semantics; ops/setops.py)
+        "except_parts": q_except_parts,
+        "intersect_parts": q_intersect_parts,
         # TPC-H shape completion (all SQL-oracled; pipelines_tpch.py)
         **_tpch_queries(),
     }
@@ -7897,6 +7952,24 @@ def oracle_queries() -> dict[str, str]:
               FROM sims)
             SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= {ANN_K}
+        """,
+        "except_parts": f"""
+            SELECT l_partkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{SETOP_LO}'
+              AND l_shipdate <  TIMESTAMP '{SETOP_MID}'
+            EXCEPT ALL
+            SELECT l_partkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{SETOP_MID}'
+              AND l_shipdate <  TIMESTAMP '{SETOP_HI}'
+        """,
+        "intersect_parts": f"""
+            SELECT l_partkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{SETOP_LO}'
+              AND l_shipdate <  TIMESTAMP '{SETOP_MID}'
+            INTERSECT ALL
+            SELECT l_partkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{SETOP_MID}'
+              AND l_shipdate <  TIMESTAMP '{SETOP_HI}'
         """,
         **_tpch_oracles(),
     }

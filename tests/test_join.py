@@ -297,3 +297,83 @@ class TestSemiJoinPlans:
         with pytest.raises(ValueError, match="unknown plan"):
             semi_join(pa.table({"k": []}), pa.table({"k": []}), "k",
                       plan="bogus")
+
+
+class TestBloomSemiJoin:
+    """plan="bloom": Bloom-prefiltered shuffle semi/anti — results
+    must equal the broadcast plan bit-for-bit (the filter only prunes,
+    the exact co-shuffle confirms)."""
+
+    def _inputs(self):
+        rng = np.random.default_rng(11)
+        left = pa.table(
+            {
+                # include negative keys (wrap path) and nulls
+                "k": pa.array(
+                    [None if i % 37 == 0 else int(v)
+                     for i, v in enumerate(
+                         rng.integers(-100, 100, 500))],
+                    type=pa.int64(),
+                ),
+                "v": pa.array(np.arange(500, dtype=np.int64)),
+            }
+        )
+        right = pa.table(
+            {"rk": pa.array(rng.integers(-100, 100, 80),
+                            type=pa.int64())}
+        )
+        return left, right
+
+    @pytest.mark.parametrize("anti", [False, True])
+    def test_matches_broadcast_plan(self, ray_session, anti):
+        import ray.data
+
+        from maup_ray.ops.join import anti_join, semi_join
+
+        left, right = self._inputs()
+        fn = anti_join if anti else semi_join
+        want = fn(left, right, "k", "rk").to_pandas().sort_values(
+            ["v"]).reset_index(drop=True)
+        got = fn(
+            ray.data.from_arrow(left).repartition(5),
+            ray.data.from_arrow(right).repartition(3),
+            "k", "rk", plan="bloom",
+        ).to_pandas().sort_values(["v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]])
+
+    @pytest.mark.parametrize("anti", [False, True])
+    def test_table_left_path(self, ray_session, anti):
+        from maup_ray.ops.join import anti_join, semi_join
+
+        left, right = self._inputs()
+        fn = anti_join if anti else semi_join
+        want = fn(left, right, "k", "rk")
+        got = fn(left, right, "k", "rk", plan="bloom")
+        assert isinstance(got, pa.Table)
+        assert sorted(got["v"].to_pylist()) == sorted(
+            want["v"].to_pylist())
+
+    def test_non_integer_key_raises(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.join import semi_join
+
+        left = ray.data.from_arrow(
+            pa.table({"k": pa.array(["a", "b"])}))
+        right = pa.table({"k": pa.array(["a"])})
+        with pytest.raises((TypeError, Exception)):
+            semi_join(left, right, "k", plan="bloom").materialize()
+
+    def test_empty_sides(self, ray_session):
+        from maup_ray.ops.join import anti_join, semi_join
+
+        left, right = self._inputs()
+        empty_r = right.slice(0, 0)
+        assert len(semi_join(left, empty_r, "k", "rk",
+                             plan="bloom")) == 0
+        # anti vs empty right keeps every non-null-handling row as the
+        # broadcast plan does
+        want = anti_join(left, empty_r, "k", "rk")
+        got = anti_join(left, empty_r, "k", "rk", plan="bloom")
+        assert sorted(got["v"].to_pylist()) == sorted(
+            want["v"].to_pylist())
