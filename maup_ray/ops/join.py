@@ -20,6 +20,7 @@ __all__ = [
     "left_broadcast_join",
     "semi_join",
     "anti_join",
+    "outer_join",
 ]
 
 
@@ -508,4 +509,142 @@ def anti_join(ds, right, on, right_on=None, broadcast_limit=2_000_000,
     return semi_join(
         ds, right, on, right_on=right_on, anti=True,
         broadcast_limit=broadcast_limit, plan=plan,
+    )
+
+
+_OUTER_HOWS = ("inner", "left_outer", "right_outer", "full_outer")
+
+
+def outer_join(left, right, on, *, how: str = "full_outer",
+               num_partitions: int | None = None):
+    """Corpus×corpus equi-join with outer semantics — the shuffle
+    join surface ``equi_join``'s broadcast plan cannot provide.
+
+    SQL ``LEFT/RIGHT/FULL OUTER JOIN`` (and ``INNER``) on the ``on``
+    key columns, duplicate keys on BOTH sides allowed (per-key cross
+    product, exactly SQL's bag semantics). Non-key column names must
+    be disjoint between the sides (alias upstream, as SQL would).
+
+    Scale shape: each side is tagged with typed nulls for the other
+    side's payload columns and a ``_side`` bit, then ONE key-hash
+    exchange (``ops/shuffle.hash_group_apply`` sorted by
+    ``keys + _side``) co-locates every key's rows with left rows
+    contiguous before right rows; the per-partition reduce emits the
+    matched cross product with two ``np.repeat``/arange index vectors
+    plus the unmatched rows verbatim (their other-side columns are
+    already typed nulls) — one vectorized pass, no per-group dispatch.
+    Null keys never match (SQL semantics): they survive only as
+    unmatched rows on the preserved side(s). Keys must be
+    integer-valued (the hash-shuffle module contract).
+
+    ``left``/``right`` are Datasets or driver Tables; returns a
+    Dataset (key columns first, then left payload, then right
+    payload)."""
+    import numpy as np
+    import ray.data
+
+    from .shuffle import hash_group_apply
+
+    if how not in _OUTER_HOWS:
+        raise ValueError(f"outer_join: unknown how {how!r}")
+    on = list(on) if not isinstance(on, str) else [on]
+
+    def side_schema(x) -> pa.Schema:
+        return x.schema if isinstance(x, pa.Table) else x.schema(
+            fetch_if_missing=True
+        ).base_schema
+
+    lsch, rsch = side_schema(left), side_schema(right)
+    for k in on:
+        if lsch.field(k).type != rsch.field(k).type:
+            raise TypeError(
+                f"outer_join: key {k!r} differs in type between sides "
+                f"({lsch.field(k).type} vs {rsch.field(k).type})"
+            )
+    lpay = [f for f in lsch if f.name not in on]
+    rpay = [f for f in rsch if f.name not in on]
+    clash = {f.name for f in lpay} & {f.name for f in rpay}
+    if clash:
+        raise ValueError(
+            f"outer_join: non-key columns {sorted(clash)} appear on "
+            "both sides — rename upstream (SQL alias discipline)"
+        )
+    out_schema = pa.schema(
+        [lsch.field(k) for k in on] + lpay + rpay
+    )
+
+    def tag(is_left: bool):
+        other = rpay if is_left else lpay
+
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {k: batch[k] for k in on}
+            for fld in (lpay if is_left else rpay):
+                cols[fld.name] = batch[fld.name]
+            for fld in other:
+                cols[fld.name] = pa.nulls(n, fld.type)
+            cols["_side"] = pa.array(
+                np.full(n, 0 if is_left else 1, np.int64))
+            return pa.table(
+                {name: cols[name]
+                 for name in out_schema.names + ["_side"]}
+            )
+
+        return f
+
+    def tagged(x, is_left: bool):
+        if isinstance(x, pa.Table):
+            return ray.data.from_arrow(tag(is_left)(x))
+        return x.map_batches(tag(is_left), batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    both = tagged(left, True).union(tagged(right, False))
+    keep_l = how in ("left_outer", "full_outer")
+    keep_r = how in ("right_outer", "full_outer")
+    payload_names = [f.name for f in lpay] + [f.name for f in rpay]
+
+    def reduce_part(tbl: pa.Table | None, starts) -> pa.Table:
+        if tbl is None or tbl.num_rows == 0:
+            return out_schema.empty_table()
+        starts = np.asarray(starts, dtype=np.int64)
+        n = tbl.num_rows
+        s = tbl["_side"].to_numpy(zero_copy_only=False)
+        sizes = np.diff(np.append(starts, n))
+        g = np.repeat(np.arange(len(starts)), sizes)
+        nl = np.add.reduceat(1 - s, starts)
+        nr = np.add.reduceat(s, starts)
+        # sorted by keys then _side → per group: left block, right block
+        rstart = starts + nl
+        L = np.flatnonzero(s == 0)
+        gl = g[L]
+        cnt = nr[gl]
+        left_out = np.repeat(L, cnt)
+        tot = int(cnt.sum())
+        base = np.cumsum(cnt) - cnt
+        offs = np.arange(tot, dtype=np.int64) - np.repeat(base, cnt)
+        right_out = np.repeat(rstart[gl], cnt) + offs
+        body = tbl.select(out_schema.names)
+        lrows = body.take(pa.array(left_out))
+        rrows = body.take(pa.array(right_out))
+        matched = pa.table(
+            {name: (rrows[name] if any(f.name == name for f in rpay)
+                    else lrows[name])
+             for name in out_schema.names}
+        )
+        pieces = [matched]
+        if keep_l:
+            L0 = L[cnt == 0]
+            if len(L0):
+                pieces.append(body.take(pa.array(L0)))
+        if keep_r:
+            R = np.flatnonzero(s == 1)
+            R0 = R[nl[g[R]] == 0]
+            if len(R0):
+                pieces.append(body.take(pa.array(R0)))
+        out = pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
+        return out.combine_chunks()
+
+    return hash_group_apply(
+        both, on, reduce_part, sort_cols=["_side"],
+        num_partitions=num_partitions,
     )

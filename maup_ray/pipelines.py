@@ -5713,6 +5713,118 @@ def q_intersect_parts(sf_dir: str):
     return bag_setop(a, b, ["l_partkey"], mode="intersect_all")
 
 
+def _yoy_side(sf_dir: str, lo: str, hi: str, cnt_name: str):
+    """Per-customer order count over one year — read-pruned to the
+    key column, per-batch partials, bytes-aware keyed hash exchange."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from .ops.agg import grouped_sum_count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        filter=(
+            (pads.field("o_orderdate")
+             >= pa.scalar(datetime.fromisoformat(lo)))
+            & (pads.field("o_orderdate")
+               < pa.scalar(datetime.fromisoformat(hi)))
+        ),
+    ).map_batches(
+        lambda b: b.select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return grouped_sum_count(ds, ["o_custkey"], count_col=cnt_name,
+                             final="hash")
+
+
+def q_yoy_orders(sf_dir: str):
+    """Year-over-year customer activity via the corpus×corpus FULL
+    OUTER equi-join (ops/join.outer_join): per-customer 1996 order
+    counts ⟗ 1997 counts — customers active in only one year keep a
+    typed-null count for the other (COALESCE key semantics). Both
+    sides stay distributed end to end: two grouped-count exchanges
+    feed one key-hash outer-join exchange of 24 B/row partials."""
+    from .ops.join import outer_join
+
+    a = _yoy_side(sf_dir, SETOP_LO, SETOP_MID, "cnt_a")
+    b = _yoy_side(sf_dir, SETOP_MID, SETOP_HI, "cnt_b")
+    return outer_join(a, b, "o_custkey", how="full_outer")
+
+
+Q6_DISC_LO, Q6_DISC_HI = 5, 7  # discount-percent window (exact ints)
+Q6_QTY = 24
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 — forecasting revenue change: Σ price·discount over
+    one shipping year for discounts in [0.05, 0.07] and quantity <
+    24. Pure scan shape: read-pruned columns + parquet row-group date
+    pushdown, one vectorized predicate + exact integer partial
+    (price-cents × disc%, unit 10⁻⁴ dollars) per block, arbitrary-
+    precision driver merge of the one-row partials; the single float
+    output mirrors the oracle's CAST(HUGEINT AS DOUBLE)."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from .ops.agg import grouped_sums_exact
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity",
+                 "l_shipdate"],
+        filter=(
+            (pads.field("l_shipdate")
+             >= pa.scalar(datetime.fromisoformat(SETOP_LO)))
+            & (pads.field("l_shipdate")
+               < pa.scalar(datetime.fromisoformat(SETOP_MID)))
+        ),
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        disc = pc.cast(
+            pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64()
+        )
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(disc, pa.scalar(Q6_DISC_LO, pa.int64())),
+                pc.less_equal(disc, pa.scalar(Q6_DISC_HI, pa.int64())),
+            ),
+            pc.less(b["l_quantity"], float(Q6_QTY)),
+        )
+        price = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+            pa.int64(),
+        )
+        r = pc.if_else(m, pc.multiply(price, disc),
+                       pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "rev_u": r,
+                "hit": pc.cast(m, pa.int64()),
+            }
+        )
+
+    rows = grouped_sums_exact(
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"],
+        sum_cols=["rev_u", "hit"],
+    )
+    (r,) = rows
+    return pa.table(
+        {
+            "n": pa.array([int(r["hit"])], type=pa.int64()),
+            "revenue_u": pa.array([float(int(r["rev_u"]))],
+                                  type=pa.float64()),
+        }
+    )
+
+
 def query_registry():
     """name → callable(sf_dir) for every shipped pipeline — the single
     source of truth shared by the driver contract (__ray_entry__.py)
@@ -5883,6 +5995,10 @@ def query_registry():
         # SQL set operations (bag semantics; ops/setops.py)
         "except_parts": q_except_parts,
         "intersect_parts": q_intersect_parts,
+        # corpus×corpus FULL OUTER join (ops/join.outer_join)
+        "yoy_orders": q_yoy_orders,
+        # TPC-H Q6 (pure-scan filter + exact global aggregate)
+        "forecast_revenue": q_forecast_revenue,
         # TPC-H shape completion (all SQL-oracled; pipelines_tpch.py)
         **_tpch_queries(),
     }
@@ -7970,6 +8086,38 @@ def oracle_queries() -> dict[str, str]:
             SELECT l_partkey FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '{SETOP_MID}'
               AND l_shipdate <  TIMESTAMP '{SETOP_HI}'
+        """,
+        "yoy_orders": f"""
+            WITH a AS (
+                SELECT o_custkey, count(*) AS cnt_a FROM orders
+                WHERE o_orderdate >= TIMESTAMP '{SETOP_LO}'
+                  AND o_orderdate <  TIMESTAMP '{SETOP_MID}'
+                GROUP BY o_custkey
+            ), b AS (
+                SELECT o_custkey, count(*) AS cnt_b FROM orders
+                WHERE o_orderdate >= TIMESTAMP '{SETOP_MID}'
+                  AND o_orderdate <  TIMESTAMP '{SETOP_HI}'
+                GROUP BY o_custkey
+            )
+            SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+                   cnt_a, cnt_b
+            FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        """,
+        "forecast_revenue": f"""
+            WITH r AS (
+              SELECT CAST(round(l_extendedprice*100, 0) AS BIGINT)
+                       * CAST(round(l_discount*100, 0) AS BIGINT)
+                       AS rev_u
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '{SETOP_LO}'
+                AND l_shipdate <  TIMESTAMP '{SETOP_MID}'
+                AND CAST(round(l_discount*100, 0) AS BIGINT)
+                    BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+                AND l_quantity < {Q6_QTY})
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(CAST(sum(rev_u) AS HUGEINT) AS DOUBLE)
+                     AS revenue_u
+            FROM r
         """,
         **_tpch_oracles(),
     }

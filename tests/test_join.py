@@ -377,3 +377,147 @@ class TestBloomSemiJoin:
         got = anti_join(left, empty_r, "k", "rk", plan="bloom")
         assert sorted(got["v"].to_pylist()) == sorted(
             want["v"].to_pylist())
+
+
+class TestOuterJoin:
+    """ops/join.outer_join vs a pandas-merge brute force: duplicate
+    keys on both sides (bag cross product), null keys never matching,
+    all four hows, multi-key, and partition invariance."""
+
+    def _inputs(self):
+        rng = np.random.default_rng(23)
+        left = pa.table(
+            {
+                "k": pa.array(
+                    [None if i % 29 == 0 else int(v)
+                     for i, v in enumerate(rng.integers(0, 40, 300))],
+                    type=pa.int64(),
+                ),
+                "lv": pa.array(np.arange(300, dtype=np.int64)),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array(
+                    [None if i % 31 == 0 else int(v)
+                     for i, v in enumerate(rng.integers(0, 40, 200))],
+                    type=pa.int64(),
+                ),
+                "rv": pa.array(np.arange(1000, 1200, dtype=np.int64)),
+            }
+        )
+        return left, right
+
+    @staticmethod
+    def _collect(ds) -> pd.DataFrame:
+        df = ds.to_pandas()
+        return (
+            df.sort_values(list(df.columns))
+            .reset_index(drop=True)
+            .astype("float64")
+        )
+
+    @staticmethod
+    def _brute(left, right, how) -> pd.DataFrame:
+        # pandas merge treats NaN keys as EQUAL; SQL never matches
+        # null keys — join the non-null slices, then append null-key
+        # rows as unmatched on the preserved side(s)
+        ldf, rdf = left.to_pandas(), right.to_pandas()
+        ln, rn = ldf[ldf.k.isna()], rdf[rdf.k.isna()]
+        hp = {"inner": "inner", "left_outer": "left",
+              "right_outer": "right", "full_outer": "outer"}[how]
+        df = pd.merge(ldf[ldf.k.notna()], rdf[rdf.k.notna()], on="k",
+                      how=hp)
+        parts = [df]
+        if how in ("left_outer", "full_outer"):
+            parts.append(ln.assign(rv=np.nan))
+        if how in ("right_outer", "full_outer"):
+            parts.append(rn.assign(lv=np.nan))
+        df = pd.concat(parts, ignore_index=True)
+        return (
+            df[["k", "lv", "rv"]]
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+            .astype("float64")
+        )
+
+    @pytest.mark.parametrize(
+        "how", ["inner", "left_outer", "right_outer", "full_outer"]
+    )
+    def test_matches_pandas(self, ray_session, how):
+        import ray.data
+
+        from maup_ray.ops.join import outer_join
+
+        left, right = self._inputs()
+        got = self._collect(
+            outer_join(
+                ray.data.from_arrow(left).repartition(5),
+                ray.data.from_arrow(right).repartition(3),
+                "k", how=how,
+            )
+        )
+        pd.testing.assert_frame_equal(got, self._brute(left, right, how))
+
+    def test_table_inputs_and_multikey(self, ray_session):
+        from maup_ray.ops.join import outer_join
+
+        left = pa.table(
+            {
+                "a": pa.array([1, 1, 2, 3], pa.int64()),
+                "b": pa.array([0, 1, 0, 0], pa.int64()),
+                "lv": pa.array([10, 11, 12, 13], pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "a": pa.array([1, 1, 2, 4], pa.int64()),
+                "b": pa.array([0, 0, 1, 0], pa.int64()),
+                "rv": pa.array([20, 21, 22, 23], pa.int64()),
+            }
+        )
+        got = outer_join(left, right, ["a", "b"],
+                         how="full_outer").to_pandas()
+        want = pd.merge(left.to_pandas(), right.to_pandas(),
+                        on=["a", "b"], how="outer")
+        cols = ["a", "b", "lv", "rv"]
+        pd.testing.assert_frame_equal(
+            got[cols].sort_values(cols).reset_index(drop=True)
+            .astype("float64"),
+            want[cols].sort_values(cols).reset_index(drop=True)
+            .astype("float64"),
+        )
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.join import outer_join
+
+        left, right = self._inputs()
+        base = self._collect(outer_join(left, right, "k"))
+        re = self._collect(
+            outer_join(
+                ray.data.from_arrow(left).repartition(11),
+                ray.data.from_arrow(right).repartition(2),
+                "k", num_partitions=7,
+            )
+        )
+        pd.testing.assert_frame_equal(re, base)
+
+    def test_clashing_payload_raises(self, ray_session):
+        from maup_ray.ops.join import outer_join
+
+        t = pa.table({"k": pa.array([1], pa.int64()),
+                      "v": pa.array([1], pa.int64())})
+        with pytest.raises(ValueError, match="both sides"):
+            outer_join(t, t, "k")
+
+    def test_empty_side(self, ray_session):
+        from maup_ray.ops.join import outer_join
+
+        left, right = self._inputs()
+        empty = right.slice(0, 0)
+        got = self._collect(outer_join(left, empty, "k",
+                                       how="full_outer"))
+        want = self._brute(left, empty, "full_outer")
+        pd.testing.assert_frame_equal(got, want)
