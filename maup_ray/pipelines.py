@@ -719,6 +719,19 @@ def q_embed_cluster(sf_dir: str):
     return kmeans(corpus, k=8, iters=4)
 
 
+def q_embed_pca(sf_dir: str):
+    """Distributed PCA of the embeddings table → per-vector top-2
+    principal scores (rows-only: the eigensolve is not
+    SQL-expressible; pytest pins the numpy-replica equivalence,
+    bit-level partition invariance, and this query's full value
+    hash). One streaming O(d²)-partial moment pass + one stateless
+    projection pass — no shuffle (vector/pca.py)."""
+    from .vector.pca import pca
+
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pca(corpus, n_components=2)
+
+
 def q_embed_prune(sf_dir: str):
     """SemDeDup-style cluster-then-prune over the embeddings table
     (rows-only: the k-means phase is not SQL-expressible; pytest pins
@@ -5980,6 +5993,7 @@ def query_registry():
         "approx_distinct": q_approx_distinct,
         "embed_cluster": q_embed_cluster,
         "embed_prune": q_embed_prune,
+        "embed_pca": q_embed_pca,
         "bpe_train": q_bpe_train,
         "image_phash": q_image_phash,
         "image_doctor": q_image_doctor,

@@ -260,6 +260,19 @@ class TestRepairQueryPinnedHashes:
         assert len(df) == 500
         assert self._h(t) == "4d2af23bebb7041d"
 
+    def test_embed_pca_pinned(self, ray_session):
+        """embed_pca is rows-only at the driver; its scores are
+        bit-deterministic by construction (exact-integer covariance +
+        fixed-order projection accumulation — no BLAS gemm), so the
+        full value content pins here."""
+        from maup_ray.pipelines import q_embed_pca
+
+        t = q_embed_pca("/root/testdata/sf0.001")
+        df = t.to_pandas()
+        assert len(df) == 500
+        assert set(df.columns) == {"vec_id", "pc1", "pc2"}
+        assert self._h(t) == "06c298abc547f3da"
+
     def test_embed_cluster_pinned(self, ray_session):
         from maup_ray.pipelines import q_embed_cluster
 
