@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["table_diff"]
+__all__ = ["table_diff", "merge_upsert"]
 
 
 def table_diff(
@@ -146,3 +146,94 @@ def table_diff(
             "id_sum": pc.cast(g[f"{id_col}_sum"], pa.int64()),
         }
     ).sort_by("status")
+
+
+def merge_upsert(
+    base,
+    changes,
+    id_col: str,
+    value_cols,
+    delete_col: str | None = None,
+):
+    """SQL ``MERGE INTO`` / lakehouse CDC apply: produce the snapshot
+    that results from applying a keyed changeset to ``base`` —
+    matching ids take the change row (update), new ids insert, and
+    rows whose ``delete_col`` flag is true are removed.
+
+    Scale shape (same exchange as ``table_diff``): both sides prune to
+    (id, value_cols[, delete flag]) + a side tag and co-locate through
+    ONE id-hash exchange; each partition sorts by (id, side) once and
+    emits the LAST row of every id group (the change row wins when
+    present) minus deletes — one vectorized take per partition, output
+    streamed as a Dataset. Ids must be unique within each side (the
+    SQL MERGE cardinality rule: a second change row for one id is
+    nondeterministic, so it raises).
+
+    ``delete_col`` (bool, on the changes side) marks deletions; base
+    rows never carry it. Insert-of-a-delete (a delete for an id not in
+    base) is a no-op, matching ``WHEN NOT MATCHED THEN INSERT`` +
+    ``WHEN MATCHED AND flag THEN DELETE`` semantics."""
+    import ray.data
+
+    from .shuffle import hash_group_apply
+
+    value_cols = list(value_cols)
+    cols = [id_col, *value_cols]
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            t = b.select(cols)
+            if delete_col is not None:
+                if side == 1 and delete_col in b.column_names:
+                    d = b[delete_col]
+                else:
+                    d = pa.nulls(len(t), pa.bool_())
+                t = t.append_column(delete_col, d)
+            return t.append_column(
+                "_side", pa.array(np.full(len(t), side, dtype=np.int8))
+            )
+
+        return f
+
+    def to_ds(x, side):
+        if isinstance(x, pa.Table):
+            x = ray.data.from_arrow(x)
+        return x.map_batches(
+            tag(side), batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    u = to_ds(base, 0).union(to_ds(changes, 1))
+
+    def part(tbl: pa.Table | None, starts) -> pa.Table:
+        schema = pa.schema(
+            [
+                (c, pa.int64() if tbl is None
+                 else tbl.schema.field(c).type)
+                for c in cols
+            ]
+        )
+        if tbl is None or len(starts) == 0:
+            return schema.empty_table()
+        starts = np.asarray(starts, dtype=np.int64)
+        n = tbl.num_rows
+        sizes = np.diff(np.append(starts, n))
+        side = tbl["_side"].to_numpy(zero_copy_only=False)
+        ps = starts[sizes == 2]  # size-2 groups: must be one per side
+        if sizes.max(initial=0) > 2 or np.any(
+            (side[ps] != 0) | (side[ps + 1] != 1)
+        ):
+            raise ValueError(
+                f"merge_upsert: duplicate '{id_col}' within one side "
+                "(MERGE cardinality violation)"
+            )
+        last = starts + sizes - 1  # change row wins when present
+        if delete_col is not None:
+            import pyarrow.compute as pc
+
+            del_flag = pc.fill_null(
+                tbl[delete_col].take(pa.array(last)), False
+            ).to_numpy(zero_copy_only=False)
+            last = last[~np.asarray(del_flag, dtype=bool)]
+        return tbl.select(cols).take(pa.array(last))
+
+    return hash_group_apply(u, [id_col], part, sort_cols=("_side",))

@@ -5770,6 +5770,57 @@ def q_yoy_orders(sf_dir: str):
 Q6_DISC_LO, Q6_DISC_HI = 5, 7  # discount-percent window (exact ints)
 Q6_QTY = 24
 
+UPS_OFF = 1_000_000_000  # insert-id offset (far above any custkey)
+
+
+def q_upsert(sf_dir: str):
+    """Lakehouse CDC MERGE (ops/diff.merge_upsert): apply a derived
+    changeset to the customer snapshot — updates (custkey%7==0:
+    acctbal+1000), deletes (custkey%11==0), inserts (custkey%13==0
+    under a disjoint id offset). One id-hash exchange with a side
+    tag; each partition takes the last row per id group (change wins)
+    minus deletes. All value arithmetic is mirrored IEEE (x+1000.0,
+    k·0.25), so the merged snapshot is value-exact vs the FULL OUTER
+    JOIN oracle."""
+    from .ops.diff import merge_upsert
+
+    cols = ["c_custkey", "c_acctbal", "c_nationkey"]
+    base = _read(sf_dir, "customer", cols)
+
+    def chg(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy()
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False)
+        nat = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        m = (k % 7 == 0) | (k % 11 == 0)
+        mi = k % 13 == 0
+        upd = pa.table(
+            {
+                "c_custkey": pa.array(k[m]),
+                "c_acctbal": pa.array(bal[m] + 1000.0),
+                "c_nationkey": pa.array(nat[m], type=pa.int32()),
+                "_del": pa.array(k[m] % 11 == 0),
+            }
+        )
+        ins = pa.table(
+            {
+                "c_custkey": pa.array(k[mi] + UPS_OFF),
+                "c_acctbal": pa.array(k[mi].astype(np.float64) * 0.25),
+                "c_nationkey": pa.array(
+                    (k[mi] % 25).astype(np.int32), type=pa.int32()
+                ),
+                "_del": pa.array(np.zeros(int(mi.sum()), dtype=bool)),
+            }
+        )
+        return pa.concat_tables([upd, ins])
+
+    changes = _read(sf_dir, "customer", cols).map_batches(
+        chg, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return merge_upsert(
+        base, changes, "c_custkey",
+        ["c_acctbal", "c_nationkey"], delete_col="_del",
+    )
+
 
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 — forecasting revenue change: Σ price·discount over
@@ -6013,6 +6064,8 @@ def query_registry():
         "yoy_orders": q_yoy_orders,
         # TPC-H Q6 (pure-scan filter + exact global aggregate)
         "forecast_revenue": q_forecast_revenue,
+        # lakehouse CDC MERGE (ops/diff.merge_upsert)
+        "upsert": q_upsert,
         # TPC-H shape completion (all SQL-oracled; pipelines_tpch.py)
         **_tpch_queries(),
     }
@@ -8116,6 +8169,29 @@ def oracle_queries() -> dict[str, str]:
             SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
                    cnt_a, cnt_b
             FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        """,
+        "upsert": f"""
+            WITH chg AS (
+                SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal,
+                       c_nationkey, (c_custkey % 11 = 0) AS del
+                FROM customer
+                WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+                UNION ALL
+                SELECT c_custkey + {UPS_OFF},
+                       CAST(c_custkey AS DOUBLE) * 0.25,
+                       CAST(c_custkey % 25 AS INTEGER), FALSE
+                FROM customer WHERE c_custkey % 13 = 0
+            )
+            SELECT COALESCE(g.c_custkey, c.c_custkey) AS c_custkey,
+                   CASE WHEN g.c_custkey IS NOT NULL
+                        THEN g.c_acctbal ELSE c.c_acctbal
+                   END AS c_acctbal,
+                   CASE WHEN g.c_custkey IS NOT NULL
+                        THEN g.c_nationkey ELSE c.c_nationkey
+                   END AS c_nationkey
+            FROM customer c FULL OUTER JOIN chg g
+              ON c.c_custkey = g.c_custkey
+            WHERE NOT COALESCE(g.del, FALSE)
         """,
         "forecast_revenue": f"""
             WITH r AS (
