@@ -5772,6 +5772,23 @@ Q6_QTY = 24
 
 UPS_OFF = 1_000_000_000  # insert-id offset (far above any custkey)
 
+SPAN_N, SPAN_MAX_OCC = 8, 2  # frequent-span removal parameters
+
+
+def q_dedup_spans(sf_dir: str):
+    """Exact-substring (frequent word-8-gram) span removal over the
+    documents corpus (text/spans.remove_frequent_spans) — Lee et al.
+    2022 curation: tokens covered by any 8-gram occurring ≥3 times
+    corpus-wide are scrubbed from every document. Two passes: the
+    frequent_ngrams gram-hash reduction (only above-threshold grams
+    reach the driver), then a broadcast-banned-set scrub with a
+    difference-array coverage cumsum — the token stream never
+    shuffles. Fully-covered documents come back as empty strings."""
+    from .text.spans import remove_frequent_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return remove_frequent_spans(ds, n=SPAN_N, max_occ=SPAN_MAX_OCC)
+
 
 def q_upsert(sf_dir: str):
     """Lakehouse CDC MERGE (ops/diff.merge_upsert): apply a derived
@@ -6066,6 +6083,8 @@ def query_registry():
         "forecast_revenue": q_forecast_revenue,
         # lakehouse CDC MERGE (ops/diff.merge_upsert)
         "upsert": q_upsert,
+        # exact-substring span removal (text/spans.py)
+        "dedup_spans": q_dedup_spans,
         # TPC-H shape completion (all SQL-oracled; pipelines_tpch.py)
         **_tpch_queries(),
     }
@@ -8169,6 +8188,39 @@ def oracle_queries() -> dict[str, str]:
             SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
                    cnt_a, cnt_b
             FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        """,
+        "dedup_spans": f"""
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr
+                       FROM documents),
+            p AS (SELECT doc_id, arr,
+                         unnest(range(len(arr) - {SPAN_N - 1})) AS pos
+                  FROM d WHERE len(arr) >= {SPAN_N}),
+            g AS (SELECT doc_id, pos,
+                         array_to_string(
+                             arr[pos+1: pos+{SPAN_N}], ' ') AS gram
+                  FROM p),
+            banned AS (SELECT gram FROM g GROUP BY gram
+                       HAVING count(*) > {SPAN_MAX_OCC}),
+            cov AS (SELECT DISTINCT doc_id, cpos FROM (
+                SELECT doc_id, pos + unnest(range({SPAN_N})) AS cpos
+                FROM g WHERE gram IN (SELECT gram FROM banned))),
+            t AS (SELECT doc_id, unnest(arr) AS tok,
+                         unnest(range(len(arr))) AS pos
+                  FROM d),
+            kept AS (SELECT t.doc_id, t.tok, t.pos
+                     FROM t LEFT JOIN cov
+                       ON t.doc_id = cov.doc_id AND t.pos = cov.cpos
+                     WHERE cov.doc_id IS NULL),
+            agg AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY pos)
+                             AS text_clean,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.text_clean, '') AS text_clean,
+                   CAST(len(d.arr) - COALESCE(a.n_kept, 0) AS BIGINT)
+                     AS n_removed
+            FROM d LEFT JOIN agg a USING (doc_id)
         """,
         "upsert": f"""
             WITH chg AS (
