@@ -5774,6 +5774,19 @@ UPS_OFF = 1_000_000_000  # insert-id offset (far above any custkey)
 
 SPAN_N, SPAN_MAX_OCC = 8, 2  # frequent-span removal parameters
 
+LM_Q = 1 << 30  # unigram-LM fixed-point scale (text/lm.py)
+
+
+def q_lm_score(sf_dir: str):
+    """Corpus-unigram-LM document scoring (text/lm.unigram_logscore)
+    — the CCNet-style model-based quality signal, SQL-oracled via the
+    exact-integer quantized-log recipe (per-word round(ln(c)·2^30)
+    scores sum exactly; ONE mirrored IEEE division per doc)."""
+    from .text.lm import unigram_logscore
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return unigram_logscore(ds)
+
 
 def q_dedup_spans(sf_dir: str):
     """Exact-substring (frequent word-8-gram) span removal over the
@@ -6085,6 +6098,8 @@ def query_registry():
         "upsert": q_upsert,
         # exact-substring span removal (text/spans.py)
         "dedup_spans": q_dedup_spans,
+        # unigram-LM quality scoring (text/lm.py)
+        "lm_score": q_lm_score,
         # TPC-H shape completion (all SQL-oracled; pipelines_tpch.py)
         **_tpch_queries(),
     }
@@ -8188,6 +8203,28 @@ def oracle_queries() -> dict[str, str]:
             SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
                    cnt_a, cnt_b
             FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        """,
+        "lm_score": f"""
+            WITH t AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                  FROM t GROUP BY tok),
+            tot AS (SELECT CAST(round(
+                        ln(CAST(sum(c) AS DOUBLE)) * {LM_Q}.0, 0)
+                    AS BIGINT) AS qn FROM c),
+            q AS (SELECT tok, CAST(round(
+                        ln(CAST(c AS DOUBLE)) * {LM_Q}.0, 0)
+                    AS BIGINT) AS qc FROM c),
+            d AS (SELECT t.doc_id,
+                         CAST(count(*) AS BIGINT) AS n_tokens,
+                         CAST(sum(q.qc) AS BIGINT) AS sum_qc
+                  FROM t JOIN q USING (tok) GROUP BY t.doc_id)
+            SELECT d.doc_id, d.n_tokens,
+                   d.sum_qc - d.n_tokens * tot.qn AS logprob_q,
+                   CAST(d.sum_qc - d.n_tokens * tot.qn AS DOUBLE)
+                     / CAST(d.n_tokens * {LM_Q} AS DOUBLE) AS score
+            FROM d, tot
         """,
         "dedup_spans": f"""
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr
