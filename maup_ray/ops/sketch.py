@@ -29,10 +29,17 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .shuffle import _hash_keys
 
-__all__ = ["hll_partial", "hll_merge", "hll_estimate", "approx_distinct"]
+__all__ = [
+    "hll_partial",
+    "hll_merge",
+    "hll_estimate",
+    "approx_distinct",
+    "histogram_quantiles",
+]
 
 
 def _clz64(x: np.ndarray) -> np.ndarray:
@@ -126,3 +133,184 @@ def approx_distinct(ds, cols, p: int = 14) -> pa.Table:
             ),
         }
     )
+
+
+# ------------------------------------------------- histogram quantiles
+
+
+def histogram_quantiles(
+    ds,
+    key: str,
+    value_col: str,
+    qs: tuple[tuple[int, int], ...] = ((1, 4), (1, 2), (9, 10),
+                                       (99, 100)),
+    q_names: tuple[str, ...] = ("p25", "p50", "p90", "p99"),
+    bins: int = 65536,
+) -> pa.Table:
+    """Grouped APPROXIMATE quantiles for continuous domains — the
+    100-TB complement to ``ops/curate.grouped_quantiles`` (whose
+    distinct-value histogram is exact but degenerates when every
+    value is unique, e.g. doubles).
+
+    Two streaming passes, both mergeable with EXACT arithmetic so the
+    result is deterministic and partition-invariant (and therefore
+    SQL-oracle-able despite being approximate): pass 1 reduces exact
+    per-group (min, max, n); pass 2 bins every value into
+    ``floor((x−lo)/(hi−lo)·B)`` (clamped to B−1) and reduces sparse
+    integer (key, bin, cnt) partials through one key-hash exchange.
+    Each quantile is the lower edge of the first bin whose cumulative
+    count reaches ``ceil(q·n)`` (integer-rational threshold — never
+    float ceil): value error ≤ (hi−lo)/B per group, rank error
+    unbounded only if a single bin concentrates mass (the honest
+    histogram-sketch caveat; raise ``bins`` or use the exact op).
+
+    ``key`` cardinality must be dimension-sized: the per-group
+    (lo, hi, n) table is driver-merged and shipped in the pass-2
+    closure. ``qs`` are integer rationals (num, den), one ``q_names``
+    column each."""
+    import ray
+    import ray.data
+
+    from .shuffle import hash_group_apply
+
+    if len(qs) != len(q_names):
+        raise ValueError("histogram_quantiles: qs/q_names mismatch")
+    if isinstance(ds, pa.Table):
+        ds = ray.data.from_arrow(ds)
+    B = int(bins)
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, value_col])
+        v = t[value_col]
+        valid = pc.is_valid(v)
+        if not pc.all(valid).as_py():
+            t = t.filter(valid)
+        g = t.group_by([key], use_threads=False).aggregate(
+            [(value_col, "min"), (value_col, "max"),
+             (value_col, "count")]
+        )
+        # Arrow group_by column order is not keys-first: map by NAME
+        return pa.table(
+            {
+                key: g[key],
+                "lo": g[f"{value_col}_min"],
+                "hi": g[f"{value_col}_max"],
+                "n": pc.cast(g[f"{value_col}_count"], pa.int64()),
+            }
+        )
+
+    parts = []
+    mapped = ds.map_batches(
+        mm_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    for r in mapped.to_arrow_refs():
+        t = ray.get(r)
+        if t.num_columns and t.num_rows:
+            parts.append(t)
+    if not parts:
+        raise ValueError("histogram_quantiles: empty input")
+    g = (
+        pa.concat_tables(parts)
+        .group_by([key], use_threads=False)
+        .aggregate([("lo", "min"), ("hi", "max"), ("n", "sum")])
+    )
+    mm = pa.table(
+        {
+            key: g[key],
+            "lo": g["lo_min"],
+            "hi": g["hi_max"],
+            "n": pc.cast(g["n_sum"], pa.int64()),
+        }
+    ).sort_by(key)
+    keys_arr = mm[key].combine_chunks()
+    lo = mm["lo"].to_numpy(zero_copy_only=False)
+    hi = mm["hi"].to_numpy(zero_copy_only=False)
+    nn = mm["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def bin_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, value_col])
+        v = t[value_col]
+        valid = pc.is_valid(v)
+        if not pc.all(valid).as_py():
+            t = t.filter(valid)
+        kidx = pc.index_in(t[key], value_set=keys_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        x = t[value_col].to_numpy(zero_copy_only=False)
+        l, h = lo[kidx], hi[kidx]
+        span = h - l
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = np.floor((x - l) / span * float(B))
+        b = np.where(span > 0,
+                     np.minimum(raw, float(B - 1)), 0.0).astype(np.int64)
+        g = (
+            pa.table({key: t[key], "bin": pa.array(b)})
+            .group_by([key, "bin"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                key: g[key],
+                "bin": g["bin"],
+                "cnt": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    lo_by, hi_by, n_by = {}, {}, {}
+    for i, k in enumerate(keys_arr.to_pylist()):
+        lo_by[k], hi_by[k], n_by[k] = float(lo[i]), float(hi[i]), int(nn[i])
+
+    out_fields = [(key, mm.schema.field(key).type)] + [
+        (nm, pa.float64()) for nm in q_names
+    ] + [("n", pa.int64())]
+
+    def reduce_part(tbl: pa.Table | None, starts) -> pa.Table:
+        schema = pa.schema(out_fields)
+        if tbl is None or tbl.num_rows == 0:
+            return schema.empty_table()
+        starts = np.asarray(starts, dtype=np.int64)
+        ntot = tbl.num_rows
+        bvals = tbl["bin"].to_numpy(zero_copy_only=False)
+        cvals = tbl["cnt"].to_numpy(zero_copy_only=False)
+        rows = {key: [], "n": []}
+        for nm in q_names:
+            rows[nm] = []
+        ends = np.r_[starts[1:], ntot]
+        kk = tbl[key].take(pa.array(starts)).to_pylist()
+        for s, e, k in zip(starts, ends, kk):
+            bs, cs = bvals[s:e], cvals[s:e]
+            # duplicate bins from different blocks: combine (sorted
+            # by bin via sort_cols)
+            chg = np.r_[True, bs[1:] != bs[:-1]]
+            ub = bs[chg]
+            uc = np.add.reduceat(cs, np.flatnonzero(chg))
+            cum = np.cumsum(uc)
+            l, h, n = lo_by[k], hi_by[k], n_by[k]
+            rows[key].append(k)
+            rows["n"].append(n)
+            width = (h - l) / float(B)
+            for (num, den), nm in zip(qs, q_names):
+                if h <= l:
+                    rows[nm].append(l)
+                    continue
+                t_rank = (num * n + den - 1) // den
+                j = int(np.searchsorted(cum, t_rank))
+                rows[nm].append(l + float(ub[j]) * width)
+        return pa.table(
+            {n: pa.array(v, type=dict(out_fields)[n])
+             for n, v in rows.items()}
+        )
+
+    partials = ds.map_batches(
+        bin_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = hash_group_apply(partials, [key], reduce_part,
+                           sort_cols=["bin"])
+    tabs = [
+        t for t in (ray.get(r) for r in
+                    out.materialize().to_arrow_refs())
+        if t.num_columns and t.num_rows
+    ]
+    if not tabs:
+        return pa.schema(out_fields).empty_table()
+    return pa.concat_tables(tabs).combine_chunks().sort_by(key)

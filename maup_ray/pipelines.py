@@ -5776,6 +5776,23 @@ SPAN_N, SPAN_MAX_OCC = 8, 2  # frequent-span removal parameters
 
 LM_Q = 1 << 30  # unigram-LM fixed-point scale (text/lm.py)
 
+HQ_BINS = 65536  # histogram-quantile sketch resolution
+
+
+def q_approx_percentiles(sf_dir: str):
+    """Histogram-sketch approximate quantiles of a CONTINUOUS column
+    (ops/sketch.histogram_quantiles): per-returnflag p25/p50/p90/p99
+    of l_extendedprice. Approximate (value error ≤ (hi−lo)/2^16) yet
+    fully deterministic — exact min/max/count pass + exact integer
+    bin counts + integer-rational rank thresholds — so it is
+    SQL-oracled value-exact like the exact ops."""
+    from .ops.sketch import histogram_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return histogram_quantiles(
+        ds, "l_returnflag", "l_extendedprice", bins=HQ_BINS
+    )
+
 
 def q_lm_score(sf_dir: str):
     """Corpus-unigram-LM document scoring (text/lm.unigram_logscore)
@@ -6100,6 +6117,8 @@ def query_registry():
         "dedup_spans": q_dedup_spans,
         # unigram-LM quality scoring (text/lm.py)
         "lm_score": q_lm_score,
+        # histogram-sketch continuous quantiles (ops/sketch.py)
+        "approx_percentiles": q_approx_percentiles,
         # TPC-H shape completion (all SQL-oracled; pipelines_tpch.py)
         **_tpch_queries(),
     }
@@ -8203,6 +8222,47 @@ def oracle_queries() -> dict[str, str]:
             SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
                    cnt_a, cnt_b
             FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        """,
+        "approx_percentiles": f"""
+            WITH s AS (SELECT l_returnflag AS k, l_extendedprice AS x
+                       FROM lineitem),
+            mm AS (SELECT k, min(x) AS lo, max(x) AS hi,
+                          CAST(count(x) AS BIGINT) AS n
+                   FROM s GROUP BY k),
+            b AS (SELECT s.k,
+                         CASE WHEN hi > lo THEN least(CAST(floor(
+                             (x - lo) / (hi - lo) * {HQ_BINS}.0)
+                             AS BIGINT), {HQ_BINS - 1})
+                         ELSE 0 END AS bin
+                  FROM s JOIN mm USING (k)),
+            c AS (SELECT k, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+            cum AS (SELECT k, bin, CAST(sum(cnt) OVER (
+                        PARTITION BY k ORDER BY bin) AS BIGINT) AS cum
+                    FROM c)
+            SELECT mm.k AS l_returnflag,
+                   CASE WHEN hi > lo THEN lo + CAST((
+                       SELECT min(bin) FROM cum
+                       WHERE cum.k = mm.k
+                         AND cum.cum >= (1*mm.n + 3) // 4) AS DOUBLE)
+                       * ((hi - lo) / {HQ_BINS}.0) ELSE lo END AS p25,
+                   CASE WHEN hi > lo THEN lo + CAST((
+                       SELECT min(bin) FROM cum
+                       WHERE cum.k = mm.k
+                         AND cum.cum >= (1*mm.n + 1) // 2) AS DOUBLE)
+                       * ((hi - lo) / {HQ_BINS}.0) ELSE lo END AS p50,
+                   CASE WHEN hi > lo THEN lo + CAST((
+                       SELECT min(bin) FROM cum
+                       WHERE cum.k = mm.k
+                         AND cum.cum >= (9*mm.n + 9) // 10) AS DOUBLE)
+                       * ((hi - lo) / {HQ_BINS}.0) ELSE lo END AS p90,
+                   CASE WHEN hi > lo THEN lo + CAST((
+                       SELECT min(bin) FROM cum
+                       WHERE cum.k = mm.k
+                         AND cum.cum >= (99*mm.n + 99) // 100)
+                       AS DOUBLE)
+                       * ((hi - lo) / {HQ_BINS}.0) ELSE lo END AS p99,
+                   mm.n
+            FROM mm
         """,
         "lm_score": f"""
             WITH t AS (SELECT doc_id,
