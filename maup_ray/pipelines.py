@@ -263,7 +263,10 @@ def q_islands(sf_dir: str):
     anti-join in map_batches."""
     from .ops.adjacencies import adjacencies, islands
 
-    ds = _doc_rect_geoms(sf_dir, xl=True)
+    # materialize the derived-WKB table once: adjacencies, the
+    # islands flag pass, and the final keep_islands filter all consume
+    # it — lazy, each would re-run the derive+encode pipeline
+    ds = _doc_rect_geoms(sf_dir, xl=True).materialize()
     # cell_res 5 (32x32 cells): XL rects span ~1-3 cells; the default
     # res 8 creates ~65k one-row groups and map_groups dispatch
     # dominates (25 s -> ~4 s at sf0.1)
@@ -277,7 +280,17 @@ def q_islands(sf_dir: str):
         extent=(0.0, 0.0, float(EXTENT)),
     )
     out = islands(ds, adj=adj, id_col="source_id")
-    return out.select_columns(["source_id"]).rename_columns(["doc_id"])
+    # project+rename INSIDE map_batches, not via
+    # select_columns().rename_columns(): islands can emit all-empty
+    # blocks (few/no islands in a block), and rename_columns' schema
+    # fetch reorders its Project AFTER the limit-1 sample — on an
+    # empty draw it sees the pre-projection schema and raises
+    # (observed flake at sf0.1, bench 2026-08-19)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["source_id"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def q_count_overlaps(sf_dir: str):
