@@ -5791,6 +5791,60 @@ LM_Q = 1 << 30  # unigram-LM fixed-point scale (text/lm.py)
 
 HQ_BINS = 65536  # histogram-quantile sketch resolution
 
+HOP_US = 3_600_000_000  # hopping-window hop (1 h in µs)
+HOP_K = 3  # window length = 3 hops (3 h sliding windows)
+
+
+def q_hopping(sf_dir: str):
+    """Hopping (sliding) window aggregate over the events stream —
+    3-hour windows advancing every hour, each event contributing to
+    exactly K=3 overlapping windows. The streaming-window shape
+    tumbling ``events_hourly`` can't express: per batch each row is
+    replicated K times with vectorized repeat/tile window indices
+    (window START index = floor(ts/hop) − j), integer-cents values
+    keep partial sums exact in any order, and the small
+    (window-count-sized) partials driver-merge exactly like the
+    tumbling query."""
+    from .ops.agg import grouped_sum_count
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ep = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        wi = ep // HOP_US
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        win = np.repeat(wi, HOP_K) - np.tile(
+            np.arange(HOP_K, dtype=np.int64), len(wi)
+        )
+        return pa.table(
+            {
+                "win": pa.array(win),
+                "value_cents": pa.array(np.repeat(cents, HOP_K)),
+            }
+        )
+
+    out = grouped_sum_count(
+        ds.map_batches(expand, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["win"],
+        sum_cols=["value_cents"],
+        count_col="n_events",
+        final="driver",
+    )
+    return pa.table(
+        {
+            "win_start_us": pc.multiply(
+                out["win"], pa.scalar(HOP_US, pa.int64())
+            ),
+            "value_cents": out["value_cents"],
+            "n_events": out["n_events"],
+        }
+    )
+
 
 def q_approx_percentiles(sf_dir: str):
     """Histogram-sketch approximate quantiles of a CONTINUOUS column
@@ -6132,6 +6186,8 @@ def query_registry():
         "lm_score": q_lm_score,
         # histogram-sketch continuous quantiles (ops/sketch.py)
         "approx_percentiles": q_approx_percentiles,
+        # hopping / sliding window aggregate
+        "hopping": q_hopping,
         # TPC-H shape completion (all SQL-oracled; pipelines_tpch.py)
         **_tpch_queries(),
     }
@@ -8235,6 +8291,16 @@ def oracle_queries() -> dict[str, str]:
             SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
                    cnt_a, cnt_b
             FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        """,
+        "hopping": f"""
+            WITH e AS (SELECT epoch_us(ts) // {HOP_US} AS wi,
+                              CAST(round(value*100, 0) AS BIGINT) AS v
+                       FROM events),
+            x AS (SELECT wi - unnest(range({HOP_K})) AS win, v FROM e)
+            SELECT win * {HOP_US} AS win_start_us,
+                   CAST(sum(v) AS BIGINT) AS value_cents,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM x GROUP BY win
         """,
         "approx_percentiles": f"""
             WITH s AS (SELECT l_returnflag AS k, l_extendedprice AS x
