@@ -320,3 +320,34 @@ class TestLocalVolumePlans:
         pd.testing.assert_frame_equal(
             a.reset_index(drop=True), b.reset_index(drop=True)
         )
+
+
+class TestHoppingWindow:
+    def test_brute_force_and_exactness(self, ray_session):
+        """Each event lands in exactly HOP_K windows; sums are exact
+        integer cents (brute force over the sf0.001 events table)."""
+        import pyarrow.parquet as pq
+
+        from maup_ray.pipelines import HOP_K, HOP_US, q_hopping
+
+        t = q_hopping("/root/testdata/sf0.001")
+        df = t.to_pandas().set_index("win_start_us").sort_index()
+        ev = pq.read_table(
+            "/root/testdata/sf0.001/events.parquet",
+            columns=["ts", "value"],
+        ).to_pandas()
+        ep = ev["ts"].astype("int64")
+        cents = (ev["value"] * 100.0).round().astype("int64")
+        from collections import defaultdict
+
+        sums = defaultdict(int)
+        cnts = defaultdict(int)
+        for e, c in zip(ep, cents):
+            wi = e // HOP_US
+            for j in range(HOP_K):
+                sums[(wi - j) * HOP_US] += int(c)
+                cnts[(wi - j) * HOP_US] += 1
+        assert df["n_events"].sum() == len(ev) * HOP_K
+        for w, row in df.iterrows():
+            assert row["value_cents"] == sums[w], w
+            assert row["n_events"] == cnts[w], w
