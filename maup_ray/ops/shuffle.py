@@ -100,6 +100,16 @@ def _hash_keys(tbl: pa.Table, keys: list[str]) -> np.ndarray:
         col = tbl[k]
         typ = col.type
         if pa.types.is_integer(typ) or pa.types.is_unsigned_integer(typ):
+            if col.null_count:
+                # null keys: to_numpy yields NaN (float) whose int64
+                # cast is UB-ish and warns per worker task; pin them
+                # to 0 — the partition landing spot is arbitrary as
+                # long as it is deterministic, and group identity is
+                # decided by the reduce-side sorted-value comparison,
+                # never by the hash
+                import pyarrow.compute as pc
+
+                col = pc.fill_null(col, 0)
             v = col.to_numpy(zero_copy_only=False).astype(np.int64).view(
                 np.uint64
             )
