@@ -208,12 +208,18 @@ def asof_join(
     if hasattr(rsch, "base_schema"):  # ray.data.Schema wrapper
         rsch = rsch.base_schema
     val_types = {out: rsch.field(src).type for src, out in pairs}
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join: unknown direction {direction!r}")
     fwd = direction == "forward"
+    nearest = direction == "nearest"
     # sort is (key, ts, _side ASC, _id ASC); the flag assignment puts
     # the INCLUSIVE side adjacent: backward = rights before lefts at
-    # equal ts, forward = lefts before rights
+    # equal ts, forward = lefts before rights. "nearest" uses the
+    # BACKWARD layout: both candidates are computed in one pass and
+    # an equal-ts right (distance 0) is exactly the backward
+    # candidate, which wins distance ties by definition (pandas
+    # merge_asof parity), so the forward scan not seeing equal-ts
+    # rights in this layout can never change the answer.
     left_flag, right_flag = (0, 1) if fwd else (1, 0)
 
     def proj_left(b: pa.Table) -> pa.Table:
@@ -276,6 +282,24 @@ def asof_join(
             last = np.maximum.accumulate(np.where(~is_left, idx, -1))
             gstart = np.repeat(starts, sizes)
             ok = last >= gstart
+            if nearest:
+                nxt = np.minimum.accumulate(
+                    np.where(~is_left, idx, n)[::-1]
+                )[::-1]
+                gend = np.repeat(starts + sizes, sizes)
+                ok_f = nxt < gend
+                tsv = tbl[ts_col].to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                # distances are non-negative by construction; ties
+                # (incl. the equal-ts distance-0 case) go backward
+                d_b = np.where(ok, tsv - tsv[np.where(ok, last, 0)],
+                               np.int64(0))
+                d_f = np.where(ok_f, tsv[np.where(ok_f, nxt, 0)] - tsv,
+                               np.int64(0))
+                use_f = ok_f & (~ok | (d_f < d_b))
+                last = np.where(use_f, nxt, last)
+                ok = ok | ok_f
         sel = np.flatnonzero(is_left)
         match = pa.array(
             np.where(ok[sel], last[sel], 0), mask=~ok[sel]

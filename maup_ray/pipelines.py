@@ -5795,6 +5795,41 @@ HOP_US = 3_600_000_000  # hopping-window hop (1 h in µs)
 HOP_K = 3  # window length = 3 hops (3 h sliding windows)
 
 
+def q_asof_nearest(sf_dir: str):
+    """Nearest as-of join (pandas merge_asof direction="nearest"
+    parity): odd-id "trades" matched to the CLOSEST even-id "quote"
+    of the same user by absolute time distance — distance ties (and
+    the equal-ts distance-0 case) go backward. One exchange, both
+    candidates filled in the same partition pass (prefix-max +
+    suffix-min over the backward sort layout)."""
+    from .ops.temporal import asof_join
+
+    def odd(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.equal(pc.bit_wise_and(b["event_id"], 1), 1)
+        ).select(["event_id", "user_id", "ts"])
+
+    def even(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.equal(pc.bit_wise_and(b["event_id"], 1), 0)
+        ).select(["event_id", "user_id", "ts", "value"])
+
+    trades = _read(
+        sf_dir, "events", ["event_id", "user_id", "ts"]
+    ).map_batches(odd, batch_format="pyarrow", zero_copy_batch=True)
+    quotes = _read(
+        sf_dir, "events", ["event_id", "user_id", "ts", "value"]
+    ).map_batches(even, batch_format="pyarrow", zero_copy_batch=True)
+    return asof_join(
+        trades,
+        quotes,
+        value_cols=(("value", "quote_value"),),
+        out_left_id="trade_id",
+        out_right_id="quote_id",
+        direction="nearest",
+    )
+
+
 def q_hopping(sf_dir: str):
     """Hopping (sliding) window aggregate over the events stream —
     3-hour windows advancing every hour, each event contributing to
@@ -6188,6 +6223,8 @@ def query_registry():
         "approx_percentiles": q_approx_percentiles,
         # hopping / sliding window aggregate
         "hopping": q_hopping,
+        # merge_asof direction="nearest" parity
+        "asof_nearest": q_asof_nearest,
         # TPC-H shape completion (all SQL-oracled; pipelines_tpch.py)
         **_tpch_queries(),
     }
@@ -6874,6 +6911,62 @@ def oracle_queries() -> dict[str, str]:
              FROM u)
             SELECT event_id AS trade_id, user_id, ts,
                    quote_id, quote_value
+            FROM m WHERE is_trade = 1
+        """,
+        "asof_nearest": """
+            WITH u AS (
+              SELECT event_id, user_id, ts, value,
+                     event_id % 2 AS is_trade
+              FROM events),
+            m AS (SELECT *,
+              last_value(CASE WHEN is_trade=0 THEN event_id END
+                         IGNORE NULLS)
+                OVER (PARTITION BY user_id
+                      ORDER BY ts, is_trade, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS b_id,
+              last_value(CASE WHEN is_trade=0 THEN ts END
+                         IGNORE NULLS)
+                OVER (PARTITION BY user_id
+                      ORDER BY ts, is_trade, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS b_ts,
+              last_value(CASE WHEN is_trade=0 THEN value END
+                         IGNORE NULLS)
+                OVER (PARTITION BY user_id
+                      ORDER BY ts, is_trade, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS b_val,
+              first_value(CASE WHEN is_trade=0 THEN event_id END
+                          IGNORE NULLS)
+                OVER (PARTITION BY user_id
+                      ORDER BY ts, is_trade DESC, event_id
+                      ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS f_id,
+              first_value(CASE WHEN is_trade=0 THEN ts END
+                          IGNORE NULLS)
+                OVER (PARTITION BY user_id
+                      ORDER BY ts, is_trade DESC, event_id
+                      ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS f_ts,
+              first_value(CASE WHEN is_trade=0 THEN value END
+                          IGNORE NULLS)
+                OVER (PARTITION BY user_id
+                      ORDER BY ts, is_trade DESC, event_id
+                      ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS f_val
+             FROM u)
+            SELECT event_id AS trade_id, user_id, ts,
+                   CASE WHEN b_id IS NULL THEN f_id
+                        WHEN f_id IS NULL THEN b_id
+                        WHEN (epoch_us(f_ts) - epoch_us(ts))
+                           < (epoch_us(ts) - epoch_us(b_ts))
+                        THEN f_id ELSE b_id END AS quote_id,
+                   CASE WHEN b_id IS NULL THEN f_val
+                        WHEN f_id IS NULL THEN b_val
+                        WHEN (epoch_us(f_ts) - epoch_us(ts))
+                           < (epoch_us(ts) - epoch_us(b_ts))
+                        THEN f_val ELSE b_val END AS quote_value
             FROM m WHERE is_trade = 1
         """,
         "range_join": """

@@ -766,8 +766,102 @@ class TestAsofForward:
             asof_join(
                 pa.table({"user_id": [], "ts": [], "event_id": []}),
                 pa.table({"user_id": [], "ts": [], "event_id": []}),
-                direction="nearest",
+                direction="sideways",
             )
+
+
+class TestAsofNearest:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.temporal import asof_join
+
+        rng = np.random.default_rng(31)
+        nl, nr = 150, 90
+        lt = pa.table(
+            {
+                "event_id": pa.array(np.arange(nl), type=pa.int64()),
+                "user_id": pa.array(
+                    rng.integers(0, 5, nl), type=pa.int64()
+                ),
+                "ts": pa.array(
+                    rng.integers(0, 300, nl), type=pa.int64()
+                ),
+            }
+        )
+        rt = pa.table(
+            {
+                "event_id": pa.array(
+                    np.arange(1000, 1000 + nr), type=pa.int64()
+                ),
+                "user_id": pa.array(
+                    rng.integers(0, 5, nr), type=pa.int64()
+                ),
+                "ts": pa.array(
+                    rng.integers(0, 300, nr), type=pa.int64()
+                ),
+                "value": pa.array(
+                    rng.integers(0, 99, nr), type=pa.int64()
+                ),
+            }
+        )
+        out = asof_join(
+            ray.data.from_arrow(lt).repartition(4),
+            ray.data.from_arrow(rt).repartition(3),
+            value_cols=("value",),
+            direction="nearest",
+        )
+        got = {
+            r["left_id"]: r["right_id"]
+            for r in out.to_pandas().to_dict("records")
+        }
+        R = rt.to_pylist()
+        for lrow in lt.to_pylist():
+            mine = [r for r in R if r["user_id"] == lrow["user_id"]]
+            back = [r for r in mine if r["ts"] <= lrow["ts"]]
+            fwd = [r for r in mine if r["ts"] > lrow["ts"]]
+            b = max(back, key=lambda r: (r["ts"], r["event_id"])) \
+                if back else None
+            f = min(fwd, key=lambda r: (r["ts"], r["event_id"])) \
+                if fwd else None
+            if b is None and f is None:
+                want = None
+            elif b is None:
+                want = f["event_id"]
+            elif f is None:
+                want = b["event_id"]
+            else:
+                d_b = lrow["ts"] - b["ts"]
+                d_f = f["ts"] - lrow["ts"]
+                # distance ties (incl. equal-ts dist 0) go BACKWARD
+                want = f["event_id"] if d_f < d_b else b["event_id"]
+            g = got[lrow["event_id"]]
+            g = None if g is None or g != g else int(g)
+            assert g == want, (lrow, g, want)
+
+    def test_equal_ts_prefers_backward_max_id(self, ray_session):
+        from maup_ray.ops.temporal import asof_join
+
+        lt = pa.table(
+            {
+                "event_id": pa.array([1], type=pa.int64()),
+                "user_id": pa.array([0], type=pa.int64()),
+                "ts": pa.array([100], type=pa.int64()),
+            }
+        )
+        rt = pa.table(
+            {
+                "event_id": pa.array([10, 11, 12], type=pa.int64()),
+                "user_id": pa.array([0, 0, 0], type=pa.int64()),
+                # equal-ts (dist 0) must beat the closer-looking
+                # forward row at 101
+                "ts": pa.array([100, 100, 101], type=pa.int64()),
+                "value": pa.array([5, 6, 7], type=pa.int64()),
+            }
+        )
+        out = asof_join(lt, rt, value_cols=("value",),
+                        direction="nearest").to_pylist()
+        assert out[0]["right_id"] == 11  # max id at the equal ts
 
 
 class TestTransitionCounts:
