@@ -45,6 +45,7 @@ __all__ = [
     "merge_intervals",
     "interval_overlap_join",
     "intervalize",
+    "interval_coverage",
 ]
 
 _US = 1_000_000
@@ -1114,3 +1115,107 @@ def intervalize(
     return hash_group_apply(
         events, [key_col], part, sort_cols=(ts_col, id_col)
     )
+
+
+# ------------------------------------------------- interval coverage
+
+
+def interval_coverage(
+    ds,
+    key_col: str = "user_id",
+    start_col: str = "s",
+    end_col: str = "e",
+):
+    """Per-key total length of the UNION of half-open intervals
+    [start, end) — the de-overlapped "time actually covered" measure
+    (user active time, sensor uptime, span footprint).
+
+    Sweep-line over boundary events: the map phase emits two 24 B
+    rows per interval ((key, t, ±1), starts ordered before ends at
+    equal t so touching intervals merge); ONE key-hash exchange
+    co-locates each key's boundary stream, and the reduce is three
+    vectorized passes — within-group cumsum (global cumsum minus the
+    value at each group start: exact integer reset), a shifted-next-t
+    segment sum over active>0 rows, and reduceat per-group totals.
+    Start/end must be integer-valued (µs epochs, frame indices…) so
+    every sum is exact and order of equal-timestamp ties provably
+    cannot change any output (the tied rows' contributions telescope).
+
+    → (key_col, covered, n_intervals, n_components) where components
+    count maximal merged runs (touching intervals count as one)."""
+    import ray.data
+
+    from .shuffle import hash_group_apply
+
+    def boundaries(b: pa.Table) -> pa.Table:
+        s = b[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = b[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if np.any(e <= s):
+            raise ValueError(
+                "interval_coverage: intervals must satisfy end > start"
+            )
+        k = b[key_col]
+        n = len(b)
+        return pa.table(
+            {
+                key_col: pa.concat_arrays(
+                    [k.combine_chunks()] * 2
+                ),
+                "t": pa.array(np.concatenate([s, e])),
+                # starts (d=0) sort before ends (d=1) at equal t →
+                # touching intervals merge into one component
+                "d": pa.array(np.r_[np.zeros(n, np.int8),
+                                    np.ones(n, np.int8)]),
+                "delta": pa.array(np.r_[np.ones(n, np.int64),
+                                        -np.ones(n, np.int64)]),
+            }
+        )
+
+    if isinstance(ds, pa.Table):
+        ds = ray.data.from_arrow(ds)
+    ev = ds.map_batches(boundaries, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def part(tbl: pa.Table | None, starts) -> pa.Table:
+        schema = pa.schema(
+            [
+                (key_col, pa.int64() if tbl is None
+                 else tbl.schema.field(key_col).type),
+                ("covered", pa.int64()),
+                ("n_intervals", pa.int64()),
+                ("n_components", pa.int64()),
+            ]
+        )
+        if tbl is None or tbl.num_rows == 0:
+            return schema.empty_table()
+        starts = np.asarray(starts, dtype=np.int64)
+        n = tbl.num_rows
+        t = tbl["t"].to_numpy(zero_copy_only=False)
+        delta = tbl["delta"].to_numpy(zero_copy_only=False)
+        sizes = np.diff(np.append(starts, n))
+        # within-group cumsum: global cumsum minus the pre-group total
+        cs = np.cumsum(delta)
+        pre = np.repeat(cs[starts] - delta[starts], sizes)
+        active = cs - pre
+        # segment to the next boundary in the SAME group
+        nxt = np.empty(n, dtype=np.int64)
+        nxt[:-1] = t[1:]
+        nxt[-1] = 0
+        last_of_group = np.zeros(n, dtype=bool)
+        last_of_group[starts + sizes - 1] = True
+        seg = np.where(last_of_group | (active <= 0), 0, nxt - t)
+        covered = np.add.reduceat(seg, starts)
+        n_iv = np.add.reduceat((delta > 0).astype(np.int64), starts)
+        comp = np.add.reduceat(
+            ((delta > 0) & (active == 1)).astype(np.int64), starts
+        )
+        return pa.table(
+            {
+                key_col: tbl[key_col].take(pa.array(starts)),
+                "covered": pa.array(covered),
+                "n_intervals": pa.array(n_iv),
+                "n_components": pa.array(comp),
+            }
+        )
+
+    return hash_group_apply(ev, [key_col], part, sort_cols=("t", "d"))

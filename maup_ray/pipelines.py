@@ -5795,6 +5795,34 @@ HOP_US = 3_600_000_000  # hopping-window hop (1 h in µs)
 HOP_K = 3  # window length = 3 hops (3 h sliding windows)
 
 
+def q_coverage(sf_dir: str):
+    """Per-user de-overlapped active time: total length of the UNION
+    of each user's event intervals (ops/temporal.interval_coverage) —
+    the sweep-line gaps-and-islands measure duplicate-counting sums
+    get wrong. Intervals are the interval_pairs derivation
+    ([ts, ts + (1 + id % 240) s)); touching intervals merge. All
+    arithmetic is exact integer µs."""
+    from .ops.temporal import interval_coverage
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def iv(b: pa.Table) -> pa.Table:
+        k = b["event_id"].to_numpy()
+        s = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        dur = (1 + (k % IVJ_DUR_MOD)) * IVJ_DUR_UNIT
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "s": pa.array(s),
+                "e": pa.array(s + dur),
+            }
+        )
+
+    return interval_coverage(
+        ds.map_batches(iv, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 def q_asof_nearest(sf_dir: str):
     """Nearest as-of join (pandas merge_asof direction="nearest"
     parity): odd-id "trades" matched to the CLOSEST even-id "quote"
@@ -6225,6 +6253,8 @@ def query_registry():
         "hopping": q_hopping,
         # merge_asof direction="nearest" parity
         "asof_nearest": q_asof_nearest,
+        # interval-union coverage (sweep line)
+        "coverage": q_coverage,
         # TPC-H shape completion (all SQL-oracled; pipelines_tpch.py)
         **_tpch_queries(),
     }
@@ -6912,6 +6942,35 @@ def oracle_queries() -> dict[str, str]:
             SELECT event_id AS trade_id, user_id, ts,
                    quote_id, quote_value
             FROM m WHERE is_trade = 1
+        """,
+        "coverage": f"""
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + (1 + event_id % {IVJ_DUR_MOD})
+                         * {IVJ_DUR_UNIT} AS e
+              FROM events),
+            ev AS (
+              SELECT user_id, s AS t, 0 AS d, 1 AS delta FROM iv
+              UNION ALL
+              SELECT user_id, e, 1, -1 FROM iv),
+            w AS (SELECT *,
+              CAST(sum(delta) OVER (PARTITION BY user_id
+                    ORDER BY t, d ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS active,
+              lead(t) OVER (PARTITION BY user_id ORDER BY t, d)
+                AS t_next
+              FROM ev)
+            SELECT user_id,
+                   CAST(sum(CASE WHEN active > 0
+                                  AND t_next IS NOT NULL
+                            THEN t_next - t ELSE 0 END) AS BIGINT)
+                     AS covered,
+                   CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_intervals,
+                   CAST(sum(CASE WHEN delta = 1 AND active = 1
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_components
+            FROM w GROUP BY user_id
         """,
         "asof_nearest": """
             WITH u AS (

@@ -975,3 +975,83 @@ class TestIntervalize:
         assert vt[0].microsecond == 20
         assert vt[1].microsecond == 999
         assert out["valid_to"].null_count == 0
+
+
+class TestIntervalCoverage:
+    @staticmethod
+    def _brute(ivs):
+        """per-key union length + component count via point merge."""
+        from collections import defaultdict
+
+        by = defaultdict(list)
+        for k, s, e in ivs:
+            by[k].append((s, e))
+        out = {}
+        for k, xs in by.items():
+            xs.sort()
+            comps = []
+            cs, ce = xs[0]
+            for s, e in xs[1:]:
+                if s <= ce:  # overlap or touch → merge
+                    ce = max(ce, e)
+                else:
+                    comps.append((cs, ce))
+                    cs, ce = s, e
+            comps.append((cs, ce))
+            out[k] = (
+                sum(e - s for s, e in comps),
+                len(xs),
+                len(comps),
+            )
+        return out
+
+    def _run(self, ivs, parts=1):
+        import ray.data
+
+        from maup_ray.ops.temporal import interval_coverage
+
+        t = pa.table(
+            {
+                "user_id": pa.array([k for k, _, _ in ivs], pa.int64()),
+                "s": pa.array([s for _, s, _ in ivs], pa.int64()),
+                "e": pa.array([e for _, _, e in ivs], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        df = interval_coverage(ds).to_pandas()
+        return {
+            int(r["user_id"]): (
+                int(r["covered"]), int(r["n_intervals"]),
+                int(r["n_components"]),
+            )
+            for _, r in df.iterrows()
+        }
+
+    def test_matches_bruteforce(self, ray_session):
+        rng = np.random.default_rng(41)
+        ivs = []
+        for _ in range(400):
+            k = int(rng.integers(0, 8))
+            s = int(rng.integers(0, 1000))
+            e = s + int(rng.integers(1, 60))
+            ivs.append((k, s, e))
+        assert self._run(ivs, parts=5) == self._brute(ivs)
+
+    def test_touching_intervals_merge(self, ray_session):
+        got = self._run([(1, 0, 5), (1, 5, 9), (1, 20, 21)])
+        assert got[1] == (10, 3, 2)
+
+    def test_duplicate_intervals(self, ray_session):
+        got = self._run([(2, 0, 10), (2, 0, 10), (2, 3, 4)])
+        assert got[2] == (10, 3, 1)
+
+    def test_bad_interval_raises(self, ray_session):
+        import ray
+
+        with pytest.raises(
+            (ValueError, ray.exceptions.RayTaskError),
+            match="end > start",
+        ):
+            self._run([(1, 5, 5)])
