@@ -47,7 +47,7 @@ import pyarrow as pa
 
 from .shuffle import _choose_partitions, _hash_keys, _split_block
 
-__all__ = ["pagerank", "triangle_count", "bfs_hops"]
+__all__ = ["pagerank", "triangle_count", "bfs_hops", "sssp"]
 
 
 def _propagate_part(
@@ -514,6 +514,142 @@ def bfs_hops(
             pc.less(b["d"], pa.scalar(int(_UNREACHED), pa.int64()))
         )
         return pa.table({"node": t["node"], "hops": t["d"]})
+
+    return ray.data.from_arrow_refs(dist_parts).map_batches(
+        reached, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ------------------------------------------------------- weighted SSSP
+
+
+def _sssp_propagate(edge_part: pa.Table, dist_part: pa.Table, P: int):
+    """One SSSP propagate task: for reached srcs, emit
+    (dst, d_src + w), pre-combined per dst with MIN, split by dst."""
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "dst": pa.array([], type=pa.int64()),
+            "d": pa.array([], type=pa.int64()),
+        }
+    )
+    if edge_part.num_rows == 0 or dist_part.num_rows == 0:
+        return [empty] * P if P > 1 else empty
+    nodes = dist_part["node"].combine_chunks()
+    if isinstance(nodes, pa.ChunkedArray):
+        nodes = (
+            nodes.chunk(0)
+            if nodes.num_chunks
+            else pa.array([], type=pa.int64())
+        )
+    idx = pc.index_in(edge_part["src"], nodes)
+    found = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+    safe = pc.fill_null(idx, 0)
+    d = pc.take(dist_part["d"], safe).to_numpy(zero_copy_only=False)
+    ok = found & (d < _UNREACHED)
+    if not ok.any():
+        return [empty] * P if P > 1 else empty
+    dst = edge_part["dst"].to_numpy(zero_copy_only=False)[ok]
+    w = edge_part["w"].to_numpy(zero_copy_only=False)[ok]
+    nd = d[ok] + w
+    order = np.argsort(dst, kind="stable")
+    ds_ = dst[order]
+    starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+    t = pa.table(
+        {
+            "dst": pa.array(ds_[starts]),
+            "d": pa.array(np.minimum.reduceat(nd[order], starts)),
+        }
+    )
+    return _split_block(t, ["dst"], P)
+
+
+def sssp(
+    edges,
+    nodes,
+    sources,
+    rounds: int,
+    num_partitions: int | None = None,
+):
+    """Multi-source single-source-shortest-paths with positive int64
+    edge weights (column ``w``), Bellman-Ford style: after L rounds
+    every node whose shortest path uses at most L edges carries its
+    exact distance (the standard relaxation induction — weights must
+    be positive ints so the min-merge is exact and monotone). For a
+    level-structured DAG, ``rounds = depth`` is exact SSSP; for a
+    general graph pick ``rounds`` = the hop bound of interest.
+
+    Same iteration-invariant BSP layout as ``bfs_hops``/``pagerank``:
+    edges hash-partition by src ONCE, dist rows co-partition by the
+    same node hash, each round is one propagate + one min-combine
+    raw-task pass — zero per-round Dataset jobs or edge re-shuffles.
+    Returns a Dataset (node:int64, dist:int64) for reached nodes."""
+    import ray
+    import ray.data
+
+    src_arr = (
+        sources
+        if isinstance(sources, pa.Array)
+        else pa.array(list(sources), type=pa.int64())
+    )
+
+    def block_refs(x):
+        if isinstance(x, pa.Table):
+            return [ray.put(x)], x.nbytes
+        mat = x.materialize()
+        return mat.to_arrow_refs(), mat.size_bytes()
+
+    edge_blocks, edge_bytes = block_refs(edges)
+    node_blocks, node_bytes = block_refs(nodes)
+    if num_partitions is None:
+        num_partitions = _choose_partitions(
+            edge_bytes + node_bytes, ray.cluster_resources().get("CPU", 8)
+        )
+    P = int(num_partitions)
+
+    split = (
+        ray.remote(num_returns=P)(_split_block)
+        if P > 1
+        else ray.remote(_split_block)
+    )
+    concat = ray.remote(_concat_parts)
+
+    def partition(blocks, keys):
+        parts = [split.remote(b, keys, P) for b in blocks]
+        if P == 1:
+            parts = [[p] for p in parts]
+        return [concat.remote(*[p[i] for p in parts]) for i in range(P)]
+
+    edge_parts = partition(edge_blocks, ["src"])
+    node_parts = partition(node_blocks, ["node"])
+
+    init = ray.remote(_init_dists)
+    dist_parts = [init.remote(np_, src_arr) for np_ in node_parts]
+
+    prop = ray.remote(num_returns=P)(_sssp_propagate) if P > 1 else (
+        ray.remote(_sssp_propagate)
+    )
+    comb = ray.remote(_bfs_combine)
+    for _ in range(int(rounds)):
+        outs = [
+            prop.remote(edge_parts[p], dist_parts[p], P)
+            for p in range(P)
+        ]
+        if P == 1:
+            outs = [[o] for o in outs]
+        dist_parts = [
+            comb.remote(dist_parts[q], *[o[q] for o in outs])
+            for q in range(P)
+        ]
+
+    def reached(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.filter(
+            pc.less(b["d"], pa.scalar(int(_UNREACHED), pa.int64()))
+        )
+        return pa.table({"node": t["node"], "dist": t["d"]})
 
     return ray.data.from_arrow_refs(dist_parts).map_batches(
         reached, batch_format="pyarrow", zero_copy_batch=True

@@ -5795,6 +5795,58 @@ HOP_US = 3_600_000_000  # hopping-window hop (1 h in µs)
 HOP_K = 3  # window length = 3 hops (3 h sliding windows)
 
 
+SSSP_LEVELS = 8
+SSSP_DEG = 3
+SSSP_C = 331
+SSSP_SRC_MOD = 104  # lcm(8, 13): level-0 nodes with doc_id % 13 == 0
+SSSP_WMOD = 50
+
+
+def q_sssp(sf_dir: str):
+    """Weighted multi-source shortest paths (ops/graph.sssp) over a
+    level-structured document DAG (level = doc_id % 8, edges only to
+    the next level, positive integer weights) — Bellman-Ford BSP on
+    the pagerank iteration-invariant layout; LEVELS−1 rounds are
+    exact on this DAG. Oracle = recursive-CTE walk enumeration with
+    min(dist) per node (terminates: the graph is a bounded-depth
+    DAG)."""
+    import pyarrow.parquet as pq
+
+    from .ops.graph import sssp
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nb = n // SSSP_LEVELS
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        k = batch["doc_id"].to_numpy()
+        k = k[k % SSSP_LEVELS < SSSP_LEVELS - 1]
+        src = np.repeat(k, SSSP_DEG)
+        j = np.tile(np.arange(SSSP_DEG, dtype=np.int64), len(k))
+        dst = (src % SSSP_LEVELS) + 1 + SSSP_LEVELS * (
+            (src * AX + j * SSSP_C + BX) % nb
+        )
+        w = 1 + (src * 7 + j * 13) % SSSP_WMOD
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "w": pa.array(w),
+            }
+        )
+
+    edges = docs.map_batches(
+        mk_edges, batch_format="pyarrow", zero_copy_batch=True
+    )
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b["doc_id"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    sources = np.arange(0, n, SSSP_SRC_MOD, dtype=np.int64)
+    return sssp(edges, nodes, sources, rounds=SSSP_LEVELS - 1)
+
+
 def q_coverage(sf_dir: str):
     """Per-user de-overlapped active time: total length of the UNION
     of each user's event intervals (ops/temporal.interval_coverage) —
@@ -6255,6 +6307,8 @@ def query_registry():
         "asof_nearest": q_asof_nearest,
         # interval-union coverage (sweep line)
         "coverage": q_coverage,
+        # weighted shortest paths (Bellman-Ford BSP)
+        "sssp": q_sssp,
         # TPC-H shape completion (all SQL-oracled; pipelines_tpch.py)
         **_tpch_queries(),
     }
@@ -6942,6 +6996,28 @@ def oracle_queries() -> dict[str, str]:
             SELECT event_id AS trade_id, user_id, ts,
                    quote_id, quote_value
             FROM m WHERE is_trade = 1
+        """,
+        "sssp": f"""
+            WITH RECURSIVE
+            nn AS (SELECT CAST(count(*) AS BIGINT) // {SSSP_LEVELS}
+                     AS nb FROM documents),
+            e AS (SELECT d.doc_id AS src,
+                         (d.doc_id % {SSSP_LEVELS}) + 1
+                           + {SSSP_LEVELS} * ((d.doc_id*{AX}
+                               + j.j*{SSSP_C} + {BX})
+                               % (SELECT nb FROM nn)) AS dst,
+                         1 + (d.doc_id*7 + j.j*13) % {SSSP_WMOD} AS w
+                  FROM documents d,
+                       (SELECT unnest(range({SSSP_DEG})) AS j) j
+                  WHERE d.doc_id % {SSSP_LEVELS} < {SSSP_LEVELS - 1}),
+            walk(node, dist) AS (
+                SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+                WHERE doc_id % {SSSP_SRC_MOD} = 0
+                UNION ALL
+                SELECT e.dst, walk.dist + e.w
+                FROM walk JOIN e ON e.src = walk.node
+            )
+            SELECT node, min(dist) AS dist FROM walk GROUP BY node
         """,
         "coverage": f"""
             WITH iv AS (
