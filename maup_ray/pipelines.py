@@ -6118,6 +6118,82 @@ def q_forecast_revenue(sf_dir: str):
     )
 
 
+def q_type_entropy(sf_dir: str):
+    """Per-user Shannon entropy (nats) of the event-type mix
+    (ops/infotheory.grouped_entropy, final="shuffle" — the wide-key
+    path): per-batch Arrow partials reduce the stream to distinct
+    (user, type, count) rows, one keyed exchange co-locates each
+    user's histogram, and the entropy is exact-int floor-quantized
+    logs with ONE mirrored division (module docstring for why floor,
+    not round)."""
+    from .ops.infotheory import grouped_entropy
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_entropy(ds, "user_id", "event_type")
+
+
+def q_flag_mi(sf_dir: str):
+    """Mutual information between returnflag and linestatus per
+    ship-year (ops/infotheory.grouped_mutual_info, final="driver" —
+    the few-key contract: ≤ 7 year groups, cell histogram is
+    dimension-sized)."""
+    from .ops.infotheory import grouped_mutual_info
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_returnflag", "l_linestatus"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_year": pc.cast(pc.year(b["l_shipdate"]), pa.int64()),
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+            }
+        )
+
+    return grouped_mutual_info(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "l_year",
+        "l_returnflag",
+        "l_linestatus",
+        final="driver",
+    )
+
+
+CHI2_LEN_BUCKET = 256
+
+
+def q_lang_chi2(sf_dir: str):
+    """Chi-square independence of language × document-length bucket
+    per source (ops/infotheory.grouped_chi2, final="driver" — few
+    sources): is a source's language mix independent of document
+    length? Exact-floor HUGEINT cell terms, chi2 + Cramér's V each a
+    short mirrored IEEE chain."""
+    from .ops.infotheory import grouped_chi2
+
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        nb = b["n_chars"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": b["source"],
+                "lang": b["lang"],
+                "len_bucket": pa.array(nb // CHI2_LEN_BUCKET),
+            }
+        )
+
+    return grouped_chi2(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "source",
+        "lang",
+        "len_bucket",
+        final="driver",
+    )
+
+
 def query_registry():
     """name → callable(sf_dir) for every shipped pipeline — the single
     source of truth shared by the driver contract (__ray_entry__.py)
@@ -6309,6 +6385,10 @@ def query_registry():
         "coverage": q_coverage,
         # weighted shortest paths (Bellman-Ford BSP)
         "sssp": q_sssp,
+        # information-theory family (ops/infotheory.py)
+        "type_entropy": q_type_entropy,
+        "flag_mi": q_flag_mi,
+        "lang_chi2": q_lang_chi2,
         # TPC-H shape completion (all SQL-oracled; pipelines_tpch.py)
         **_tpch_queries(),
     }
@@ -7047,6 +7127,87 @@ def oracle_queries() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_components
             FROM w GROUP BY user_id
+        """,
+        # information-theory family: q(v) = floor(ln(v)·2^30) is
+        # bit-exact between libm and DuckDB (the ×2^30 multiply is an
+        # exponent shift — no rounding — so both floor the identical
+        # double; `round` would diverge on half-way ties, 6 in 1..4.19M)
+        "type_entropy": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+                       FROM events GROUP BY 1, 2),
+            g AS (SELECT user_id, CAST(SUM(cnt) AS HUGEINT) AS n,
+                         SUM(CAST(cnt AS HUGEINT) *
+                             CAST(floor(ln(CAST(cnt AS DOUBLE))
+                                        * 1073741824.0) AS HUGEINT))
+                           AS sq
+                  FROM c GROUP BY 1)
+            SELECT user_id, CAST(n AS BIGINT) AS n,
+                   CAST(n * CAST(floor(ln(CAST(n AS DOUBLE))
+                                       * 1073741824.0) AS HUGEINT)
+                        - sq AS DOUBLE)
+                     / CAST(n * 1073741824 AS DOUBLE) AS entropy
+            FROM g ORDER BY user_id
+        """,
+        "flag_mi": """
+            WITH c AS (SELECT CAST(EXTRACT(year FROM l_shipdate)
+                                   AS BIGINT) AS l_year,
+                              l_returnflag, l_linestatus,
+                              COUNT(*) AS cnt
+                       FROM lineitem GROUP BY 1, 2, 3),
+            m AS (SELECT l_year, cnt,
+                         SUM(cnt) OVER (PARTITION BY l_year) AS n,
+                         SUM(cnt) OVER (PARTITION BY l_year,
+                                        l_returnflag) AS cx,
+                         SUM(cnt) OVER (PARTITION BY l_year,
+                                        l_linestatus) AS cy
+                  FROM c)
+            SELECT l_year, CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(SUM(CAST(cnt AS HUGEINT) * (
+                        CAST(floor(ln(CAST(cnt AS DOUBLE))
+                                   * 1073741824.0) AS HUGEINT)
+                      + CAST(floor(ln(CAST(n AS DOUBLE))
+                                   * 1073741824.0) AS HUGEINT)
+                      - CAST(floor(ln(CAST(cx AS DOUBLE))
+                                   * 1073741824.0) AS HUGEINT)
+                      - CAST(floor(ln(CAST(cy AS DOUBLE))
+                                   * 1073741824.0) AS HUGEINT)))
+                        AS DOUBLE)
+                     / CAST(MAX(n) * 1073741824 AS DOUBLE) AS mi
+            FROM m GROUP BY l_year ORDER BY l_year
+        """,
+        "lang_chi2": f"""
+            WITH b AS (SELECT source, lang,
+                              n_chars // {CHI2_LEN_BUCKET} AS len_bucket
+                       FROM documents),
+            c AS (SELECT source, lang, len_bucket, COUNT(*) AS cnt
+                  FROM b GROUP BY 1, 2, 3),
+            m AS (SELECT source, cnt,
+                         SUM(cnt) OVER (PARTITION BY source) AS n,
+                         SUM(cnt) OVER (PARTITION BY source, lang)
+                           AS cx,
+                         SUM(cnt) OVER (PARTITION BY source,
+                                        len_bucket) AS cy
+                  FROM c),
+            agg AS (SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+                           SUM((1073741824 * CAST(n AS HUGEINT)
+                                * cnt * cnt) // (cx * cy)) AS tsum
+                    FROM m GROUP BY source),
+            rs AS (SELECT source,
+                          CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+                          CAST(COUNT(DISTINCT len_bucket) AS BIGINT)
+                            AS s
+                   FROM b GROUP BY source)
+            SELECT agg.source, n, r, s,
+                   CAST(tsum - CAST(n AS HUGEINT) * 1073741824
+                        AS DOUBLE) / 1073741824.0 AS chi2,
+                   CASE WHEN least(r - 1, s - 1) >= 1
+                        THEN sqrt((CAST(tsum - CAST(n AS HUGEINT)
+                                        * 1073741824 AS DOUBLE)
+                                   / 1073741824.0)
+                                  / CAST(n * least(r - 1, s - 1)
+                                         AS DOUBLE))
+                        ELSE NULL END AS cramers_v
+            FROM agg JOIN rs USING (source) ORDER BY agg.source
         """,
         "asof_nearest": """
             WITH u AS (
