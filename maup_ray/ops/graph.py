@@ -47,7 +47,8 @@ import pyarrow as pa
 
 from .shuffle import _choose_partitions, _hash_keys, _split_block
 
-__all__ = ["pagerank", "triangle_count", "bfs_hops", "sssp"]
+__all__ = ["pagerank", "triangle_count", "clustering_coefficients",
+           "bfs_hops", "sssp"]
 
 
 def _propagate_part(
@@ -348,6 +349,166 @@ def triangle_count(edges_ds, src: str = "u", dst: str = "v"):
         if t.num_rows
     )
     return pa.table({"n_triangles": pa.array([total], type=pa.int64())})
+
+
+def clustering_coefficients(edges_ds, src: str = "u", dst: str = "v"):
+    """Per-node exact triangle count, degree and local clustering
+    coefficient ``lcc = 2·tri / (deg·(deg−1))`` of an undirected graph
+    — the :func:`triangle_count` wedge-closure rounds extended to
+    credit every closed triangle to ALL THREE of its nodes.
+
+    Round 1 (keyed by lower endpoint): per-partition edge dedup, then
+    each wedge (v, w) rides with its APEX u (24 B/row instead of the
+    count-only 17 B); deduped edges follow flagged ``is_edge=1``.
+    Round 2 (keyed by the wedge pair): a wedge closes iff its group
+    contains an edge row; per partition the closed wedges scatter-add
+    +1 triangle to apex/a/b and every edge row scatter-adds +1 degree
+    to a/b, so only pre-combined (node, tri, deg) partials leave —
+    ≤ 3·nodes rows per partition regardless of wedge count. One keyed
+    sum per node (``final="hash"``, integer partials are
+    order-independent) and a stateless lcc map finish.
+
+    Same hot-key caveat as triangle_count: degree-d nodes emit
+    d(d−1)/2 wedges; bound the max degree upstream. Isolated nodes
+    (no incident edge) do not appear in the output.
+
+    Returns a Dataset of (node, degree, n_tri, lcc) with lcc NULL for
+    degree < 2."""
+    from .agg import grouped_sum_count
+    from .shuffle import hash_group_apply
+
+    def orient(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = b[src]
+        v = b[dst]
+        lo = pc.min_element_wise(u, v)
+        hi = pc.max_element_wise(u, v)
+        t = pa.table({"u": lo, "v": hi})
+        return t.filter(pc.less(lo, hi))
+
+    oriented = edges_ds.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def wedges_part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "apex": pa.array([], type=pa.int64()),
+                "is_edge": pa.array([], type=pa.int64()),
+            }
+        )
+        if tbl is None or len(tbl) == 0:
+            return empty
+        u = tbl["u"].to_numpy(zero_copy_only=False)
+        v = tbl["v"].to_numpy(zero_copy_only=False)
+        keepm = np.empty(len(u), dtype=bool)
+        keepm[0] = True
+        keepm[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        u, v = u[keepm], v[keepm]
+        n = len(u)
+        gs = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        ends = np.append(gs[1:], n)
+        rights = np.repeat(ends, ends - gs) - np.arange(n) - 1
+        total = int(rights.sum())
+        if total:
+            left = np.repeat(np.arange(n), rights)
+            offs = np.cumsum(rights) - rights
+            right = (
+                np.arange(total)
+                - np.repeat(offs, rights)
+                + np.repeat(np.arange(n) + 1, rights)
+            )
+            wa, wb, wapex = v[left], v[right], u[left]
+        else:
+            wa = wb = wapex = np.empty(0, dtype=v.dtype)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([wa, u]).astype(np.int64)),
+                "b": pa.array(np.concatenate([wb, v]).astype(np.int64)),
+                "apex": pa.array(
+                    np.concatenate(
+                        [wapex, np.full(n, -1, dtype=np.int64)]
+                    ).astype(np.int64)
+                ),
+                "is_edge": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(total, dtype=np.int64),
+                            np.ones(n, dtype=np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    mixed = hash_group_apply(oriented, ["u"], wedges_part, sort_cols=["v"])
+
+    def credit_part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {
+                "node": pa.array([], type=pa.int64()),
+                "tri": pa.array([], type=pa.int64()),
+                "deg": pa.array([], type=pa.int64()),
+            }
+        )
+        if tbl is None or len(tbl) == 0:
+            return empty
+        flags = tbl["is_edge"].to_numpy(zero_copy_only=False)
+        a = tbl["a"].to_numpy(zero_copy_only=False)
+        b = tbl["b"].to_numpy(zero_copy_only=False)
+        apex = tbl["apex"].to_numpy(zero_copy_only=False)
+        n = len(flags)
+        sizes = np.diff(np.append(starts, n))
+        has_edge = np.add.reduceat(flags, starts) > 0
+        closed = (flags == 0) & np.repeat(has_edge, sizes)
+        edge_rows = flags == 1
+        tri_nodes = np.concatenate([apex[closed], a[closed], b[closed]])
+        deg_nodes = np.concatenate([a[edge_rows], b[edge_rows]])
+        nodes = np.concatenate([tri_nodes, deg_nodes])
+        if not len(nodes):
+            return empty
+        uniq, inv = np.unique(nodes, return_inverse=True)
+        tri = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tri, inv[: len(tri_nodes)], 1)
+        deg = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(deg, inv[len(tri_nodes):], 1)
+        return pa.table(
+            {
+                "node": pa.array(uniq.astype(np.int64)),
+                "tri": pa.array(tri),
+                "deg": pa.array(deg),
+            }
+        )
+
+    credits = hash_group_apply(mixed, ["a", "b"], credit_part)
+    sums = grouped_sum_count(
+        credits, ["node"], sum_cols=["tri", "deg"], final="hash"
+    )
+
+    def lcc(batch: pa.Table) -> pa.Table:
+        t = batch["tri"].to_numpy(zero_copy_only=False)
+        d = batch["deg"].to_numpy(zero_copy_only=False)
+        den = d * (d - 1)
+        # num cast exact (tri ≤ deg² ≪ 2^52); the division is the ONE
+        # rounded op, mirrored by CAST(... AS DOUBLE)/CAST(... AS DOUBLE)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vals = (2 * t).astype(np.float64) / den.astype(np.float64)
+        arr = pa.array(vals, type=pa.float64(), mask=den <= 0)
+        return pa.table(
+            {
+                "node": batch["node"],
+                "degree": batch["deg"],
+                "n_tri": batch["tri"],
+                "lcc": arr,
+            }
+        )
+
+    return sums.map_batches(
+        lcc, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 _UNREACHED = np.int64(1) << np.int64(62)  # +inf sentinel for min-merge

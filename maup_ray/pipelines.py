@@ -2239,17 +2239,12 @@ def q_intervals(sf_dir: str):
     return merge_intervals(ds, ["user_id"], "start_us", "end_us")
 
 
-def q_triangles(sf_dir: str):
-    """Exact triangle count (ops/graph.triangle_count) over a
-    deterministic synthetic graph on the documents universe: node i
-    links to i+1, i+2 and (7i+3) mod N — the ring guarantees N
-    consecutive-triple triangles, the affine map adds random-like
-    closures. Two keyed rounds (wedge generation by lower endpoint,
-    wedge–edge closure by pair), 17 B/row exchanges, single-int
-    partials; oracle = DuckDB 3-way self-join on the same edge CTE."""
+def _tri_edge_ds(sf_dir: str):
+    """The deterministic synthetic graph on the documents universe
+    shared by q_triangles / q_clustering: node i links to i+1, i+2 and
+    (7i+3) mod N — the ring guarantees N consecutive-triple triangles,
+    the affine map adds random-like closures."""
     import pyarrow.parquet as pq
-
-    from .ops.graph import triangle_count
 
     n_docs = pq.ParquetFile(
         f"{sf_dir}/documents.parquet"
@@ -2268,10 +2263,33 @@ def q_triangles(sf_dir: str):
             }
         )
 
-    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
         edges, batch_format="pyarrow", zero_copy_batch=True
     )
-    return triangle_count(ds)
+
+
+def q_triangles(sf_dir: str):
+    """Exact triangle count (ops/graph.triangle_count) over the
+    _tri_edge_ds synthetic graph. Two keyed rounds (wedge generation
+    by lower endpoint, wedge–edge closure by pair), 17 B/row
+    exchanges, single-int partials; oracle = DuckDB 3-way self-join
+    on the same edge CTE."""
+    from .ops.graph import triangle_count
+
+    return triangle_count(_tri_edge_ds(sf_dir))
+
+
+def q_clustering(sf_dir: str):
+    """Per-node degree / triangle count / local clustering coefficient
+    (ops/graph.clustering_coefficients) over the _tri_edge_ds graph:
+    the wedge-closure rounds credit each closed triangle to all three
+    nodes, only pre-combined (node, tri, deg) int partials leave each
+    partition, and lcc = 2·tri/(deg·(deg−1)) is the one mirrored
+    division (NULL when deg < 2). Oracle = per-node role-union over
+    the DuckDB 3-way self-join triangle CTE."""
+    from .ops.graph import clustering_coefficients
+
+    return clustering_coefficients(_tri_edge_ds(sf_dir))
 
 
 def q_outliers(sf_dir: str):
@@ -6385,6 +6403,8 @@ def query_registry():
         "coverage": q_coverage,
         # weighted shortest paths (Bellman-Ford BSP)
         "sssp": q_sssp,
+        # per-node clustering coefficient (ops/graph.py)
+        "clustering": q_clustering,
         # information-theory family (ops/infotheory.py)
         "type_entropy": q_type_entropy,
         "flag_mi": q_flag_mi,
@@ -8508,6 +8528,42 @@ def oracle_queries() -> dict[str, str]:
             FROM e a
             JOIN e b ON b.u = a.u AND b.v > a.v
             JOIN e c ON c.u = a.v AND c.v = b.v
+        """,
+        "clustering": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            raw AS (SELECT doc_id AS i,
+                           (doc_id + 1) % nn.n AS j1,
+                           (doc_id + 2) % nn.n AS j2,
+                           (doc_id * 7 + 3) % nn.n AS j3
+                    FROM documents, nn),
+            und AS (SELECT least(i, j) AS u, greatest(i, j) AS v
+                    FROM (SELECT i, j1 AS j FROM raw
+                          UNION ALL SELECT i, j2 FROM raw
+                          UNION ALL SELECT i, j3 FROM raw)
+                    WHERE i <> j),
+            e AS (SELECT DISTINCT u, v FROM und),
+            tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                    FROM e a
+                    JOIN e b ON b.u = a.u AND b.v > a.v
+                    JOIN e c ON c.u = a.v AND c.v = b.v),
+            tcnt AS (SELECT node, count(*) AS tri FROM (
+                       SELECT x AS node FROM tri
+                       UNION ALL SELECT y FROM tri
+                       UNION ALL SELECT z FROM tri)
+                     GROUP BY node),
+            deg AS (SELECT node, count(*) AS degree FROM (
+                      SELECT u AS node FROM e
+                      UNION ALL SELECT v FROM e)
+                    GROUP BY node)
+            SELECT deg.node,
+                   CAST(degree AS BIGINT) AS degree,
+                   CAST(COALESCE(tri, 0) AS BIGINT) AS n_tri,
+                   CASE WHEN degree >= 2
+                        THEN CAST(2 * COALESCE(tri, 0) AS DOUBLE)
+                             / CAST(degree * (degree - 1) AS DOUBLE)
+                        ELSE NULL END AS lcc
+            FROM deg LEFT JOIN tcnt USING (node)
+            ORDER BY deg.node
         """,
         "outliers": """
             WITH c AS (SELECT event_id, event_type,
