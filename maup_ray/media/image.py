@@ -38,6 +38,7 @@ __all__ = [
     "image_near_dup",
     "pixel_histogram",
     "gradient_energy",
+    "image_moments",
 ]
 
 
@@ -936,6 +937,89 @@ def pixel_histogram(images, crop: int | None = None):
 
     return images.map_batches(
         hist, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _moment_weights(h: int, w: int):
+    """Flattened per-pixel weight vectors (c, r, rc, c², r²) for an
+    h×w raster — tiny, rebuilt per distinct shape per batch."""
+    cs = np.tile(np.arange(w, dtype=np.int64), h)
+    rs = np.repeat(np.arange(h, dtype=np.int64), w)
+    return cs, rs, rs * cs, cs * cs, rs * rs
+
+
+def image_moments(images):
+    """Per-image raw grayscale spatial moments — the cheap layout/
+    composition signal a vision-curation pipeline uses for crop
+    heuristics, letterbox detection and content-drift monitors:
+
+        g = R+G+B (exact int per pixel)
+        m00 = Σg, m10 = Σc·g, m01 = Σr·g,
+        m11 = Σr·c·g, m20 = Σc²·g, m02 = Σr²·g
+        (cx, cy) = (m10/m00, m01/m00) — the intensity centroid
+
+    All moments are exact int64 (bound: 765·wh·max(w,h)² ≪ 2^63 for
+    any sane raster); the two centroid coordinates are single
+    correctly-rounded divisions mirrored by the oracle's
+    CAST(AS DOUBLE)/CAST(AS DOUBLE).
+
+    Scale shape: each batch decodes its payloads (raw zero-copy fast
+    path via :func:`_same_shape_raw`, one int64 matmul for all five
+    weighted sums; PNG/JPEG rows through the from-scratch codecs) and
+    emits 9 small columns per image — payload bytes never leave the
+    stage."""
+
+    def mom(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        imgs = _same_shape_raw(batch)
+        if imgs is not None:
+            g = imgs.astype(np.int64).sum(axis=3)
+            h, w = g.shape[1], g.shape[2]
+            gf = g.reshape(n, -1)
+            cw, rw, rcw, ccw, rrw = _moment_weights(h, w)
+            m00 = gf.sum(axis=1)
+            m10 = gf @ cw
+            m01 = gf @ rw
+            m11 = gf @ rcw
+            m20 = gf @ ccw
+            m02 = gf @ rrw
+        else:
+            m00 = np.empty(n, dtype=np.int64)
+            m10 = np.empty(n, dtype=np.int64)
+            m01 = np.empty(n, dtype=np.int64)
+            m11 = np.empty(n, dtype=np.int64)
+            m20 = np.empty(n, dtype=np.int64)
+            m02 = np.empty(n, dtype=np.int64)
+            for i, im in enumerate(decode_raw_batch(batch)):
+                g = im.astype(np.int64).sum(axis=2).ravel()
+                cw, rw, rcw, ccw, rrw = _moment_weights(
+                    im.shape[0], im.shape[1]
+                )
+                m00[i] = g.sum()
+                m10[i] = g @ cw
+                m01[i] = g @ rw
+                m11[i] = g @ rcw
+                m20[i] = g @ ccw
+                m02[i] = g @ rrw
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cx = m10.astype(np.float64) / m00.astype(np.float64)
+            cy = m01.astype(np.float64) / m00.astype(np.float64)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "m00": pa.array(m00),
+                "m10": pa.array(m10),
+                "m01": pa.array(m01),
+                "m11": pa.array(m11),
+                "m20": pa.array(m20),
+                "m02": pa.array(m02),
+                "cx": pa.array(cx),
+                "cy": pa.array(cy),
+            }
+        )
+
+    return images.map_batches(
+        mom, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

@@ -4059,6 +4059,28 @@ def q_image_hist(sf_dir: str):
     )
 
 
+def q_image_moments(sf_dir: str):
+    """Per-image grayscale spatial moments + intensity centroid
+    (media/image.image_moments): decode every payload (every 5th row
+    through the from-scratch PNG codec — lossless, so the closed-form
+    pixel oracle stays exact; JPEG rows are excluded because quality
+    98 is PSNR-bounded, not bit-exact), one int64 matmul per batch
+    for all five weighted sums.
+    The oracle evaluates the 256 possible rasters once (pure function
+    of base = (idx·M + 42) mod 256) and joins images to their base —
+    O(docs + 65k) on the SQL side while the engine decodes every real
+    payload. cx/cy are the two mirrored divisions."""
+    import pyarrow.parquet as pq
+
+    from .media.image import image_moments
+    from .synth.images import image_dataset
+
+    n = IMG_MULT * pq.read_metadata(
+        f"{sf_dir}/documents.parquet"
+    ).num_rows
+    return image_moments(image_dataset(n=n, png_every=5))
+
+
 def q_image_sharpness(sf_dir: str):
     """Per-image total-variation sharpness screen
     (media/image.gradient_energy): decode every payload (every 3rd
@@ -6296,6 +6318,7 @@ def query_registry():
         "local_volume": q_local_volume,
         "patch_stats": q_patch_stats,
         "image_hist": q_image_hist,
+        "image_moments": q_image_moments,
         "image_sharpness": q_image_sharpness,
         "tfidf": q_tfidf,
         "supplier_prank": q_supplier_prank,
@@ -8211,6 +8234,41 @@ def oracle_queries() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM imgs i, pos p
             GROUP BY 1, 2 ORDER BY ch, v
+        """,
+        # image_moments: grayscale spatial moments + centroid. Raster
+        # is a pure function of base = (idx·M + 42) mod 256, so the
+        # 256 possible moment rows are computed once and joined to
+        # images by base (the image_sharpness oracle discipline)
+        "image_moments": f"""
+            WITH imgs AS (
+              SELECT doc_id * {IMG_MULT} + k AS idx
+              FROM documents,
+                   (SELECT unnest(range(0, {IMG_MULT})) AS k)),
+            bs AS (SELECT unnest(range(0, 256)) AS base),
+            ps AS (SELECT unnest(range(0, 256)) AS p),
+            g AS (
+              SELECT bs.base, ps.p // 16 AS r, ps.p % 16 AS c,
+                     (bs.base + 97 * (3 * ps.p + 0)) % 256
+                     + (bs.base + 97 * (3 * ps.p + 1)) % 256
+                     + (bs.base + 97 * (3 * ps.p + 2)) % 256 AS gv
+              FROM bs, ps),
+            mb AS (
+              SELECT base,
+                     CAST(sum(gv) AS BIGINT) AS m00,
+                     CAST(sum(c * gv) AS BIGINT) AS m10,
+                     CAST(sum(r * gv) AS BIGINT) AS m01,
+                     CAST(sum(r * c * gv) AS BIGINT) AS m11,
+                     CAST(sum(c * c * gv) AS BIGINT) AS m20,
+                     CAST(sum(r * r * gv) AS BIGINT) AS m02
+              FROM g GROUP BY base)
+            SELECT 'img' || lpad(CAST(i.idx AS VARCHAR), 12, '0')
+                     AS image_id,
+                   m00, m10, m01, m11, m20, m02,
+                   CAST(m10 AS DOUBLE) / CAST(m00 AS DOUBLE) AS cx,
+                   CAST(m01 AS DOUBLE) / CAST(m00 AS DOUBLE) AS cy
+            FROM imgs i
+            JOIN mb ON mb.base = (i.idx * 2654435761 + 42) % 256
+            ORDER BY image_id
         """,
         # image_sharpness: total-variation |Δgray| per image. The
         # raster is a pure function of base = (idx·M + 42) mod 256,

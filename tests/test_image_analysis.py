@@ -148,3 +148,74 @@ class TestGradientEnergy:
         assert r == p
         assert r["t0"] == 0
         assert r["t1"] > 0
+
+
+class TestImageMoments:
+    @staticmethod
+    def _brute(img):
+        g = img.astype(np.int64).sum(axis=2)
+        h, w = g.shape
+        r, c = np.mgrid[0:h, 0:w]
+        m00 = int(g.sum())
+        m10, m01 = int((c * g).sum()), int((r * g).sum())
+        return {
+            "m00": m00,
+            "m10": m10,
+            "m01": m01,
+            "m11": int((r * c * g).sum()),
+            "m20": int((c * c * g).sum()),
+            "m02": int((r * r * g).sum()),
+            "cx": m10 / m00,
+            "cy": m01 / m00,
+        }
+
+    def test_matches_brute_mixed_shapes(self, ray_session):
+        import ray.data
+
+        from maup_ray.media.image import image_moments
+
+        rng = np.random.RandomState(11)
+        imgs = [
+            rng.randint(0, 256, (9, 13, 3), dtype=np.uint8),
+            rng.randint(0, 256, (16, 16, 3), dtype=np.uint8),
+            rng.randint(0, 256, (4, 4, 3), dtype=np.uint8),
+        ]
+        out = image_moments(
+            ray.data.from_arrow(_img_table(imgs))
+        ).to_pandas().set_index("image_id")
+        for i, img in enumerate(imgs):
+            want = self._brute(img)
+            row = out.loc[f"t{i}"]
+            for k, v in want.items():
+                assert row[k] == v, (i, k)
+
+    def test_fast_path_equals_decode_and_png(self, ray_session):
+        import ray.data
+
+        from maup_ray.media.image import image_moments
+
+        rng = np.random.RandomState(12)
+        imgs = [
+            rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+            for _ in range(4)
+        ]
+        raw = image_moments(
+            ray.data.from_arrow(_img_table(imgs))
+        ).to_pandas().sort_values("image_id").reset_index(drop=True)
+        png = image_moments(
+            ray.data.from_arrow(_img_table(imgs, ["png"] * 4))
+        ).to_pandas().sort_values("image_id").reset_index(drop=True)
+        assert raw.equals(png)
+
+    def test_centroid_tracks_bright_corner(self, ray_session):
+        import ray.data
+
+        from maup_ray.media.image import image_moments
+
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        img[0, 7] = 255  # bright top-right pixel only
+        img[0, 0] = 1  # plus a dim origin pixel so m00 > 0 everywhere
+        out = image_moments(
+            ray.data.from_arrow(_img_table([img]))
+        ).to_pandas()
+        assert out.cx[0] > 6.9 and out.cy[0] == 0.0
