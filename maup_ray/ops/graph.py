@@ -48,7 +48,7 @@ import pyarrow as pa
 from .shuffle import _choose_partitions, _hash_keys, _split_block
 
 __all__ = ["pagerank", "triangle_count", "clustering_coefficients",
-           "bfs_hops", "sssp"]
+           "bfs_hops", "sssp", "kcore"]
 
 
 def _propagate_part(
@@ -814,4 +814,258 @@ def sssp(
 
     return ray.data.from_arrow_refs(dist_parts).map_batches(
         reached, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ------------------------------------------------------ k-core peeling
+
+
+def _kcore_symmetrize(edges, src: str, dst: str):
+    """Clean an undirected multi-edge list into a globally deduped
+    SYMMETRIC (src, dst) Dataset: orient u<v, dedup per lower-endpoint
+    partition (all of u's edges land together), emit both directions."""
+    from .shuffle import hash_group_apply
+
+    def orient(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u, v = b[src], b[dst]
+        lo = pc.min_element_wise(u, v)
+        hi = pc.max_element_wise(u, v)
+        t = pa.table({"u": lo, "v": hi})
+        return t.filter(pc.less(lo, hi))
+
+    oriented = edges.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def dedup_sym(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], type=pa.int64()),
+                "dst": pa.array([], type=pa.int64()),
+            }
+        )
+        if tbl is None or len(tbl) == 0:
+            return empty
+        u = tbl["u"].to_numpy(zero_copy_only=False)
+        v = tbl["v"].to_numpy(zero_copy_only=False)
+        keep = np.empty(len(u), dtype=bool)
+        keep[0] = True
+        keep[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        u, v = u[keep], v[keep]
+        return pa.table(
+            {
+                "src": pa.array(
+                    np.concatenate([u, v]).astype(np.int64)
+                ),
+                "dst": pa.array(
+                    np.concatenate([v, u]).astype(np.int64)
+                ),
+            }
+        )
+
+    return hash_group_apply(oriented, ["u"], dedup_sym, sort_cols=["v"])
+
+
+def _kcore_init(edge_part: pa.Table) -> pa.Table:
+    """Partition node state (node, deg, alive) from its symmetric edge
+    rows — the partition holds ALL of each src's edges, so the local
+    count IS the full degree."""
+    if edge_part.num_rows == 0:
+        return pa.table(
+            {
+                "node": pa.array([], type=pa.int64()),
+                "deg": pa.array([], type=pa.int64()),
+                "alive": pa.array([], type=pa.bool_()),
+            }
+        )
+    src = edge_part["src"].to_numpy(zero_copy_only=False)
+    uniq, cnt = np.unique(src, return_counts=True)
+    return pa.table(
+        {
+            "node": pa.array(uniq.astype(np.int64)),
+            "deg": pa.array(cnt.astype(np.int64)),
+            "alive": pa.array(np.ones(len(uniq), dtype=bool)),
+        }
+    )
+
+
+def _kcore_peel(edge_part: pa.Table, node_part: pa.Table, k: int, P: int):
+    """One peel round for one partition: kill alive nodes with
+    deg < k, emit (dst, cnt) decrement messages along the dying
+    nodes' out-edges (pre-combined per dst, hash-split by dst).
+    Returns (node_part_after_kill, n_dying, *P decrement splits)."""
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "dst": pa.array([], type=pa.int64()),
+            "c": pa.array([], type=pa.int64()),
+        }
+    )
+    node = node_part["node"]
+    deg = node_part["deg"].to_numpy(zero_copy_only=False)
+    alive = node_part["alive"].to_numpy(zero_copy_only=False)
+    dying = alive & (deg < k)
+    n_dying = int(dying.sum())
+    splits = [empty] * P
+    if n_dying:
+        new_alive = alive & ~dying
+        node_part = pa.table(
+            {
+                "node": node,
+                "deg": node_part["deg"],
+                "alive": pa.array(new_alive),
+            }
+        )
+        if edge_part.num_rows:
+            nodes_arr = node.combine_chunks()
+            if isinstance(nodes_arr, pa.ChunkedArray):
+                nodes_arr = (
+                    nodes_arr.chunk(0)
+                    if nodes_arr.num_chunks
+                    else pa.array([], type=pa.int64())
+                )
+            idx = pc.index_in(edge_part["src"], nodes_arr)
+            # every edge src is a local node by construction
+            pos = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+            m = dying[pos]
+            if m.any():
+                dst = edge_part["dst"].to_numpy(
+                    zero_copy_only=False
+                )[m]
+                order = np.argsort(dst, kind="stable")
+                d_ = dst[order]
+                st = np.flatnonzero(np.r_[True, d_[1:] != d_[:-1]])
+                cnt = np.diff(np.append(st, len(d_)))
+                t = pa.table(
+                    {
+                        "dst": pa.array(d_[st]),
+                        "c": pa.array(cnt.astype(np.int64)),
+                    }
+                )
+                from .shuffle import _split_block as _sb
+
+                out = _sb(t, ["dst"], P)
+                splits = out if P > 1 else [out]
+    return tuple([node_part, n_dying] + splits)
+
+
+def _kcore_apply(node_part: pa.Table, *subs: pa.Table) -> pa.Table:
+    """Subtract incoming decrement messages from this partition's
+    degree vector (dead targets are decremented too — harmless)."""
+    live = [s for s in subs if s.num_rows]
+    if not live:
+        return node_part
+    m = live[0] if len(live) == 1 else pa.concat_tables(live)
+    node = node_part["node"].to_numpy(zero_copy_only=False)
+    deg = node_part["deg"].to_numpy(zero_copy_only=False).copy()
+    dst = m["dst"].to_numpy(zero_copy_only=False)
+    c = m["c"].to_numpy(zero_copy_only=False)
+    order = np.argsort(node, kind="stable")
+    pos = np.searchsorted(node[order], dst)
+    ok = (pos < len(node)) & (
+        node[order][np.minimum(pos, len(node) - 1)] == dst
+    )
+    np.subtract.at(deg, order[pos[ok]], c[ok])
+    return pa.table(
+        {
+            "node": node_part["node"],
+            "deg": pa.array(deg),
+            "alive": node_part["alive"],
+        }
+    )
+
+
+def kcore(
+    edges,
+    k: int,
+    rounds: int | None = None,
+    src: str = "u",
+    dst: str = "v",
+    num_partitions: int | None = None,
+):
+    """k-core of an undirected graph — the maximal induced subgraph
+    where every node has degree ≥ k — by distributed BSP peeling on
+    the same iteration-invariant layout as ``pagerank``/``sssp``:
+    symmetrized deduped edges hash-partition by src ONCE; each round
+    kills alive nodes with deg < k and ships only (dst, cnt)
+    decrement messages along the dying nodes' edges (pre-combined per
+    dst). Total message volume over the whole run is ≤ 2·E — each
+    edge direction carries at most one decrement, when its src dies.
+
+    ``rounds=None`` peels to the true fixpoint (one tiny driver
+    reduce of P ints per round decides termination);
+    ``rounds=R`` runs exactly min(R, fixpoint) rounds — after R
+    rounds the alive set is the standard R-step peel iterate, an
+    upper bound on the k-core that equals it when R ≥ peel depth
+    (what a bounded-unroll SQL oracle can mirror).
+
+    Returns a Dataset (node:int64, degree:int64) of surviving nodes,
+    ``degree`` counted within the surviving subgraph. Isolated nodes
+    never enter (no edges), matching degree-0 < k semantics for any
+    k ≥ 1."""
+    import ray
+    import ray.data
+
+    sym = _kcore_symmetrize(edges, src, dst)
+
+    def block_refs(x):
+        if isinstance(x, pa.Table):
+            return [ray.put(x)], x.nbytes
+        mat = x.materialize()
+        return mat.to_arrow_refs(), mat.size_bytes()
+
+    edge_blocks, edge_bytes = block_refs(sym)
+    if num_partitions is None:
+        num_partitions = _choose_partitions(
+            edge_bytes, ray.cluster_resources().get("CPU", 8)
+        )
+    P = int(num_partitions)
+
+    split = (
+        ray.remote(num_returns=P)(_split_block)
+        if P > 1
+        else ray.remote(_split_block)
+    )
+    concat = ray.remote(_concat_parts)
+    parts = [split.remote(b, ["src"], P) for b in edge_blocks]
+    if P == 1:
+        parts = [[p] for p in parts]
+    edge_parts = [
+        concat.remote(*[p[i] for p in parts]) for i in range(P)
+    ]
+
+    init = ray.remote(_kcore_init)
+    node_parts = [init.remote(ep) for ep in edge_parts]
+
+    peel = ray.remote(num_returns=P + 2)(_kcore_peel)
+    apply_dec = ray.remote(_kcore_apply)
+    max_rounds = 1 << 40 if rounds is None else int(rounds)
+    done = 0
+    while done < max_rounds:
+        outs = [
+            peel.remote(edge_parts[p], node_parts[p], k, P)
+            for p in range(P)
+        ]
+        killed = [o[0] for o in outs]
+        n_dying = sum(ray.get([o[1] for o in outs]))
+        done += 1
+        if n_dying == 0:
+            node_parts = killed
+            break
+        node_parts = [
+            apply_dec.remote(
+                killed[q], *[outs[p][2 + q] for p in range(P)]
+            )
+            for q in range(P)
+        ]
+
+    def survivors(b: pa.Table) -> pa.Table:
+        t = b.filter(b["alive"])
+        return pa.table({"node": t["node"], "degree": t["deg"]})
+
+    return ray.data.from_arrow_refs(node_parts).map_batches(
+        survivors, batch_format="pyarrow", zero_copy_batch=True
     )

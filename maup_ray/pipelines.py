@@ -2279,6 +2279,53 @@ def q_triangles(sf_dir: str):
     return triangle_count(_tri_edge_ds(sf_dir))
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 4  # chain depth 3 ⇒ fixpoint at 3; one slack round
+
+
+def q_kcore(sf_dir: str):
+    """2-core by distributed BSP peeling (ops/graph.kcore) over the
+    ring-plus-pendant-chains graph: node i links to i±1, i±2 (mod N);
+    every 10th node grows a 3-node pendant chain i—(N+i)—(2N+i)—(3N+i).
+    The chains peel tail-first over exactly 3 rounds (deg-1 tail, then
+    the exposed middles); the ring survives at degree 4. rounds=4 =
+    fixpoint + one slack round, which a 4-step unrolled SQL dead-set
+    oracle mirrors exactly. Decrement messages total ≤ 2·E over the
+    whole run — each edge direction fires once, when its src dies."""
+    import pyarrow.parquet as pq
+
+    from .ops.graph import kcore
+
+    n_docs = pq.ParquetFile(
+        f"{sf_dir}/documents.parquet"
+    ).metadata.num_rows
+
+    def edges(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy()
+        ch = i[i % 10 == 0]
+        u = np.concatenate([i, i, ch, n_docs + ch, 2 * n_docs + ch])
+        v = np.concatenate(
+            [
+                (i + 1) % n_docs,
+                (i + 2) % n_docs,
+                n_docs + ch,
+                2 * n_docs + ch,
+                3 * n_docs + ch,
+            ]
+        )
+        return pa.table(
+            {
+                "u": pa.array(u.astype(np.int64)),
+                "v": pa.array(v.astype(np.int64)),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        edges, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return kcore(ds, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
 def q_clustering(sf_dir: str):
     """Per-node degree / triangle count / local clustering coefficient
     (ops/graph.clustering_coefficients) over the _tri_edge_ds graph:
@@ -6428,6 +6475,8 @@ def query_registry():
         "sssp": q_sssp,
         # per-node clustering coefficient (ops/graph.py)
         "clustering": q_clustering,
+        # k-core BSP peeling (ops/graph.py)
+        "kcore": q_kcore,
         # information-theory family (ops/infotheory.py)
         "type_entropy": q_type_entropy,
         "flag_mi": q_flag_mi,
@@ -8586,6 +8635,70 @@ def oracle_queries() -> dict[str, str]:
             FROM e a
             JOIN e b ON b.u = a.u AND b.v > a.v
             JOIN e c ON c.u = a.v AND c.v = b.v
+        """,
+        # kcore: unrolled dead-set peeling. x_r = dead set after r
+        # rounds: x_{r+1} = x_r ∪ {alive nodes whose alive-degree < k}
+        # (nodes with ZERO alive neighbors vanish from deg_r — the
+        # "NOT IN deg_r WHERE d >= k" form catches both). Chains peel
+        # in 3 rounds; round 4 is the engine's slack round (no-op).
+        "kcore": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            ring AS (SELECT doc_id AS i FROM documents),
+            e0 AS (
+              SELECT i AS u, (i + 1) % nn.n AS v FROM ring, nn
+              UNION ALL SELECT i, (i + 2) % nn.n FROM ring, nn
+              UNION ALL SELECT i, nn.n + i FROM ring, nn
+                WHERE i % 10 = 0
+              UNION ALL SELECT nn.n + i, 2 * nn.n + i FROM ring, nn
+                WHERE i % 10 = 0
+              UNION ALL SELECT 2 * nn.n + i, 3 * nn.n + i FROM ring, nn
+                WHERE i % 10 = 0),
+            und AS (SELECT DISTINCT least(u, v) AS a,
+                           greatest(u, v) AS b
+                    FROM e0 WHERE u <> v),
+            s AS (SELECT a AS src, b AS dst FROM und
+                  UNION ALL SELECT b, a FROM und),
+            deg0 AS (SELECT src AS node, count(*) AS d
+                     FROM s GROUP BY 1),
+            x1 AS (SELECT node FROM deg0 WHERE d < 2),
+            a1 AS (SELECT src, dst FROM s
+                   WHERE src NOT IN (SELECT node FROM x1)
+                     AND dst NOT IN (SELECT node FROM x1)),
+            deg1 AS (SELECT src AS node, count(*) AS d
+                     FROM a1 GROUP BY 1),
+            x2 AS (SELECT node FROM x1
+                   UNION
+                   SELECT node FROM deg0
+                   WHERE node NOT IN (SELECT node FROM x1)
+                     AND node NOT IN (SELECT node FROM deg1
+                                      WHERE d >= 2)),
+            a2 AS (SELECT src, dst FROM s
+                   WHERE src NOT IN (SELECT node FROM x2)
+                     AND dst NOT IN (SELECT node FROM x2)),
+            deg2 AS (SELECT src AS node, count(*) AS d
+                     FROM a2 GROUP BY 1),
+            x3 AS (SELECT node FROM x2
+                   UNION
+                   SELECT node FROM deg0
+                   WHERE node NOT IN (SELECT node FROM x2)
+                     AND node NOT IN (SELECT node FROM deg2
+                                      WHERE d >= 2)),
+            a3 AS (SELECT src, dst FROM s
+                   WHERE src NOT IN (SELECT node FROM x3)
+                     AND dst NOT IN (SELECT node FROM x3)),
+            deg3 AS (SELECT src AS node, count(*) AS d
+                     FROM a3 GROUP BY 1),
+            x4 AS (SELECT node FROM x3
+                   UNION
+                   SELECT node FROM deg0
+                   WHERE node NOT IN (SELECT node FROM x3)
+                     AND node NOT IN (SELECT node FROM deg3
+                                      WHERE d >= 2))
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM s
+            WHERE src NOT IN (SELECT node FROM x4)
+              AND dst NOT IN (SELECT node FROM x4)
+            GROUP BY 1 ORDER BY 1
         """,
         "clustering": """
             WITH nn AS (SELECT count(*) AS n FROM documents),
