@@ -3107,6 +3107,17 @@ def q_label_centroids(sf_dir: str):
     two), floor has no rounding ties (unlike round-half modes, which
     differ between Arrow and DuckDB), so the quantized sums are exact
     ints on both sides and each centroid is ONE IEEE division."""
+    t = _centroid_sums(sf_dir)
+    centroid = t["sum_q"].to_numpy().astype(np.float64) / t[
+        "n"
+    ].to_numpy().astype(np.float64)
+    return t.append_column("centroid", pa.array(centroid))
+
+
+def _centroid_sums(sf_dir: str) -> pa.Table:
+    """Distributed (label, dim, sum_q, n) exact quantized-embedding
+    sums — the shared reduction behind q_label_centroids and
+    q_centroid_sim (exactness contract in q_label_centroids)."""
     from .ops.agg import grouped_sum_count
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -3148,13 +3159,51 @@ def q_label_centroids(sf_dir: str):
     parts = _read(sf_dir, "embeddings", ["label", "embedding"]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    t = grouped_sum_count(
+    return grouped_sum_count(
         parts, ["label", "dim"], sum_cols=["sum_q", "n"], final="driver"
     )
-    centroid = t["sum_q"].to_numpy().astype(np.float64) / t[
-        "n"
-    ].to_numpy().astype(np.float64)
-    return t.append_column("centroid", pa.array(centroid))
+
+
+def q_centroid_sim(sf_dir: str):
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the class-confusability / near-duplicate-class monitor
+    of a SemDeDup-style pipeline. Rides the exact quantized-sum
+    reduction of q_label_centroids (cosine of the MEAN vector equals
+    cosine of the SUM vector — scale invariance — so the n division
+    drops out entirely); all dot products are exact Python ints on the
+    driver (labels×dims is dimension-sized; int64 would overflow at
+    Σq ≈ 4e9 squared), and each output is the fixed mirrored IEEE
+    chain float(dot) / (sqrt(float(naa)) · sqrt(float(nbb)))."""
+    import math
+
+    t = _centroid_sums(sf_dir).combine_chunks().sort_by(
+        [("label", "ascending"), ("dim", "ascending")]
+    )
+    labels = np.unique(t["label"].to_numpy(zero_copy_only=False))
+    sums = t["sum_q"].to_numpy(zero_copy_only=False).reshape(
+        len(labels), -1
+    )
+    svecs = [[int(x) for x in row] for row in sums]
+    norms = [sum(x * x for x in v) for v in svecs]
+    la, lb, dots, coss = [], [], [], []
+    for i in range(len(labels)):
+        for j in range(i + 1, len(labels)):
+            d = sum(x * y for x, y in zip(svecs[i], svecs[j]))
+            la.append(labels[i])
+            lb.append(labels[j])
+            dots.append(float(d))
+            coss.append(
+                float(d)
+                / (math.sqrt(float(norms[i])) * math.sqrt(float(norms[j])))
+            )
+    return pa.table(
+        {
+            "label_a": pa.array(la, type=pa.int32()),
+            "label_b": pa.array(lb, type=pa.int32()),
+            "dot": pa.array(dots, type=pa.float64()),
+            "cos": pa.array(coss, type=pa.float64()),
+        }
+    )
 
 
 IMG_MULT = 16  # image rows per documents row (entry()'s flagship ratio)
@@ -6477,6 +6526,8 @@ def query_registry():
         "clustering": q_clustering,
         # k-core BSP peeling (ops/graph.py)
         "kcore": q_kcore,
+        # centroid pairwise cosine (vector analytics)
+        "centroid_sim": q_centroid_sim,
         # information-theory family (ops/infotheory.py)
         "type_entropy": q_type_entropy,
         "flag_mi": q_flag_mi,
@@ -8030,6 +8081,37 @@ def oracle_queries() -> dict[str, str]:
                    CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*)
                        AS centroid
             FROM e GROUP BY label, dim
+        """,
+        # centroid_sim: cosine of mean vectors == cosine of SUM
+        # vectors (scale invariance), so the oracle works on the same
+        # exact integer sums; dots in HUGEINT, then the fixed chain
+        # CAST→sqrt→multiply→divide mirrors the engine's
+        # float(d)/(sqrt(float(na))*sqrt(float(nb)))
+        "centroid_sim": f"""
+            WITH e AS (
+              SELECT label, i.i AS dim,
+                CAST(floor(CAST(embedding[i.i] AS DOUBLE)
+                           * {EMB_QSCALE}) AS BIGINT) AS q
+              FROM embeddings,
+                   (SELECT unnest(range(1, {EMB_DIM + 1})) AS i) i),
+            s AS (SELECT label, dim, CAST(sum(q) AS BIGINT) AS s
+                  FROM e GROUP BY 1, 2),
+            d AS (SELECT a.label AS label_a, b.label AS label_b,
+                         SUM(CAST(a.s AS HUGEINT) * b.s) AS dot
+                  FROM s a JOIN s b
+                    ON a.dim = b.dim AND a.label < b.label
+                  GROUP BY 1, 2),
+            nrm AS (SELECT label, SUM(CAST(s AS HUGEINT) * s) AS nn
+                    FROM s GROUP BY 1)
+            SELECT d.label_a, d.label_b,
+                   CAST(d.dot AS DOUBLE) AS dot,
+                   CAST(d.dot AS DOUBLE)
+                     / (sqrt(CAST(na.nn AS DOUBLE))
+                        * sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+            FROM d
+            JOIN nrm na ON na.label = d.label_a
+            JOIN nrm nb ON nb.label = d.label_b
+            ORDER BY d.label_a, d.label_b
         """,
         "top_unshipped": f"""
             WITH f AS (

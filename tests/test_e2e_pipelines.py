@@ -351,3 +351,42 @@ class TestHoppingWindow:
         for w, row in df.iterrows():
             assert row["value_cents"] == sums[w], w
             assert row["n_events"] == cnts[w], w
+
+
+class TestCentroidSim:
+    def test_matches_numpy_brute(self, ray_session):
+        """Independent brute force: quantize embeddings exactly like
+        the pipeline, centroid-sum per label in Python ints, and
+        reproduce the fixed IEEE chain bit-for-bit."""
+        import math
+
+        import pyarrow.parquet as pq
+
+        from maup_ray.pipelines import EMB_QSCALE, q_centroid_sim
+
+        got = q_centroid_sim("/root/testdata/sf0.001").to_pylist()
+        raw = pq.read_table(
+            "/root/testdata/sf0.001/embeddings.parquet",
+            columns=["label", "embedding"],
+        )
+        lab = raw["label"].to_numpy(zero_copy_only=False)
+        emb = np.asarray(raw["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(emb * EMB_QSCALE).astype(np.int64)
+        sums = {}
+        for lb in np.unique(lab):
+            sums[int(lb)] = [int(x) for x in q[lab == lb].sum(axis=0)]
+        want = {}
+        keys = sorted(sums)
+        for i, a in enumerate(keys):
+            na = sum(x * x for x in sums[a])
+            for b in keys[i + 1:]:
+                nb = sum(x * x for x in sums[b])
+                d = sum(x * y for x, y in zip(sums[a], sums[b]))
+                want[(a, b)] = (
+                    float(d),
+                    float(d) / (math.sqrt(float(na)) * math.sqrt(float(nb))),
+                )
+        assert len(got) == len(want)
+        for r in got:
+            wd, wc = want[(r["label_a"], r["label_b"])]
+            assert r["dot"] == wd and r["cos"] == wc
