@@ -2279,6 +2279,45 @@ def q_triangles(sf_dir: str):
     return triangle_count(_tri_edge_ds(sf_dir))
 
 
+RL_AY, RL_BY = 69427, 311  # road y-line derive (distinct from AX/AY)
+RL_AX, RL_BX = 50377, 89
+RL_AL, RL_BL = 28661, 5
+RL_MAXLEN = 1 << 14
+
+
+def q_road_lengths(sf_dir: str):
+    """Line-in-region overlay (ops/lines.segment_zonal_length): total
+    clipped length + segment count per district for a synthetic
+    horizontal road network (one segment per doc: integer x-endpoints,
+    off-lattice y = int + 0.5). The district table broadcasts once;
+    each batch reduces to ≤64 partial rows through one vectorized
+    interval-clip matrix — segment bytes never shuffle. Every clipped
+    length is an exact integral double → int64; the oracle is the
+    least/greatest interval formula over the same VALUES rects."""
+    from .ops.lines import segment_zonal_length
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        k = b["doc_id"].to_numpy()
+        yi = (k * RL_AY + RL_BY) % EXTENT
+        x0 = (k * RL_AX + RL_BX) % EXTENT
+        ln = (k * RL_AL + RL_BL) % RL_MAXLEN + 1
+        x1 = np.minimum(x0 + ln, EXTENT)
+        return pa.table(
+            {
+                "y": pa.array(yi.astype(np.float64) + 0.5),
+                "x0": pa.array(x0.astype(np.float64)),
+                "x1": pa.array(x1.astype(np.float64)),
+            }
+        )
+
+    segs = ds.map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return segment_zonal_length(segs, _districts())
+
+
 KCORE_K = 2
 KCORE_ROUNDS = 4  # chain depth 3 ⇒ fixpoint at 3; one slack round
 
@@ -6528,6 +6567,8 @@ def query_registry():
         "kcore": q_kcore,
         # centroid pairwise cosine (vector analytics)
         "centroid_sim": q_centroid_sim,
+        # line-in-region overlay (ops/lines.py)
+        "road_lengths": q_road_lengths,
         # information-theory family (ops/infotheory.py)
         "type_entropy": q_type_entropy,
         "flag_mi": q_flag_mi,
@@ -8718,6 +8759,35 @@ def oracle_queries() -> dict[str, str]:
             JOIN e b ON b.u = a.u AND b.v > a.v
             JOIN e c ON c.u = a.v AND c.v = b.v
         """,
+        # road_lengths: horizontal segment × rect interval clip; the
+        # integer y lands off-lattice at y+0.5 so [miny, maxy)
+        # containment is the integer test yi >= miny AND yi < maxy
+        "road_lengths": f"""
+            WITH segs AS (
+              SELECT doc_id,
+                     (doc_id * {RL_AY} + {RL_BY}) % {EXTENT} AS yi,
+                     (doc_id * {RL_AX} + {RL_BX}) % {EXTENT} AS x0,
+                     least((doc_id * {RL_AX} + {RL_BX}) % {EXTENT}
+                           + (doc_id * {RL_AL} + {RL_BL})
+                             % {RL_MAXLEN} + 1,
+                           {EXTENT}) AS x1
+              FROM documents),
+            d AS (SELECT * FROM {{DSQL}} ),
+            ov AS (
+              SELECT d.district_id,
+                     greatest(least(s.x1, d.maxx)
+                              - greatest(s.x0, d.minx), 0) AS len
+              FROM segs s
+              JOIN d ON s.yi >= d.miny AND s.yi < d.maxy)
+            SELECT district_id,
+                   CAST(sum(len) AS BIGINT) AS road_len,
+                   CAST(sum(CASE WHEN len > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_segs
+            FROM ov
+            GROUP BY 1
+            HAVING sum(CASE WHEN len > 0 THEN 1 ELSE 0 END) > 0
+            ORDER BY 1
+        """.replace("{DSQL}", districts_sql(N_DISTRICTS)),
         # kcore: unrolled dead-set peeling. x_r = dead set after r
         # rounds: x_{r+1} = x_r ∪ {alive nodes whose alive-degree < k}
         # (nodes with ZERO alive neighbors vanish from deg_r — the
