@@ -37,6 +37,7 @@ import pyarrow.compute as pc
 
 __all__ = [
     "rolling_window",
+    "grouped_ewma",
     "asof_join",
     "range_join_agg",
     "lag_deltas",
@@ -168,6 +169,92 @@ def rolling_window(
 
 
 # ----------------------------------------------------------- asof join
+
+
+def grouped_ewma(
+    events,
+    k_lags: int = 8,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "v",
+    out_col: str = "ewma",
+):
+    """Per-key trailing exponential moving average with DYADIC
+    half-weights, truncated at ``k_lags`` rows — the smoothing shape
+    of a monitoring/feature pipeline, made exact:
+
+        num_t = Σ_{j<m} v_{t-j} · 2^(k-1-j),   m = min(k, pos+1)
+        den_t = Σ_{j<m} 2^(k-1-j)
+        ewma_t = num_t / den_t
+
+    num/den are exact int64 (weights are powers of two, v integer;
+    bound: |v|·2^k per row), so the only float is ONE mirrored
+    division — unlike the classic α-recurrence, whose float
+    accumulation is order- and history-dependent. Rows order by
+    (ts, id) within each key; the k-row truncation is what makes the
+    SQL mirror a bounded rn self-join (weight ``1 << (k-1-(rn_a-rn_b))``).
+
+    Scale shape: one keyed hash exchange, then k vectorized global
+    shifts per partition (the in-group position mask keeps lags from
+    crossing group boundaries — groups are contiguous after the
+    partition sort). Returns (id, key, num, den, ewma) per input row.
+    """
+
+    def ewma_part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None or tbl.num_rows == 0:
+            return pa.schema(
+                [
+                    (id_col, pa.int64()),
+                    (key_col, pa.int64()),
+                    ("num", pa.int64()),
+                    ("den", pa.int64()),
+                    (out_col, pa.float64()),
+                ]
+            ).empty_table()
+        n = tbl.num_rows
+        sizes = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        v = tbl[value_col].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        num = np.zeros(n, dtype=np.int64)
+        den = np.zeros(n, dtype=np.int64)
+        for j in range(k_lags):
+            w = np.int64(1 << (k_lags - 1 - j))
+            avail = pos >= j
+            shifted = np.empty(n, dtype=np.int64)
+            if j:
+                shifted[j:] = v[:-j]
+                shifted[:j] = 0
+            else:
+                shifted[:] = v
+            num += np.where(avail, shifted * w, 0)
+            den += np.where(avail, w, 0)
+        ewma = num.astype(np.float64) / den.astype(np.float64)
+        return pa.table(
+            {
+                id_col: tbl[id_col],
+                key_col: tbl[key_col],
+                "num": pa.array(num),
+                "den": pa.array(den),
+                out_col: pa.array(ewma),
+            }
+        )
+
+    if isinstance(events, pa.Table):
+        from .shuffle import group_starts
+
+        tbl = events.combine_chunks().sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"),
+             (id_col, "ascending")]
+        )
+        return ewma_part(tbl, group_starts(tbl, [key_col]))
+    from .shuffle import hash_group_apply
+
+    return hash_group_apply(
+        events, [key_col], ewma_part, sort_cols=(ts_col, id_col)
+    )
 
 
 def asof_join(

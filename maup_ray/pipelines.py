@@ -1040,6 +1040,38 @@ def q_rolling_window(sf_dir: str):
     return rolling_window(ds, window_minutes=60.0)
 
 
+EWMA_K = 8
+
+
+def q_ewma(sf_dir: str):
+    """Per-user trailing dyadic EWMA of event value-cents over the
+    last 8 events (ops/temporal.grouped_ewma): exact int64
+    numerator/denominator (power-of-two weights), ONE mirrored
+    division per row. Oracle = bounded row_number self-join with
+    weight 1 << (7 − rn gap)."""
+    from .ops.temporal import grouped_ewma
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "v": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return grouped_ewma(
+        ds.map_batches(cents, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        k_lags=EWMA_K,
+    )
+
+
 def q_asof_join(sf_dir: str):
     """As-of join: odd-id events ("trades") matched to the latest
     even-id event ("quote") of the same user at or before their ts."""
@@ -6569,6 +6601,8 @@ def query_registry():
         "centroid_sim": q_centroid_sim,
         # line-in-region overlay (ops/lines.py)
         "road_lengths": q_road_lengths,
+        # trailing dyadic EWMA (ops/temporal.py)
+        "ewma": q_ewma,
         # information-theory family (ops/infotheory.py)
         "type_entropy": q_type_entropy,
         "flag_mi": q_flag_mi,
@@ -8758,6 +8792,33 @@ def oracle_queries() -> dict[str, str]:
             FROM e a
             JOIN e b ON b.u = a.u AND b.v > a.v
             JOIN e c ON c.u = a.v AND c.v = b.v
+        """,
+        # ewma: dyadic truncated EWMA — bounded rn self-join, weight
+        # 1 << (k-1 - gap); num/den exact ints, one mirrored division
+        "ewma": f"""
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(round(value * 100, 0) AS BIGINT) AS v,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events)
+            SELECT a.event_id, a.user_id,
+                   CAST(SUM(b.v * (1 << ({EWMA_K - 1}
+                        - CAST(a.rn - b.rn AS INT)))) AS BIGINT)
+                     AS num,
+                   CAST(SUM(1 << ({EWMA_K - 1}
+                        - CAST(a.rn - b.rn AS INT))) AS BIGINT)
+                     AS den,
+                   CAST(SUM(b.v * (1 << ({EWMA_K - 1}
+                        - CAST(a.rn - b.rn AS INT)))) AS DOUBLE)
+                   / CAST(SUM(1 << ({EWMA_K - 1}
+                        - CAST(a.rn - b.rn AS INT))) AS DOUBLE)
+                     AS ewma
+            FROM e a
+            JOIN e b ON b.user_id = a.user_id
+                    AND b.rn BETWEEN a.rn - {EWMA_K - 1} AND a.rn
+            GROUP BY 1, 2
+            ORDER BY 1
         """,
         # road_lengths: horizontal segment × rect interval clip; the
         # integer y lands off-lattice at y+0.5 so [miny, maxy)

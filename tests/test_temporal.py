@@ -1055,3 +1055,104 @@ class TestIntervalCoverage:
             match="end > start",
         ):
             self._run([(1, 5, 5)])
+
+
+class TestGroupedEwma:
+    @staticmethod
+    def _brute(keys, ts, ids, vals, k=8):
+        import collections
+
+        rows = sorted(zip(keys, ts, ids, vals))
+        hist = collections.defaultdict(list)
+        out = {}
+        for key, t, i, v in rows:
+            hist[key].append(v)
+            h = hist[key][-k:]
+            num = sum(
+                x * (1 << (k - 1 - j)) for j, x in enumerate(reversed(h))
+            )
+            den = sum(1 << (k - 1 - j) for j in range(len(h)))
+            out[i] = (num, den, num / den)
+        return out
+
+    def test_matches_brute(self, ray_session):
+        import ray.data
+        from datetime import datetime, timedelta
+
+        from maup_ray.ops.temporal import grouped_ewma
+
+        rng = np.random.RandomState(3)
+        n = 600
+        keys = rng.randint(0, 9, n).astype(np.int64)
+        ids = np.arange(n, dtype=np.int64)
+        secs = rng.randint(0, 5000, n)
+        base = datetime(2024, 1, 1)
+        ts = np.array(
+            [base + timedelta(seconds=int(s)) for s in secs],
+            dtype="datetime64[us]",
+        )
+        vals = rng.randint(-500, 500, n).astype(np.int64)
+        tbl = pa.table(
+            {
+                "event_id": pa.array(ids),
+                "user_id": pa.array(keys),
+                "ts": pa.array(ts),
+                "v": pa.array(vals),
+            }
+        )
+        want = self._brute(
+            keys.tolist(),
+            ts.astype(np.int64).tolist(),
+            ids.tolist(),
+            vals.tolist(),
+        )
+        # Dataset path (keyed shuffle) and Table path must both match
+        for src in (ray.data.from_arrow(tbl).repartition(5), tbl):
+            res = grouped_ewma(src)
+            t = (
+                res
+                if isinstance(res, pa.Table)
+                else pa.concat_tables(
+                    [
+                        r
+                        for r in (
+                            __import__("ray").get(x)
+                            for x in res.materialize().to_arrow_refs()
+                        )
+                        if r.num_rows
+                    ]
+                )
+            )
+            got = {
+                r["event_id"]: (r["num"], r["den"], r["ewma"])
+                for r in t.to_pylist()
+            }
+            assert got == want
+
+    def test_warmup_weights(self, ray_session):
+        from datetime import datetime, timedelta
+
+        from maup_ray.ops.temporal import grouped_ewma
+
+        base = datetime(2024, 1, 1)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([0, 1, 2], type=pa.int64()),
+                "user_id": pa.array([7, 7, 7], type=pa.int64()),
+                "ts": pa.array(
+                    [base + timedelta(seconds=s) for s in range(3)],
+                    type=pa.timestamp("us"),
+                ),
+                "v": pa.array([100, 200, 400], type=pa.int64()),
+            }
+        )
+        out = grouped_ewma(tbl, k_lags=2).to_pylist()
+        by = {r["event_id"]: r for r in out}
+        # row 0: only itself, weight 2 → ewma = v
+        assert by[0]["num"] == 200 and by[0]["den"] == 2
+        assert by[0]["ewma"] == 100.0
+        # row 1: 2·200 + 1·100 over 3
+        assert by[1]["num"] == 500 and by[1]["den"] == 3
+        assert by[1]["ewma"] == 500 / 3
+        # row 2: 2·400 + 1·200 over 3
+        assert by[2]["num"] == 1000 and by[2]["den"] == 3
