@@ -1040,6 +1040,18 @@ def q_rolling_window(sf_dir: str):
     return rolling_window(ds, window_minutes=60.0)
 
 
+def q_vocab_stats(sf_dir: str):
+    """Per-language vocabulary statistics (text/analysis.vocab_stats):
+    token count, type count, hapax count, type-token ratio — only
+    distinct (lang, word, count) rows ever move; ttr is the one
+    mirrored division."""
+    from .text.analysis import vocab_stats
+
+    return vocab_stats(
+        _read(sf_dir, "documents", ["lang", "text"]), "lang", "text"
+    )
+
+
 EWMA_K = 8
 
 
@@ -6603,6 +6615,8 @@ def query_registry():
         "road_lengths": q_road_lengths,
         # trailing dyadic EWMA (ops/temporal.py)
         "ewma": q_ewma,
+        # per-language vocabulary stats (text/analysis.py)
+        "vocab_stats": q_vocab_stats,
         # information-theory family (ops/infotheory.py)
         "type_entropy": q_type_entropy,
         "flag_mi": q_flag_mi,
@@ -8792,6 +8806,20 @@ def oracle_queries() -> dict[str, str]:
             FROM e a
             JOIN e b ON b.u = a.u AND b.v > a.v
             JOIN e c ON c.u = a.v AND c.v = b.v
+        """,
+        "vocab_stats": """
+            WITH t AS (SELECT lang,
+                              unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            c AS (SELECT lang, w, count(*) AS c FROM t GROUP BY 1, 2)
+            SELECT lang,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hapax,
+                   CAST(count(*) AS DOUBLE)
+                     / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS ttr
+            FROM c GROUP BY lang ORDER BY lang
         """,
         # ewma: dyadic truncated EWMA — bounded rn self-join, weight
         # 1 << (k-1 - gap); num/den exact ints, one mirrored division

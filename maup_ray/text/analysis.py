@@ -25,6 +25,7 @@ __all__ = [
     "lang_id",
     "fingerprint_batch",
     "fingerprints",
+    "vocab_stats",
 ]
 
 _WS = r"\s+"
@@ -635,3 +636,77 @@ def bigram_lift_topk(ds, k: int = 20, min_count: int = 5,
         [("lift", "descending"), ("gram", "ascending")]
     )
     return t.slice(0, k)
+
+
+def vocab_stats(ds, group_col: str = "lang", text_col: str = "text"):
+    """Per-group vocabulary statistics — token count, type (distinct
+    word) count, hapax-legomenon count and type-token ratio — the
+    Zipf-health / OCR-garbage monitor of a text-curation pipeline
+    (a source whose hapax share explodes is usually mis-decoded).
+
+    Scale shape: pass A reduces each batch to distinct
+    (group, word, c) partial rows (one Arrow group_by per block — the
+    frequent_ngrams discipline, the token stream itself never
+    shuffles), one keyed exchange sums them into the global per-group
+    word histogram; pass B reduces that histogram to ≤|groups| partial
+    rows per partition (n_tokens = Σc, n_types = rows, n_hapax =
+    Σ[c=1]) and driver-merges — groups are dimension-sized by
+    assumption. All counts exact int64; ttr = n_types/n_tokens is the
+    ONE mirrored division. Tokenization: split on single spaces
+    (string_split parity, not the \\s+ regex family)."""
+    from ..ops.agg import grouped_sum_count
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        idx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+        t = pa.table(
+            {
+                group_col: b[group_col].take(pa.array(idx)),
+                "w": pc.list_flatten(toks),
+            }
+        )
+        g = t.group_by([group_col, "w"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns([group_col, "w", "c"])
+
+    counts = grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [group_col, "w"],
+        sum_cols=["c"],
+        final="shuffle",
+    )
+
+    def reduce_part(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                group_col: b[group_col],
+                "n_tokens": pa.array(c),
+                "n_types": pa.array(np.ones(len(b), dtype=np.int64)),
+                "n_hapax": pa.array((c == 1).astype(np.int64)),
+            }
+        )
+        g = t.group_by([group_col], use_threads=False).aggregate(
+            [("n_tokens", "sum"), ("n_types", "sum"), ("n_hapax", "sum")]
+        )
+        return g.rename_columns(
+            [group_col, "n_tokens", "n_types", "n_hapax"]
+        )
+
+    out = grouped_sum_count(
+        counts.map_batches(reduce_part, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        [group_col],
+        sum_cols=["n_tokens", "n_types", "n_hapax"],
+        final="driver",
+    )
+    out = out.combine_chunks().sort_by([(group_col, "ascending")])
+    ttr = out["n_types"].to_numpy().astype(np.float64) / out[
+        "n_tokens"
+    ].to_numpy().astype(np.float64)
+    return out.append_column("ttr", pa.array(ttr))

@@ -1423,3 +1423,45 @@ class TestInvertedIndex:
         assert rows["a"]["postings"] == "1,2"
         out2 = inverted_index(t, min_df=2)
         assert out2.num_rows == 1
+
+
+class TestVocabStats:
+    def test_matches_brute(self, ray_session):
+        import collections
+
+        import ray.data
+
+        from maup_ray.text.analysis import vocab_stats
+
+        rng = np.random.RandomState(8)
+        words = [f"w{i}" for i in range(40)]
+        langs = ["en", "fr", "de"]
+        rows_lang, rows_text = [], []
+        for _ in range(200):
+            lg = langs[rng.randint(0, 3)]
+            k = rng.randint(1, 12)
+            ws = [words[rng.randint(0, 40)] for _ in range(k)]
+            rows_lang.append(lg)
+            rows_text.append(" ".join(ws))
+        ds = ray.data.from_arrow(
+            pa.table({"lang": rows_lang, "text": rows_text})
+        ).repartition(4)
+        got = {
+            r["lang"]: (
+                r["n_tokens"], r["n_types"], r["n_hapax"], r["ttr"]
+            )
+            for r in vocab_stats(ds).to_pylist()
+        }
+        per = collections.defaultdict(collections.Counter)
+        for lg, tx in zip(rows_lang, rows_text):
+            per[lg].update(tx.split(" "))
+        want = {}
+        for lg, c in per.items():
+            n_tok = sum(c.values())
+            want[lg] = (
+                n_tok,
+                len(c),
+                sum(1 for v in c.values() if v == 1),
+                float(len(c)) / float(n_tok),
+            )
+        assert got == want
