@@ -314,3 +314,95 @@ def histogram_quantiles(
     if not tabs:
         return pa.schema(out_fields).empty_table()
     return pa.concat_tables(tabs).combine_chunks().sort_by(key)
+
+
+# --------------------------------------------------- count-min sketch
+
+CMS_PRIME = 2147483647  # 2^31 − 1 (Mersenne; universal-hash modulus)
+# multipliers deliberately LARGE (≈ P): with a small multiplier and
+# small keys, a·x + b never wraps past P, the mod-P is the identity,
+# and bucket = (a·x + b) mod w stays LINEAR in x — every pair of keys
+# congruent mod w then collides in ALL rows (observed: 500× overcount
+# on small-id streams). A multiplier ≥ P/2 wraps from x = 2 on, which
+# is what the Carter–Wegman argument actually relies on.
+CMS_HASHES = (
+    (1103515245, 12345),
+    (1588635695, 7919),
+    (2027839751, 104729),
+    (1754129665, 65537),
+)
+
+
+def _cms_bucket(keys: np.ndarray, a: int, b: int, w: int) -> np.ndarray:
+    """((a·key + b) mod P) mod w — exact int64 (key in [0, 2^31):
+    a·key < 2^62, mirrored verbatim by the oracle's BIGINT %)."""
+    return ((keys * np.int64(a) + np.int64(b)) % np.int64(CMS_PRIME)) % np.int64(w)
+
+
+def count_min(ds, key_col: str, w: int = 256, d: int | None = None):
+    """Count-min sketch of an int64 key column — the bounded-memory
+    frequency summary (Cormode & Muthukrishnan 2005): d×w int64
+    counters, estimate(k) = min_i C[i, h_i(k)] ≥ true count, with the
+    classic ε = e/w overcount bound.
+
+    Deterministic and PARTITION-INVARIANT by construction: counters
+    are exact integer sums (order-independent), the d affine-mod hash
+    rows are fixed constants — so the whole sketch, and every
+    estimate, is a pure function of the input multiset and mirrors a
+    SQL oracle exactly (the approx_percentiles discipline: a sketch,
+    but a bit-reproducible one).
+
+    Scale shape: per batch, one np.unique pre-combine + d scatter-adds
+    emit ≤ d·distinct sparse (i, bkt, c) partial rows; a driver merge
+    bounded by d·w finishes. No shuffle of the input.
+
+    Returns the dense (d, w) int64 counter matrix."""
+    from .agg import grouped_sum_count
+
+    hashes = CMS_HASHES[: (d or len(CMS_HASHES))]
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(keys, return_counts=True)
+        rows, bkts, cs = [], [], []
+        for i, (a, bb) in enumerate(hashes):
+            bkt = _cms_bucket(uniq, a, bb, w)
+            # pre-combine within the batch: buckets can collide
+            ub, inv = np.unique(bkt, return_inverse=True)
+            s = np.zeros(len(ub), dtype=np.int64)
+            np.add.at(s, inv, cnt)
+            rows.append(np.full(len(ub), i, dtype=np.int64))
+            bkts.append(ub)
+            cs.append(s)
+        return pa.table(
+            {
+                "i": pa.array(np.concatenate(rows)),
+                "bkt": pa.array(np.concatenate(bkts)),
+                "c": pa.array(np.concatenate(cs)),
+            }
+        )
+
+    t = grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["i", "bkt"],
+        sum_cols=["c"],
+        final="driver",
+    )
+    mat = np.zeros((len(hashes), w), dtype=np.int64)
+    mat[
+        t["i"].to_numpy(zero_copy_only=False),
+        t["bkt"].to_numpy(zero_copy_only=False),
+    ] = t["c"].to_numpy(zero_copy_only=False)
+    return mat
+
+
+def cms_estimate(mat: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """min over the d rows of each key's counter — the CMS point
+    estimate (≥ truth, exact integers)."""
+    keys = np.asarray(keys, dtype=np.int64)
+    w = mat.shape[1]
+    est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+    for i, (a, b) in enumerate(CMS_HASHES[: mat.shape[0]]):
+        est = np.minimum(est, mat[i, _cms_bucket(keys, a, b, w)])
+    return est

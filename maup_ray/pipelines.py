@@ -1040,6 +1040,51 @@ def q_rolling_window(sf_dir: str):
     return rolling_window(ds, window_minutes=60.0)
 
 
+CMS_W = 64  # small bucket space on purpose: collisions exercise the min
+CMS_QMAX = 40
+
+
+def _cms_hash_values() -> str:
+    """The CMS hash rows as a SQL VALUES relation h(i, a, b)."""
+    from .ops.sketch import CMS_HASHES
+
+    rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(CMS_HASHES)
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS h(i, a, b))"
+
+
+def q_cms_counts(sf_dir: str):
+    """Count-min sketch frequency estimates (ops/sketch.count_min):
+    build the d×w integer counter matrix over the events user stream
+    (per-batch sparse partials, no input shuffle), then point-estimate
+    every small user id alongside its true count. Deterministic
+    sketch: exact integer counters + fixed affine-mod hash rows ⇒ the
+    oracle replays the sketch cell-for-cell (the approx_percentiles
+    discipline — approximate answer, bit-reproducible arithmetic).
+    est ≥ n_true always (CMS one-sided error)."""
+    from .ops.agg import grouped_sum_count
+    from .ops.sketch import cms_estimate, count_min
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    mat = count_min(ds, "user_id", w=CMS_W)
+    truth = grouped_sum_count(
+        ds, ["user_id"], count_col="n_true", final="driver"
+    )
+    truth = truth.filter(
+        pc.less(truth["user_id"], pa.scalar(CMS_QMAX, pa.int64()))
+    ).combine_chunks().sort_by([("user_id", "ascending")])
+    keys = truth["user_id"].to_numpy(zero_copy_only=False)
+    est = cms_estimate(mat, keys)
+    return pa.table(
+        {
+            "user_id": truth["user_id"],
+            "est": pa.array(est),
+            "n_true": truth["n_true"],
+        }
+    )
+
+
 def q_vocab_stats(sf_dir: str):
     """Per-language vocabulary statistics (text/analysis.vocab_stats):
     token count, type count, hapax count, type-token ratio — only
@@ -6617,6 +6662,8 @@ def query_registry():
         "ewma": q_ewma,
         # per-language vocabulary stats (text/analysis.py)
         "vocab_stats": q_vocab_stats,
+        # count-min sketch estimates (ops/sketch.py)
+        "cms_counts": q_cms_counts,
         # information-theory family (ops/infotheory.py)
         "type_entropy": q_type_entropy,
         "flag_mi": q_flag_mi,
@@ -8806,6 +8853,29 @@ def oracle_queries() -> dict[str, str]:
             FROM e a
             JOIN e b ON b.u = a.u AND b.v > a.v
             JOIN e c ON c.u = a.v AND c.v = b.v
+        """,
+        # cms_counts: replay the sketch cell-for-cell — bucket sums
+        # per hash row, then min over rows per query key
+        "cms_counts": f"""
+            WITH uc AS (SELECT user_id, count(*) AS c
+                        FROM events GROUP BY 1),
+            h AS (SELECT * FROM {_cms_hash_values()} ),
+            bc AS (SELECT h.i,
+                          ((uc.user_id * h.a + h.b) % 2147483647)
+                            % {CMS_W} AS bkt,
+                          SUM(uc.c) AS s
+                   FROM uc, h GROUP BY 1, 2),
+            q AS (SELECT user_id, c FROM uc
+                  WHERE user_id < {CMS_QMAX}),
+            qb AS (SELECT q.user_id, q.c, h.i,
+                          ((q.user_id * h.a + h.b) % 2147483647)
+                            % {CMS_W} AS bkt
+                   FROM q, h)
+            SELECT qb.user_id,
+                   CAST(MIN(bc.s) AS BIGINT) AS est,
+                   CAST(MAX(qb.c) AS BIGINT) AS n_true
+            FROM qb JOIN bc ON bc.i = qb.i AND bc.bkt = qb.bkt
+            GROUP BY qb.user_id ORDER BY qb.user_id
         """,
         "vocab_stats": """
             WITH t AS (SELECT lang,
