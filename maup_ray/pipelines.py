@@ -1040,6 +1040,78 @@ def q_rolling_window(sf_dir: str):
     return rolling_window(ds, window_minutes=60.0)
 
 
+IMPUTE_MOD = 13  # deterministic missingness marker (event_id % 13 == 0)
+
+
+def q_impute(sf_dir: str):
+    """Group-median imputation — the feature-cleaning primitive:
+    deterministically mark every 13th event's value missing, compute
+    each event_type's exact discrete median over the PRESENT values
+    (grouped_quantiles histogram shape, driver-final on the few-key
+    contract), broadcast the tiny median map inside the fill stage,
+    and emit every row with missing values replaced. All integers
+    end-to-end; the oracle's quantile_disc(0.5) indexes by exact
+    ceil(n/2) (the DECIMAL-q discipline from `percentiles`)."""
+    from .ops.curate import grouped_quantiles
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy()
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "v": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)),
+                    pa.int64(),
+                ),
+                "miss": pa.array(
+                    (eid % IMPUTE_MOD == 0).astype(np.int64)
+                ),
+            }
+        )
+
+    dv = ds.map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+    present = dv.map_batches(
+        lambda b: b.filter(pc.equal(b["miss"], pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    med = grouped_quantiles(
+        present,
+        "event_type",
+        "v",
+        qs=((1, 2),),
+        q_names=("med",),
+        count_col="_n",
+        final="driver",
+    )
+    types = med["event_type"].combine_chunks()
+    meds = med["med"].to_numpy(zero_copy_only=False)
+
+    def fill(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b["event_type"], types).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        m = b["miss"].to_numpy(zero_copy_only=False)
+        filled = np.where(m == 1, meds[idx], v)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "v_filled": pa.array(filled),
+                "was_missing": b["miss"],
+            }
+        )
+
+    return dv.map_batches(
+        fill, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 CMS_W = 64  # small bucket space on purpose: collisions exercise the min
 CMS_QMAX = 40
 
@@ -6664,6 +6736,8 @@ def query_registry():
         "vocab_stats": q_vocab_stats,
         # count-min sketch estimates (ops/sketch.py)
         "cms_counts": q_cms_counts,
+        # group-median imputation (feature cleaning)
+        "impute": q_impute,
         # information-theory family (ops/infotheory.py)
         "type_entropy": q_type_entropy,
         "flag_mi": q_flag_mi,
@@ -8853,6 +8927,22 @@ def oracle_queries() -> dict[str, str]:
             FROM e a
             JOIN e b ON b.u = a.u AND b.v > a.v
             JOIN e c ON c.u = a.v AND c.v = b.v
+        """,
+        "impute": f"""
+            WITH e AS (SELECT event_id, event_type,
+                              CAST(round(value * 100, 0) AS BIGINT)
+                                AS v,
+                              CASE WHEN event_id % {IMPUTE_MOD} = 0
+                                   THEN 1 ELSE 0 END AS miss
+                       FROM events),
+            m AS (SELECT event_type, quantile_disc(v, 0.5) AS med
+                  FROM e WHERE miss = 0 GROUP BY 1)
+            SELECT e.event_id, e.event_type,
+                   CAST(CASE WHEN e.miss = 1 THEN m.med ELSE e.v END
+                        AS BIGINT) AS v_filled,
+                   CAST(e.miss AS BIGINT) AS was_missing
+            FROM e JOIN m USING (event_type)
+            ORDER BY e.event_id
         """,
         # cms_counts: replay the sketch cell-for-cell — bucket sums
         # per hash row, then min over rows per query key

@@ -390,3 +390,32 @@ class TestCentroidSim:
         for r in got:
             wd, wc = want[(r["label_a"], r["label_b"])]
             assert r["dot"] == wd and r["cos"] == wc
+
+
+class TestImpute:
+    def test_fill_semantics(self, ray_session):
+        """Missing rows carry their type's exact lower median of the
+        present values; present rows pass through untouched."""
+        import pyarrow.parquet as pq
+
+        from maup_ray.pipelines import IMPUTE_MOD, q_impute
+
+        got = q_impute("/root/testdata/sf0.001").to_pandas()
+        raw = pq.read_table(
+            "/root/testdata/sf0.001/events.parquet",
+            columns=["event_id", "event_type", "value"],
+        ).to_pandas()
+        raw["v"] = (raw.value * 100).round().astype(np.int64)
+        raw["miss"] = (raw.event_id % IMPUTE_MOD == 0).astype(int)
+        med = {}
+        for t, g in raw[raw.miss == 0].groupby("event_type"):
+            v = np.sort(g.v.to_numpy())
+            med[t] = int(v[int(np.ceil(len(v) / 2)) - 1])  # ceil(n/2)
+        merged = got.merge(raw, on="event_id", suffixes=("", "_raw"))
+        assert (merged.was_missing == merged.miss).all()
+        present = merged[merged.miss == 0]
+        assert (present.v_filled == present.v).all()
+        missing = merged[merged.miss == 1]
+        assert len(missing) > 0
+        want = missing.event_type.map(med)
+        assert (missing.v_filled == want).all()
