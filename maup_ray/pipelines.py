@@ -2370,6 +2370,53 @@ def q_cooccur(sf_dir: str):
     )
 
 
+def q_item_sim(sf_dir: str):
+    """Item-item similarity from the co-click matrix: for every
+    unordered event_type pair, cosine = n_xy/√(n_x·n_y) and
+    jaccard = n_xy/(n_x+n_y−n_xy) over DISTINCT-user counts — the
+    collaborative-filtering neighborhood shape. Composition of two
+    existing reductions (cooccurrence_counts + grouped_distinct_count,
+    both exact-integer, both moving only distinct pairs); the type
+    margin table is dimension-sized, so the fuse step is a driver map.
+    cosine is the fixed mirrored chain float/(sqrt(float)·sqrt(float));
+    jaccard is ONE division of exact ints."""
+    import math
+
+    from .ops.curate import cooccurrence_counts, grouped_distinct_count
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    co = cooccurrence_counts(ds, "user_id", "event_type",
+                             count_col="n_xy")
+    co = _collect(co) if not isinstance(co, pa.Table) else co
+    marg = grouped_distinct_count(
+        ds, "event_type", "user_id", count_col="n_users"
+    )
+    marg = _collect(marg) if not isinstance(marg, pa.Table) else marg
+    m = {
+        r["event_type"]: int(r["n_users"]) for r in marg.to_pylist()
+    }
+    co = co.combine_chunks().sort_by(
+        [("item_a", "ascending"), ("item_b", "ascending")]
+    )
+    rows = co.to_pylist()
+    cos, jac = [], []
+    for r in rows:
+        nx, ny, nxy = m[r["item_a"]], m[r["item_b"]], int(r["n_xy"])
+        cos.append(
+            float(nxy) / (math.sqrt(float(nx)) * math.sqrt(float(ny)))
+        )
+        jac.append(float(nxy) / float(nx + ny - nxy))
+    return pa.table(
+        {
+            "item_a": co["item_a"],
+            "item_b": co["item_b"],
+            "n_xy": co["n_xy"],
+            "cosine": pa.array(cos, type=pa.float64()),
+            "jaccard": pa.array(jac, type=pa.float64()),
+        }
+    )
+
+
 def q_intervals(sf_dir: str):
     """Gaps-and-islands (ops/temporal.merge_intervals): each event
     opens an availability window of value-cents hours; overlapping-or-
@@ -6738,6 +6785,8 @@ def query_registry():
         "cms_counts": q_cms_counts,
         # group-median imputation (feature cleaning)
         "impute": q_impute,
+        # item-item cosine/jaccard from the co-click matrix
+        "item_sim": q_item_sim,
         # information-theory family (ops/infotheory.py)
         "type_entropy": q_type_entropy,
         "flag_mi": q_flag_mi,
@@ -8882,6 +8931,26 @@ def oracle_queries() -> dict[str, str]:
             FROM d a JOIN d b ON a.user_id = b.user_id
                              AND a.event_type < b.event_type
             GROUP BY 1, 2
+        """,
+        "item_sim": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+            co AS (SELECT a.event_type AS item_a,
+                          b.event_type AS item_b,
+                          count(*) AS n_xy
+                   FROM d a JOIN d b ON a.user_id = b.user_id
+                                    AND a.event_type < b.event_type
+                   GROUP BY 1, 2),
+            m AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1)
+            SELECT co.item_a, co.item_b, co.n_xy,
+                   CAST(co.n_xy AS DOUBLE)
+                     / (sqrt(CAST(ma.n AS DOUBLE))
+                        * sqrt(CAST(mb.n AS DOUBLE))) AS cosine,
+                   CAST(co.n_xy AS DOUBLE)
+                     / CAST(ma.n + mb.n - co.n_xy AS DOUBLE) AS jaccard
+            FROM co
+            JOIN m ma ON ma.event_type = co.item_a
+            JOIN m mb ON mb.event_type = co.item_b
+            ORDER BY co.item_a, co.item_b
         """,
         "intervals": """
             WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
