@@ -1040,6 +1040,131 @@ def q_rolling_window(sf_dir: str):
     return rolling_window(ds, window_minutes=60.0)
 
 
+HMEAN_SCALE = 1 << 40  # reciprocal quantization grid
+
+
+def q_hmean(sf_dir: str):
+    """Grouped harmonic mean of positive value-cents per event_type —
+    the rate-averaging statistic, made deterministic by quantized
+    reciprocals: r(v) = 2^40 // v is EXACT integer arithmetic (floor
+    division, mirrored by HUGEINT // in the oracle), partial sums are
+    exact ints at any block structure, and hmean = n·2^40 / Σr is ONE
+    mirrored division. Error vs the true harmonic mean is < n·2^-40
+    relative — deterministic, not stochastic (the approx_percentiles
+    sketch discipline)."""
+    from .ops.agg import grouped_sums_exact
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        keep = v > 0
+        v = v[keep]
+        et = b["event_type"].filter(pa.array(keep))
+        r = HMEAN_SCALE // v
+        return pa.table(
+            {
+                "event_type": et,
+                "rsum": pa.array(r),
+                "n": pa.array(np.ones(len(v), dtype=np.int64)),
+            }
+        )
+
+    rows = grouped_sums_exact(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type"],
+        sum_cols=["rsum", "n"],
+    )
+    rows = sorted(rows, key=lambda r: r["event_type"])
+    ets = [r["event_type"] for r in rows]
+    ns = [int(r["n"]) for r in rows]
+    ss = [int(r["rsum"]) for r in rows]
+    hm = [float(n * HMEAN_SCALE) / float(s) for n, s in zip(ns, ss)]
+    return pa.table(
+        {
+            "event_type": pa.array(ets, type=pa.string()),
+            "n": pa.array(ns, type=pa.int64()),
+            "rsum": pa.array(ss, type=pa.int64()),
+            "hmean": pa.array(hm, type=pa.float64()),
+        }
+    )
+
+
+RFM_TILES = 5
+
+
+def q_rfm(sf_dir: str):
+    """RFM segmentation — the classic user-value triage: per-user
+    Recency (max event epoch-µs), Frequency (event count), Monetary
+    (exact value-cents sum) reduced distributedly (per-batch Arrow
+    max/count/sum partials; the user table is dimension-sized relative
+    to the corpus — documented driver-finish contract), then three
+    global ntile(5) ranks through the oracle-validated grouped_ntile
+    fill (first n%b buckets get one extra row; (metric, user_id)
+    totalizes order). rfm = 100·r + 10·f + m. All integers; no float
+    anywhere."""
+    from .ops.window import grouped_ntile
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "r": pc.cast(b["ts"], pa.int64()),
+                "m": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+                "f": pa.array(np.ones(len(b), dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["user_id"], use_threads=False).aggregate(
+            [("r", "max"), ("m", "sum"), ("f", "sum")]
+        )
+        return g.rename_columns(["user_id", "r", "m", "f"])
+
+    parts = _collect(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    )
+    agg = parts.group_by(["user_id"], use_threads=False).aggregate(
+        [("r", "max"), ("m", "sum"), ("f", "sum")]
+    ).rename_columns(["user_id", "r_max", "m", "f"])
+    agg = agg.append_column(
+        "k", pa.array(np.zeros(len(agg), dtype=np.int64))
+    )
+    tiles = {}
+    for metric, name in (
+        ("r_max", "r_tile"), ("f", "f_tile"), ("m", "m_tile")
+    ):
+        t = grouped_ntile(agg, ["k"], [metric, "user_id"],
+                          RFM_TILES, name)
+        t = t if isinstance(t, pa.Table) else _collect(t)
+        tiles[name] = {
+            r["user_id"]: r[name] for r in t.to_pylist()
+        }
+    agg = agg.combine_chunks().sort_by([("user_id", "ascending")])
+    uids = agg["user_id"].to_pylist()
+    rt = np.array([tiles["r_tile"][u] for u in uids], dtype=np.int64)
+    ft = np.array([tiles["f_tile"][u] for u in uids], dtype=np.int64)
+    mt = np.array([tiles["m_tile"][u] for u in uids], dtype=np.int64)
+    return pa.table(
+        {
+            "user_id": agg["user_id"],
+            "r_max": agg["r_max"],
+            "f": agg["f"],
+            "m": agg["m"],
+            "r_tile": pa.array(rt),
+            "f_tile": pa.array(ft),
+            "m_tile": pa.array(mt),
+            "rfm": pa.array(rt * 100 + ft * 10 + mt),
+        }
+    )
+
+
 IMPUTE_MOD = 13  # deterministic missingness marker (event_id % 13 == 0)
 
 
@@ -6787,6 +6912,10 @@ def query_registry():
         "impute": q_impute,
         # item-item cosine/jaccard from the co-click matrix
         "item_sim": q_item_sim,
+        # RFM user segmentation (global ntile ranks)
+        "rfm": q_rfm,
+        # quantized-reciprocal harmonic mean
+        "hmean": q_hmean,
         # information-theory family (ops/infotheory.py)
         "type_entropy": q_type_entropy,
         "flag_mi": q_flag_mi,
@@ -8996,6 +9125,46 @@ def oracle_queries() -> dict[str, str]:
             FROM e a
             JOIN e b ON b.u = a.u AND b.v > a.v
             JOIN e c ON c.u = a.v AND c.v = b.v
+        """,
+        "hmean": f"""
+            WITH e AS (SELECT event_type,
+                              CAST(round(value * 100, 0) AS BIGINT)
+                                AS v
+                       FROM events),
+            g AS (SELECT event_type,
+                         CAST(count(*) AS HUGEINT) AS n,
+                         SUM(CAST({HMEAN_SCALE} AS HUGEINT) // v)
+                           AS rsum
+                  FROM e WHERE v > 0 GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(rsum AS BIGINT) AS rsum,
+                   CAST(n * {HMEAN_SCALE} AS DOUBLE)
+                     / CAST(rsum AS DOUBLE) AS hmean
+            FROM g ORDER BY event_type
+        """,
+        "rfm": f"""
+            WITH a AS (SELECT user_id,
+                              epoch_us(max(ts)) AS r_max,
+                              count(*) AS f,
+                              CAST(sum(CAST(round(value * 100, 0)
+                                            AS BIGINT)) AS BIGINT)
+                                AS m
+                       FROM events GROUP BY 1),
+            t AS (SELECT user_id, r_max, f, m,
+                         ntile({RFM_TILES}) OVER (ORDER BY r_max,
+                                                  user_id) AS r_tile,
+                         ntile({RFM_TILES}) OVER (ORDER BY f, user_id)
+                           AS f_tile,
+                         ntile({RFM_TILES}) OVER (ORDER BY m, user_id)
+                           AS m_tile
+                  FROM a)
+            SELECT user_id, r_max, CAST(f AS BIGINT) AS f, m,
+                   CAST(r_tile AS BIGINT) AS r_tile,
+                   CAST(f_tile AS BIGINT) AS f_tile,
+                   CAST(m_tile AS BIGINT) AS m_tile,
+                   CAST(r_tile * 100 + f_tile * 10 + m_tile
+                        AS BIGINT) AS rfm
+            FROM t ORDER BY user_id
         """,
         "impute": f"""
             WITH e AS (SELECT event_id, event_type,
