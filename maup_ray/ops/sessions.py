@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["sessionize", "funnel", "retention"]
+__all__ = ["sessionize", "funnel", "retention", "session_paths"]
 
 
 def sessionize(
@@ -303,4 +303,115 @@ def retention(
     )
     return out.combine_chunks().sort_by(
         [("cohort", "ascending"), ("offset_days", "ascending")]
+    )
+
+
+def session_paths(
+    events,
+    gap_minutes: float = 360.0,
+    min_count: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    sep: str = " ",
+):
+    """Frequent session paths — the product-analytics "what do users
+    do in one sitting" rollup: sessionize per user (gap rule as in
+    ``sessionize``, ordering totalized by ``(ts, id)``), concatenate
+    each session's event types in order into a path string, and
+    return every path occurring in ``>= min_count`` sessions as
+    ``(path, n_sessions)`` sorted by path.
+
+    The threshold (not top-k) form is deliberate: per-partition
+    partial counts make an above-threshold filter exact after one
+    (path)-keyed sum, while an exact global top-k of counts spread
+    across blocks would need the heavy-hitters two-pass — same reason
+    ``frequent_ngrams`` is threshold-shaped.
+
+    Scale shape: ONE user-keyed exchange of the pruned (user, ts, id,
+    type) projection; per partition the paths are built in one
+    vectorized pass (session boundaries -> ListArray offsets ->
+    ``pc.binary_join``, no per-session loop) and immediately reduced
+    to (path, count) partials, so the second, path-keyed exchange
+    moves only distinct paths; only above-threshold paths reach the
+    driver.
+    """
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+
+    def prune(b: pa.Table) -> pa.Table:
+        return b.select([user_col, ts_col, id_col, type_col])
+
+    def paths_part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        schema = pa.schema(
+            [("path", pa.string()), ("n_sessions", pa.int64())]
+        )
+        if tbl is None or tbl.num_rows == 0:
+            return schema.empty_table()
+        from .temporal import _ts_i64
+
+        n = tbl.num_rows
+        ts = _ts_i64(tbl[ts_col])
+        new_sess = np.ones(n, dtype=bool)
+        if n > 1:
+            new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
+        new_sess[np.asarray(starts, dtype=np.int64)] = True
+        sb = np.flatnonzero(new_sess)
+        offsets = np.append(sb, n).astype(np.int32)
+        values = tbl[type_col]
+        if isinstance(values, pa.ChunkedArray):
+            # ChunkedArray.combine_chunks() returns a plain Array
+            values = values.combine_chunks()
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), values
+        )
+        paths = pc.binary_join(lists, sep)
+        part = pa.table({"path": paths})
+        g = part.group_by(["path"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["path", "n_sessions"])
+
+    def final(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        schema = pa.schema(
+            [("path", pa.string()), ("n_sessions", pa.int64())]
+        )
+        if tbl is None or len(starts) == 0:
+            return schema.empty_table()
+        starts = np.asarray(starts, dtype=np.int64)
+        cnt = tbl["n_sessions"].to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(cnt, starts)
+        keep = sums >= min_count
+        return pa.table(
+            {
+                "path": tbl["path"].take(pa.array(starts[keep])),
+                "n_sessions": pa.array(sums[keep]),
+            }
+        )
+
+    from .shuffle import group_starts, hash_group_apply
+
+    if isinstance(events, pa.Table):
+        t = prune(events).combine_chunks().sort_by(
+            [(user_col, "ascending"), (ts_col, "ascending"),
+             (id_col, "ascending")]
+        )
+        partial = paths_part(t, group_starts(t, [user_col]))
+        s = partial.combine_chunks().sort_by([("path", "ascending")])
+        return final(s, group_starts(s, ["path"]))
+
+    pruned = events.map_batches(
+        prune, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = hash_group_apply(
+        pruned, [user_col], paths_part, sort_cols=(ts_col, id_col)
+    )
+    import ray
+
+    refs = hash_group_apply(partials, ["path"], final, return_refs=True)
+    tabs = [t for t in ray.get(refs) if t is not None and t.num_rows]
+    if not tabs:
+        return final(None, [])
+    return pa.concat_tables(tabs).combine_chunks().sort_by(
+        [("path", "ascending")]
     )

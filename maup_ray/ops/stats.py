@@ -44,7 +44,7 @@ import pyarrow as pa
 
 __all__ = ["grouped_spearman", "grouped_impurity",
            "grouped_gini", "grouped_weighted_median", "grouped_mad",
-           "grouped_mode"]
+           "grouped_mode", "grouped_ols"]
 
 
 def _int64_safe(bound: int) -> bool:
@@ -639,3 +639,95 @@ def grouped_kendall(ds, key: str, x_col: str, y_col: str) -> pa.Table:
     if not tabs:
         return final(None, [])
     return pa.concat_tables(tabs).combine_chunks().sort_by(key)
+
+
+def grouped_ols(ds, key: str, x_col: str, y_col: str) -> pa.Table:
+    """Grouped simple linear regression (OLS slope + intercept) of
+    integer ``y_col`` on integer ``x_col`` — the per-segment trend
+    statistic (``regr_slope`` / ``regr_intercept``) a curation
+    pipeline runs to monitor drift per source/type over time.
+
+    Exactness: per-batch Arrow group_by sums of the five integer
+    moments (n, Σx, Σy, Σx², Σxy) — int64-safe inside a batch under
+    the caller's domain bound, asserted here — are merged on the
+    driver in Python ints (``grouped_sums_exact`` discipline, exact at
+    any magnitude), and each output is ONE correctly-rounded IEEE
+    division of two exact integers:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+
+    mirrored in SQL by ``CAST(HUGEINT AS DOUBLE) / CAST(... AS
+    DOUBLE)`` (the gini-validated cast pair). Zero-variance-x groups
+    emit null slope/intercept.
+
+    Scale shape: the corpus never shuffles — only ≤ n_groups partial
+    rows per block reach the driver (low-cardinality-key contract of
+    ``grouped_sums_exact``).
+    """
+    from .agg import grouped_sums_exact
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(x)
+        if n:
+            mx = int(np.abs(x).max())
+            my = int(np.abs(y).max())
+            if max(mx * mx, mx * my) * n >= (1 << 62):
+                raise AssertionError(
+                    "grouped_ols: per-batch moment bound exceeded — "
+                    "rescale x/y (e.g. days not µs) so |x|²·rows and "
+                    "|x·y|·rows fit int64"
+                )
+        return pa.table(
+            {
+                key: b[key],
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxx": pa.array(x * x),
+                "sxy": pa.array(x * y),
+            }
+        )
+
+    if isinstance(ds, pa.Table):
+        # driver-local replica: one Arrow group_by over the int64
+        # moment columns (same per-batch bound assertion applies)
+        g = partial(ds).group_by([key], use_threads=False).aggregate(
+            [("sx", "sum"), ("sy", "sum"), ("sxx", "sum"),
+             ("sxy", "sum"), ([], "count_all")]
+        )
+        g = g.rename_columns([key, "sx", "sy", "sxx", "sxy", "n"])
+        rows = g.to_pylist()
+    else:
+        rows = grouped_sums_exact(
+            ds.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            [key], sum_cols=["sx", "sy", "sxx", "sxy"],
+            count_col="n",
+        )
+    rows.sort(key=lambda r: r[key])
+    ks, ns, slopes, icepts = [], [], [], []
+    for r in rows:
+        n = int(r["n"])
+        sx, sy = int(r["sx"]), int(r["sy"])
+        sxx, sxy = int(r["sxx"]), int(r["sxy"])
+        den = n * sxx - sx * sx
+        ks.append(r[key])
+        ns.append(n)
+        if den == 0:
+            slopes.append(None)
+            icepts.append(None)
+        else:
+            slopes.append(float(n * sxy - sx * sy) / float(den))
+            icepts.append(float(sy * sxx - sx * sxy) / float(den))
+    key_type = pa.int64() if ks and isinstance(ks[0], int) else pa.string()
+    return pa.table(
+        {
+            key: pa.array(ks, type=key_type),
+            "n": pa.array(ns, type=pa.int64()),
+            "slope": pa.array(slopes, type=pa.float64()),
+            "intercept": pa.array(icepts, type=pa.float64()),
+        }
+    )

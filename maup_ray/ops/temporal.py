@@ -38,6 +38,7 @@ import pyarrow.compute as pc
 __all__ = [
     "rolling_window",
     "grouped_ewma",
+    "grouped_autocorr",
     "asof_join",
     "range_join_agg",
     "lag_deltas",
@@ -254,6 +255,117 @@ def grouped_ewma(
 
     return hash_group_apply(
         events, [key_col], ewma_part, sort_cols=(ts_col, id_col)
+    )
+
+
+def grouped_autocorr(
+    events,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "v",
+):
+    """Per-key lag-1 autocorrelation of an integer value series in
+    ``(ts, id)`` order — the serial-dependence monitor (is this
+    user's/sensor's signal trending or i.i.d.?) of a feature pipeline.
+
+    Over each key's consecutive pairs (x=prev, y=cur), m = n−1 pairs:
+
+        num = m·Σxy − Σx·Σy
+        d1  = m·Σx² − (Σx)²      d2 = m·Σy² − (Σy)²
+        r   = num / sqrt(d1 · d2)
+
+    All sums and the three moments are exact int64 (domain bound
+    asserted: m²·max(v)² must fit), so num/d1/d2 hash-compare as
+    integers; ``r`` is the fixed IEEE dag ``CAST(num AS DOUBLE) /
+    sqrt(CAST(d1 AS DOUBLE) · CAST(d2 AS DOUBLE))`` — sqrt is
+    correctly rounded by IEEE-754, so DuckDB's libm mirrors it
+    bit-exactly (the kendall-tau dag, ops/stats.py). Zero-variance
+    sides emit null r. Keys with < 2 pairs are dropped.
+
+    Scale shape: ONE keyed hash exchange of the pruned (key, ts, id,
+    v) projection; per partition one sort + one vectorized shifted
+    pass (groups are contiguous, so every group finishes locally —
+    no driver merge).
+    """
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        empty = pa.schema(
+            [
+                (key_col, pa.int64()),
+                ("m", pa.int64()),
+                ("num", pa.int64()),
+                ("d1", pa.int64()),
+                ("d2", pa.int64()),
+                ("r", pa.float64()),
+            ]
+        ).empty_table()
+        if tbl is None or tbl.num_rows == 0:
+            return empty
+        n = tbl.num_rows
+        starts = np.asarray(starts, dtype=np.int64)
+        sizes = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        v = tbl[value_col].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        mv = int(np.abs(v).max()) if n else 0
+        mg = int(sizes.max()) if len(sizes) else 0
+        if mg * mg * mv * mv >= (1 << 62):
+            raise AssertionError(
+                "grouped_autocorr: m²·max|v|² exceeds int64 — "
+                "rescale the value column"
+            )
+        prev = np.empty(n, dtype=np.int64)
+        prev[1:] = v[:-1]
+        prev[0] = 0
+        valid = pos >= 1
+        x = np.where(valid, prev, 0)
+        y = np.where(valid, v, 0)
+        sx = np.add.reduceat(x, starts)
+        sy = np.add.reduceat(y, starts)
+        sxx = np.add.reduceat(x * x, starts)
+        syy = np.add.reduceat(y * y, starts)
+        sxy = np.add.reduceat(x * y, starts)
+        m = sizes - 1
+        keep = m >= 2
+        if not keep.any():
+            return empty
+        m, sx, sy = m[keep], sx[keep], sy[keep]
+        sxx, syy, sxy = sxx[keep], syy[keep], sxy[keep]
+        num = m * sxy - sx * sy
+        d1 = m * sxx - sx * sx
+        d2 = m * syy - sy * sy
+        ok = (d1 > 0) & (d2 > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = num.astype(np.float64) / np.sqrt(
+                d1.astype(np.float64) * d2.astype(np.float64)
+            )
+        return pa.table(
+            {
+                key_col: tbl[key_col].take(pa.array(starts[keep])),
+                "m": pa.array(m),
+                "num": pa.array(num),
+                "d1": pa.array(d1),
+                "d2": pa.array(d2),
+                "r": pa.array(
+                    np.where(ok, r, 0.0), type=pa.float64(), mask=~ok
+                ),
+            }
+        )
+
+    if isinstance(events, pa.Table):
+        from .shuffle import group_starts
+
+        tbl = events.combine_chunks().sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"),
+             (id_col, "ascending")]
+        )
+        return part(tbl, group_starts(tbl, [key_col]))
+    from .shuffle import hash_group_apply
+
+    return hash_group_apply(
+        events, [key_col], part, sort_cols=(ts_col, id_col)
     )
 
 

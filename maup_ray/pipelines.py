@@ -1165,6 +1165,284 @@ def q_rfm(sf_dir: str):
     )
 
 
+_DAY_US = 86_400_000_000
+
+
+def q_regression(sf_dir: str):
+    """Per-event-type OLS trend of value-cents over calendar day —
+    the drift monitor (is this signal creeping up?) of a curation
+    pipeline, on the exact-integer-moment discipline
+    (ops/stats.grouped_ols): x = epoch-days (µs // 86.4e9, exact floor
+    division mirrored by DuckDB `//`), y = cents; five int64 moment
+    partials per batch, Python-int driver merge, slope/intercept each
+    ONE mirrored HUGEINT→DOUBLE division."""
+    from .ops.stats import grouped_ols
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        from .ops.temporal import _ts_i64
+
+        x = _ts_i64(b["ts"]) // _DAY_US
+        y = pc.cast(
+            pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+        )
+        return pa.table(
+            {"event_type": b["event_type"], "x": pa.array(x), "y": y}
+        )
+
+    return grouped_ols(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "event_type", "x", "y",
+    )
+
+
+def q_autocorr(sf_dir: str):
+    """Per-user lag-1 autocorrelation of value-cents in (ts, event_id)
+    order (ops/temporal.grouped_autocorr): exact int64 pair moments
+    per user — num/d1/d2 hash-compare as integers — and r is the
+    kendall-validated IEEE dag num/sqrt(d1·d2)."""
+    from .ops.temporal import grouped_autocorr
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+                "v": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    out = grouped_autocorr(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    )
+    out = out if isinstance(out, pa.Table) else _collect(out)
+    return out.combine_chunks().sort_by([("user_id", "ascending")])
+
+
+GMEAN_Q = 1 << 30  # qlog_floor grid (ops/infotheory exactness tool)
+
+
+def q_geomean(sf_dir: str):
+    """Grouped geometric mean of positive value-cents per event_type
+    via the floor-quantized log: qlog_floor(v) = floor(ln(v)·2^30) is
+    bit-exact libm↔DuckDB at any magnitude (ops/infotheory tool), the
+    per-group Σqlog is an exact int64 (≤ n·35·2^30), and log_gmean is
+    ONE mirrored division Σqlog / (n·2^30). Deterministic error vs
+    the true log-mean < 2^-30 — the approx_percentiles sketch
+    discipline, not a float accumulation."""
+    from .ops.agg import grouped_sums_exact
+    from .ops.infotheory import qlog_floor
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        keep = v > 0
+        v = v[keep]
+        return pa.table(
+            {
+                "event_type": b["event_type"].filter(pa.array(keep)),
+                "q": pa.array(qlog_floor(v)),
+            }
+        )
+
+    rows = grouped_sums_exact(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type"], sum_cols=["q"], count_col="n",
+    )
+    rows.sort(key=lambda r: r["event_type"])
+    return pa.table(
+        {
+            "event_type": pa.array(
+                [r["event_type"] for r in rows], type=pa.string()
+            ),
+            "n": pa.array([int(r["n"]) for r in rows], type=pa.int64()),
+            "qlogsum": pa.array(
+                [int(r["q"]) for r in rows], type=pa.int64()
+            ),
+            "log_gmean": pa.array(
+                [
+                    float(int(r["q"])) / float(int(r["n"]) * GMEAN_Q)
+                    for r in rows
+                ],
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+SPATH_GAP_MIN = 360.0  # 6 h session gap (events avg ~2/user/day)
+SPATH_MIN_COUNT = 5
+
+
+def q_session_paths(sf_dir: str):
+    """Frequent session event-type paths (ops/sessions.session_paths):
+    6-hour-gap sessionization totalized by (ts, event_id), per-session
+    ordered path concat built vectorized (ListArray offsets +
+    binary_join), threshold-filtered counts — only paths with ≥ 5
+    sessions reach the driver."""
+    from .ops.sessions import session_paths
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    return session_paths(
+        ds, gap_minutes=SPATH_GAP_MIN, min_count=SPATH_MIN_COUNT
+    )
+
+
+DQ_VALUE_MAX = 400.0  # audit rule: plausible value ceiling
+
+
+def q_dq_audit(sf_dir: str):
+    """Data-quality audit — the constraint-validation report every
+    ingestion pipeline runs before training: six declarative rules
+    (null check, two range checks, FK orphan anti-join, PK uniqueness,
+    cross-table date ordering) each reduced to an exact violation
+    count; → (rule, violations), one row per rule. Zero-violation
+    rules stay in the report (a disappeared rule is itself a bug).
+
+    Scale shape: the three scan rules are per-batch counter partials
+    (corpus never shuffles); fk_orphans rides the semi/anti broadcast
+    plan (distinct key set moves once); dup_pk is count − exact
+    distinct (pair-dedup partials); ship_before_order joins through
+    the measured-size equi_join plan and counts per batch."""
+    import pyarrow.parquet as pq
+
+    from .ops.join import anti_join, equi_join
+
+    counts: dict[str, int] = {}
+
+    # -- scan rules -----------------------------------------------
+    ev = _read(sf_dir, "events", ["value"])
+
+    def ev_partial(b: pa.Table) -> pa.Table:
+        col = b["value"]
+        return pa.table(
+            {
+                "null_value": pa.array(
+                    [int(col.null_count)], type=pa.int64()
+                ),
+                "value_range": pa.array(
+                    [
+                        int(
+                            pc.sum(
+                                pc.greater(col, DQ_VALUE_MAX)
+                            ).as_py()
+                            or 0
+                        )
+                    ],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    evt = _collect(
+        ev.map_batches(ev_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    )
+    counts["null_value"] = int(pc.sum(evt["null_value"]).as_py() or 0)
+    counts["value_range"] = int(pc.sum(evt["value_range"]).as_py() or 0)
+
+    li = _read(sf_dir, "lineitem", ["l_quantity"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"]
+        bad = pc.or_(pc.less(q, 1.0), pc.greater(q, 50.0))
+        return pa.table(
+            {"qty_range": pa.array(
+                [int(pc.sum(bad).as_py() or 0)], type=pa.int64()
+            )}
+        )
+
+    lit = _collect(
+        li.map_batches(li_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    )
+    counts["qty_range"] = int(pc.sum(lit["qty_range"]).as_py() or 0)
+
+    # -- FK orphans: lineitem.l_orderkey ∉ orders ------------------
+    lkeys = _read(sf_dir, "lineitem", ["l_orderkey"])
+    okeys = _read(sf_dir, "orders", ["o_orderkey"])
+    counts["fk_orphans"] = int(
+        anti_join(lkeys, okeys, on="l_orderkey",
+                  right_on="o_orderkey").count()
+    )
+
+    # -- PK uniqueness: orders.o_orderkey --------------------------
+    from .ops.shuffle import hash_group_apply
+
+    def dedup_batch(b: pa.Table) -> pa.Table:
+        return b.group_by(["o_orderkey"], use_threads=False).aggregate([])
+
+    def count_part(tbl, starts):
+        k = len(starts) if tbl is not None else 0
+        return pa.table({"n_distinct": pa.array([k], type=pa.int64())})
+
+    import ray
+
+    o_ds = _read(sf_dir, "orders", ["o_orderkey"])
+    n_orders = int(o_ds.count())
+    refs = hash_group_apply(
+        o_ds.map_batches(dedup_batch, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["o_orderkey"], count_part, return_refs=True,
+    )
+    n_distinct = sum(
+        int(t["n_distinct"][0].as_py())
+        for t in ray.get(refs) if t is not None and t.num_rows
+    )
+    counts["dup_pk"] = n_orders - n_distinct
+
+    # -- cross-table ordering: l_shipdate < o_orderdate ------------
+    lship = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    n_ord = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n_ord <= 2_000_000:
+        odates = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate"],
+        )
+    else:
+        odates = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    joined = equi_join(
+        lship, odates, "l_orderkey", "o_orderkey", ["o_orderdate"]
+    )
+
+    def ship_partial(b: pa.Table) -> pa.Table:
+        bad = pc.less(b["l_shipdate"], b["o_orderdate"])
+        return pa.table(
+            {"c": pa.array(
+                [int(pc.sum(bad).as_py() or 0)], type=pa.int64()
+            )}
+        )
+
+    st = _collect(
+        joined.map_batches(ship_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    )
+    counts["ship_before_order"] = int(pc.sum(st["c"]).as_py() or 0)
+
+    rules = sorted(counts)
+    return pa.table(
+        {
+            "rule": pa.array(rules, type=pa.string()),
+            "violations": pa.array(
+                [counts[r] for r in rules], type=pa.int64()
+            ),
+        }
+    )
+
+
 IMPUTE_MOD = 13  # deterministic missingness marker (event_id % 13 == 0)
 
 
@@ -6920,6 +7198,16 @@ def query_registry():
         "type_entropy": q_type_entropy,
         "flag_mi": q_flag_mi,
         "lang_chi2": q_lang_chi2,
+        # per-type OLS drift trend (ops/stats.grouped_ols)
+        "regression": q_regression,
+        # per-user lag-1 autocorrelation (ops/temporal.py)
+        "autocorr": q_autocorr,
+        # quantized-log geometric mean
+        "geomean": q_geomean,
+        # frequent session event paths (ops/sessions.py)
+        "session_paths": q_session_paths,
+        # declarative data-quality audit report
+        "dq_audit": q_dq_audit,
         # TPC-H shape completion (all SQL-oracled; pipelines_tpch.py)
         **_tpch_queries(),
     }
@@ -9691,6 +9979,120 @@ def oracle_queries() -> dict[str, str]:
                    CAST(CAST(sum(rev_u) AS HUGEINT) AS DOUBLE)
                      AS revenue_u
             FROM r
+        """,
+        "regression": """
+            WITH e AS (SELECT event_type,
+                    epoch_us(ts) // 86400000000 AS x,
+                    CAST(round(value*100, 0) AS BIGINT) AS y
+               FROM events),
+            a AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                    CAST(sum(x) AS HUGEINT) AS sx,
+                    CAST(sum(y) AS HUGEINT) AS sy,
+                    CAST(sum(x*x) AS HUGEINT) AS sxx,
+                    CAST(sum(x*y) AS HUGEINT) AS sxy
+                  FROM e GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+               CASE WHEN n*sxx - sx*sx <> 0 THEN
+                 CAST(n*sxy - sx*sy AS DOUBLE)
+                   / CAST(n*sxx - sx*sx AS DOUBLE) END AS slope,
+               CASE WHEN n*sxx - sx*sx <> 0 THEN
+                 CAST(sy*sxx - sx*sxy AS DOUBLE)
+                   / CAST(n*sxx - sx*sx AS DOUBLE) END AS intercept
+            FROM a ORDER BY event_type
+        """,
+        "autocorr": """
+            WITH v AS (SELECT user_id, ts, event_id,
+                    CAST(round(value*100, 0) AS BIGINT) AS y
+               FROM events),
+            p AS (SELECT user_id, y,
+                    lag(y) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS x
+                  FROM v),
+            a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS m,
+                    CAST(sum(x) AS BIGINT) AS sx,
+                    CAST(sum(y) AS BIGINT) AS sy,
+                    CAST(sum(x*x) AS BIGINT) AS sxx,
+                    CAST(sum(y*y) AS BIGINT) AS syy,
+                    CAST(sum(x*y) AS BIGINT) AS sxy
+                  FROM p WHERE x IS NOT NULL GROUP BY user_id
+                  HAVING count(*) >= 2)
+            SELECT user_id, m,
+               m*sxy - sx*sy AS num,
+               m*sxx - sx*sx AS d1,
+               m*syy - sy*sy AS d2,
+               CASE WHEN m*sxx - sx*sx > 0 AND m*syy - sy*sy > 0 THEN
+                 CAST(m*sxy - sx*sy AS DOUBLE)
+                   / sqrt(CAST(m*sxx - sx*sx AS DOUBLE)
+                          * CAST(m*syy - sy*sy AS DOUBLE))
+               END AS r
+            FROM a ORDER BY user_id
+        """,
+        "geomean": """
+            WITH e AS (SELECT event_type,
+                    CAST(floor(ln(CAST(CAST(round(value*100, 0)
+                                             AS BIGINT) AS DOUBLE))
+                               * 1073741824.0) AS BIGINT) AS q
+               FROM events
+               WHERE CAST(round(value*100, 0) AS BIGINT) > 0)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(q) AS BIGINT) AS qlogsum,
+                   CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)
+                     / CAST(count(*) * 1073741824 AS DOUBLE)
+                     AS log_gmean
+            FROM e GROUP BY event_type ORDER BY event_type
+        """,
+        "session_paths": f"""
+            WITH ordered AS (
+              SELECT user_id, ts, event_id, event_type,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > {int(SPATH_GAP_MIN * 60 * 1_000_000)}
+                     THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, event_id)),
+            tagged AS (
+              SELECT *, sum(is_new) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sid
+              FROM ordered),
+            paths AS (
+              SELECT user_id, sid,
+                     string_agg(event_type, ' '
+                                ORDER BY ts, event_id) AS path
+              FROM tagged GROUP BY user_id, sid)
+            SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM paths GROUP BY path
+            HAVING count(*) >= {SPATH_MIN_COUNT}
+            ORDER BY path
+        """,
+        "dq_audit": f"""
+            WITH
+            r1 AS (SELECT 'null_value' AS rule,
+                     CAST(count(*) FILTER (WHERE value IS NULL)
+                          AS BIGINT) AS violations FROM events),
+            r2 AS (SELECT 'value_range',
+                     CAST(count(*) FILTER (WHERE value > {DQ_VALUE_MAX})
+                          AS BIGINT) FROM events),
+            r3 AS (SELECT 'qty_range',
+                     CAST(count(*) FILTER
+                          (WHERE l_quantity < 1.0 OR l_quantity > 50.0)
+                          AS BIGINT) FROM lineitem),
+            r4 AS (SELECT 'fk_orphans', CAST(count(*) AS BIGINT)
+                   FROM lineitem l LEFT JOIN orders o
+                     ON l.l_orderkey = o.o_orderkey
+                   WHERE o.o_orderkey IS NULL),
+            r5 AS (SELECT 'dup_pk',
+                     CAST(count(*) - count(DISTINCT o_orderkey)
+                          AS BIGINT) FROM orders),
+            r6 AS (SELECT 'ship_before_order', CAST(count(*) AS BIGINT)
+                   FROM lineitem l JOIN orders o
+                     ON l.l_orderkey = o.o_orderkey
+                   WHERE l.l_shipdate < o.o_orderdate)
+            SELECT * FROM r1 UNION ALL SELECT * FROM r2
+            UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+            UNION ALL SELECT * FROM r5 UNION ALL SELECT * FROM r6
+            ORDER BY rule
         """,
         **_tpch_oracles(),
     }
