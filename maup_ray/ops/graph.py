@@ -48,7 +48,7 @@ import pyarrow as pa
 from .shuffle import _choose_partitions, _hash_keys, _split_block
 
 __all__ = ["pagerank", "triangle_count", "clustering_coefficients",
-           "bfs_hops", "sssp", "kcore"]
+           "bfs_hops", "sssp", "kcore", "link_prediction"]
 
 
 def _propagate_part(
@@ -1068,4 +1068,202 @@ def kcore(
 
     return ray.data.from_arrow_refs(node_parts).map_batches(
         survivors, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def link_prediction(edges_ds, src: str = "u", dst: str = "v",
+                    min_common: int = 2):
+    """Common-neighbor / neighborhood-Jaccard link prediction over an
+    undirected graph: for every NON-adjacent node pair (a < b) with
+    ``common = |N(a) ∩ N(b)| >= min_common``, emit
+
+        (a, b, common, da, db, jaccard)
+        jaccard = common / (da + db − common)
+
+    — the classic friend-of-friend candidate scorer. All counts are
+    exact integers; jaccard is ONE mirrored CAST/CAST division.
+
+    Scale shape (three keyed exchanges, all pre-combined):
+      1. center-keyed: symmetrized (w, x) rows dedup globally per
+         center (w-keyed ⇒ a node's whole neighborhood is local), so
+         each group's size IS the final degree; every neighbor pair
+         (x_i < x_j) leaves as a wedge row, adjacency rows (w < x)
+         are flagged along, and (node, deg) rows ride the same table.
+      2. pair-keyed: wedges count into ``common`` per (a, b); pairs
+         with an adjacency flag or common < min_common die HERE — only
+         candidate links (a tiny set by construction) survive.
+      3. degree tag-back: the degree Dataset is corpus-sized, so it is
+         never collected — it semi-joins against the candidate node
+         set (bounded by 2·|candidates|) and only THAT slice reaches
+         the driver to broadcast into the final map.
+
+    Hot-node caveat (triangle_count discipline): a degree-d center
+    emits d(d−1)/2 wedges — bound the max degree upstream (or salt
+    celebrity nodes) before calling.
+    """
+    import ray
+
+    from .shuffle import hash_group_apply
+
+    def sym(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = b[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table(
+            {
+                "w": pa.array(np.concatenate([u, v])),
+                "x": pa.array(np.concatenate([v, u])),
+            }
+        )
+
+    symd = edges_ds.map_batches(
+        sym, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    _EMPTY1 = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("kind", pa.int8())]
+    )
+
+    def center_part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        # kind 0 = wedge pair (a<b), 1 = adjacency pair (a<b),
+        # 2 = degree row (a=node, b=deg)
+        if tbl is None or tbl.num_rows == 0:
+            return _EMPTY1.empty_table()
+        w = tbl["w"].to_numpy(zero_copy_only=False)
+        x = tbl["x"].to_numpy(zero_copy_only=False)
+        keep = np.empty(len(w), dtype=bool)
+        keep[0] = True
+        keep[1:] = (w[1:] != w[:-1]) | (x[1:] != x[:-1])
+        w, x = w[keep], x[keep]
+        n = len(w)
+        gs = np.flatnonzero(np.concatenate(([True], w[1:] != w[:-1])))
+        ends = np.append(gs[1:], n)
+        deg = ends - gs
+        # neighbor pairs of each center: x is sorted within the group,
+        # so (x[left], x[right]) with left < right is already (a < b)
+        rights = np.repeat(ends, deg) - np.arange(n) - 1
+        total = int(rights.sum())
+        if total:
+            left = np.repeat(np.arange(n), rights)
+            offs = np.cumsum(rights) - rights
+            right = (
+                np.arange(total)
+                - np.repeat(offs, rights)
+                + np.repeat(np.arange(n) + 1, rights)
+            )
+            wa, wb = x[left], x[right]
+        else:
+            wa = wb = np.empty(0, dtype=np.int64)
+        adj = w < x  # each undirected edge flagged once (lower side)
+        a = np.concatenate([wa, w[adj], w[gs]]).astype(np.int64)
+        b = np.concatenate([wb, x[adj], deg]).astype(np.int64)
+        kind = np.concatenate(
+            [
+                np.zeros(total, dtype=np.int8),
+                np.ones(int(adj.sum()), dtype=np.int8),
+                np.full(len(gs), 2, dtype=np.int8),
+            ]
+        )
+        return pa.table(
+            {"a": pa.array(a), "b": pa.array(b), "kind": pa.array(kind)}
+        )
+
+    mixed = hash_group_apply(symd, ["w"], center_part, sort_cols=["x"])
+
+    def split_deg(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = batch.filter(pc.equal(batch["kind"], 2))
+        return pa.table(
+            {"node": d["a"], "deg": d["b"]}
+        )
+
+    def split_pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.not_equal(batch["kind"], 2))
+
+    mixed = mixed.materialize()
+    degrees = mixed.map_batches(
+        split_deg, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = mixed.map_batches(
+        split_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    _EMPTY2 = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("common", pa.int64())]
+    )
+
+    def pair_part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None or tbl.num_rows == 0:
+            return _EMPTY2.empty_table()
+        starts = np.asarray(starts, dtype=np.int64)
+        kind = tbl["kind"].to_numpy(zero_copy_only=False)
+        n = tbl.num_rows
+        sizes = np.diff(np.append(starts, n))
+        is_adj = np.add.reduceat(
+            (kind == 1).astype(np.int64), starts
+        ) > 0
+        common = np.add.reduceat((kind == 0).astype(np.int64), starts)
+        keep = (~is_adj) & (common >= min_common)
+        return pa.table(
+            {
+                "a": tbl["a"].take(pa.array(starts[keep])),
+                "b": tbl["b"].take(pa.array(starts[keep])),
+                "common": pa.array(common[keep]),
+            }
+        )
+
+    refs = hash_group_apply(pairs, ["a", "b"], pair_part,
+                            return_refs=True)
+    tabs = [t for t in ray.get(refs) if t is not None and t.num_rows]
+    if not tabs:
+        cand = _EMPTY2.empty_table()
+    else:
+        cand = pa.concat_tables(tabs).combine_chunks().sort_by(
+            [("a", "ascending"), ("b", "ascending")]
+        )
+    # degree tag-back: only candidate nodes' degrees leave the Dataset
+    need = pa.compute.unique(
+        pa.concat_arrays(
+            [cand["a"].combine_chunks(), cand["b"].combine_chunks()]
+        )
+    )
+    from .join import semi_join
+
+    deg_small_ds = semi_join(
+        degrees, pa.table({"node": need}), on="node"
+    )
+    dtabs = [
+        t
+        for t in ray.get(deg_small_ds.materialize().to_arrow_refs())
+        if t.num_rows
+    ]
+    dmap = {}
+    for t in dtabs:
+        for node, dg in zip(
+            t["node"].to_numpy(zero_copy_only=False),
+            t["deg"].to_numpy(zero_copy_only=False),
+        ):
+            dmap[int(node)] = int(dg)
+    av = cand["a"].to_numpy(zero_copy_only=False)
+    bv = cand["b"].to_numpy(zero_copy_only=False)
+    cv = cand["common"].to_numpy(zero_copy_only=False)
+    da = np.array([dmap[int(z)] for z in av], dtype=np.int64)
+    db = np.array([dmap[int(z)] for z in bv], dtype=np.int64)
+    union = da + db - cv
+    jac = cv.astype(np.float64) / union.astype(np.float64)
+    return pa.table(
+        {
+            "a": cand["a"],
+            "b": cand["b"],
+            "common": cand["common"],
+            "da": pa.array(da),
+            "db": pa.array(db),
+            "jaccard": pa.array(jac, type=pa.float64()),
+        }
     )

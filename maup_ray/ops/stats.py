@@ -44,7 +44,7 @@ import pyarrow as pa
 
 __all__ = ["grouped_spearman", "grouped_impurity",
            "grouped_gini", "grouped_weighted_median", "grouped_mad",
-           "grouped_mode", "grouped_ols"]
+           "grouped_mode", "grouped_ols", "grouped_ttest"]
 
 
 def _int64_safe(bound: int) -> bool:
@@ -729,5 +729,97 @@ def grouped_ols(ds, key: str, x_col: str, y_col: str) -> pa.Table:
             "n": pa.array(ns, type=pa.int64()),
             "slope": pa.array(slopes, type=pa.float64()),
             "intercept": pa.array(icepts, type=pa.float64()),
+        }
+    )
+
+
+def grouped_ttest(ds, key: str, cohort_col: str, value_col: str) -> pa.Table:
+    """Grouped two-sample pooled t² statistic — the A/B-experiment
+    readout (is cohort 1's mean different from cohort 0's?), exact:
+    with per-cohort integer moments (n_i, s_i = Σv, q_i = Σv²),
+
+        A  = n1·q1 − s1²          (cohort-1 scaled SS)
+        B  = n0·q0 − s0²
+        D  = s1·n0 − s0·n1        (scaled mean difference)
+        t² = D²·(n0+n1−2) / ((A·n0 + B·n1)·(n0+n1))
+
+    — the pooled-variance Student t squared, derived so numerator and
+    denominator are EXACT integers (Python ints on the driver merge,
+    HUGEINT in the SQL mirror) and t² is ONE correctly-rounded
+    division. mean0/mean1 are likewise single mirrored divisions.
+    Groups where either cohort has < 2 rows, or with zero pooled
+    variance, emit null t².
+
+    ``cohort_col`` must be 0/1 int64. Scale shape: per-batch Arrow
+    (key, cohort) moment partials; the corpus never shuffles
+    (grouped_sums_exact low-cardinality-key contract).
+    """
+    from .agg import grouped_sums_exact
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v):
+            mv = int(np.abs(v).max())
+            if mv * mv * len(v) >= (1 << 62):
+                raise AssertionError(
+                    "grouped_ttest: per-batch Σv² bound exceeded — "
+                    "rescale the value column"
+                )
+        return pa.table(
+            {
+                key: b[key],
+                cohort_col: b[cohort_col],
+                "s": pa.array(v),
+                "q": pa.array(v * v),
+            }
+        )
+
+    if isinstance(ds, pa.Table):
+        g = partial(ds).group_by(
+            [key, cohort_col], use_threads=False
+        ).aggregate([("s", "sum"), ("q", "sum"), ([], "count_all")])
+        g = g.rename_columns([key, cohort_col, "s", "q", "n"])
+        rows = g.to_pylist()
+    else:
+        rows = grouped_sums_exact(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            [key, cohort_col], sum_cols=["s", "q"], count_col="n",
+        )
+    sides: dict = {}
+    for r in rows:
+        sides.setdefault(r[key], {})[int(r[cohort_col])] = (
+            int(r["n"]), int(r["s"]), int(r["q"])
+        )
+    ks = sorted(sides)
+    n0s, n1s, m0s, m1s, tsqs = [], [], [], [], []
+    for k in ks:
+        n0, s0, q0 = sides[k].get(0, (0, 0, 0))
+        n1, s1, q1 = sides[k].get(1, (0, 0, 0))
+        n0s.append(n0)
+        n1s.append(n1)
+        m0s.append(float(s0) / float(n0) if n0 else None)
+        m1s.append(float(s1) / float(n1) if n1 else None)
+        if n0 < 2 or n1 < 2:
+            tsqs.append(None)
+            continue
+        A = n1 * q1 - s1 * s1
+        B = n0 * q0 - s0 * s0
+        D = s1 * n0 - s0 * n1
+        den = (A * n0 + B * n1) * (n0 + n1)
+        tsqs.append(
+            float(D * D * (n0 + n1 - 2)) / float(den)
+            if den > 0
+            else None
+        )
+    key_type = pa.int64() if ks and isinstance(ks[0], int) else pa.string()
+    return pa.table(
+        {
+            key: pa.array(ks, type=key_type),
+            "n0": pa.array(n0s, type=pa.int64()),
+            "n1": pa.array(n1s, type=pa.int64()),
+            "mean0": pa.array(m0s, type=pa.float64()),
+            "mean1": pa.array(m1s, type=pa.float64()),
+            "tsq": pa.array(tsqs, type=pa.float64()),
         }
     )

@@ -40,6 +40,7 @@ __all__ = [
     "global_row_number",
     "rolling_z_flags",
     "grouped_streaks",
+    "grouped_rolling_median",
 ]
 
 
@@ -704,3 +705,89 @@ def grouped_streaks(
         )
 
     return hash_group_apply(pruned, [key], part, sort_cols=("_day",))
+
+
+def grouped_rolling_median(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window: int = 5,
+):
+    """Per-key rolling median over the last ``window`` rows (ROWS
+    ``window−1`` PRECEDING .. CURRENT ROW) in ``(ts, id)`` order — the
+    robust smoother a monitoring pipeline runs where a rolling mean
+    would chase outliers. ``value_col`` must be integer (cents
+    discipline).
+
+    Exactness: each row's window holds ≤ ``window`` exact ints; an odd
+    effective window's median IS one of them (exact), an even one's is
+    ``a + (b − a)·0.5`` of the two middles — a dyadic-exact IEEE dag
+    that mirrors DuckDB's ``quantile_cont(0.5)`` interpolation
+    token-for-token (and equals (a+b)/2 exactly for ints < 2^52).
+    Warm-up rows (pos < window−1) use their shorter prefix window,
+    matching the SQL ROWS frame.
+
+    Scale shape: one keyed hash exchange of the pruned projection;
+    per partition ONE (n × window) shifted matrix is built and sorted
+    row-wise (np.sort, O(n·w·log w)) — no per-row loop, memory bounded
+    by window × partition rows. → (id, key, ts, med) per input row.
+    """
+    if window < 1:
+        raise ValueError("grouped_rolling_median: window must be >= 1")
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        ts_type = (
+            tbl.schema.field(ts_col).type
+            if tbl is not None
+            else pa.timestamp("us")
+        )
+        schema = pa.schema(
+            [
+                (id_col, pa.int64()),
+                (key_col, pa.int64()),
+                (ts_col, ts_type),
+                ("med", pa.float64()),
+            ]
+        )
+        if tbl is None or tbl.num_rows == 0:
+            return schema.empty_table()
+        n = tbl.num_rows
+        starts = np.asarray(starts, dtype=np.int64)
+        sizes = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        v = tbl[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        M = np.full((n, window), np.inf)
+        M[:, 0] = v
+        for j in range(1, window):
+            M[j:, j] = v[:-j]
+            M[pos < j, j] = np.inf
+        S = np.sort(M, axis=1)
+        w_eff = np.minimum(pos + 1, window)
+        rows = np.arange(n)
+        odd = (w_eff % 2) == 1
+        mid = S[rows, (w_eff - 1) // 2]
+        lo = S[rows, np.maximum(w_eff // 2 - 1, 0)]
+        hi = S[rows, w_eff // 2]
+        med = np.where(odd, mid, lo + (hi - lo) * 0.5)
+        return pa.table(
+            {
+                id_col: tbl[id_col],
+                key_col: tbl[key_col],
+                ts_col: tbl[ts_col],
+                "med": pa.array(med, type=pa.float64()),
+            }
+        )
+
+    if isinstance(ds, pa.Table):
+        t = ds.combine_chunks().sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"),
+             (id_col, "ascending")]
+        )
+        return part(t, group_starts(t, [key_col]))
+    return hash_group_apply(
+        ds, [key_col], part, sort_cols=(ts_col, id_col)
+    )

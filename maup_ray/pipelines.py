@@ -1443,6 +1443,215 @@ def q_dq_audit(sf_dir: str):
     )
 
 
+def q_link_pred(sf_dir: str):
+    """Neighborhood-Jaccard link prediction
+    (ops/graph.link_prediction) over the _tri_edge_ds synthetic graph:
+    non-adjacent pairs with ≥2 common neighbors, scored
+    common/(da+db−common). Counts exact; jaccard one mirrored
+    division; degrees tag back through a candidate-set semi-join (the
+    corpus-sized degree table is never collected)."""
+    from .ops.graph import link_prediction
+
+    return link_prediction(_tri_edge_ds(sf_dir), min_common=2)
+
+
+RMED_WINDOW = 5  # rolling-median ROWS frame (4 preceding + current)
+
+
+def q_rolling_median(sf_dir: str):
+    """Per-user rolling 5-row median of value-cents in (ts, event_id)
+    order (ops/window.grouped_rolling_median) — exact int medians /
+    dyadic even-window halves, mirroring the SQL ROWS-frame
+    quantile_cont(0.5) bit-for-bit."""
+    from .ops.window import grouped_rolling_median
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "v": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return grouped_rolling_median(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", "ts", "event_id", "v", window=RMED_WINDOW,
+    )
+
+
+def q_ab_test(sf_dir: str):
+    """Two-sample pooled t² per event_type (ops/stats.grouped_ttest):
+    cohort = user_id % 2 (the deterministic A/B split), value-cents.
+    t² = D²·(n0+n1−2)/((A·n0+B·n1)·(n0+n1)) — numerator and
+    denominator exact integers, ONE mirrored division."""
+    from .ops.stats import grouped_ttest
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy()
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "cohort": pa.array((u % 2).astype(np.int64)),
+                "v": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return grouped_ttest(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "event_type", "cohort", "v",
+    )
+
+
+def q_growth(sf_dir: str):
+    """Day-over-day revenue growth per event_type: exact integer-cents
+    daily sums (grouped_sums_exact — only ≤ types×days partial rows
+    reach the driver), then growth = (rev − prev)/prev as one mirrored
+    division per row over the tiny result; first day (or prev = 0) is
+    null. Days are exact epoch-day integers → date32."""
+    from .ops.agg import grouped_sums_exact
+    from .ops.temporal import _ts_i64
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "day": pa.array(
+                    (_ts_i64(b["ts"]) // _DAY_US).astype(np.int32)
+                ),
+                "rev": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    rows = grouped_sums_exact(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "day"], sum_cols=["rev"],
+    )
+    rows.sort(key=lambda r: (r["event_type"], r["day"]))
+    ets = [r["event_type"] for r in rows]
+    days = [int(r["day"]) for r in rows]
+    revs = [int(r["rev"]) for r in rows]
+    growth = []
+    for i, (et, rev) in enumerate(zip(ets, revs)):
+        if i > 0 and ets[i - 1] == et and revs[i - 1] != 0:
+            growth.append(
+                float(rev - revs[i - 1]) / float(revs[i - 1])
+            )
+        else:
+            growth.append(None)
+    return pa.table(
+        {
+            "event_type": pa.array(ets, type=pa.string()),
+            "day": pa.array(
+                np.asarray(days, dtype=np.int32), type=pa.date32()
+            ),
+            "rev": pa.array(revs, type=pa.int64()),
+            "growth": pa.array(growth, type=pa.float64()),
+        }
+    )
+
+
+EQ_CODES = 255  # int8 quantization grid (code = floor((v-min)·255/span))
+
+
+def q_embed_quant(sf_dir: str):
+    """Scalar int8-quantization audit of the embedding table — the
+    pre-deployment check of a vector-index build: per dimension, the
+    exact float min/max (order-independent selections) and the number
+    of DISTINCT codes the dimension actually uses under
+    code = min(floor((v−min)·255/(max−min)), 255). The code expression
+    is a fixed IEEE dag mirrored token-for-token in SQL (float32 →
+    float64 casts are exact); distinct counting rides
+    grouped_distinct_count (per-batch pair dedup, one 16 B/row pair
+    shuffle — the corpus never gathers)."""
+    from .ops.curate import grouped_distinct_count
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def mat(b: pa.Table) -> np.ndarray:
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        width = len(col[0])
+        return np.asarray(
+            col.flatten(), dtype=np.float64
+        ).reshape(-1, width)
+
+    def minmax_part(b: pa.Table) -> pa.Table:
+        E = mat(b)
+        d = E.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "vmin": pa.array(E.min(axis=0)),
+                "vmax": pa.array(E.max(axis=0)),
+            }
+        )
+
+    mm = _collect(
+        ds.map_batches(minmax_part, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    )
+    g = mm.group_by(["dim"], use_threads=False).aggregate(
+        [("vmin", "min"), ("vmax", "max")]
+    ).rename_columns(["dim", "vmin", "vmax"]).sort_by("dim")
+    mn = g["vmin"].to_numpy()
+    mx = g["vmax"].to_numpy()
+    if not (mx > mn).all():
+        raise AssertionError(
+            "embed_quant: constant dimension (vmax == vmin) — the "
+            "quantizer span is zero"
+        )
+
+    def codes_part(b: pa.Table) -> pa.Table:
+        E = mat(b)
+        c = np.minimum(
+            np.floor((E - mn) * 255.0 / (mx - mn)), float(EQ_CODES)
+        ).astype(np.int64)
+        d = E.shape[1]
+        t = pa.table(
+            {
+                "dim": pa.array(
+                    np.tile(np.arange(1, d + 1, dtype=np.int64),
+                            E.shape[0])
+                ),
+                "code": pa.array(c.ravel()),
+            }
+        )
+        return t.group_by(["dim", "code"], use_threads=False).aggregate([])
+
+    pairs = ds.map_batches(
+        codes_part, batch_format="pyarrow", zero_copy_batch=True
+    )
+    nc = grouped_distinct_count(pairs, "dim", "code",
+                                count_col="n_codes")
+    assert nc["dim"].to_pylist() == g["dim"].to_pylist()
+    return pa.table(
+        {
+            "dim": g["dim"],
+            "vmin": g["vmin"],
+            "vmax": g["vmax"],
+            "n_codes": nc["n_codes"],
+        }
+    )
+
+
 IMPUTE_MOD = 13  # deterministic missingness marker (event_id % 13 == 0)
 
 
@@ -7208,6 +7417,16 @@ def query_registry():
         "session_paths": q_session_paths,
         # declarative data-quality audit report
         "dq_audit": q_dq_audit,
+        # friend-of-friend link prediction (ops/graph.py)
+        "link_pred": q_link_pred,
+        # per-user rolling 5-row median (ops/window.py)
+        "rolling_median": q_rolling_median,
+        # grouped two-sample pooled t² A/B readout (ops/stats.py)
+        "ab_test": q_ab_test,
+        # day-over-day revenue growth per event_type
+        "growth": q_growth,
+        # int8 scalar-quantization audit of the embedding table
+        "embed_quant": q_embed_quant,
         # TPC-H shape completion (all SQL-oracled; pipelines_tpch.py)
         **_tpch_queries(),
     }
@@ -10065,6 +10284,132 @@ def oracle_queries() -> dict[str, str]:
             FROM paths GROUP BY path
             HAVING count(*) >= {SPATH_MIN_COUNT}
             ORDER BY path
+        """,
+        "link_pred": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e0 AS (
+              SELECT doc_id AS i, (doc_id + 1) % nn.n AS j
+              FROM documents, nn
+              UNION ALL
+              SELECT doc_id, (doc_id + 2) % nn.n FROM documents, nn
+              UNION ALL
+              SELECT doc_id, (doc_id * 7 + 3) % nn.n
+              FROM documents, nn),
+            sym AS (SELECT i AS w, j AS x FROM e0 WHERE i <> j
+                    UNION
+                    SELECT j, i FROM e0 WHERE i <> j),
+            deg AS (SELECT w AS node, count(*) AS deg
+                    FROM sym GROUP BY w),
+            cn AS (SELECT s1.x AS a, s2.x AS b,
+                          CAST(count(*) AS BIGINT) AS common
+                   FROM sym s1 JOIN sym s2
+                     ON s1.w = s2.w AND s1.x < s2.x
+                   GROUP BY s1.x, s2.x HAVING count(*) >= 2),
+            adj AS (SELECT DISTINCT least(w, x) AS a,
+                           greatest(w, x) AS b FROM sym),
+            cand AS (SELECT cn.a, cn.b, cn.common FROM cn
+                     LEFT JOIN adj
+                       ON cn.a = adj.a AND cn.b = adj.b
+                     WHERE adj.a IS NULL)
+            SELECT cand.a, cand.b, common,
+                   CAST(d1.deg AS BIGINT) AS da,
+                   CAST(d2.deg AS BIGINT) AS db,
+                   CAST(common AS DOUBLE)
+                     / CAST(d1.deg + d2.deg - common AS DOUBLE)
+                     AS jaccard
+            FROM cand
+            JOIN deg d1 ON cand.a = d1.node
+            JOIN deg d2 ON cand.b = d2.node
+            ORDER BY cand.a, cand.b
+        """,
+        # rolling_median: the window holds exact int cents < 2^52, so
+        # DuckDB's quantile_cont(0.5) interpolation (lo·(1−f)+hi·f,
+        # f=0.5) and the engine's lo+(hi−lo)·0.5 both equal the exact
+        # dyadic (lo+hi)/2 — bit-identical despite different dags.
+        "rolling_median": f"""
+            SELECT event_id, user_id, ts,
+                   quantile_cont(CAST(round(value * 100, 0) AS BIGINT),
+                                 0.5) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {RMED_WINDOW - 1} PRECEDING
+                          AND CURRENT ROW
+                   ) AS med
+            FROM events
+        """,
+        "ab_test": """
+            WITH v AS (SELECT event_type, user_id % 2 AS cohort,
+                              CAST(round(value * 100, 0) AS BIGINT)
+                                AS val
+                       FROM events),
+            m AS (SELECT event_type,
+                    CAST(count(*) FILTER (cohort = 0) AS HUGEINT) AS n0,
+                    CAST(count(*) FILTER (cohort = 1) AS HUGEINT) AS n1,
+                    CAST(coalesce(sum(val) FILTER (cohort = 0), 0)
+                         AS HUGEINT) AS s0,
+                    CAST(coalesce(sum(val) FILTER (cohort = 1), 0)
+                         AS HUGEINT) AS s1,
+                    CAST(coalesce(sum(val * val) FILTER (cohort = 0), 0)
+                         AS HUGEINT) AS q0,
+                    CAST(coalesce(sum(val * val) FILTER (cohort = 1), 0)
+                         AS HUGEINT) AS q1
+                  FROM v GROUP BY event_type)
+            SELECT event_type,
+                   CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+                   CASE WHEN n0 > 0 THEN
+                     CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                   END AS mean0,
+                   CASE WHEN n1 > 0 THEN
+                     CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   END AS mean1,
+                   CASE WHEN n0 >= 2 AND n1 >= 2 AND
+                     ((n1 * q1 - s1 * s1) * n0
+                      + (n0 * q0 - s0 * s0) * n1) * (n0 + n1) > 0
+                   THEN
+                     CAST((s1 * n0 - s0 * n1) * (s1 * n0 - s0 * n1)
+                          * (n0 + n1 - 2) AS DOUBLE)
+                     / CAST(((n1 * q1 - s1 * s1) * n0
+                             + (n0 * q0 - s0 * s0) * n1)
+                            * (n0 + n1) AS DOUBLE)
+                   END AS tsq
+            FROM m ORDER BY event_type
+        """,
+        "growth": """
+            WITH d AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                          AS BIGINT) AS rev
+              FROM events GROUP BY event_type, day)
+            SELECT event_type, day, rev,
+                   CASE WHEN prev IS NOT NULL AND prev <> 0 THEN
+                     CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE)
+                   END AS growth
+            FROM (SELECT event_type, day, rev,
+                         lag(rev) OVER (PARTITION BY event_type
+                                        ORDER BY day) AS prev
+                  FROM d)
+            ORDER BY event_type, day
+        """,
+        "embed_quant": f"""
+            WITH v AS (SELECT
+                         CAST(unnest(embedding) AS DOUBLE) AS v,
+                         CAST(generate_subscripts(embedding, 1)
+                              AS BIGINT) AS dim
+                       FROM embeddings),
+            mm AS (SELECT dim, min(v) AS vmin, max(v) AS vmax
+                   FROM v GROUP BY dim),
+            c AS (SELECT v.dim,
+                         CAST(least(floor((v.v - mm.vmin) * 255.0
+                                          / (mm.vmax - mm.vmin)),
+                                    CAST({EQ_CODES} AS DOUBLE))
+                              AS BIGINT) AS code
+                  FROM v JOIN mm ON v.dim = mm.dim)
+            SELECT mm.dim, mm.vmin, mm.vmax, nc.n_codes
+            FROM mm JOIN (SELECT dim,
+                                 CAST(count(DISTINCT code) AS BIGINT)
+                                   AS n_codes
+                          FROM c GROUP BY dim) nc
+              ON mm.dim = nc.dim
+            ORDER BY mm.dim
         """,
         "dq_audit": f"""
             WITH

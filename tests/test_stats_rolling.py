@@ -1,0 +1,167 @@
+"""ops/window.grouped_rolling_median and ops/stats.grouped_ttest —
+brute-force pandas/statistics replicas + partition invariance +
+warm-up/degenerate-cohort edge cases."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from maup_ray.ops.stats import grouped_ttest
+from maup_ray.ops.window import grouped_rolling_median
+
+
+def _collect(ds) -> pd.DataFrame:
+    import ray
+
+    if isinstance(ds, pa.Table):
+        return ds.to_pandas()
+    tabs = [ray.get(r) for r in ds.materialize().to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_rows] or tabs[:1]
+    return pa.concat_tables(tabs).to_pandas()
+
+
+class TestGroupedRollingMedian:
+    def _brute(self, df, window):
+        out = {}
+        for k, g in df.groupby("k"):
+            g = g.sort_values(["ts", "i"]).reset_index(drop=True)
+            for r in range(len(g)):
+                w = np.sort(
+                    g["v"].iloc[max(0, r - window + 1): r + 1]
+                    .to_numpy()
+                    .astype(np.float64)
+                )
+                n = len(w)
+                if n % 2 == 1:
+                    med = float(w[(n - 1) // 2])
+                else:
+                    lo, hi = w[n // 2 - 1], w[n // 2]
+                    med = float(lo + (hi - lo) * 0.5)
+                out[(int(k), int(g["i"].iloc[r]))] = med
+        return out
+
+    def test_matches_brute(self, ray_session):
+        import ray.data
+
+        rng = np.random.RandomState(11)
+        n = 3000
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 17, n).astype(np.int64),
+                "ts": rng.randint(0, 400, n).astype(np.int64),
+                "i": np.arange(n, dtype=np.int64),
+                "v": rng.randint(-500, 500, n).astype(np.int64),
+            }
+        )
+        for window in (1, 4, 5):
+            got = _collect(
+                grouped_rolling_median(
+                    ray.data.from_pandas(df).repartition(6),
+                    "k", "ts", "i", "v", window=window,
+                )
+            )
+            want = self._brute(df, window)
+            assert len(got) == n
+            for _, r in got.iterrows():
+                assert want[(int(r["k"]), int(r["i"]))] == r["med"], (
+                    r["k"], r["i"], window)
+
+    def test_table_path_and_warmup(self, ray_session):
+        # warm-up rows use the shorter prefix frame (SQL ROWS parity)
+        t = pa.table(
+            {
+                "k": pa.array([1] * 5, type=pa.int64()),
+                "ts": pa.array(range(5), type=pa.int64()),
+                "i": pa.array(range(5), type=pa.int64()),
+                "v": pa.array([4, 0, 8, 2, 6], type=pa.int64()),
+            }
+        )
+        got = _collect(
+            grouped_rolling_median(t, "k", "ts", "i", "v", window=3)
+        ).sort_values("i")
+        # frames: [4] [4,0] [4,0,8] [0,8,2] [8,2,6]
+        assert got["med"].tolist() == [4.0, 2.0, 4.0, 2.0, 6.0]
+        with pytest.raises(ValueError):
+            grouped_rolling_median(t, "k", "ts", "i", "v", window=0)
+
+
+class TestGroupedTtest:
+    def _brute_row(self, v0, v1):
+        n0, n1 = len(v0), len(v1)
+        s0, s1 = int(sum(v0)), int(sum(v1))
+        q0 = int(sum(x * x for x in v0))
+        q1 = int(sum(x * x for x in v1))
+        A = n1 * q1 - s1 * s1
+        B = n0 * q0 - s0 * s0
+        D = s1 * n0 - s0 * n1
+        den = (A * n0 + B * n1) * (n0 + n1)
+        tsq = (
+            float(D * D * (n0 + n1 - 2)) / float(den)
+            if n0 >= 2 and n1 >= 2 and den > 0
+            else None
+        )
+        return (
+            n0, n1,
+            float(s0) / n0 if n0 else None,
+            float(s1) / n1 if n1 else None,
+            tsq,
+        )
+
+    def test_matches_brute_and_scipy_form(self, ray_session):
+        import ray.data
+
+        rng = np.random.RandomState(7)
+        n = 4000
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 6, n).astype(np.int64),
+                "c": rng.randint(0, 2, n).astype(np.int64),
+                "v": rng.randint(-300, 300, n).astype(np.int64),
+            }
+        )
+        got = _collect(
+            grouped_ttest(
+                ray.data.from_pandas(df).repartition(5), "k", "c", "v"
+            )
+        ).set_index("k")
+        assert len(got) == 6
+        for k, g in df.groupby("k"):
+            v0 = g.loc[g["c"] == 0, "v"].tolist()
+            v1 = g.loc[g["c"] == 1, "v"].tolist()
+            n0, n1, m0, m1, tsq = self._brute_row(v0, v1)
+            r = got.loc[int(k)]
+            assert (int(r["n0"]), int(r["n1"])) == (n0, n1)
+            assert r["mean0"] == m0 and r["mean1"] == m1
+            assert r["tsq"] == tsq
+            # cross-check the integer identity against the textbook
+            # pooled-t formula in floats
+            sp2 = (
+                (np.var(v0, ddof=1) * (n0 - 1)
+                 + np.var(v1, ddof=1) * (n1 - 1))
+                / (n0 + n1 - 2)
+            )
+            t_ref = (np.mean(v1) - np.mean(v0)) / np.sqrt(
+                sp2 * (1.0 / n0 + 1.0 / n1)
+            )
+            assert abs(tsq - t_ref**2) < 1e-9 * max(1.0, t_ref**2)
+
+    def test_degenerate_cohorts_table_path(self, ray_session):
+        # k=1: cohort 1 has a single row -> tsq null; k=2: zero pooled
+        # variance -> null; k=3: cohort 0 empty -> mean0 null
+        t = pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2, 2, 2, 2, 3, 3],
+                              type=pa.int64()),
+                "c": pa.array([0, 0, 1, 0, 0, 1, 1, 1, 1],
+                              type=pa.int64()),
+                "v": pa.array([5, 7, 6, 4, 4, 4, 4, 9, 1],
+                              type=pa.int64()),
+            }
+        )
+        got = _collect(grouped_ttest(t, "k", "c", "v")).set_index("k")
+        assert np.isnan(got.loc[1, "tsq"])
+        assert np.isnan(got.loc[2, "tsq"])
+        assert got.loc[2, "mean0"] == 4.0 and got.loc[2, "mean1"] == 4.0
+        assert np.isnan(got.loc[3, "mean0"]) and np.isnan(got.loc[3, "tsq"])
+        assert int(got.loc[3, "n0"]) == 0
