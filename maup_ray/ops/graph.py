@@ -48,7 +48,8 @@ import pyarrow as pa
 from .shuffle import _choose_partitions, _hash_keys, _split_block
 
 __all__ = ["pagerank", "triangle_count", "clustering_coefficients",
-           "bfs_hops", "sssp", "kcore", "link_prediction"]
+           "bfs_hops", "sssp", "kcore", "link_prediction",
+           "degree_histogram"]
 
 
 def _propagate_part(
@@ -1267,3 +1268,71 @@ def link_prediction(edges_ds, src: str = "u", dst: str = "v",
             "jaccard": pa.array(jac, type=pa.float64()),
         }
     )
+
+
+def degree_histogram(edges_ds, src: str = "u", dst: str = "v"):
+    """Degree distribution of an undirected simple graph (self-loops
+    dropped, duplicate/reversed edges deduped): → (deg, n_nodes),
+    sorted by deg — the first plot of any graph-quality audit.
+
+    Scale shape: symmetrize, then ONE center-keyed hash exchange
+    (hash_group_apply, the link_prediction phase-1 discipline) — a
+    node's whole neighborhood lands in one partition, so its distinct
+    -neighbor count IS its final degree, and the partition reduces
+    its degrees to (deg, count) partials before anything leaves.
+    Only n_partitions × n_distinct_degrees tiny rows reach the
+    driver; the edge list never gathers."""
+    import ray
+
+    from .shuffle import hash_group_apply
+
+    def sym(b: pa.Table) -> pa.Table:
+        u = b[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table(
+            {
+                "w": pa.array(np.concatenate([u, v])),
+                "x": pa.array(np.concatenate([v, u])),
+            }
+        )
+
+    symd = edges_ds.map_batches(
+        sym, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    _EMPTY = pa.schema([("deg", pa.int64()), ("n_nodes", pa.int64())])
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None or tbl.num_rows == 0:
+            return _EMPTY.empty_table()
+        w = tbl["w"].to_numpy(zero_copy_only=False)
+        x = tbl["x"].to_numpy(zero_copy_only=False)
+        keep = np.empty(len(w), dtype=bool)
+        keep[0] = True
+        keep[1:] = (w[1:] != w[:-1]) | (x[1:] != x[:-1])
+        w = w[keep]
+        gs = np.flatnonzero(np.concatenate(([True], w[1:] != w[:-1])))
+        deg = np.diff(np.append(gs, len(w)))
+        ud, cnt = np.unique(deg, return_counts=True)
+        return pa.table(
+            {
+                "deg": pa.array(ud.astype(np.int64)),
+                "n_nodes": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    parts = hash_group_apply(symd, ["w"], part, sort_cols=["x"])
+    tabs = [
+        t
+        for t in ray.get(parts.materialize().to_arrow_refs())
+        if t.num_rows
+    ]
+    if not tabs:
+        return _EMPTY.empty_table()
+    merged = pa.concat_tables(tabs)
+    out = merged.group_by(["deg"], use_threads=False).aggregate(
+        [("n_nodes", "sum")]
+    )
+    return out.rename_columns(["deg", "n_nodes"]).sort_by("deg")

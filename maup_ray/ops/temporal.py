@@ -48,6 +48,7 @@ __all__ = [
     "interval_overlap_join",
     "intervalize",
     "interval_coverage",
+    "cusum_changepoint",
 ]
 
 _US = 1_000_000
@@ -1418,3 +1419,81 @@ def interval_coverage(
         )
 
     return hash_group_apply(ev, [key_col], part, sort_cols=("t", "d"))
+
+
+def cusum_changepoint(ds, key_col: str, order_col: str,
+                      value_col: str) -> pa.Table:
+    """Exact CUSUM changepoint per key over an ordered integer series
+    — "where does this metric's level shift?" made order-independent
+    and bit-reproducible.
+
+    With the key's periods sorted by ``order_col`` (values v_1..v_n,
+    prefix sums P_k, total S), the classic CUSUM deviation at k is
+    P_k − k·S/n; scaling by n keeps it integer:
+
+        dev_k = n·P_k − k·S        (exact, every k)
+
+    The changepoint is the EARLIEST period attaining max |dev_k|
+    (k = 1..n), reported with that max. Output per key:
+    (key, n_periods, cp = order at argmax, max_dev int64).
+
+    Scale shape: ``value_col`` must already be integer (cents
+    discipline) and (key × order) low-cardinality (periods, not raw
+    rows) — per-batch Arrow sum partials, exact Python-int driver
+    merge (ops/agg.grouped_sums_exact), then the O(keys·periods) scan
+    runs on the driver in arbitrary precision. max_dev must fit int64
+    (n·|S| < 2^63 — raise, never wrap)."""
+    from .agg import grouped_sums_exact
+
+    if isinstance(ds, pa.Table):
+        g = ds.group_by([key_col, order_col], use_threads=False).aggregate(
+            [(value_col, "sum")]
+        )
+        rows = [
+            {key_col: k, order_col: o, value_col: int(v)}
+            for k, o, v in zip(
+                g[key_col].to_pylist(),
+                g[order_col].to_pylist(),
+                g[f"{value_col}_sum"].to_pylist(),
+            )
+        ]
+    else:
+        rows = grouped_sums_exact(
+            ds, [key_col, order_col], sum_cols=[value_col]
+        )
+    rows.sort(key=lambda r: (r[key_col], r[order_col]))
+    keys, ns, cps, devs = [], [], [], []
+    i, m = 0, len(rows)
+    while i < m:
+        k = rows[i][key_col]
+        j = i
+        while j < m and rows[j][key_col] == k:
+            j += 1
+        vals = [int(r[value_col]) for r in rows[i:j]]
+        n = len(vals)
+        S = sum(vals)
+        best, best_idx, P = -1, 0, 0
+        for idx, v in enumerate(vals):
+            P += v
+            d = abs(n * P - (idx + 1) * S)
+            if d > best:
+                best, best_idx = d, idx
+        if best >= (1 << 63):
+            raise AssertionError(
+                "cusum_changepoint: |n·P − k·S| exceeds int64 — "
+                "rescale the value column"
+            )
+        keys.append(k)
+        ns.append(n)
+        cps.append(rows[i + best_idx][order_col])
+        devs.append(best)
+        i = j
+    key_t = pa.int64() if keys and isinstance(keys[0], int) else pa.string()
+    return pa.table(
+        {
+            key_col: pa.array(keys, type=key_t),
+            "n_periods": pa.array(ns, type=pa.int64()),
+            "cp": pa.array(cps),
+            "max_dev": pa.array(devs, type=pa.int64()),
+        }
+    )

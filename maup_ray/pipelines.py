@@ -1652,6 +1652,71 @@ def q_embed_quant(sf_dir: str):
     )
 
 
+NB_ALPHA = 1  # Laplace pseudo-count of the NB model
+
+
+def q_nb_train(sf_dir: str):
+    """Multinomial Naive Bayes training over documents (class = lang,
+    whitespace tokens): per (lang, token) exact count + quantized
+    Laplace log-likelihood qlog(c+1) − qlog(N_lang + V)
+    (text/nb.naive_bayes_train; floor-quantized logs are bit-exact
+    libm↔DuckDB at any magnitude). The model table stays distributed;
+    the driver holds only per-class totals and V partials."""
+    from .text.nb import naive_bayes_train
+
+    return naive_bayes_train(
+        _read(sf_dir, "documents", ["lang", "text"]),
+        "lang", "text", alpha=NB_ALPHA,
+    )
+
+
+def q_cusum(sf_dir: str):
+    """CUSUM changepoint per event_type over the daily revenue series
+    (ops/temporal.cusum_changepoint): exact integer deviations
+    dev_k = n·P_k − k·S over cents, earliest argmax |dev| day."""
+    from .ops.temporal import _ts_i64, cusum_changepoint
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "day": pa.array(
+                    (_ts_i64(b["ts"]) // _DAY_US).astype(np.int32)
+                ),
+                "rev": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    out = cusum_changepoint(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "event_type", "day", "rev",
+    )
+    return pa.table(
+        {
+            "event_type": out["event_type"],
+            "n_days": out["n_periods"],
+            "cp_day": pc.cast(
+                pc.cast(out["cp"], pa.int32()), pa.date32()
+            ),
+            "max_dev": out["max_dev"],
+        }
+    )
+
+
+def q_degree_hist(sf_dir: str):
+    """Degree distribution of the _tri_edge_ds synthetic graph
+    (ops/graph.degree_histogram): one center-keyed exchange, per-
+    partition (deg, count) partials, tiny driver merge."""
+    from .ops.graph import degree_histogram
+
+    return degree_histogram(_tri_edge_ds(sf_dir))
+
+
 IMPUTE_MOD = 13  # deterministic missingness marker (event_id % 13 == 0)
 
 
@@ -7427,6 +7492,12 @@ def query_registry():
         "growth": q_growth,
         # int8 scalar-quantization audit of the embedding table
         "embed_quant": q_embed_quant,
+        # multinomial Naive Bayes training (text/nb.py)
+        "nb_train": q_nb_train,
+        # exact CUSUM changepoint per event_type (ops/temporal.py)
+        "cusum": q_cusum,
+        # graph degree distribution (ops/graph.py)
+        "degree_hist": q_degree_hist,
         # TPC-H shape completion (all SQL-oracled; pipelines_tpch.py)
         **_tpch_queries(),
     }
@@ -10410,6 +10481,73 @@ def oracle_queries() -> dict[str, str]:
                           FROM c GROUP BY dim) nc
               ON mm.dim = nc.dim
             ORDER BY mm.dim
+        """,
+        "nb_train": f"""
+            WITH tok AS (SELECT lang,
+                                unnest(string_split(text, ' ')) AS token
+                         FROM documents),
+            c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+                  FROM tok GROUP BY lang, token),
+            nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+                   FROM tok GROUP BY lang),
+            v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+                  FROM tok)
+            SELECT c.lang, c.token, c.c,
+                   CAST(floor(ln(CAST(c.c + {NB_ALPHA} AS DOUBLE))
+                              * 1073741824.0) AS BIGINT)
+                   - CAST(floor(ln(CAST(nl.nl + {NB_ALPHA} * v.v
+                                         AS DOUBLE))
+                                * 1073741824.0) AS BIGINT) AS qlogp
+            FROM c JOIN nl ON c.lang = nl.lang, v
+            ORDER BY c.lang, c.token
+        """,
+        "cusum": """
+            WITH d AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                          AS BIGINT) AS rev
+              FROM events GROUP BY event_type, day),
+            w AS (SELECT event_type, day,
+                         sum(rev) OVER (PARTITION BY event_type
+                                        ORDER BY day) AS p,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY day) AS k,
+                         sum(rev) OVER (PARTITION BY event_type) AS s,
+                         count(*) OVER (PARTITION BY event_type) AS n
+                  FROM d),
+            dev AS (SELECT event_type, day, n,
+                           abs(CAST(n AS HUGEINT) * CAST(p AS HUGEINT)
+                               - CAST(k AS HUGEINT)
+                                 * CAST(s AS HUGEINT)) AS adev
+                    FROM w),
+            m AS (SELECT event_type, max(adev) AS mx
+                  FROM dev GROUP BY event_type)
+            SELECT dev.event_type,
+                   CAST(max(dev.n) AS BIGINT) AS n_days,
+                   min(dev.day) AS cp_day,
+                   CAST(m.mx AS BIGINT) AS max_dev
+            FROM dev JOIN m ON dev.event_type = m.event_type
+                           AND dev.adev = m.mx
+            GROUP BY dev.event_type, m.mx
+            ORDER BY dev.event_type
+        """,
+        "degree_hist": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e0 AS (
+              SELECT doc_id AS i, (doc_id + 1) % nn.n AS j
+              FROM documents, nn
+              UNION ALL
+              SELECT doc_id, (doc_id + 2) % nn.n FROM documents, nn
+              UNION ALL
+              SELECT doc_id, (doc_id * 7 + 3) % nn.n
+              FROM documents, nn),
+            sym AS (SELECT i AS w, j AS x FROM e0 WHERE i <> j
+                    UNION
+                    SELECT j, i FROM e0 WHERE i <> j),
+            deg AS (SELECT w, CAST(count(*) AS BIGINT) AS deg
+                    FROM sym GROUP BY w)
+            SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY deg ORDER BY deg
         """,
         "dq_audit": f"""
             WITH
