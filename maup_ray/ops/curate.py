@@ -40,6 +40,7 @@ __all__ = [
     "cooccurrence_counts",
     "weighted_sample",
     "winsorize",
+    "grouped_iqr_outliers",
 ]
 
 
@@ -1013,4 +1014,87 @@ def grouped_value_topk(ds, key: str, value: str, k: int):
         return final(None, [])
     return pa.concat_tables(tabs).combine_chunks().sort_by(
         [(key, "ascending"), ("rank", "ascending")]
+    )
+
+
+def grouped_iqr_outliers(ds, key: str, value_col: str):
+    """Per-key Tukey-fence outlier census over an integer column —
+    the box-plot data-quality readout: exact q1/q3 (quantile_disc
+    semantics, ``grouped_quantiles``), then counts strictly outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR]. The 1.5 factor is kept exact by
+    integer cross-multiplication:
+
+        v < q1 − 1.5·(q3−q1)  ⟺  2v < 5·q1 − 3·q3
+        v > q3 + 1.5·(q3−q1)  ⟺  2v > 5·q3 − 3·q1
+
+    → pa.Table (key, q1, q3, n_low, n_high), sorted by key.
+
+    Scale shape: phase 1 ships only distinct-(key, value) histogram
+    rows; phase 2 is a stateless vectorized count with the tiny
+    fence map in the closure (per-batch partials, exact Python-int
+    driver merge). |5·q| must fit int64 — cents magnitudes leave
+    50+ bits of slack."""
+    import ray
+
+    from .agg import grouped_sums_exact
+
+    qt = grouped_quantiles(
+        ds, key, value_col, qs=((1, 4), (3, 4)), q_names=("q1", "q3")
+    )
+    if not isinstance(qt, pa.Table):
+        qt = pa.concat_tables(
+            [t for t in ray.get(qt.materialize().to_arrow_refs())
+             if t.num_rows]
+        )
+    qt = qt.combine_chunks().sort_by(key)
+    fences = {
+        k: (5 * int(a) - 3 * int(b), 5 * int(b) - 3 * int(a))
+        for k, a, b in zip(
+            qt[key].to_pylist(), qt["q1"].to_pylist(),
+            qt["q3"].to_pylist()
+        )
+    }
+
+    def count_part(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        keys = b[key]
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks = sorted(fences)
+        idx = pc2.index_in(
+            keys,
+            value_set=pa.array(
+                ks, type=keys.type if not isinstance(
+                    keys, pa.ChunkedArray) else keys.type
+            ),
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.array([fences[k][0] for k in ks], dtype=np.int64)[idx]
+        hi = np.array([fences[k][1] for k in ks], dtype=np.int64)[idx]
+        return pa.table(
+            {
+                key: keys,
+                "lo": pa.array((2 * v < lo).astype(np.int64)),
+                "hi": pa.array((2 * v > hi).astype(np.int64)),
+            }
+        )
+
+    rows = grouped_sums_exact(
+        ds.map_batches(count_part, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [key], sum_cols=["lo", "hi"],
+    )
+    cnt = {r[key]: (int(r["lo"]), int(r["hi"])) for r in rows}
+    ks = qt[key].to_pylist()
+    return pa.table(
+        {
+            key: qt[key],
+            "q1": qt["q1"],
+            "q3": qt["q3"],
+            "n_low": pa.array(
+                [cnt.get(k, (0, 0))[0] for k in ks], type=pa.int64()
+            ),
+            "n_high": pa.array(
+                [cnt.get(k, (0, 0))[1] for k in ks], type=pa.int64()
+            ),
+        }
     )

@@ -1670,6 +1670,73 @@ def q_nb_train(sf_dir: str):
     )
 
 
+def q_nb_classify(sf_dir: str):
+    """Train-then-score composition: the NB model from q_nb_train
+    applied back to the corpus (text/nb.naive_bayes_classify) —
+    per document the argmax-class and its exact int64 quantized
+    log-likelihood score; ties break to the lexicographically
+    smallest class (mirrored by min(lang)-over-max-score SQL)."""
+    from .text.nb import naive_bayes_classify, naive_bayes_train
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    model, meta = naive_bayes_train(
+        docs, "lang", "text", alpha=NB_ALPHA, with_meta=True
+    )
+    return naive_bayes_classify(
+        docs, model, meta["qden"], alpha=NB_ALPHA,
+        id_col="doc_id", text_col="text", class_col="lang",
+    )
+
+
+MORPH_RES = 6  # 64×64 grid: district interiors survive the opening
+
+
+def q_raster_open(sf_dir: str):
+    """Morphological opening of the district coverage mask
+    (ops/raster.morphology): rasterize at res MORPH_RES, keep
+    cells with ≥ half coverage, erode then dilate with the
+    4-neighbourhood cross — pure integer set algebra, exact."""
+    from .ops.raster import morphology, rasterize
+
+    ras = rasterize(
+        _districts(), (0.0, 0.0, float(EXTENT)), MORPH_RES,
+        id_col="district_id",
+    )
+    cell = float(EXTENT) / float(1 << MORPH_RES)
+    half = 0.5 * cell * cell
+    mask = ras.filter(pc.greater_equal(ras["coverage_area"], half))
+    return morphology(mask, MORPH_RES, op="open",
+                      id_col="district_id").sort_by(
+        [("district_id", "ascending"), ("cx", "ascending"),
+         ("cy", "ascending")]
+    )
+
+
+def q_iqr_outliers(sf_dir: str):
+    """Tukey-fence outlier census of value-cents per event_type
+    (ops/curate.grouped_iqr_outliers): exact quantile_disc q1/q3,
+    integer cross-multiplied 1.5·IQR fences, strict-outside counts."""
+    from .ops.curate import grouped_iqr_outliers
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "v": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return grouped_iqr_outliers(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "event_type", "v",
+    )
+
+
 def q_cusum(sf_dir: str):
     """CUSUM changepoint per event_type over the daily revenue series
     (ops/temporal.cusum_changepoint): exact integer deviations
@@ -7494,6 +7561,12 @@ def query_registry():
         "embed_quant": q_embed_quant,
         # multinomial Naive Bayes training (text/nb.py)
         "nb_train": q_nb_train,
+        # NB train→score composition (text/nb.py)
+        "nb_classify": q_nb_classify,
+        # morphological opening of the district mask (ops/raster.py)
+        "raster_open": q_raster_open,
+        # Tukey-fence outlier census (ops/curate.py)
+        "iqr_outliers": q_iqr_outliers,
         # exact CUSUM changepoint per event_type (ops/temporal.py)
         "cusum": q_cusum,
         # graph degree distribution (ops/graph.py)
@@ -10500,6 +10573,107 @@ def oracle_queries() -> dict[str, str]:
                                 * 1073741824.0) AS BIGINT) AS qlogp
             FROM c JOIN nl ON c.lang = nl.lang, v
             ORDER BY c.lang, c.token
+        """,
+        # nb_classify: score = Σ qnum_present − n_tokens·qden (absent
+        # tokens contribute qlog(alpha)=0 under alpha=1); argmax class
+        # with min(lang) tie-break — exact int64 end to end.
+        "nb_classify": f"""
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS token
+                         FROM documents),
+            ltok AS (SELECT lang,
+                            unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+            c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+                  FROM ltok GROUP BY lang, token),
+            nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+                   FROM ltok GROUP BY lang),
+            v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+                  FROM ltok),
+            qd AS (SELECT nl.lang,
+                          CAST(floor(ln(CAST(nl.nl + {NB_ALPHA} * v.v
+                                              AS DOUBLE))
+                                     * 1073741824.0) AS BIGINT) AS qden
+                   FROM nl, v),
+            ml AS (SELECT lang, token,
+                          CAST(floor(ln(CAST(c + {NB_ALPHA} AS DOUBLE))
+                                     * 1073741824.0) AS BIGINT) AS qnum
+                   FROM c),
+            sc AS (SELECT t.doc_id, qd.lang,
+                          sum(coalesce(ml.qnum, 0) - qd.qden) AS score
+                   FROM tok t CROSS JOIN qd
+                   LEFT JOIN ml ON ml.lang = qd.lang
+                                AND ml.token = t.token
+                   GROUP BY t.doc_id, qd.lang),
+            best AS (SELECT doc_id, max(score) AS mx
+                     FROM sc GROUP BY doc_id)
+            SELECT sc.doc_id, min(sc.lang) AS pred,
+                   CAST(best.mx AS BIGINT) AS score
+            FROM sc JOIN best ON sc.doc_id = best.doc_id
+                             AND sc.score = best.mx
+            GROUP BY sc.doc_id, best.mx
+            ORDER BY sc.doc_id
+        """,
+        "raster_open": f"""
+            WITH cells AS (
+              SELECT CAST(i % {1 << MORPH_RES} AS BIGINT) AS cx,
+                     CAST(i // {1 << MORPH_RES} AS BIGINT) AS cy,
+                     CAST((i % {1 << MORPH_RES})
+                          * {EXTENT // (1 << MORPH_RES)} AS DOUBLE)
+                       AS x0,
+                     CAST((i // {1 << MORPH_RES})
+                          * {EXTENT // (1 << MORPH_RES)} AS DOUBLE)
+                       AS y0
+              FROM range({(1 << MORPH_RES) ** 2}) t(i)),
+            dist AS (SELECT * FROM {districts_sql(N_DISTRICTS)} ),
+            mask AS (
+              SELECT d.district_id, c.cx, c.cy
+              FROM cells c JOIN dist d
+                ON c.x0 < d.maxx
+               AND c.x0 + {EXTENT // (1 << MORPH_RES)} > d.minx
+               AND c.y0 < d.maxy
+               AND c.y0 + {EXTENT // (1 << MORPH_RES)} > d.miny
+              WHERE greatest(0.0,
+                      least(c.x0 + {EXTENT // (1 << MORPH_RES)},
+                            d.maxx) - greatest(c.x0, d.minx))
+                  * greatest(0.0,
+                      least(c.y0 + {EXTENT // (1 << MORPH_RES)},
+                            d.maxy) - greatest(c.y0, d.miny))
+                  >= {0.5 * (EXTENT / (1 << MORPH_RES)) ** 2}),
+            off(dx, dy) AS (VALUES (0, 0), (1, 0), (-1, 0), (0, 1),
+                                   (0, -1)),
+            er AS (SELECT m.district_id, m.cx, m.cy
+                   FROM mask m JOIN off o ON true
+                   JOIN mask n
+                     ON n.district_id = m.district_id
+                    AND n.cx = m.cx + o.dx AND n.cy = m.cy + o.dy
+                   GROUP BY m.district_id, m.cx, m.cy
+                   HAVING count(*) = 5)
+            SELECT DISTINCT e.district_id,
+                   CAST(e.cx + o.dx AS BIGINT) AS cx,
+                   CAST(e.cy + o.dy AS BIGINT) AS cy
+            FROM er e JOIN off o ON true
+            WHERE e.cx + o.dx BETWEEN 0 AND {(1 << MORPH_RES) - 1}
+              AND e.cy + o.dy BETWEEN 0 AND {(1 << MORPH_RES) - 1}
+            ORDER BY district_id, cx, cy
+        """,
+        "iqr_outliers": """
+            WITH v AS (SELECT event_type AS k,
+                              CAST(round(value * 100, 0) AS BIGINT) AS v
+                       FROM events),
+            q AS (SELECT k, quantile_disc(v, 0.25) AS q1,
+                         quantile_disc(v, 0.75) AS q3
+                  FROM v GROUP BY k)
+            SELECT q.k AS event_type, q.q1, q.q3,
+                   CAST(count(*) FILTER
+                        (2 * v.v < 5 * q.q1 - 3 * q.q3) AS BIGINT)
+                     AS n_low,
+                   CAST(count(*) FILTER
+                        (2 * v.v > 5 * q.q3 - 3 * q.q1) AS BIGINT)
+                     AS n_high
+            FROM v JOIN q ON v.k = q.k
+            GROUP BY q.k, q.q1, q.q3
+            ORDER BY event_type
         """,
         "cusum": """
             WITH d AS (

@@ -35,11 +35,11 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["naive_bayes_train"]
+__all__ = ["naive_bayes_train", "naive_bayes_classify"]
 
 
 def naive_bayes_train(ds, class_col: str, text_col: str,
-                      alpha: int = 1):
+                      alpha: int = 1, with_meta: bool = False):
     """Train a multinomial NB model over whitespace tokens of
     ``text_col`` labelled by ``class_col`` (string). Returns a Dataset
     with columns (class_col, token, c, qlogp):
@@ -173,6 +173,108 @@ def naive_bayes_train(ds, class_col: str, text_col: str,
             }
         )
 
-    return mixed.map_batches(
+    model = mixed.map_batches(
         stamp, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if with_meta:
+        return model, {"V": V, "n_class": n_class, "qden": qden,
+                       "alpha": alpha}
+    return model
+
+
+def naive_bayes_classify(ds, model, qden: dict, alpha: int = 1,
+                         id_col: str = "doc_id",
+                         text_col: str = "text",
+                         class_col: str = "lang"):
+    """Score every document against a trained NB model
+    (``naive_bayes_train(..., with_meta=True)``) and emit the argmax
+    class → (id_col, pred, score):
+
+        score_c(d) = Σ_tok  qlog(c_tok,c + α) − qden_c
+                     (absent tokens contribute qlog(α) − qden_c)
+
+    — exact int64 sums of quantized logs; ties between classes break
+    to the LEXICOGRAPHICALLY SMALLEST class (classes scanned in
+    sorted order, argmax keeps the first max — mirrored by the SQL
+    ``min(lang)``-over-max-score oracle). The prior is uniform (token
+    likelihood only); fold a quantized prior into qden upstream if
+    classes are imbalanced.
+
+    Scale shape: the model is vocab-sized — it is ray.put ONCE and
+    every task does per-class ``pc.index_in`` lookups (Arrow C++, no
+    Python per token); past a broadcast-size comfort point the scale
+    path is a token-keyed co-shuffle of (doc, token) against the
+    model (the distributed-join plan), not implemented here."""
+    import ray
+    import pyarrow.compute as pc
+
+    from ..ops.infotheory import _qlog1
+
+    if isinstance(model, pa.Table):
+        mt = model
+    else:
+        mt = pa.concat_tables(
+            [t for t in ray.get(model.materialize().to_arrow_refs())
+             if t.num_rows]
+        )
+    classes = sorted(qden)
+    per_class = {}
+    for cls in classes:
+        sub = mt.filter(pc.equal(mt[class_col], cls))
+        per_class[cls] = (
+            sub["token"].combine_chunks(),
+            sub["qlogp"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+    q_absent = {
+        cls: (0 if alpha == 1 else _qlog1(alpha)) - int(qden[cls])
+        for cls in classes
+    }
+    model_ref = ray.put((classes, per_class, q_absent))
+
+    def score(b: pa.Table) -> pa.Table:
+        cls_list, pcls, qabs = ray.get(model_ref)
+        toks = pc.split_pattern(b[text_col], " ")
+        lens = (
+            pc.list_value_length(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = pc.list_flatten(toks).combine_chunks()
+        nd = len(b)
+        doc_starts = np.concatenate(
+            ([0], np.cumsum(lens)[:-1])
+        ).astype(np.int64)
+        S = np.empty((nd, len(cls_list)), dtype=np.int64)
+        for j, cls in enumerate(cls_list):
+            vocab, ql = pcls[cls]
+            idx = pc.index_in(flat, value_set=vocab)
+            miss = pc.is_null(idx).to_numpy(zero_copy_only=False)
+            safe = pc.fill_null(idx, 0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            if len(ql) == 0:
+                contrib = np.full(len(flat), qabs[cls], dtype=np.int64)
+            else:
+                # present tokens: qlogp = qlog(c+α) − qden; absent:
+                # qlog(α) − qden
+                contrib = np.where(miss, np.int64(qabs[cls]), ql[safe])
+            S[:, j] = (
+                np.add.reduceat(contrib, doc_starts)
+                if len(flat)
+                else 0
+            )
+            S[lens == 0, j] = 0
+        best = np.argmax(S, axis=1)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "pred": pa.array(
+                    [cls_list[j] for j in best], type=pa.string()
+                ),
+                "score": pa.array(S[np.arange(nd), best]),
+            }
+        )
+
+    return ds.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
     )
