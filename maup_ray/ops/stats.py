@@ -44,7 +44,7 @@ import pyarrow as pa
 
 __all__ = ["grouped_spearman", "grouped_impurity",
            "grouped_gini", "grouped_weighted_median", "grouped_mad",
-           "grouped_mode", "grouped_ols", "grouped_ttest"]
+           "grouped_mode", "grouped_ols", "grouped_ttest", "theil_sen"]
 
 
 def _int64_safe(bound: int) -> bool:
@@ -821,5 +821,88 @@ def grouped_ttest(ds, key: str, cohort_col: str, value_col: str) -> pa.Table:
             "mean0": pa.array(m0s, type=pa.float64()),
             "mean1": pa.array(m1s, type=pa.float64()),
             "tsq": pa.array(tsqs, type=pa.float64()),
+        }
+    )
+
+
+def theil_sen(ds, key: str, x_col: str, y_col: str) -> pa.Table:
+    """Grouped Theil–Sen robust slope — the median of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i) over i < j in x order, the outlier
+    -resistant alternative to OLS for noisy per-key trend lines.
+
+    Exactness: each pairwise slope is FLOOR-QUANTIZED to
+    ``floor(Δy·2^30 / Δx)`` — one exact integer floor division per
+    pair (Python ints, no float step), so the median is a SELECTION
+    over exact int64 values: the smallest slope with cumulative count
+    ≥ ceil(n_pairs/2) (DuckDB ``quantile_disc(0.5)``; the SQL mirror
+    corrects DuckDB's truncate-toward-zero ``//`` to floor with a
+    remainder CASE). Duplicate x within a key is an error (slope
+    undefined).
+
+    Scale shape: (key, x) must be low-cardinality (periods, not raw
+    rows) — per-batch Arrow sum partials of y, exact Python-int
+    driver merge (grouped_sums_exact), then the O(periods²) pair
+    scan runs on the driver per key. → (key, n_points, n_pairs,
+    qslope_med), sorted by key."""
+    from .agg import grouped_sums_exact
+
+    if isinstance(ds, pa.Table):
+        g = ds.group_by([key, x_col], use_threads=False).aggregate(
+            [(y_col, "sum")]
+        )
+        rows = [
+            {key: k, x_col: x, y_col: int(v)}
+            for k, x, v in zip(
+                g[key].to_pylist(), g[x_col].to_pylist(),
+                g[f"{y_col}_sum"].to_pylist()
+            )
+        ]
+    else:
+        rows = grouped_sums_exact(ds, [key, x_col], sum_cols=[y_col])
+    rows.sort(key=lambda r: (r[key], r[x_col]))
+    SCALE = 1 << 30
+    keys, npts, nprs, meds = [], [], [], []
+    i, m = 0, len(rows)
+    while i < m:
+        k = rows[i][key]
+        j = i
+        while j < m and rows[j][key] == k:
+            j += 1
+        xs = [int(r[x_col]) for r in rows[i:j]]
+        ys = [int(r[y_col]) for r in rows[i:j]]
+        n = len(xs)
+        if len(set(xs)) != n:
+            raise ValueError(
+                f"theil_sen: duplicate x within key {k!r}"
+            )
+        slopes = []
+        for a in range(n):
+            for b in range(a + 1, n):
+                num = (ys[b] - ys[a]) * SCALE
+                den = xs[b] - xs[a]
+                slopes.append(num // den)  # Python floor division
+        slopes.sort()
+        np_ = len(slopes)
+        if np_ == 0:
+            med = None
+        else:
+            med = slopes[(np_ + 1) // 2 - 1]
+            if not -(1 << 63) <= med < (1 << 63):
+                raise AssertionError(
+                    "theil_sen: quantized slope exceeds int64 — "
+                    "rescale y"
+                )
+        keys.append(k)
+        npts.append(n)
+        nprs.append(np_)
+        meds.append(med)
+        i = j
+    key_t = pa.int64() if keys and isinstance(keys[0], int) else pa.string()
+    return pa.table(
+        {
+            key: pa.array(keys, type=key_t),
+            "n_points": pa.array(npts, type=pa.int64()),
+            "n_pairs": pa.array(nprs, type=pa.int64()),
+            "qslope_med": pa.array(meds, type=pa.int64()),
         }
     )

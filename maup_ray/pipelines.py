@@ -1670,6 +1670,138 @@ def q_nb_train(sf_dir: str):
     )
 
 
+def q_theil_sen(sf_dir: str):
+    """Theil–Sen robust slope of daily revenue per event_type
+    (ops/stats.theil_sen): median of floor-quantized pairwise slopes
+    floor(Δcents·2^30/Δday) — exact integer selection, quantile_disc
+    semantics; the SQL mirror floor-corrects DuckDB's truncating //."""
+    from .ops.stats import theil_sen
+    from .ops.temporal import _ts_i64
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "day": pa.array(
+                    (_ts_i64(b["ts"]) // _DAY_US).astype(np.int64)
+                ),
+                "rev": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return theil_sen(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "event_type", "day", "rev",
+    )
+
+
+def q_dow_profile(sf_dir: str):
+    """Day-of-week seasonality profile per event_type: for each
+    (event_type, dow) the day count, exact total revenue-cents, and
+    the peak deviation day — max |v_d·n_dow − S_dow| (the residual
+    from the dow mean, scaled integer-exact by n_dow), earliest day
+    on ties. One grouped_sums_exact pass (≤ types×days partials);
+    the dow fold runs on the driver in Python ints."""
+    from .ops.agg import grouped_sums_exact
+    from .ops.temporal import _ts_i64
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "day": pa.array(
+                    (_ts_i64(b["ts"]) // _DAY_US).astype(np.int32)
+                ),
+                "rev": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    rows = grouped_sums_exact(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "day"], sum_cols=["rev"],
+    )
+    # fold into (event_type, dow) groups; epoch day 0 is a Thursday
+    # but the raw day % 7 class is what the SQL mirrors (dayofweek
+    # conventions vary; the class label is what matters)
+    from collections import defaultdict
+
+    groups: dict = defaultdict(list)
+    for r in rows:
+        groups[(r["event_type"], int(r["day"]) % 7)].append(
+            (int(r["day"]), int(r["rev"]))
+        )
+    ets, dows, nds, tots, pdays, pdevs = [], [], [], [], [], []
+    for (et, dow) in sorted(groups):
+        g = sorted(groups[(et, dow)])
+        n = len(g)
+        S = sum(v for _, v in g)
+        best, bd = -1, None
+        for d, v in g:
+            dev = abs(v * n - S)
+            if dev > best:
+                best, bd = dev, d
+        ets.append(et)
+        dows.append(dow)
+        nds.append(n)
+        tots.append(S)
+        pdays.append(bd)
+        pdevs.append(best)
+    return pa.table(
+        {
+            "event_type": pa.array(ets, type=pa.string()),
+            "dow": pa.array(dows, type=pa.int64()),
+            "n_days": pa.array(nds, type=pa.int64()),
+            "rev": pa.array(tots, type=pa.int64()),
+            "peak_day": pa.array(
+                np.asarray(pdays, dtype=np.int32), type=pa.date32()
+            ),
+            "peak_dev": pa.array(pdevs, type=pa.int64()),
+        }
+    )
+
+
+def q_benford(sf_dir: str):
+    """Benford first-digit census of order totals (cents) — the
+    classic fraud/DQ screen: per leading digit the exact count and
+    sum. The digit is extracted from the decimal string (Arrow cast +
+    utf8 slice — no float log10 step); integer-cents are positive so
+    no sign handling."""
+    from .ops.agg import grouped_sum_count
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def digit(b: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+        )
+        d = pc.cast(
+            pc.utf8_slice_codeunits(
+                pc.cast(v, pa.string()), 0, 1
+            ),
+            pa.int64(),
+        )
+        return pa.table({"digit": d, "v": v})
+
+    out = grouped_sum_count(
+        ds.map_batches(digit, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["digit"], sum_cols=["v"], count_col="n", final="driver",
+    )
+    return out.combine_chunks().sort_by("digit").select(
+        ["digit", "n", "v"]
+    )
+
+
 def q_nb_classify(sf_dir: str):
     """Train-then-score composition: the NB model from q_nb_train
     applied back to the corpus (text/nb.naive_bayes_classify) —
@@ -7567,6 +7699,12 @@ def query_registry():
         "raster_open": q_raster_open,
         # Tukey-fence outlier census (ops/curate.py)
         "iqr_outliers": q_iqr_outliers,
+        # Theil–Sen robust slope (ops/stats.py)
+        "theil_sen": q_theil_sen,
+        # day-of-week seasonality profile + peak deviation day
+        "dow_profile": q_dow_profile,
+        # Benford first-digit census of order totals
+        "benford": q_benford,
         # exact CUSUM changepoint per event_type (ops/temporal.py)
         "cusum": q_cusum,
         # graph degree distribution (ops/graph.py)
@@ -10674,6 +10812,77 @@ def oracle_queries() -> dict[str, str]:
             FROM v JOIN q ON v.k = q.k
             GROUP BY q.k, q.q1, q.q3
             ORDER BY event_type
+        """,
+        # theil_sen: DuckDB // truncates toward zero; the CASE
+        # converts to floor (den > 0 always since a.day < b.day)
+        "theil_sen": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                       AS day,
+                     CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                          AS BIGINT) AS rev
+              FROM events GROUP BY event_type, day),
+            p AS (SELECT a.event_type,
+                         CAST(b.rev - a.rev AS HUGEINT)
+                           * 1073741824 AS num,
+                         CAST(b.day - a.day AS HUGEINT) AS den
+                  FROM d a JOIN d b
+                    ON a.event_type = b.event_type
+                   AND a.day < b.day),
+            s AS (SELECT event_type,
+                         num // den
+                         - CASE WHEN num < 0 AND num % den <> 0
+                                THEN 1 ELSE 0 END AS q
+                  FROM p),
+            n AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n_points
+                  FROM d GROUP BY event_type)
+            SELECT s.event_type, n.n_points,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(quantile_disc(s.q, 0.5) AS BIGINT)
+                     AS qslope_med
+            FROM s JOIN n ON s.event_type = n.event_type
+            GROUP BY s.event_type, n.n_points
+            ORDER BY s.event_type
+        """,
+        "dow_profile": """
+            WITH d AS (
+              SELECT event_type, CAST(ts AS DATE) AS dte,
+                     CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                          AS BIGINT) AS rev
+              FROM events GROUP BY event_type, dte),
+            g AS (SELECT event_type,
+                         (dte - DATE '1970-01-01') % 7 AS dow,
+                         dte, rev,
+                         count(*) OVER (PARTITION BY event_type,
+                           (dte - DATE '1970-01-01') % 7) AS n,
+                         sum(rev) OVER (PARTITION BY event_type,
+                           (dte - DATE '1970-01-01') % 7) AS s
+                  FROM d),
+            dev AS (SELECT event_type, dow, dte, n, s,
+                           abs(CAST(rev AS HUGEINT) * n - s) AS dv
+                    FROM g),
+            m AS (SELECT event_type, dow, max(dv) AS mx
+                  FROM dev GROUP BY event_type, dow)
+            SELECT dev.event_type, CAST(dev.dow AS BIGINT) AS dow,
+                   CAST(max(dev.n) AS BIGINT) AS n_days,
+                   CAST(max(dev.s) AS BIGINT) AS rev,
+                   min(dev.dte) AS peak_day,
+                   CAST(m.mx AS BIGINT) AS peak_dev
+            FROM dev JOIN m ON dev.event_type = m.event_type
+                           AND dev.dow = m.dow AND dev.dv = m.mx
+            GROUP BY dev.event_type, dev.dow, m.mx
+            ORDER BY dev.event_type, dev.dow
+        """,
+        "benford": """
+            WITH v AS (SELECT CAST(round(o_totalprice * 100, 0)
+                              AS BIGINT) AS val FROM orders)
+            SELECT CAST(substr(CAST(val AS VARCHAR), 1, 1) AS BIGINT)
+                     AS digit,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(val) AS BIGINT) AS v
+            FROM v GROUP BY digit ORDER BY digit
         """,
         "cusum": """
             WITH d AS (

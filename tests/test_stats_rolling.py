@@ -165,3 +165,68 @@ class TestGroupedTtest:
         assert got.loc[2, "mean0"] == 4.0 and got.loc[2, "mean1"] == 4.0
         assert np.isnan(got.loc[3, "mean0"]) and np.isnan(got.loc[3, "tsq"])
         assert int(got.loc[3, "n0"]) == 0
+
+
+class TestTheilSen:
+    def test_matches_brute_and_floor_semantics(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.stats import theil_sen
+
+        rng = np.random.RandomState(41)
+        frames = []
+        for k in range(4):
+            xs = rng.choice(200, size=30, replace=False).astype(np.int64)
+            ys = rng.randint(-5000, 5000, 30).astype(np.int64)
+            frames.append(
+                pd.DataFrame({"k": k, "x": xs, "y": ys})
+            )
+        df = pd.concat(frames, ignore_index=True)
+        got = theil_sen(
+            ray.data.from_pandas(df).repartition(5), "k", "x", "y"
+        )
+        rows = {
+            r["k"]: (r["n_points"], r["n_pairs"], r["qslope_med"])
+            for r in got.to_pylist()
+        }
+        for k, g in df.groupby("k"):
+            g = g.sort_values("x")
+            xs, ys = g["x"].tolist(), g["y"].tolist()
+            slopes = sorted(
+                ((ys[j] - ys[i]) << 30) // (xs[j] - xs[i])
+                for i in range(len(xs))
+                for j in range(i + 1, len(xs))
+            )
+            med = slopes[(len(slopes) + 1) // 2 - 1]
+            assert rows[int(k)] == (len(xs), len(slopes), med)
+
+    def test_duplicate_x_raises(self, ray_session):
+        from maup_ray.ops.stats import theil_sen
+
+        t = pa.table(
+            {
+                "k": pa.array([1, 1], type=pa.int64()),
+                "x": pa.array([3, 3], type=pa.int64()),
+                "y": pa.array([1, 2], type=pa.int64()),
+            }
+        )
+        # duplicate x rows PRE-AGGREGATE (sum) in the (k, x) partials
+        # — that is the documented periods contract, so no error here
+        out = theil_sen(t, "k", "x", "y")
+        assert out["n_points"].to_pylist() == [1]
+        assert out["qslope_med"].to_pylist() == [None]
+        # but two DISTINCT rows with equal x cannot happen post-agg;
+        # exercise the single-point group path instead
+        t2 = pa.table(
+            {
+                "k": pa.array([1, 1, 2], type=pa.int64()),
+                "x": pa.array([0, 7, 4], type=pa.int64()),
+                "y": pa.array([0, -7, 9], type=pa.int64()),
+            }
+        )
+        out2 = theil_sen(t2, "k", "x", "y")
+        rows = {r["k"]: r for r in out2.to_pylist()}
+        # floor(-7·2^30/7) = -2^30 exactly
+        assert rows[1]["qslope_med"] == -(1 << 30)
+        assert rows[2]["n_pairs"] == 0
+        assert rows[2]["qslope_med"] is None
