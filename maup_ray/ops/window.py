@@ -41,6 +41,7 @@ __all__ = [
     "rolling_z_flags",
     "grouped_streaks",
     "grouped_rolling_median",
+    "grouped_max_drawdown",
 ]
 
 
@@ -788,6 +789,95 @@ def grouped_rolling_median(
              (id_col, "ascending")]
         )
         return part(t, group_starts(t, [key_col]))
+    return hash_group_apply(
+        ds, [key_col], part, sort_cols=(ts_col, id_col)
+    )
+
+
+def grouped_max_drawdown(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+):
+    """Per-key maximum drawdown over an integer series in (ts, id)
+    order: with running peak p_i = max(v_1..v_i), drawdown
+    d_i = p_i − v_i; report each key's max d_i and the EARLIEST
+    trough timestamp attaining it → (key, n, max_dd, trough_ts).
+    All-integer, order-fixed, exact — the risk metric of any
+    balance/inventory/latency series.
+
+    Scale shape: one keyed hash exchange of the pruned projection;
+    per partition the running peak for ALL groups at once via the
+    additive-shift trick (each group g offset by g·K, K > value
+    range, so one global ``np.maximum.accumulate`` never leaks a
+    previous group's peak — guarded against int64 overflow), then
+    per-group max/argmax via ``reduceat``. No per-row or per-group
+    Python."""
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        key_t = (
+            tbl.schema.field(key_col).type
+            if tbl is not None
+            else pa.int64()
+        )
+        ts_t = (
+            tbl.schema.field(ts_col).type
+            if tbl is not None
+            else pa.timestamp("us")
+        )
+        schema = pa.schema(
+            [
+                (key_col, key_t),
+                ("n", pa.int64()),
+                ("max_dd", pa.int64()),
+                ("trough_ts", ts_t),
+            ]
+        )
+        if tbl is None or tbl.num_rows == 0:
+            return schema.empty_table()
+        n = tbl.num_rows
+        starts = np.asarray(starts, dtype=np.int64)
+        sizes = np.diff(np.append(starts, n))
+        gidx = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        v = tbl[value_col].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        vmin, vmax = (int(v.min()), int(v.max())) if n else (0, 0)
+        K = vmax - vmin + 1
+        if len(starts) * K + vmax >= (1 << 62):
+            raise AssertionError(
+                "grouped_max_drawdown: shift-trick overflow — "
+                "rescale the value column"
+            )
+        adj = v + gidx * np.int64(K)
+        peak = np.maximum.accumulate(adj) - gidx * np.int64(K)
+        dd = peak - v
+        mx = np.maximum.reduceat(dd, starts)
+        # earliest index attaining the max within each group
+        r = np.arange(n, dtype=np.int64)
+        cand = np.where(dd == mx[gidx], r, np.int64(n))
+        first = np.minimum.reduceat(cand, starts)
+        return pa.table(
+            {
+                key_col: tbl[key_col].take(pa.array(starts)),
+                "n": pa.array(sizes.astype(np.int64)),
+                "max_dd": pa.array(mx),
+                "trough_ts": tbl[ts_col].take(pa.array(first)),
+            }
+        )
+
+    if isinstance(ds, pa.Table):
+        from .shuffle import group_starts
+
+        t = ds.combine_chunks().sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"),
+             (id_col, "ascending")]
+        )
+        return part(t, group_starts(t, [key_col]))
+    from .shuffle import hash_group_apply
+
     return hash_group_apply(
         ds, [key_col], part, sort_cols=(ts_col, id_col)
     )

@@ -1670,6 +1670,60 @@ def q_nb_train(sf_dir: str):
     )
 
 
+def q_focal_stats(sf_dir: str):
+    """3×3 focal sum over the district coverage mask
+    (ops/raster.focal_sum): mask = cells with ≥ half coverage at
+    MORPH_RES, cell value = (cx·7 + cy·13) % 100 (the zonal synthetic
+    surface) — per present cell the present-neighbor sum and count,
+    pure integer algebra mirrored by a 9-offset SQL self-join."""
+    from .ops.raster import focal_sum, rasterize
+
+    ras = rasterize(
+        _districts(), (0.0, 0.0, float(EXTENT)), MORPH_RES,
+        id_col="district_id",
+    )
+    cell = float(EXTENT) / float(1 << MORPH_RES)
+    half = 0.5 * cell * cell
+    mask = ras.filter(pc.greater_equal(ras["coverage_area"], half))
+    cx = mask["cx"].to_numpy()
+    cy = mask["cy"].to_numpy()
+    mask = mask.append_column(
+        "v", pa.array((cx * 7 + cy * 13) % 100, type=pa.int64())
+    )
+    return focal_sum(mask, id_col="district_id").sort_by(
+        [("district_id", "ascending"), ("cx", "ascending"),
+         ("cy", "ascending")]
+    )
+
+
+def q_max_drawdown(sf_dir: str):
+    """Per-user maximum drawdown of value-cents in (ts, event_id)
+    order (ops/window.grouped_max_drawdown): running-peak minus
+    current, max per user with the earliest trough timestamp — exact
+    ints, one keyed exchange, additive-shift vectorized cummax."""
+    from .ops.window import grouped_max_drawdown
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "v": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return grouped_max_drawdown(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", "ts", "event_id", "v",
+    )
+
+
 def q_theil_sen(sf_dir: str):
     """Theil–Sen robust slope of daily revenue per event_type
     (ops/stats.theil_sen): median of floor-quantized pairwise slopes
@@ -7701,6 +7755,10 @@ def query_registry():
         "iqr_outliers": q_iqr_outliers,
         # Theil–Sen robust slope (ops/stats.py)
         "theil_sen": q_theil_sen,
+        # 3×3 focal sum over the district mask (ops/raster.py)
+        "focal_stats": q_focal_stats,
+        # per-user maximum drawdown (ops/window.py)
+        "max_drawdown": q_max_drawdown,
         # day-of-week seasonality profile + peak deviation day
         "dow_profile": q_dow_profile,
         # Benford first-digit census of order totals
@@ -10812,6 +10870,67 @@ def oracle_queries() -> dict[str, str]:
             FROM v JOIN q ON v.k = q.k
             GROUP BY q.k, q.q1, q.q3
             ORDER BY event_type
+        """,
+        "focal_stats": f"""
+            WITH cells AS (
+              SELECT CAST(i % {1 << MORPH_RES} AS BIGINT) AS cx,
+                     CAST(i // {1 << MORPH_RES} AS BIGINT) AS cy,
+                     CAST((i % {1 << MORPH_RES})
+                          * {EXTENT // (1 << MORPH_RES)} AS DOUBLE)
+                       AS x0,
+                     CAST((i // {1 << MORPH_RES})
+                          * {EXTENT // (1 << MORPH_RES)} AS DOUBLE)
+                       AS y0
+              FROM range({(1 << MORPH_RES) ** 2}) t(i)),
+            dist AS (SELECT * FROM {districts_sql(N_DISTRICTS)} ),
+            mask AS (
+              SELECT d.district_id, c.cx, c.cy,
+                     (c.cx * 7 + c.cy * 13) % 100 AS v
+              FROM cells c JOIN dist d
+                ON c.x0 < d.maxx
+               AND c.x0 + {EXTENT // (1 << MORPH_RES)} > d.minx
+               AND c.y0 < d.maxy
+               AND c.y0 + {EXTENT // (1 << MORPH_RES)} > d.miny
+              WHERE greatest(0.0,
+                      least(c.x0 + {EXTENT // (1 << MORPH_RES)},
+                            d.maxx) - greatest(c.x0, d.minx))
+                  * greatest(0.0,
+                      least(c.y0 + {EXTENT // (1 << MORPH_RES)},
+                            d.maxy) - greatest(c.y0, d.miny))
+                  >= {0.5 * (EXTENT / (1 << MORPH_RES)) ** 2}),
+            off(dx, dy) AS (VALUES (-1, -1), (-1, 0), (-1, 1),
+                                   (0, -1), (0, 0), (0, 1),
+                                   (1, -1), (1, 0), (1, 1))
+            SELECT m.district_id, m.cx, m.cy,
+                   CAST(sum(n.v) AS BIGINT) AS fsum,
+                   CAST(count(*) AS BIGINT) AS n_nb
+            FROM mask m JOIN off o ON true
+            JOIN mask n
+              ON n.district_id = m.district_id
+             AND n.cx = m.cx + o.dx AND n.cy = m.cy + o.dy
+            GROUP BY m.district_id, m.cx, m.cy
+            ORDER BY m.district_id, m.cx, m.cy
+        """,
+        "max_drawdown": """
+            WITH t AS (SELECT user_id, ts, event_id,
+                              CAST(round(value * 100, 0) AS BIGINT)
+                                AS v
+                       FROM events),
+            w AS (SELECT user_id, ts, v,
+                         max(v) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS pk
+                  FROM t),
+            d AS (SELECT user_id, ts, pk - v AS dd FROM w),
+            m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                         max(dd) AS mx
+                  FROM d GROUP BY user_id)
+            SELECT d.user_id, m.n, CAST(m.mx AS BIGINT) AS max_dd,
+                   min(d.ts) AS trough_ts
+            FROM d JOIN m ON d.user_id = m.user_id AND d.dd = m.mx
+            GROUP BY d.user_id, m.n, m.mx
+            ORDER BY d.user_id
         """,
         # theil_sen: DuckDB // truncates toward zero; the CASE
         # converts to floor (den > 0 always since a.day < b.day)

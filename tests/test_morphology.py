@@ -199,3 +199,117 @@ class TestNbClassify:
             best = max(scores.values())
             pred = min(c for c in scores if scores[c] == best)
             assert rows[did] == (pred, best), did
+
+
+class TestFocalSum:
+    def test_matches_brute(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.raster import focal_sum
+
+        rng = np.random.RandomState(19)
+        rows = []
+        for rid in range(4):
+            n = rng.randint(20, 90)
+            seen = set()
+            for _ in range(n):
+                c = (int(rng.randint(0, 20)), int(rng.randint(0, 20)))
+                if c not in seen:
+                    seen.add(c)
+                    rows.append((rid, c[0], c[1],
+                                 int(rng.randint(-50, 50))))
+        t = pa.table(
+            {
+                "id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "cx": pa.array([r[1] for r in rows], type=pa.int64()),
+                "cy": pa.array([r[2] for r in rows], type=pa.int64()),
+                "v": pa.array([r[3] for r in rows], type=pa.int64()),
+            }
+        )
+        got = _collect(
+            focal_sum(ray.data.from_arrow(t).repartition(3))
+        )
+        cells = {(r[0], r[1], r[2]): r[3] for r in rows}
+        grows = {
+            (r["id"], r["cx"], r["cy"]): (r["fsum"], r["n_nb"])
+            for r in got.to_pylist()
+        }
+        assert len(grows) == len(cells)
+        for (rid, x, y), _v in cells.items():
+            fs = nb = 0
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    w = cells.get((rid, x + dx, y + dy))
+                    if w is not None:
+                        fs += w
+                        nb += 1
+            assert grows[(rid, x, y)] == (fs, nb), (rid, x, y)
+
+    def test_table_path_isolated_cell(self, ray_session):
+        from maup_ray.ops.raster import focal_sum
+
+        t = pa.table(
+            {
+                "id": pa.array(["z"]),
+                "cx": pa.array([5], type=pa.int64()),
+                "cy": pa.array([5], type=pa.int64()),
+                "v": pa.array([7], type=pa.int64()),
+            }
+        )
+        got = focal_sum(t)
+        assert got["fsum"].to_pylist() == [7]
+        assert got["n_nb"].to_pylist() == [1]
+
+
+class TestMaxDrawdown:
+    def test_matches_brute(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.window import grouped_max_drawdown
+
+        rng = np.random.RandomState(29)
+        n = 3000
+        t = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 11, n).astype(np.int64)),
+                "ts": pa.array(rng.randint(0, 500, n).astype(np.int64)),
+                "i": pa.array(np.arange(n, dtype=np.int64)),
+                "v": pa.array(
+                    rng.randint(-2000, 2000, n).astype(np.int64)
+                ),
+            }
+        )
+        got = _collect(
+            grouped_max_drawdown(
+                ray.data.from_arrow(t).repartition(6),
+                "k", "ts", "i", "v",
+            )
+        )
+        rows = {r["k"]: (r["n"], r["max_dd"], r["trough_ts"])
+                for r in got.to_pylist()}
+        import pandas as pd
+
+        df = t.to_pandas()
+        for k, g in df.groupby("k"):
+            g = g.sort_values(["ts", "i"]).reset_index(drop=True)
+            peak = g["v"].cummax()
+            dd = peak - g["v"]
+            mx = int(dd.max())
+            trough = int(g["ts"].iloc[int(dd.idxmax())])
+            assert rows[int(k)] == (len(g), mx, trough), k
+
+    def test_monotone_series_zero_dd(self, ray_session):
+        from maup_ray.ops.window import grouped_max_drawdown
+
+        t = pa.table(
+            {
+                "k": pa.array([1, 1, 1], type=pa.int64()),
+                "ts": pa.array([1, 2, 3], type=pa.int64()),
+                "i": pa.array([1, 2, 3], type=pa.int64()),
+                "v": pa.array([1, 5, 9], type=pa.int64()),
+            }
+        )
+        got = grouped_max_drawdown(t, "k", "ts", "i", "v")
+        # rising series: max_dd 0, earliest trough = first row
+        assert got["max_dd"].to_pylist() == [0]
+        assert got["trough_ts"].to_pylist() == [1]
