@@ -44,7 +44,7 @@ import pyarrow as pa
 
 __all__ = ["grouped_spearman", "grouped_impurity",
            "grouped_gini", "grouped_weighted_median", "grouped_mad",
-           "grouped_mode", "grouped_ols", "grouped_ttest", "theil_sen"]
+           "grouped_mode", "grouped_ols", "grouped_ttest", "theil_sen", "ks_2samp"]
 
 
 def _int64_safe(bound: int) -> bool:
@@ -904,5 +904,81 @@ def theil_sen(ds, key: str, x_col: str, y_col: str) -> pa.Table:
             "n_points": pa.array(npts, type=pa.int64()),
             "n_pairs": pa.array(nprs, type=pa.int64()),
             "qslope_med": pa.array(meds, type=pa.int64()),
+        }
+    )
+
+
+def ks_2samp(ds, side_col: str, value_col: str) -> pa.Table:
+    """Exact two-sample Kolmogorov–Smirnov statistic — the
+    distribution-drift test between two cohorts of an integer column
+    (``side_col`` ∈ {0, 1}):
+
+        D = max_v |F1(v)·n0 − F0(v)·n1| / (n1·n0)
+
+    The numerator is computed over the DISTINCT value grid with exact
+    integer cumulative counts (supremum over step points is attained
+    at data values), so ``d_num`` is exact and ``d`` is ONE mirrored
+    HUGEINT→DOUBLE division. → one row (n1, n0, d_num, d).
+
+    Scale shape: per-batch Arrow (value, side-count) partials — only
+    the distinct-value histogram moves (the grouped_quantiles
+    contract; cost is O(distinct values), never O(rows)); the
+    cumulative walk runs on the driver in Python ints."""
+    from .agg import grouped_sums_exact
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        s = b[side_col]
+        return pa.table(
+            {
+                value_col: b[value_col],
+                "c1": pc2.cast(s, pa.int64()),
+                "c0": pc2.subtract(
+                    pa.scalar(1, type=pa.int64()),
+                    pc2.cast(s, pa.int64()),
+                ),
+            }
+        )
+
+    if isinstance(ds, pa.Table):
+        t = partial(ds)
+        g = t.group_by([value_col], use_threads=False).aggregate(
+            [("c1", "sum"), ("c0", "sum")]
+        )
+        rows = [
+            {value_col: v, "c1": int(a), "c0": int(b_)}
+            for v, a, b_ in zip(
+                g[value_col].to_pylist(), g["c1_sum"].to_pylist(),
+                g["c0_sum"].to_pylist()
+            )
+        ]
+    else:
+        rows = grouped_sums_exact(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            [value_col], sum_cols=["c1", "c0"],
+        )
+    rows.sort(key=lambda r: r[value_col])
+    n1 = sum(int(r["c1"]) for r in rows)
+    n0 = sum(int(r["c0"]) for r in rows)
+    if n1 == 0 or n0 == 0:
+        raise ValueError("ks_2samp: both sides must be non-empty")
+    f1 = f0 = 0
+    d_num = 0
+    for r in rows:
+        f1 += int(r["c1"])
+        f0 += int(r["c0"])
+        d_num = max(d_num, abs(f1 * n0 - f0 * n1))
+    if d_num >= (1 << 63):
+        raise AssertionError("ks_2samp: d_num exceeds int64")
+    return pa.table(
+        {
+            "n1": pa.array([n1], type=pa.int64()),
+            "n0": pa.array([n0], type=pa.int64()),
+            "d_num": pa.array([d_num], type=pa.int64()),
+            "d": pa.array(
+                [float(d_num) / float(n1 * n0)], type=pa.float64()
+            ),
         }
     )

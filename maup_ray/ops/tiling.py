@@ -29,7 +29,8 @@ import pyarrow as pa
 
 from ..geom.cells import MAX_RES, CellGrid, compact_cells
 
-__all__ = ["compact", "uncompact_table"]
+__all__ = ["compact", "uncompact_table", "morton_key",
+           "zorder_partition"]
 
 
 def compact(ds, cell_col: str = "cell", anchor_res: int = 3):
@@ -168,3 +169,94 @@ def uncompact_table(tbl: pa.Table, res: int) -> pa.Table:
     return out.combine_chunks().sort_by(
         [("cx", "ascending"), ("cy", "ascending")]
     )
+
+
+def morton_key(cx: np.ndarray, cy: np.ndarray, res: int) -> np.ndarray:
+    """Z-order (Morton) interleave of two ``res``-bit cell coordinates
+    → int64 keys whose ascending order is the space-filling curve. Bit
+    b of cx lands at position 2b+1, of cy at 2b — the exact unrolled
+    shift/mask dag the SQL mirror emits, so keys are bit-identical."""
+    cx = cx.astype(np.int64)
+    cy = cy.astype(np.int64)
+    out = np.zeros(len(cx), dtype=np.int64)
+    for b in range(res):
+        out |= ((cx >> b) & 1) << (2 * b + 1)
+        out |= ((cy >> b) & 1) << (2 * b)
+    return out
+
+
+def zorder_partition(
+    ds,
+    id_col: str,
+    x_col: str = "x",
+    y_col: str = "y",
+    res: int = 10,
+    n_parts: int = 32,
+    extent: float | None = None,
+):
+    """Balanced Z-order range partitioner — the explicit spatial
+    partitioning step of the north rule: points → res-bit cell →
+    Morton key → EQUAL-COUNT range cut into ``n_parts`` (partition of
+    row rank r (1-based) is ``(r−1)·P // n`` — exact integer ntile),
+    reported as the partition manifest (part, n_rows, min/max morton
+    key) a writer would use for range pruning and a scheduler for
+    skew splitting.
+
+    The rank comes from ``ops/window.global_row_number`` — the
+    engine's one legitimate total-order sort (sample → range split →
+    per-range sort; rows move ONCE). Ranks tie-break on ``id_col`` so
+    the cut is deterministic. The manifest is per-block partial
+    (part, n, min, max) rows, merged on the driver — O(P·blocks),
+    never O(rows)."""
+    import ray
+
+    from ..geom.cells import CellGrid
+    from .agg import grouped_sums_exact  # noqa: F401 (pattern ref)
+    from .window import global_row_number
+
+    if extent is None:
+        raise ValueError("zorder_partition: extent required")
+    grid = CellGrid(0.0, 0.0, float(extent))
+
+    def key_batch(b: pa.Table) -> pa.Table:
+        cells = grid.cell_of_points(
+            b[x_col].to_numpy(), b[y_col].to_numpy(), res
+        )
+        cx, cy, _ = CellGrid.unpack(cells)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "mkey": pa.array(morton_key(cx, cy, res)),
+            }
+        )
+
+    keyed = ds.map_batches(
+        key_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ranked = global_row_number(keyed, ["mkey", id_col])
+    total = ranked.count()
+    P = int(n_parts)
+
+    def manifest_part(b: pa.Table) -> pa.Table:
+        r = b["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mk = b["mkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (r - 1) * P // total
+        t = pa.table({"part": pa.array(part), "mkey": pa.array(mk)})
+        g = t.group_by(["part"], use_threads=False).aggregate(
+            [("mkey", "min"), ("mkey", "max"), ([], "count_all")]
+        )
+        return g.rename_columns(["part", "mkey_min", "mkey_max", "n"])
+
+    parts = ranked.map_batches(
+        manifest_part, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = pa.concat_tables(
+        [t for t in ray.get(parts.materialize().to_arrow_refs())
+         if t.num_rows]
+    )
+    out = merged.group_by(["part"], use_threads=False).aggregate(
+        [("mkey_min", "min"), ("mkey_max", "max"), ("n", "sum")]
+    )
+    return out.rename_columns(
+        ["part", "mkey_min", "mkey_max", "n_rows"]
+    ).sort_by("part")

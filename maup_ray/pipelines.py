@@ -1670,6 +1670,51 @@ def q_nb_train(sf_dir: str):
     )
 
 
+ZORD_RES = 10  # 2^10 cells/axis: cell width = EXTENT >> 10 = 1024
+ZORD_PARTS = 32
+
+
+def q_zorder_parts(sf_dir: str):
+    """Balanced Z-order range-partition manifest of the doc-derived
+    point cloud (ops/tiling.zorder_partition): Morton keys at res
+    {ZORD_RES}, exact equal-count cut into {ZORD_PARTS} ranges via
+    the engine's one legitimate total-order sort
+    (global_row_number), per-partition (n, min/max key) manifest."""
+    from .ops.tiling import zorder_partition
+
+    pts = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        derive_points, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return zorder_partition(
+        pts, "doc_id", res=ZORD_RES, n_parts=ZORD_PARTS,
+        extent=float(EXTENT),
+    )
+
+
+def q_ks_test(sf_dir: str):
+    """Exact two-sample KS drift statistic (ops/stats.ks_2samp):
+    n_chars of even vs odd doc_ids — integer supremum numerator over
+    the distinct-value grid, ONE mirrored division for d."""
+    from .ops.stats import ks_2samp
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "side": pa.array((d % 2).astype(np.int64)),
+                "v": b["n_chars"],
+            }
+        )
+
+    return ks_2samp(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "side", "v",
+    )
+
+
 def q_focal_stats(sf_dir: str):
     """3×3 focal sum over the district coverage mask
     (ops/raster.focal_sum): mask = cells with ≥ half coverage at
@@ -7757,6 +7802,10 @@ def query_registry():
         "theil_sen": q_theil_sen,
         # 3×3 focal sum over the district mask (ops/raster.py)
         "focal_stats": q_focal_stats,
+        # balanced Z-order range-partition manifest (ops/tiling.py)
+        "zorder_parts": q_zorder_parts,
+        # exact two-sample KS drift statistic (ops/stats.py)
+        "ks_test": q_ks_test,
         # per-user maximum drawdown (ops/window.py)
         "max_drawdown": q_max_drawdown,
         # day-of-week seasonality profile + peak deviation day
@@ -10870,6 +10919,59 @@ def oracle_queries() -> dict[str, str]:
             FROM v JOIN q ON v.k = q.k
             GROUP BY q.k, q.q1, q.q3
             ORDER BY event_type
+        """,
+        # zorder_parts: the Morton interleave is the same unrolled
+        # shift/mask dag as ops/tiling.morton_key (bits disjoint so
+        # + == |); rank ntile cut is exact integer arithmetic
+        "zorder_parts": f"""
+            WITH pts AS (
+              SELECT doc_id,
+                     ((doc_id * {AX} + {BX}) % {EXTENT})
+                       // {EXTENT >> ZORD_RES} AS cx,
+                     ((doc_id * {AY} + {BY}) % {EXTENT})
+                       // {EXTENT >> ZORD_RES} AS cy
+              FROM documents),
+            mk AS (SELECT doc_id,
+                          {" + ".join(
+                              f"(((cx >> {b}) & 1) << {2 * b + 1})"
+                              f" + (((cy >> {b}) & 1) << {2 * b})"
+                              for b in range(ZORD_RES)
+                          )} AS mkey
+                   FROM pts),
+            rk AS (SELECT mkey,
+                          row_number() OVER (ORDER BY mkey, doc_id)
+                            AS rn,
+                          count(*) OVER () AS n
+                   FROM mk)
+            SELECT CAST((rn - 1) * {ZORD_PARTS} // n AS BIGINT)
+                     AS part,
+                   CAST(min(mkey) AS BIGINT) AS mkey_min,
+                   CAST(max(mkey) AS BIGINT) AS mkey_max,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM rk GROUP BY part ORDER BY part
+        """,
+        "ks_test": """
+            WITH s AS (SELECT doc_id % 2 AS side, n_chars AS v
+                       FROM documents),
+            n AS (SELECT CAST(sum(side) AS BIGINT) AS n1,
+                         CAST(sum(1 - side) AS BIGINT) AS n0
+                  FROM s),
+            d AS (SELECT v, CAST(sum(side) AS BIGINT) AS c1,
+                         CAST(sum(1 - side) AS BIGINT) AS c0
+                  FROM s GROUP BY v),
+            c AS (SELECT v,
+                         sum(c1) OVER (ORDER BY v) AS f1,
+                         sum(c0) OVER (ORDER BY v) AS f0
+                  FROM d)
+            SELECT n.n1, n.n0,
+                   CAST(max(abs(CAST(f1 AS HUGEINT) * n.n0
+                                - CAST(f0 AS HUGEINT) * n.n1))
+                        AS BIGINT) AS d_num,
+                   CAST(max(abs(CAST(f1 AS HUGEINT) * n.n0
+                                - CAST(f0 AS HUGEINT) * n.n1))
+                        AS DOUBLE)
+                     / CAST(n.n1 * n.n0 AS DOUBLE) AS d
+            FROM c, n GROUP BY n.n1, n.n0
         """,
         "focal_stats": f"""
             WITH cells AS (
