@@ -469,10 +469,15 @@ def morphology(
         raise ValueError(f"morphology: unknown op {op!r}")
     G = 1 << res
 
-    _EMPTY_T = None  # resolved per-call below
+    # erosion probes step OUTSIDE [0, G)², so the probe encoding
+    # stride must be G+2, not G: with stride G the probe (cx, −1)
+    # aliases the REAL cell (cx−1, G−1) and full-width masks keep
+    # their cy-edge rows (caught by the full-grid closed-form soak,
+    # tests/test_graph_soak.py::TestMorphologySoak)
+    S = np.int64(G + 2)
 
     def _encode(cx, cy):
-        return cx * np.int64(G) + cy
+        return cx * S + cy
 
     _OFFS = np.array([(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)],
                      dtype=np.int64)
@@ -492,7 +497,7 @@ def morphology(
         ey = np.concatenate([cy + dy for _, dy in _OFFS])
         inb = (ex >= 0) & (ex < G) & (ey >= 0) & (ey < G)
         keys = np.unique(_encode(ex[inb], ey[inb]))
-        return keys // G, keys % G
+        return keys // S, keys % S
 
     def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
         id_t = pa.int64() if tbl is None else tbl.schema.field(id_col).type

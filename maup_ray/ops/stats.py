@@ -44,7 +44,7 @@ import pyarrow as pa
 
 __all__ = ["grouped_spearman", "grouped_impurity",
            "grouped_gini", "grouped_weighted_median", "grouped_mad",
-           "grouped_mode", "grouped_ols", "grouped_ttest", "theil_sen", "ks_2samp"]
+           "grouped_mode", "grouped_ols", "grouped_ttest", "theil_sen", "ks_2samp", "mannwhitney_u"]
 
 
 def _int64_safe(bound: int) -> bool:
@@ -980,5 +980,80 @@ def ks_2samp(ds, side_col: str, value_col: str) -> pa.Table:
             "d": pa.array(
                 [float(d_num) / float(n1 * n0)], type=pa.float64()
             ),
+        }
+    )
+
+
+def mannwhitney_u(ds, side_col: str, value_col: str) -> pa.Table:
+    """Exact Mann–Whitney U (Wilcoxon rank-sum) between two cohorts
+    of an integer column — the nonparametric A/B test that, unlike
+    the t-test, survives heavy tails. Ties get midranks; to stay
+    integer the op reports ``u2 = 2·U1`` exactly:
+
+        2·R1 = Σ_v c1_v · (2·cum_before_v + cnt_v + 1)
+        u2   = 2·R1 − n1·(n1 + 1),      u = u2 / 2.0
+
+    (c1_v / c0_v = per-side counts at distinct value v; cum_before =
+    rows of either side strictly below v). One mirrored halving for
+    ``u``; everything else is exact Python-int arithmetic.
+
+    Scale shape: identical to ``ks_2samp`` — only the distinct-value
+    histogram moves, the walk runs on the driver."""
+    from .agg import grouped_sums_exact
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        s = b[side_col]
+        return pa.table(
+            {
+                value_col: b[value_col],
+                "c1": pc2.cast(s, pa.int64()),
+                "c0": pc2.subtract(
+                    pa.scalar(1, type=pa.int64()),
+                    pc2.cast(s, pa.int64()),
+                ),
+            }
+        )
+
+    if isinstance(ds, pa.Table):
+        t = partial(ds)
+        g = t.group_by([value_col], use_threads=False).aggregate(
+            [("c1", "sum"), ("c0", "sum")]
+        )
+        rows = [
+            {value_col: v, "c1": int(a), "c0": int(b_)}
+            for v, a, b_ in zip(
+                g[value_col].to_pylist(), g["c1_sum"].to_pylist(),
+                g["c0_sum"].to_pylist()
+            )
+        ]
+    else:
+        rows = grouped_sums_exact(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            [value_col], sum_cols=["c1", "c0"],
+        )
+    rows.sort(key=lambda r: r[value_col])
+    n1 = sum(int(r["c1"]) for r in rows)
+    n0 = sum(int(r["c0"]) for r in rows)
+    if n1 == 0 or n0 == 0:
+        raise ValueError("mannwhitney_u: both sides must be non-empty")
+    cumb = 0
+    r2 = 0
+    for r in rows:
+        c1, c0 = int(r["c1"]), int(r["c0"])
+        cnt = c1 + c0
+        r2 += c1 * (2 * cumb + cnt + 1)
+        cumb += cnt
+    u2 = r2 - n1 * (n1 + 1)
+    if not 0 <= u2 < (1 << 63):
+        raise AssertionError("mannwhitney_u: u2 out of int64 range")
+    return pa.table(
+        {
+            "n1": pa.array([n1], type=pa.int64()),
+            "n0": pa.array([n0], type=pa.int64()),
+            "u2": pa.array([u2], type=pa.int64()),
+            "u": pa.array([u2 / 2.0], type=pa.float64()),
         }
     )

@@ -1670,6 +1670,62 @@ def q_nb_train(sf_dir: str):
     )
 
 
+def q_mannwhitney(sf_dir: str):
+    """Exact Mann–Whitney U between the deterministic A/B cohorts
+    (user_id % 2) over value-cents (ops/stats.mannwhitney_u):
+    midrank tie handling kept integer as u2 = 2·U1, one mirrored
+    halving for u."""
+    from .ops.stats import mannwhitney_u
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy()
+        return pa.table(
+            {
+                "side": pa.array((u % 2).astype(np.int64)),
+                "v": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return mannwhitney_u(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "side", "v",
+    )
+
+
+def q_basket_hist(sf_dir: str):
+    """Basket-size distribution: lineitems per order histogram —
+    ONE orderkey-keyed exchange of per-batch (orderkey, count)
+    partials (grouped_sum_count shuffle-final), then tiny (n_items,
+    n_orders) histogram partials to the driver; the order table
+    itself never gathers."""
+    from .ops.agg import grouped_sum_count
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    per_order = grouped_sum_count(
+        ds, ["l_orderkey"], count_col="n_items", final="shuffle"
+    )
+
+    def hist_part(b: pa.Table) -> pa.Table:
+        g = b.group_by(["n_items"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["n_items", "n_orders"])
+
+    hist = grouped_sum_count(
+        per_order.map_batches(hist_part, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        ["n_items"], sum_cols=["n_orders"], final="driver",
+    )
+    return hist.combine_chunks().sort_by("n_items").select(
+        ["n_items", "n_orders"]
+    )
+
+
 ZORD_RES = 10  # 2^10 cells/axis: cell width = EXTENT >> 10 = 1024
 ZORD_PARTS = 32
 
@@ -7806,6 +7862,10 @@ def query_registry():
         "zorder_parts": q_zorder_parts,
         # exact two-sample KS drift statistic (ops/stats.py)
         "ks_test": q_ks_test,
+        # exact Mann–Whitney U rank-sum test (ops/stats.py)
+        "mannwhitney": q_mannwhitney,
+        # basket-size distribution over lineitem
+        "basket_hist": q_basket_hist,
         # per-user maximum drawdown (ops/window.py)
         "max_drawdown": q_max_drawdown,
         # day-of-week seasonality profile + peak deviation day
@@ -10949,6 +11009,40 @@ def oracle_queries() -> dict[str, str]:
                    CAST(max(mkey) AS BIGINT) AS mkey_max,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM rk GROUP BY part ORDER BY part
+        """,
+        "mannwhitney": """
+            WITH s AS (SELECT user_id % 2 AS side,
+                              CAST(round(value * 100, 0) AS BIGINT)
+                                AS v
+                       FROM events),
+            d AS (SELECT v, CAST(sum(side) AS BIGINT) AS c1,
+                         CAST(sum(1 - side) AS BIGINT) AS c0
+                  FROM s GROUP BY v),
+            c AS (SELECT v, c1, c0,
+                         coalesce(sum(c1 + c0) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cumb
+                  FROM d),
+            n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                         CAST(sum(c0) AS BIGINT) AS n0
+                  FROM d)
+            SELECT n.n1, n.n0,
+                   CAST(sum(CAST(c1 AS HUGEINT)
+                            * (2 * cumb + c1 + c0 + 1))
+                        - CAST(n.n1 AS HUGEINT) * (n.n1 + 1)
+                        AS BIGINT) AS u2,
+                   CAST(sum(CAST(c1 AS HUGEINT)
+                            * (2 * cumb + c1 + c0 + 1))
+                        - CAST(n.n1 AS HUGEINT) * (n.n1 + 1)
+                        AS DOUBLE) / 2.0 AS u
+            FROM c, n GROUP BY n.n1, n.n0
+        """,
+        "basket_hist": """
+            WITH b AS (SELECT l_orderkey,
+                              CAST(count(*) AS BIGINT) AS n_items
+                       FROM lineitem GROUP BY l_orderkey)
+            SELECT n_items, CAST(count(*) AS BIGINT) AS n_orders
+            FROM b GROUP BY n_items ORDER BY n_items
         """,
         "ks_test": """
             WITH s AS (SELECT doc_id % 2 AS side, n_chars AS v

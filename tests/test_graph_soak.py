@@ -120,3 +120,84 @@ def test_clustering_scale():
     assert r["deg"] == 4 * N  # i±1, i±2
     # N consecutive-triple triangles, each crediting 3 nodes
     assert r["tri"] == 3 * N
+
+
+class TestLinkPredSoak:
+    def test_ring_closed_form(self, ray_session):
+        """Ring i→i+1, i→i+2 over R nodes: the only non-adjacent
+        pairs with ≥2 common neighbors are (i, i+3) — common =
+        {i+1, i+2}, degrees 4/4, jaccard 2/6 — so the output is
+        exactly R rows with identical stats (closed form)."""
+        import ray.data
+
+        from maup_ray.ops.graph import link_prediction
+
+        R = 300_000
+
+        def edges(b: pa.Table) -> pa.Table:
+            i = b["id"].to_numpy()
+            u = np.concatenate([i, i])
+            v = np.concatenate([(i + 1) % R, (i + 2) % R])
+            return pa.table(
+                {
+                    "u": pa.array(u.astype(np.int64)),
+                    "v": pa.array(v.astype(np.int64)),
+                }
+            )
+
+        ds = ray.data.range(R).map_batches(
+            edges, batch_format="pyarrow", zero_copy_batch=True
+        )
+        got = link_prediction(ds, min_common=2)
+        assert got.num_rows == R
+        import pyarrow.compute as pc
+
+        assert pc.min(got["common"]).as_py() == 2
+        assert pc.max(got["common"]).as_py() == 2
+        assert pc.min(got["da"]).as_py() == 4
+        assert pc.max(got["db"]).as_py() == 4
+        ja = got["jaccard"].to_numpy()
+        assert (ja == 2.0 / 6.0).all()
+
+
+class TestMorphologySoak:
+    def test_full_grid_closed_form(self, ray_session):
+        """A full G×G mask (G = 1024, ~1M cells): erosion keeps the
+        (G−2)² interior, dilation is the identity (already full,
+        clipped at bounds), opening = dilate(interior) = all but the
+        four corner cells."""
+        import ray.data
+
+        from maup_ray.ops.raster import morphology
+
+        G = 1024
+
+        def cells(b: pa.Table) -> pa.Table:
+            i = b["id"].to_numpy()
+            return pa.table(
+                {
+                    "id": pa.array(np.zeros(len(i), dtype=np.int64)),
+                    "cx": pa.array((i // G).astype(np.int64)),
+                    "cy": pa.array((i % G).astype(np.int64)),
+                }
+            )
+
+        ds = ray.data.range(G * G).map_batches(
+            cells, batch_format="pyarrow", zero_copy_batch=True
+        )
+        er = morphology(ds, 10, op="erode")
+        n_er = sum(
+            t.num_rows
+            for t in __import__("ray").get(
+                er.materialize().to_arrow_refs()
+            )
+        )
+        assert n_er == (G - 2) ** 2
+        op = morphology(ds, 10, op="open")
+        n_op = sum(
+            t.num_rows
+            for t in __import__("ray").get(
+                op.materialize().to_arrow_refs()
+            )
+        )
+        assert n_op == G * G - 4

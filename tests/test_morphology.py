@@ -97,6 +97,26 @@ class TestMorphology:
             (1, 1), (0, 1), (2, 1), (1, 0), (1, 2)
         }
 
+    def test_full_grid_no_probe_alias(self, ray_session):
+        # regression: with probe stride G the out-of-grid probe
+        # (cx, −1) aliases the real cell (cx−1, G−1), so a FULL grid
+        # kept its cy-edge rows under erosion (G·(G−2) instead of
+        # (G−2)²)
+        G = 8
+        xs, ys = np.meshgrid(np.arange(G), np.arange(G))
+        t = pa.table(
+            {
+                "id": pa.array(np.zeros(G * G, dtype=np.int64)),
+                "cx": pa.array(xs.ravel().astype(np.int64)),
+                "cy": pa.array(ys.ravel().astype(np.int64)),
+            }
+        )
+        er = morphology(t, 3, op="erode")
+        got = set(zip(er["cx"].to_pylist(), er["cy"].to_pylist()))
+        assert got == {
+            (x, y) for x in range(1, G - 1) for y in range(1, G - 1)
+        }
+
 
 class TestIqrOutliers:
     def test_matches_brute(self, ray_session):

@@ -144,3 +144,50 @@ class TestKs2Samp:
                 ),
                 "s", "v",
             )
+
+
+class TestMannWhitney:
+    def test_matches_scipy_formula(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.stats import mannwhitney_u
+
+        rng = np.random.RandomState(43)
+        n = 4000
+        side = rng.randint(0, 2, n).astype(np.int64)
+        v = np.where(
+            side == 1,
+            rng.randint(0, 80, n),  # heavy ties
+            rng.randint(10, 90, n),
+        ).astype(np.int64)
+        got = mannwhitney_u(
+            ray.data.from_arrow(
+                pa.table({"s": pa.array(side), "v": pa.array(v)})
+            ).repartition(5),
+            "s", "v",
+        )
+        # brute midrank computation
+        import pandas as pd
+
+        ranks = pd.Series(v).rank(method="average")
+        r1 = float(ranks[side == 1].sum())
+        n1 = int((side == 1).sum())
+        n0 = int((side == 0).sum())
+        u1 = r1 - n1 * (n1 + 1) / 2.0
+        assert got["n1"].to_pylist() == [n1]
+        assert got["n0"].to_pylist() == [n0]
+        assert got["u"].to_pylist() == [u1]
+        assert got["u2"].to_pylist() == [int(2 * u1)]
+
+    def test_no_ties_identity(self, ray_session):
+        from maup_ray.ops.stats import mannwhitney_u
+
+        # side 1 all above side 0: U1 = n1*n0 (maximal)
+        t = pa.table(
+            {
+                "s": pa.array([0, 0, 0, 1, 1], type=pa.int64()),
+                "v": pa.array([1, 2, 3, 10, 11], type=pa.int64()),
+            }
+        )
+        got = mannwhitney_u(t, "s", "v")
+        assert got["u"].to_pylist() == [6.0]
