@@ -49,6 +49,7 @@ __all__ = [
     "intervalize",
     "interval_coverage",
     "cusum_changepoint",
+    "gap_median",
 ]
 
 _US = 1_000_000
@@ -1496,4 +1497,84 @@ def cusum_changepoint(ds, key_col: str, order_col: str,
             "cp": pa.array(cps),
             "max_dev": pa.array(devs, type=pa.int64()),
         }
+    )
+
+
+def gap_median(ds, key_col: str, day_col: str):
+    """Per-key median gap between consecutive DISTINCT active days —
+    the reorder-interval / visit-cadence metric. Keys with < 2
+    distinct days emit nothing (no gap exists).
+
+    Exactness: gaps are integer day differences; the median is the
+    quantile_disc selection (smallest gap with cumulative count ≥
+    ceil(n/2)) — no interpolation, no floats anywhere.
+
+    Scale shape: per-batch (key, day) dedup, ONE key-keyed hash
+    exchange of the 12 B pairs, then per partition ONE lexsort of
+    (group, gap) and a vectorized per-group rank pick — no Python
+    per key. → (key, n_gaps, med_gap) Dataset."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        return b.select([key_col, day_col]).group_by(
+            [key_col, day_col], use_threads=False
+        ).aggregate([])
+
+    pruned = ds.map_batches(
+        pre, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    _EMPTY = None
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        key_t = (
+            tbl.schema.field(key_col).type
+            if tbl is not None
+            else pa.int64()
+        )
+        schema = pa.schema(
+            [
+                (key_col, key_t),
+                ("n_gaps", pa.int64()),
+                ("med_gap", pa.int64()),
+            ]
+        )
+        if tbl is None or tbl.num_rows == 0:
+            return schema.empty_table()
+        n = tbl.num_rows
+        starts = np.asarray(starts, dtype=np.int64)
+        sizes = np.diff(np.append(starts, n))
+        gidx = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        d = tbl[day_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # rows sorted by (key, day); cross-batch duplicates possible
+        dup = np.zeros(n, dtype=bool)
+        dup[1:] = (gidx[1:] == gidx[:-1]) & (d[1:] == d[:-1])
+        keep = ~dup
+        d, gidx = d[keep], gidx[keep]
+        # consecutive gaps within each group
+        valid = np.zeros(len(d), dtype=bool)
+        valid[1:] = gidx[1:] == gidx[:-1]
+        gap = np.empty(len(d), dtype=np.int64)
+        gap[1:] = d[1:] - d[:-1]
+        g_of = gidx[valid]
+        gaps = gap[valid]
+        if len(gaps) == 0:
+            return schema.empty_table()
+        order = np.lexsort((gaps, g_of))
+        g_s, gp_s = g_of[order], gaps[order]
+        gs = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
+        cnt = np.diff(np.append(gs, len(g_s)))
+        pick = gs + (cnt + 1) // 2 - 1  # ceil(n/2)-th smallest
+        first_row = starts[g_s[gs]]
+        return pa.table(
+            {
+                key_col: tbl[key_col].take(pa.array(first_row)),
+                "n_gaps": pa.array(cnt.astype(np.int64)),
+                "med_gap": pa.array(gp_s[pick]),
+            }
+        )
+
+    from .shuffle import hash_group_apply
+
+    return hash_group_apply(
+        pruned, [key_col], part, sort_cols=(day_col,)
     )

@@ -1670,6 +1670,134 @@ def q_nb_train(sf_dir: str):
     )
 
 
+def _donut_districts() -> pa.Table:
+    """The BSP districts with a centered rectangular hole punched out
+    of each (hole = middle half by integer quarter-offsets) — the
+    polygon-WITH-INTERIOR-RING fixture that forces the assign path
+    through real even-odd PIP instead of bbox shortcuts."""
+    from .geom.wkb import encode_polygon
+
+    r = bsp_rects(N_DISTRICTS)
+    geoms = []
+    for minx, miny, maxx, maxy in r:
+        qx = (maxx - minx) // 4
+        qy = (maxy - miny) // 4
+        outer = np.array(
+            [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]],
+            dtype=np.float64,
+        )
+        hole = np.array(
+            [
+                [minx + qx, miny + qy],
+                [minx + qx, maxy - qy],
+                [maxx - qx, maxy - qy],
+                [maxx - qx, miny + qy],
+            ],
+            dtype=np.float64,
+        )
+        geoms.append(encode_polygon([outer, hole]))
+    return pa.table(
+        {
+            "district_id": pa.array(
+                np.arange(len(r)), type=pa.int64()
+            ),
+            "geometry": pa.array(geoms, type=pa.binary()),
+        }
+    )
+
+
+def q_assign_donut(sf_dir: str):
+    """Point-in-donut-district assignment: districts with centered
+    rectangular holes (interior rings), points in a hole get null and
+    are dropped — exercises exact even-odd PIP on multi-ring polygons
+    under a SQL oracle (outer-box AND NOT hole-box; points are
+    half-integer so no boundary cases)."""
+    from .ops.assign import assign
+
+    pts = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        derive_points, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = assign(
+        pts,
+        _donut_districts(),
+        source_id_col="doc_id",
+        target_id_col="district_id",
+        targets_id_col="district_id",
+        concurrency=8,
+    )
+
+    def drop_null(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b["district_id"]))
+
+    return out.select_columns(["doc_id", "district_id"]).map_batches(
+        drop_null, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+CHAIN_BLOCK = 100  # components query: chain blocks of 100 doc_ids
+
+
+def q_components(sf_dir: str):
+    """Connected components over the block-chain synthetic graph
+    (edges i→i+1 and i→i+2 within each block of {CHAIN_BLOCK} ids):
+    (node, component) with component = min reachable node
+    (text/cluster.connected_components BSP min-label propagation) —
+    mirrored by a recursive-CTE closure."""
+    import pyarrow.parquet as pq
+
+    from .text.cluster import connected_components
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def edges(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy()
+        u1 = i[(i % CHAIN_BLOCK != CHAIN_BLOCK - 1) & (i + 1 < n_docs)]
+        u2 = i[(i % CHAIN_BLOCK < CHAIN_BLOCK - 2) & (i + 2 < n_docs)]
+        return pa.table(
+            {
+                "a": pa.array(
+                    np.concatenate([u1, u2]).astype(np.int64)
+                ),
+                "b": pa.array(
+                    np.concatenate([u1 + 1, u2 + 2]).astype(np.int64)
+                ),
+            }
+        )
+
+    e = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        edges, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return connected_components(e)
+
+
+def q_reorder_gaps(sf_dir: str):
+    """Per-customer median reorder interval (ops/temporal.gap_median):
+    distinct order days per customer, consecutive-day gaps, exact
+    quantile_disc median — customers with < 2 distinct days emit
+    nothing."""
+    from .ops.temporal import _ts_i64, gap_median
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "day": pa.array(
+                    (_ts_i64(b["o_orderdate"]) // _DAY_US).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    return gap_median(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "o_custkey", "day",
+    )
+
+
 def q_mannwhitney(sf_dir: str):
     """Exact Mann–Whitney U between the deterministic A/B cohorts
     (user_id % 2) over value-cents (ops/stats.mannwhitney_u):
@@ -7864,6 +7992,12 @@ def query_registry():
         "ks_test": q_ks_test,
         # exact Mann–Whitney U rank-sum test (ops/stats.py)
         "mannwhitney": q_mannwhitney,
+        # donut-district PIP assignment (interior rings, ops/assign.py)
+        "assign_donut": q_assign_donut,
+        # connected components over the block-chain graph
+        "components": q_components,
+        # per-customer median reorder interval (ops/temporal.py)
+        "reorder_gaps": q_reorder_gaps,
         # basket-size distribution over lineitem
         "basket_hist": q_basket_hist,
         # per-user maximum drawdown (ops/window.py)
@@ -11009,6 +11143,61 @@ def oracle_queries() -> dict[str, str]:
                    CAST(max(mkey) AS BIGINT) AS mkey_max,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM rk GROUP BY part ORDER BY part
+        """,
+        # assign_donut: hole bounds are integer quarter-offsets of the
+        # integral rect coords; points are half-integer so strict
+        # hole-interior comparisons have no boundary cases
+        "assign_donut": f"""
+            WITH dist AS (SELECT * FROM {districts_sql(N_DISTRICTS)} )
+            SELECT doc_id, district_id
+            FROM documents, dist
+            WHERE {_points_expr()[0]} >= minx
+              AND {_points_expr()[0]} < maxx
+              AND {_points_expr()[1]} >= miny
+              AND {_points_expr()[1]} < maxy
+              AND NOT (
+                {_points_expr()[0]} > minx
+                  + (CAST(maxx AS BIGINT) - CAST(minx AS BIGINT)) // 4
+                AND {_points_expr()[0]} < maxx
+                  - (CAST(maxx AS BIGINT) - CAST(minx AS BIGINT)) // 4
+                AND {_points_expr()[1]} > miny
+                  + (CAST(maxy AS BIGINT) - CAST(miny AS BIGINT)) // 4
+                AND {_points_expr()[1]} < maxy
+                  - (CAST(maxy AS BIGINT) - CAST(miny AS BIGINT)) // 4
+              )
+        """,
+        "components": f"""
+            WITH RECURSIVE
+            nn AS (SELECT count(*) AS n FROM documents),
+            e0 AS (
+              SELECT doc_id AS i, doc_id + 1 AS j FROM documents, nn
+              WHERE doc_id % {CHAIN_BLOCK} <> {CHAIN_BLOCK - 1}
+                AND doc_id + 1 < nn.n
+              UNION ALL
+              SELECT doc_id, doc_id + 2 FROM documents, nn
+              WHERE doc_id % {CHAIN_BLOCK} < {CHAIN_BLOCK - 2}
+                AND doc_id + 2 < nn.n),
+            e AS (SELECT i, j FROM e0 UNION SELECT j, i FROM e0),
+            reach(s, d) AS (
+              SELECT i, j FROM e
+              UNION
+              SELECT r.s, e.j FROM reach r JOIN e ON r.d = e.i)
+            SELECT s AS node, least(s, min(d)) AS component
+            FROM reach GROUP BY s ORDER BY node
+        """,
+        "reorder_gaps": """
+            WITH d AS (SELECT DISTINCT o_custkey,
+                              epoch_us(o_orderdate) // 86400000000
+                                AS day
+                       FROM orders),
+            g AS (SELECT o_custkey,
+                         day - lag(day) OVER (PARTITION BY o_custkey
+                                              ORDER BY day) AS gap
+                  FROM d)
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(quantile_disc(gap, 0.5) AS BIGINT) AS med_gap
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY o_custkey ORDER BY o_custkey
         """,
         "mannwhitney": """
             WITH s AS (SELECT user_id % 2 AS side,

@@ -230,3 +230,65 @@ class TestTheilSen:
         assert rows[1]["qslope_med"] == -(1 << 30)
         assert rows[2]["n_pairs"] == 0
         assert rows[2]["qslope_med"] is None
+
+
+class TestGapMedian:
+    def test_matches_brute(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.temporal import gap_median
+
+        rng = np.random.RandomState(53)
+        n = 4000
+        k = rng.randint(0, 40, n).astype(np.int64)
+        d = rng.randint(0, 90, n).astype(np.int64)
+        got = (
+            gap_median(
+                ray.data.from_arrow(
+                    pa.table({"k": pa.array(k), "day": pa.array(d)})
+                ).repartition(6),
+                "k", "day",
+            )
+        )
+        import ray
+
+        tabs = [ray.get(r) for r in got.materialize().to_arrow_refs()]
+        tabs = [t for t in tabs if t.num_rows] or tabs[:1]
+        rows = {
+            r["k"]: (r["n_gaps"], r["med_gap"])
+            for r in pa.concat_tables(tabs).to_pylist()
+        }
+        import math
+
+        want = {}
+        for kk in range(40):
+            days = sorted(set(d[k == kk].tolist()))
+            gaps = sorted(
+                b - a for a, b in zip(days, days[1:])
+            )
+            if gaps:
+                want[kk] = (
+                    len(gaps),
+                    gaps[math.ceil(len(gaps) / 2) - 1],
+                )
+        assert rows == want
+
+    def test_single_day_key_emits_nothing(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.temporal import gap_median
+
+        t = pa.table(
+            {
+                "k": pa.array([1, 1, 2], type=pa.int64()),
+                "day": pa.array([5, 5, 3], type=pa.int64()),
+            }
+        )
+        got = gap_median(ray.data.from_arrow(t), "k", "day")
+        import ray
+
+        n = sum(
+            t2.num_rows
+            for t2 in ray.get(got.materialize().to_arrow_refs())
+        )
+        assert n == 0
