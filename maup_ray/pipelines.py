@@ -1670,6 +1670,160 @@ def q_nb_train(sf_dir: str):
     )
 
 
+def q_district_dispersion(sf_dir: str):
+    """Spatial-join → statistics composition: assign points to
+    districts (the engine's flagship op), then per-district EXACT
+    point dispersion — n, vx_num = n·Σx²−(Σx)², vy_num likewise
+    (coordinates are half-integers: 2x is integer, so moments of 2x
+    are exact ints; the ×4 scaling cancels in nothing and is kept —
+    documented in the SQL mirror), and mean squared distance from the
+    centroid r2_mean = (vx_num+vy_num)/(4·n²) as ONE mirrored
+    division."""
+    from .ops.agg import grouped_sums_exact
+    from .ops.assign import assign
+
+    pts = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        derive_points, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = assign(
+        pts,
+        _districts(),
+        source_id_col="doc_id",
+        target_id_col="district_id",
+        targets_id_col="district_id",
+        keep_cols=("x", "y"),
+        concurrency=8,
+    )
+
+    def moments(b: pa.Table) -> pa.Table:
+        # 2x, 2y are exact ints (points sit at +0.5 offsets)
+        x2 = np.round(b["x"].to_numpy() * 2.0).astype(np.int64)
+        y2 = np.round(b["y"].to_numpy() * 2.0).astype(np.int64)
+        return pa.table(
+            {
+                "district_id": b["district_id"],
+                "sx": pa.array(x2),
+                "sxx": pa.array(x2 * x2),
+                "sy": pa.array(y2),
+                "syy": pa.array(y2 * y2),
+            }
+        )
+
+    rows = grouped_sums_exact(
+        out.map_batches(moments, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["district_id"], sum_cols=["sx", "sxx", "sy", "syy"],
+        count_col="n",
+    )
+    rows.sort(key=lambda r: r["district_id"])
+    ids = [int(r["district_id"]) for r in rows]
+    ns = [int(r["n"]) for r in rows]
+    vx = [
+        int(r["n"]) * int(r["sxx"]) - int(r["sx"]) ** 2 for r in rows
+    ]
+    vy = [
+        int(r["n"]) * int(r["syy"]) - int(r["sy"]) ** 2 for r in rows
+    ]
+    r2 = [
+        float(a + b_) / float(4 * n * n)
+        for a, b_, n in zip(vx, vy, ns)
+    ]
+    for v in vx + vy:
+        assert 0 <= v < (1 << 63), "dispersion numerator overflow"
+    return pa.table(
+        {
+            "district_id": pa.array(ids, type=pa.int64()),
+            "n": pa.array(ns, type=pa.int64()),
+            "vx_num": pa.array(vx, type=pa.int64()),
+            "vy_num": pa.array(vy, type=pa.int64()),
+            "r2_mean": pa.array(r2, type=pa.float64()),
+        }
+    )
+
+
+WINBACK_DAYS = 3  # dormancy threshold (events are day-dense; max observed gap is 3-4)
+
+
+def q_winback(sf_dir: str):
+    """Win-back detection per user over the events stream: the FIRST
+    activity gap ≥ {WINBACK_DAYS} distinct-active-days apart →
+    (user_id, dormant_day, react_day, gap_days). One user-keyed
+    exchange of deduped (user, day) pairs, vectorized first-hit scan
+    per partition."""
+    from .ops.shuffle import hash_group_apply
+    from .ops.temporal import _ts_i64
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "day": pa.array(
+                    (_ts_i64(b["ts"]) // _DAY_US).astype(np.int64)
+                ),
+            }
+        )
+        return t.group_by(["user_id", "day"],
+                          use_threads=False).aggregate([])
+
+    _SCHEMA = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("dormant_day", pa.date32()),
+            ("react_day", pa.date32()),
+            ("gap_days", pa.int64()),
+        ]
+    )
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None or tbl.num_rows == 0:
+            return _SCHEMA.empty_table()
+        n = tbl.num_rows
+        starts = np.asarray(starts, dtype=np.int64)
+        sizes = np.diff(np.append(starts, n))
+        gidx = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        d = tbl["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = np.zeros(n, dtype=bool)
+        dup[1:] = (gidx[1:] == gidx[:-1]) & (d[1:] == d[:-1])
+        keep = ~dup
+        d, gidx = d[keep], gidx[keep]
+        kept_rows = np.flatnonzero(keep)
+        gap_ok = np.zeros(len(d), dtype=bool)
+        gap_ok[1:] = (gidx[1:] == gidx[:-1]) & (
+            d[1:] - d[:-1] >= WINBACK_DAYS
+        )
+        hits = np.flatnonzero(gap_ok)
+        if len(hits) == 0:
+            return _SCHEMA.empty_table()
+        # earliest hit per group
+        hg = gidx[hits]
+        first_of_g = np.flatnonzero(
+            np.r_[True, hg[1:] != hg[:-1]]
+        )
+        hits = hits[first_of_g]
+        return pa.table(
+            {
+                "user_id": tbl["user_id"].take(
+                    pa.array(kept_rows[hits])
+                ),
+                "dormant_day": pa.array(
+                    (d[hits - 1]).astype(np.int32), type=pa.date32()
+                ),
+                "react_day": pa.array(
+                    d[hits].astype(np.int32), type=pa.date32()
+                ),
+                "gap_days": pa.array(d[hits] - d[hits - 1]),
+            }
+        )
+
+    return hash_group_apply(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], part, sort_cols=("day",),
+    )
+
+
 def _donut_districts() -> pa.Table:
     """The BSP districts with a centered rectangular hole punched out
     of each (hole = middle half by integer quarter-offsets) — the
@@ -7994,6 +8148,10 @@ def query_registry():
         "mannwhitney": q_mannwhitney,
         # donut-district PIP assignment (interior rings, ops/assign.py)
         "assign_donut": q_assign_donut,
+        # assign → exact per-district point dispersion composition
+        "district_dispersion": q_district_dispersion,
+        # dormancy win-back detection per user
+        "winback": q_winback,
         # connected components over the block-chain graph
         "components": q_components,
         # per-customer median reorder interval (ops/temporal.py)
@@ -11165,6 +11323,59 @@ def oracle_queries() -> dict[str, str]:
                 AND {_points_expr()[1]} < maxy
                   - (CAST(maxy AS BIGINT) - CAST(miny AS BIGINT)) // 4
               )
+        """,
+        # district_dispersion: 2·px = 2·((k·a+b) mod E) + 1 is integer,
+        # so all moments are exact; r2_mean is the ONE mirrored division
+        "district_dispersion": f"""
+            WITH dist AS (SELECT * FROM {districts_sql(N_DISTRICTS)} ),
+            a AS (
+              SELECT district_id,
+                     2 * ((doc_id * {AX} + {BX}) % {EXTENT}) + 1 AS x2,
+                     2 * ((doc_id * {AY} + {BY}) % {EXTENT}) + 1 AS y2
+              FROM documents, dist
+              WHERE {_points_expr()[0]} >= minx
+                AND {_points_expr()[0]} < maxx
+                AND {_points_expr()[1]} >= miny
+                AND {_points_expr()[1]} < maxy),
+            m AS (SELECT district_id,
+                         CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(x2) AS HUGEINT) AS sx,
+                         CAST(sum(x2 * x2) AS HUGEINT) AS sxx,
+                         CAST(sum(y2) AS HUGEINT) AS sy,
+                         CAST(sum(y2 * y2) AS HUGEINT) AS syy
+                  FROM a GROUP BY district_id)
+            SELECT district_id, CAST(n AS BIGINT) AS n,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS vx_num,
+                   CAST(n * syy - sy * sy AS BIGINT) AS vy_num,
+                   CAST((n * sxx - sx * sx) + (n * syy - sy * sy)
+                        AS DOUBLE)
+                     / CAST(4 * n * n AS DOUBLE) AS r2_mean
+            FROM m ORDER BY district_id
+        """,
+        "winback": f"""
+            WITH d AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+            g AS (SELECT user_id, day,
+                         lag(day) OVER (PARTITION BY user_id
+                                        ORDER BY day) AS prev
+                  FROM d),
+            h AS (SELECT user_id, prev AS dormant, day AS react,
+                         day - prev AS gap
+                  FROM g
+                  WHERE prev IS NOT NULL
+                    AND day - prev >= {WINBACK_DAYS}),
+            f AS (SELECT user_id, min(react) AS react_min
+                  FROM h GROUP BY user_id)
+            SELECT h.user_id,
+                   DATE '1970-01-01' + CAST(h.dormant AS INTEGER)
+                     AS dormant_day,
+                   DATE '1970-01-01' + CAST(h.react AS INTEGER)
+                     AS react_day,
+                   CAST(h.gap AS BIGINT) AS gap_days
+            FROM h JOIN f ON h.user_id = f.user_id
+                         AND h.react = f.react_min
+            ORDER BY h.user_id
         """,
         "components": f"""
             WITH RECURSIVE
