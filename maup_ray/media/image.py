@@ -39,6 +39,7 @@ __all__ = [
     "pixel_histogram",
     "gradient_energy",
     "image_moments",
+    "dominant_color",
 ]
 
 
@@ -1063,4 +1064,59 @@ def gradient_energy(images):
 
     return images.map_batches(
         sharp, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def dominant_color(images):
+    """Per-image dominant 9-bit RGB bucket — the palette/dedup signal
+    a vision-curation pipeline uses for flat-color screens and
+    thumbnail clustering: bucket = (R>>5)·64 + (G>>5)·8 + (B>>5)
+    (3 bits per channel, 512 buckets), report each image's argmax
+    bucket and its pixel count; ties break to the SMALLEST bucket id
+    (argmax keeps the first max — mirrored by the oracle's
+    min(bucket)-over-max-count).
+
+    Scale shape: the image_moments discipline — each batch decodes
+    its payloads (zero-copy same-shape raw fast path: ONE bincount
+    over per-image-offset bucket codes; codec rows through the
+    per-image loop) and emits 3 small columns; payload bytes never
+    leave the stage."""
+
+    def dom(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        imgs = _same_shape_raw(batch)
+        bucket = np.empty(n, dtype=np.int64)
+        n_px = np.empty(n, dtype=np.int64)
+        if imgs is not None:
+            b = (
+                (imgs[..., 0].astype(np.int64) >> 5) * 64
+                + (imgs[..., 1].astype(np.int64) >> 5) * 8
+                + (imgs[..., 2].astype(np.int64) >> 5)
+            ).reshape(n, -1)
+            offs = np.arange(n, dtype=np.int64)[:, None] * 512
+            counts = np.bincount(
+                (b + offs).ravel(), minlength=n * 512
+            ).reshape(n, 512)
+            bucket[:] = np.argmax(counts, axis=1)
+            n_px[:] = counts[np.arange(n), bucket]
+        else:
+            for i, im in enumerate(decode_raw_batch(batch)):
+                b = (
+                    (im[..., 0].astype(np.int64) >> 5) * 64
+                    + (im[..., 1].astype(np.int64) >> 5) * 8
+                    + (im[..., 2].astype(np.int64) >> 5)
+                ).ravel()
+                c = np.bincount(b, minlength=512)
+                bucket[i] = int(np.argmax(c))
+                n_px[i] = int(c[bucket[i]])
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "bucket": pa.array(bucket),
+                "n_px": pa.array(n_px),
+            }
+        )
+
+    return images.map_batches(
+        dom, batch_format="pyarrow", zero_copy_batch=True
     )

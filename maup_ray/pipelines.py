@@ -5811,6 +5811,23 @@ def q_image_moments(sf_dir: str):
     return image_moments(image_dataset(n=n, png_every=5))
 
 
+def q_dominant_color(sf_dir: str):
+    """Per-image dominant 9-bit RGB bucket
+    (media/image.dominant_color): decode every payload (every 5th row
+    through the from-scratch PNG codec), one offset-bincount per
+    batch; ties break to the smallest bucket. The oracle evaluates
+    the 256 possible rasters once and joins images to their base."""
+    import pyarrow.parquet as pq
+
+    from .media.image import dominant_color
+    from .synth.images import image_dataset
+
+    n = IMG_MULT * pq.read_metadata(
+        f"{sf_dir}/documents.parquet"
+    ).num_rows
+    return dominant_color(image_dataset(n=n, png_every=5))
+
+
 def q_image_sharpness(sf_dir: str):
     """Per-image total-variation sharpness screen
     (media/image.gradient_energy): decode every payload (every 3rd
@@ -8049,6 +8066,8 @@ def query_registry():
         "patch_stats": q_patch_stats,
         "image_hist": q_image_hist,
         "image_moments": q_image_moments,
+        # per-image dominant 9-bit RGB bucket (media/image.py)
+        "dominant_color": q_dominant_color,
         "image_sharpness": q_image_sharpness,
         "tfidf": q_tfidf,
         "supplier_prank": q_supplier_prank,
@@ -10113,6 +10132,36 @@ def oracle_queries() -> dict[str, str]:
                    CAST(m01 AS DOUBLE) / CAST(m00 AS DOUBLE) AS cy
             FROM imgs i
             JOIN mb ON mb.base = (i.idx * 2654435761 + 42) % 256
+            ORDER BY image_id
+        """,
+        "dominant_color": f"""
+            WITH imgs AS (
+              SELECT doc_id * {IMG_MULT} + k AS idx
+              FROM documents,
+                   (SELECT unnest(range(0, {IMG_MULT})) AS k)),
+            bs AS (SELECT unnest(range(0, 256)) AS base),
+            ps AS (SELECT unnest(range(0, 256)) AS p),
+            g AS (
+              SELECT bs.base,
+                     ((bs.base + 97 * (3 * ps.p + 0)) % 256) // 32 * 64
+                     + ((bs.base + 97 * (3 * ps.p + 1)) % 256) // 32 * 8
+                     + ((bs.base + 97 * (3 * ps.p + 2)) % 256) // 32
+                       AS bucket
+              FROM bs, ps),
+            cb AS (SELECT base, bucket, count(*) AS c
+                   FROM g GROUP BY base, bucket),
+            mx AS (SELECT base, max(c) AS mc FROM cb GROUP BY base),
+            db AS (SELECT cb.base,
+                          CAST(min(cb.bucket) AS BIGINT) AS bucket,
+                          CAST(mx.mc AS BIGINT) AS n_px
+                   FROM cb JOIN mx ON cb.base = mx.base
+                                  AND cb.c = mx.mc
+                   GROUP BY cb.base, mx.mc)
+            SELECT 'img' || lpad(CAST(i.idx AS VARCHAR), 12, '0')
+                     AS image_id,
+                   db.bucket, db.n_px
+            FROM imgs i
+            JOIN db ON db.base = (i.idx * 2654435761 + 42) % 256
             ORDER BY image_id
         """,
         # image_sharpness: total-variation |Δgray| per image. The

@@ -219,3 +219,63 @@ class TestImageMoments:
             ray.data.from_arrow(_img_table([img]))
         ).to_pandas()
         assert out.cx[0] > 6.9 and out.cy[0] == 0.0
+
+
+class TestDominantColor:
+    def _brute(self, img):
+        b = (
+            (img[..., 0].astype(np.int64) >> 5) * 64
+            + (img[..., 1].astype(np.int64) >> 5) * 8
+            + (img[..., 2].astype(np.int64) >> 5)
+        ).ravel()
+        c = np.bincount(b, minlength=512)
+        return int(np.argmax(c)), int(c.max())
+
+    def test_matches_brute_mixed_shapes_and_png(self, ray_session):
+        import ray.data
+
+        from maup_ray.media.image import dominant_color
+
+        rng = np.random.RandomState(67)
+        imgs = [
+            rng.randint(0, 256, (rng.randint(4, 12),
+                                 rng.randint(4, 12), 3),
+                        dtype=np.uint8)
+            for _ in range(8)
+        ]
+        fmts = ["raw", "png"] * 4
+        got = dominant_color(
+            ray.data.from_arrow(_img_table(imgs, fmts)).repartition(3)
+        )
+        import ray
+
+        tabs = [
+            ray.get(r) for r in got.materialize().to_arrow_refs()
+        ]
+        rows = {
+            r["image_id"]: (r["bucket"], r["n_px"])
+            for t in tabs
+            for r in t.to_pylist()
+        }
+        for i, img in enumerate(imgs):
+            assert rows[f"t{i}"] == self._brute(img), i
+
+    def test_same_shape_fast_path_and_tiebreak(self, ray_session):
+        import ray.data
+
+        from maup_ray.media.image import dominant_color
+
+        # two equal-count buckets: 0 (black) and 511 (white) — the
+        # smaller bucket id must win
+        img = np.zeros((2, 2, 3), dtype=np.uint8)
+        img[0, :, :] = 255
+        got = dominant_color(
+            ray.data.from_arrow(_img_table([img, img]))
+        )
+        import ray
+
+        t = pa.concat_tables(
+            [ray.get(r) for r in got.materialize().to_arrow_refs()]
+        )
+        assert t["bucket"].to_pylist() == [0, 0]
+        assert t["n_px"].to_pylist() == [2, 2]
