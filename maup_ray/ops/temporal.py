@@ -1168,11 +1168,16 @@ def transition_counts(
     ts_col: str = "ts",
     id_col: str = "event_id",
     state_col: str = "event_type",
+    distinct_keys: bool = False,
 ):
     """First-order state-transition counts (the Markov-chain /
     session-flow statistic): for every key's event sequence in
     ``(ts, id)`` order, count each consecutive (src_state, dst_state)
-    pair corpus-wide.
+    pair corpus-wide. With ``distinct_keys=True`` the count is the
+    SUPPORT — how many distinct keys exhibit the transition at least
+    once (the sequence-mining reading) — exact because a key's whole
+    sequence lives in one partition, so the per-partition
+    (key, src, dst) dedup is global.
 
     Scale shape: ONE key-hash exchange of the pruned
     (key, ts, id, state) projection; each partition sorts once,
@@ -1204,12 +1209,18 @@ def transition_counts(
         nxt_is_start[starts] = True
         valid = ~nxt_is_start[1:]
         src_idx = src_idx[valid]
-        pairs = pa.table(
-            {
-                "src": st.take(pa.array(src_idx)),
-                "dst": st.take(pa.array(src_idx + 1)),
-            }
-        )
+        cols = {
+            "src": st.take(pa.array(src_idx)),
+            "dst": st.take(pa.array(src_idx + 1)),
+        }
+        if distinct_keys:
+            cols["_k"] = tbl[key_col].take(pa.array(src_idx))
+            pairs = pa.table(cols).group_by(
+                ["_k", "src", "dst"], use_threads=False
+            ).aggregate([])
+            pairs = pairs.select(["src", "dst"])
+        else:
+            pairs = pa.table(cols)
         g = pairs.group_by(["src", "dst"], use_threads=False).aggregate(
             [([], "count_all")]
         )

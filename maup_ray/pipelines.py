@@ -1670,6 +1670,50 @@ def q_nb_train(sf_dir: str):
     )
 
 
+def q_transition_support(sf_dir: str):
+    """Sequence-mining support of first-order transitions: how many
+    DISTINCT users exhibit each consecutive (src, dst) event-type
+    pair (ops/temporal.transition_counts distinct_keys=True — the
+    per-partition (user, src, dst) dedup is global because a user's
+    sequence is colocated)."""
+    from .ops.temporal import transition_counts
+
+    return transition_counts(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "event_type"]),
+        distinct_keys=True,
+    )
+
+
+def q_powerlaw(sf_dir: str):
+    """Power-law fit of the basket-size distribution: OLS of
+    qlog(n_orders) on qlog(n_items) over the histogram rows (both
+    floor-quantized logs — bit-exact libm↔DuckDB), integer OLS
+    identity (trend discipline), slope/icept as the two mirrored
+    divisions. The slope/2^0 is the log-log elasticity; quantization
+    scales cancel in the slope."""
+    from .ops.infotheory import qlog_floor
+
+    hist = q_basket_hist(sf_dir)
+    x = qlog_floor(hist["n_items"].to_numpy().astype(np.int64))
+    y = qlog_floor(hist["n_orders"].to_numpy().astype(np.int64))
+    n = len(x)
+    sx = sum(int(v) for v in x)
+    sy = sum(int(v) for v in y)
+    sxy = sum(int(a) * int(b) for a, b in zip(x, y))
+    sxx = sum(int(v) ** 2 for v in x)
+    den = n * sxx - sx * sx
+    slope = float(n * sxy - sx * sy) / float(den)
+    icept = float(sy * sxx - sx * sxy) / float(den)
+    return pa.table(
+        {
+            "n": pa.array([n], type=pa.int64()),
+            "slope": pa.array([slope], type=pa.float64()),
+            "icept": pa.array([icept], type=pa.float64()),
+        }
+    )
+
+
 def q_gini_splits(sf_dir: str):
     """Decision-tree split scan (ops/stats.gini_split_scan): for
     every candidate threshold of value-cents per event_type, the
@@ -8245,6 +8289,10 @@ def query_registry():
         "district_dispersion": q_district_dispersion,
         # decision-tree Gini split scan (ops/stats.py)
         "gini_splits": q_gini_splits,
+        # distinct-user transition support (sequence mining)
+        "transition_support": q_transition_support,
+        # power-law fit of the basket-size histogram (qlog OLS)
+        "powerlaw": q_powerlaw,
         # Lorenz decile revenue shares (grouped_ntile composition)
         "revenue_deciles": q_revenue_deciles,
         # dormancy win-back detection per user
@@ -11450,6 +11498,41 @@ def oracle_queries() -> dict[str, str]:
                 AND {_points_expr()[1]} < maxy
                   - (CAST(maxy AS BIGINT) - CAST(miny AS BIGINT)) // 4
               )
+        """,
+        "transition_support": """
+            WITH o AS (SELECT user_id, event_type,
+                              lead(event_type) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+                       FROM events)
+            SELECT event_type AS src, nxt AS dst,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n
+            FROM o WHERE nxt IS NOT NULL
+            GROUP BY src, dst ORDER BY src, dst
+        """,
+        "powerlaw": """
+            WITH b AS (SELECT l_orderkey,
+                              CAST(count(*) AS BIGINT) AS n_items
+                       FROM lineitem GROUP BY l_orderkey),
+            h AS (SELECT n_items, CAST(count(*) AS BIGINT) AS n_orders
+                  FROM b GROUP BY n_items),
+            q AS (SELECT CAST(floor(ln(CAST(n_items AS DOUBLE))
+                                    * 1073741824.0) AS BIGINT) AS x,
+                         CAST(floor(ln(CAST(n_orders AS DOUBLE))
+                                    * 1073741824.0) AS BIGINT) AS y
+                  FROM h),
+            m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(x) AS HUGEINT) AS sx,
+                         CAST(sum(y) AS HUGEINT) AS sy,
+                         sum(CAST(x AS HUGEINT) * y) AS sxy,
+                         sum(CAST(x AS HUGEINT) * x) AS sxx
+                  FROM q)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                   CAST(sy * sxx - sx * sxy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) AS icept
+            FROM m
         """,
         "gini_splits": """
             WITH s AS (SELECT event_type AS k, user_id % 2 AS y,
