@@ -1670,6 +1670,122 @@ def q_nb_train(sf_dir: str):
     )
 
 
+def q_district_image_quality(sf_dir: str):
+    """Image-corpus → spatial-join → quality-aggregate composite (the
+    north-star DAG with a real decode stage): ONE decode pass per
+    batch computes both the total-variation sharpness AND the
+    phash-derived point (payload bytes never leave the stage), assign
+    carries sharpness through the broadcast STRtree PIP join, and
+    per-district exact (n_images, total_sharp) comes out of integer
+    partials. Oracle = sharpness-by-base × bit-exact phash→xy ×
+    rect districts — the composition is value-exact end to end."""
+    import pyarrow.parquet as pq
+
+    from .media.image import _same_shape_raw, decode_raw_batch
+    from .ops.agg import grouped_sums_exact
+    from .ops.assign import assign
+    from .synth.images import image_dataset, phash_xy
+
+    n = IMG_MULT * pq.read_metadata(
+        f"{sf_dir}/documents.parquet"
+    ).num_rows
+    images = image_dataset(n=n, png_every=3)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        imgs = _same_shape_raw(batch)
+        if imgs is not None:
+            g = imgs.astype(np.int64).sum(axis=3)
+            s = np.abs(np.diff(g, axis=2)).sum(axis=(1, 2))
+            s += np.abs(np.diff(g, axis=1)).sum(axis=(1, 2))
+        else:
+            vals = []
+            for im in decode_raw_batch(batch):
+                g = im.astype(np.int64).sum(axis=2)
+                vals.append(
+                    int(np.abs(np.diff(g, axis=1)).sum())
+                    + int(np.abs(np.diff(g, axis=0)).sum())
+                )
+            s = np.asarray(vals, dtype=np.int64)
+        x, y = phash_xy(batch["phash"].to_numpy())
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "sharpness": pa.array(s.astype(np.int64)),
+            }
+        )
+
+    pts = images.map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+    assigned = assign(
+        pts,
+        _districts(),
+        source_id_col="image_id",
+        target_id_col="district_id",
+        targets_id_col="district_id",
+        keep_cols=("sharpness",),
+    )
+    rows = grouped_sums_exact(
+        assigned, ["district_id"], sum_cols=["sharpness"],
+        count_col="n_images",
+    )
+    rows.sort(key=lambda r: int(r["district_id"]))
+    return pa.table(
+        {
+            "district_id": pa.array(
+                [int(r["district_id"]) for r in rows], type=pa.int64()
+            ),
+            "n_images": pa.array(
+                [int(r["n_images"]) for r in rows], type=pa.int64()
+            ),
+            "total_sharp": pa.array(
+                [int(r["sharpness"]) for r in rows], type=pa.int64()
+            ),
+        }
+    )
+
+
+def q_quarantine(sf_dir: str):
+    """Row-level DQ routing (the quarantine half of dq_audit): every
+    event failing a rule emits (event_id, rule) — value_range
+    (> {DQ_VALUE_MAX}), micro_value (< 1.00), weekend (epoch-day
+    % 7 ∈ {{5, 6}}); a row can fail several rules. One stateless
+    vectorized pass; mirrored by a UNION ALL of rule selects."""
+    from .ops.temporal import _ts_i64
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def route(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy()
+        v = b["value"].to_numpy(zero_copy_only=False)
+        day = _ts_i64(b["ts"]) // _DAY_US
+        ids, rules = [], []
+        for rule, mask in (
+            ("value_range", v > DQ_VALUE_MAX),
+            ("micro_value", v < 1.0),
+            ("weekend", (day % 7) >= 5),
+        ):
+            sel = eid[mask]
+            ids.append(sel)
+            rules.append(np.full(len(sel), rule, dtype=object))
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    np.concatenate(ids).astype(np.int64)
+                ),
+                "rule": pa.array(
+                    np.concatenate(rules), type=pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(
+        route, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_transition_support(sf_dir: str):
     """Sequence-mining support of first-order transitions: how many
     DISTINCT users exhibit each consecutive (src, dst) event-type
@@ -8291,6 +8407,10 @@ def query_registry():
         "gini_splits": q_gini_splits,
         # distinct-user transition support (sequence mining)
         "transition_support": q_transition_support,
+        # image decode → spatial join → quality aggregate composite
+        "district_image_quality": q_district_image_quality,
+        # row-level DQ quarantine routing
+        "quarantine": q_quarantine,
         # power-law fit of the basket-size histogram (qlog OLS)
         "powerlaw": q_powerlaw,
         # Lorenz decile revenue shares (grouped_ntile composition)
@@ -11498,6 +11618,69 @@ def oracle_queries() -> dict[str, str]:
                 AND {_points_expr()[1]} < maxy
                   - (CAST(maxy AS BIGINT) - CAST(miny AS BIGINT)) // 4
               )
+        """,
+        "district_image_quality": f"""
+            WITH imgs AS (
+              SELECT doc_id * {IMG_MULT} + k AS idx,
+                     CAST((CAST(doc_id * {IMG_MULT} + k AS HUGEINT)
+                           * {0x9E3779B97F4A7C15})
+                          % 9223372036854775808 AS BIGINT) AS p
+              FROM documents,
+                   (SELECT unnest(range(0, {IMG_MULT})) AS k)),
+            ipts AS (
+              SELECT idx,
+                     CAST(({" + ".join(
+                         f"((p >> {2 * k}) & 1) * {1 << k}"
+                         for k in range(20))}) AS DOUBLE) + 0.5 AS x,
+                     CAST(({" + ".join(
+                         f"((p >> {2 * k + 1}) & 1) * {1 << k}"
+                         for k in range(20))}) AS DOUBLE) + 0.5 AS y
+              FROM imgs),
+            bs AS (SELECT unnest(range(0, 256)) AS base),
+            ps AS (SELECT unnest(range(0, 256)) AS pp),
+            g AS (
+              SELECT bs.base, ps.pp // 16 AS r, ps.pp % 16 AS c,
+                     (bs.base + 97 * (3 * ps.pp + 0)) % 256
+                     + (bs.base + 97 * (3 * ps.pp + 1)) % 256
+                     + (bs.base + 97 * (3 * ps.pp + 2)) % 256 AS gv
+              FROM bs, ps),
+            hx AS (
+              SELECT g1.base, sum(abs(g2.gv - g1.gv)) AS s
+              FROM g g1 JOIN g g2
+                ON g2.base = g1.base AND g2.r = g1.r
+                   AND g2.c = g1.c + 1
+              GROUP BY g1.base),
+            vy AS (
+              SELECT g1.base, sum(abs(g2.gv - g1.gv)) AS s
+              FROM g g1 JOIN g g2
+                ON g2.base = g1.base AND g2.c = g1.c
+                   AND g2.r = g1.r + 1
+              GROUP BY g1.base),
+            sb AS (
+              SELECT hx.base, CAST(hx.s + vy.s AS BIGINT) AS sharpness
+              FROM hx JOIN vy ON vy.base = hx.base),
+            dist AS (SELECT * FROM {districts_sql(N_DISTRICTS)} ),
+            a AS (
+              SELECT d.district_id, i.idx
+              FROM ipts i JOIN dist d
+                ON i.x >= d.minx AND i.x < d.maxx
+               AND i.y >= d.miny AND i.y < d.maxy)
+            SELECT a.district_id,
+                   CAST(count(*) AS BIGINT) AS n_images,
+                   CAST(sum(sb.sharpness) AS BIGINT) AS total_sharp
+            FROM a JOIN sb
+              ON sb.base = (a.idx * 2654435761 + 42) % 256
+            GROUP BY a.district_id ORDER BY a.district_id
+        """,
+        "quarantine": f"""
+            SELECT event_id, 'value_range' AS rule FROM events
+            WHERE value > {DQ_VALUE_MAX}
+            UNION ALL
+            SELECT event_id, 'micro_value' FROM events
+            WHERE value < 1.0
+            UNION ALL
+            SELECT event_id, 'weekend' FROM events
+            WHERE (epoch_us(ts) // 86400000000) % 7 >= 5
         """,
         "transition_support": """
             WITH o AS (SELECT user_id, event_type,
