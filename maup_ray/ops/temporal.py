@@ -50,6 +50,7 @@ __all__ = [
     "interval_coverage",
     "cusum_changepoint",
     "gap_median",
+    "peak_concurrency",
 ]
 
 _US = 1_000_000
@@ -1588,4 +1589,106 @@ def gap_median(ds, key_col: str, day_col: str):
 
     return hash_group_apply(
         pruned, [key_col], part, sort_cols=(day_col,)
+    )
+
+
+def peak_concurrency(
+    ds,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+):
+    """Per-key maximum interval-overlap depth — "how many sessions
+    were open at once at the worst moment" (capacity planning /
+    rate-limit sizing; the DEPTH complement of interval_coverage's
+    union length). Intervals are half-open [start, end).
+
+    Sweep: each interval emits (+1 at start, −1 at end); per key the
+    events sort by (t, delta, id) — the −1 BEFORE +1 at equal t is
+    what makes [a, b) + [b, c) depth 1, not 2 — and the running sum's
+    max is the peak, reported with the EARLIEST timestamp attaining
+    it. Exact ints; mirrored by a window cumsum.
+
+    Scale shape: one keyed hash exchange of (key, t, delta, id)
+     24 B rows (2 per interval); per partition one vectorized cumsum
+    + grouped max/argmax (reduceat) — no per-row Python.
+    → (key, peak, peak_ts)."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                key_col: pa.concat_arrays(
+                    [b[key_col].combine_chunks()] * 2
+                ),
+                "_t": pa.concat_arrays(
+                    [
+                        b[start_col].combine_chunks(),
+                        b[end_col].combine_chunks(),
+                    ]
+                ),
+                "_d": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(n, dtype=np.int64),
+                            -np.ones(n, dtype=np.int64),
+                        ]
+                    )
+                ),
+                "_i": pa.concat_arrays(
+                    [b[id_col].combine_chunks()] * 2
+                ),
+            }
+        )
+
+    exploded = ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        key_t = (
+            tbl.schema.field(key_col).type
+            if tbl is not None
+            else pa.int64()
+        )
+        t_t = (
+            tbl.schema.field("_t").type if tbl is not None
+            else pa.int64()
+        )
+        schema = pa.schema(
+            [
+                (key_col, key_t),
+                ("peak", pa.int64()),
+                ("peak_ts", t_t),
+            ]
+        )
+        if tbl is None or tbl.num_rows == 0:
+            return schema.empty_table()
+        n = tbl.num_rows
+        starts = np.asarray(starts, dtype=np.int64)
+        sizes = np.diff(np.append(starts, n))
+        gidx = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        d = tbl["_d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-group running depth: global cumsum minus the cumsum
+        # offset at each group's start
+        cs = np.cumsum(d)
+        base = np.concatenate(([0], cs[starts[1:] - 1]))
+        depth = cs - np.repeat(base, sizes)
+        mx = np.maximum.reduceat(depth, starts)
+        r = np.arange(n, dtype=np.int64)
+        cand = np.where(depth == mx[gidx], r, np.int64(n))
+        first = np.minimum.reduceat(cand, starts)
+        return pa.table(
+            {
+                key_col: tbl[key_col].take(pa.array(starts)),
+                "peak": pa.array(mx),
+                "peak_ts": tbl["_t"].take(pa.array(first)),
+            }
+        )
+
+    from .shuffle import hash_group_apply
+
+    return hash_group_apply(
+        exploded, [key_col], part, sort_cols=("_t", "_d", "_i")
     )

@@ -1670,6 +1670,104 @@ def q_nb_train(sf_dir: str):
     )
 
 
+CONCUR_WIN_US = 300_000_000  # each event holds a 5-minute session
+
+
+def q_peak_concurrency(sf_dir: str):
+    """Peak simultaneous open sessions per event_type
+    (ops/temporal.peak_concurrency): every event opens a 5-minute
+    half-open interval; +1/−1 sweep with the −1-first tie rule,
+    exact depth cumsum, earliest peak timestamp (µs)."""
+    from .ops.temporal import _ts_i64, peak_concurrency
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "ts"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        t = _ts_i64(b["ts"])
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "s": pa.array(t),
+                "e": pa.array(t + CONCUR_WIN_US),
+                "event_id": b["event_id"],
+            }
+        )
+
+    return peak_concurrency(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "event_type", "s", "e", "event_id",
+    )
+
+
+def q_user_growth(sf_dir: str):
+    """Cumulative distinct-user growth curve: each user's FIRST
+    active day (per-batch min partials, one user-keyed exchange —
+    disjoint per-partition day counts), then the tiny per-day
+    (new_users, cum_users) table with an exact driver cumsum."""
+    import ray
+
+    from .ops.shuffle import hash_group_apply
+    from .ops.temporal import _ts_i64
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "day": pa.array(
+                    (_ts_i64(b["ts"]) // _DAY_US).astype(np.int64)
+                ),
+            }
+        )
+        g = t.group_by(["user_id"], use_threads=False).aggregate(
+            [("day", "min")]
+        )
+        return g.rename_columns(["user_id", "day"])
+
+    pruned = ds.map_batches(pre, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        schema = pa.schema(
+            [("day", pa.int64()), ("new_users", pa.int64())]
+        )
+        if tbl is None or tbl.num_rows == 0:
+            return schema.empty_table()
+        starts = np.asarray(starts, dtype=np.int64)
+        d = tbl["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        firsts = np.minimum.reduceat(d, starts)
+        ud, cnt = np.unique(firsts, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(ud),
+                "new_users": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    parts = hash_group_apply(pruned, ["user_id"], part)
+    tabs = [
+        t for t in ray.get(parts.materialize().to_arrow_refs())
+        if t.num_rows
+    ]
+    merged = pa.concat_tables(tabs).group_by(
+        ["day"], use_threads=False
+    ).aggregate([("new_users", "sum")]).rename_columns(
+        ["day", "new_users"]
+    ).sort_by("day")
+    nu = merged["new_users"].to_numpy()
+    return pa.table(
+        {
+            "day": pc.cast(
+                pc.cast(merged["day"], pa.int32()), pa.date32()
+            ),
+            "new_users": merged["new_users"],
+            "cum_users": pa.array(np.cumsum(nu).astype(np.int64)),
+        }
+    )
+
+
 def q_district_image_quality(sf_dir: str):
     """Image-corpus → spatial-join → quality-aggregate composite (the
     north-star DAG with a real decode stage): ONE decode pass per
@@ -8409,6 +8507,10 @@ def query_registry():
         "transition_support": q_transition_support,
         # image decode → spatial join → quality aggregate composite
         "district_image_quality": q_district_image_quality,
+        # peak simultaneous sessions per event_type (ops/temporal.py)
+        "peak_concurrency": q_peak_concurrency,
+        # cumulative distinct-user growth curve
+        "user_growth": q_user_growth,
         # row-level DQ quarantine routing
         "quarantine": q_quarantine,
         # power-law fit of the basket-size histogram (qlog OLS)
@@ -11618,6 +11720,41 @@ def oracle_queries() -> dict[str, str]:
                 AND {_points_expr()[1]} < maxy
                   - (CAST(maxy AS BIGINT) - CAST(miny AS BIGINT)) // 4
               )
+        """,
+        "peak_concurrency": f"""
+            WITH iv AS (SELECT event_type, event_id,
+                               epoch_us(ts) AS s,
+                               epoch_us(ts) + {CONCUR_WIN_US} AS e
+                        FROM events),
+            pts AS (SELECT event_type, s AS t, 1 AS d, event_id AS i
+                    FROM iv
+                    UNION ALL
+                    SELECT event_type, e, -1, event_id FROM iv),
+            w AS (SELECT event_type, t,
+                         sum(d) OVER (PARTITION BY event_type
+                           ORDER BY t, d, i
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS depth
+                  FROM pts),
+            m AS (SELECT event_type, max(depth) AS pk
+                  FROM w GROUP BY event_type)
+            SELECT w.event_type, CAST(m.pk AS BIGINT) AS peak,
+                   CAST(min(w.t) AS BIGINT) AS peak_ts
+            FROM w JOIN m ON w.event_type = m.event_type
+                         AND w.depth = m.pk
+            GROUP BY w.event_type, m.pk
+            ORDER BY w.event_type
+        """,
+        "user_growth": """
+            WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+                       FROM events GROUP BY user_id),
+            c AS (SELECT d0 AS day,
+                         CAST(count(*) AS BIGINT) AS new_users
+                  FROM f GROUP BY d0)
+            SELECT day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day)
+                        AS BIGINT) AS cum_users
+            FROM c ORDER BY day
         """,
         "district_image_quality": f"""
             WITH imgs AS (

@@ -341,3 +341,64 @@ class TestGiniSplitScan:
         # (existence depends on the draw; the identity is what the
         # engine mirrors, asserted above row-for-row)
         assert isinstance(pure, dict)
+
+
+class TestPeakConcurrency:
+    def test_matches_brute(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.temporal import peak_concurrency
+
+        rng = np.random.RandomState(71)
+        n = 2000
+        k = rng.randint(0, 5, n).astype(np.int64)
+        s = rng.randint(0, 500, n).astype(np.int64)
+        ln = rng.randint(1, 40, n).astype(np.int64)
+        e = s + ln
+        ids = np.arange(n, dtype=np.int64)
+        got = _collect(
+            peak_concurrency(
+                ray.data.from_arrow(
+                    pa.table({"k": pa.array(k), "s": pa.array(s),
+                              "e": pa.array(e), "i": pa.array(ids)})
+                ).repartition(6),
+                "k", "s", "e", "i",
+            )
+        )
+        rows = {
+            int(r["k"]): (int(r["peak"]), int(r["peak_ts"]))
+            for _, r in got.iterrows()
+        }
+        for kk in range(5):
+            evs = sorted(
+                [(int(a), 1, int(i)) for a, i in
+                 zip(s[k == kk], ids[k == kk])]
+                + [(int(b), -1, int(i)) for b, i in
+                   zip(e[k == kk], ids[k == kk])]
+            )
+            depth = best = 0
+            best_t = None
+            for t, d, _ in evs:
+                depth += d
+                if depth > best:
+                    best, best_t = depth, t
+            assert rows[kk] == (best, best_t), kk
+
+    def test_half_open_touching(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.temporal import peak_concurrency
+
+        # [0,5) and [5,9): depth never 2 (half-open, -1 before +1)
+        t = pa.table(
+            {
+                "k": pa.array([1, 1], type=pa.int64()),
+                "s": pa.array([0, 5], type=pa.int64()),
+                "e": pa.array([5, 9], type=pa.int64()),
+                "i": pa.array([1, 2], type=pa.int64()),
+            }
+        )
+        got = _collect(peak_concurrency(
+            ray.data.from_arrow(t), "k", "s", "e", "i"))
+        assert got["peak"].tolist() == [1]
+        assert got["peak_ts"].tolist() == [0]
