@@ -1670,6 +1670,42 @@ def q_nb_train(sf_dir: str):
     )
 
 
+def q_pow2_hist(sf_dir: str):
+    """Power-of-two (latency-style) histogram of value-cents per
+    event_type: bucket = floor(log2(v)) computed EXACTLY via
+    ``np.frexp`` exponents (no float-log rounding step); zero-cent
+    rows land in bucket −1 (frexp(0) exponent is 0 → −1, matching the
+    SQL CASE). Exact per-bucket counts + sums from per-batch
+    partials. SQL mirror: length(bin(v)) − 1 — pure string/bit
+    algebra, no ln anywhere."""
+    from .ops.agg import grouped_sum_count
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+        ).to_numpy()
+        _, e = np.frexp(v.astype(np.float64))
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "bucket": pa.array((e - 1).astype(np.int64)),
+                "v": pa.array(v),
+            }
+        )
+
+    out = grouped_sum_count(
+        ds.map_batches(bucket, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "bucket"], sum_cols=["v"], count_col="n",
+        final="driver",
+    )
+    return out.combine_chunks().sort_by(
+        [("event_type", "ascending"), ("bucket", "ascending")]
+    ).select(["event_type", "bucket", "n", "v"])
+
+
 CONCUR_WIN_US = 300_000_000  # each event holds a 5-minute session
 
 
@@ -8509,6 +8545,8 @@ def query_registry():
         "district_image_quality": q_district_image_quality,
         # peak simultaneous sessions per event_type (ops/temporal.py)
         "peak_concurrency": q_peak_concurrency,
+        # power-of-two value histogram (exact frexp buckets)
+        "pow2_hist": q_pow2_hist,
         # cumulative distinct-user growth curve
         "user_growth": q_user_growth,
         # row-level DQ quarantine routing
@@ -11720,6 +11758,20 @@ def oracle_queries() -> dict[str, str]:
                 AND {_points_expr()[1]} < maxy
                   - (CAST(maxy AS BIGINT) - CAST(miny AS BIGINT)) // 4
               )
+        """,
+        "pow2_hist": """
+            WITH v AS (SELECT event_type,
+                              CAST(round(value * 100, 0) AS BIGINT)
+                                AS v
+                       FROM events)
+            SELECT event_type,
+                   CAST(CASE WHEN v < 1 THEN -1
+                             ELSE length(bin(v)) - 1 END
+                        AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) AS BIGINT) AS v
+            FROM v GROUP BY event_type, bucket
+            ORDER BY event_type, bucket
         """,
         "peak_concurrency": f"""
             WITH iv AS (SELECT event_type, event_id,
