@@ -49,7 +49,7 @@ from .shuffle import _choose_partitions, _hash_keys, _split_block
 
 __all__ = ["pagerank", "triangle_count", "clustering_coefficients",
            "bfs_hops", "sssp", "kcore", "link_prediction",
-           "degree_histogram"]
+           "degree_histogram", "msf_boruvka"]
 
 
 def _propagate_part(
@@ -1336,3 +1336,289 @@ def degree_histogram(edges_ds, src: str = "u", dst: str = "v"):
         [("n_nodes", "sum")]
     )
     return out.rename_columns(["deg", "n_nodes"]).sort_by("deg")
+
+
+def _lookup_exchange(payload_ds, map_ds, key_col, payload_cols,
+                     out_col, default_self=False):
+    """Distributed hash-join primitive for the Borůvka rounds: tag
+    every payload row with the map's value for its key, in ONE keyed
+    exchange of the UNION of both sides (kind-flagged rows — the
+    link_prediction mixed-row pattern; no broadcast, no driver
+    gather). All columns must be int64. A payload key missing from
+    the map keeps its own key as the value when ``default_self``
+    (the label-update semantics), else raises."""
+    import ray.data
+
+    def pad_payload(b: pa.Table) -> pa.Table:
+        cols = {"_key": pc_cast_i64(b[key_col]),
+                "_kind": pa.array(np.ones(len(b), dtype=np.int8))}
+        for c in payload_cols:
+            cols[c] = pc_cast_i64(b[c])
+        cols["_val"] = pa.nulls(len(b), type=pa.int64())
+        return pa.table(cols)
+
+    def pad_map(b: pa.Table) -> pa.Table:
+        cols = {"_key": pc_cast_i64(b["_mk"]),
+                "_kind": pa.array(np.zeros(len(b), dtype=np.int8))}
+        for c in payload_cols:
+            cols[c] = pa.nulls(len(b), type=pa.int64())
+        cols["_val"] = pc_cast_i64(b["_mv"])
+        return pa.table(cols)
+
+    def pc_cast_i64(col):
+        import pyarrow.compute as pc
+
+        return pc.cast(col, pa.int64())
+
+    pay = payload_ds.map_batches(
+        pad_payload, batch_format="pyarrow", zero_copy_batch=True
+    )
+    mp = map_ds.map_batches(
+        pad_map, batch_format="pyarrow", zero_copy_batch=True
+    )
+    mixed = pay.union(mp)
+
+    schema_cols = [(c, pa.int64()) for c in payload_cols]
+    out_schema = pa.schema(schema_cols + [(out_col, pa.int64())])
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None or tbl.num_rows == 0:
+            return out_schema.empty_table()
+        kind = tbl["_kind"].to_numpy(zero_copy_only=False)
+        key = tbl["_key"].to_numpy(zero_copy_only=False)
+        # rows sorted by (_key) groups, kind 0 first within group
+        starts = np.asarray(starts, dtype=np.int64)
+        sizes = np.diff(np.append(starts, tbl.num_rows))
+        gidx = np.repeat(np.arange(len(starts)), sizes)
+        has_map = kind[starts] == 0
+        val = tbl["_val"].to_numpy(zero_copy_only=False)
+        gval = np.where(
+            has_map,
+            np.nan_to_num(val[starts], nan=0).astype(np.int64)
+            if val.dtype.kind == "f"
+            else val[starts],
+            key[starts] if default_self else np.int64(-1),
+        )
+        if not default_self and not has_map.all():
+            # every payload key must resolve (edge endpoints always
+            # have labels)
+            miss = np.flatnonzero(~has_map)
+            if len(miss):
+                raise KeyError(
+                    f"_lookup_exchange: {len(miss)} keys unmapped"
+                )
+        sel = kind == 1
+        cols = {
+            c: tbl[c].filter(pa.array(sel)) for c in payload_cols
+        }
+        cols[out_col] = pa.array(gval[gidx[sel]])
+        return pa.table(cols)
+
+    from .shuffle import hash_group_apply
+
+    return hash_group_apply(mixed, ["_key"], part,
+                            sort_cols=("_kind",))
+
+
+def msf_boruvka(edges_ds, src: str = "u", dst: str = "v",
+                w_col: str = "w", max_rounds: int = 64):
+    """Minimum spanning forest via distributed Borůvka — the
+    single-linkage-clustering backbone (cut the forest at distance θ
+    and components fall out) and the classic log-round BSP graph
+    contraction. Edge order is totalized by (w, u, v) so the forest
+    is UNIQUE even with duplicate weights.
+
+    Per round (all Dataset-native, no driver gather of graph-sized
+    data):
+      1. tag both endpoints with their component labels
+         (``_lookup_exchange`` — keyed mixed-row exchanges);
+      2. every component elects its minimum outgoing edge (keyed
+         lexicographic-min reduce over ≤ 2·E candidate rows);
+      3. elected edges dedup by (u, v) (an edge can win both sides)
+         and join the forest — their block refs accumulate, the
+         driver never holds rows;
+      4. the component-pair graph of elected edges contracts via
+         ``text/cluster.connected_components`` (component-count-
+         sized, shrinks ≥ 2× per round) and labels re-map through a
+         ``default_self`` lookup (untouched components keep theirs).
+
+    Rounds are ≤ log2(n) (Borůvka invariant); ``max_rounds`` is a
+    runaway guard. → Dataset of forest edges (u, v, w)."""
+    import ray
+    import ray.data
+
+    from ..text.cluster import connected_components
+    from .shuffle import hash_group_apply
+
+    def sym_nodes(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = pc.cast(b[src], pa.int64())
+        v = pc.cast(b[dst], pa.int64())
+        return pa.table({"node": pa.concat_arrays(
+            [u.combine_chunks(), v.combine_chunks()]
+        )})
+
+    def first_per_group(tbl, starts):
+        if tbl is None or tbl.num_rows == 0:
+            return pa.table(
+                {"_mk": pa.array([], type=pa.int64()),
+                 "_mv": pa.array([], type=pa.int64())}
+            )
+        starts = np.asarray(starts, dtype=np.int64)
+        nodes = tbl["node"].take(pa.array(starts))
+        return pa.table({"_mk": nodes, "_mv": nodes})
+
+    labels = hash_group_apply(
+        edges_ds.map_batches(sym_nodes, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["node"], first_per_group,
+    ).materialize()
+
+    def dedup_edges(b: pa.Table) -> pa.Table:
+        # canonical orientation u < v (both orientations of one edge
+        # must be ONE row or each side could elect its own copy and
+        # the forest would cycle); self-loops dropped
+        u = b[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b[w_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v, w = u[keep], v[keep], w[keep]
+        a = np.minimum(u, v)
+        bb = np.maximum(u, v)
+        t = pa.table(
+            {"u": pa.array(a), "v": pa.array(bb), "w": pa.array(w)}
+        )
+        return t.group_by(["u", "v", "w"], use_threads=False).aggregate(
+            []
+        )
+
+    edges = edges_ds.map_batches(
+        dedup_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    forest_refs: list = []
+    _EMPTY_MIN = pa.schema(
+        [("u", pa.int64()), ("v", pa.int64()), ("w", pa.int64()),
+         ("cu", pa.int64()), ("cv", pa.int64())]
+    )
+
+    for _round in range(max_rounds):
+        e1 = _lookup_exchange(
+            edges, labels, "u", ["u", "v", "w"], "cu"
+        )
+        e2 = _lookup_exchange(
+            e1, labels, "v", ["u", "v", "w", "cu"], "cv"
+        )
+
+        def cand(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.not_equal(b["cu"], b["cv"])
+            b = b.filter(keep)
+            return pa.concat_tables(
+                [
+                    pa.table(
+                        {
+                            "comp": b["cu"], "w": b["w"],
+                            "u": b["u"], "v": b["v"],
+                            "cu": b["cu"], "cv": b["cv"],
+                        }
+                    ),
+                    pa.table(
+                        {
+                            "comp": b["cv"], "w": b["w"],
+                            "u": b["u"], "v": b["v"],
+                            "cu": b["cu"], "cv": b["cv"],
+                        }
+                    ),
+                ]
+            )
+
+        cands = e2.map_batches(
+            cand, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def min_part(tbl, starts):
+            if tbl is None or tbl.num_rows == 0:
+                return _EMPTY_MIN.empty_table()
+            starts = np.asarray(starts, dtype=np.int64)
+            # rows sorted by (w, u, v) within comp groups → firsts
+            firsts = pa.array(starts)
+            return pa.table(
+                {
+                    "u": tbl["u"].take(firsts),
+                    "v": tbl["v"].take(firsts),
+                    "w": tbl["w"].take(firsts),
+                    "cu": tbl["cu"].take(firsts),
+                    "cv": tbl["cv"].take(firsts),
+                }
+            )
+
+        mins = hash_group_apply(
+            cands, ["comp"], min_part, sort_cols=("w", "u", "v")
+        )
+
+        def dedup_part(tbl, starts):
+            if tbl is None or tbl.num_rows == 0:
+                return _EMPTY_MIN.empty_table()
+            firsts = pa.array(np.asarray(starts, dtype=np.int64))
+            return pa.table(
+                {
+                    "u": tbl["u"].take(firsts),
+                    "v": tbl["v"].take(firsts),
+                    "w": tbl["w"].take(firsts),
+                    "cu": tbl["cu"].take(firsts),
+                    "cv": tbl["cv"].take(firsts),
+                }
+            )
+
+        chosen = hash_group_apply(
+            mins, ["u", "v"], dedup_part
+        ).materialize()
+        n_chosen = chosen.count()
+        if n_chosen == 0:
+            break
+        forest_refs.extend(chosen.to_arrow_refs())
+
+        pair_edges = chosen.map_batches(
+            lambda b: pa.table({"a": b["cu"], "b": b["cv"]}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        ccmap = connected_components(pair_edges)
+        if isinstance(ccmap, pa.Table):
+            ccmap = ray.data.from_arrow(ccmap)
+        ccmap = ccmap.map_batches(
+            lambda b: pa.table(
+                {"_mk": b["node"], "_mv": b["component"]}
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        lab_payload = labels.map_batches(
+            lambda b: pa.table({"node": b["_mk"], "comp": b["_mv"]}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        # label update: comp → CC label when the comp appears in the
+        # pair graph, else keep (default_self)
+        relabeled = _lookup_exchange(
+            lab_payload, ccmap, "comp", ["node"], "comp2",
+            default_self=True,
+        )
+        labels = relabeled.map_batches(
+            lambda b: pa.table({"_mk": b["node"], "_mv": b["comp2"]}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+    else:
+        raise RuntimeError("msf_boruvka: max_rounds exceeded")
+
+    if not forest_refs:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("u", pa.int64()), ("v", pa.int64()),
+                 ("w", pa.int64())]
+            ).empty_table()
+        )
+    return ray.data.from_arrow_refs(forest_refs).map_batches(
+        lambda b: b.select(["u", "v", "w"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

@@ -1670,6 +1670,39 @@ def q_nb_train(sf_dir: str):
     )
 
 
+def _weighted_edge_ds(sf_dir: str):
+    """The _tri_edge_ds synthetic graph with deterministic positive
+    weights w = (u·13 + v·7) mod 997 + 1 (ties abound — exercises the
+    (w, u, v) total-order tie-break)."""
+    base = _tri_edge_ds(sf_dir)
+
+    def weigh(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy()
+        v = b["v"].to_numpy()
+        return pa.table(
+            {
+                "u": b["u"],
+                "v": b["v"],
+                "w": pa.array(((u * 13 + v * 7) % 997 + 1)
+                              .astype(np.int64)),
+            }
+        )
+
+    return base.map_batches(weigh, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_mst(sf_dir: str):
+    """Minimum spanning forest of the weighted synthetic graph
+    (ops/graph.msf_boruvka — distributed Borůvka: per-component min
+    edge election, CC contraction, ≤ log n BSP rounds). The forest is
+    UNIQUE under the (w, u, v) total order; rows-only at the driver,
+    brute-Kruskal-pinned in tests/test_msf.py and the sf0.001 e2e."""
+    from .ops.graph import msf_boruvka
+
+    return msf_boruvka(_weighted_edge_ds(sf_dir))
+
+
 def q_pow2_hist(sf_dir: str):
     """Power-of-two (latency-style) histogram of value-cents per
     event_type: bucket = floor(log2(v)) computed EXACTLY via
@@ -8547,6 +8580,8 @@ def query_registry():
         "peak_concurrency": q_peak_concurrency,
         # power-of-two value histogram (exact frexp buckets)
         "pow2_hist": q_pow2_hist,
+        # minimum spanning forest, distributed Boruvka (rows-only)
+        "mst": q_mst,
         # cumulative distinct-user growth curve
         "user_growth": q_user_growth,
         # row-level DQ quarantine routing
