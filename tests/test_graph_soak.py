@@ -201,3 +201,49 @@ class TestMorphologySoak:
             )
         )
         assert n_op == G * G - 4
+
+
+class TestMsfSoak:
+    def test_ring_closed_form(self, ray_session):
+        """A single R-cycle with distinct weights: the unique MSF is
+        every edge except the heaviest — R−1 edges, total weight =
+        Σw − max w (closed form, no Kruskal needed)."""
+        import ray.data
+
+        from maup_ray.ops.graph import msf_boruvka
+
+        R = 200_000
+
+        def edges(b: pa.Table) -> pa.Table:
+            i = b["id"].to_numpy()
+            # distinct weights: a permutation-ish affine of i
+            w = (i * 48271 + 11) % 1_000_003 + 1
+            return pa.table(
+                {
+                    "u": pa.array(i.astype(np.int64)),
+                    "v": pa.array(((i + 1) % R).astype(np.int64)),
+                    "w": pa.array(w.astype(np.int64)),
+                }
+            )
+
+        ds = ray.data.range(R).map_batches(
+            edges, batch_format="pyarrow", zero_copy_batch=True
+        )
+        got = msf_boruvka(ds)
+        import ray
+
+        tabs = [
+            t for t in ray.get(got.materialize().to_arrow_refs())
+            if t.num_rows
+        ]
+        n = sum(t.num_rows for t in tabs)
+        tot = sum(
+            int(pa.compute.sum(t["w"]).as_py()) for t in tabs
+        )
+        i = np.arange(R, dtype=np.int64)
+        w = (i * 48271 + 11) % 1_000_003 + 1
+        # weights on a cycle are distinct iff the affine map mod P is
+        # injective on 0..R-1 (P prime > R) — guaranteed here
+        assert len(np.unique(w)) == R
+        assert n == R - 1
+        assert tot == int(w.sum()) - int(w.max())
