@@ -42,6 +42,7 @@ __all__ = [
     "grouped_streaks",
     "grouped_rolling_median",
     "grouped_max_drawdown",
+    "grouped_rolling_minmax",
 ]
 
 
@@ -865,6 +866,84 @@ def grouped_max_drawdown(
                 "n": pa.array(sizes.astype(np.int64)),
                 "max_dd": pa.array(mx),
                 "trough_ts": tbl[ts_col].take(pa.array(first)),
+            }
+        )
+
+    if isinstance(ds, pa.Table):
+        from .shuffle import group_starts
+
+        t = ds.combine_chunks().sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"),
+             (id_col, "ascending")]
+        )
+        return part(t, group_starts(t, [key_col]))
+    from .shuffle import hash_group_apply
+
+    return hash_group_apply(
+        ds, [key_col], part, sort_cols=(ts_col, id_col)
+    )
+
+
+def grouped_rolling_minmax(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window: int = 5,
+):
+    """Per-key rolling min AND max over the last ``window`` rows in
+    (ts, id) order (ROWS frame, warm-up rows use their prefix) — the
+    Donchian-channel / envelope shape. Pure integer selections, no
+    interpolation: exact by construction.
+
+    Scale shape: the grouped_rolling_median discipline — ONE keyed
+    exchange, per partition an (n × window) shifted matrix reduced
+    with vectorized min/max (±inf padding outside the frame).
+    → (id, key, ts, vmin, vmax) per input row."""
+    if window < 1:
+        raise ValueError("grouped_rolling_minmax: window must be >= 1")
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        ts_type = (
+            tbl.schema.field(ts_col).type
+            if tbl is not None
+            else pa.timestamp("us")
+        )
+        schema = pa.schema(
+            [
+                (id_col, pa.int64()),
+                (key_col, pa.int64()),
+                (ts_col, ts_type),
+                ("vmin", pa.int64()),
+                ("vmax", pa.int64()),
+            ]
+        )
+        if tbl is None or tbl.num_rows == 0:
+            return schema.empty_table()
+        n = tbl.num_rows
+        starts = np.asarray(starts, dtype=np.int64)
+        sizes = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        v = tbl[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        Mn = np.full((n, window), np.inf)
+        Mx = np.full((n, window), -np.inf)
+        Mn[:, 0] = v
+        Mx[:, 0] = v
+        for j in range(1, window):
+            Mn[j:, j] = v[:-j]
+            Mx[j:, j] = v[:-j]
+            Mn[pos < j, j] = np.inf
+            Mx[pos < j, j] = -np.inf
+        return pa.table(
+            {
+                id_col: tbl[id_col],
+                key_col: tbl[key_col],
+                ts_col: tbl[ts_col],
+                "vmin": pa.array(Mn.min(axis=1).astype(np.int64)),
+                "vmax": pa.array(Mx.max(axis=1).astype(np.int64)),
             }
         )
 

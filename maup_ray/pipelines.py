@@ -1670,6 +1670,118 @@ def q_nb_train(sf_dir: str):
     )
 
 
+def q_rolling_channel(sf_dir: str):
+    """Per-user rolling 5-row min/max envelope of value-cents in
+    (ts, event_id) order (ops/window.grouped_rolling_minmax) — pure
+    integer selections, SQL ROWS-frame min/max parity."""
+    from .ops.window import grouped_rolling_minmax
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "v": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return grouped_rolling_minmax(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", "ts", "event_id", "v", window=RMED_WINDOW,
+    )
+
+
+def q_top2_share(sf_dir: str):
+    """Revenue concentration: the top-2 users' share of each
+    event_type's exact integer revenue — (type, user) sums through
+    one keyed exchange (grouped_sum_count shuffle-final), then a
+    per-type vectorized (v DESC, user ASC) top-2 + total inside the
+    partition; share is ONE mirrored division."""
+    import ray
+
+    from .ops.agg import grouped_sum_count
+    from .ops.shuffle import hash_group_apply
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "user_id": b["user_id"],
+                "v": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    uv = grouped_sum_count(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "user_id"], sum_cols=["v"], final="shuffle",
+    )
+
+    _SCHEMA = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("top_user1", pa.int64()),
+            ("top_user2", pa.int64()),
+            ("top2_rev", pa.int64()),
+            ("total_rev", pa.int64()),
+            ("share", pa.float64()),
+        ]
+    )
+
+    def part(tbl: pa.Table | None, starts: np.ndarray) -> pa.Table:
+        if tbl is None or tbl.num_rows == 0:
+            return _SCHEMA.empty_table()
+        starts = np.asarray(starts, dtype=np.int64)
+        bounds_ = np.append(starts, tbl.num_rows)
+        v_all = tbl["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u_all = tbl["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ets, u1s, u2s, t2s, tots, shares = [], [], [], [], [], []
+        for g in range(len(starts)):
+            s, e = bounds_[g], bounds_[g + 1]
+            v, u = v_all[s:e], u_all[s:e]
+            order = np.lexsort((u, -v))
+            tot = int(v.sum())
+            t1 = int(v[order[0]])
+            t2 = int(v[order[1]]) if len(order) > 1 else 0
+            ets.append(tbl["event_type"][int(s)].as_py())
+            u1s.append(int(u[order[0]]))
+            u2s.append(int(u[order[1]]) if len(order) > 1 else None)
+            t2s.append(t1 + t2)
+            tots.append(tot)
+            shares.append(float(t1 + t2) / float(tot))
+        return pa.table(
+            {
+                "event_type": pa.array(ets, type=pa.string()),
+                "top_user1": pa.array(u1s, type=pa.int64()),
+                "top_user2": pa.array(u2s, type=pa.int64()),
+                "top2_rev": pa.array(t2s, type=pa.int64()),
+                "total_rev": pa.array(tots, type=pa.int64()),
+                "share": pa.array(shares, type=pa.float64()),
+            }
+        )
+
+    out = hash_group_apply(uv, ["event_type"], part)
+    tabs = [
+        t for t in ray.get(out.materialize().to_arrow_refs())
+        if t.num_rows
+    ]
+    return pa.concat_tables(tabs).combine_chunks().sort_by(
+        "event_type"
+    )
+
+
 def _weighted_edge_ds(sf_dir: str):
     """The _tri_edge_ds synthetic graph with deterministic positive
     weights w = (u·13 + v·7) mod 997 + 1 (ties abound — exercises the
@@ -8582,6 +8694,10 @@ def query_registry():
         "pow2_hist": q_pow2_hist,
         # minimum spanning forest, distributed Boruvka (rows-only)
         "mst": q_mst,
+        # per-user rolling min/max envelope (ops/window.py)
+        "rolling_channel": q_rolling_channel,
+        # top-2 user revenue concentration per event_type
+        "top2_share": q_top2_share,
         # cumulative distinct-user growth curve
         "user_growth": q_user_growth,
         # row-level DQ quarantine routing
@@ -11793,6 +11909,41 @@ def oracle_queries() -> dict[str, str]:
                 AND {_points_expr()[1]} < maxy
                   - (CAST(maxy AS BIGINT) - CAST(miny AS BIGINT)) // 4
               )
+        """,
+        "rolling_channel": f"""
+            SELECT event_id, user_id, ts,
+                   min(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+                     AS vmin,
+                   max(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+                     AS vmax
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {RMED_WINDOW - 1} PRECEDING
+                              AND CURRENT ROW)
+        """,
+        "top2_share": """
+            WITH uv AS (SELECT event_type, user_id,
+                               CAST(sum(CAST(round(value * 100, 0)
+                                             AS BIGINT)) AS BIGINT)
+                                 AS v
+                        FROM events GROUP BY event_type, user_id),
+            r AS (SELECT event_type, user_id, v,
+                         row_number() OVER (PARTITION BY event_type
+                           ORDER BY v DESC, user_id) AS rn,
+                         sum(v) OVER (PARTITION BY event_type) AS tot
+                  FROM uv)
+            SELECT event_type,
+                   CAST(max(CASE WHEN rn = 1 THEN user_id END)
+                        AS BIGINT) AS top_user1,
+                   CAST(max(CASE WHEN rn = 2 THEN user_id END)
+                        AS BIGINT) AS top_user2,
+                   CAST(sum(CASE WHEN rn <= 2 THEN v ELSE 0 END)
+                        AS BIGINT) AS top2_rev,
+                   CAST(max(tot) AS BIGINT) AS total_rev,
+                   CAST(sum(CASE WHEN rn <= 2 THEN v ELSE 0 END)
+                        AS DOUBLE) / CAST(max(tot) AS DOUBLE)
+                     AS share
+            FROM r GROUP BY event_type ORDER BY event_type
         """,
         "pow2_hist": """
             WITH v AS (SELECT event_type,

@@ -402,3 +402,54 @@ class TestPeakConcurrency:
             ray.data.from_arrow(t), "k", "s", "e", "i"))
         assert got["peak"].tolist() == [1]
         assert got["peak_ts"].tolist() == [0]
+
+
+class TestRollingMinMax:
+    def test_matches_brute(self, ray_session):
+        import ray.data
+
+        from maup_ray.ops.window import grouped_rolling_minmax
+
+        rng = np.random.RandomState(91)
+        n = 2500
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 13, n).astype(np.int64),
+                "ts": rng.randint(0, 300, n).astype(np.int64),
+                "i": np.arange(n, dtype=np.int64),
+                "v": rng.randint(-900, 900, n).astype(np.int64),
+            }
+        )
+        got = _collect(
+            grouped_rolling_minmax(
+                ray.data.from_pandas(df).repartition(5),
+                "k", "ts", "i", "v", window=4,
+            )
+        )
+        rows = {
+            (int(r["k"]), int(r["i"])): (int(r["vmin"]),
+                                         int(r["vmax"]))
+            for _, r in got.iterrows()
+        }
+        for k, g in df.groupby("k"):
+            g = g.sort_values(["ts", "i"]).reset_index(drop=True)
+            for r in range(len(g)):
+                w = g["v"].iloc[max(0, r - 3): r + 1]
+                assert rows[(int(k), int(g["i"].iloc[r]))] == (
+                    int(w.min()), int(w.max())
+                )
+
+    def test_window_one_is_identity(self, ray_session):
+        from maup_ray.ops.window import grouped_rolling_minmax
+
+        t = pa.table(
+            {
+                "k": pa.array([1, 1], type=pa.int64()),
+                "ts": pa.array([1, 2], type=pa.int64()),
+                "i": pa.array([1, 2], type=pa.int64()),
+                "v": pa.array([7, -3], type=pa.int64()),
+            }
+        )
+        got = grouped_rolling_minmax(t, "k", "ts", "i", "v", window=1)
+        assert got["vmin"].to_pylist() == [7, -3]
+        assert got["vmax"].to_pylist() == [7, -3]
