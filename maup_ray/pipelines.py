@@ -1670,6 +1670,38 @@ def q_nb_train(sf_dir: str):
     )
 
 
+def q_session_len_pct(sf_dir: str):
+    """Session-duration percentiles — sessionize (30-min gap) composed
+    into the exact distributed quantile machinery: duration = exact
+    µs int per session, global p50/p90/p99 with quantile_disc
+    ceil-index semantics (grouped_quantiles, constant key)."""
+    from .ops.curate import grouped_quantiles
+    from .ops.sessions import sessionize
+    from .ops.temporal import _ts_i64
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    sess = sessionize(ds, gap_minutes=30.0)
+
+    def dur(b: pa.Table) -> pa.Table:
+        d = _ts_i64(b["session_end"]) - _ts_i64(b["session_start"])
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(len(b), dtype=np.int64)),
+                "dur": pa.array(d.astype(np.int64)),
+            }
+        )
+
+    out = grouped_quantiles(
+        sess.map_batches(dur, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        "k", "dur",
+        qs=((1, 2), (9, 10), (99, 100)),
+        q_names=("p50", "p90", "p99"),
+        final="driver",
+    )
+    return out.select(["n", "p50", "p90", "p99"])
+
+
 def q_rolling_channel(sf_dir: str):
     """Per-user rolling 5-row min/max envelope of value-cents in
     (ts, event_id) order (ops/window.grouped_rolling_minmax) — pure
@@ -8696,6 +8728,8 @@ def query_registry():
         "mst": q_mst,
         # per-user rolling min/max envelope (ops/window.py)
         "rolling_channel": q_rolling_channel,
+        # session-duration percentiles (sessionize → exact quantiles)
+        "session_len_pct": q_session_len_pct,
         # top-2 user revenue concentration per event_type
         "top2_share": q_top2_share,
         # cumulative distinct-user growth curve
@@ -11909,6 +11943,30 @@ def oracle_queries() -> dict[str, str]:
                 AND {_points_expr()[1]} < maxy
                   - (CAST(maxy AS BIGINT) - CAST(miny AS BIGINT)) // 4
               )
+        """,
+        "session_len_pct": """
+            WITH ordered AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 30*60*1000000
+                     THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            tagged AS (
+              SELECT user_id, ts,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING)
+                  AS session_id
+              FROM ordered),
+            s AS (SELECT user_id, session_id,
+                         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur
+                  FROM tagged GROUP BY user_id, session_id)
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(quantile_disc(dur, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(dur, 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(dur, 0.99) AS BIGINT) AS p99
+            FROM s
         """,
         "rolling_channel": f"""
             SELECT event_id, user_id, ts,
