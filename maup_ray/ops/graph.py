@@ -1420,15 +1420,100 @@ def _lookup_exchange(payload_ds, map_ds, key_col, payload_cols,
                             sort_cols=("_kind",))
 
 
+def _kruskal_local(tbl: pa.Table) -> pa.Table:
+    """Exact Kruskal over a driver-resident canonical edge table
+    (u < v, deduped) under the (w, u, v) total order — the
+    measured-size fast path of :func:`msf_boruvka`. Array-backed
+    union-find with path halving; the loop runs once per edge, which
+    is why the caller gates it behind a row limit."""
+    u = tbl["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = tbl["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = tbl["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((v, u, w))
+    nodes, inv = np.unique(np.concatenate([u, v]),
+                           return_inverse=True)
+    ui = inv[: len(u)]
+    vi = inv[len(u):]
+    par = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while par[x] != x:
+            par[x] = par[par[x]]
+            x = par[x]
+        return x
+
+    keep = np.zeros(len(u), dtype=bool)
+    for i in order:
+        a = find(ui[i])
+        b = find(vi[i])
+        if a != b:
+            par[a] = b
+            keep[i] = True
+    return pa.table(
+        {"u": pa.array(u[keep]), "v": pa.array(v[keep]),
+         "w": pa.array(w[keep])}
+    )
+
+
+def _unionfind_minlabel(a: np.ndarray, b: np.ndarray):
+    """Union-find over a small pair graph (component ids), resolving
+    every touched id to the MINIMUM id in its connected group — the
+    same canonical labelling the BSP ``connected_components`` path
+    produces, so the two contraction strategies relabel identically.
+    → (sorted keys, min-label values) arrays for searchsorted lookup."""
+    nodes, inv = np.unique(np.concatenate([a, b]),
+                           return_inverse=True)
+    ai = inv[: len(a)]
+    bi = inv[len(a):]
+    par = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while par[x] != x:
+            par[x] = par[par[x]]
+            x = par[x]
+        return x
+
+    for i in range(len(ai)):
+        ra = find(ai[i])
+        rb = find(bi[i])
+        if ra != rb:
+            par[ra] = rb
+    roots = np.array([find(i) for i in range(len(nodes))],
+                     dtype=np.int64)
+    # min original label per root
+    order = np.argsort(roots, kind="stable")
+    rs = roots[order]
+    ns = nodes[order]
+    starts = np.ones(len(rs), dtype=bool)
+    starts[1:] = rs[1:] != rs[:-1]
+    seg = np.cumsum(starts) - 1
+    minlab = np.minimum.reduceat(ns, np.flatnonzero(starts))
+    vals = np.empty(len(nodes), dtype=np.int64)
+    vals[order] = minlab[seg]
+    return nodes, vals
+
+
 def msf_boruvka(edges_ds, src: str = "u", dst: str = "v",
-                w_col: str = "w", max_rounds: int = 64):
+                w_col: str = "w", max_rounds: int = 64,
+                driver_limit: int = 200_000):
     """Minimum spanning forest via distributed Borůvka — the
     single-linkage-clustering backbone (cut the forest at distance θ
     and components fall out) and the classic log-round BSP graph
     contraction. Edge order is totalized by (w, u, v) so the forest
     is UNIQUE even with duplicate weights.
 
-    Per round (all Dataset-native, no driver gather of graph-sized
+    Measured-size switches (the ``equi_join`` broadcast-vs-coshuffle
+    pattern): a canonical edge set under ``driver_limit`` rows is
+    solved by one driver-side Kruskal pass (no per-round Dataset
+    jobs at all — the fixed per-job cost would dominate a small
+    graph by 100×); larger graphs run the BSP rounds, and within a
+    round the component-pair contraction graph (``n_chosen`` rows,
+    shrinks ≥ 2× per round so it is tiny after round 1) contracts
+    driver-side with a broadcast min-label map once it fits,
+    replacing a full ``connected_components`` BSP job plus a keyed
+    relabel exchange with one broadcast ``map_batches``.
+
+    Per BSP round (Dataset-native, no driver gather of graph-sized
     data):
       1. tag both endpoints with their component labels
          (``_lookup_exchange`` — keyed mixed-row exchanges);
@@ -1437,10 +1522,11 @@ def msf_boruvka(edges_ds, src: str = "u", dst: str = "v",
       3. elected edges dedup by (u, v) (an edge can win both sides)
          and join the forest — their block refs accumulate, the
          driver never holds rows;
-      4. the component-pair graph of elected edges contracts via
-         ``text/cluster.connected_components`` (component-count-
-         sized, shrinks ≥ 2× per round) and labels re-map through a
-         ``default_self`` lookup (untouched components keep theirs).
+      4. the component-pair graph of elected edges contracts
+         (driver union-find when ≤ ``driver_limit`` rows, else
+         ``text/cluster.connected_components``) and labels re-map
+         (broadcast searchsorted map, or a ``default_self`` lookup
+         exchange) — untouched components keep their labels.
 
     Rounds are ≤ log2(n) (Borůvka invariant); ``max_rounds`` is a
     runaway guard. → Dataset of forest edges (u, v, w)."""
@@ -1469,12 +1555,6 @@ def msf_boruvka(edges_ds, src: str = "u", dst: str = "v",
         nodes = tbl["node"].take(pa.array(starts))
         return pa.table({"_mk": nodes, "_mv": nodes})
 
-    labels = hash_group_apply(
-        edges_ds.map_batches(sym_nodes, batch_format="pyarrow",
-                             zero_copy_batch=True),
-        ["node"], first_per_group,
-    ).materialize()
-
     def dedup_edges(b: pa.Table) -> pa.Table:
         # canonical orientation u < v (both orientations of one edge
         # must be ONE row or each side could elect its own copy and
@@ -1495,6 +1575,21 @@ def msf_boruvka(edges_ds, src: str = "u", dst: str = "v",
 
     edges = edges_ds.map_batches(
         dedup_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    if edges.count() <= driver_limit:
+        # measured-size fast path: the whole canonical edge set fits
+        # on the driver — one Kruskal pass beats ~10 Dataset jobs per
+        # BSP round on a graph this small by orders of magnitude
+        local = pa.concat_tables(
+            ray.get(edges.to_arrow_refs())
+        ).combine_chunks()
+        return ray.data.from_arrow(_kruskal_local(local))
+
+    labels = hash_group_apply(
+        edges_ds.map_batches(sym_nodes, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["node"], first_per_group,
     ).materialize()
 
     forest_refs: list = []
@@ -1580,6 +1675,42 @@ def msf_boruvka(edges_ds, src: str = "u", dst: str = "v",
         if n_chosen == 0:
             break
         forest_refs.extend(chosen.to_arrow_refs())
+
+        if n_chosen <= driver_limit:
+            # the component-pair graph fits on the driver (it shrinks
+            # ≥ 2× per round, so this is every round after the first
+            # in practice): contract with local union-find and
+            # relabel via ONE broadcast map_batches — replaces a full
+            # connected_components BSP job + a keyed relabel exchange
+            pairs = pa.concat_tables(
+                ray.get(chosen.to_arrow_refs())
+            )
+            keys, vals = _unionfind_minlabel(
+                pairs["cu"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                pairs["cv"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            )
+            map_ref = ray.put((keys, vals))
+
+            def relabel_bcast(b: pa.Table, _ref=map_ref) -> pa.Table:
+                k, v2 = ray.get(_ref)
+                mv = b["_mv"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(k, mv)
+                pos_c = np.clip(pos, 0, max(len(k) - 1, 0))
+                hit = (k[pos_c] == mv) if len(k) else np.zeros(
+                    len(mv), dtype=bool
+                )
+                out = np.where(hit, v2[pos_c], mv)
+                return pa.table(
+                    {"_mk": b["_mk"], "_mv": pa.array(out)}
+                )
+
+            labels = labels.map_batches(
+                relabel_bcast, batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).materialize()
+            continue
 
         pair_edges = chosen.map_batches(
             lambda b: pa.table({"a": b["cu"], "b": b["cv"]}),

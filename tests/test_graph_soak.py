@@ -229,7 +229,9 @@ class TestMsfSoak:
         ds = ray.data.range(R).map_batches(
             edges, batch_format="pyarrow", zero_copy_batch=True
         )
-        got = msf_boruvka(ds)
+        # driver_limit=0 forces the pure-BSP path — the soak exists to
+        # prove the distributed rounds, not the driver Kruskal switch
+        got = msf_boruvka(ds, driver_limit=0)
         import ray
 
         tabs = [

@@ -40,8 +40,17 @@ def _kruskal(edges):
     return out
 
 
+import pytest
+
+
 class TestMsfBoruvka:
-    def test_matches_kruskal(self, ray_session):
+    # driver_limit routes: 200_000 (default) → whole-graph driver
+    # Kruskal; 0 → pure BSP rounds with connected_components
+    # contraction; 50 → BSP rounds where later (small) rounds switch
+    # to driver-side union-find contraction. All three must produce
+    # the identical unique forest.
+    @pytest.mark.parametrize("driver_limit", [200_000, 0, 50])
+    def test_matches_kruskal(self, ray_session, driver_limit):
         import ray.data
 
         from maup_ray.ops.graph import msf_boruvka
@@ -60,7 +69,8 @@ class TestMsfBoruvka:
                 ray.data.from_arrow(
                     pa.table({"u": pa.array(u), "v": pa.array(v),
                               "w": pa.array(w)})
-                ).repartition(5)
+                ).repartition(5),
+                driver_limit=driver_limit,
             )
         )
         got_set = {
