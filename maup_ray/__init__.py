@@ -14,6 +14,7 @@ from .ops.assign import (  # noqa: F401
     assign,
     assign_by_area,
     assign_by_covering,
+    assign_to_max,
 )
 from .ops.intersections import intersections  # noqa: F401
 from .ops.prorate import normalize, prorate  # noqa: F401

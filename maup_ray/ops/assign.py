@@ -409,3 +409,70 @@ def assign_by_covering(sources, targets, *, concurrency=4, batch_size=None, **kw
 def assign_by_area(sources, targets, *, concurrency=4, batch_size=None, **kw):
     """Phase (b) only (ref: assign.py:45-46)."""
     return _run(sources, targets, "area", concurrency, batch_size, **kw)
+
+
+def assign_to_max(
+    weights,
+    source_col: str = "source",
+    target_col: str = "target",
+    weight_col: str = "weight",
+):
+    """Per-source argmax over a (source, target, weight) relation —
+    the public parity surface for reference ``assign.py:49-54``
+    (``weights.groupby(level="source").idxmax()`` + index-drop).
+
+    Tie parity: pandas ``idxmax`` keeps the FIRST occurrence in index
+    order; the reference always feeds it a (source, target)-sorted
+    MultiIndex (``intersections.py:44-47`` sorts before returning),
+    so first-occurrence == smallest target id — which is exactly the
+    ``(weight desc, target asc)`` rule used here. Rows with
+    non-positive or null weight never win (scalar-assign parity:
+    a zero-area piece cannot capture a source).
+
+    ``weights`` may be a ``pa.Table`` (local argmax, one lexsort) or
+    a Dataset (distributed: pruned 24 B/row projection hash-shuffled
+    by source, per-partition lexsort argmax — ids must be integers,
+    the repo-wide explicit-id convention). → (source_col, target_id)
+    with one row per source that has any positive-weight candidate.
+    """
+
+    def _argmax_local(tbl: pa.Table) -> pa.Table:
+        s = tbl[source_col].to_numpy(zero_copy_only=False)
+        t = tbl[target_col].to_numpy(zero_copy_only=False)
+        w = tbl[weight_col].to_numpy(zero_copy_only=False)
+        w = np.nan_to_num(
+            w.astype(np.float64, copy=False), nan=0.0
+        )
+        sel = np.lexsort((t, -w, s))
+        s_s, t_s, w_s = s[sel], t[sel], w[sel]
+        first = np.ones(len(sel), dtype=bool)
+        first[1:] = s_s[1:] != s_s[:-1]
+        win = first & (w_s > 0.0)
+        return pa.table(
+            {
+                source_col: pa.array(s_s[win]),
+                "target_id": pa.array(t_s[win]),
+            }
+        )
+
+    if isinstance(weights, pa.Table):
+        return _argmax_local(weights)
+
+    from .shuffle import hash_group_apply
+
+    proj = weights.map_batches(
+        lambda b: b.select([source_col, target_col, weight_col]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def part(tbl, starts):
+        if tbl is None or tbl.num_rows == 0:
+            return pa.table(
+                {
+                    source_col: pa.array([], type=pa.int64()),
+                    "target_id": pa.array([], type=pa.int64()),
+                }
+            )
+        return _argmax_local(tbl)
+
+    return hash_group_apply(proj, [source_col], part)

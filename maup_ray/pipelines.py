@@ -137,6 +137,27 @@ def q_pieces(sf_dir: str):
     )
 
 
+def q_assign_to_max(sf_dir: str):
+    """Public ``maup_ray.assign_to_max`` over the pieces Dataset (ref
+    assign.py:49-54 — ``weights.groupby("source").idxmax()``): the
+    DISTRIBUTED per-source argmax path (pruned projection shuffled by
+    doc_id, per-partition lexsort), distinct from q_assign_by_area's
+    local per-source kernel. Tie = (area desc, district asc), exact
+    idxmax parity because reference intersections sorts its index."""
+    from .ops.assign import assign_to_max
+
+    out = assign_to_max(
+        q_pieces(sf_dir), source_col="doc_id",
+        target_col="district_id", weight_col="area",
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "district_id": b["target_id"]}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def q_assign_by_area(sf_dir: str):
     """Grouped argmax over piece areas (ops 3/4)."""
     from .ops.assign import assign_by_area
@@ -8462,6 +8483,7 @@ def query_registry():
         "assign_blocks": q_assign_blocks,
         "pieces": q_pieces,
         "assign_by_area": q_assign_by_area,
+        "assign_to_max": q_assign_to_max,
         "normalize": q_normalize,
         "prorate": q_prorate,
         "adjacencies": q_adjacencies,
@@ -8784,6 +8806,15 @@ def oracle_queries() -> dict[str, str]:
             SELECT doc_id, district_id, area FROM pieces WHERE area > 0
         """,
         "assign_by_area": f"""
+            WITH {_rects_cte()},
+            ranked AS (
+              SELECT doc_id, district_id,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY area DESC, district_id) AS rn
+              FROM pieces WHERE area > 0)
+            SELECT doc_id, district_id FROM ranked WHERE rn = 1
+        """,
+        "assign_to_max": f"""
             WITH {_rects_cte()},
             ranked AS (
               SELECT doc_id, district_id,
