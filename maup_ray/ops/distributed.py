@@ -49,10 +49,23 @@ def union_all_distributed(
     extent,
     start_res: int = 6,
     geometry_col: str = "geometry",
+    driver_limit_bytes: int = 32 << 20,
 ):
     """Tree-reduce union of a geometry Dataset → MultiPolygon (driver
     gets ONE small geometry at the end; intermediate unions happen in
-    parallel per cell, cascading res → res-1 → ... → 0)."""
+    parallel per cell, cascading res → res-1 → ... → 0).
+
+    Measured-size switch: after each union level the materialized
+    per-cell result is measured, and once it fits under
+    ``driver_limit_bytes`` the remaining cascade collapses into one
+    driver-side union — each extra groupby level is a full Dataset
+    shuffle job whose fixed cost dwarfs the (already tiny) remaining
+    union work. Unions shrink fast (interior boundaries vanish), so
+    on real inputs only the first level or two run distributed; at
+    true corpus scale the cascade keeps going until the measurement
+    says otherwise."""
+    import ray
+
     grid = CellGrid(*extent)
 
     keyed = ds.map_batches(
@@ -75,7 +88,20 @@ def union_all_distributed(
 
     level = keyed
     for res in range(start_res, 0, -1):
-        level = level.groupby("cell").map_groups(union_group)
+        level = level.groupby("cell").map_groups(union_group).materialize()
+
+        if level.size_bytes() <= driver_limit_bytes:
+            tabs = [
+                t for t in ray.get(level.to_arrow_refs()) if t.num_rows
+            ]
+            geoms = [
+                decode_polygons(b.as_py())
+                for t in tabs
+                for b in t[geometry_col]
+            ]
+            return boolean.union_all(geoms) if len(geoms) > 1 else (
+                geoms[0] if geoms else []
+            )
 
         def reparent(batch, res=res):
             cells = batch["cell"].to_numpy().astype(np.uint64)

@@ -528,6 +528,8 @@ def doctor(
     accept_holes: bool = False,
     geometry_col: str = "geometry",
     extent=None,
+    cell_res: int = 8,
+    id_col: str = "id",
 ) -> dict:
     """Health checks (ref: repair.py:311-365). Returns a dict of named
     booleans plus 'ok' — callers wanting the reference's bool take
@@ -551,6 +553,8 @@ def doctor(
             extent,
             geometry_col=geometry_col,
             accept_holes=accept_holes,
+            cell_res=cell_res,
+            id_col=id_col,
         )
         if target is not None:
             su = union_all_distributed(

@@ -343,6 +343,180 @@ def q_adjacencies(sf_dir: str):
     return out.select(["id_i", "id_j", "length"])
 
 
+# --------------------------------------------------------------- brick wall
+# Corpus-scale parcel tessellation for the DISTRIBUTED spatial-join gate
+# queries (VERDICT r4 #1): every events row becomes one axis-rect "brick"
+# in a jittered brick-wall that tiles the plane exactly — integer coords,
+# row-major ids, per-row jittered column cuts so vertical adjacency is
+# non-trivial (a brick can touch up to 3 bricks in the next row). All
+# adjacency pair sets and shared-boundary lengths are exact rect algebra,
+# SQL-expressible with two equi-joins (k+1 horizontal, row+1 vertical).
+
+BRICK_C = 64   # columns per row
+BRICK_W = 16   # nominal brick width (jitter < W//2 keeps cuts monotone)
+BRICK_H = 8    # row height
+
+
+def _brick_rects(k: np.ndarray):
+    """event_id → exact-integer brick rect (x0, y0, x1, y1)."""
+    row = k // BRICK_C
+    col = k % BRICK_C
+    j0 = np.where(col == 0, 0, (row * 13 + col * 7) % (BRICK_W // 2))
+    j1 = np.where(
+        col == BRICK_C - 1, 0,
+        (row * 13 + (col + 1) * 7) % (BRICK_W // 2),
+    )
+    x0 = col * BRICK_W + j0
+    x1 = (col + 1) * BRICK_W + j1
+    y0 = row * BRICK_H
+    return (
+        x0.astype(np.float64), y0.astype(np.float64),
+        x1.astype(np.float64), (y0 + BRICK_H).astype(np.float64),
+    )
+
+
+def _brick_geometry_table(batch: pa.Table) -> pa.Table:
+    from .geom.wkb import encode_rings_bulk
+
+    k = batch["event_id"].to_numpy()
+    x0, y0, x1, y1 = _brick_rects(k)
+    n = len(k)
+    P = np.empty((n, 4, 2), dtype=np.float64)
+    P[:, 0, 0] = x0
+    P[:, 0, 1] = y0
+    P[:, 1, 0] = x1
+    P[:, 1, 1] = y0
+    P[:, 2, 0] = x1
+    P[:, 2, 1] = y1
+    P[:, 3, 0] = x0
+    P[:, 3, 1] = y1
+    return pa.table(
+        {
+            "event_id": batch["event_id"],
+            "geometry": encode_rings_bulk(
+                P, np.full(n, 4, dtype=np.int64)
+            ),
+        }
+    )
+
+
+def _brick_field(n: int):
+    """(extent, cell_res) for an n-brick wall: square extent covering
+    the field, cells ~2 bricks wide (replication stays ~1×)."""
+    import math
+
+    rows = (n + BRICK_C - 1) // BRICK_C
+    size = float(max(BRICK_C * BRICK_W, rows * BRICK_H))
+    cell_res = max(2, min(12, int(round(math.log2(size / 32.0)))))
+    return (0.0, 0.0, size), cell_res
+
+
+BRICKS_SQL = f"""
+bricks AS (
+  SELECT event_id AS k,
+         event_id // {BRICK_C} AS rw,
+         event_id % {BRICK_C} AS cl,
+         (event_id % {BRICK_C}) * {BRICK_W}
+           + CASE WHEN event_id % {BRICK_C} = 0 THEN 0
+                  ELSE ((event_id // {BRICK_C}) * 13
+                        + (event_id % {BRICK_C}) * 7) % {BRICK_W // 2}
+             END AS x0,
+         (event_id % {BRICK_C} + 1) * {BRICK_W}
+           + CASE WHEN event_id % {BRICK_C} = {BRICK_C - 1} THEN 0
+                  ELSE ((event_id // {BRICK_C}) * 13
+                        + (event_id % {BRICK_C} + 1) * 7) % {BRICK_W // 2}
+             END AS x1
+  FROM events)
+"""
+
+
+def q_adjacencies_xl(sf_dir: str):
+    """Corpus-scale rook adjacency through the CELL-PARTITIONED Dataset
+    self-join (ops/adjacencies.py `_partitioned_adjacencies`: replicate
+    rows to covered cells, pair per hash partition, min-cell dedup) —
+    the engine's flagship 100-TB path, here over 10⁴–10⁵ exact-integer
+    brick parcels (one per events row, sf0.01: 10k / sf0.1: 100k).
+    Lengths are exact integers so the rect-algebra SQL oracle matches
+    bit-for-bit: horizontal neighbours share the full H=8 edge,
+    vertical neighbours share the x-overlap of jittered spans."""
+    from .ops.adjacencies import adjacencies
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    extent, cell_res = _brick_field(ds.count())
+    out = adjacencies(
+        ds.map_batches(_brick_geometry_table, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        id_col="event_id",
+        adjacency_type="rook",
+        include_geometry=False,
+        cell_res=cell_res,
+        extent=extent,
+    )
+    return out.select_columns(["id_i", "id_j", "length"])
+
+
+def q_doctor_xl(sf_dir: str):
+    """Corpus-scale distributed doctor (VERDICT r4 #1 companion):
+    the brick wall with PLANTED defects — brick k grows 2 units right
+    when k % 101 == 5 (→ one 2×8 overlap with its right neighbour) and
+    shrinks 2 units when k % 103 == 7 on an interior odd row (→ one
+    exact 2×8 hole of the union; odd-rows-only keeps holes from ever
+    merging, interior-rows-only keeps them from leaking to the outer
+    boundary). Runs the cell-partitioned queen self-join for overlaps
+    plus the tree-reduce union for holes; both counts are closed-form
+    countable in SQL over event_id arithmetic — a value-exact oracle
+    for a geometry-repair diagnosis at 10⁴–10⁵ parcels."""
+    from .geom.wkb import encode_rings_bulk
+    from .ops.repair import doctor
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    n = ds.count()
+    R = (n + BRICK_C - 1) // BRICK_C
+    extent, cell_res = _brick_field(n)
+
+    def geom(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy()
+        x0, y0, x1, y1 = _brick_rects(k)
+        row = k // BRICK_C
+        grown = k % 101 == 5
+        shrunk = (
+            (k % 103 == 7) & (row % 2 == 1) & (row <= R - 3) & ~grown
+        )
+        x1 = x1 + 2.0 * grown - 2.0 * shrunk
+        m = len(k)
+        P = np.empty((m, 4, 2), dtype=np.float64)
+        P[:, 0, 0] = x0
+        P[:, 0, 1] = y0
+        P[:, 1, 0] = x1
+        P[:, 1, 1] = y0
+        P[:, 2, 0] = x1
+        P[:, 2, 1] = y1
+        P[:, 3, 0] = x0
+        P[:, 3, 1] = y1
+        return pa.table(
+            {
+                "id": batch["event_id"],
+                "geometry": encode_rings_bulk(
+                    P, np.full(m, 4, dtype=np.int64)
+                ),
+            }
+        )
+
+    checks = doctor(
+        ds.map_batches(geom, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        extent=extent,
+        cell_res=cell_res,
+    )
+    return pa.table(
+        {
+            "n_overlaps": pa.array([checks["n_overlaps"]],
+                                   type=pa.int64()),
+            "n_gaps": pa.array([checks["n_gaps"]], type=pa.int64()),
+        }
+    )
+
+
 def q_cell_tiles(sf_dir: str):
     """Hierarchical-cell tiling + count per tile (the H3-style op)."""
 
@@ -8487,6 +8661,8 @@ def query_registry():
         "normalize": q_normalize,
         "prorate": q_prorate,
         "adjacencies": q_adjacencies,
+        "adjacencies_xl": q_adjacencies_xl,
+        "doctor_xl": q_doctor_xl,
         "islands": q_islands,
         "count_overlaps": q_count_overlaps,
         "cell_tiles": q_cell_tiles,
@@ -8876,6 +9052,44 @@ def oracle_queries() -> dict[str, str]:
                 WHEN a.maxy = b.miny OR b.maxy = a.miny THEN
                   greatest(0.0, least(a.maxx,b.maxx)-greatest(a.minx,b.minx))
                 ELSE 0.0 END > 0
+        """,
+        "adjacencies_xl": f"""
+            WITH {BRICKS_SQL},
+            h AS (
+              SELECT a.k AS id_i, b.k AS id_j,
+                     CAST({BRICK_H} AS DOUBLE) AS length
+              FROM bricks a JOIN bricks b
+                ON b.k = a.k + 1 AND a.cl < {BRICK_C - 1}),
+            v AS (
+              SELECT a.k AS id_i, b.k AS id_j,
+                     CAST(least(a.x1, b.x1) - greatest(a.x0, b.x0)
+                          AS DOUBLE) AS length
+              FROM bricks a JOIN bricks b ON b.rw = a.rw + 1
+              WHERE least(a.x1, b.x1) > greatest(a.x0, b.x0))
+            SELECT id_i, id_j, length FROM h
+            UNION ALL
+            SELECT id_i, id_j, length FROM v
+        """,
+        "doctor_xl": f"""
+            WITH nn AS (SELECT count(*) AS n,
+                               (count(*) + {BRICK_C - 1}) // {BRICK_C}
+                                 AS rr
+                        FROM events),
+            marks AS (
+              SELECT event_id AS k,
+                     event_id % {BRICK_C} AS cl,
+                     (event_id % 101 = 5) AS grown,
+                     (event_id % 103 = 7
+                      AND (event_id // {BRICK_C}) % 2 = 1
+                      AND event_id // {BRICK_C} <= rr - 3
+                      AND NOT event_id % 101 = 5) AS shrunk
+              FROM events, nn)
+            SELECT
+              (SELECT count(*) FROM marks, nn
+                WHERE grown AND cl < {BRICK_C - 1} AND k + 1 < n)
+                AS n_overlaps,
+              (SELECT count(*) FROM marks
+                WHERE shrunk AND cl < {BRICK_C - 1}) AS n_gaps
         """,
         "cell_tiles": f"""
             SELECT CAST(floor(({px}) / {EXTENT // 16}) AS BIGINT) AS cx,
