@@ -10,7 +10,13 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["get_crs", "set_crs", "require_same_crs"]
+__all__ = [
+    "get_crs",
+    "set_crs",
+    "require_same_crs",
+    "is_geographic",
+    "require_projected",
+]
 
 
 def get_crs(table: pa.Table) -> str | None:
@@ -62,4 +68,47 @@ def check_same_crs(a, b) -> None:
     if ca is not None and cb is not None and ca != cb:
         raise TypeError(
             f"the given geometries are in different CRS: {ca!r} vs {cb!r}"
+        )
+
+
+# Geographic (lat/long degree) CRS identifiers — repairing in degrees
+# silently corrupts areas/lengths, so smart_repair refuses them (ref:
+# smart_repair.py:116-120). The set covers the common geographic datum
+# codes; WKT/PROJ strings are recognized structurally.
+_GEOGRAPHIC_EPSG = {
+    "4326", "4269", "4267", "4258", "4283", "4167", "4619",
+    "4019", "4030", "4490",
+}
+
+
+def is_geographic(crs: str | None) -> bool:
+    """True when the CRS string denotes a geographic (lat/long) CRS:
+    EPSG geographic datum codes, PROJ ``+proj=longlat``/``latlong``,
+    or WKT ``GEOGCS``/``GEOGCRS`` roots. Unknown/absent CRS → False
+    (the synthetic fixtures are CRS-less planar by design)."""
+    if not crs:
+        return False
+    s = str(crs).strip().upper()
+    if "+PROJ=LONGLAT" in s or "+PROJ=LATLONG" in s:
+        return True
+    if s.startswith("GEOGCS") or s.startswith("GEOGCRS"):
+        return True
+    if s.startswith("EPSG:") and s.split(":", 1)[1] in _GEOGRAPHIC_EPSG:
+        return True
+    if s in ("WGS84", "WGS 84", "CRS84", "OGC:CRS84"):
+        return True
+    return False
+
+
+def require_projected(obj) -> None:
+    """Raise TypeError when the table/Dataset carries geographic-CRS
+    metadata (ref: smart_repair.py:116-120 — the reference raises with
+    a to_crs(estimate_utm_crs()) hint; a degree-unit repair would be
+    silently wrong). CRS-less inputs pass."""
+    c = obj if isinstance(obj, (str, type(None))) else crs_of(obj)
+    if is_geographic(c):
+        raise TypeError(
+            "Input geometries must be in a projected, non-geographic "
+            f"CRS (got {c!r}). Reproject to a planar CRS (e.g. the "
+            "appropriate UTM zone) before smart_repair."
         )

@@ -530,6 +530,7 @@ def doctor(
     extent=None,
     cell_res: int = 8,
     id_col: str = "id",
+    silent: bool = True,
 ) -> dict:
     """Health checks (ref: repair.py:311-365). Returns a dict of named
     booleans plus 'ok' — callers wanting the reference's bool take
@@ -574,6 +575,8 @@ def doctor(
             checks["ok"] = bool(
                 checks["ok"] and checks["union_matches_target"]
             )
+        if not silent:
+            _doctor_report(checks)
         return checks
     from .adjacencies import count_overlaps
 
@@ -625,4 +628,31 @@ def doctor(
             and bool(c["all_valid"])
         )
     checks["ok"] = ok
+    if not silent:
+        _doctor_report(checks)
     return checks
+
+
+def _doctor_report(checks: dict) -> None:
+    """The reference's printed per-check diagnosis (ref:
+    repair.py:331-363), emitted when ``doctor(..., silent=False)``:
+    same line shapes, driven by the computed checks dict (which stays
+    the return value — richer for pipelines)."""
+    if checks.get("union_matches_target") is False:
+        print("The unions of target and source differ!")
+    for prefix in ("", "target_"):
+        if (
+            prefix + "n_overlaps" not in checks
+            and prefix + "all_polygonal" not in checks
+        ):
+            continue
+        if checks.get(prefix + "all_polygonal") is False:
+            print("Some rows do not have geometries.")
+        n = checks.get(prefix + "n_overlaps", 0)
+        if n:
+            print(f"There are {n} overlaps.")
+        n = checks.get(prefix + "n_gaps", 0)
+        if n:
+            print(f"There are {n} holes.")
+        if checks.get(prefix + "all_valid") is False:
+            print("There are some invalid geometries.")

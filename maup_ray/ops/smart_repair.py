@@ -1047,6 +1047,14 @@ def smart_repair(
     reattached to neighbors by shared perimeter (ref :330-470), and
     ``min_rook_length`` chains :func:`small_rook_to_queen` inside the
     repair (ref :487-491)."""
+    from ..crs import check_same_crs, require_projected
+
+    # geographic-CRS rejection (ref :116-120): repairing in degrees
+    # silently corrupts areas — refuse before any work is scheduled
+    require_projected(obj)
+    if regions is not None:
+        require_projected(regions)
+        check_same_crs(obj, regions)
     if isinstance(obj, pa.Table):
         if regions is None:
             return smart_repair_table(
