@@ -75,39 +75,85 @@ def rasterize(
     )
 
 
+def _vectorize_part(
+    tbl: pa.Table, grid, w: float, cell_area: float, id_col: str,
+    min_coverage: float,
+) -> pa.Table:
+    """Per-partition grouped cell-union: one lexsort for the group
+    boundaries, vectorized corner construction, one rect-union per id
+    (all cells of an id are in ONE partition by the hash contract)."""
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    cx = tbl["cx"].to_numpy(zero_copy_only=False)
+    cy = tbl["cy"].to_numpy(zero_copy_only=False)
+    cov = tbl["coverage_area"].to_numpy(zero_copy_only=False)
+    keep = cov >= min_coverage * cell_area
+    ids, cx, cy = ids[keep], cx[keep], cy[keep]
+    if len(ids) == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], type=tbl[id_col].type),
+                "geometry": pa.array([], type=pa.binary()),
+            }
+        )
+    order = np.lexsort((cy, cx, ids))
+    ids, cx, cy = ids[order], cx[order], cy[order]
+    x0 = grid.x0 + cx * w
+    y0 = grid.y0 + cy * w
+    starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+    ends = np.append(starts[1:], len(ids))
+    out_ids, out_geoms = [], []
+    for s, e in zip(starts, ends):
+        rects = [
+            rect(x0[i], y0[i], x0[i] + w, y0[i] + w)
+            for i in range(s, e)
+        ]
+        out_ids.append(ids[s])
+        out_geoms.append(encode_multipolygon(boolean.union_all(rects)))
+    return pa.table(
+        {
+            id_col: pa.array(out_ids, type=tbl[id_col].type),
+            "geometry": pa.array(out_geoms, type=pa.binary()),
+        }
+    )
+
+
 def vectorize(
-    raster: pa.Table,
+    raster,
     extent,
     res: int,
     id_col: str = "id",
     min_coverage: float = 0.5,
 ):
     """(id, cx, cy, coverage_area) → polygon table: cells whose
-    coverage fraction ≥ min_coverage union into the id's geometry."""
+    coverage fraction ≥ min_coverage union into the id's geometry.
+
+    Table input runs one local grouped pass; Dataset input
+    distributes via an id-keyed hash shuffle (each id's cells union
+    inside its partition — no driver materialization; the r4 verdict
+    demoted the old ``to_pandas`` + pandas-groupby driver loop)."""
     grid = CellGrid(*extent)
     w = grid.size / (1 << res)
     cell_area = w * w
-    df = raster.to_pandas()
-    df = df[df["coverage_area"] >= min_coverage * cell_area]
-    out_ids, out_geoms = [], []
-    for rid, g in df.groupby(id_col, sort=True):
-        rects = [
-            rect(
-                grid.x0 + cx * w,
-                grid.y0 + cy * w,
-                grid.x0 + (cx + 1) * w,
-                grid.y0 + (cy + 1) * w,
+    if isinstance(raster, pa.Table):
+        return _vectorize_part(
+            raster, grid, w, cell_area, id_col, min_coverage
+        )
+
+    from .shuffle import hash_group_apply
+
+    def part(tbl, starts):
+        if tbl is None or tbl.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "geometry": pa.array([], type=pa.binary()),
+                }
             )
-            for cx, cy in zip(g["cx"], g["cy"])
-        ]
-        out_ids.append(rid)
-        out_geoms.append(encode_multipolygon(boolean.union_all(rects)))
-    return pa.table(
-        {
-            id_col: pa.array(out_ids),
-            "geometry": pa.array(out_geoms, type=pa.binary()),
-        }
-    )
+        return _vectorize_part(
+            tbl, grid, w, cell_area, id_col, min_coverage
+        )
+
+    return hash_group_apply(raster, [id_col], part)
 
 
 def raster_components(

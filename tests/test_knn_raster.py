@@ -251,3 +251,48 @@ class TestRaster:
         ).to_pandas()
         # full tessellation → total coverage = full extent area
         assert out["coverage_area"].sum() == float(EXTENT) ** 2
+
+    def test_vectorize_dataset_path(self, ray_session):
+        """Distributed vectorize (id-keyed hash shuffle) matches the
+        local Table path geometry-for-geometry."""
+        import ray.data
+
+        from maup_ray.geom import area as parea
+        from maup_ray.geom import decode_polygons
+
+        rng = np.random.RandomState(5)
+        n = 400
+        ras = pa.table(
+            {
+                "id": pa.array(
+                    rng.randint(0, 12, n).astype(np.int64)
+                ),
+                "cx": pa.array(
+                    rng.randint(0, 16, n).astype(np.int64)
+                ),
+                "cy": pa.array(
+                    rng.randint(0, 16, n).astype(np.int64)
+                ),
+                "coverage_area": pa.array(
+                    np.full(n, 4.0)
+                ),
+            }
+        )
+        # dedup (id, cx, cy) — a raster relation is keyed
+        ras = ras.group_by(["id", "cx", "cy"]).aggregate(
+            [("coverage_area", "max")]
+        ).rename_columns(["id", "cx", "cy", "coverage_area"])
+        ext = (0.0, 0.0, 32.0)
+        local = vectorize(ras, ext, 4)
+        dist = vectorize(
+            ray.data.from_arrow(ras).repartition(5), ext, 4
+        ).to_pandas().sort_values("id")
+        want = {
+            i: parea(decode_polygons(b.as_py()))
+            for i, b in zip(local["id"].to_pylist(), local["geometry"])
+        }
+        got = {
+            i: parea(decode_polygons(b))
+            for i, b in zip(dist["id"], dist["geometry"])
+        }
+        assert got == want and len(got) == 12
