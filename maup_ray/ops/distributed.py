@@ -349,17 +349,29 @@ def expand_to_distributed(
     from .smart_repair import _shared_len as _shared_boundary_len
 
     def lengths(batch: pa.Table) -> pa.Table:
+        from ..geom.core import bounds as _bounds
+
         lw = [decode_polygons(x) for x in ray.get(left_ref)]
+        # bbox prefilter: shared boundary needs touching bboxes; the
+        # vectorized test prunes the per-row candidate set from ALL
+        # leftovers to the 0-2 that can actually touch (without it the
+        # pass is O(sources × leftovers) — a corpus-scale killer)
+        lb = np.array([_bounds(g) for g in lw]).reshape(-1, 4)
         ids_out, piece_out, len_out = [], [], []
         for rid, b in zip(
             batch[id_col].to_pylist(), batch[geometry_col]
         ):
             g = decode_polygons(b.as_py())
-            for pi, piece in enumerate(lw):
-                ln = _shared_boundary_len(piece, g)
+            gb = _bounds(g)
+            cand = np.flatnonzero(
+                (lb[:, 0] <= gb[2]) & (lb[:, 2] >= gb[0])
+                & (lb[:, 1] <= gb[3]) & (lb[:, 3] >= gb[1])
+            )
+            for pi in cand:
+                ln = _shared_boundary_len(lw[pi], g)
                 if ln > 0:
                     ids_out.append(rid)
-                    piece_out.append(pi)
+                    piece_out.append(int(pi))
                     len_out.append(ln)
         return pa.table(
             {

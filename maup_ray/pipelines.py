@@ -517,6 +517,149 @@ def q_doctor_xl(sf_dir: str):
     )
 
 
+def _geom_area_table(batch: pa.Table, id_col: str = "id") -> pa.Table:
+    """(id, geometry) → (id, area), bulk-decoding uniform quad rows
+    (one vectorized shoelace) with a per-row fallback for mixed
+    shapes; zero-area rows are dropped (crop semantics: fully cropped
+    rows keep an empty geometry the caller does not want)."""
+    from .geom.core import area as poly_area
+    from .geom.wkb import decode_polygons, decode_quads_bulk
+
+    garr = batch["geometry"]
+    if isinstance(garr, pa.ChunkedArray):
+        garr = garr.combine_chunks()
+    coords = decode_quads_bulk(garr)
+    if coords is not None:
+        x = coords[:, :, 0]
+        y = coords[:, :, 1]
+        a = 0.5 * np.abs(
+            np.sum(x * np.roll(y, -1, axis=1)
+                   - np.roll(x, -1, axis=1) * y, axis=1)
+        )
+    else:
+        a = np.array(
+            [poly_area(decode_polygons(b.as_py())) for b in garr]
+        )
+    keep = a > 0
+    return pa.table(
+        {
+            id_col: batch[id_col].filter(pa.array(keep)),
+            "area": pa.array(a[keep]),
+        }
+    )
+
+
+def q_crop_xl(sf_dir: str):
+    """Corpus-scale distributed crop_to (ref repair.py:261-280 at
+    Dataset scale): the brick wall cropped to an interior window
+    rect — the target union broadcasts once and every brick clips in
+    a streaming map_batches (no shuffle). Output (id, area) of the
+    surviving cropped bricks; window and bricks are all integers so
+    areas are exact and the SQL mirror is pure rect algebra."""
+    from .geom.core import rect
+    from .geom.wkb import encode_multipolygon
+    from .ops.distributed import crop_to_distributed
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    n = ds.count()
+    R = (n + BRICK_C - 1) // BRICK_C
+    y_hi = float((R * BRICK_H * 3) // 4)
+    target = pa.table(
+        {
+            "id": pa.array([0], type=pa.int64()),
+            "geometry": pa.array(
+                [encode_multipolygon(rect(53.0, 13.0, 1000.0, y_hi))],
+                type=pa.binary(),
+            ),
+        }
+    )
+    bricks = ds.map_batches(
+        _brick_geometry_table, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(
+        lambda b: pa.table(
+            {"id": b["event_id"], "geometry": b["geometry"]}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = crop_to_distributed(bricks, target)
+    return out.map_batches(
+        _geom_area_table, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_expand_xl(sf_dir: str):
+    """Corpus-scale distributed expand_to (ref repair.py:283-308 at
+    Dataset scale): the full-row brick wall with every k%97==13 brick
+    DELETED, expanded to the full-field target rect. Leftover pieces
+    (exactly the deleted bricks — deletions are never adjacent) are
+    computed via the tree-reduce union difference, then absorbed into
+    the touching source with the LONGEST shared boundary (bbox-
+    prefiltered distributed length pass, argmax tie → smallest id).
+    Output (id, area): absorbing bricks carry their own + absorbed
+    area — closed-form rect algebra in the SQL mirror."""
+    from .geom.core import rect
+    from .geom.wkb import encode_multipolygon, encode_rings_bulk
+    from .ops.distributed import expand_to_distributed
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    n = ds.count()
+    R = (n + BRICK_C - 1) // BRICK_C
+    extent, cell_res = _brick_field(n)
+
+    def geom(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy()
+        row = k // BRICK_C
+        keep = (row <= R - 2) & (k % 97 != 13)
+        k = k[keep]
+        x0, y0, x1, y1 = _brick_rects(k)
+        m = len(k)
+        P = np.empty((m, 4, 2), dtype=np.float64)
+        P[:, 0, 0] = x0
+        P[:, 0, 1] = y0
+        P[:, 1, 0] = x1
+        P[:, 1, 1] = y0
+        P[:, 2, 0] = x1
+        P[:, 2, 1] = y1
+        P[:, 3, 0] = x0
+        P[:, 3, 1] = y1
+        return pa.table(
+            {
+                "id": pa.array(k),
+                "geometry": encode_rings_bulk(
+                    P, np.full(m, 4, dtype=np.int64)
+                ),
+            }
+        )
+
+    target = pa.table(
+        {
+            "id": pa.array([0], type=pa.int64()),
+            "geometry": pa.array(
+                [
+                    encode_multipolygon(
+                        rect(
+                            0.0, 0.0,
+                            float(BRICK_C * BRICK_W),
+                            float((R - 1) * BRICK_H),
+                        )
+                    )
+                ],
+                type=pa.binary(),
+            ),
+        }
+    )
+    out = expand_to_distributed(
+        ds.map_batches(geom, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        target,
+        extent,
+    )
+    return out.map_batches(
+        _geom_area_table, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_cell_tiles(sf_dir: str):
     """Hierarchical-cell tiling + count per tile (the H3-style op)."""
 
@@ -8663,6 +8806,8 @@ def query_registry():
         "adjacencies": q_adjacencies,
         "adjacencies_xl": q_adjacencies_xl,
         "doctor_xl": q_doctor_xl,
+        "crop_xl": q_crop_xl,
+        "expand_xl": q_expand_xl,
         "islands": q_islands,
         "count_overlaps": q_count_overlaps,
         "cell_tiles": q_cell_tiles,
@@ -9069,6 +9214,56 @@ def oracle_queries() -> dict[str, str]:
             SELECT id_i, id_j, length FROM h
             UNION ALL
             SELECT id_i, id_j, length FROM v
+        """,
+        "crop_xl": f"""
+            WITH nn AS (SELECT (count(*) + {BRICK_C - 1}) // {BRICK_C}
+                          AS rr FROM events),
+            {BRICKS_SQL}
+            SELECT k AS id,
+              CAST(greatest(0, least(x1, 1000) - greatest(x0, 53))
+                 * greatest(0, least((rw + 1) * {BRICK_H},
+                                     (rr * {BRICK_H} * 3) // 4)
+                            - greatest(rw * {BRICK_H}, 13))
+                   AS DOUBLE) AS area
+            FROM bricks, nn
+            WHERE greatest(0, least(x1, 1000) - greatest(x0, 53))
+                * greatest(0, least((rw + 1) * {BRICK_H},
+                                    (rr * {BRICK_H} * 3) // 4)
+                           - greatest(rw * {BRICK_H}, 13)) > 0
+        """,
+        "expand_xl": f"""
+            WITH nn AS (SELECT (count(*) + {BRICK_C - 1}) // {BRICK_C}
+                          AS rr FROM events),
+            {BRICKS_SQL},
+            src AS (SELECT b.* FROM bricks b, nn
+                    WHERE b.rw <= rr - 2 AND NOT b.k % 97 = 13),
+            del AS (SELECT b.* FROM bricks b, nn
+                    WHERE b.rw <= rr - 2 AND b.k % 97 = 13),
+            cand AS (
+              SELECT d.k AS piece, s.k AS sid,
+                     CAST({BRICK_H} AS DOUBLE) AS ln
+              FROM del d JOIN src s
+                ON s.rw = d.rw AND (s.k = d.k - 1 OR s.k = d.k + 1)
+              UNION ALL
+              SELECT d.k, s.k,
+                     CAST(least(d.x1, s.x1) - greatest(d.x0, s.x0)
+                          AS DOUBLE)
+              FROM del d JOIN src s ON abs(s.rw - d.rw) = 1
+              WHERE least(d.x1, s.x1) - greatest(d.x0, s.x0) > 0),
+            win AS (
+              SELECT piece, sid FROM (
+                SELECT piece, sid,
+                  row_number() OVER (PARTITION BY piece
+                                     ORDER BY ln DESC, sid) AS rn
+                FROM cand) WHERE rn = 1),
+            absorbed AS (
+              SELECT w.sid AS k,
+                     sum((d.x1 - d.x0) * {BRICK_H}) AS extra
+              FROM win w JOIN del d ON d.k = w.piece GROUP BY w.sid)
+            SELECT s.k AS id,
+                   CAST((s.x1 - s.x0) * {BRICK_H}
+                        + coalesce(a.extra, 0) AS DOUBLE) AS area
+            FROM src s LEFT JOIN absorbed a USING (k)
         """,
         "doctor_xl": f"""
             WITH nn AS (SELECT count(*) AS n,
