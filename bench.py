@@ -91,7 +91,12 @@ def run_headline(num_cpus: int) -> dict:
         k=16, seed=5, jitter=1.0 / 12, scale=EXTENT / 16
     ).rename_columns(["district_id", "geometry"])
     n = _headline_rows()
-    n_blocks_ds = num_cpus * 8
+    # Block count: parallelism floor (8 blocks/cpu) AND a byte-bounded
+    # row cap. Without the cap, XL inputs at low cpu counts get
+    # multi-GB blocks (576M rows / 32 blocks = 18M rows ≈ 2 GB) that
+    # thrash the object store and poison the scaling comparison —
+    # legs must process identically-sized blocks to compare compute.
+    n_blocks_ds = max(num_cpus * 8, -(-n // 2_000_000))
     # batch == block: no re-batching/slicing between fused stages
     block_rows = -(-n // n_blocks_ds)
     base = ray.data.range(n, override_num_blocks=n_blocks_ds)

@@ -660,6 +660,123 @@ def q_expand_xl(sf_dir: str):
     )
 
 
+def q_smart_repair_xl(sf_dir: str):
+    """DISTRIBUTED smart_repair under a value-exact gate: the full-row
+    brick wall with the doctor_xl grow/shrink defects, repaired
+    per ROW-BAND region (16 rows per band — bands align with brick
+    rows so no source crosses a region boundary; defects are
+    row-local so band repair ≡ global repair). After overlap
+    resolution (union-preserving) and region-complement gap fill,
+    every point of every band rect is covered exactly once, so
+    Σ per-unit areas == (R−1)·8·1024 EXACTLY and no unit vanishes —
+    a closed-form SQL mirror for the engine's most complex operator.
+    Total is rounded to int64: convexify splits of multi-owner gaps
+    introduce incenter (non-dyadic) cut points whose shoelace parts
+    telescope to the exact hole area only up to ~1e-9 relative."""
+    from .geom.core import rect
+    from .geom.wkb import encode_multipolygon, encode_rings_bulk
+    from .ops.smart_repair import smart_repair
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    n = ds.count()
+    R = (n + BRICK_C - 1) // BRICK_C
+    full_rows = R - 1  # rows 0..R-2 are complete
+    BAND = 16
+
+    def geom(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy()
+        row = k // BRICK_C
+        keep = row <= R - 2
+        k = k[keep]
+        row = row[keep]
+        x0, y0, x1, y1 = _brick_rects(k)
+        grown = k % 101 == 5
+        shrunk = (
+            (k % 103 == 7) & (row % 2 == 1) & (row <= R - 3) & ~grown
+        )
+        x1 = x1 + 2.0 * grown - 2.0 * shrunk
+        m = len(k)
+        P = np.empty((m, 4, 2), dtype=np.float64)
+        P[:, 0, 0] = x0
+        P[:, 0, 1] = y0
+        P[:, 1, 0] = x1
+        P[:, 1, 1] = y0
+        P[:, 2, 0] = x1
+        P[:, 2, 1] = y1
+        P[:, 3, 0] = x0
+        P[:, 3, 1] = y1
+        return pa.table(
+            {
+                "id": pa.array(k),
+                "geometry": encode_rings_bulk(
+                    P, np.full(m, 4, dtype=np.int64)
+                ),
+            }
+        )
+
+    n_bands = (full_rows + BAND - 1) // BAND
+    regions = pa.table(
+        {
+            "band_id": pa.array(range(n_bands), type=pa.int64()),
+            "geometry": pa.array(
+                [
+                    encode_multipolygon(
+                        rect(
+                            0.0,
+                            float(b * BAND * BRICK_H),
+                            float(BRICK_C * BRICK_W),
+                            float(
+                                min((b + 1) * BAND, full_rows)
+                                * BRICK_H
+                            ),
+                        )
+                    )
+                    for b in range(n_bands)
+                ],
+                type=pa.binary(),
+            ),
+        }
+    )
+    # fill_gaps_threshold=None: planted holes are ~12.5% of a brick's
+    # area — the reference's default 10% relative threshold would
+    # refuse them, and the closed-form total assumes every gap fills
+    fixed = smart_repair(
+        ds.map_batches(geom, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        regions=regions,
+        fill_gaps_threshold=None,
+    )
+
+    def partial(df):
+        import pandas as pd
+
+        from .geom.core import area as poly_area
+        from .geom.wkb import decode_polygons
+
+        tot = 0.0
+        cnt = 0
+        for b in df["geometry"]:
+            if not b:
+                continue
+            a = poly_area(decode_polygons(b))
+            if a > 0:
+                tot += a
+                cnt += 1
+        return pd.DataFrame({"a": [tot], "c": [cnt]})
+
+    parts = fixed.map_batches(partial, batch_format="pandas").to_pandas()
+    return pa.table(
+        {
+            "total_area": pa.array(
+                [int(round(float(parts["a"].sum())))], type=pa.int64()
+            ),
+            "n_units": pa.array(
+                [int(parts["c"].sum())], type=pa.int64()
+            ),
+        }
+    )
+
+
 def q_cell_tiles(sf_dir: str):
     """Hierarchical-cell tiling + count per tile (the H3-style op)."""
 
@@ -8808,6 +8925,7 @@ def query_registry():
         "doctor_xl": q_doctor_xl,
         "crop_xl": q_crop_xl,
         "expand_xl": q_expand_xl,
+        "smart_repair_xl": q_smart_repair_xl,
         "islands": q_islands,
         "count_overlaps": q_count_overlaps,
         "cell_tiles": q_cell_tiles,
@@ -9264,6 +9382,14 @@ def oracle_queries() -> dict[str, str]:
                    CAST((s.x1 - s.x0) * {BRICK_H}
                         + coalesce(a.extra, 0) AS DOUBLE) AS area
             FROM src s LEFT JOIN absorbed a USING (k)
+        """,
+        "smart_repair_xl": f"""
+            WITH nn AS (SELECT (count(*) + {BRICK_C - 1}) // {BRICK_C}
+                          AS rr FROM events)
+            SELECT CAST((rr - 1) * {BRICK_H} * {BRICK_C * BRICK_W}
+                        AS BIGINT) AS total_area,
+                   CAST((rr - 1) * {BRICK_C} AS BIGINT) AS n_units
+            FROM nn
         """,
         "doctor_xl": f"""
             WITH nn AS (SELECT count(*) AS n,
