@@ -141,6 +141,10 @@ def doctor_distributed(
     no full materialization of the geometry table on the driver."""
     from .adjacencies import adjacencies
 
+    if not isinstance(ds, pa.Table):
+        # two consumers (overlap self-join + gap union) — pin blocks
+        # once instead of re-executing the upstream lineage per pass
+        ds = ds.materialize()
     adj = adjacencies(
         ds,
         id_col=id_col,
@@ -293,12 +297,59 @@ def crop_to_distributed(
     tu_ref = ray.put(encode_multipolygon(tu))
 
     def clip(batch: pa.Table) -> pa.Table:
+        from ..geom.core import bounds as _bounds
+        from ..geom.wkb import decode_quads_bulk, encode_rings_bulk
+
         tgt = decode_polygons(ray.get(tu_ref))
+        garr = batch[geometry_col]
+        if isinstance(garr, pa.ChunkedArray):
+            garr = garr.combine_chunks()
+        i = batch.column_names.index(geometry_col)
+        # rect fast path: when the target union is ONE axis rect and
+        # the batch is uniform axis-rect quads, the clip is pure
+        # vectorized min/max — no per-row boolean.intersection (the
+        # same rect discipline as the adjacency shuffle fast path)
+        coords = decode_quads_bulk(garr)
+        if coords is not None and len(tgt) == 1 and len(tgt[0]) == 1:
+            tr = tgt[0][0]
+            dx = tr[[1, 2, 3, 0], 0] - tr[:, 0]
+            dy = tr[[1, 2, 3, 0], 1] - tr[:, 1]
+            sdx = coords[:, [1, 2, 3, 0], 0] - coords[:, :, 0]
+            sdy = coords[:, [1, 2, 3, 0], 1] - coords[:, :, 1]
+            if np.all((dx == 0.0) | (dy == 0.0)) and np.all(
+                (sdx == 0.0) | (sdy == 0.0)
+            ):
+                tx0, ty0, tx1, ty1 = _bounds(tgt)
+                x0 = np.maximum(coords[:, :, 0].min(axis=1), tx0)
+                y0 = np.maximum(coords[:, :, 1].min(axis=1), ty0)
+                x1 = np.minimum(coords[:, :, 0].max(axis=1), tx1)
+                y1 = np.minimum(coords[:, :, 1].max(axis=1), ty1)
+                alive = (x1 > x0) & (y1 > y0)
+                n = len(x0)
+                P = np.empty((n, 4, 2), dtype=np.float64)
+                P[:, 0, 0] = x0
+                P[:, 0, 1] = y0
+                P[:, 1, 0] = x1
+                P[:, 1, 1] = y0
+                P[:, 2, 0] = x1
+                P[:, 2, 1] = y1
+                P[:, 3, 0] = x0
+                P[:, 3, 1] = y1
+                enc = encode_rings_bulk(
+                    P, np.full(n, 4, dtype=np.int64)
+                ).to_pylist()
+                empty = encode_multipolygon([])
+                out = [
+                    enc[j] if alive[j] else empty for j in range(n)
+                ]
+                return batch.set_column(
+                    i, geometry_col,
+                    pa.array(out, type=pa.binary()),
+                )
         out = []
-        for b in batch[geometry_col]:
+        for b in garr:
             g = decode_polygons(b.as_py())
             out.append(encode_multipolygon(boolean.intersection(g, tgt)))
-        i = batch.column_names.index(geometry_col)
         return batch.set_column(
             i, geometry_col, pa.array(out, type=pa.binary())
         )
@@ -333,6 +384,11 @@ def expand_to_distributed(
     from ..geom.wkb import decode_polygons as _dec
 
     check_same_crs(ds, target)
+    # the source Dataset is consumed THREE times (tree-union, shared-
+    # length pass, patch pass) — pin the blocks once or the upstream
+    # lineage re-executes per pass (object store spills if needed;
+    # same discipline as msf_boruvka's edge pin)
+    ds = ds.materialize()
     su = union_all_distributed(
         ds, extent, start_res=start_res, geometry_col=geometry_col
     )
@@ -402,6 +458,12 @@ def expand_to_distributed(
         lw = [decode_polygons(x) for x in ray.get(left_ref)]
         out = []
         for rid, b in zip(batch[id_col].to_pylist(), batch[geometry_col]):
+            if rid not in amap:
+                # non-winners pass through untouched — decode/encode
+                # of every row made this pass O(n) geometry codec work
+                # for a handful of winners
+                out.append(b.as_py())
+                continue
             g = decode_polygons(b.as_py())
             for pi in amap.get(rid, ()):
                 g = boolean.union(g, lw[pi])
