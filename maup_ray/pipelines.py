@@ -777,6 +777,101 @@ def q_smart_repair_xl(sf_dir: str):
     )
 
 
+def q_tile_skew(sf_dir: str):
+    """Hot-cell skew splitting UNDER THE GATE: 30% of events points
+    (event_id % 10 < 3) are planted inside ONE res-4 base cell, the
+    rest spread uniformly. ``with_hot_cell_split`` probes counts at
+    the finest candidate res and re-keys the hot cell's rows at the
+    refinement level that bounds every shuffle partition; the counting
+    shuffle then runs on the REFINED keys (the skew-resistant plan)
+    and rolls back up to base-res cells. The roll-up equals the plain
+    per-cell ground truth — which is the SQL mirror — so a mis-keyed
+    row anywhere in probe/refine/shuffle breaks the hash. Coordinates
+    divide a power-of-two extent, so cell ids are exact on both
+    sides."""
+    from .ops.agg import grouped_sum_count
+    from .ops.distributed import with_hot_cell_split
+    from .geom.cells import CellGrid
+    from .ops.shuffle import hash_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    n = ds.count()
+    CW = EXTENT // 16
+
+    def pts(b: pa.Table) -> pa.Table:
+        k = b["event_id"].to_numpy()
+        hot = k % 10 < 3
+        x = np.where(hot, (k * 13) % CW, (k * AX + BX) % EXTENT)
+        y = np.where(hot, (k * 29) % CW, (k * AY + BY) % EXTENT)
+        return pa.table(
+            {
+                "x": pa.array(x.astype(np.float64) + 0.5),
+                "y": pa.array(y.astype(np.float64) + 0.5),
+            }
+        )
+
+    keyed = with_hot_cell_split(
+        ds.map_batches(pts, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        (0.0, 0.0, float(EXTENT)),
+        4,
+        max_rows=max(1000, n // 20),
+    )
+
+    def cnt_part(tbl, starts):
+        if tbl is None or tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], type=pa.uint64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        starts = np.asarray(starts, dtype=np.int64)
+        cells = tbl["cell"].to_numpy(zero_copy_only=False)
+        sizes = np.diff(np.append(starts, tbl.num_rows))
+        return pa.table(
+            {
+                "cell": pa.array(cells[starts]),
+                "n": pa.array(sizes.astype(np.int64)),
+            }
+        )
+
+    per_ref = hash_group_apply(
+        keyed.map_batches(
+            lambda b: pa.table(
+                {
+                    "cell": pc.cast(b["cell"], pa.int64())
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        ["cell"], cnt_part,
+    )
+
+    def rollup(b: pa.Table) -> pa.Table:
+        cells = b["cell"].to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        cx, cy, res = CellGrid.unpack(cells)
+        shift = (res - 4).astype(np.int64)
+        return pa.table(
+            {
+                "cx": pa.array(cx >> shift),
+                "cy": pa.array(cy >> shift),
+                "n": b["n"],
+            }
+        )
+
+    out = grouped_sum_count(
+        per_ref.map_batches(rollup, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["cx", "cy"], sum_cols=["n"], final="driver",
+    )
+    return out.select(["cx", "cy", "n"]) if isinstance(
+        out, pa.Table
+    ) else out.select_columns(["cx", "cy", "n"])
+
+
 def q_cell_tiles(sf_dir: str):
     """Hierarchical-cell tiling + count per tile (the H3-style op)."""
 
@@ -8926,6 +9021,7 @@ def query_registry():
         "crop_xl": q_crop_xl,
         "expand_xl": q_expand_xl,
         "smart_repair_xl": q_smart_repair_xl,
+        "tile_skew": q_tile_skew,
         "islands": q_islands,
         "count_overlaps": q_count_overlaps,
         "cell_tiles": q_cell_tiles,
@@ -9382,6 +9478,19 @@ def oracle_queries() -> dict[str, str]:
                    CAST((s.x1 - s.x0) * {BRICK_H}
                         + coalesce(a.extra, 0) AS DOUBLE) AS area
             FROM src s LEFT JOIN absorbed a USING (k)
+        """,
+        "tile_skew": f"""
+            SELECT
+              CAST((CASE WHEN event_id % 10 < 3
+                         THEN (event_id * 13) % {EXTENT // 16}
+                         ELSE (event_id * {AX} + {BX}) % {EXTENT}
+                    END) // {EXTENT // 16} AS BIGINT) AS cx,
+              CAST((CASE WHEN event_id % 10 < 3
+                         THEN (event_id * 29) % {EXTENT // 16}
+                         ELSE (event_id * {AY} + {BY}) % {EXTENT}
+                    END) // {EXTENT // 16} AS BIGINT) AS cy,
+              count(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         "smart_repair_xl": f"""
             WITH nn AS (SELECT (count(*) + {BRICK_C - 1}) // {BRICK_C}
