@@ -872,6 +872,59 @@ def q_tile_skew(sf_dir: str):
     ) else out.select_columns(["cx", "cy", "n"])
 
 
+def q_pieces_xl(sf_dir: str):
+    """Corpus-scale overlay join (the prorate backbone) under the
+    gate: the brick wall scaled into district space by an integer
+    factor K = EXTENT // field_size (coords stay exact integers),
+    intersected with the 64-district BSP tessellation through the
+    actor-pool broadcast join — 10⁴–10⁵ sources × 64 targets with
+    exact rect-algebra piece areas. → (event_id, district_id, area),
+    area > 0."""
+    from .geom.wkb import encode_rings_bulk
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    n = ds.count()
+    R = (n + BRICK_C - 1) // BRICK_C
+    size = max(BRICK_C * BRICK_W, R * BRICK_H)
+    K = EXTENT // size
+
+    def geom(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy()
+        x0, y0, x1, y1 = _brick_rects(k)
+        m = len(k)
+        P = np.empty((m, 4, 2), dtype=np.float64)
+        P[:, 0, 0] = x0 * K
+        P[:, 0, 1] = y0 * K
+        P[:, 1, 0] = x1 * K
+        P[:, 1, 1] = y0 * K
+        P[:, 2, 0] = x1 * K
+        P[:, 2, 1] = y1 * K
+        P[:, 3, 0] = x0 * K
+        P[:, 3, 1] = y1 * K
+        return pa.table(
+            {
+                "source_id": batch["event_id"],
+                "geometry": encode_rings_bulk(
+                    P, np.full(m, 4, dtype=np.int64)
+                ),
+            }
+        )
+
+    out = intersections(
+        ds.map_batches(geom, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        _districts(),
+        area_cutoff=0.0,
+        include_geometry=False,
+        targets_id_col="district_id",
+        target_id_col="district_id",
+        concurrency=8,
+    )
+    return out.select_columns(
+        ["source_id", "district_id", "area"]
+    ).rename_columns(["event_id", "district_id", "area"])
+
+
 def q_cell_tiles(sf_dir: str):
     """Hierarchical-cell tiling + count per tile (the H3-style op)."""
 
@@ -9022,6 +9075,7 @@ def query_registry():
         "expand_xl": q_expand_xl,
         "smart_repair_xl": q_smart_repair_xl,
         "tile_skew": q_tile_skew,
+        "pieces_xl": q_pieces_xl,
         "islands": q_islands,
         "count_overlaps": q_count_overlaps,
         "cell_tiles": q_cell_tiles,
@@ -9478,6 +9532,27 @@ def oracle_queries() -> dict[str, str]:
                    CAST((s.x1 - s.x0) * {BRICK_H}
                         + coalesce(a.extra, 0) AS DOUBLE) AS area
             FROM src s LEFT JOIN absorbed a USING (k)
+        """,
+        "pieces_xl": f"""
+            WITH nn AS (SELECT (count(*) + {BRICK_C - 1}) // {BRICK_C}
+                          AS rr FROM events),
+            kk AS (SELECT {EXTENT} // greatest({BRICK_C * BRICK_W},
+                                               rr * {BRICK_H}) AS k
+                   FROM nn),
+            {BRICKS_SQL},
+            scaled AS (
+              SELECT b.k AS event_id,
+                     b.x0 * kk.k AS bx0, b.rw * {BRICK_H} * kk.k AS by0,
+                     b.x1 * kk.k AS bx1,
+                     (b.rw + 1) * {BRICK_H} * kk.k AS by1
+              FROM bricks b, kk)
+            SELECT s.event_id, d.district_id,
+                   CAST((least(s.bx1, d.maxx) - greatest(s.bx0, d.minx))
+                      * (least(s.by1, d.maxy) - greatest(s.by0, d.miny))
+                        AS DOUBLE) AS area
+            FROM scaled s JOIN {dist} d ON
+                 least(s.bx1, d.maxx) > greatest(s.bx0, d.minx)
+             AND least(s.by1, d.maxy) > greatest(s.by0, d.miny)
         """,
         "tile_skew": f"""
             SELECT
