@@ -925,6 +925,47 @@ def q_pieces_xl(sf_dir: str):
     ).rename_columns(["event_id", "district_id", "area"])
 
 
+def q_prorate_xl(sf_dir: str):
+    """Corpus-scale prorate (op 6 over the pieces_xl overlay): events
+    integer value-cents disaggregate over exact piece areas and
+    reaggregate per district. Raw integer weights × integer cents
+    keep every partial exact, so the hash-partition co-shuffle join
+    (attribute side never concatenated on the driver) is hash-safe
+    vs SQL at 100k pieces."""
+    pieces = q_pieces_xl(sf_dir).rename_columns(
+        ["event_id", "district_id", "weight"]
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+        )
+        return pa.table({"event_id": b["event_id"], "cents": v})
+
+    data_ds = _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = prorate(
+        pieces,
+        data_ds,
+        ["cents"],
+        source_id_col="event_id",
+        target_id_col="district_id",
+        aggregate_by="sum",
+    )
+    return out.rename_columns(["district_id", "weighted_cents"])
+
+
+def q_normalize_xl(sf_dir: str):
+    """Per-source normalization over the corpus-scale overlay (op 7
+    at 100k sources): weight = area / Σ area per event_id — exact
+    dyadic sums + one IEEE division, bit-identical to SQL."""
+    pieces = q_pieces_xl(sf_dir).rename_columns(
+        ["event_id", "district_id", "weight"]
+    )
+    return normalize(pieces, level="event_id")
+
+
 def q_cell_tiles(sf_dir: str):
     """Hierarchical-cell tiling + count per tile (the H3-style op)."""
 
@@ -9076,6 +9117,8 @@ def query_registry():
         "smart_repair_xl": q_smart_repair_xl,
         "tile_skew": q_tile_skew,
         "pieces_xl": q_pieces_xl,
+        "prorate_xl": q_prorate_xl,
+        "normalize_xl": q_normalize_xl,
         "islands": q_islands,
         "count_overlaps": q_count_overlaps,
         "cell_tiles": q_cell_tiles,
@@ -9553,6 +9596,56 @@ def oracle_queries() -> dict[str, str]:
             FROM scaled s JOIN {dist} d ON
                  least(s.bx1, d.maxx) > greatest(s.bx0, d.minx)
              AND least(s.by1, d.maxy) > greatest(s.by0, d.miny)
+        """,
+        "prorate_xl": f"""
+            WITH nn AS (SELECT (count(*) + {BRICK_C - 1}) // {BRICK_C} AS rr FROM events),
+            kk AS (SELECT {EXTENT} // greatest({BRICK_C * BRICK_W}, rr * {BRICK_H}) AS k
+                   FROM nn),
+            {BRICKS_SQL},
+            scaled AS (
+              SELECT b.k AS event_id,
+                     b.x0 * kk.k AS bx0, b.rw * {BRICK_H} * kk.k AS by0,
+                     b.x1 * kk.k AS bx1,
+                     (b.rw + 1) * {BRICK_H} * kk.k AS by1
+              FROM bricks b, kk),
+            px AS (
+              SELECT s.event_id, d.district_id,
+                     (least(s.bx1, d.maxx) - greatest(s.bx0, d.minx))
+                   * (least(s.by1, d.maxy) - greatest(s.by0, d.miny))
+                       AS area
+              FROM scaled s JOIN {dist} d ON
+                   least(s.bx1, d.maxx) > greatest(s.bx0, d.minx)
+               AND least(s.by1, d.maxy) > greatest(s.by0, d.miny))
+            SELECT p.district_id,
+                   sum(CAST(round(e.value * 100.0) AS BIGINT) * p.area)
+                     AS weighted_cents
+            FROM px p JOIN events e USING (event_id)
+            GROUP BY p.district_id
+        """,
+        "normalize_xl": f"""
+            WITH nn AS (SELECT (count(*) + {BRICK_C - 1}) // {BRICK_C} AS rr FROM events),
+            kk AS (SELECT {EXTENT} // greatest({BRICK_C * BRICK_W}, rr * {BRICK_H}) AS k
+                   FROM nn),
+            {BRICKS_SQL},
+            scaled AS (
+              SELECT b.k AS event_id,
+                     b.x0 * kk.k AS bx0, b.rw * {BRICK_H} * kk.k AS by0,
+                     b.x1 * kk.k AS bx1,
+                     (b.rw + 1) * {BRICK_H} * kk.k AS by1
+              FROM bricks b, kk),
+            px AS (
+              SELECT s.event_id, d.district_id,
+                     (least(s.bx1, d.maxx) - greatest(s.bx0, d.minx))
+                   * (least(s.by1, d.maxy) - greatest(s.by0, d.miny))
+                       AS area
+              FROM scaled s JOIN {dist} d ON
+                   least(s.bx1, d.maxx) > greatest(s.bx0, d.minx)
+               AND least(s.by1, d.maxy) > greatest(s.by0, d.miny)),
+            tot AS (SELECT event_id, sum(area) AS s FROM px
+                    GROUP BY event_id)
+            SELECT p.event_id, p.district_id,
+                   CAST(p.area AS DOUBLE) / t.s AS weight
+            FROM px p JOIN tot t USING (event_id)
         """,
         "tile_skew": f"""
             SELECT
