@@ -966,6 +966,38 @@ def q_normalize_xl(sf_dir: str):
     return normalize(pieces, level="event_id")
 
 
+def q_assign_xl(sf_dir: str):
+    """Corpus-scale point assignment (op 1 point path at 10⁴–10⁵
+    sources): one derived off-lattice point per events row through
+    the actor-pool covering join against the 64-district BSP
+    tessellation. SQL mirror is a point-in-rect join — half-open
+    [min, max) semantics on both sides."""
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def pts(b: pa.Table) -> pa.Table:
+        k = b["event_id"].to_numpy()
+        x = ((k * AX + BX) % EXTENT).astype(np.float64) + 0.5
+        y = ((k * AY + BY) % EXTENT).astype(np.float64) + 0.5
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+
+    out = assign(
+        ds.map_batches(pts, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        _districts(),
+        source_id_col="event_id",
+        target_id_col="district_id",
+        targets_id_col="district_id",
+        concurrency=8,
+    )
+    return out.select_columns(["event_id", "district_id"])
+
+
 def q_cell_tiles(sf_dir: str):
     """Hierarchical-cell tiling + count per tile (the H3-style op)."""
 
@@ -9118,6 +9150,7 @@ def query_registry():
         "tile_skew": q_tile_skew,
         "pieces_xl": q_pieces_xl,
         "prorate_xl": q_prorate_xl,
+        "assign_xl": q_assign_xl,
         "normalize_xl": q_normalize_xl,
         "islands": q_islands,
         "count_overlaps": q_count_overlaps,
@@ -9596,6 +9629,14 @@ def oracle_queries() -> dict[str, str]:
             FROM scaled s JOIN {dist} d ON
                  least(s.bx1, d.maxx) > greatest(s.bx0, d.minx)
              AND least(s.by1, d.maxy) > greatest(s.by0, d.miny)
+        """,
+        "assign_xl": f"""
+            SELECT event_id, district_id
+            FROM events, {dist} d
+            WHERE ((event_id * {AX} + {BX}) % {EXTENT}) + 0.5 >= d.minx
+              AND ((event_id * {AX} + {BX}) % {EXTENT}) + 0.5 < d.maxx
+              AND ((event_id * {AY} + {BY}) % {EXTENT}) + 0.5 >= d.miny
+              AND ((event_id * {AY} + {BY}) % {EXTENT}) + 0.5 < d.maxy
         """,
         "prorate_xl": f"""
             WITH nn AS (SELECT (count(*) + {BRICK_C - 1}) // {BRICK_C} AS rr FROM events),
