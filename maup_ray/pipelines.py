@@ -5365,6 +5365,45 @@ def q_knn(sf_dir: str):
     return out
 
 
+def q_knn_xl(sf_dir: str):
+    """Corpus-scale exact kNN (10⁴–10⁵ points from events through the
+    distributed cell-co-partitioned self-join with certified-ring
+    rounds). The engine computes ALL points' neighbours; the gate
+    output keeps the deterministic 1%% source sample (event_id % 100
+    == 0) so the DuckDB oracle's cross join stays ~n²/100 — the
+    sampled rows are only correct if the WHOLE self-join is."""
+    from .ops.knn import knn_self_join
+
+    def pts(b: pa.Table) -> pa.Table:
+        k = b["event_id"].to_numpy()
+        x = ((k * AX + BX) % EXTENT).astype(np.float64) + 0.5
+        y = ((k * AY + BY) % EXTENT).astype(np.float64) + 0.5
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+
+    out = knn_self_join(
+        _read(sf_dir, "events", ["event_id"]).map_batches(
+            pts, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        k=KNN_K,
+        extent=(0.0, 0.0, float(EXTENT)),
+        id_col="event_id",
+    )
+    def sample(b: pa.Table) -> pa.Table:
+        k = b["event_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(k % 100 == 0))
+
+    if isinstance(out, pa.Table):
+        return sample(out)
+    return out.map_batches(sample, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_rasterize(sf_dir: str):
     """Vector→raster: district polygons to exact per-cell coverage
     areas at res RASTER_RES (sf-independent geometry, engine path)."""
@@ -9165,6 +9204,7 @@ def query_registry():
         "inverted": q_inverted,
         "url_hosts": q_url_hosts,
         "knn": q_knn,
+        "knn_xl": q_knn_xl,
         "rasterize": q_rasterize,
         "sessions": q_sessions,
         "funnel": q_funnel,
@@ -10525,6 +10565,25 @@ def oracle_queries() -> dict[str, str]:
             JOIN events e
               ON e.ts >= a.ts AND e.ts < a.ts + INTERVAL 1 HOUR
             GROUP BY a.event_id
+        """,
+        "knn_xl": f"""
+            WITH pts AS (
+              SELECT event_id,
+                CAST(((event_id*{AX}+{BX})%{EXTENT}) AS DOUBLE)+0.5 AS x,
+                CAST(((event_id*{AY}+{BY})%{EXTENT}) AS DOUBLE)+0.5 AS y
+              FROM events),
+            pairs AS (
+              SELECT s.event_id, t.event_id AS neighbor_id,
+                (s.x-t.x)*(s.x-t.x)+(s.y-t.y)*(s.y-t.y) AS d2
+              FROM pts s JOIN pts t ON s.event_id <> t.event_id
+              WHERE s.event_id % 100 = 0),
+            ranked AS (
+              SELECT event_id, neighbor_id,
+                row_number() OVER (PARTITION BY event_id
+                                   ORDER BY d2, neighbor_id) AS rank
+              FROM pairs)
+            SELECT event_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= {KNN_K}
         """,
         "knn": f"""
             WITH pts AS (
